@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.operators.WindowedAverages
+import graft.operators.{ClickThroughRate, WindowedAverages}
+import graft.sources.AdFixtures
 
 /** Batch-verifiable forms of the reference's two pipelines, computed over
   * the driver's deterministic `events` table (orders-proxy: `ts` → event
@@ -22,8 +23,35 @@ object ReferencePipelines extends QueryPack {
         round(col("avg_total"), 4).as("avg_total"),
         col("n"))
 
+  /** ctr_join — J1's row-level join output (impressions ⟕ clicks ±60 s). */
+  def ctrJoin(spark: SparkSession, sfDir: String): DataFrame =
+    ClickThroughRate
+      .joinImpressionsClicks(
+        AdFixtures.impressions(spark, sfDir),
+        AdFixtures.clicks(spark, sfDir))
+      .select(
+        col("impression_id"),
+        col("ad_id"),
+        col("was_clicked"),
+        coalesce(col("click_id"), lit("")).as("click_id"))
+
+  /** ctr — the full CTR table (SURVEY.md §3.2), faithful + corrected. */
+  def ctr(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = ClickThroughRate.ctrByAd(
+      AdFixtures.impressions(spark, sfDir),
+      AdFixtures.clicks(spark, sfDir))
+    out.select(
+      col("ad_id"),
+      col("num_impressions"),
+      col("num_clicks"),
+      round(col("ctr"), 4).as("ctr"),
+      round(col("ctr_corrected"), 4).as("ctr_corrected"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "windowed_avg" -> (windowedAvg _)
+    "windowed_avg" -> (windowedAvg _),
+    "ctr_join" -> (ctrJoin _),
+    "ctr" -> (ctr _)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -37,6 +65,37 @@ object ReferencePipelines extends QueryPack {
         |  round(avg(v * 2), 4) AS avg_total_x2,
         |  round(avg(v), 4) AS avg_total,
         |  count(*) AS n
-        |FROM b GROUP BY ws""".stripMargin
+        |FROM b GROUP BY ws""".stripMargin,
+
+    "ctr_join" -> (AdFixtures.oracleCtes +
+      """
+        |SELECT imp.impression_id,
+        |       imp.ad_id,
+        |       (clk.click_id IS NOT NULL) AS was_clicked,
+        |       coalesce(clk.click_id, '') AS click_id
+        |FROM imp LEFT JOIN clk
+        |  ON imp.impression_id = clk.impression_id
+        | AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
+        |                           AND imp.impression_time_ms + 60000""".stripMargin),
+
+    "ctr" -> (AdFixtures.oracleCtes +
+      """, joined AS (
+        |  SELECT imp.ad_id, (clk.click_id IS NOT NULL) AS was_clicked
+        |  FROM imp LEFT JOIN clk
+        |    ON imp.impression_id = clk.impression_id
+        |   AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
+        |                             AND imp.impression_time_ms + 60000
+        |), counts AS (
+        |  SELECT ad_id,
+        |         count(CASE WHEN NOT was_clicked THEN 1 END) AS num_impressions,
+        |         count(CASE WHEN was_clicked THEN 1 END) AS num_clicks
+        |  FROM joined GROUP BY ad_id
+        |)
+        |SELECT ad_id, num_impressions, num_clicks,
+        |       round(CASE WHEN num_clicks = 0 THEN 0.0
+        |             ELSE CAST(num_clicks AS DOUBLE) / num_impressions END, 4) AS ctr,
+        |       round(CASE WHEN num_impressions + num_clicks = 0 THEN 0.0
+        |             ELSE CAST(num_clicks AS DOUBLE) / (num_impressions + num_clicks) END, 4) AS ctr_corrected
+        |FROM counts""".stripMargin)
   )
 }
