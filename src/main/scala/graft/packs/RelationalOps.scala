@@ -1,0 +1,292 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+
+/** The standard relational operator surface (SURVEY.md §2.5 gap-fill +
+  * §3.3 declarative upgrade): aggregation, joins (broadcast/semi/anti),
+  * ranking windows, sort/limit, set ops, rollup, distinct — all stock
+  * Catalyst ops, each verified against a DuckDB oracle.
+  *
+  * Oracle-stability rule: re-aggregated doubles are NEVER hash-compared —
+  * Spark's partial/final aggregation and DuckDB's parallel sums order
+  * float adds differently, so a sum of 60k doubles differs in the last
+  * ulps (and can flip any rounding). Money sums are computed as exact
+  * cents (`round(x*100)::long`) on both sides; averages are derived from
+  * those exact integers (long→double conversion and a single IEEE
+  * division are bit-deterministic on both engines). Raw per-row doubles
+  * from parquet are bit-identical on both sides and safe to emit.
+  *
+  * Scale notes (100 TB): every dim join below is `broadcast()`-hinted
+  * (region/nation/customer-sized sides); fact-fact joins shuffle on the
+  * join key with AQE handling skew; aggregates rely on partial map-side
+  * combine so shuffles carry group cardinality, not row cardinality;
+  * filters/projections sit directly on the scan so parquet pushdown and
+  * column pruning apply.
+  */
+object RelationalOps extends QueryPack {
+
+  import org.apache.spark.sql.Column
+
+  /** Exact money: dollars-as-double → cents-as-long (both engines agree
+    * bit-for-bit on round(x*100) of the same parquet double). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** q1_agg — TPC-H Q1 shape over lineitem: filter → groupBy → multi-agg. */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_price_cents"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price_cents"),
+        count(lit(1)).as("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price_cents"), col("sum_disc_price_cents"),
+        (col("sum_qty").cast("double") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price_cents").cast("double") / col("count_order"))
+          .as("avg_price_cents"),
+        col("count_order"))
+
+  /** join_broadcast — fact ⋈ broadcast(dim): orders ⋈ customer by segment. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(cents(col("o_totalprice"))).as("revenue_cents"),
+        count(lit(1)).as("n_orders"))
+
+  /** multi_join — star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region,
+    * revenue by nation. Dims broadcast; the single big shuffle is
+    * lineitem ⋈ orders on orderkey. */
+  def multiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_rows"))
+
+  /** topk_per_group — ranking window: top-3 orders per market segment by
+    * totalprice (deterministic tiebreak on o_orderkey). */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+  }
+
+  /** sort_limit — global top-100 lineitems by price (total order via PK). */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(100)
+
+  /** set_ops — union / intersect / except of customer-key sets, tagged. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    rich.union(auto).distinct().withColumn("tag", lit("union"))
+      .unionByName(rich.intersect(auto).withColumn("tag", lit("intersect")))
+      .unionByName(rich.except(auto).withColumn("tag", lit("except")))
+  }
+
+  /** semi_anti_join — EXISTS / NOT EXISTS: customers with vs without orders. */
+  def semiAntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).select(col("o_custkey"))
+    val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("with_orders"))
+    val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+  }
+
+  /** distinct_agg — exact distinct counts per group. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  /** rollup_agg — hierarchical subtotals (returnflag → linestatus). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** window_running — analytic windows: running revenue + rank + lag per
+    * customer over their order history. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_cents",
+        sum(col("price_cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+        col("running_cents"),
+        coalesce(col("prev_price"), lit(-1.0)).as("prev_price"))
+  }
+
+  /** csv_roundtrip — S5/S6 codec parity: encode events to delimited
+    * strings, FAILFAST-decode back; roundtrip must be the identity. */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.DelimitedCodec
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val encoded = Tables.events(spark, sfDir).select(
+      DelimitedCodec.encode(col("event_id"), col("event_type"), col("value"))
+        .as("line"))
+    DelimitedCodec.decoded(encoded, "line", schema)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "join_broadcast" -> (joinBroadcast _),
+    "multi_join" -> (multiJoin _),
+    "topk_per_group" -> (topkPerGroup _),
+    "sort_limit" -> (sortLimit _),
+    "set_ops" -> (setOps _),
+    "semi_anti_join" -> (semiAntiJoin _),
+    "distinct_agg" -> (distinctAgg _),
+    "rollup_agg" -> (rollupAgg _),
+    "window_running" -> (windowRunning _),
+    "csv_roundtrip" -> (csvRoundtrip _)
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+        |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+        |         count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus
+        |)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price_cents,
+        |       sum_disc_price_cents,
+        |       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+        |       CAST(sum_base_price_cents AS DOUBLE) / count_order AS avg_price_cents,
+        |       count_order
+        |FROM a""".stripMargin,
+
+    "join_broadcast" ->
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "multi_join" ->
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rk <= 3""".stripMargin,
+
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "set_ops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |     auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+        |SELECT c_custkey, 'union' AS tag FROM (SELECT * FROM rich UNION SELECT * FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'intersect' AS tag FROM (SELECT * FROM rich INTERSECT SELECT * FROM auto)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM auto)""".stripMargin,
+
+    "semi_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n, 'with_orders' AS kind
+        |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT c_mktsegment, count(*) AS n, 'without_orders' AS kind
+        |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_supp,
+        |       count(DISTINCT l_partkey) AS n_part,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       row_number() OVER w AS rn,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+        |       coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "csv_roundtrip" ->
+      "SELECT event_id, event_type, value FROM events"
+  )
+}

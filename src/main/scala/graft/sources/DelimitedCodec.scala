@@ -61,5 +61,6 @@ object DelimitedCodec {
     * `concat_ws` matches the reference's StringBuilder concatenation
     * (no quoting/escaping — fields must not contain commas, same
     * contract as the reference). */
-  def encode(cols: Column*): Column = concat_ws(",", cols: _*)
+  def encode(cols: Column*): Column =
+    concat_ws(",", cols.map(_.cast("string")): _*)
 }
