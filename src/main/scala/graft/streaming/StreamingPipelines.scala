@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ClickThroughRate, WindowedAverages}
+import graft.sources.DelimitedCodec
+
+/** The reference's two topologies as streaming transforms. Each is a
+  * `DataFrame => DataFrame` over unbounded input — identical plans to the
+  * batch forms (Structured Streaming unification), plus watermarks for
+  * state eviction (the reference's 24 h window retention analog,
+  * SURVEY.md §2.7).
+  */
+object StreamingPipelines {
+
+  /** The full Aggregations topology (SURVEY.md §3.1): CSV lines →
+    * FAILFAST decode → event time from the embedded orderTimeMs field →
+    * 30 s tumbling avg(v*2)/avg(v) → reference output encoding
+    * (key "startMs-endMs-0", value "avg2x,avg";
+    * Aggregations.java:131-148). Consume in outputMode("update") for the
+    * per-update KTable emission (A10; micro-batch granularity is the
+    * documented delta, SURVEY.md §7.5.1). */
+  def ordersToAverages(lines: DataFrame, watermark: String = "60 seconds"): DataFrame = {
+    val decoded = DelimitedCodec.decoded(lines, "value", DelimitedCodec.orderSchema)
+      .withColumn("ts", timestamp_millis(col("orderTimeMs")))
+    WindowedAverages.windowedAvgStream(decoded, "ts", "orderValue",
+      watermark = watermark)
+      .select(
+        col("win_key").as("key"),
+        DelimitedCodec.encode(col("avg_total_x2"), col("avg_total")).as("value"))
+  }
+
+  /** J1 streaming form: ±`windowSec` left-outer join with watermarks on
+    * both sides. Inputs need (impression_id, imp_ts: timestamp) and
+    * (impression_id, clk_ts: timestamp, click_id). Append mode: matches
+    * emit eagerly; the null-extended unmatched-left row emits once the
+    * watermark closes its window — no Kafka-1.1-style spurious eager
+    * nulls (deliberate, SURVEY.md §7.4). */
+  def adJoinStream(impressions: DataFrame, clicks: DataFrame,
+      windowSec: Int = 60, watermark: String = "60 seconds"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks
+      .select(
+        col("impression_id").as("clk_impression_id"),
+        col("clk_ts"), col("click_id"))
+      .withWatermark("clk_ts", watermark)
+    imp.join(
+        clk,
+        col("impression_id") === col("clk_impression_id") &&
+          col("clk_ts") >= col("imp_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+          col("clk_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "left_outer")
+      .withColumn("was_clicked", col("click_id").isNotNull)
+      .drop("clk_impression_id")
+  }
+
+  /** CTR downstream of the streaming join (SURVEY.md §3.2 caveat): a
+    * second stateful aggregation in update mode can't chain after a
+    * stream-stream join, so the reference's KTable upsert becomes
+    * foreachBatch: aggregate the batch increment distributed
+    * (group-cardinality rows), then merge into `store`. On a cluster
+    * `store` is a Delta/JDBC/state-store merge; tests use an in-memory
+    * store. Returns the started query's writer-side closure. */
+  def ctrIncrements(joinedBatch: DataFrame): DataFrame =
+    ClickThroughRate.adCounts(joinedBatch)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.ImpressionAndClick
+
+/** KTable-update cadence via mapGroupsWithState: each batch emits the
+  * updated running counts per touched ad (A6 semantics incl. quirks). */
+class StatefulCountsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running per-ad counts accumulate across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[ImpressionAndClick]
+    val out = StatefulCounts.runningAdCounts(spark, in.toDS())
+    val q = out.writeStream
+      .format("memory").queryName("adcounts")
+      .outputMode(OutputMode.Update())
+      .start()
+    def latest() = spark.table("adcounts")
+      .as[StatefulCounts.AdCtrUpdate].collect()
+      .groupBy(_.adId).map { case (k, v) => k -> v.last }
+
+    try {
+      in.addData(
+        ImpressionAndClick("i1", "u1", "ad1", wasClicked = false),
+        ImpressionAndClick("i2", "u2", "ad1", wasClicked = true),
+        ImpressionAndClick("i3", "u3", "ad2", wasClicked = false))
+      q.processAllAvailable()
+      val s1 = latest()
+      assert(s1("ad1").numImpressions == 1 && s1("ad1").numClicks == 1)
+      assert(s1("ad1").ctr == 1.0)
+      assert(s1("ad2").ctr == 0.0)
+
+      // second batch: state carries over
+      in.addData(ImpressionAndClick("i4", "u4", "ad1", wasClicked = false))
+      q.processAllAvailable()
+      val s2 = latest()
+      assert(s2("ad1").numImpressions == 2 && s2("ad1").numClicks == 1)
+      assert(s2("ad1").ctr == 0.5)
+    } finally q.stop()
+  }
+
+  test("full topology: CSV orders lines → reference-encoded averages") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingPipelines.ordersToAverages(in.toDF.toDF("value"))
+    val q = out.writeStream
+      .format("memory").queryName("oavg")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      in.addData("0,1,apples,10.0", "10000,2,bananas,20.0", "30000,3,cherries,40.0")
+      q.processAllAvailable()
+      val rows = spark.table("oavg").as[(String, String)].collect().toMap
+      assert(rows("0-30000-0") == "30.0,15.0")
+      assert(rows("30000-60000-0") == "80.0,40.0")
+    } finally q.stop()
+  }
+}
