@@ -10,7 +10,8 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     graft.packs.ReferencePipelines,
-    graft.packs.RelationalOps
+    graft.packs.RelationalOps,
+    graft.packs.DedupOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

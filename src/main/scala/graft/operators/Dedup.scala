@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite — the LLM-training-pipeline extension ops
+  * (BASELINE.json north star): exact, blocked n-gram Jaccard, MinHash+LSH,
+  * SimHash. All pure Column expressions / relational ops — no UDFs — so
+  * every stage is codegen'd and shuffles carry only what each stage needs.
+  *
+  * Scale design (100 TB of documents):
+  * - exact: group by a 128-bit hash of the text, never by the text itself
+  *   (the shuffle carries 16 bytes + ids, not document bodies).
+  * - minhash: signatures are k longs per doc; LSH banding turns all-pairs
+  *   (quadratic) into per-bucket candidate generation (near-linear for
+  *   non-pathological corpora). Oversized buckets (degenerate shingles,
+  *   boilerplate) are capped — documented precision/recall tradeoff knob.
+  * - simhash: one 64-bit fingerprint per doc via a single aggregation
+  *   (64 conditional sums, no row amplification), then 16-bit band
+  *   blocking for hamming-≤k candidate pairs.
+  * - verification joins carry token/shingle arrays only for candidate
+  *   pairs, never all-pairs.
+  */
+object Dedup {
+
+  /** Whitespace tokenization (the corpus is single-space word text; a
+    * production corpus would normalize punctuation first — see
+    * TextAnalysis.normalizeText). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles, empty array when the doc has < n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Exact set Jaccard of two string arrays (distinct semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") /
+        union.cast("double"))
+  }
+
+  /** Exact dedup: one representative (min id) per distinct text, keyed by
+    * md5 so the shuffle never carries bodies. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k minimums over per-seed 64-bit shingle hashes.
+    * Returns array<long> of length k. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(seed =>
+      array_min(transform(sh, x => xxhash64(lit(seed), x)))): _*)
+
+  /** MinHash + LSH banding: candidate pairs from shared (band, bandHash)
+    * buckets, verified with exact shingle Jaccard ≥ `threshold`.
+    *
+    * k = bands * rows hashes. With 8 bands × 4 rows, P(candidate) at
+    * j=0.8 is 1-(1-0.8^4)^8 ≈ 0.986 and ≈ 1.0 at j≥0.9.
+    * `maxBucketSize` drops degenerate buckets (boilerplate shingles) to
+    * bound the quadratic pair blow-up — precision knob at scale. */
+  def minhashLsh(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rows: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val k = bands * rows
+    val withSh = docs
+      .select(col(idCol).as("doc_id"),
+        shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = withSh.select(col("doc_id"),
+      minhashSignature(col("sh"), k).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
+
+    // Cap pathological buckets before pair generation.
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+
+    val a = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** 64-bit SimHash per doc: token-frequency-weighted bit votes, computed
+    * as 64 conditional sums in ONE aggregation (no row amplification). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit band blocking (any pair within
+    * hamming ≤ 3 of a 64-bit hash shares at least one of 4 exact 16-bit
+    * bands — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("band_val"))
+    }
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
+    * on a text prefix, compute exact shingle Jaccard within blocks. The
+    * prefix block is a cheap deterministic blocker; minhashLsh is the
+    * content-robust scale path. */
+  def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, prefixLen: Int = 40, threshold: Double = 0.8): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("blk"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 1
+    (3L, "completely different words about spark query engines"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (5L, "tiny")                                                 // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 4) // 1&4 collapse
+    val dupGroup = out.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L)
+  }
+
+  test("shingles: empty below n tokens, sliding window otherwise") {
+    import org.apache.spark.sql.functions._
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).head == "the quick brown")
+    assert(sh(1L).length == 8) // 10 tokens → 8 shingles
+  }
+
+  test("minhash LSH finds near-dups and exact dups, skips dissimilar") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jac 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs hash equal; near-dups within small hamming") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(4L))
+    val hamming12 = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(hamming12 < 16, s"near-dup hamming was $hamming12")
+    val hamming13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(hamming13 > hamming12)
+  }
+
+  test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
+    val d = graft.Tables.documents(spark, sf)
+    val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(blocked.nonEmpty, "testdata should contain planted near-dups")
+    val minhash = Dedup.minhashLsh(d, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // LSH at 8×4 has ~100% candidate probability at jac ≥ 0.9
+    assert(blocked.subsetOf(minhash),
+      s"missed: ${blocked -- minhash}")
+  }
+}
