@@ -11,7 +11,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     graft.packs.ReferencePipelines,
     graft.packs.RelationalOps,
-    graft.packs.DedupOps
+    graft.packs.DedupOps,
+    graft.packs.SimilarityOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

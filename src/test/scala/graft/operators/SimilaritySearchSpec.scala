@@ -1,0 +1,68 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 3 clusters of 20 vectors each (dim 64) around near-orthogonal
+    * seeded-random bases with small noise → planted neighbor structure. */
+  private lazy val clustered = {
+    val rnd = new Random(7)
+    val bases = Array.fill(3, 64)(rnd.nextGaussian())
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val v = bases(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (c * 100L + i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private val queryOf = clustered
+    .where("vec_id IN (0, 100, 200)")
+    .toDF("query_id", "q_emb")
+
+  test("brute-force topk returns same-cluster neighbors, ranked") {
+    val out = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 30)
+    // every neighbor of query c*100 is from cluster c
+    out.foreach { case (qid, vid, sim, _) =>
+      assert(vid / 100 == qid / 100, s"query $qid got cross-cluster $vid")
+      assert(sim > 0.8)
+    }
+    // ranks are 1..10 per query, sims non-increasing
+    val byQ = out.groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to 10L))
+      assert(sorted.map(_._3).toSeq.reverse.sorted.reverse == sorted.map(_._3).toSeq)
+    }
+  }
+
+  test("LSH topk achieves high recall vs brute force on clustered data") {
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val lsh = SimilaritySearch.lshTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("cosine pairs: identical vectors sim 1.0, orthogonal filtered out") {
+    val vecs = Seq(
+      (1L, Array.fill(64)(1.0f).toSeq),
+      (2L, Array.fill(64)(1.0f).toSeq),
+      (3L, (Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)).toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = SimilaritySearch.cosineNearDupPairs(vecs, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+}
