@@ -12,7 +12,8 @@ object SparkEntry {
     graft.packs.ReferencePipelines,
     graft.packs.RelationalOps,
     graft.packs.DedupOps,
-    graft.packs.SimilarityOps
+    graft.packs.SimilarityOps,
+    graft.packs.TextOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (BASELINE.json north star): image/audio/
+  * video travel as opaque `binary` columns plus typed metadata; decode /
+  * feature-extraction runs batched per partition at a single well-marked
+  * seam.
+  *
+  * The Spark-side contract here is real and tested — schema, batch
+  * shape, partitioning, determinism. The actual codec (libvips/ffmpeg
+  * via JNI, or a Python worker over Arrow batches — the Scala analog of
+  * a Pandas `mapInPandas` UDF) is NOT available in this container, so
+  * `RealDecoder` is a clearly-marked stub and tests run against the
+  * deterministic `FakeDecoder`.
+  *
+  * Scale notes: assets are large blobs — `spark.sql.files.
+  * maxPartitionBytes` bounds scan partitions; decode is CPU-bound, so
+  * `repartition(n)` before `featurize` controls decode parallelism
+  * independently of scan layout; features (small fixed-width vectors)
+  * are what shuffles downstream, never the bytes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
+      durationMs: Long)
+
+  final case class MediaAsset(asset_id: Long, kind: String,
+      bytes: Array[Byte], meta: MediaMeta)
+
+  final case class MediaFeatures(asset_id: Long, kind: String,
+      n_bytes: Long, fingerprint: Long, embedding: Array[Float])
+
+  /** Decoder seam — one batched call per asset; implementations must be
+    * Serializable (shipped to executors). */
+  trait MediaDecoder extends Serializable {
+    def decode(asset: MediaAsset): MediaFeatures
+  }
+
+  /** Deterministic stand-in: features derived from a rolling hash of the
+    * bytes. Same plumbing, batch shape and schema as a real codec. */
+  object FakeDecoder extends MediaDecoder {
+    override def decode(a: MediaAsset): MediaFeatures = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < a.bytes.length) { h = 31 * h + a.bytes(i); i += 1 }
+      val emb = Array.tabulate(8) { d =>
+        // spread the hash into 8 deterministic floats in [-1, 1]
+        (((h ^ (d * 0x9e3779b97f4a7c15L)) >>> 11).toDouble /
+          (1L << 53).toDouble * 2 - 1).toFloat
+      }
+      MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, h, emb)
+    }
+  }
+
+  /** Real codec stub — requires image/audio native libs absent from this
+    * container. Plug point documented; do not call in tests. */
+  object RealDecoder extends MediaDecoder {
+    override def decode(a: MediaAsset): MediaFeatures =
+      ??? // JNI/FFI call into libvips (image) / ffmpeg (audio/video)
+  }
+
+  /** Batched per-partition feature extraction over the decoder seam. */
+  def featurize(spark: SparkSession, assets: Dataset[MediaAsset],
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Deterministic media synthesis from the documents table (no binary
+    * testdata exists): bytes = utf-8 text, kind cycles by id. */
+  def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("asset_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "utf-8").as("bytes"),
+        struct(lit(640).as("width"), lit(480).as("height"),
+          lit(16000).as("sampleRate"),
+          (length(col("text")) * 10L).cast("long").as("durationMs")).as("meta"))
+      .as[MediaAsset]
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (BASELINE.json
+  * north star): language ID, quality scoring, token counting, document
+  * fingerprinting. Pure Column expressions — codegen'd end to end, no
+  * row amplification; at 100 TB each op is a single scan-side projection
+  * (no shuffle at all until an aggregation consumes the result).
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Printable-ASCII projection (deterministic cross-engine base for
+    * char-level ops; multibyte text handled by the CJK branch of langId). */
+  def asciiOnly(text: Column): Column = regexp_replace(text, "[^ -~]", "")
+
+  /** Polynomial rolling hash (base 31 mod 1e9+7) over printable-ASCII
+    * chars — a content fingerprint stable under container/metadata
+    * changes, unlike md5 of raw bytes. Left fold with zero init ==
+    * DuckDB's list_reduce first-element init (f(0,c)=c). */
+  def rollingFingerprint(text: Column): Column = {
+    val t = asciiOnly(text)
+    when(length(t) === 0, lit(0L)).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L))
+  }
+
+  // Tiny fixed stopword lists per language — a deliberately simple,
+  // deterministic n-gram-free heuristic (real pipelines would plug a
+  // fastText-style model at the same operator seam).
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "von")
+  val stopFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une")
+  val stopEs: Seq[String] = Seq("el", "los", "las", "y", "es", "uno", "para")
+
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[一-鿿]"))
+
+  /** Stopword-vote language ID with fixed priority tie-break
+    * (zh via CJK chars, then en > de > fr > es). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val (en, de, fr, es) = (
+      stopwordCount(toks, stopEn), stopwordCount(toks, stopDe),
+      stopwordCount(toks, stopFr), stopwordCount(toks, stopEs))
+    when(cjkCount(text) > 0, lit("zh"))
+      .when(en >= greatest(de, fr, es), lit("en"))
+      .when(de >= greatest(fr, es), lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Per-doc stats: counts and ratios from exact integer counts (all
+    * derived doubles are deterministic single divisions). */
+  def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("long")
+    val nTokens = size(toks).cast("long")
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nChars.cast("double") / nTokens.cast("double")).as("chars_per_token"),
+      (length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+        nChars.cast("double")).as("punct_ratio"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+        nChars.cast("double")).as("digit_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: length saturation + alphabetic
+    * purity + stopword presence (the classic cheap pre-filter trio). */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nTokens = size(toks).cast("double")
+    val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / nChars
+    val stopRatio = stopwordCount(toks, stopEn).cast("double") / nTokens
+    docs.select(
+      col(idCol),
+      round(least(lit(1.0), nTokens / 200.0) * 0.4 +
+        alphaRatio * 0.4 +
+        least(lit(0.2), stopRatio), 4).as("quality"))
+  }
+
+  /** Token counting three ways: whitespace, word-regex, and a BPE-ish
+    * chars/4 estimate (the standard budget heuristic). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(tokens(t)).cast("long").as("ws_tokens"),
+      regexp_count(t, lit("[a-z0-9]+")).cast("long").as("word_tokens"),
+      ceil(length(t).cast("double") / 4.0).cast("long").as("bpe_est"))
+  }
+
+  /** Fingerprints: rolling content hash + md5. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      rollingFingerprint(col(textCol)).as("rolling_fp"),
+      md5(col(textCol)).as("md5_fp"))
+}

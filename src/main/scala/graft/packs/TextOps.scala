@@ -1,0 +1,110 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.operators.{Multimodal, TextAnalysis}
+
+/** Text-analysis + multimodal queries over the documents table. All
+  * text ops have full DuckDB oracles (exact integer counts, single
+  * deterministic divisions, identical fold for the rolling hash).
+  * multimodal_features uses the engine-side decoder seam → rows-only.
+  */
+object TextOps extends QueryPack {
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.textStats(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.langId(col("text")).as("predicted_lang"),
+      col("lang").as("labeled_lang"))
+
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.featurize(spark,
+        Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+      .select(col("asset_id"), col("kind"), col("n_bytes"), col("fingerprint"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "lang_id" -> (langId _),
+    "token_count" -> (tokenCount _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "multimodal_features" -> (multimodalFeatures _)
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token,
+        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS digit_ratio
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  round(least(1.0, len(string_split(text, ' ')) / 200.0) * 0.4 +
+        |        (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |          / length(text)) * 0.4 +
+        |        least(0.2, CAST(len(list_filter(string_split(text, ' '),
+        |            t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+        |          / len(string_split(text, ' '))), 4) AS quality
+        |FROM documents""".stripMargin,
+
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh,
+        |    len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS en,
+        |    len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','von'], t))) AS de,
+        |    len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une'], t))) AS fr,
+        |    len(list_filter(toks, t -> list_contains(['el','los','las','y','es','uno','para'], t))) AS es
+        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN zh > 0 THEN 'zh'
+        |       WHEN en >= greatest(de, fr, es) THEN 'en'
+        |       WHEN de >= greatest(fr, es) THEN 'de'
+        |       WHEN fr >= es THEN 'fr'
+        |       ELSE 'es' END AS predicted_lang,
+        |  labeled_lang
+        |FROM s""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS bpe_est
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(a) = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_transform(generate_series(1, length(a)),
+        |        i -> CAST(ascii(a[i]) AS BIGINT)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS rolling_fp,
+        |  md5(text) AS md5_fp
+        |FROM (SELECT doc_id, text, regexp_replace(text, '[^ -~]', '', 'g') AS a
+        |      FROM documents)""".stripMargin
+  )
+}
