@@ -28,20 +28,18 @@ object Dedup {
     * TextAnalysis.normalizeText). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles, empty array when the doc has < n tokens. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+  /** Word n-gram shingles from raw text, empty array when the doc has
+    * < n tokens. Native codegen'd expression (the built-in
+    * transform/slice/array_join form runs interpreted and gets
+    * re-evaluated inside join predicates — see
+    * graft.functions.WordShingles). */
+  def shinglesFromText(text: Column, n: Int): Column =
+    graft.functions.WordShingles(text, n)
 
-  /** Exact set Jaccard of two string arrays (distinct semantics). */
-  def jaccard(a: Column, b: Column): Column = {
-    val union = size(array_union(a, b))
-    when(union === 0, lit(0.0))
-      .otherwise(size(array_intersect(a, b)).cast("double") /
-        union.cast("double"))
-  }
+  /** Exact set Jaccard of two string arrays (distinct semantics, 0.0 on
+    * empty union) — native codegen'd expression. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.JaccardSimilarity(a, b)
 
   /** Exact dedup: one representative (min id) per distinct text, keyed by
     * md5 so the shuffle never carries bodies. */
@@ -51,11 +49,12 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: k minimums over per-seed 64-bit shingle hashes.
-    * Returns array<long> of length k. */
+  /** MinHash signature: k minimums over splitmix64-derived permutations
+    * of the per-shingle xxhash64. One base-hash pass (built-in, then the
+    * native one-pass MinhashSignature expression) — returns array<long>
+    * of length k. */
   def minhashSignature(sh: Column, k: Int): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(sh, x => xxhash64(lit(seed), x)))): _*)
+    graft.functions.MinhashSignature(transform(sh, x => xxhash64(x)), k)
 
   /** MinHash + LSH banding: candidate pairs from shared (band, bandHash)
     * buckets, verified with exact shingle Jaccard ≥ `threshold`.
@@ -76,7 +75,7 @@ object Dedup {
     val k = bands * rows
     val withSh = docs
       .select(col(idCol).as("doc_id"),
-        shingles(tokens(col(textCol)), shingleN).as("sh"))
+        shinglesFromText(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = withSh.select(col("doc_id"),
       minhashSignature(col("sh"), k).as("sig"))
@@ -161,7 +160,7 @@ object Dedup {
       shingleN: Int = 3, prefixLen: Int = 40, threshold: Double = 0.8): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("blk"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      shinglesFromText(col(textCol), shingleN).as("sh"))
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, "blk")

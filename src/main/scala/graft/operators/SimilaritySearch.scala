@@ -32,15 +32,20 @@ object SimilaritySearch {
   /** Rank corpus vectors per query by rounded cosine; emit top k.
     * `queries`: (query_id, q_emb); `vectors`: (vec_id, embedding). */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding"),
+    // Cast to double ONCE per vector — the per-pair zip_with/aggregate
+    // lambdas are interpreted (not codegen'd), so hoisting the casts out
+    // of the quadratic stage matters.
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("v_emb"),
       VectorOps.norm(col("embedding")).as("v_nrm"))
-    val q = queries.select(col("query_id"), col("q_emb"),
+    val q = queries.select(col("query_id"),
+      VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
       VectorOps.norm(col("q_emb")).as("q_nrm"))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosinePrenormed(
-          VectorOps.dot(col("q_emb"), col("embedding")),
+          VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
           col("q_nrm"), col("v_nrm")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -84,16 +89,18 @@ object SimilaritySearch {
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").distinct()
 
-    val v = vectors.select(col("vec_id"), col("embedding"),
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("v_emb"),
       VectorOps.norm(col("embedding")).as("v_nrm"))
-    val q = queries.select(col("query_id"), col("q_emb"),
+    val q = queries.select(col("query_id"),
+      VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
       VectorOps.norm(col("q_emb")).as("q_nrm"))
     val scored = candidates
       .join(v, "vec_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosinePrenormed(
-          VectorOps.dot(col("q_emb"), col("embedding")),
+          VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
           col("q_nrm"), col("v_nrm")), 4).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -105,17 +112,21 @@ object SimilaritySearch {
     * (self-join) form — the LSH bucket join is the scale path for
     * high thresholds. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding"),
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("emb"),
       VectorOps.norm(col("embedding")).as("nrm"))
-    val a = v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+    val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
-    val b = v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+    val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("nrm").as("nrm_b"))
-    a.crossJoin(b)
+    // Broadcast the right side: one nested-loop pass, no cartesian
+    // shuffle blow-up (a real corpus would use the LSH bucket join for
+    // this — exact all-pairs is inherently quadratic).
+    a.crossJoin(broadcast(b))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round(VectorOps.cosinePrenormed(
-          VectorOps.dot(col("emb_a"), col("emb_b")),
+          VectorOps.dotPrecast(col("emb_a"), col("emb_b")),
           col("nrm_a"), col("nrm_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }

@@ -24,7 +24,7 @@ class DedupSpec extends SparkSpec {
   test("shingles: empty below n tokens, sliding window otherwise") {
     import org.apache.spark.sql.functions._
     val sh = docs.select(col("doc_id"),
-      Dedup.shingles(Dedup.tokens(col("text")), 3).as("sh"))
+      Dedup.shinglesFromText(col("text"), 3).as("sh"))
       .as[(Long, Seq[String])].collect().toMap
     assert(sh(5L).isEmpty)
     assert(sh(1L).head == "the quick brown")
