@@ -13,7 +13,9 @@ object SparkEntry {
     graft.packs.RelationalOps,
     graft.packs.DedupOps,
     graft.packs.SimilarityOps,
-    graft.packs.TextOps
+    graft.packs.TextOps,
+    graft.packs.SqlSurfaceOps,
+    graft.packs.WindowOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

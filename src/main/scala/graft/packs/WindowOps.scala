@@ -1,0 +1,113 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.operators.AsOfJoin
+
+/** Advanced time-window operators absent from the reference (SURVEY.md
+  * §2.4 "absent surface") but core to a streaming engine: session
+  * windows, sliding windows, and the as-of enrichment join. All three
+  * have exact DuckDB oracles (gaps-and-islands for sessions, explicit
+  * window enumeration for sliding, native ASOF JOIN for as-of).
+  */
+object WindowOps extends QueryPack {
+
+  private val GapMs = 7200000L // 2h session gap
+
+  /** session_agg — per-user session windows (2 h inactivity gap). */
+  def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("value_cents"))
+
+  /** sliding_window — 60 s windows sliding by 30 s (every event lands in
+    * exactly two windows). */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "60 seconds", "30 seconds"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        unix_millis(col("window.start")).as("ws_ms"),
+        unix_millis(col("window.end")).as("we_ms"),
+        col("n"), col("value_cents"))
+
+  /** asof_join — trades (odd event ids) enriched with the latest quote
+    * (even event ids) at-or-before each trade, per user. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val quotes = e.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts"), col("value"))
+    val trades = e.filter(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asOf(trades, quotes, "user_id", "ts", "value")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_millis(col("ts")).as("trade_ts_ms"),
+        coalesce(col("asof_value"), lit(-1.0)).as("quote_value"),
+        coalesce(unix_millis(col("asof_ts")), lit(-1L)).as("quote_ts_ms"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "session_agg" -> (sessionAgg _),
+    "sliding_window" -> (slidingWindow _),
+    "asof_join" -> (asofJoin _)
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    // Gaps-and-islands; Spark session semantics: a gap of exactly the
+    // duration starts a NEW session (windows are [ts, ts+gap) merged on
+    // overlap), hence >= in the break condition. Compare in micros.
+    "session_agg" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, value,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapMs * 1000} THEN 1
+         |              ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |), s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |)
+         |SELECT user_id,
+         |       min(epoch_ms(ts)) AS session_start_ms,
+         |       (max(epoch_us(ts)) + ${GapMs * 1000}) // 1000 AS session_end_ms,
+         |       count(*) AS n_events,
+         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    "sliding_window" ->
+      """WITH b AS (
+        |  SELECT unnest([(epoch_ms(ts) // 30000) * 30000,
+        |                 (epoch_ms(ts) // 30000) * 30000 - 30000]) AS ws,
+        |         value
+        |  FROM events
+        |)
+        |SELECT ws AS ws_ms, ws + 60000 AS we_ms, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM b GROUP BY ws""".stripMargin,
+
+    "asof_join" ->
+      """WITH q AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 0),
+        |     t AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1)
+        |SELECT t.event_id, t.user_id,
+        |       epoch_ms(t.ts) AS trade_ts_ms,
+        |       coalesce(q.value, -1.0) AS quote_value,
+        |       coalesce(epoch_ms(q.ts), -1) AS quote_ts_ms
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin
+  )
+}
