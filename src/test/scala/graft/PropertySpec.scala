@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.model.OrderData
+import graft.sources.DelimitedCodec
+
+/** Property-based invariants (SURVEY.md §5.2.3). Scalacheck is driven
+  * directly (Test.check) to avoid needing the scalatest bridge; sample
+  * counts are small because each sample runs Spark jobs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genOrder: Gen[OrderData] = for {
+    ts <- Gen.chooseNum(0L, 4102444800000L)
+    id <- Gen.chooseNum(Int.MinValue, Int.MaxValue)
+    name <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString) // no commas
+    value <- Gen.chooseNum(-1e9, 1e9).map(v => math.rint(v * 100) / 100)
+  } yield OrderData(ts, id, name, value)
+
+  test("property: CSV codec roundtrip is the identity") {
+    check(Prop.forAll(Gen.nonEmptyListOf(genOrder)) { orders =>
+      val df = orders.toDF()
+      val encoded = df.select(DelimitedCodec.encode(
+        col("orderTimeMs"), col("orderId"), col("itemName"), col("orderValue"))
+        .as("value"))
+      val decoded = DelimitedCodec
+        .decoded(encoded, "value", DelimitedCodec.orderSchema)
+        .as[OrderData].collect().toList
+      decoded.sortBy(_.orderId) == orders.sortBy(_.orderId)
+    }, n = 8)
+  }
+
+  test("property: cents-sum aggregation is partition-invariant (merge == single pass)") {
+    check(Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)),
+      Gen.chooseNum(1, 16)) { (values, parts) =>
+      val df = values.toDF("v")
+      def total(d: org.apache.spark.sql.DataFrame): Long =
+        d.agg(sum(round(col("v") * 100).cast("long"))).as[Long].head()
+      total(df) == total(df.repartition(parts))
+    }, n = 8)
+  }
+
+  test("property: tumbling window assignment invariant (start = floor(ts/30s)*30s)") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10000000000L))) { tsMillis =>
+      val df = tsMillis.toDF("ms")
+        .select(timestamp_millis(col("ms")).as("ts"), col("ms"))
+      val out = df.select(col("ms"),
+        unix_millis(window(col("ts"), "30 seconds").getField("start")).as("ws"),
+        unix_millis(window(col("ts"), "30 seconds").getField("end")).as("we"))
+        .as[(Long, Long, Long)].collect()
+      out.forall { case (ms, ws, we) =>
+        ws == (ms / 30000L) * 30000L && we == ws + 30000L && ms >= ws && ms < we
+      }
+    }, n = 8)
+  }
+
+  test("property: faithful CTR quirk semantics hold for any click pattern") {
+    import graft.operators.ClickThroughRate
+    val genFlags = Gen.nonEmptyListOf(Gen.oneOf(true, false))
+    check(Prop.forAll(genFlags) { flags =>
+      val joined = flags.zipWithIndex
+        .map { case (f, i) => (s"i$i", f, "ad") }
+        .toDF("impression_id", "was_clicked", "ad_id")
+      val counts = ClickThroughRate.adCounts(joined)
+      val row = counts.select(col("num_impressions"), col("num_clicks"),
+        ClickThroughRate.ctrFaithful(counts).as("ctr")).collect().head
+      val (imps, clks, ctr) =
+        (row.getLong(0), row.getLong(1), row.getDouble(2))
+      val nClicked = flags.count(identity).toLong
+      imps == flags.size - nClicked && clks == nClicked && {
+        if (clks == 0) ctr == 0.0
+        else if (imps == 0) ctr.isPosInfinity
+        else ctr == clks.toDouble / imps
+      }
+    }, n = 8)
+  }
+}
