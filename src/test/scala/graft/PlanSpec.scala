@@ -1,0 +1,58 @@
+package graft
+
+/** Physical-plan regression guards: the scale-critical plan properties
+  * (pushdown, pruning, broadcast selection, top-k, map-side partial
+  * aggregation, shuffle-free scans) asserted as substring checks on the
+  * executed plan. If a refactor silently turns a broadcast join into a
+  * shuffle join or un-pushes a filter, these fail. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to parquet, columns pruned, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("join_broadcast: dim side broadcast, fact scan pruned") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("o_orderdate"), "unused order columns must be pruned")
+  }
+
+  test("multi_join: all dims broadcast; only the fact-fact join shuffles") {
+    val p = plan("multi_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+  }
+
+  test("sort_limit: top-k via TakeOrderedAndProject, no global sort") {
+    val p = plan("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global range-partitioned sort must not appear for a limited sort")
+  }
+
+  test("text_stats: single shuffle-free codegen'd projection over pruned scan") {
+    val p = plan("text_stats")
+    assert(!p.contains("Exchange"), "text stats must not shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("windowed_avg: partial aggregation before the window-key exchange") {
+    val p = plan("windowed_avg")
+    assert(p.contains("partial_average") || p.contains("partial_avg") ||
+      p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation in:\n$p")
+  }
+
+  test("ann_brute: query side broadcast (nested-loop over broadcast, no cartesian shuffle)") {
+    val p = plan("ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
