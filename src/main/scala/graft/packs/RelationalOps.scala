@@ -164,6 +164,20 @@ object RelationalOps extends QueryPack {
         coalesce(col("prev_price"), lit(-1.0)).as("prev_price"))
   }
 
+  /** percentiles — exact interpolated quantiles of cents-scaled prices
+    * per market segment (median + p95). */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)"), 2)
+          .as("p50_cents"),
+        round(expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), 0.95)"), 2)
+          .as("p95_cents"),
+        count(lit(1)).as("n"))
+
   /** csv_roundtrip — S5/S6 codec parity: encode events to delimited
     * strings, FAILFAST-decode back; roundtrip must be the identity. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -190,6 +204,7 @@ object RelationalOps extends QueryPack {
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
     "window_running" -> (windowRunning _),
+    "percentiles" -> (percentiles _),
     "csv_roundtrip" -> (csvRoundtrip _)
   )
 
@@ -285,6 +300,14 @@ object RelationalOps extends QueryPack {
         |       coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "percentiles" ->
+      """SELECT c_mktsegment,
+        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 2) AS p50_cents,
+        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95), 2) AS p95_cents,
+        |       count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "csv_roundtrip" ->
       "SELECT event_id, event_type, value FROM events"
