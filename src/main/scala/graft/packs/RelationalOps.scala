@@ -164,6 +164,16 @@ object RelationalOps extends QueryPack {
         coalesce(col("prev_price"), lit(-1.0)).as("prev_price"))
   }
 
+  /** skew_agg — salted two-phase aggregation over the 5 hot event_type
+    * keys (result bit-identical to a direct groupBy; see
+    * operators/SkewedAgg for the scale rationale). */
+  def skewAgg(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.SkewedAgg.saltedSumCount(
+      Tables.events(spark, sfDir),
+      "event_type",
+      saltSource = col("event_id"),
+      valueCents = round(col("value") * 100).cast("long"))
+
   /** percentiles — exact interpolated quantiles of cents-scaled prices
     * per market segment (median + p95). */
   def percentiles(spark: SparkSession, sfDir: String): DataFrame =
@@ -204,6 +214,7 @@ object RelationalOps extends QueryPack {
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
     "window_running" -> (windowRunning _),
+    "skew_agg" -> (skewAgg _),
     "percentiles" -> (percentiles _),
     "csv_roundtrip" -> (csvRoundtrip _)
   )
@@ -300,6 +311,12 @@ object RelationalOps extends QueryPack {
         |       coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "skew_agg" ->
+      """SELECT event_type,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "percentiles" ->
       """SELECT c_mktsegment,

@@ -64,4 +64,12 @@ object StreamingPipelines {
     * store. Returns the started query's writer-side closure. */
   def ctrIncrements(joinedBatch: DataFrame): DataFrame =
     ClickThroughRate.adCounts(joinedBatch)
+
+  /** Streaming exact dedup: drop repeats of `idCols` arriving within the
+    * watermark (state evicted once the watermark passes — bounded memory,
+    * the streaming analog of Dedup.exact). */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 }
