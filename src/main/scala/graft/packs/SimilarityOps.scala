@@ -29,6 +29,13 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       queriesDf(spark, sfDir), k = 10)
 
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = graft.operators.IvfIndex.train(vectors, nlist = 16, iters = 2)
+    graft.operators.IvfIndex.topK(vectors, queriesDf(spark, sfDir), centroids,
+      k = 10, nprobe = 4)
+  }
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -37,6 +44,7 @@ object SimilarityOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "embedding_neardup" -> (embeddingNearDup _)
   )
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4 well-separated clusters × 25 vectors (dim 64). */
+  private lazy val clustered = {
+    val rnd = new Random(11)
+    val bases = Array.fill(4, 64)(rnd.nextGaussian() * 3)
+    val rows = for { c <- 0 until 4; i <- 0 until 25 } yield
+      (c * 100L + i, bases(c).map(x => (x + 0.2 * rnd.nextGaussian()).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val queries = clustered
+    .where("vec_id IN (0, 100, 200, 300)")
+    .toDF("query_id", "q_emb")
+
+  test("k-means training converges to one centroid per planted cluster") {
+    val centroids = IvfIndex.train(clustered, nlist = 4, iters = 3)
+    assert(centroids.length == 4)
+    // every corpus vector's nearest centroid groups it with its own cluster
+    val cells = IvfIndex.index(clustered, centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect()
+    val byCluster = cells.groupBy(_._1 / 100).map { case (c, rows) =>
+      c -> rows.map(_._2).distinct
+    }
+    byCluster.foreach { case (c, cellIds) =>
+      assert(cellIds.length == 1, s"cluster $c split across cells $cellIds")
+    }
+    assert(byCluster.values.flatten.toSet.size == 4, "clusters must map to distinct cells")
+  }
+
+  test("IVF topk with nprobe=1 matches brute force on separated clusters") {
+    val centroids = IvfIndex.train(clustered, nlist = 4, iters = 3)
+    val ivf = IvfIndex.topK(clustered, queries, centroids, k = 10, nprobe = 1)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queries, k = 10)
+      .as[(Long, Long, Double, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(ivf == brute,
+      s"IVF missed ${brute -- ivf}, extra ${ivf -- brute}")
+  }
+}
