@@ -147,6 +147,45 @@ object RelationalOps extends QueryPack {
         coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
         col("n"), col("sum_qty"))
 
+  /** cube_agg — full cube over (returnflag, linestatus). */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
+        col("n"))
+
+  /** scalar_subquery — correlated scalar subquery through Catalyst's
+    * decorrelation: orders priced above their segment average. */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """WITH oc AS (
+        |  SELECT o_orderkey, o_totalprice, c_mktsegment
+        |  FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |)
+        |SELECT count(*) AS n_above, c_mktsegment
+        |FROM oc a
+        |WHERE o_totalprice > (
+        |  SELECT (CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+        |         / count(1)
+        |  FROM oc b WHERE b.c_mktsegment = a.c_mktsegment)
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  /** unpivot_melt — wide→long melt of lineitem measures via unpivot. */
+  def unpivotMelt(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+
   /** window_running — analytic windows: running revenue + rank + lag per
     * customer over their order history. */
   def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
@@ -213,6 +252,9 @@ object RelationalOps extends QueryPack {
     "semi_anti_join" -> (semiAntiJoin _),
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
+    "cube_agg" -> (cubeAgg _),
+    "scalar_subquery" -> (scalarSubquery _),
+    "unpivot_melt" -> (unpivotMelt _),
     "window_running" -> (windowRunning _),
     "skew_agg" -> (skewAgg _),
     "percentiles" -> (percentiles _),
@@ -301,6 +343,32 @@ object RelationalOps extends QueryPack {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+        |       coalesce(l_linestatus, '<all>') AS l_linestatus,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "scalar_subquery" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey, o_totalprice, c_mktsegment
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |)
+        |SELECT count(*) AS n_above, c_mktsegment
+        |FROM oc a
+        |WHERE o_totalprice > (
+        |  SELECT (CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0)
+        |         / count(1)
+        |  FROM oc b WHERE b.c_mktsegment = a.c_mktsegment)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
 
     "window_running" ->
       """SELECT o_custkey, o_orderkey,
