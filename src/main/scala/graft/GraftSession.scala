@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session configuration for the engine.
+  *
+  * One place for the settings every entry point (Bench, Verify, user
+  * applications) must agree on: UTC session time (oracle parity), AQE
+  * with partition coalescing and skew-join handling, shuffle
+  * parallelism sized to the machine instead of the 200 default, and
+  * scan partition sizing. On a real cluster the same builder applies —
+  * only master/memory come from the deploy environment.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from the SPARK_GRAFT_CPUS env (driver contract). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+  }
+}

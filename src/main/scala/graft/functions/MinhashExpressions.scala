@@ -87,3 +87,74 @@ object MinhashSignature {
   def apply(hashes: Column, k: Int): Column =
     bridge.column(MinhashSignature(bridge.expression(hashes), k))
 }
+
+/** Fused shingles → MinHash → LSH band hashes in one native pass.
+  *
+  * Input: array<string> shingles. Output: array<long> of `bands` band
+  * hashes, where band j is a mix over rows j·r..j·r+r-1 of the k=b·r
+  * per-permutation minima (permutations derived as in MinhashSignature,
+  * base hash = XXH64 of the shingle bytes, seed 42 like the xxhash64
+  * built-in). Replaces three interpreted stages (transform-hash,
+  * signature, transform-slice-hash banding) with one codegen'd loop —
+  * the last interpreted stage that could serialize on an AQE-coalesced
+  * single partition. */
+case class MinhashBands(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      MinhashBands.compute(input.asInstanceOf[ArrayData], bands, rows))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinhashBands.compute($a, $bands, $rows));
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+
+  def compute(shingles: ArrayData, bands: Int, rows: Int): Array[Long] = {
+    val k = bands * rows
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var e = 0
+    while (e < n) {
+      val s = shingles.getUTF8String(e)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var i = 0
+      while (i < k) {
+        val v = MinhashSignature.mix(h + 0x9e3779b97f4a7c15L * (i + 1))
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      e += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x87c37b91114253d5L ^ bands
+      var r = 0
+      while (r < rows) {
+        acc = MinhashSignature.mix(acc ^ mins(b * rows + r))
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    out
+  }
+
+  def apply(shingles: Column, bands: Int, rows: Int): Column =
+    bridge.column(MinhashBands(bridge.expression(shingles), bands, rows))
+}

@@ -72,18 +72,14 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val k = bands * rows
     val withSh = docs
       .select(col(idCol).as("doc_id"),
         shinglesFromText(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = withSh.select(col("doc_id"),
-      minhashSignature(col("sh"), k).as("sig"))
-    val banded = sig.select(
+    // fused native shingle-hash → k minima → band hashes (one pass)
+    val banded = withSh.select(
       col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        j => xxhash64(slice(col("sig"), j * rows + 1, lit(rows))))))
+      posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
 
     // Cap pathological buckets before pair generation.

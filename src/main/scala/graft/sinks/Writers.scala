@@ -1,0 +1,46 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Write-path surface: partitioned/compacted batch parquet, bucketed
+  * tables for shuffle-free downstream joins, and streaming file sinks.
+  *
+  * Scale rationale:
+  * - `partitionedParquet`: directory partitioning on low-cardinality
+  *   keys gives partition pruning to every downstream reader;
+  *   `targetFileParallelism` repartitions BY THE PARTITION COLUMNS
+  *   first so each directory gets few, large files instead of
+  *   (input-partitions × directories) small ones — the classic
+  *   small-files failure at 100 TB.
+  * - `bucketedTable`: pre-shuffles once at write time; subsequent joins
+  *   or aggregations on the bucket key skip their Exchange entirely
+  *   (bucketed scan reports the hash partitioning to Catalyst).
+  * - `streamingParquet`: exactly-once file sink via checkpoint +
+  *   manifest commit protocol.
+  */
+object Writers {
+
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], targetFileParallelism: Int = 1): Unit =
+    df.repartition(targetFileParallelism, partitionCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def streamingParquet(df: DataFrame, path: String,
+      checkpointLocation: String): DataStreamWriter[Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointLocation)
+}

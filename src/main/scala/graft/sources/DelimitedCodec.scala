@@ -50,6 +50,14 @@ object DelimitedCodec {
   def decode(value: Column, schema: StructType): Column =
     from_csv(value, schema, failfast)
 
+  /** PERMISSIVE decode for pipeline-hygiene paths: malformed rows
+    * null-fill instead of failing the job (the reference crashes on bad
+    * input — FAILFAST above is the parity mode; this is the mode a
+    * 100 TB ingest actually wants, with bad rows quarantined by
+    * filtering on the null pattern). */
+  def decodePermissive(value: Column, schema: StructType): Column =
+    from_csv(value, schema, Map("mode" -> "PERMISSIVE"))
+
   /** df with string column `col` → df with that column replaced by the
     * parsed fields, flattened to top level. */
   def decoded(df: DataFrame, col: String, schema: StructType): DataFrame =

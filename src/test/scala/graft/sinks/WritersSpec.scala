@@ -1,0 +1,57 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/out"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v")
+    Writers.partitionedParquet(df, dir, Seq("k"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("k") === "a")
+    assert(pruned.count() == 2)
+    // partition filter must appear as PartitionFilters, not a data filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(k"), plan)
+  }
+
+  test("bucketed table join on the bucket key has no shuffle on the bucketed side") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val wh = Files.createTempDirectory("graft_wh")
+      val df = (1L to 100L).map(i => (i, s"name$i")).toDF("id", "name")
+      Writers.bucketedTable(df, "bucketed_t", "id", 4)
+      val other = (1L to 50L).map(i => (i, i * 2.0)).toDF("id", "x")
+        .repartition(4, col("id"))
+      val joined = spark.table("bucketed_t").join(other, "id")
+      assert(joined.count() == 50)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the bucketed scan side must not re-Exchange
+      assert(!plan.contains("Exchange hashpartitioning(id#") ||
+        "Exchange".r.findAllIn(plan).length <= 1,
+        s"bucketed side must avoid shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bucketed_t")
+    }
+  }
+
+  test("permissive decode null-fills malformed rows instead of failing") {
+    import graft.sources.DelimitedCodec
+    val df = Seq("0,1,apples,10.0", "garbage,without,enough").toDF("value")
+    val out = df.select(
+      DelimitedCodec.decodePermissive(col("value"), DelimitedCodec.orderSchema)
+        .as("r"))
+      .select(col("r.*"))
+    assert(out.count() == 2)
+    assert(out.filter(col("orderValue").isNull).count() == 1)
+  }
+}
