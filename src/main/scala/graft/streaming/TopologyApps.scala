@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.GraftSession
+import graft.sources.DelimitedCodec
+
+/** Runnable lifecycle entry points — the engine's analog of the
+  * reference's two `main`s (Aggregations.java:59-173,
+  * StreamStreamJoin.java:51-169): build topology → start → await →
+  * shutdown hook. Each wires Kafka source → transform → Kafka sink with
+  * a checkpoint (the reference's changelog-topic durability analog,
+  * SURVEY.md §2.7). Requires a broker + the spark-sql-kafka connector
+  * at runtime; the transforms themselves are covered broker-free by the
+  * MemoryStream/file-source specs.
+  */
+object TopologyApps {
+
+  private def run(mkQuery: SparkSession => StreamingQuery): Unit = {
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+    val query = mkQuery(spark)
+    sys.addShutdownHook { query.stop(); spark.stop() }
+    query.awaitTermination()
+  }
+
+  /** orders topic → 30 s tumbling averages → order-averages topic. */
+  object OrdersAveragesApp {
+    def main(args: Array[String]): Unit = {
+      val Array(bootstrap, checkpoint) = args.take(2)
+      run { spark =>
+        val lines = KafkaIo.readDelimited(spark, bootstrap, "orders")
+        KafkaIo.writeDelimited(
+            StreamingPipelines.ordersToAverages(lines),
+            bootstrap, "order-averages", checkpoint)
+          .outputMode("update")
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .start()
+      }
+    }
+  }
+
+  /** impressions + clicks topics → ±60 s left join → per-ad CTR updates
+    * → click-through-rate topic (CTR maintained via foreachBatch store,
+    * emitted as update records). */
+  object ClickThroughRateApp {
+    def main(args: Array[String]): Unit = {
+      val Array(bootstrap, checkpoint) = args.take(2)
+      run { spark =>
+        val imps = DelimitedCodec.decoded(
+            KafkaIo.readDelimited(spark, bootstrap, "impressions"),
+            "value", DelimitedCodec.impressionSchema)
+          .select(col("impressionId").as("impression_id"),
+            timestamp_millis(col("impressionTime")).as("imp_ts"),
+            col("adId").as("ad_id"))
+        val clks = DelimitedCodec.decoded(
+            KafkaIo.readDelimited(spark, bootstrap, "clicks"),
+            "value", DelimitedCodec.clickSchema)
+          .select(col("impressionId").as("impression_id"),
+            timestamp_millis(col("clickTime")).as("clk_ts"),
+            col("clickId").as("click_id"))
+        val joined = StreamingPipelines.adJoinStream(imps, clks)
+        val store = new CtrStore
+        joined.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            store.merge(StreamingPipelines.ctrIncrements(batch))
+            val updates = store.snapshot().toSeq
+              .map { case (ad, (_, _, ctr)) => (ad, ctr.toString) }
+            batch.sparkSession.createDataFrame(updates)
+              .toDF("key", "value")
+              .write.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap)
+              .option("topic", "click-through-rate")
+              .save()
+          }
+          .start()
+      }
+    }
+  }
+}

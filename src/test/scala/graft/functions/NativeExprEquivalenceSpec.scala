@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** The native codegen expressions must be value-equivalent to the
+  * built-in formulations they replaced — property-checked on random
+  * inputs so the hot-path rewrites can never drift semantically. */
+class NativeExprEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 8): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("DotProduct == aggregate(zip_with(_*_)) fold, bit-exact") {
+    val genVec = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(genVec, genVec))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      val out = df.select(
+        VectorOps.dotPrecast(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("builtin"))
+        .as[(Double, Double)].collect()
+      out.forall { case (n, b) => n == b } // bit-exact, not approx
+    })
+  }
+
+  test("JaccardSimilarity == size(intersect)/size(union) with distinct semantics") {
+    val genArr = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(genArr, genArr))) { pairs =>
+      val df = pairs.toDF("a", "b")
+      val out = df.select(
+        JaccardSimilarity(col("a"), col("b")).as("native"),
+        when(size(array_union(col("a"), col("b"))) === 0, lit(0.0))
+          .otherwise(size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b"))).cast("double")).as("builtin"))
+        .as[(Double, Double)].collect()
+      out.forall { case (n, b) => n == b }
+    })
+  }
+
+  test("WordShingles == transform/slice/array_join formulation") {
+    val genText = Gen.listOf(Gen.oneOf("w1", "w2", "w3", "x")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(genText)) { texts =>
+      val df = texts.toDF("t")
+      val toks = split(col("t"), " ")
+      val builtin = when(size(toks) < 3, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - lit(2)),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+      val out = df.select(
+        WordShingles(col("t"), 3).as("native"), builtin.as("builtin"))
+        .as[(Seq[String], Seq[String])].collect()
+      out.forall { case (n, b) => n == b }
+    })
+  }
+
+  test("MinhashBands is deterministic and band-stable under identical shingles") {
+    val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
+      .toDF("t")
+    val out = df.select(MinhashBands(WordShingles(col("t"), 3), 8, 4).as("b"))
+      .as[Seq[Long]].collect()
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+    assert(out(0).length == 8)
+  }
+}
