@@ -108,6 +108,33 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** Brute-force top-k via the bounded-heap aggregate instead of a
+    * ranking window: map-side partial combine reduces each partition to
+    * ≤ k pairs before the shuffle (|queries|·k rows exchanged instead of
+    * every scored candidate). Output is bit-identical to
+    * bruteForceTopK — same total order, same rounding. */
+  def bruteForceTopKHeap(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("v_emb"),
+      VectorOps.norm(col("embedding")).as("v_nrm"))
+    val q = queries.select(col("query_id"),
+      VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+      VectorOps.norm(col("q_emb")).as("q_nrm"))
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
+          col("q_nrm"), col("v_nrm")), 4).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("sim"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("vec_id"),
+        col("col.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup). Exact
     * (self-join) form — the LSH bucket join is the scale path for
     * high thresholds. */

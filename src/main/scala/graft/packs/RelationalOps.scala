@@ -147,6 +147,16 @@ object RelationalOps extends QueryPack {
         coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
         col("n"), col("sum_qty"))
 
+  /** approx_distinct — HLL++ cardinalities next to exact ones. The
+    * driver gate is rows-only (DuckDB's approx sketch differs); the
+    * relative-error bound is asserted in ApproxSpec. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
   /** cube_agg — full cube over (returnflag, linestatus). */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -252,6 +262,7 @@ object RelationalOps extends QueryPack {
     "semi_anti_join" -> (semiAntiJoin _),
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
+    "approx_distinct" -> (approxDistinct _),
     "cube_agg" -> (cubeAgg _),
     "scalar_subquery" -> (scalarSubquery _),
     "unpivot_melt" -> (unpivotMelt _),

@@ -29,6 +29,13 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       queriesDf(spark, sfDir), k = 10)
 
+  /** Same result as ann_brute through the bounded-heap aggregate —
+    * registered against the SAME oracle to prove bit-identity. */
+  def annTopkAgg(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.bruteForceTopKHeap(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      queriesDf(spark, sfDir), k = 10)
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val centroids = graft.operators.IvfIndex.train(vectors, nlist = 16, iters = 2)
@@ -44,6 +51,7 @@ object SimilarityOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "ann_lsh" -> (annLsh _),
+    "ann_topk_agg" -> (annTopkAgg _),
     "ann_ivf" -> (annIvf _),
     "embedding_neardup" -> (embeddingNearDup _)
   )
@@ -56,7 +64,26 @@ object SimilarityOps extends QueryPack {
       |  FROM embeddings
       |)""".stripMargin
 
+  private def annBruteOracle: String = normCte +
+    """, q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+      |  FROM v WHERE vec_id % 100 = 0
+      |), scored AS (
+      |  SELECT q.query_id, v.vec_id,
+      |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+      |           ELSE list_sum(list_transform(generate_series(1, 64),
+      |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+      |                / (q.q_nrm * v.nrm) END, 4) AS sim
+      |  FROM q, v WHERE v.vec_id <> q.query_id
+      |)
+      |SELECT query_id, vec_id, sim, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim DESC, vec_id ASC) AS rk
+      |  FROM scored
+      |) WHERE rk <= 10""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "ann_topk_agg" -> annBruteOracle,
     "ann_brute" -> (normCte +
       """, q AS (
         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
