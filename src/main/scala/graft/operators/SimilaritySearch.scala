@@ -135,6 +135,39 @@ object SimilaritySearch {
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  /** LSH-bucketed cosine near-dup pairs — the scale path for
+    * cosineNearDupPairs: candidates are pairs sharing a hyperplane
+    * bucket in ANY table (cost ≈ sum of squared bucket sizes, near-
+    * linear for non-degenerate corpora, vs the exact form's |corpus|²),
+    * then exact-cosine verified. Recall at threshold θ with L tables of
+    * p planes is 1-(1-(1-acos(θ)/π)^p)^L — tune (nTables, nPlanes) per
+    * corpus; verification keeps precision exact. */
+  def lshNearDupPairs(vectors: DataFrame, threshold: Double,
+      nTables: Int = 8, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    val vb = bucketed(vectors, "vec_id", "embedding", planes)
+    val candA = vb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val candB = vb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
+    val candidates = candA.join(candB, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("emb"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    candidates
+      .join(v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** All pairs above a cosine threshold (embedding near-dup). Exact
     * (self-join) form — the LSH bucket join is the scale path for
     * high thresholds. */

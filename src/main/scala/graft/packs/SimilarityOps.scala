@@ -43,6 +43,11 @@ object SimilarityOps extends QueryPack {
       k = 10, nprobe = 4)
   }
 
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.lshNearDupPairs(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      threshold = 0.4)
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -53,7 +58,8 @@ object SimilarityOps extends QueryPack {
     "ann_lsh" -> (annLsh _),
     "ann_topk_agg" -> (annTopkAgg _),
     "ann_ivf" -> (annIvf _),
-    "embedding_neardup" -> (embeddingNearDup _)
+    "embedding_neardup" -> (embeddingNearDup _),
+    "embedding_neardup_lsh" -> (embeddingNearDupLsh _)
   )
 
   private val normCte =

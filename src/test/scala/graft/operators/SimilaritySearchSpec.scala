@@ -55,6 +55,17 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  test("LSH near-dup pairs recover the brute-force pairs on clustered data") {
+    val brute = SimilaritySearch.cosineNearDupPairs(clustered, 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(brute.nonEmpty)
+    val lsh = SimilaritySearch.lshNearDupPairs(clustered, 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH near-dup recall $recall")
+    assert(lsh.subsetOf(brute), "verification must keep precision exact")
+  }
+
   test("cosine pairs: identical vectors sim 1.0, orthogonal filtered out") {
     val vecs = Seq(
       (1L, Array.fill(64)(1.0f).toSeq),
