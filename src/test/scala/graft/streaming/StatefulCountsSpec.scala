@@ -43,6 +43,38 @@ class StatefulCountsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState processor matches mapGroupsWithState semantics") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[ImpressionAndClick]
+      val out = AdCountsProcessor.runningAdCounts(spark, in.toDS())
+      val q = out.writeStream.format("memory").queryName("tws_counts")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        in.addData(
+          ImpressionAndClick("i1", "u1", "ad1", wasClicked = false),
+          ImpressionAndClick("i2", "u2", "ad1", wasClicked = true))
+        q.processAllAvailable()
+        in.addData(ImpressionAndClick("i3", "u3", "ad1", wasClicked = false))
+        q.processAllAvailable()
+        val last = spark.table("tws_counts")
+          .as[StatefulCounts.AdCtrUpdate].collect()
+          .groupBy(_.adId).map { case (k, v) => k -> v.last }
+        assert(last("ad1").numImpressions == 2 && last("ad1").numClicks == 1)
+        assert(last("ad1").ctr == 0.5)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("full topology: CSV orders lines → reference-encoded averages") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[String]
