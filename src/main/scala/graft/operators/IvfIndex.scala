@@ -42,8 +42,11 @@ object IvfIndex {
   /** Train the coarse quantizer: id-stride init + `iters` Lloyd steps.
     * `vectors`: (vec_id, embedding). Returns the centroid matrix. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    // iterative algorithm → cache the working set: train runs
+    // 1 + 2·iters actions over it (standard k-means practice)
     val v = vectors.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"))
+      .persist()
     val n = v.count()
     val stride = math.max(1L, n / nlist)
     var centroids: Seq[Seq[Double]] = v
@@ -68,6 +71,7 @@ object IvfIndex {
       // keep the old centroid for any cell that lost all members
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
+    v.unpersist()
     centroids
   }
 

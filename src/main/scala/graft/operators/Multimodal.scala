@@ -68,6 +68,26 @@ object Multimodal {
     assets.mapPartitions(_.map(decoder.decode))
   }
 
+  /** Frame-sample plan for video assets: evenly spaced sample
+    * timestamps (ms) across the clip — the Column-level plumbing a real
+    * frame extractor consumes (decode happens at the MediaDecoder seam;
+    * this keeps WHICH frames to pull declarative and pushdown-friendly). */
+  def frameOffsetsMs(durationMs: org.apache.spark.sql.Column,
+      frames: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(frames - 1)),
+      i => (i * durationMs / frames).cast("long"))
+
+  /** Target-size metadata for a resize stage: preserves aspect ratio
+    * against a max edge; pure metadata math, the decoder does the pixels. */
+  def resizeMeta(width: org.apache.spark.sql.Column,
+      height: org.apache.spark.sql.Column, maxEdge: Int): org.apache.spark.sql.Column = {
+    val scale = least(lit(1.0),
+      lit(maxEdge.toDouble) / greatest(width, height).cast("double"))
+    struct(
+      round(width * scale).cast("int").as("target_width"),
+      round(height * scale).cast("int").as("target_height"))
+  }
+
   /** Deterministic media synthesis from the documents table (no binary
     * testdata exists): bytes = utf-8 text, kind cycles by id. */
   def syntheticAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {

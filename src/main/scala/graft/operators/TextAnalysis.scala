@@ -13,6 +13,16 @@ object TextAnalysis {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical text normalization for messy corpora: lowercase, strip
+    * punctuation to spaces, collapse whitespace runs, trim. Feed its
+    * output to tokens()/shingles for dedup over real-world text (the
+    * driver corpus is already single-space clean, so the oracle queries
+    * skip it). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "),
+      " +", " "))
+
   /** Printable-ASCII projection (deterministic cross-engine base for
     * char-level ops; multibyte text handled by the CJK branch of langId). */
   def asciiOnly(text: Column): Column = regexp_replace(text, "[^ -~]", "")

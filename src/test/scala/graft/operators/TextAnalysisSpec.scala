@@ -53,6 +53,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.getAs[Long]("bpe_est") == 5L)     // ceil(18/4)
   }
 
+  test("normalizeText lowercases, strips punct, collapses whitespace") {
+    val out = Seq("  Hello,   WORLD!! it's 42. ").toDF("t")
+      .select(TextAnalysis.normalizeText(col("t"))).as[String].collect().head
+    assert(out == "hello world it s 42")
+  }
+
+  test("frame sampling and resize metadata plumbing") {
+    val row = Seq((10000L, 1920, 1080)).toDF("dur", "w", "h")
+      .select(
+        Multimodal.frameOffsetsMs(col("dur"), 4).as("offs"),
+        Multimodal.resizeMeta(col("w"), col("h"), 640).as("rm"))
+      .collect().head
+    assert(row.getSeq[Long](0) == Seq(0L, 2500L, 5000L, 7500L))
+    val rm = row.getStruct(1)
+    assert(rm.getAs[Int]("target_width") == 640)
+    assert(rm.getAs[Int]("target_height") == 360)
+  }
+
   test("multimodal featurize: deterministic fake decode, schema intact") {
     val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hello")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
