@@ -157,6 +157,41 @@ object RelationalOps extends QueryPack {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** pivot_agg — wide conditional aggregation (manual pivot keeps the
+    * output schema static and the plan a single aggregate). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("l_linestatus") === "O", 1)).as("n_open"),
+        count(when(col("l_linestatus") === "F", 1)).as("n_finished"),
+        sum(when(col("l_linestatus") === "O",
+          round(col("l_quantity")).cast("long"))).as("qty_open"),
+        sum(when(col("l_linestatus") === "F",
+          round(col("l_quantity")).cast("long"))).as("qty_finished"))
+      .select(col("l_returnflag"), col("n_open"), col("n_finished"),
+        coalesce(col("qty_open"), lit(0L)).as("qty_open"),
+        coalesce(col("qty_finished"), lit(0L)).as("qty_finished"))
+
+  /** stats_agg — sample variance/stddev derived from EXACT integer sums
+    * (Σx, Σx², n of small cent values) so both engines compute the
+    * identical IEEE expression — no float-summation-order dependence. */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val dc = round(col("l_discount") * 100).cast("long") // 0..10 cents
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dc).as("sx"),
+        sum(dc * dc).as("sxx"),
+        count(lit(1)).as("n"))
+      .select(
+        col("l_returnflag"), col("sx"), col("sxx"), col("n"),
+        round((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") /
+            col("n").cast("double")) /
+          (col("n").cast("double") - 1.0), 6).as("var_samp_cents"))
+  }
+
   /** cube_agg — full cube over (returnflag, linestatus). */
   def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
@@ -263,6 +298,8 @@ object RelationalOps extends QueryPack {
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "pivot_agg" -> (pivotAgg _),
+    "stats_agg" -> (statsAgg _),
     "cube_agg" -> (cubeAgg _),
     "scalar_subquery" -> (scalarSubquery _),
     "unpivot_melt" -> (unpivotMelt _),
@@ -354,6 +391,32 @@ object RelationalOps extends QueryPack {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "pivot_agg" ->
+      """SELECT l_returnflag,
+        |       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_open,
+        |       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_finished,
+        |       coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+        |         THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT), 0) AS qty_open,
+        |       coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+        |         THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT), 0) AS qty_finished
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "stats_agg" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(dc) AS BIGINT) AS sx,
+        |         CAST(sum(dc * dc) AS BIGINT) AS sxx,
+        |         count(*) AS n
+        |  FROM (SELECT l_returnflag, CAST(round(l_discount * 100) AS BIGINT) AS dc
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, sx, sxx, n,
+        |       round((CAST(sxx AS DOUBLE) -
+        |         CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+        |         (CAST(n AS DOUBLE) - 1.0), 6) AS var_samp_cents
+        |FROM a""".stripMargin,
 
     "cube_agg" ->
       """SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
