@@ -60,22 +60,16 @@ object SimilaritySearch {
     Array.fill(nTables, nPlanes, dim)(rnd.nextGaussian())
   }
 
-  /** Bucket id for one table: sign bit per hyperplane projection. */
-  private def bucketExpr(emb: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val proj = VectorOps.dot(emb, typedlit(p.toSeq))
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** (id, table, bucket) exploded per table. */
+  /** (id, table, bucket) exploded per table — one native pass over the
+    * whole plane matrix (graft.functions.HyperplaneBuckets; the
+    * compositional per-plane form spent seconds just Janino-compiling
+    * nTables×nPlanes literal-array dot expressions). */
   private def bucketed(df: DataFrame, idCol: String, embCol: String,
-      planes: Array[Array[Array[Double]]]): DataFrame = {
-    val tableCols = planes.zipWithIndex.map { case (tp, t) =>
-      struct(lit(t).as("tbl"), bucketExpr(col(embCol), tp).as("bucket"))
-    }
-    df.select(col(idCol), explode(array(tableCols.toIndexedSeq: _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-  }
+      planes: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.HyperplaneBuckets(
+          VectorOps.toDoubleVec(col(embCol)), planes)))
+      .select(col(idCol), col("pos").as("tbl"), col("col").as("bucket"))
 
   /** LSH-bucketed approximate top-k, same output shape as brute force. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
