@@ -93,6 +93,7 @@ object ReferencePipelines extends QueryPack {
         |)
         |SELECT ad_id, num_impressions, num_clicks,
         |       round(CASE WHEN num_clicks = 0 THEN 0.0
+        |             WHEN num_impressions = 0 THEN CAST('Infinity' AS DOUBLE)
         |             ELSE CAST(num_clicks AS DOUBLE) / num_impressions END, 4) AS ctr,
         |       round(CASE WHEN num_impressions + num_clicks = 0 THEN 0.0
         |             ELSE CAST(num_clicks AS DOUBLE) / (num_impressions + num_clicks) END, 4) AS ctr_corrected

@@ -1,10 +1,10 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print executed plans for named queries (same session
+  * config as Bench/Verify so the plans match what they run). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.01"
     for (name <- args) {
