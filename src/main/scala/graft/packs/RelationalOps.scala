@@ -157,6 +157,24 @@ object RelationalOps extends QueryPack {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** json_extract — JSON scalar extraction from the events props column
+    * (codegen'd get_json_object; at scale this runs scan-side before
+    * any shuffle). */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  /** date_parts — datetime function family over order dates. */
+  def dateParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n"))
+
   /** pivot_agg — wide conditional aggregation (manual pivot keeps the
     * output schema static and the plan a single aggregate). */
   def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
@@ -298,6 +316,8 @@ object RelationalOps extends QueryPack {
     "distinct_agg" -> (distinctAgg _),
     "rollup_agg" -> (rollupAgg _),
     "approx_distinct" -> (approxDistinct _),
+    "json_extract" -> (jsonExtract _),
+    "date_parts" -> (dateParts _),
     "pivot_agg" -> (pivotAgg _),
     "stats_agg" -> (statsAgg _),
     "cube_agg" -> (cubeAgg _),
@@ -391,6 +411,20 @@ object RelationalOps extends QueryPack {
         |       count(*) AS n,
         |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10""".stripMargin,
+
+    "date_parts" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS y,
+        |       CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+        |       CAST(date_part('month', o_orderdate) AS BIGINT) AS m,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
 
     "pivot_agg" ->
       """SELECT l_returnflag,
