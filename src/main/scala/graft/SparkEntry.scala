@@ -22,12 +22,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("windowed_avg")(spark, "/root/testdata/sf0.001")
 
+  /** Merge pack maps, refusing silent last-wins shadowing on duplicate
+    * query names (a shadowed query would drop out of verification while
+    * the gate stays green). */
+  private def merged[T](f: QueryPack => Map[String, T]): Map[String, T] = {
+    val all = packs.flatMap(p => f(p).toSeq)
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query names across packs: $dups")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    merged(_.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+    merged(_.oracleSql)
 }

@@ -78,7 +78,11 @@ object HyperplaneBuckets {
   }
 
   def compute(emb: ArrayData, f: Flat): Array[Long] = {
-    val n = math.min(emb.numElements(), f.dim)
+    val n = emb.numElements()
+    require(n == f.dim,
+      s"embedding dim $n does not match hyperplane dim ${f.dim} — " +
+        "buckets would be silently wrong; pass the correct dim when " +
+        "building the LSH tables")
     val out = new Array[Long](f.nTables)
     var t = 0
     while (t < f.nTables) {

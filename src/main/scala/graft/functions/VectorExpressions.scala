@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Semantics match the built-in fold exactly: sequential left-to-right
   * summation (bit-identical results, so DuckDB oracle parity is
-  * unaffected). Null elements inside the arrays are treated as 0 via
-  * ArrayData's primitive accessor contract (corpus vectors are
-  * null-free); a null array yields null (nullIntolerant).
+  * unaffected), and length-mismatched inputs yield NULL exactly like
+  * `aggregate(zip_with(...))` (zip_with null-pads and the null
+  * propagates through the sum) — a corrupt short vector stays visibly
+  * broken instead of scoring a plausible partial sum. Null elements
+  * inside the arrays are treated as 0 via ArrayData's primitive
+  * accessor contract (corpus vectors are null-free); a null array
+  * yields null (nullIntolerant).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,7 +41,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // built-in zip_with parity
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -50,12 +55,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -73,8 +73,9 @@ object SimilaritySearch {
 
   /** LSH-bucketed approximate top-k, same output shape as brute force. */
   def lshTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-      nTables: Int = 4, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64 // testdata embedding dim; parameterize when schema varies
+      nTables: Int = 4, nPlanes: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    // HyperplaneBuckets fails loudly if dim doesn't match the data
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
 
     val vb = bucketed(vectors, "vec_id", "embedding", planes)
@@ -137,8 +138,8 @@ object SimilaritySearch {
     * p planes is 1-(1-(1-acos(θ)/π)^p)^L — tune (nTables, nPlanes) per
     * corpus; verification keeps precision exact. */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
-      nTables: Int = 8, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
+      nTables: Int = 8, nPlanes: Int = 8, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
     val vb = bucketed(vectors, "vec_id", "embedding", planes)
     val candA = vb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))

@@ -54,49 +54,67 @@ object ReferencePipelines extends QueryPack {
     "ctr" -> (ctr _)
   )
 
+  // Shared oracle bodies — SqlSurfaceOps verifies the SQL-text twins of
+  // these pipelines against the SAME oracle strings, so a correction in
+  // one place can't silently diverge the two verification specs.
+
+  /** Oracle for the windowed-average pipeline (and sql_windowed_avg). */
+  val windowedAvgOracle: String =
+    """WITH b AS (
+      |  SELECT (epoch_ms(ts) // 30000) * 30000 AS ws, value AS v
+      |  FROM events
+      |)
+      |SELECT
+      |  concat(CAST(ws AS VARCHAR), '-', CAST(ws + 30000 AS VARCHAR), '-0') AS win_key,
+      |  round(avg(v * 2), 4) AS avg_total_x2,
+      |  round(avg(v), 4) AS avg_total,
+      |  count(*) AS n
+      |FROM b GROUP BY ws""".stripMargin
+
+  /** Oracle for the row-level join output (and sql_ads_with_clicks). */
+  val ctrJoinOracle: String = AdFixtures.oracleCtes +
+    """
+      |SELECT imp.impression_id,
+      |       imp.ad_id,
+      |       (clk.click_id IS NOT NULL) AS was_clicked,
+      |       coalesce(clk.click_id, '') AS click_id
+      |FROM imp LEFT JOIN clk
+      |  ON imp.impression_id = clk.impression_id
+      | AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
+      |                           AND imp.impression_time_ms + 60000""".stripMargin
+
+  /** Shared join + per-ad counts CTE chain for the CTR oracles. */
+  val ctrCountsCtes: String = AdFixtures.oracleCtes +
+    """, joined AS (
+      |  SELECT imp.ad_id, (clk.click_id IS NOT NULL) AS was_clicked
+      |  FROM imp LEFT JOIN clk
+      |    ON imp.impression_id = clk.impression_id
+      |   AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
+      |                             AND imp.impression_time_ms + 60000
+      |), counts AS (
+      |  SELECT ad_id,
+      |         count(CASE WHEN NOT was_clicked THEN 1 END) AS num_impressions,
+      |         count(CASE WHEN was_clicked THEN 1 END) AS num_clicks
+      |  FROM joined GROUP BY ad_id
+      |)""".stripMargin
+
+  /** Faithful-CTR select expression (A7 quirks incl. Infinity branch). */
+  val ctrFaithfulSelect: String =
+    """round(CASE WHEN num_clicks = 0 THEN 0.0
+      |      WHEN num_impressions = 0 THEN CAST('Infinity' AS DOUBLE)
+      |      ELSE CAST(num_clicks AS DOUBLE) / num_impressions END, 4) AS ctr""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
-    "windowed_avg" ->
-      """WITH b AS (
-        |  SELECT (epoch_ms(ts) // 30000) * 30000 AS ws, value AS v
-        |  FROM events
-        |)
-        |SELECT
-        |  concat(CAST(ws AS VARCHAR), '-', CAST(ws + 30000 AS VARCHAR), '-0') AS win_key,
-        |  round(avg(v * 2), 4) AS avg_total_x2,
-        |  round(avg(v), 4) AS avg_total,
-        |  count(*) AS n
-        |FROM b GROUP BY ws""".stripMargin,
+    "windowed_avg" -> windowedAvgOracle,
 
-    "ctr_join" -> (AdFixtures.oracleCtes +
-      """
-        |SELECT imp.impression_id,
-        |       imp.ad_id,
-        |       (clk.click_id IS NOT NULL) AS was_clicked,
-        |       coalesce(clk.click_id, '') AS click_id
-        |FROM imp LEFT JOIN clk
-        |  ON imp.impression_id = clk.impression_id
-        | AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
-        |                           AND imp.impression_time_ms + 60000""".stripMargin),
+    "ctr_join" -> ctrJoinOracle,
 
-    "ctr" -> (AdFixtures.oracleCtes +
-      """, joined AS (
-        |  SELECT imp.ad_id, (clk.click_id IS NOT NULL) AS was_clicked
-        |  FROM imp LEFT JOIN clk
-        |    ON imp.impression_id = clk.impression_id
-        |   AND clk.click_time_ms BETWEEN imp.impression_time_ms - 60000
-        |                             AND imp.impression_time_ms + 60000
-        |), counts AS (
-        |  SELECT ad_id,
-        |         count(CASE WHEN NOT was_clicked THEN 1 END) AS num_impressions,
-        |         count(CASE WHEN was_clicked THEN 1 END) AS num_clicks
-        |  FROM joined GROUP BY ad_id
-        |)
-        |SELECT ad_id, num_impressions, num_clicks,
-        |       round(CASE WHEN num_clicks = 0 THEN 0.0
-        |             WHEN num_impressions = 0 THEN CAST('Infinity' AS DOUBLE)
-        |             ELSE CAST(num_clicks AS DOUBLE) / num_impressions END, 4) AS ctr,
-        |       round(CASE WHEN num_impressions + num_clicks = 0 THEN 0.0
-        |             ELSE CAST(num_clicks AS DOUBLE) / (num_impressions + num_clicks) END, 4) AS ctr_corrected
-        |FROM counts""".stripMargin)
+    "ctr" -> (ctrCountsCtes +
+      s"""
+         |SELECT ad_id, num_impressions, num_clicks,
+         |$ctrFaithfulSelect,
+         |round(CASE WHEN num_impressions + num_clicks = 0 THEN 0.0
+         |      ELSE CAST(num_clicks AS DOUBLE) / (num_impressions + num_clicks) END, 4) AS ctr_corrected
+         |FROM counts""".stripMargin)
   )
 }

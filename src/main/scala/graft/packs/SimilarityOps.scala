@@ -89,24 +89,9 @@ object SimilarityOps extends QueryPack {
       |) WHERE rk <= 10""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // same oracle for both — proves the heap aggregate's bit-identity
     "ann_topk_agg" -> annBruteOracle,
-    "ann_brute" -> (normCte +
-      """, q AS (
-        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
-        |  FROM v WHERE vec_id % 100 = 0
-        |), scored AS (
-        |  SELECT q.query_id, v.vec_id,
-        |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
-        |           ELSE list_sum(list_transform(generate_series(1, 64),
-        |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
-        |                / (q.q_nrm * v.nrm) END, 4) AS sim
-        |  FROM q, v WHERE v.vec_id <> q.query_id
-        |)
-        |SELECT query_id, vec_id, sim, rk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim DESC, vec_id ASC) AS rk
-        |  FROM scored
-        |) WHERE rk <= 10""".stripMargin),
+    "ann_brute" -> annBruteOracle,
 
     "embedding_neardup" -> (normCte +
       """

@@ -22,12 +22,24 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object Writers {
 
+  /** Default: repartition by the partition columns at the session's
+    * shuffle parallelism — directories write in parallel, each getting
+    * few large files. Pass `targetFileParallelism` only to force a
+    * specific task count (e.g. 1 for a tiny dimension snapshot); a hot
+    * partition value still pins its directory to one task — salt or
+    * `maxRecordsPerFile` for that case. */
   def partitionedParquet(df: DataFrame, path: String,
-      partitionCols: Seq[String], targetFileParallelism: Int = 1): Unit =
-    df.repartition(targetFileParallelism, partitionCols.map(col): _*)
+      partitionCols: Seq[String],
+      targetFileParallelism: Option[Int] = None): Unit = {
+    val repartitioned = targetFileParallelism match {
+      case Some(n) => df.repartition(n, partitionCols.map(col): _*)
+      case None => df.repartition(partitionCols.map(col): _*)
+    }
+    repartitioned
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+  }
 
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit =
