@@ -36,6 +36,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // Always nullable: a length mismatch yields NULL even when both
+  // children are non-nullable (e.g. typedlit centroids). Without this,
+  // Spark plans the expression non-nullable and the generated
+  // `isNull = true` assignment targets a constant `false` — Janino
+  // rejects the method ("not an rvalue") and the whole stage falls
+  // back to interpreted execution.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -1,0 +1,32 @@
+package graft
+
+/** Whole-stage codegen must COMPILE for every native-expression hot
+  * path — a silent interpreted fallback (as round 1's DotProduct
+  * nullable bug caused in ann_ivf) is a correctness-of-performance
+  * regression. `spark.sql.codegen.fallback=false` turns any generated-
+  * code compile failure into a thrown exception, so these executions
+  * prove zero `ERROR CodeGenerator` fallbacks. */
+class CodegenStrictSpec extends SparkSpec {
+
+  private val hotQueries = Seq(
+    "ann_ivf", "ann_lsh", "ann_brute", "ann_topk_agg",
+    "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash")
+
+  private def strict[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  hotQueries.foreach { name =>
+    test(s"$name executes with codegen fallback disabled") {
+      strict {
+        assert(SparkEntry.queries(name)(spark, sf).count() > 0)
+      }
+    }
+  }
+}

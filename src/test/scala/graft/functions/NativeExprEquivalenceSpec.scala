@@ -59,6 +59,27 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     })
   }
 
+  test("CentroidAssign == compositional array_min(struct(dist, cell)) argmin") {
+    val genVec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    val centroids = {
+      val rnd = new scala.util.Random(3)
+      IndexedSeq.fill(5)(IndexedSeq.fill(8)(rnd.nextGaussian()))
+    }
+    def distSq(emb: org.apache.spark.sql.Column, c: Seq[Double]) =
+      lit(c.map(x => x * x).sum) - lit(2.0) * VectorOps.dotPrecast(emb, typedlit(c))
+    val compositional = array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(distSq(col("v"), c).as("d"), lit(i).as("cell"))
+    }: _*)).getField("cell")
+    check(Prop.forAll(Gen.nonEmptyListOf(genVec)) { vecs =>
+      val df = vecs.toDF("v")
+      val out = df.select(
+        CentroidAssign(col("v"), centroids).as("native"),
+        compositional.as("builtin"))
+        .as[(Int, Int)].collect()
+      out.forall { case (n, b) => n == b }
+    })
+  }
+
   test("MinhashBands is deterministic and band-stable under identical shingles") {
     val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
       .toDF("t")

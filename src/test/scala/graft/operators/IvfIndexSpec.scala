@@ -35,6 +35,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(byCluster.values.flatten.toSet.size == 4, "clusters must map to distinct cells")
   }
 
+  test("index() works at nlist=256 (reference-object centroids, no literal tree)") {
+    val rnd = new Random(7)
+    val centroids = IndexedSeq.fill(256)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+    val cells = IvfIndex.index(clustered, centroids)
+      .select("cell").as[Int].collect()
+    assert(cells.length == 100)
+    assert(cells.forall(c => c >= 0 && c < 256))
+  }
+
+  test("train caches per (dataset, nlist, iters) and samples deterministically") {
+    val a = IvfIndex.trainCached(clustered, "spec-clustered", nlist = 4, iters = 3)
+    val b = IvfIndex.trainCached(clustered, "spec-clustered", nlist = 4, iters = 3)
+    assert(a eq b, "second call must hit the cache, not retrain")
+    val fresh = IvfIndex.train(clustered, nlist = 4, iters = 3)
+    assert(a == fresh, "training must be deterministic")
+  }
+
   test("IVF topk with nprobe=1 matches brute force on separated clusters") {
     val centroids = IvfIndex.train(clustered, nlist = 4, iters = 3)
     val ivf = IvfIndex.topK(clustered, queries, centroids, k = 10, nprobe = 1)
