@@ -39,12 +39,21 @@ object Multimodal {
   }
 
   /** Deterministic stand-in: features derived from a rolling hash of the
-    * bytes. Same plumbing, batch shape and schema as a real codec. */
+    * bytes. Same plumbing, batch shape and schema as a real codec.
+    *
+    * The hash is the mod-1e9+7 fold over unsigned bytes (first byte
+    * seeds the accumulator — list_reduce semantics), the same shape as
+    * the doc_fingerprint oracle, so multimodal_features gets a full
+    * cross-engine DuckDB oracle instead of a rows-only check. */
   object FakeDecoder extends MediaDecoder {
     override def decode(a: MediaAsset): MediaFeatures = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < a.bytes.length) { h = 31 * h + a.bytes(i); i += 1 }
+      val n = a.bytes.length
+      var h = 0L
+      if (n > 0) {
+        h = (a.bytes(0) & 0xff).toLong
+        var i = 1
+        while (i < n) { h = (31 * h + (a.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      }
       val emb = Array.tabulate(8) { d =>
         // spread the hash into 8 deterministic floats in [-1, 1]
         (((h ^ (d * 0x9e3779b97f4a7c15L)) >>> 11).toDouble /

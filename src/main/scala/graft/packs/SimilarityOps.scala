@@ -8,9 +8,12 @@ import graft.operators.SimilaritySearch
 
 /** Similarity-search queries over the embeddings table. The brute-force
   * top-k and threshold pair search have full DuckDB oracles (identical
-  * index-ordered double math + post-round ranking). The LSH path uses
-  * engine-side seeded hyperplanes → rows-only for the driver; recall is
-  * asserted against brute force in SimilaritySearchSpec.
+  * index-ordered double math + post-round ranking). The LSH queries are
+  * oracled too: the hyperplanes are seeded deterministic doubles, so
+  * the generated oracle SQL embeds the full plane matrix as list
+  * literals and recomputes the sign buckets in DuckDB — same dot
+  * ordering, same strict > 0 test, same bucket join. Recall vs brute
+  * force is additionally asserted in SimilaritySearchSpec.
   */
 object SimilarityOps extends QueryPack {
 
@@ -91,10 +94,87 @@ object SimilarityOps extends QueryPack {
       |  FROM scored
       |) WHERE rk <= 10""".stripMargin
 
+  /** The plane matrix as a DuckDB VALUES CTE: one row per (table,
+    * plane) with the 2^p bit weight and the plane as a list literal.
+    * Scala's Double.toString round-trips, so DuckDB parses bit-identical
+    * doubles and the sign buckets match the engine exactly. */
+  private def planesCte(planes: Array[Array[Array[Double]]]): String = {
+    val rows = for {
+      t <- planes.indices
+      p <- planes(t).indices
+    } yield s"($t, ${1L << p}, [${planes(t)(p).mkString(", ")}])"
+    s"planes(tbl, pw, w) AS (VALUES\n  ${rows.mkString(",\n  ")})"
+  }
+
+  /** Bucket id per (vector, table): bit p set iff v·plane_p > 0 —
+    * identical to HyperplaneBuckets.compute (same left-to-right dot,
+    * same strict > 0). */
+  private val vbuckCte =
+    """vbuck AS (
+      |  SELECT vec_id, tbl,
+      |         CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+      |           i -> CAST(embedding[i] AS DOUBLE) * w[i])) > 0
+      |           THEN pw ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM v, planes GROUP BY vec_id, tbl
+      |)""".stripMargin
+
+  private def annLshOracle: String = {
+    val planes = SimilaritySearch.hyperplanes(nTables = 4, nPlanes = 8,
+      dim = 64, seed = 42L)
+    normCte + ",\n" + planesCte(planes) + ",\n" + vbuckCte + ",\n" +
+      """q AS (
+        |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        |  FROM v WHERE vec_id % 100 = 0
+        |), qbuck AS (
+        |  SELECT vec_id AS query_id, tbl, bucket FROM vbuck WHERE vec_id % 100 = 0
+        |), cand AS (
+        |  SELECT DISTINCT qb.query_id, vb.vec_id
+        |  FROM qbuck qb JOIN vbuck vb USING (tbl, bucket)
+        |  WHERE vb.vec_id <> qb.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+        |           ELSE list_sum(list_transform(generate_series(1, 64),
+        |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+        |                / (q.q_nrm * v.nrm) END, 4) AS sim
+        |  FROM cand c
+        |  JOIN q ON q.query_id = c.query_id
+        |  JOIN v ON v.vec_id = c.vec_id
+        |)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""".stripMargin
+  }
+
+  private def embeddingNearDupLshOracle: String = {
+    val planes = SimilaritySearch.hyperplanes(nTables = 8, nPlanes = 8,
+      dim = 64, seed = 42L)
+    normCte + ",\n" + planesCte(planes) + ",\n" + vbuckCte + ",\n" +
+      """cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM vbuck a JOIN vbuck b USING (tbl, bucket)
+        |  WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT vec_a, vec_b, sim FROM (
+        |  SELECT c.vec_a, c.vec_b,
+        |         round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |           ELSE list_sum(list_transform(generate_series(1, 64),
+        |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |                / (a.nrm * b.nrm) END, 4) AS sim
+        |  FROM cand c
+        |  JOIN v a ON a.vec_id = c.vec_a
+        |  JOIN v b ON b.vec_id = c.vec_b
+        |) s WHERE sim >= 0.4""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     // same oracle for both — proves the heap aggregate's bit-identity
     "ann_topk_agg" -> annBruteOracle,
     "ann_brute" -> annBruteOracle,
+    "ann_lsh" -> annLshOracle,
+    "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
 
     "embedding_neardup" -> (normCte +
       """

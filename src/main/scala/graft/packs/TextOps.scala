@@ -7,9 +7,11 @@ import graft.{QueryPack, Tables}
 import graft.operators.{Multimodal, TextAnalysis}
 
 /** Text-analysis + multimodal queries over the documents table. All
-  * text ops have full DuckDB oracles (exact integer counts, single
-  * deterministic divisions, identical fold for the rolling hash).
-  * multimodal_features uses the engine-side decoder seam → rows-only.
+  * queries have full DuckDB oracles (exact integer counts, single
+  * deterministic divisions, identical folds for the rolling hashes).
+  * multimodal_features is oracled through the deterministic
+  * FakeDecoder: the mod-1e9+7 unsigned-byte fold is re-expressed in
+  * DuckDB over hex(encode(text)) digit pairs.
   */
 object TextOps extends QueryPack {
 
@@ -105,6 +107,27 @@ object TextOps extends QueryPack {
         |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS rolling_fp,
         |  md5(text) AS md5_fp
         |FROM (SELECT doc_id, text, regexp_replace(text, '[^ -~]', '', 'g') AS a
-        |      FROM documents)""".stripMargin
+        |      FROM documents)""".stripMargin,
+
+    // FakeDecoder's fold, byte-for-byte: bytes = utf-8 of text (read as
+    // unsigned via hex digit pairs), acc seeded with the first byte,
+    // then (acc*31 + byte) % 1e9+7 — list_reduce semantics on both sides.
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS asset_id,
+        |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |         hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents
+        |)
+        |SELECT asset_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN nb = 0 THEN 0 ELSE
+        |    list_reduce(
+        |      list_transform(generate_series(1, nb),
+        |        i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
+        |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS fingerprint
+        |FROM b""".stripMargin
   )
 }
