@@ -41,8 +41,16 @@ object AsOfJoin {
         lit(null).cast(build.schema(tsCol).dataType).as("__bts")) ++
         probeCols.map(c => col(c))): _*)
     val tagged = buildSide.unionByName(probeSide)
+    // Third order key: among build rows sharing (key, ts) the sort order
+    // would otherwise be partitioning-dependent and last() would pick an
+    // arbitrary one — a nondeterministic result (and a flaky oracle).
+    // Ordering by the build value makes the pick the MAX value of the
+    // tied build rows, deterministically. Probe rows all carry null __bv
+    // and nulls sort first under asc, so their relative order stays
+    // irrelevant (each probe row's frame adds only nulls past the last
+    // build row, and last(ignoreNulls) skips them).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__tag").asc)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__bv").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn(s"asof_$buildValueCol", last(col("__bv"), ignoreNulls = true).over(w))

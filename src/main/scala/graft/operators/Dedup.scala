@@ -151,12 +151,27 @@ object Dedup {
   /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
     * on a text prefix, compute exact shingle Jaccard within blocks. The
     * prefix block is a cheap deterministic blocker; minhashLsh is the
-    * content-robust scale path. */
+    * content-robust scale path.
+    *
+    * `maxBlockSize` drops blocks bigger than the cap before the pair
+    * join (same knob as minhashLsh's maxBucketSize): a boilerplate
+    * prefix shared by millions of docs would otherwise go quadratic
+    * within its block. Documented recall tradeoff — pairs inside a
+    * dropped block are missed here and left to the LSH path. The oracle
+    * assumes a non-degenerate corpus (no block over the cap), which the
+    * testdata satisfies. */
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, prefixLen: Int = 40, threshold: Double = 0.8): DataFrame = {
-    val t = docs.select(col(idCol).as("doc_id"),
+      shingleN: Int = 3, prefixLen: Int = 40, threshold: Double = 0.8,
+      maxBlockSize: Int = 1000): DataFrame = {
+    val t0 = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("blk"),
       shinglesFromText(col(textCol), shingleN).as("sh"))
+    val t = t0
+      .withColumn("blk_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"))))
+      .filter(col("blk_n") <= maxBlockSize)
+      .drop("blk_n")
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, "blk")

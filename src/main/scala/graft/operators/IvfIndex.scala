@@ -90,10 +90,33 @@ object IvfIndex {
   // centroids are immutable once trained, so train once and reuse.
   private val trained = new ConcurrentHashMap[(String, Int, Int), Seq[Seq[Double]]]()
 
+  /** Train-once-per-JVM cache. ASSUMES the dataset under `datasetKey`
+    * (a directory path) is immutable for the JVM's lifetime — true for
+    * the read-only testdata and for any sane production run (an index is
+    * always built against a snapshot). If data under the same path were
+    * regenerated mid-JVM, stale centroids would be reused: that degrades
+    * recall only, never the correctness of returned rows (every
+    * candidate is exactly re-scored). */
   def trainCached(vectors: DataFrame, datasetKey: String, nlist: Int,
       iters: Int = 2): Seq[Seq[Double]] =
     trained.computeIfAbsent((datasetKey, nlist, iters),
       _ => train(vectors, nlist, iters))
+
+  /** The single centroid matrix trained for (nlist, iters) in this JVM,
+    * if unambiguous — the oracle-generation hook: Verify executes every
+    * registered query (training the quantizer) BEFORE dumping oracleSql,
+    * so the exact matrix the engine used can be embedded in the
+    * generated DuckDB SQL (the planesCte pattern). Returns None when
+    * nothing is trained yet or multiple datasets trained distinct
+    * matrices (ambiguous → caller omits the oracle, keeping the weaker
+    * rows-only check instead of risking a wrong compare). */
+  def trainedSnapshot(nlist: Int, iters: Int): Option[Seq[Seq[Double]]] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = trained.asScala.collect {
+      case ((_, nl, it), c) if nl == nlist && it == iters => c
+    }.toSeq.distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
 
   /** Assign each corpus vector to its cell (the "inverted file"). */
   def index(vectors: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =

@@ -55,8 +55,10 @@ object Multimodal {
         while (i < n) { h = (31 * h + (a.bytes(i) & 0xff)) % 1000000007L; i += 1 }
       }
       val emb = Array.tabulate(8) { d =>
-        // spread the hash into 8 deterministic floats in [-1, 1]
-        (((h ^ (d * 0x9e3779b97f4a7c15L)) >>> 11).toDouble /
+        // spread the hash into 8 deterministic floats in [-1, 1]; the
+        // (d+1) factor keeps dimension 0 mixed too (h < 2^30 after the
+        // mod, so xor-ing with 0 would pin dim 0 near -1 for every asset)
+        (((h ^ ((d + 1) * 0x9e3779b97f4a7c15L)) >>> 11).toDouble /
           (1L << 53).toDouble * 2 - 1).toFloat
       }
       MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, h, emb)

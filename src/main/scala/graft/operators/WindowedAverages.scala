@@ -33,6 +33,15 @@ object WindowedAverages {
     * Output: window_start_ms/window_end_ms (epoch ms), win_key in the
     * reference's "startMs-endMs-key" format (Aggregations.java:143-147;
     * constant key "0" per Aggregations.java:96), avg(v*2), avg(v), n.
+    *
+    * The averages are derived from exact integer cents sums + the count
+    * — literally the reference's A4/A5 decomposition ("keep (sum, sum,
+    * count) in state, divide at the end", Aggregations.java:99-139) made
+    * float-deterministic: a re-aggregated double sum orders its adds
+    * differently per partitioning (never hash-comparable across engines
+    * or even across runs), while a long sum is exact and the final
+    * long→double division is one IEEE op. Money is cents-precision, so
+    * round(v·100) loses nothing.
     */
   def windowedAvg(
       df: DataFrame,
@@ -45,9 +54,13 @@ object WindowedAverages {
         col(vCol).as("v"))
       .groupBy(col("w"))
       .agg(
-        avg(col("v2x")).as("avg_total_x2"),
-        avg(col("v")).as("avg_total"),
+        sum(round(col("v2x") * 100).cast("long")).as("s2c"),
+        sum(round(col("v") * 100).cast("long")).as("s1c"),
         count(lit(1)).as("n"))
+      .withColumn("avg_total_x2",
+        (col("s2c").cast("double") / 100.0) / col("n").cast("double"))
+      .withColumn("avg_total",
+        (col("s1c").cast("double") / 100.0) / col("n").cast("double"))
       .select(
         unix_millis(col("w.start")).as("window_start_ms"),
         unix_millis(col("w.end")).as("window_end_ms"),

@@ -58,18 +58,29 @@ object ReferencePipelines extends QueryPack {
   // these pipelines against the SAME oracle strings, so a correction in
   // one place can't silently diverge the two verification specs.
 
-  /** Oracle for the windowed-average pipeline (and sql_windowed_avg). */
+  /** Oracle for the windowed-average pipeline (and sql_windowed_avg).
+    * Averages derive from exact cents sums on both sides (the pack-wide
+    * "re-aggregated doubles are never hash-compared" rule — see
+    * RelationalOps): long sums are order-independent, and the final
+    * division sequence (long→double, /100.0, /n) is the identical IEEE
+    * expression in both engines. */
   val windowedAvgOracle: String =
     """WITH b AS (
       |  SELECT (epoch_ms(ts) // 30000) * 30000 AS ws, value AS v
       |  FROM events
+      |), a AS (
+      |  SELECT ws,
+      |         CAST(sum(CAST(round(v * 2 * 100) AS BIGINT)) AS BIGINT) AS s2c,
+      |         CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s1c,
+      |         count(*) AS n
+      |  FROM b GROUP BY ws
       |)
       |SELECT
       |  concat(CAST(ws AS VARCHAR), '-', CAST(ws + 30000 AS VARCHAR), '-0') AS win_key,
-      |  round(avg(v * 2), 4) AS avg_total_x2,
-      |  round(avg(v), 4) AS avg_total,
-      |  count(*) AS n
-      |FROM b GROUP BY ws""".stripMargin
+      |  round((CAST(s2c AS DOUBLE) / 100.0) / n, 4) AS avg_total_x2,
+      |  round((CAST(s1c AS DOUBLE) / 100.0) / n, 4) AS avg_total,
+      |  n
+      |FROM a""".stripMargin
 
   /** Oracle for the row-level join output (and sql_ads_with_clicks). */
   val ctrJoinOracle: String = AdFixtures.oracleCtes +

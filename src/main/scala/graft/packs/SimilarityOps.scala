@@ -94,15 +94,29 @@ object SimilarityOps extends QueryPack {
       |  FROM scored
       |) WHERE rk <= 10""".stripMargin
 
+  /** A Scala double as a DuckDB literal that parses DIRECTLY as DOUBLE.
+    * Plain decimal literals type as DECIMAL(p,s) and the DECIMAL→DOUBLE
+    * conversion can land 1 ulp off (measured ~1/4000 on random doubles;
+    * `::DOUBLE[]` casts of DECIMAL lists are no better — ~10% off by an
+    * ulp). A literal WITH an exponent types as DOUBLE at parse time and
+    * round-trips Scala's shortest-representation toString bit-exactly
+    * (0/8000 deviations measured), so append `e0` when toString emitted
+    * no exponent. */
+  private[packs] def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   /** The plane matrix as a DuckDB VALUES CTE: one row per (table,
     * plane) with the 2^p bit weight and the plane as a list literal.
-    * Scala's Double.toString round-trips, so DuckDB parses bit-identical
-    * doubles and the sign buckets match the engine exactly. */
+    * Elements are exponent-form literals (see sqlDouble), so DuckDB
+    * materializes the bit-identical DOUBLE[] the engine's codegen uses
+    * and the sign buckets match exactly. */
   private def planesCte(planes: Array[Array[Array[Double]]]): String = {
     val rows = for {
       t <- planes.indices
       p <- planes(t).indices
-    } yield s"($t, ${1L << p}, [${planes(t)(p).mkString(", ")}])"
+    } yield s"($t, ${1L << p}, [${planes(t)(p).map(sqlDouble).mkString(", ")}])"
     s"planes(tbl, pw, w) AS (VALUES\n  ${rows.mkString(",\n  ")})"
   }
 
@@ -148,6 +162,71 @@ object SimilarityOps extends QueryPack {
         |) WHERE rk <= 10""".stripMargin
   }
 
+  /** DuckDB oracle for ann_ivf, generated from the exact centroid matrix
+    * the engine trained (IvfIndex training is deterministic: seedless
+    * stride sample, fixed iterations, strict-< argmin — so the matrix is
+    * a pure function of the dataset, and Verify's query pass has already
+    * cached it when oracleSql is dumped). Mirrors the engine stage for
+    * stage: cell assignment is the argmin of the centroid-relative
+    * distance ||c||² − 2·v·c with ties to the lowest cell index
+    * (CentroidSet.assign), the probe list is the nprobe nearest cells by
+    * the same ordering (CentroidSet.nearest), candidates come only from
+    * probed cells, and the scored/ranked tail is annBruteOracle's.
+    * ||c||² is embedded as a precomputed literal (same sequential sum as
+    * CentroidSet.fromRows) rather than recomputed in SQL, so the only
+    * cross-engine float delta is list_sum's non-sequential dot (~1e-15,
+    * the same accepted delta as every other similarity oracle). */
+  private def annIvfOracle(centroids: Seq[Seq[Double]], k: Int,
+      nprobe: Int): String = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      val nsq = c.foldLeft(0.0)((s, x) => s + x * x)
+      s"($i, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(nsq)})"
+    }
+    val centCte =
+      s"cent(cell, w, nsq) AS (VALUES\n  ${rows.mkString(",\n  ")})"
+    normCte + ",\n" + centCte + ",\n" +
+      s"""vcell AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT v.vec_id, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |             c.nsq - 2 * list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i])) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM v, cent c
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM v WHERE vec_id % 100 = 0
+         |), qprobe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             c.nsq - 2 * list_sum(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.q_emb[i] AS DOUBLE) * c.w[i])) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM q, cent c
+         |  ) WHERE rn <= $nprobe
+         |), cand AS (
+         |  SELECT qp.query_id, vc.vec_id
+         |  FROM qprobe qp JOIN vcell vc USING (cell)
+         |  WHERE vc.vec_id <> qp.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+         |                / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM cand c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN v ON v.vec_id = c.vec_id
+         |)
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $k""".stripMargin
+  }
+
   private def embeddingNearDupLshOracle: String = {
     val planes = SimilaritySearch.hyperplanes(nTables = 8, nPlanes = 8,
       dim = 64, seed = 42L)
@@ -188,5 +267,9 @@ object SimilarityOps extends QueryPack {
         |         ELSE list_sum(list_transform(generate_series(1, 64),
         |                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |              / (a.nrm * b.nrm) END, 4) >= 0.4""".stripMargin)
-  )
+    // ann_ivf's oracle is generated from the trained matrix, available
+    // once the query pass has run (always true in Verify's dump order);
+    // untrained/ambiguous → omitted, falling back to the rows-only check.
+  ) ++ graft.operators.IvfIndex.trainedSnapshot(nlist = 16, iters = 2)
+    .map(c => "ann_ivf" -> annIvfOracle(c, k = 10, nprobe = 4))
 }

@@ -100,8 +100,13 @@ object WindowOps extends QueryPack {
         |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM b GROUP BY ws""".stripMargin,
 
+    // The build side is deduped to one row per (key, ts) — max(value),
+    // matching AsOfJoin's deterministic tie-break — so DuckDB's ASOF
+    // pick among tied timestamps can never diverge from the engine.
     "asof_join" ->
-      """WITH q AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 0),
+      """WITH q0 AS (SELECT user_id, ts, value FROM events WHERE event_id % 2 = 0),
+        |     q AS (SELECT user_id, ts, max(value) AS value
+        |           FROM q0 GROUP BY user_id, ts),
         |     t AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1)
         |SELECT t.event_id, t.user_id,
         |       epoch_ms(t.ts) AS trade_ts_ms,

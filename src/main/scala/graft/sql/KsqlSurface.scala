@@ -29,17 +29,26 @@ object KsqlSurface {
 
   /** KSQL: SELECT constant_key, avg(order_total*2), avg(order_total)
     * FROM orders GROUP BY constant_key (+ 30 s tumbling window)
-    * — Aggregations.java:71-77. */
+    * — Aggregations.java:71-77. The averages are the reference's A4/A5
+    * (sum, sum, count)-then-divide decomposition over exact cents sums
+    * (hash-deterministic — see WindowedAverages). */
   def windowedAvgSql(spark: SparkSession, sfDir: String): DataFrame = {
     registerViews(spark, sfDir)
     spark.sql(
-      """SELECT concat(CAST(unix_millis(w.start) AS STRING), '-',
+      """WITH a AS (
+        |  SELECT w,
+        |         CAST(sum(CAST(round(v * 2 * 100) AS BIGINT)) AS BIGINT) AS s2c,
+        |         CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS s1c,
+        |         count(1) AS n
+        |  FROM (SELECT window(ts, '30 seconds') AS w, value AS v FROM orders_stream)
+        |  GROUP BY w
+        |)
+        |SELECT concat(CAST(unix_millis(w.start) AS STRING), '-',
         |              CAST(unix_millis(w.end) AS STRING), '-0') AS win_key,
-        |       round(avg(v * 2), 4) AS avg_total_x2,
-        |       round(avg(v), 4) AS avg_total,
-        |       count(1) AS n
-        |FROM (SELECT window(ts, '30 seconds') AS w, value AS v FROM orders_stream)
-        |GROUP BY w""".stripMargin)
+        |       round((CAST(s2c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE), 4) AS avg_total_x2,
+        |       round((CAST(s1c AS DOUBLE) / 100.0) / CAST(n AS DOUBLE), 4) AS avg_total,
+        |       n
+        |FROM a""".stripMargin)
   }
 
   /** KSQL: CREATE STREAM ads_with_clicks AS SELECT * FROM impressions

@@ -49,6 +49,24 @@ class DedupSpec extends SparkSpec {
     assert(hamming13 > hamming12)
   }
 
+  test("blocked ngram jaccard: oversized prefix blocks are dropped by the cap") {
+    // 5 exact copies share one prefix block; a distinct pair sits in another
+    val boiler = (1L to 5L).map(i => (i, "boilerplate header repeated many times across docs"))
+    val other = Seq(
+      (10L, "unique content alpha beta gamma delta epsilon zeta"),
+      (11L, "unique content alpha beta gamma delta epsilon zeta"))
+    val d = (boiler ++ other).toDF("doc_id", "text")
+    val uncapped = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.8,
+      maxBlockSize = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // the 5-doc boilerplate block exceeds the cap and is dropped whole;
+    // the 2-doc block survives untouched
+    assert(capped == Set((10L, 11L)), s"got $capped")
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)

@@ -52,6 +52,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(a == fresh, "training must be deterministic")
   }
 
+  test("trainedSnapshot exposes the one cached matrix for oracle generation") {
+    val a = IvfIndex.trainCached(clustered, "spec-snapshot", nlist = 6, iters = 1)
+    assert(IvfIndex.trainedSnapshot(nlist = 6, iters = 1).contains(a))
+    // identical matrices under a second dataset key stay unambiguous
+    IvfIndex.trainCached(clustered, "spec-snapshot-2", nlist = 6, iters = 1)
+    assert(IvfIndex.trainedSnapshot(nlist = 6, iters = 1).contains(a))
+    assert(IvfIndex.trainedSnapshot(nlist = 7, iters = 9).isEmpty)
+  }
+
   test("IVF topk with nprobe=1 matches brute force on separated clusters") {
     val centroids = IvfIndex.train(clustered, nlist = 4, iters = 3)
     val ivf = IvfIndex.topK(clustered, queries, centroids, k = 10, nprobe = 1)

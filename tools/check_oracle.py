@@ -23,9 +23,20 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     failures = 0
-    for name in sorted(os.listdir(out_dir)):
+    # Iterate the REGISTERED query list, not the output dirs: a query
+    # that threw inside Verify writes no dir and must read as a gate
+    # failure, never silently vanish. (queries.json is written by
+    # graft.Verify; fall back to dir listing for pre-upgrade outputs.)
+    qfile = os.path.join(out_dir, "queries.json")
+    names = (json.load(open(qfile)) if os.path.exists(qfile)
+             else sorted(os.listdir(out_dir)))
+    for name in names:
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            if name.endswith(".json"):
+                continue
+            failures += 1
+            print(f"[FAIL] {name}: no output written (query threw in Verify)")
             continue
         spark_df = pd.concat(
             [pd.read_parquet(p) for p in glob.glob(os.path.join(d, "*.parquet"))],
