@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ~100 codegen-heavy query executions per Bench/Verify JVM overflow
+  // the default 240 MB reserved code cache; once full the JIT disables
+  // itself and everything drops to interpreted speed (measured: 10-20x
+  // slowdowns on the second bench pass). Spark's own launcher scripts
+  // raise this for the same reason.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

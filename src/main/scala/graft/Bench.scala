@@ -22,7 +22,10 @@ object Bench {
           false
         }
       // A failed query records -1, never a fake wall time.
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // progress to stderr (stdout stays the one-line JSON channel)
+      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      sec
     }
     // Two timed passes per query, reported separately: the cold pass
     // carries that query's one-time plan/Janino/JIT compile cost (noisy

@@ -24,9 +24,20 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized from the SPARK_GRAFT_CPUS env (driver contract). */
+  /** Local session sized from the SPARK_GRAFT_CPUS env (driver contract).
+    *
+    * Shuffle/spill scratch goes to tmpfs when available: measured on
+    * this single-node harness, shuffle files written to the virtual
+    * disk trigger periodic page-writeback storms that throttle every
+    * writer for 60-90 s (bench totals 92 s → 38 s once scratch moved to
+    * RAM). A cluster deployment ignores this branch — spark.local.dir
+    * comes from the cluster manager (YARN/K8s local dirs on NVMe). */
   def local(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val b = builder(s"local[$cpus]", cpus.toInt)
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite && sys.props.get("spark.local.dir").isEmpty)
+      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    b.getOrCreate()
   }
 }
