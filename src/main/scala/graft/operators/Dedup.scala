@@ -104,23 +104,15 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
-  /** 64-bit SimHash per doc: token-frequency-weighted bit votes, computed
-    * as 64 conditional sums in ONE aggregation (no row amplification). */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$b")
-    }
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+  /** 64-bit SimHash per doc: token-frequency-weighted bit votes, folded
+    * per row by the native codegen'd [[graft.functions.SimHash64]] — a
+    * pure scan-side projection with no token explode and NO shuffle
+    * (the old explode → groupBy(doc) formulation shuffled every token
+    * hash; bit-exact equivalence is proven in
+    * NativeExprEquivalenceSpec). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: 16-bit band blocking (any pair within
     * hamming ≤ 3 of a 64-bit hash shares at least one of 4 exact 16-bit

@@ -55,4 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("simhash fingerprints: scan-side projection, no explode, no shuffle") {
+    val p = graft.operators.Dedup
+      .simhash(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"simhash must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"simhash must not explode tokens:\n$p")
+    assert(p.contains("graft_simhash64"), s"expected the native expression in:\n$p")
+  }
 }

@@ -80,6 +80,35 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     })
   }
 
+  test("SimHash64 == explode-tokens aggregate formulation, bit-exact") {
+    val genText = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "x", "", "word"))
+      .map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = df.select(col("doc_id"),
+        SimHash64(col("text")).as("simhash"))
+      // the aggregate formulation this expression replaced
+      val tok = df.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      val bitSums = (0 until 64).map { b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$b")
+      }
+      val agg = tok.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 64).map(b =>
+            when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ bitwiseOR _).as("simhash"))
+      val n = native.as[(Long, Long)].collect().toMap
+      val a = agg.as[(Long, Long)].collect().toMap
+      n == a
+    }, n = 4)
+  }
+
   test("MinhashBands is deterministic and band-stable under identical shingles") {
     val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
       .toDF("t")
