@@ -147,15 +147,28 @@ object RelationalOps extends QueryPack {
         coalesce(col("l_linestatus"), lit("<all>")).as("l_linestatus"),
         col("n"), col("sum_qty"))
 
-  /** approx_distinct — HLL++ cardinalities next to exact ones. The
-    * driver gate is rows-only (DuckDB's approx sketch differs); the
-    * relative-error bound is asserted in ApproxSpec. */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  /** HLL++ cardinalities next to exact ones (raw values — ApproxSpec
+    * asserts the relative-error bound on these). */
+  def approxDistinctRaw(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** approx_distinct — the gated shape: the raw HLL estimate is
+    * engine-specific (DuckDB's sketch differs) so it cannot be
+    * hash-compared, but the claim that matters CAN be: the exact
+    * cardinality (verified against DuckDB's exact count) and the
+    * estimate landing within its error bound (hashed as a boolean the
+    * oracle expects TRUE — an HLL regression breaks the gate). */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    approxDistinctRaw(spark, sfDir)
+      .select(
+        col("l_returnflag"),
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double") <= 0.1).as("approx_within_10pct"))
 
   /** json_extract — JSON scalar extraction from the events props column
     * (codegen'd get_json_object; at scale this runs scan-side before
@@ -503,6 +516,14 @@ object RelationalOps extends QueryPack {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "csv_roundtrip" ->
-      "SELECT event_id, event_type, value FROM events"
+      "SELECT event_id, event_type, value FROM events",
+
+    // exact side cross-engine-verified; the TRUE literal encodes the
+    // HLL accuracy claim — a sketch regression past 10% breaks the hash
+    "approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -6,7 +6,7 @@ class ApproxSpec extends SparkSpec {
   import spark.implicits._
 
   test("approx_count_distinct stays within its configured relative error") {
-    val out = graft.packs.RelationalOps.approxDistinct(spark, sf)
+    val out = graft.packs.RelationalOps.approxDistinctRaw(spark, sf)
       .as[(String, Long, Long)].collect()
     assert(out.nonEmpty)
     out.foreach { case (flag, approx, exact) =>
