@@ -38,6 +38,11 @@ object GraftSession {
     val shm = new java.io.File("/dev/shm")
     if (shm.isDirectory && shm.canWrite && sys.props.get("spark.local.dir").isEmpty)
       b.config("spark.local.dir", "/dev/shm/graft-spark-local")
-    b.getOrCreate()
+    val s = b.getOrCreate()
+    // native expressions on the SQL surface (idempotent); cluster
+    // deployments get the same via spark.sql.extensions=
+    // graft.GraftSparkExtensions at builder time
+    graft.functions.GraftFunctions.register(s)
+    s
   }
 }
