@@ -34,14 +34,11 @@ object DedupOps extends QueryPack {
     "dedup_simhash" -> (dedupSimhash _)
   )
 
-  override def oracleSql: Map[String, String] = Map(
-    "dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        |       count(*) AS n_copies
-        |FROM documents GROUP BY md5(text)""".stripMargin,
-
-    "dedup_ngram_jaccard" ->
-      """WITH t AS (
+  /** Shared with sql_dedup_ngram (SqlSurfaceOps): the SQL-function twin
+    * verifies against the SAME oracle string, so the two surfaces can't
+    * silently diverge. */
+  val ngramJaccardOracle: String =
+    """WITH t AS (
         |  SELECT doc_id, substr(text, 1, 40) AS blk,
         |         list_transform(generate_series(1, len(toks) - 2),
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
@@ -55,5 +52,13 @@ object DedupOps extends QueryPack {
         |)
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
         |FROM pairs WHERE jac >= 0.8""".stripMargin
+
+  override def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle
   )
 }

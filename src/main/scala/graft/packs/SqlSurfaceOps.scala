@@ -2,18 +2,43 @@ package graft.packs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import graft.sql.KsqlSurface
 
 /** The KSQL-comment statements as genuine Spark SQL (SURVEY.md §3.3) —
   * same oracles as their DataFrame twins, but exercising the parse →
-  * analyze → optimize lifecycle. */
+  * analyze → optimize lifecycle — plus an extension-operator query
+  * written entirely against the registered graft_* SQL functions. */
 object SqlSurfaceOps extends QueryPack {
+
+  /** Blocked n-gram Jaccard dedup as pure SQL text over the graft_*
+    * native-expression functions (GraftFunctions) — proves the SQL
+    * surface of the extension operators end-to-end through the DuckDB
+    * gate, against the SAME oracle as the DataFrame twin. The window
+    * count mirrors blockedNgramJaccard's maxBlockSize cap. */
+  def dedupNgramSql(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      """WITH t AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, substring(text, 1, 40) AS blk,
+        |           graft_shingles(text, 3) AS sh,
+        |           count(1) OVER (PARTITION BY substring(text, 1, 40)) AS blk_n
+        |    FROM documents
+        |  ) WHERE blk_n <= 1000
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(graft_jaccard(a.sh, b.sh), 4) AS jac
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE graft_jaccard(a.sh, b.sh) >= 0.8""".stripMargin)
+  }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
-    "sql_ctr" -> (KsqlSurface.ctrSql _)
+    "sql_ctr" -> (KsqlSurface.ctrSql _),
+    "sql_dedup_ngram" -> (dedupNgramSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -27,6 +52,8 @@ object SqlSurfaceOps extends QueryPack {
       s"""
          |SELECT ad_id, num_impressions, num_clicks,
          |${ReferencePipelines.ctrFaithfulSelect}
-         |FROM counts""".stripMargin)
+         |FROM counts""".stripMargin),
+
+    "sql_dedup_ngram" -> DedupOps.ngramJaccardOracle
   )
 }
