@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.SimHash64
+
+/** Streaming SimHash near-duplicate detection — the streaming form of
+  * `Dedup.simhashPairs`, for dedup-at-ingest in a training-data
+  * pipeline (drop near-dups as documents arrive instead of re-scanning
+  * the corpus).
+  *
+  * Plan shape: scan-side [[SimHash64]] fingerprint (zero-shuffle
+  * projection) → explode into 4 sixteen-bit bands → ONE shuffle on the
+  * band bucket → `flatMapGroupsWithState` holding the bucket's recent
+  * fingerprints. State is per-bucket and watermark-evicted, so memory
+  * is bounded by the arrival rate × watermark horizon, never corpus
+  * size; fingerprints (8 bytes) are all that's stored — never text.
+  *
+  * Exactly-once pair emission without a second stateful operator: a
+  * hamming-≤k pair collides in every matching band, so each candidate
+  * is emitted only by the bucket whose band index equals the pair's
+  * MINIMUM matching band — a pure function of the two fingerprints,
+  * computable locally in whichever bucket sees the pair.
+  *
+  * Semantic bound (documented streaming tradeoff): two documents pair
+  * only if the earlier one is still within the watermark horizon when
+  * the later arrives. Batch `simhashPairs` is the unbounded-horizon
+  * reference; NearDupStreamSpec pins streaming ≡ batch inside the
+  * horizon and eviction beyond it.
+  */
+object NearDupStream {
+
+  private val Bands = 4
+
+  final case class BandedDoc(bucket: Long, docId: Long, simhash: Long,
+      ts: java.sql.Timestamp) {
+    def tsMs: Long = ts.getTime
+  }
+  final case class Pair(doc_a: Long, doc_b: Long, hamming: Int)
+
+  private def bandVal(h: Long, j: Int): Long = (h >>> (j * 16)) & 0xFFFFL
+
+  /** Lowest band index where the two fingerprints agree (-1 if none). */
+  private def minMatchingBand(a: Long, b: Long): Int = {
+    var j = 0
+    while (j < Bands) {
+      if (bandVal(a, j) == bandVal(b, j)) return j
+      j += 1
+    }
+    -1
+  }
+
+  private def process(maxHamming: Int)(
+      bucket: Long,
+      rows: Iterator[BandedDoc],
+      state: GroupState[List[BandedDoc]]): Iterator[Pair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var stored = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
+    val out = List.newBuilder[Pair]
+    val band = (bucket >>> 16).toInt
+    // deterministic order within the batch (state arrival order)
+    rows.toArray.sortBy(d => (d.tsMs, d.docId)).foreach { d =>
+      stored.foreach { s =>
+        if (s.docId != d.docId) {
+          val h = java.lang.Long.bitCount(s.simhash ^ d.simhash)
+          if (h <= maxHamming && minMatchingBand(s.simhash, d.simhash) == band)
+            out += Pair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), h)
+        }
+      }
+      stored ::= d
+    }
+    if (stored.isEmpty) state.remove()
+    else {
+      state.update(stored)
+      // clean the bucket up once the watermark passes its newest doc
+      state.setTimeoutTimestamp(stored.map(_.tsMs).max + 1)
+    }
+    out.result().iterator
+  }
+
+  /** `docs` must carry (idCol: integral, tsCol: timestamp, textCol:
+    * string); returns append-mode (doc_a, doc_b, hamming) pairs. */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "60 seconds",
+      maxHamming: Int = 3): Dataset[Pair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandCols = (0 until Bands).map { j =>
+      lit(j.toLong) * 65536L +
+        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
+    }
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(idCol).cast("long").as("docId"),
+        // the watermark tag rides on this column — it must survive into
+        // the stateful operator for EventTimeTimeout to be legal
+        col(tsCol).as("ts"),
+        SimHash64(col(textCol)).as("simhash"))
+      .select(col("docId"), col("ts"), col("simhash"),
+        explode(array(bandCols: _*)).as("bucket"))
+      .as[BandedDoc]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        process(maxHamming))
+  }
+}
