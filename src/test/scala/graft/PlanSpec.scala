@@ -56,6 +56,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("asof_join: ONE hash-partition exchange (union-tag sort, no range-join blowup)") {
+    val p = plan("asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"as-of must cost exactly one shuffle on the key, got $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not fall back to a per-pair join")
+  }
+
+  test("ann_ivf: probe side broadcast, no cartesian, native assign expression") {
+    val p = plan("ann_ivf")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("graft_ivf_assign"),
+      "cell assignment must be the native reference-object expression")
+  }
+
+  test("dedup_minhash: bucket equi-join, never a cartesian/nested-loop pair join") {
+    val p = plan("dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH banding must make candidate generation an equi-join:\n$p")
+  }
+
   test("simhash fingerprints: scan-side projection, no explode, no shuffle") {
     val p = graft.operators.Dedup
       .simhash(Tables.documents(spark, sf), "doc_id", "text")
