@@ -12,13 +12,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame, recordFailure: Boolean): Double = {
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-          if (recordFailure) failed += name
+          // a failure in EITHER pass lands in `failed` (deduped) — a
+          // query that runs cold but dies warm must not read as green
+          if (!failed.contains(name)) failed += name
           false
         }
       // A failed query records -1, never a fake wall time.
@@ -34,9 +36,9 @@ object Bench {
     // stay the cold pass for round-over-round driver comparability; the
     // warm numbers are the signal for plan-quality regressions.
     val cold = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(name, fn, recordFailure = true) }
+      name -> timed(name, fn) }
     val warm = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(name, fn, recordFailure = false) }
+      name -> timed(name, fn) }
     def obj(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

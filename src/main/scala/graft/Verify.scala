@@ -10,10 +10,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // delete any stale output FIRST: if the query throws before its
+      // write, a previous run's parquet must not survive to be compared
+      // as if it were this run's result (gate integrity)
+      val target = new java.io.File(s"$outDir/$name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (target.exists()) rm(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (target.exists()) rm(target) // partial writes count as absent
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

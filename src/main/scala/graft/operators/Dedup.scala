@@ -152,9 +152,17 @@ object Dedup {
     * dropped block are missed here and left to the LSH path. The oracle
     * assumes a non-degenerate corpus (no block over the cap), which the
     * testdata satisfies. */
+  // Default knobs, shared with the SQL twin (SqlSurfaceOps.dedupNgramSql
+  // interpolates these same constants) so the two surfaces can't drift.
+  val NgramShingleN = 3
+  val NgramPrefixLen = 40
+  val NgramThreshold = 0.8
+  val NgramMaxBlockSize = 1000
+
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, prefixLen: Int = 40, threshold: Double = 0.8,
-      maxBlockSize: Int = 1000): DataFrame = {
+      shingleN: Int = NgramShingleN, prefixLen: Int = NgramPrefixLen,
+      threshold: Double = NgramThreshold,
+      maxBlockSize: Int = NgramMaxBlockSize): DataFrame = {
     val t0 = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("blk"),
       shinglesFromText(col(textCol), shingleN).as("sh"))

@@ -173,9 +173,12 @@ object SimilarityOps extends QueryPack {
     * the same ordering (CentroidSet.nearest), candidates come only from
     * probed cells, and the scored/ranked tail is annBruteOracle's.
     * ||c||² is embedded as a precomputed literal (same sequential sum as
-    * CentroidSet.fromRows) rather than recomputed in SQL, so the only
-    * cross-engine float delta is list_sum's non-sequential dot (~1e-15,
-    * the same accepted delta as every other similarity oracle). */
+    * CentroidSet.fromRows). Crucially, the argmin dots use `list_reduce`
+    * — DuckDB's sequential left fold, bit-identical to the engine's
+    * accumulation loop — NOT `list_sum`, whose free summation order
+    * could flip an argmin between near-equidistant cells and change
+    * whole result rows (a ~1e-15 delta is harmless inside round(.,4)
+    * score columns, but an ORDERING decided by it must be exact). */
   private def annIvfOracle(centroids: Seq[Seq[Double]], k: Int,
       nprobe: Int): String = {
     val rows = centroids.zipWithIndex.map { case (c, i) =>
@@ -189,8 +192,9 @@ object SimilarityOps extends QueryPack {
          |  SELECT vec_id, cell FROM (
          |    SELECT v.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             c.nsq - 2 * list_sum(list_transform(generate_series(1, 64),
-         |               i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i])) ASC,
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+         |               i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
          |             c.cell ASC) AS rn
          |    FROM v, cent c
          |  ) WHERE rn = 1
@@ -201,8 +205,9 @@ object SimilarityOps extends QueryPack {
          |  SELECT query_id, cell FROM (
          |    SELECT q.query_id, c.cell,
          |           row_number() OVER (PARTITION BY q.query_id ORDER BY
-         |             c.nsq - 2 * list_sum(list_transform(generate_series(1, 64),
-         |               i -> CAST(q.q_emb[i] AS DOUBLE) * c.w[i])) ASC,
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.q_emb[i] AS DOUBLE) * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
          |             c.cell ASC) AS rn
          |    FROM q, cent c
          |  ) WHERE rn <= $nprobe

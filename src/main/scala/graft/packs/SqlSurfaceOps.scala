@@ -17,21 +17,22 @@ object SqlSurfaceOps extends QueryPack {
     * gate, against the SAME oracle as the DataFrame twin. The window
     * count mirrors blockedNgramJaccard's maxBlockSize cap. */
   def dedupNgramSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Dedup.{NgramMaxBlockSize, NgramPrefixLen, NgramShingleN, NgramThreshold}
     graft.functions.GraftFunctions.register(spark) // idempotent
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     spark.sql(
-      """WITH t AS (
-        |  SELECT * FROM (
-        |    SELECT doc_id, substring(text, 1, 40) AS blk,
-        |           graft_shingles(text, 3) AS sh,
-        |           count(1) OVER (PARTITION BY substring(text, 1, 40)) AS blk_n
-        |    FROM documents
-        |  ) WHERE blk_n <= 1000
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       round(graft_jaccard(a.sh, b.sh), 4) AS jac
-        |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE graft_jaccard(a.sh, b.sh) >= 0.8""".stripMargin)
+      s"""WITH t AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, substring(text, 1, $NgramPrefixLen) AS blk,
+         |           graft_shingles(text, $NgramShingleN) AS sh,
+         |           count(1) OVER (PARTITION BY substring(text, 1, $NgramPrefixLen)) AS blk_n
+         |    FROM documents
+         |  ) WHERE blk_n <= $NgramMaxBlockSize
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(graft_jaccard(a.sh, b.sh), 4) AS jac
+         |FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |WHERE graft_jaccard(a.sh, b.sh) >= $NgramThreshold""".stripMargin)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

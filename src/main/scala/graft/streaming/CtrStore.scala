@@ -60,8 +60,10 @@ final class CtrStore(dir: String) {
     val stale = Paths.get(dir).resolve(s"v${next - 2}")
     if (next >= 2 && Files.exists(stale)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(stale).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(stale)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 

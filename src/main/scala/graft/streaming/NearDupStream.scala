@@ -38,6 +38,9 @@ object NearDupStream {
       ts: java.sql.Timestamp) {
     def tsMs: Long = ts.getTime
   }
+  /** State entry — slim on purpose: no bucket (it's the group key), no
+    * Timestamp object; per stored doc the state carries 24 bytes. */
+  final case class StoredDoc(docId: Long, simhash: Long, tsMs: Long)
   final case class Pair(doc_a: Long, doc_b: Long, hamming: Int)
 
   private def bandVal(h: Long, j: Int): Long = (h >>> (j * 16)) & 0xFFFFL
@@ -55,7 +58,7 @@ object NearDupStream {
   private def process(maxHamming: Int)(
       bucket: Long,
       rows: Iterator[BandedDoc],
-      state: GroupState[List[BandedDoc]]): Iterator[Pair] = {
+      state: GroupState[List[StoredDoc]]): Iterator[Pair] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val wm = state.getCurrentWatermarkMs()
     var stored = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
@@ -70,7 +73,7 @@ object NearDupStream {
             out += Pair(math.min(s.docId, d.docId), math.max(s.docId, d.docId), h)
         }
       }
-      stored ::= d
+      stored ::= StoredDoc(d.docId, d.simhash, d.tsMs)
     }
     if (stored.isEmpty) state.remove()
     else {
@@ -97,6 +100,10 @@ object NearDupStream {
         shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL)
     }
     docs
+      // rows with a null id/time/text can't fingerprint — drop them
+      // instead of crashing the non-nullable encoder mid-batch
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(textCol).isNotNull)
       .withWatermark(tsCol, watermark)
       .select(
         col(idCol).cast("long").as("docId"),
