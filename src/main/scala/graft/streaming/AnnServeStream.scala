@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CentroidNearest, TopKByScore, VectorOps}
+import graft.operators.IvfIndex
+
+/** Streaming ANN serving: top-k cosine neighbors from a STATIC indexed
+  * corpus for an unbounded stream of query vectors — the vector-search
+  * serving pattern (fixed index, live queries).
+  *
+  * Plan shape: the corpus is IVF-indexed once (cell assignment is a
+  * scan-side native expression); each arriving query explodes into its
+  * `nprobe` nearest cells and **stream-static joins** the index on cell
+  * id — a STATELESS join (no watermark, no join state: the static side
+  * is re-resolved per micro-batch, so index refreshes are picked up
+  * automatically). Scoring reuses the prenormed-cosine expressions, and
+  * per-query top-k runs through the bounded-heap aggregate
+  * ([[TopKByScore]]) in update mode — map-side combine keeps the
+  * shuffle at |queries|·k rows per batch.
+  *
+  * Output rows are bit-identical to the batch `IvfIndex.topK` for the
+  * same query vectors (same candidate cells, same rounding, same total
+  * order) — pinned in AnnServeStreamSpec.
+  */
+object AnnServeStream {
+
+  /** `staticVectors`: batch (vec_id, embedding); `queryStream`:
+    * streaming (query_id, q_emb). Returns update-mode
+    * (query_id, vec_id, sim, rk). */
+  def ivfTopKStream(
+      staticVectors: DataFrame,
+      queryStream: DataFrame,
+      centroids: Seq[Seq[Double]],
+      k: Int = 10,
+      nprobe: Int = 4): DataFrame = {
+    val idx = IvfIndex.index(staticVectors, centroids)
+    val probes = queryStream
+      .filter(col("query_id").isNotNull && col("q_emb").isNotNull)
+      .select(col("query_id"),
+        VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+        VectorOps.norm(col("q_emb")).as("q_nrm"))
+      .select(col("query_id"), col("qd_emb"), col("q_nrm"),
+        explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"))
+    probes.join(idx, "cell") // stream-static: stateless, index re-read per batch
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("qd_emb"), col("emb")),
+          col("q_nrm"), col("v_nrm")), 4).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore(col("sim"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("vec_id"),
+        col("col.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+}
