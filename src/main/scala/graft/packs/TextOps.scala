@@ -41,13 +41,33 @@ object TextOps extends QueryPack {
       .select(col("asset_id"), col("kind"), col("n_bytes"), col("fingerprint"))
   }
 
+  /** Frame-sample plan + resize metadata for the video assets — the
+    * declarative half of the multimodal pipeline (WHICH frames to pull
+    * and WHAT size to decode to; the pixels happen at the decoder
+    * seam). Pure integer/IEEE arithmetic → full DuckDB oracle. */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.syntheticAssets(spark, Tables.documents(spark, sfDir))
+      .toDF()
+      .filter(col("kind") === "video")
+      .select(col("asset_id"), col("meta.durationMs").as("duration_ms"),
+        Multimodal.resizeMeta(col("meta.width"), col("meta.height"), 256).as("rs"),
+        posexplode(Multimodal.frameOffsetsMs(col("meta.durationMs"), 4)))
+      .select(col("asset_id"), col("duration_ms"),
+        col("pos").cast("long").as("frame_idx"),
+        col("col").as("offset_ms"),
+        col("rs.target_width").as("target_width"),
+        col("rs.target_height").as("target_height"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
-    "multimodal_features" -> (multimodalFeatures _)
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -128,6 +148,23 @@ object TextOps extends QueryPack {
         |        i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
         |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
         |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS fingerprint
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    // frame offsets: Spark's `/` is double division then a truncating
+    // long cast — mirrored as floor (identical for the non-negative
+    // offsets); resize arithmetic is the same IEEE expression both
+    // sides (one divide, one multiply, one round)
+    "multimodal_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(length(text) AS BIGINT) * 10 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT asset_id, duration_ms,
+        |       i AS frame_idx,
+        |       CAST(floor((i * duration_ms) / 4.0) AS BIGINT) AS offset_ms,
+        |       CAST(round(640 * least(1.0, 256.0 / CAST(greatest(640, 480) AS DOUBLE))) AS INT) AS target_width,
+        |       CAST(round(480 * least(1.0, 256.0 / CAST(greatest(640, 480) AS DOUBLE))) AS INT) AS target_height
+        |FROM vids CROSS JOIN generate_series(0, 3) AS t(i)""".stripMargin
   )
 }
