@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryPack, Tables}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Advanced time-window operators absent from the reference (SURVEY.md
   * §2.4 "absent surface") but core to a streaming engine: session
@@ -59,10 +59,28 @@ object WindowOps extends QueryPack {
         coalesce(unix_millis(col("asof_ts")), lit(-1L)).as("quote_ts_ms"))
   }
 
+  /** range_join — events enriched into 10-minute per-user campaign
+    * windows (every 100th event opens one) via the binned interval
+    * join: an EQUI-join on (user, bin), never a nested-loop inequality
+    * join (operators/RangeJoin; plan guarded in PlanSpec). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val windows = e.filter(col("event_id") % 100 === 0)
+      .select(col("user_id"), col("event_id").as("win_id"),
+        unix_millis(col("ts")).as("start_ms"),
+        (unix_millis(col("ts")) + 600000L).as("end_ms"))
+    val probe = e.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"))
+    RangeJoin.binned(probe, windows, "user_id", "ts_ms",
+        "start_ms", "end_ms", binWidthMs = 600000L)
+      .select(col("win_id"), col("event_id"), col("ts_ms"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> (sessionAgg _),
     "sliding_window" -> (slidingWindow _),
-    "asof_join" -> (asofJoin _)
+    "asof_join" -> (asofJoin _),
+    "range_join" -> (rangeJoin _)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -113,6 +131,20 @@ object WindowOps extends QueryPack {
         |       coalesce(q.value, -1.0) AS quote_value,
         |       coalesce(epoch_ms(q.ts), -1) AS quote_ts_ms
         |FROM t ASOF LEFT JOIN q
-        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts""".stripMargin,
+
+    // the oracle IS the naive inequality join — the engine's binned
+    // equi-join must produce the identical pair set
+    "range_join" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id AS win_id,
+        |         epoch_ms(ts) AS start_ms, epoch_ms(ts) + 600000 AS end_ms
+        |  FROM events WHERE event_id % 100 = 0
+        |), e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+        |)
+        |SELECT w.win_id, e.event_id, e.ts_ms
+        |FROM w JOIN e ON w.user_id = e.user_id
+        | AND e.ts_ms BETWEEN w.start_ms AND w.end_ms""".stripMargin
   )
 }

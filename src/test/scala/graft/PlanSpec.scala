@@ -79,6 +79,12 @@ class PlanSpec extends SparkSpec {
       s"LSH banding must make candidate generation an equi-join:\n$p")
   }
 
+  test("range_join: binned equi-join, never a nested-loop inequality join") {
+    val p = plan("range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must bucket into an equi-join:\n$p")
+  }
+
   test("simhash fingerprints: scan-side projection, no explode, no shuffle") {
     val p = graft.operators.Dedup
       .simhash(Tables.documents(spark, sf), "doc_id", "text")
