@@ -23,7 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Spark still writes block-manager temp files and Janino scratch to
+// java.io.tmpdir even with spark.local.dir on tmpfs; /tmp sits on the
+// same virtual disk whose writeback storms stalled earlier bench runs.
+// Point the whole JVM temp dir at tmpfs when available.
+val tmpfsTmpDir: Seq[String] = {
+  val shm = new java.io.File("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val d = new java.io.File(shm, "graft-jvm-tmp")
+    d.mkdirs()
+    Seq(s"-Djava.io.tmpdir=${d.getAbsolutePath}")
+  } else Seq.empty
+}
+javaOptions ++= jdk17AddOpens ++ tmpfsTmpDir ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

@@ -1,51 +1,155 @@
 package graft
+import java.lang.management.ManagementFactory
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Benchmark entry point. Prints ONE JSON line to stdout and writes it
+  * to BENCH.json (the driver's machine channel).
+  *
+  * Timing protocol: one untimed warmup, one timed cold pass (carries
+  * per-query plan/Janino/JIT compile cost; kept as `queries`/`total`
+  * for round-over-round driver comparability), then THREE timed warm
+  * passes reported per-query as the MEDIAN — a single external stall
+  * window can poison at most one pass, so the median is a stable
+  * plan-quality signal even on a noisy shared host.
+  *
+  * Telemetry protocol (round-4, stall forensics): every timed query
+  * emits a stderr line with deltas of the six plausible stall causes —
+  *   gc      JVM GC time (GarbageCollectorMXBean)
+  *   cc      JIT code-cache occupancy (CodeHeap pools; JIT death = full)
+  *   psiIo/psiMem/psiCpu  kernel pressure-stall totals (/proc/pressure)
+  *   steal   hypervisor steal jiffies (/proc/stat) — host took our CPU
+  *   rd      bytes THIS process actually read from storage
+  *           (/proc/self/io read_bytes) — proves whether we touched disk
+  * A slow query with flat gc/cc/rd but a psiCpu or steal spike is host
+  * interference, not a plan problem; flat everything = look at the plan.
+  *
+  * Disk-independence: shuffle/spill scratch is tmpfs (GraftSession),
+  * java.io.tmpdir is tmpfs (build.sbt), and the input parquet (17 MB at
+  * sf0.1) is staged into tmpfs below — after the cold pass the timed
+  * path performs ZERO virtual-disk IO, which the `rd` column verifies.
+  */
 object Bench {
+  // ---- telemetry probes (all best-effort; -1 when unavailable) -----
+  private def gcMs: Long =
+    ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  private def codeCacheUsedMb: Long =
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+      .map(_.getUsage.getUsed).sum >> 20
+  private def readProc(p: String): Option[String] =
+    try Some(new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
+    catch { case _: Throwable => None }
+  /** Pressure-stall total in ms. "full" = all runnable tasks stalled
+    * (io/memory); cpu only publishes "some" (any task waiting for cpu). */
+  private def psiMs(kind: String): Long = {
+    val want = if (kind == "cpu") "some" else "full"
+    readProc(s"/proc/pressure/$kind")
+      .flatMap(_.linesIterator.find(_.startsWith(want)))
+      .flatMap(_.split("total=").lift(1))
+      .map(_.trim.toLong / 1000L)
+      .getOrElse(-1L)
+  }
+  /** Hypervisor steal jiffies: field 8 (0-based) after "cpu" in /proc/stat. */
+  private def stealJiffies: Long =
+    readProc("/proc/stat")
+      .flatMap(_.linesIterator.find(_.startsWith("cpu ")))
+      .map(_.trim.split("\\s+"))
+      .filter(_.length > 8).map(_(8).toLong)
+      .getOrElse(-1L)
+  /** Bytes this JVM read from the storage layer (page-cache hits excluded). */
+  private def selfReadBytes: Long =
+    readProc("/proc/self/io")
+      .flatMap(_.linesIterator.find(_.startsWith("read_bytes:")))
+      .map(_.split(":")(1).trim.toLong)
+      .getOrElse(-1L)
+
+  private case class Snap(gc: Long, io: Long, mem: Long, cpu: Long, steal: Long, rd: Long)
+  private def snap(): Snap =
+    Snap(gcMs, psiMs("io"), psiMs("memory"), psiMs("cpu"), stealJiffies, selfReadBytes)
+  private def d(a: Long, b: Long): Long = if (a < 0 || b < 0) -1 else b - a
+
+  /** Stage the input parquet into tmpfs so timed reads never touch the
+    * virtual disk. Falls back to the original dir if tmpfs is absent. */
+  private def stageToTmpfs(sfDir: String): String = {
+    val shm = Paths.get("/dev/shm")
+    if (!Files.isDirectory(shm) || !Files.isWritable(shm)) return sfDir
+    try {
+      val src = Paths.get(sfDir)
+      val dst = shm.resolve("graft-bench-input").resolve(src.getFileName)
+      Files.createDirectories(dst)
+      Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val t = dst.resolve(src.relativize(f))
+        Files.createDirectories(t.getParent)
+        Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+      System.err.println(s"[bench] staged $sfDir -> $dst (tmpfs)")
+      dst.toString
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] tmpfs staging failed (${e.getMessage}); reading $sfDir directly")
+      sfDir
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDirRaw = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = stageToTmpfs(sfDirRaw)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: absorbs one-time session costs (BlockManager,
-    // Janino/codegen framework, parquet reader init, JIT of shared
-    // infra) so per-query numbers reflect steady state.
+    // Janino/codegen framework, parquet reader init, JIT of shared infra).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    def timed(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Double = {
+    val run0 = snap()
+    def timed(pass: String, name: String,
+              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val s0 = snap()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
-          // a failure in EITHER pass lands in `failed` (deduped) — a
-          // query that runs cold but dies warm must not read as green
+          // a failure in ANY pass lands in `failed` (deduped) — a query
+          // that runs cold but dies warm must not read as green
           if (!failed.contains(name)) failed += name
           false
         }
       // A failed query records -1, never a fake wall time.
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // progress to stderr (stdout stays the one-line JSON channel)
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      val s1 = snap()
+      System.err.println(
+        f"[bench:$pass] $name%-24s $sec%8.2f s | gc+${d(s0.gc, s1.gc)}%dms cc=${codeCacheUsedMb}%dMB " +
+        f"psiIo+${d(s0.io, s1.io)}%dms psiMem+${d(s0.mem, s1.mem)}%dms psiCpu+${d(s0.cpu, s1.cpu)}%dms " +
+        f"steal+${d(s0.steal, s1.steal)}%dj rd+${d(s0.rd, s1.rd) >> 10}%dKB")
       sec
     }
-    // Two timed passes per query, reported separately: the cold pass
-    // carries that query's one-time plan/Janino/JIT compile cost (noisy
-    // — WHICH shared generated classes are already hot depends on map
-    // order), the warm pass is steady-state execution. `queries`/`total`
-    // stay the cold pass for round-over-round driver comparability; the
-    // warm numbers are the signal for plan-quality regressions.
-    val cold = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(name, fn) }
-    val warm = SparkEntry.queries.map { case (name, fn) =>
-      name -> timed(name, fn) }
+    val cold = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
+    // Three warm passes; per-query median is the reported warm number.
+    val warmPasses = (1 to 3).map { i =>
+      SparkEntry.queries.map { case (name, fn) => name -> timed(s"warm$i", name, fn) }
+    }
+    def median3(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+    }
+    val warm = SparkEntry.queries.keys.map { name =>
+      name -> median3(warmPasses.map(_(name)))
+    }.toMap
+    val run1 = snap()
     def obj(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.filter(_ >= 0).sum
     val totalWarm = warm.values.filter(_ >= 0).sum
+    val passTotals = warmPasses.map(p => p.values.filter(_ >= 0).sum)
+    val telemetry =
+      s"""{"gc_ms":${d(run0.gc, run1.gc)},"psi_io_ms":${d(run0.io, run1.io)},""" +
+      s""""psi_mem_ms":${d(run0.mem, run1.mem)},"psi_cpu_ms":${d(run0.cpu, run1.cpu)},""" +
+      s""""steal_jiffies":${d(run0.steal, run1.steal)},"disk_read_kb":${d(run0.rd, run1.rd) >> 10},""" +
+      s""""code_cache_mb":$codeCacheUsedMb}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDirRaw"}"""
     // stdout carries sbt [info] prefixes and any log noise; the file is
     // the unambiguous machine-readable channel for the driver.
     Files.write(Paths.get("BENCH.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
