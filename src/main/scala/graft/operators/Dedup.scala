@@ -140,6 +140,113 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --- md5-derived oracle twins -------------------------------------
+  // The production minhash/simhash paths hash with xxhash64, which has
+  // no DuckDB equivalent → rows-only at the driver gate. These twins
+  // run the IDENTICAL banding + candidate + verification pipeline over
+  // a 60-bit hash derived from md5 (first 15 hex chars → BIGINT,
+  // computable bit-identically in DuckDB), giving the pair logic a full
+  // value-level cross-engine gate. Knobs are shared with the generated
+  // oracle SQL (DedupOps) so the two sides can't drift.
+  val Md5TwinBands = 4
+  val Md5TwinRows = 2
+  val Md5SimhashBits = 60 // 15 hex chars of md5
+  val Md5SimhashBandBits = 15 // 4 bands × 15 bits; pigeonhole hamming ≤ 3
+  val Md5SimhashMaxHamming = 3
+
+  /** 60-bit hash from the first 15 hex chars of md5 — fits a signed
+    * int64 in both engines (DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT). */
+  def md5h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash+LSH with md5-derived signatures (oracle twin of
+    * [[minhashLsh]]): k = bands·rows independent minima, signature i
+    * hashing shingles with salt prefix "i#". Same banding → bucket cap
+    * → candidate join → exact-Jaccard verification as the production
+    * path; only the hash family differs. */
+  def minhashLshMd5(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
+      rows: Int = Md5TwinRows, threshold: Double = NgramThreshold,
+      maxBucketSize: Int = NgramMaxBlockSize): DataFrame = {
+    val k = bands * rows
+    val withSh = docs
+      .select(col(idCol).as("doc_id"),
+        shinglesFromText(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("sh"),
+        s => md5h60(concat(lit(s"$i#"), s)))).as(s"sig$i")
+    }
+    val sigged = withSh.select(col("doc_id") +: sigs: _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
+          .as("band_key"))
+    }
+    val banded = sigged
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash near-dup pairs with a 60-bit md5-derived fingerprint
+    * (oracle twin of [[simhashPairs]]): token-occurrence-weighted bit
+    * votes (+1 if bit set, −1 otherwise; bit set on vote > 0 — the
+    * SimHash64 convention), 4 × 15-bit pigeonhole bands, exact
+    * bit_count(xor) ≤ maxHamming verification. The 60 bit-vote sums are
+    * declarative aggregates (codegen'd), unlike the per-char interpreted
+    * fold this module replaced in round 2. */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = Md5SimhashMaxHamming): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), md5h60(col("tok")).as("h"))
+    val votes = (0 until Md5SimhashBits).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = agg.select(col("doc_id"),
+      (0 until Md5SimhashBits)
+        .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val nBands = Md5SimhashBits / Md5SimhashBandBits
+    val bandCols = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * Md5SimhashBandBits)
+          .bitwiseAND(lit((1L << Md5SimhashBandBits) - 1)).as("band_val"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
     * on a text prefix, compute exact shingle Jaccard within blocks. The
     * prefix block is a cheap deterministic blocker; minhashLsh is the

@@ -27,11 +27,20 @@ object DedupOps extends QueryPack {
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  def dedupMinhashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashLshMd5(Tables.documents(spark, sfDir), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+
+  def dedupSimhashMd5(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashMd5Pairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_minhash_md5" -> (dedupMinhashMd5 _),
+    "dedup_simhash_md5" -> (dedupSimhashMd5 _)
   )
 
   /** Shared with sql_dedup_ngram (SqlSurfaceOps): the SQL-function twin
@@ -53,12 +62,98 @@ object DedupOps extends QueryPack {
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
         |FROM pairs WHERE jac >= 0.8""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Dedup.md5h60]]: 60-bit int from
+    * the first 15 hex chars of md5 — bit-identical to Spark's
+    * conv(substring(md5(x),1,15),16,10)::long. */
+  private def duckMd5h60(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
+  /** Generated oracle for dedup_minhash_md5: the same shingle → k md5
+    * minima → band keys → bucket cap → candidate join → exact-Jaccard
+    * pipeline, interpolated from the SAME constants as the Spark side
+    * (Dedup.Md5Twin* / Ngram*) so the two engines can't drift. */
+  val minhashMd5Oracle: String = {
+    import Dedup.{Md5TwinBands, Md5TwinRows, NgramMaxBlockSize, NgramThreshold}
+    val k = Md5TwinBands * Md5TwinRows
+    val sigCols = (0 until k).map { i =>
+      s"list_min(list_transform(sh, s -> ${duckMd5h60(s"'$i#' || s")})) AS sig$i"
+    }.mkString(",\n        ")
+    val bandSelects = (0 until Md5TwinBands).map { b =>
+      val key = (0 until Md5TwinRows).map(r => s"sig${b * Md5TwinRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH shd AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
+       |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  ) WHERE len(sh) > 0
+       |), sig AS (
+       |  SELECT doc_id,
+       |        $sigCols
+       |  FROM shd
+       |), banded AS (
+       |  $bandSelects
+       |), capped AS (
+       |  SELECT doc_id, band, band_key FROM (
+       |    SELECT banded.*, count(*) OVER (PARTITION BY band, band_key) AS bn
+       |    FROM banded
+       |  ) WHERE bn <= $NgramMaxBlockSize
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         CASE WHEN len(list_distinct(x.sh || y.sh)) = 0 THEN 0.0
+       |              ELSE CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE)
+       |                   / len(list_distinct(x.sh || y.sh)) END AS jac
+       |  FROM cand c JOIN shd x ON c.doc_a = x.doc_id JOIN shd y ON c.doc_b = y.doc_id
+       |)
+       |SELECT doc_a, doc_b, round(jac, 4) AS jac
+       |FROM verified WHERE jac >= $NgramThreshold""".stripMargin
+  }
+
+  /** Generated oracle for dedup_simhash_md5: token-occurrence bit votes
+    * over the 60-bit md5 hash, vote>0 sets the bit, 4×15-bit pigeonhole
+    * bands, exact bit_count(xor) ≤ maxHamming — same constants as
+    * Dedup.simhashMd5Pairs. */
+  val simhashMd5Oracle: String = {
+    import Dedup.{Md5SimhashBandBits, Md5SimhashBits, Md5SimhashMaxHamming}
+    val nBands = Md5SimhashBits / Md5SimhashBandBits
+    val mask = (1L << Md5SimhashBandBits) - 1
+    s"""WITH tok AS (
+       |  SELECT doc_id, ${duckMd5h60("tok")} AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |), votes AS (
+       |  SELECT doc_id, j,
+       |         sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, ${Md5SimhashBits - 1})) AS j) js
+       |  GROUP BY doc_id, j
+       |), fp AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * $Md5SimhashBandBits)) & $mask AS band_val
+       |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, ${nBands - 1})) AS b) bs
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= $Md5SimhashMaxHamming""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "dedup_ngram_jaccard" -> ngramJaccardOracle
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_md5" -> minhashMd5Oracle,
+    "dedup_simhash_md5" -> simhashMd5Oracle
   )
 }

@@ -67,6 +67,27 @@ class DedupSpec extends SparkSpec {
     assert(capped == Set((10L, 11L)), s"got $capped")
   }
 
+  test("md5 twins find the same planted pairs as the production hash paths") {
+    // Same pipeline, different hash family — the pair sets on the
+    // planted-dup fixture must agree (the twins exist to give the
+    // banding/verification logic a DuckDB value gate; DedupOps holds
+    // the generated oracle SQL).
+    val prodMh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val twinMh = Dedup.minhashLshMd5(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(twinMh == prodMh, s"minhash twin $twinMh vs prod $prodMh")
+
+    val prodSh = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    val twinSh = Dedup.simhashMd5Pairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    // exact dup pair must be found by both; near-dup sets may differ by
+    // at most the 1↔2 near-pair (different hash → different hamming)
+    assert(twinSh.contains((1L, 4L)) && prodSh.contains((1L, 4L)))
+    assert(!twinSh.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)
