@@ -56,6 +56,9 @@ object GraftFunctions {
       arity("graft_minhash", 2, args)
       MinhashSignature(args.head, constInt(args(1), "graft_minhash", "k"))
     },
+    "graft_rolling_fp" -> { args =>
+      arity("graft_rolling_fp", 1, args); RollingFp(args.head)
+    },
     "graft_minhash_bands" -> { args =>
       arity("graft_minhash_bands", 3, args)
       MinhashBands(args.head,

@@ -29,16 +29,12 @@ object TextAnalysis {
 
   /** Polynomial rolling hash (base 31 mod 1e9+7) over printable-ASCII
     * chars — a content fingerprint stable under container/metadata
-    * changes, unlike md5 of raw bytes. Left fold with zero init ==
-    * DuckDB's list_reduce first-element init (f(0,c)=c). */
-  def rollingFingerprint(text: Column): Column = {
-    val t = asciiOnly(text)
-    when(length(t) === 0, lit(0L)).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
-        lit(0L),
-        (acc, c) => (acc * 31 + c) % 1000000007L))
-  }
+    * changes, unlike md5 of raw bytes. Native codegen'd expression (the
+    * old aggregate(transform(sequence(...))) form materialized a
+    * per-char array per doc and ran interpreted — see
+    * graft.functions.RollingFp for the equivalence argument). */
+  def rollingFingerprint(text: Column): Column =
+    graft.functions.RollingFp(text)
 
   // Tiny fixed stopword lists per language — a deliberately simple,
   // deterministic n-gram-free heuristic (real pipelines would plug a

@@ -93,4 +93,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"simhash must not explode tokens:\n$p")
     assert(p.contains("graft_simhash64"), s"expected the native expression in:\n$p")
   }
+
+  test("doc_fingerprint: native rolling-fp projection, no higher-order lambda, no shuffle") {
+    val p = plan("doc_fingerprint")
+    assert(p.contains("graft_rolling_fp"), s"expected the native expression in:\n$p")
+    assert(!p.contains("aggregate("), s"interpreted higher-order fold must be gone:\n$p")
+    assert(!p.contains("Exchange"), s"fingerprints must not shuffle:\n$p")
+  }
 }

@@ -109,6 +109,26 @@ class NativeExprEquivalenceSpec extends SparkSpec {
     }, n = 4)
   }
 
+  test("RollingFp == aggregate(transform(sequence)) per-char fold, bit-exact") {
+    // includes non-ASCII (multibyte), control chars, and empty strings —
+    // the byte-filter (0x20..0x7E) must match the regexp projection
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.const(""), Gen.const("héllo wörld 中文"),
+      Gen.const("tab\tand\nnewline"), Gen.alphaNumStr)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(genText)) { texts =>
+      val df = texts.toDF("text")
+      val t = regexp_replace(col("text"), "[^ -~]", "")
+      val builtin = when(length(t) === 0, lit(0L)).otherwise(
+        aggregate(
+          transform(sequence(lit(1), length(t)), i => ascii(t.substr(i, lit(1)))),
+          lit(0L),
+          (acc, c) => (acc * 31 + c) % 1000000007L))
+      val out = df.select(RollingFp(col("text")).as("native"), builtin.as("builtin"))
+        .as[(Long, Long)].collect()
+      out.forall { case (n, b) => n == b }
+    })
+  }
+
   test("MinhashBands is deterministic and band-stable under identical shingles") {
     val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
       .toDF("t")
