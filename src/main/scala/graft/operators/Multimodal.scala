@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Fixture + pipeline knobs, shared with the generated DuckDB oracles
+  // (packs/TextOps interpolates these — the Dedup.Ngram* pattern): a
+  // fixture tweak propagates to the SQL through the one constant
+  // instead of silently breaking the gate via a stale literal.
+  val FixtureWidth = 640
+  val FixtureHeight = 480
+  val FixtureSampleRate = 16000
+  val MsPerChar = 10L
+  val FrameSamples = 4
+  val ResizeMaxEdge = 256
+
   final case class MediaMeta(width: Int, height: Int, sampleRate: Int,
       durationMs: Long)
 
@@ -108,9 +119,9 @@ object Multimodal {
         element_at(typedlit(Seq("image", "audio", "video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
         encode(col("text"), "utf-8").as("bytes"),
-        struct(lit(640).as("width"), lit(480).as("height"),
-          lit(16000).as("sampleRate"),
-          (length(col("text")) * 10L).cast("long").as("durationMs")).as("meta"))
+        struct(lit(FixtureWidth).as("width"), lit(FixtureHeight).as("height"),
+          lit(FixtureSampleRate).as("sampleRate"),
+          (length(col("text")) * MsPerChar).cast("long").as("durationMs")).as("meta"))
       .as[MediaAsset]
   }
 }

@@ -51,8 +51,10 @@ object TextOps extends QueryPack {
       .toDF()
       .filter(col("kind") === "video")
       .select(col("asset_id"), col("meta.durationMs").as("duration_ms"),
-        Multimodal.resizeMeta(col("meta.width"), col("meta.height"), 256).as("rs"),
-        posexplode(Multimodal.frameOffsetsMs(col("meta.durationMs"), 4)))
+        Multimodal.resizeMeta(col("meta.width"), col("meta.height"),
+          Multimodal.ResizeMaxEdge).as("rs"),
+        posexplode(Multimodal.frameOffsetsMs(col("meta.durationMs"),
+          Multimodal.FrameSamples)))
       .select(col("asset_id"), col("duration_ms"),
         col("pos").cast("long").as("frame_idx"),
         col("col").as("offset_ms"),
@@ -154,17 +156,20 @@ object TextOps extends QueryPack {
     // long cast — mirrored as floor (identical for the non-negative
     // offsets); resize arithmetic is the same IEEE expression both
     // sides (one divide, one multiply, one round)
-    "multimodal_frames" ->
-      """WITH vids AS (
-        |  SELECT doc_id AS asset_id,
-        |         CAST(length(text) AS BIGINT) * 10 AS duration_ms
-        |  FROM documents WHERE doc_id % 3 = 2
-        |)
-        |SELECT asset_id, duration_ms,
-        |       i AS frame_idx,
-        |       CAST(floor((i * duration_ms) / 4.0) AS BIGINT) AS offset_ms,
-        |       CAST(round(640 * least(1.0, 256.0 / CAST(greatest(640, 480) AS DOUBLE))) AS INT) AS target_width,
-        |       CAST(round(480 * least(1.0, 256.0 / CAST(greatest(640, 480) AS DOUBLE))) AS INT) AS target_height
-        |FROM vids CROSS JOIN generate_series(0, 3) AS t(i)""".stripMargin
+    "multimodal_frames" -> {
+      import Multimodal.{FixtureHeight => H, FixtureWidth => W,
+        FrameSamples, MsPerChar, ResizeMaxEdge}
+      s"""WITH vids AS (
+         |  SELECT doc_id AS asset_id,
+         |         CAST(length(text) AS BIGINT) * $MsPerChar AS duration_ms
+         |  FROM documents WHERE doc_id % 3 = 2
+         |)
+         |SELECT asset_id, duration_ms,
+         |       i AS frame_idx,
+         |       CAST(floor((i * duration_ms) / $FrameSamples.0) AS BIGINT) AS offset_ms,
+         |       CAST(round($W * least(1.0, $ResizeMaxEdge.0 / CAST(greatest($W, $H) AS DOUBLE))) AS INT) AS target_width,
+         |       CAST(round($H * least(1.0, $ResizeMaxEdge.0 / CAST(greatest($W, $H) AS DOUBLE))) AS INT) AS target_height
+         |FROM vids CROSS JOIN generate_series(0, ${FrameSamples - 1}) AS t(i)""".stripMargin
+    }
   )
 }
