@@ -31,20 +31,29 @@ import graft.functions.{CentroidAssign, CentroidNearest, VectorOps}
   */
 object IvfIndex {
 
-  /** Train the coarse quantizer on an id-stride sample of `vectors`
-    * ((vec_id, embedding)); Lloyd runs driver-local on the collected
-    * sample. Returns the centroid matrix (nlist × dim doubles). */
+  /** Train the coarse quantizer on a deterministic hash-ordered sample
+    * of `vectors` ((vec_id, embedding)); Lloyd runs driver-local on the
+    * collected sample. Returns the centroid matrix (nlist × dim).
+    *
+    * Sampling is ONE corpus scan: order by (xxhash64(vec_id), vec_id)
+    * and take `maxSample` — Spark executes this as
+    * TakeOrderedAndProject (a per-partition top-k heap, no global
+    * sort), so driver memory stays bounded by maxSample and the scan
+    * count by 1. (The previous stride sampler cost a count() pass
+    * before the sample pass.) The hash order makes the subset a
+    * deterministic unbiased draw — id-stride sampling was correlated
+    * with ingestion layout. When the corpus is within maxSample the
+    * sample is the whole corpus, identical to the old sampler. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 2,
       maxSample: Int = 4096): Seq[Seq[Double]] = {
     val v = vectors.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"))
-    val n = v.count()
-    val stride = math.max(1L, n / maxSample)
     val sample: Array[Array[Double]] = v
-      .filter(col("vec_id") % stride === 0)
-      .orderBy(col("vec_id")).limit(maxSample)
-      .select(col("emb")).collect()
-      .map(_.getSeq[Double](0).toArray)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxSample)
+      .select(col("vec_id"), col("emb")).collect()
+      .sortBy(_.getLong(0)) // Lloyd init is order-sensitive: fix vec_id order
+      .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
     val dim = sample(0).length
 

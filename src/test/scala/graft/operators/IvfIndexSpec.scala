@@ -52,6 +52,19 @@ class IvfIndexSpec extends SparkSpec {
     assert(a == fresh, "training must be deterministic")
   }
 
+  test("train sampling is one scan: top-k heap (TakeOrderedAndProject), no count pass, no global sort") {
+    import org.apache.spark.sql.functions._
+    // assert on the production shape — a parquet-backed table, where
+    // maxRows is unknown so the Limit survives (EliminateLimits strips
+    // it over small in-memory relations, which would hide the plan)
+    val p = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.VectorOps.toDoubleVec(col("embedding")).as("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4096)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-partition top-k in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort must not appear:\n$p")
+  }
+
   test("trainedSnapshot exposes the one cached matrix for oracle generation") {
     val a = IvfIndex.trainCached(clustered, "spec-snapshot", nlist = 6, iters = 1)
     assert(IvfIndex.trainedSnapshot(nlist = 6, iters = 1).contains(a))
