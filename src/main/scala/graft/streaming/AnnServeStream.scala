@@ -20,6 +20,16 @@ import graft.operators.IvfIndex
   * ([[TopKByScore]]) in update mode — map-side combine keeps the
   * shuffle at |queries|·k rows per batch.
   *
+  * State story: the top-k AGGREGATE is the one stateful operator, one
+  * state row per group key. Pass `tsCol` (query arrival time) to key
+  * the aggregate on the watermarked event-time column — Spark then
+  * evicts a query's state once the watermark passes its timestamp, so
+  * serving state tracks the arrival horizon, not total queries served
+  * (asserted in StateSoakSpec). Without `tsCol` the key is query_id
+  * alone and state grows with the distinct-query count — acceptable
+  * only for bounded query-id spaces (a re-scored dashboard, a replay);
+  * a forever-serving deployment must pass `tsCol`.
+  *
   * Output rows are bit-identical to the batch `IvfIndex.topK` for the
   * same query vectors (same candidate cells, same rounding, same total
   * order) — pinned in AnnServeStreamSpec.
@@ -27,29 +37,38 @@ import graft.operators.IvfIndex
 object AnnServeStream {
 
   /** `staticVectors`: batch (vec_id, embedding); `queryStream`:
-    * streaming (query_id, q_emb). Returns update-mode
+    * streaming (query_id, q_emb[, tsCol]). Returns update-mode
     * (query_id, vec_id, sim, rk). */
   def ivfTopKStream(
       staticVectors: DataFrame,
       queryStream: DataFrame,
       centroids: Seq[Seq[Double]],
       k: Int = 10,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      tsCol: Option[String] = None,
+      watermark: String = "60 seconds"): DataFrame = {
     val idx = IvfIndex.index(staticVectors, centroids)
-    val probes = queryStream
+    val withWm = tsCol match {
+      case Some(t) => queryStream.filter(col(t).isNotNull).withWatermark(t, watermark)
+      case None => queryStream
+    }
+    val tsCols = tsCol.map(col).toSeq
+    val probes = withWm
       .filter(col("query_id").isNotNull && col("q_emb").isNotNull)
-      .select(col("query_id"),
-        VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
-        VectorOps.norm(col("q_emb")).as("q_nrm"))
-      .select(col("query_id"), col("qd_emb"), col("q_nrm"),
-        explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"))
+      .select(col("query_id") +: tsCols :+
+        VectorOps.toDoubleVec(col("q_emb")).as("qd_emb") :+
+        VectorOps.norm(col("q_emb")).as("q_nrm"): _*)
+      .select(col("query_id") +: tsCols :+ col("qd_emb") :+ col("q_nrm") :+
+        explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"): _*)
     probes.join(idx, "cell") // stream-static: stateless, index re-read per batch
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
+      .select(col("query_id") +: tsCols :+ col("vec_id") :+
         round(VectorOps.cosinePrenormed(
           VectorOps.dotPrecast(col("qd_emb"), col("emb")),
-          col("q_nrm"), col("v_nrm")), 4).as("sim"))
-      .groupBy(col("query_id"))
+          col("q_nrm"), col("v_nrm")), 4).as("sim"): _*)
+      // keying the aggregate on the watermarked event-time column is
+      // what lets Spark evict a finished query's heap state
+      .groupBy(col("query_id") +: tsCols: _*)
       .agg(TopKByScore(col("sim"), col("vec_id"), k).as("topk"))
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"),
