@@ -173,11 +173,17 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         shinglesFromText(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("sh"),
-        s => md5h60(concat(lit(s"$i#"), s)))).as(s"sig$i")
-    }
-    val sigged = withSh.select(col("doc_id") +: sigs: _*)
+    // k per-shingle hashes as codegen'd projections after an explode,
+    // folded by min-aggregates (map-side combine) — NOT a per-row
+    // transform() lambda, which would run through the higher-order
+    // interpreter k times per document. The shuffle carries only
+    // |docs|·k partial minima.
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashCols = (0 until k).map(i => md5h60(concat(lit(s"$i#"), col("s"))).as(s"h$i"))
+    val mins = (0 until k).map(i => min(col(s"h$i")).as(s"sig$i"))
+    val sigged = exploded.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
@@ -265,6 +271,58 @@ object Dedup {
   val NgramPrefixLen = 40
   val NgramThreshold = 0.8
   val NgramMaxBlockSize = 1000
+
+  /** Near-dup clusters + canonical-doc selection — the finishing step
+    * of a dedup pipeline: candidate pairs → connected components →
+    * cluster id = component-minimum doc id → keep exactly the canonical
+    * doc per cluster (singletons keep themselves).
+    *
+    * Components via min-label propagation: every doc starts labeled
+    * with its own id; each round propagates labels across edges and
+    * keeps the per-doc minimum; fixpoint when the global label sum
+    * stops decreasing (a strictly monotone scalar — ONE lightweight agg
+    * per round, no driver-side data). Rounds needed = cluster diameter,
+    * which for near-dup clusters is tiny (dup groups are near-cliques);
+    * `maxIters` bounds pathological chains. At 100 TB each round is one
+    * equi-join + partial-agg shuffle on (edge, label) ids only — the
+    * GraphX/Pregel cc shape without carrying a graph library.
+    *
+    * Deterministic and exact at fixpoint; `DedupOps` mirrors it as a
+    * DuckDB recursive CTE for the value-level gate. */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = NgramThreshold, maxIters: Int = 15): DataFrame = {
+    val pairs = blockedNgramJaccard(docs, idCol, textCol, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .persist() // re-read every round: never recompute the pair join
+    var labels = docs.select(col(idCol).cast("long").as("v"))
+      .withColumn("lbl", col("v")).persist()
+    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl")))
+      .head().getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.select(col("v"), col("lbl")).union(prop)
+        .groupBy(col("v"))
+        .agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
+        .head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == sum // label sum is strictly monotone until fixpoint
+      sum = nextSum
+      it += 1
+    }
+    edges.unpersist() // final labels are materialized; edge cache done
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("v") === col("lbl")).as("keep"))
+  }
 
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = NgramShingleN, prefixLen: Int = NgramPrefixLen,

@@ -34,20 +34,24 @@ object DedupOps extends QueryPack {
   def dedupSimhashMd5(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashMd5Pairs(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(spark, sfDir), "doc_id", "text")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_md5" -> (dedupMinhashMd5 _),
-    "dedup_simhash_md5" -> (dedupSimhashMd5 _)
+    "dedup_simhash_md5" -> (dedupSimhashMd5 _),
+    "dedup_components" -> (dedupComponents _)
   )
 
-  /** Shared with sql_dedup_ngram (SqlSurfaceOps): the SQL-function twin
-    * verifies against the SAME oracle string, so the two surfaces can't
-    * silently diverge. */
-  val ngramJaccardOracle: String =
-    """WITH t AS (
+  /** Shared CTEs: blocked shingle pairs with exact Jaccard — the base
+    * of the ngram oracle, the sql_dedup_ngram twin, AND the clustering
+    * oracle, so none of the three can drift. */
+  private val ngramPairCtes: String =
+    """t AS (
         |  SELECT doc_id, substr(text, 1, 40) AS blk,
         |         list_transform(generate_series(1, len(toks) - 2),
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
@@ -58,9 +62,33 @@ object DedupOps extends QueryPack {
         |              ELSE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
         |                   / len(list_distinct(a.sh || b.sh)) END AS jac
         |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |)
+        |)""".stripMargin
+
+  /** Shared with sql_dedup_ngram (SqlSurfaceOps): the SQL-function twin
+    * verifies against the SAME oracle string, so the two surfaces can't
+    * silently diverge. */
+  val ngramJaccardOracle: String =
+    s"""WITH $ngramPairCtes
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
         |FROM pairs WHERE jac >= 0.8""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: true
+    * connected components by recursive reachable-label enumeration —
+    * min reachable id == the fixpoint of Spark's min-label propagation. */
+  val componentsOracle: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= 0.8
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= 0.8
+        |),
+        |reach(v, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src
+        |)
+        |SELECT v AS doc_id, min(lbl) AS cluster_id, (v = min(lbl)) AS keep
+        |FROM reach GROUP BY v""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.md5h60]]: 60-bit int from
     * the first 15 hex chars of md5 — bit-identical to Spark's
@@ -154,6 +182,7 @@ object DedupOps extends QueryPack {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
-    "dedup_simhash_md5" -> simhashMd5Oracle
+    "dedup_simhash_md5" -> simhashMd5Oracle,
+    "dedup_components" -> componentsOracle
   )
 }

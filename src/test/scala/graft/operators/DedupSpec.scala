@@ -88,6 +88,25 @@ class DedupSpec extends SparkSpec {
     assert(!twinSh.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("near-dup clusters: transitive closure, canonical min id, singletons keep") {
+    // 1-4 exact dups and 2 near both of them → one cluster {1,2,4};
+    // 3 and 5 are singletons. Chain case: x-y similar, y-z similar,
+    // x-z NOT directly paired (different prefix blocks) — still one
+    // cluster via propagation.
+    val chain = Seq(
+      (20L, "prefix one shared alpha beta gamma delta epsilon zeta eta theta"),
+      (21L, "prefix one shared alpha beta gamma delta epsilon zeta eta iota"),
+      (22L, "prefix one shared alpha beta gamma delta epsilon zeta eta kappa"))
+    val d = docs.union(chain.toDF("doc_id", "text"))
+    val out = Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 8, s"every doc must appear: $out")
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(4L) == (1L, false))
+    assert(out(3L) == (3L, true) && out(5L) == (5L, true))
+    assert(out(20L) == (20L, true) && out(21L) == (20L, false) && out(22L) == (20L, false))
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)
