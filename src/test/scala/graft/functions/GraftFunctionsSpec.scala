@@ -30,6 +30,15 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sql == api)
   }
 
+  test("graft_rolling_fp in SQL == RollingFp Column API") {
+    val sql = spark.sql(
+      "SELECT doc_id, graft_rolling_fp(text) AS fp FROM gf_docs")
+      .as[(Long, Long)].collect().toMap
+    val api = docs.select(col("doc_id"), RollingFp(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(sql == api)
+  }
+
   test("graft_shingles + graft_jaccard in SQL == Column API") {
     val sql = spark.sql(
       """SELECT graft_jaccard(graft_shingles(a.text, 3), graft_shingles(b.text, 3)) AS j
