@@ -115,4 +115,56 @@ object TextAnalysis {
       col(idCol),
       rollingFingerprint(col(textCol)).as("rolling_fp"),
       md5(col(textCol)).as("md5_fp"))
+
+  /** Deterministic stratified sampler for training-data mixture control
+    * (down-weight overrepresented languages/sources, keep rare strata):
+    * per-row Bernoulli keep gated by an md5-derived hash of
+    * (stratum, id). No RNG and no seed plumbing — the decision is a
+    * pure function of the row, reproducible across engines, runs, and
+    * re-partitioning, and the comparison is integer-only (rates in
+    * basis points) so no float boundary can flip cross-engine. At
+    * 100 TB it is a scan-side filter: no shuffle, no pre-pass, and
+    * Parquet never materializes dropped rows past the scan. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, idCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int = 10000): DataFrame = {
+    require(ratesBp.values.forall(r => r >= 0 && r <= 10000) &&
+      defaultBp >= 0 && defaultBp <= 10000, "rates are basis points (0..10000)")
+    val bp = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    val gate = pmod(graft.operators.Dedup.md5h60(
+      concat(col(strataCol), lit("#"), col(idCol).cast("string"))), lit(10000L))
+    docs.filter(gate < bp)
+  }
+
+  /** Top-k TF-IDF terms per document (keyword extraction / doc
+    * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
+    * ranked on (round(score, 4) DESC, term ASC) — ranking on the
+    * ROUNDED score means a 1-ulp ln() difference between engines can
+    * never flip the top-k cutoff. Scale shape: one explode feeding two
+    * partial-aggregated groupBys; the (term, df) side and the 1-row
+    * corpus count broadcast into the scoring join, so the only big
+    * shuffle is the (doc, term) tf aggregation. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tok.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val nTbl = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(nTbl))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          (log((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")) + 1),
+          4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

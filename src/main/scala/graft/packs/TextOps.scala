@@ -62,12 +62,30 @@ object TextOps extends QueryPack {
         col("rs.target_height").as("target_height"))
   }
 
+  // Mixture rates for the stratified-sample query, in basis points —
+  // shared between the Spark query and its generated oracle SQL
+  // (down-weight the dominant 'en', keep all 'zh', thin the rest).
+  val SampleRatesBp: Map[String, Int] = Map("en" -> 5000, "zh" -> 10000)
+  val SampleDefaultBp: Int = 2500
+  val TfidfK: Int = 3
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.stratifiedSample(Tables.documents(spark, sfDir),
+        "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
+      .select(col("doc_id"), col("lang"))
+
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
+      "doc_id", "text", TfidfK)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
+    "stratified_sample" -> (stratifiedSample _),
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _)
   )
@@ -112,6 +130,36 @@ object TextOps extends QueryPack {
         |       ELSE 'es' END AS predicted_lang,
         |  labeled_lang
         |FROM s""".stripMargin,
+
+    "stratified_sample" -> {
+      val cases = SampleRatesBp.toSeq.sortBy(_._1)
+        .map { case (k, bp) => s"WHEN '$k' THEN $bp" }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ('0x' || substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 10000 < CASE lang $cases ELSE $SampleDefaultBp END""".stripMargin
+    },
+
+    // rank on the ROUNDED score (both engines) so ulp-level ln()
+    // differences can't flip the top-k cutoff; term ASC tie-break
+    "tfidf_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+         |), df AS (
+         |  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+         |), n AS (
+         |  SELECT count(*)::BIGINT AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round(tf.tf * (ln((n.n_docs + 1)::DOUBLE / (df.df + 1)) + 1), 4) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |)
+         |SELECT doc_id, term, score, rk FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $TfidfK""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -71,6 +71,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rm.getAs[Int]("target_height") == 360)
   }
 
+  test("stratified sample: deterministic, partition-independent, rates honored") {
+    val d = graft.Tables.documents(spark, sf)
+    val rates = Map("en" -> 5000, "zh" -> 10000)
+    val out1 = TextAnalysis.stratifiedSample(d, "lang", "doc_id", rates, 2500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val out2 = TextAnalysis.stratifiedSample(d.repartition(7), "lang", "doc_id", rates, 2500)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out1 == out2, "keep set must not depend on partitioning")
+    val byLang = TextAnalysis.stratifiedSample(d, "lang", "doc_id", rates, 2500)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = d.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("zh") == total("zh"), "rate 10000bp keeps every row")
+    val enRatio = byLang("en").toDouble / total("en")
+    assert(enRatio > 0.3 && enRatio < 0.7, s"en ratio $enRatio far from 0.5")
+    val deRatio = byLang.getOrElse("de", 0L).toDouble / total("de")
+    assert(deRatio < enRatio, s"de ($deRatio) must be thinned below en ($enRatio)")
+  }
+
+  test("tfidf: corpus-wide words rank below doc-specific words, k bounded") {
+    val d = Seq(
+      (1L, "shared shared apple apple apple"),
+      (2L, "shared banana"),
+      (3L, "shared cherry cherry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .as[(Long, String, Double, Long)].collect() // doc_id, term, score, rk
+      .map(r => (r._1, r._4) -> r._2).toMap
+    // 'shared' appears in every doc (df=3, idf minimal) — never rank 1
+    assert(out(1L, 1L) == "apple" && out(2L, 1L) == "banana" && out(3L, 1L) == "cherry")
+    assert(out(1L, 2L) == "shared" && out(2L, 2L) == "shared")
+    assert(out.keys.forall(_._2 <= 2))
+  }
+
   test("multimodal featurize: deterministic fake decode, schema intact") {
     val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hello")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
