@@ -176,12 +176,18 @@ object Dedup {
     // k per-shingle hashes as codegen'd projections after an explode,
     // folded by min-aggregates (map-side combine) — NOT a per-row
     // transform() lambda, which would run through the higher-order
-    // interpreter k times per document. The shuffle carries only
-    // |docs|·k partial minima.
+    // interpreter k times per document. Each md5 yields TWO independent
+    // 60-bit values (hex chars 1-15 and 17-31), so k signatures cost
+    // k/2 digests; the shuffle carries only |docs|·k partial minima.
     val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val hashCols = (0 until k).map(i => md5h60(concat(lit(s"$i#"), col("s"))).as(s"h$i"))
+    val digests = (0 until (k + 1) / 2).map(i =>
+      md5(concat(lit(s"$i#"), col("s"))).as(s"m$i"))
+    val hashCols = (0 until k).map(j =>
+      conv(substring(col(s"m${j / 2}"), 1 + (j % 2) * 16, 15), 16, 10)
+        .cast("long").as(s"h$j"))
     val mins = (0 until k).map(i => min(col(s"h$i")).as(s"sig$i"))
-    val sigged = exploded.select(col("doc_id") +: hashCols: _*)
+    val sigged = exploded.select(col("doc_id") +: digests: _*)
+      .select(col("doc_id") +: hashCols: _*)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
     val bandCols = (0 until bands).map { b =>

@@ -99,12 +99,15 @@ object DedupOps extends QueryPack {
   /** Generated oracle for dedup_minhash_md5: the same shingle → k md5
     * minima → band keys → bucket cap → candidate join → exact-Jaccard
     * pipeline, interpolated from the SAME constants as the Spark side
-    * (Dedup.Md5Twin* / Ngram*) so the two engines can't drift. */
+    * (Dedup.Md5Twin* / Ngram*) so the two engines can't drift. Two
+    * signatures per digest (hex chars 1-15 / 17-31), mirroring the
+    * Spark projection. */
   val minhashMd5Oracle: String = {
     import Dedup.{Md5TwinBands, Md5TwinRows, NgramMaxBlockSize, NgramThreshold}
     val k = Md5TwinBands * Md5TwinRows
-    val sigCols = (0 until k).map { i =>
-      s"list_min(list_transform(sh, s -> ${duckMd5h60(s"'$i#' || s")})) AS sig$i"
+    val sigCols = (0 until k).map { j =>
+      val off = 1 + (j % 2) * 16
+      s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 2}#' || s), $off, 15))::BIGINT)) AS sig$j"
     }.mkString(",\n        ")
     val bandSelects = (0 until Md5TwinBands).map { b =>
       val key = (0 until Md5TwinRows).map(r => s"sig${b * Md5TwinRows + r}").mkString(", ")
