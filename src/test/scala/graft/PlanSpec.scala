@@ -94,6 +94,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_simhash64"), s"expected the native expression in:\n$p")
   }
 
+  test("stratified_sample: scan-side filter, no shuffle, pruned scan") {
+    val p = plan("stratified_sample")
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"scan must read only (doc_id, lang):\n$p")
+  }
+
+  test("tfidf_top_terms: df side and corpus count broadcast into scoring") {
+    val p = plan("tfidf_top_terms")
+    val broadcasts = "Broadcast".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"df table + corpus count should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+  }
+
   test("doc_fingerprint: native rolling-fp projection, no higher-order lambda, no shuffle") {
     val p = plan("doc_fingerprint")
     assert(p.contains("graft_rolling_fp"), s"expected the native expression in:\n$p")
