@@ -71,23 +71,39 @@ object Bench {
   private def d(a: Long, b: Long): Long = if (a < 0 || b < 0) -1 else b - a
 
   /** Stage the input parquet into tmpfs so timed reads never touch the
-    * virtual disk. Falls back to the original dir if tmpfs is absent. */
+    * virtual disk. Falls back to the original dir if tmpfs is absent,
+    * too small (2× headroom — tmpfs pages are RAM the driver JVM also
+    * wants), or the copy fails; the destination is cleared both before
+    * staging (stale part files from a prior run must not merge into a
+    * directory-based parquet read) and on failure (a partial copy must
+    * not squat in RAM after falling back to disk). */
   private def stageToTmpfs(sfDir: String): String = {
     val shm = Paths.get("/dev/shm")
     if (!Files.isDirectory(shm) || !Files.isWritable(shm)) return sfDir
+    val src = Paths.get(sfDir)
+    val dst = shm.resolve("graft-bench-input").resolve(src.getFileName)
+    def clear(): Unit =
+      if (Files.isDirectory(dst))
+        Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     try {
-      val src = Paths.get(sfDir)
-      val dst = shm.resolve("graft-bench-input").resolve(src.getFileName)
+      val files = Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      val bytes = files.map(Files.size).sum
+      if (Files.getFileStore(shm).getUsableSpace < bytes * 2) {
+        System.err.println(s"[bench] tmpfs too small for $bytes input bytes; reading $sfDir directly")
+        return sfDir
+      }
+      clear()
       Files.createDirectories(dst)
-      Files.walk(src).iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+      files.foreach { f =>
         val t = dst.resolve(src.relativize(f))
         Files.createDirectories(t.getParent)
         Files.copy(f, t, StandardCopyOption.REPLACE_EXISTING)
       }
-      System.err.println(s"[bench] staged $sfDir -> $dst (tmpfs)")
+      System.err.println(s"[bench] staged $sfDir -> $dst (tmpfs, $bytes bytes)")
       dst.toString
     } catch { case e: Throwable =>
       System.err.println(s"[bench] tmpfs staging failed (${e.getMessage}); reading $sfDir directly")
+      try clear() catch { case _: Throwable => () }
       sfDir
     }
   }
@@ -131,7 +147,10 @@ object Bench {
     }
     def median3(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.sorted.apply(ok.size / 2)
+      // lower-middle on even counts: with one failed pass and one
+      // stalled pass, the surviving steady-state time must win — the
+      // whole point of the median protocol is stall suppression
+      if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
     }
     val warm = SparkEntry.queries.keys.map { name =>
       name -> median3(warmPasses.map(_(name)))

@@ -63,6 +63,33 @@ object Dedup {
     * j=0.8 is 1-(1-0.8^4)^8 ≈ 0.986 and ≈ 1.0 at j≥0.9.
     * `maxBucketSize` drops degenerate buckets (boilerplate shingles) to
     * bound the quadratic pair blow-up — precision knob at scale. */
+  /** Shared bucket-cap → candidate-join → exact-Jaccard tail for both
+    * the production (xxhash64 bands) and md5-twin LSH paths — ONE
+    * implementation, so the gated twin pins exactly the pipeline the
+    * production path runs. `banded`: (doc_id, band, band_key);
+    * `withSh`: (doc_id, sh). */
+  private[operators] def lshVerifiedPairs(banded: DataFrame, withSh: DataFrame,
+      maxBucketSize: Int, threshold: Double): DataFrame = {
+    // Cap pathological buckets before pair generation.
+    val bucketed = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_key"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    candidates
+      .join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   def minhashLsh(
       docs: DataFrame,
       idCol: String,
@@ -80,28 +107,8 @@ object Dedup {
     val banded = withSh.select(
       col("doc_id"),
       posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_hash"))
-
-    // Cap pathological buckets before pair generation.
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-
-    val a = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
-    val b = bucketed.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    lshVerifiedPairs(banded, withSh, maxBucketSize, threshold)
   }
 
   /** 64-bit SimHash per doc: token-frequency-weighted bit votes, folded
@@ -114,17 +121,18 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs: 16-bit band blocking (any pair within
-    * hamming ≤ 3 of a 64-bit hash shares at least one of 4 exact 16-bit
-    * bands — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
-    val bandCols = (0 until 4).map { j =>
+  /** Shared banding → candidate-join → exact-hamming tail for both the
+    * production (64-bit/16-bit-band) and md5-twin (60-bit/15-bit-band)
+    * simhash paths — ONE implementation, so the gated twin pins exactly
+    * the pipeline the production path runs. `fp`: (doc_id, simhash). */
+  private[operators] def simhashBandPairs(fp: DataFrame, bandBits: Int,
+      nBands: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("band_val"))
+        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask)).as("band_val"))
     }
-    val banded = sh.select(col("doc_id"), col("simhash"),
+    val banded = fp.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("bv"))
       .select(col("doc_id"), col("simhash"),
         col("bv.band").as("band"), col("bv.band_val").as("band_val"))
@@ -139,6 +147,14 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: 16-bit band blocking (any pair within
+    * hamming ≤ 3 of a 64-bit hash shares at least one of 4 exact 16-bit
+    * bands — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhash(docs, idCol, textCol),
+      bandBits = 16, nBands = 4, maxHamming = maxHamming)
 
   // --- md5-derived oracle twins -------------------------------------
   // The production minhash/simhash paths hash with xxhash64, which has
@@ -198,23 +214,7 @@ object Dedup {
     val banded = sigged
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    candidates
-      .join(shA, "doc_a").join(shB, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+    lshVerifiedPairs(banded, withSh, maxBucketSize, threshold)
   }
 
   /** SimHash near-dup pairs with a 60-bit md5-derived fingerprint
@@ -237,26 +237,8 @@ object Dedup {
       (0 until Md5SimhashBits)
         .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    val nBands = Md5SimhashBits / Md5SimhashBandBits
-    val bandCols = (0 until nBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * Md5SimhashBandBits)
-          .bitwiseAND(lit((1L << Md5SimhashBandBits) - 1)).as("band_val"))
-    }
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"),
-        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
-    val a = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    simhashBandPairs(fp, bandBits = Md5SimhashBandBits,
+      nBands = Md5SimhashBits / Md5SimhashBandBits, maxHamming = maxHamming)
   }
 
   /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
@@ -294,9 +276,20 @@ object Dedup {
     * GraphX/Pregel cc shape without carrying a graph library.
     *
     * Deterministic and exact at fixpoint; `DedupOps` mirrors it as a
-    * DuckDB recursive CTE for the value-level gate. */
+    * DuckDB recursive CTE for the value-level gate. If `maxIters` is
+    * exhausted before convergence (a similarity CHAIN longer than
+    * maxIters — near-impossible for real dup clusters, which are
+    * near-cliques) a stderr warning is emitted and the partial labels
+    * are returned: clusters may be split, never merged.
+    *
+    * Caching contract: the returned result reads from a persisted
+    * label table (|docs| rows × 16 bytes) so repeated consumers don't
+    * replay the iterations; pass `cacheResult = false` to unpersist
+    * before returning (a single downstream action then recomputes the
+    * full loop once). */
   def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = NgramThreshold, maxIters: Int = 15): DataFrame = {
+      threshold: Double = NgramThreshold, maxIters: Int = 30,
+      cacheResult: Boolean = true): DataFrame = {
     val pairs = blockedNgramJaccard(docs, idCol, textCol, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -325,7 +318,12 @@ object Dedup {
       sum = nextSum
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[nearDupClusters] WARNING: not converged after " +
+        s"$maxIters rounds — a >$maxIters-hop similarity chain exists; " +
+        "clusters may be split (never merged). Raise maxIters.")
     edges.unpersist() // final labels are materialized; edge cache done
+    if (!cacheResult) labels.unpersist()
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
       (col("v") === col("lbl")).as("keep"))
   }

@@ -151,8 +151,10 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfTbl = tok.distinct().groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // df falls out of tf for free: one (doc, term) group per in-doc
+    // term, so counting tf's groups per term == count(DISTINCT doc)
+    // — no second explode+shuffle of the raw token stream
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTbl = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(dfTbl), "term")

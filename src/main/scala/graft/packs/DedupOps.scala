@@ -70,7 +70,7 @@ object DedupOps extends QueryPack {
   val ngramJaccardOracle: String =
     s"""WITH $ngramPairCtes
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
-        |FROM pairs WHERE jac >= 0.8""".stripMargin
+        |FROM pairs WHERE jac >= ${Dedup.NgramThreshold}""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: true
     * connected components by recursive reachable-label enumeration —
@@ -78,9 +78,9 @@ object DedupOps extends QueryPack {
   val componentsOracle: String =
     s"""WITH RECURSIVE $ngramPairCtes,
         |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= 0.8
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
         |  UNION
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= 0.8
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
         |),
         |reach(v, lbl) AS (
         |  SELECT doc_id, doc_id FROM documents

@@ -52,7 +52,8 @@ class StateSoakSpec extends SparkSpec {
             stateRows += p.stateOperators.head.numRowsTotal
         }
         assert(stateRows.nonEmpty, "no state metrics reported")
-        val steady = stateRows(11) // past the first full horizon
+        // past the first full horizon, guarded if progress reports lag
+        val steady = stateRows(math.min(11, stateRows.size - 1))
         val fin = stateRows.last
         // Bounded by the horizon: ≤ Bands(4) buckets per live doc, with
         // ~700 docs live (6 trailing batches + the current one).
