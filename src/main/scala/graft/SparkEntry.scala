@@ -15,7 +15,8 @@ object SparkEntry {
     graft.packs.SimilarityOps,
     graft.packs.TextOps,
     graft.packs.SqlSurfaceOps,
-    graft.packs.WindowOps
+    graft.packs.WindowOps,
+    graft.packs.PipelineOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

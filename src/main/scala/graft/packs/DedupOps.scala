@@ -47,15 +47,16 @@ object DedupOps extends QueryPack {
     "dedup_components" -> (dedupComponents _)
   )
 
-  /** Shared CTEs: blocked shingle pairs with exact Jaccard — the base
-    * of the ngram oracle, the sql_dedup_ngram twin, AND the clustering
-    * oracle, so none of the three can drift. */
-  private val ngramPairCtes: String =
-    """t AS (
+  /** Shared CTEs: blocked shingle pairs with exact Jaccard over `src`
+    * — the base of the ngram oracle, the sql_dedup_ngram twin, the
+    * clustering oracle, AND the composed pipeline oracle
+    * (PipelineOps), so none of them can drift. */
+  private[packs] def ngramPairCtesFrom(src: String): String =
+    s"""t AS (
         |  SELECT doc_id, substr(text, 1, 40) AS blk,
         |         list_transform(generate_series(1, len(toks) - 2),
         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $src)
         |), pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |         CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
@@ -63,6 +64,24 @@ object DedupOps extends QueryPack {
         |                   / len(list_distinct(a.sh || b.sh)) END AS jac
         |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |)""".stripMargin
+
+  private val ngramPairCtes: String = ngramPairCtesFrom("documents")
+
+  /** Min-label components over `pairs`/`src` as CTE text (requires the
+    * query to open WITH RECURSIVE): every id labeled with the minimum
+    * reachable id — shared by the clustering and pipeline oracles. */
+  private[packs] def componentCtes(src: String): String =
+    s"""edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
+        |  UNION
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
+        |),
+        |reach(v, lbl) AS (
+        |  SELECT doc_id, doc_id FROM $src
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src
+        |),
+        |cc AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)""".stripMargin
 
   /** Shared with sql_dedup_ngram (SqlSurfaceOps): the SQL-function twin
     * verifies against the SAME oracle string, so the two surfaces can't
@@ -77,18 +96,9 @@ object DedupOps extends QueryPack {
     * min reachable id == the fixpoint of Spark's min-label propagation. */
   val componentsOracle: String =
     s"""WITH RECURSIVE $ngramPairCtes,
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
-        |  UNION
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
-        |),
-        |reach(v, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.v = e.src
-        |)
-        |SELECT v AS doc_id, min(lbl) AS cluster_id, (v = min(lbl)) AS keep
-        |FROM reach GROUP BY v""".stripMargin
+        |${componentCtes("documents")}
+        |SELECT v AS doc_id, cluster_id, (v = cluster_id) AS keep
+        |FROM cc""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.md5h60]]: 60-bit int from
     * the first 15 hex chars of md5 — bit-identical to Spark's

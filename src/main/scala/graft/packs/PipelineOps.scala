@@ -1,0 +1,60 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** End-to-end training-data curation: quality gate → stratified
+  * language mixture → near-dup clustering → canonical-doc keep, as ONE
+  * registered query — the composition the individual operators exist
+  * for, value-gated by a single composed DuckDB oracle whose fragments
+  * are the SAME shared SQL strings the per-operator oracles verify
+  * (TextOps.qualityExprSql / sampleGateSql, DedupOps.ngramPairCtesFrom /
+  * componentCtes), so pipeline and parts can't drift apart.
+  *
+  * Scale shape: quality + sample are scan-side projections/filters
+  * fused into one stage before anything shuffles; only the surviving
+  * mixture enters the pair join and component loop — at 100 TB the
+  * ordering (cheap gates first, quadratic-candidate machinery last) IS
+  * the pipeline design.
+  */
+object PipelineOps extends QueryPack {
+
+  /** Quality floor, shared with the generated oracle. */
+  val QualityMin = 0.5
+
+  def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val filtered = docs.join(quality, "doc_id")
+      .filter(col("quality") >= QualityMin)
+    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClusters(sampled, "doc_id", "text")
+    sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("pipeline_curate" -> (pipelineCurate _))
+
+  override def oracleSql: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, text,
+         |  ${TextOps.qualityExprSql} AS quality
+         |  FROM documents
+         |), sampled AS (
+         |  SELECT * FROM q
+         |  WHERE quality >= $QualityMin
+         |    AND ${TextOps.sampleGateSql}
+         |),
+         |${DedupOps.ngramPairCtesFrom("sampled")},
+         |${DedupOps.componentCtes("sampled")}
+         |SELECT s.doc_id, s.lang, s.quality
+         |FROM sampled s JOIN cc ON s.doc_id = cc.v
+         |WHERE s.doc_id = cc.cluster_id""".stripMargin
+  )
+}

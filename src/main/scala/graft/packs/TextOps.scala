@@ -69,6 +69,26 @@ object TextOps extends QueryPack {
   val SampleDefaultBp: Int = 2500
   val TfidfK: Int = 3
 
+  /** DuckDB twin of TextAnalysis.qualityScore's expression — shared by
+    * the text_quality oracle and the composed pipeline oracle
+    * (PipelineOps) so the two can't drift. */
+  private[packs] val qualityExprSql: String =
+    """round(least(1.0, len(string_split(text, ' ')) / 200.0) * 0.4 +
+      |        (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+      |          / length(text)) * 0.4 +
+      |        least(0.2, CAST(len(list_filter(string_split(text, ' '),
+      |            t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
+      |          / len(string_split(text, ' '))), 4)""".stripMargin
+
+  /** DuckDB twin of TextAnalysis.stratifiedSample's keep predicate with
+    * this pack's rates — shared by stratified_sample and PipelineOps. */
+  private[packs] val sampleGateSql: String = {
+    val cases = SampleRatesBp.toSeq.sortBy(_._1)
+      .map { case (k, bp) => s"WHEN '$k' THEN $bp" }.mkString(" ")
+    s"""('0x' || substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      % 10000 < CASE lang $cases ELSE $SampleDefaultBp END""".stripMargin
+  }
+
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.stratifiedSample(Tables.documents(spark, sfDir),
         "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
@@ -103,14 +123,9 @@ object TextOps extends QueryPack {
         |FROM documents""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id,
-        |  round(least(1.0, len(string_split(text, ' ')) / 200.0) * 0.4 +
-        |        (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-        |          / length(text)) * 0.4 +
-        |        least(0.2, CAST(len(list_filter(string_split(text, ' '),
-        |            t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE)
-        |          / len(string_split(text, ' '))), 4) AS quality
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  $qualityExprSql AS quality
+         |FROM documents""".stripMargin,
 
     "lang_id" ->
       """WITH s AS (
@@ -131,13 +146,9 @@ object TextOps extends QueryPack {
         |  labeled_lang
         |FROM s""".stripMargin,
 
-    "stratified_sample" -> {
-      val cases = SampleRatesBp.toSeq.sortBy(_._1)
-        .map { case (k, bp) => s"WHEN '$k' THEN $bp" }.mkString(" ")
+    "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ('0x' || substr(md5(lang || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-         |      % 10000 < CASE lang $cases ELSE $SampleDefaultBp END""".stripMargin
-    },
+         |WHERE $sampleGateSql""".stripMargin,
 
     // rank on the ROUNDED score (both engines) so ulp-level ln()
     // differences can't flip the top-k cutoff; term ASC tie-break
