@@ -137,6 +137,24 @@ object TextAnalysis {
     docs.filter(gate < bp)
   }
 
+  /** Global vocabulary heavy-hitters: the top-N most frequent terms
+    * with occurrence and document frequencies — the input to
+    * tokenizer/BPE training and stopword mining. Scale shape: explode →
+    * partial-aggregated groupBy(term) → TakeOrderedAndProject (per-
+    * partition top-N heaps, no global sort); the shuffle carries one
+    * row per distinct term per partition, never raw tokens. Fully
+    * deterministic: ties broken by term. */
+  def vocabTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 100): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(n)
+  }
+
   /** Top-k TF-IDF terms per document (keyword extraction / doc
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the

@@ -98,6 +98,12 @@ object TextOps extends QueryPack {
     TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", TfidfK)
 
+  val VocabTopN = 100
+
+  def vocabTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.vocabTopTerms(Tables.documents(spark, sfDir),
+      "doc_id", "text", VocabTopN)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -106,6 +112,7 @@ object TextOps extends QueryPack {
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "vocab_top_terms" -> (vocabTopTerms _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _)
   )
@@ -149,6 +156,17 @@ object TextOps extends QueryPack {
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sampleGateSql""".stripMargin,
+
+    // boundary ties broken by term ASC on both sides, so the top-N SET
+    // is deterministic cross-engine
+    "vocab_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |)
+         |SELECT term, count(*)::BIGINT AS occurrences,
+         |       count(DISTINCT doc_id)::BIGINT AS doc_freq
+         |FROM tok GROUP BY term
+         |ORDER BY occurrences DESC, term ASC LIMIT $VocabTopN""".stripMargin,
 
     // rank on the ROUNDED score (both engines) so ulp-level ln()
     // differences can't flip the top-k cutoff; term ASC tie-break

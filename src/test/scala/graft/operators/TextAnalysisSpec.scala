@@ -103,6 +103,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keys.forall(_._2 <= 2))
   }
 
+  test("vocab heavy-hitters: frequency order, doc_freq <= occurrences, top-k plan") {
+    val d = Seq(
+      (1L, "common common common rare"),
+      (2L, "common mid mid"),
+      (3L, "common mid other")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTopTerms(d, "doc_id", "text", n = 3)
+      .as[(String, Long, Long)].collect()
+    assert(out(0) == ("common", 5L, 3L) && out(1) == ("mid", 3L, 2L))
+    // third place: the 1-occurrence tie ("other" vs "rare") breaks by term
+    assert(out(2) == ("other", 1L, 1L))
+    assert(out.forall(r => r._3 <= r._2))
+    val p = TextAnalysis.vocabTopTerms(
+        graft.Tables.documents(spark, sf), "doc_id", "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap plan:\n$p")
+  }
+
   test("multimodal featurize: deterministic fake decode, schema intact") {
     val docs = Seq((1L, "hello"), (2L, "world"), (3L, "hello")).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
