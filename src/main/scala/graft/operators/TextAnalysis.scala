@@ -137,6 +137,41 @@ object TextAnalysis {
     docs.filter(gate < bp)
   }
 
+  // Repetition-filter thresholds (the published Gopher-rule ballpark),
+  // shared with the generated oracle SQL via TextOps.
+  val RepTopUnigramMax = 0.2
+  val RepTopBigramMax = 0.18
+
+  /** Repetition ratios per doc — the classic degenerate-text filter
+    * (a doc dominated by one token or one bigram is boilerplate or
+    * generation junk): top_unigram_ratio = max term count / n_tokens,
+    * top_bigram_ratio likewise over 2-gram shingles, and a `flagged`
+    * verdict against the shared thresholds. Scale shape: two
+    * explode → partial-agg max-count pipelines joined back on doc id —
+    * all counts exact integers, ratios single divisions. */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    def maxCount(exploded: DataFrame): DataFrame = exploded
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+    val uni = maxCount(base.select(col("doc_id"), explode(tokens(col("text"))).as("t")))
+    val big = maxCount(base
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), 2)).as("t")))
+    base
+      .join(uni.withColumnRenamed("mx", "mx_uni"), Seq("doc_id"), "left")
+      .join(big.withColumnRenamed("mx", "mx_big"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("mx_uni"), lit(0L)).cast("double") / col("n_tokens"), 4)
+          .as("top_unigram_ratio"),
+        round(coalesce(col("mx_big"), lit(0L)).cast("double") /
+          greatest(lit(1L), col("n_tokens") - 1), 4).as("top_bigram_ratio"))
+      .withColumn("flagged",
+        col("top_unigram_ratio") > RepTopUnigramMax ||
+          col("top_bigram_ratio") > RepTopBigramMax)
+  }
+
   /** Global vocabulary heavy-hitters: the top-N most frequent terms
     * with occurrence and document frequencies — the input to
     * tokenizer/BPE training and stopword mining. Scale shape: explode →

@@ -104,6 +104,9 @@ object TextOps extends QueryPack {
     TextAnalysis.vocabTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", VocabTopN)
 
+  def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, sfDir), "doc_id", "text")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -113,6 +116,7 @@ object TextOps extends QueryPack {
     "stratified_sample" -> (stratifiedSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_top_terms" -> (vocabTopTerms _),
+    "text_repetition" -> (textRepetition _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _)
   )
@@ -156,6 +160,34 @@ object TextOps extends QueryPack {
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sampleGateSql""".stripMargin,
+
+    // exact integer max-counts, single divisions, round(4) both sides;
+    // sub-2-token docs have no bigrams → coalesce 0
+    "text_repetition" -> {
+      import graft.operators.TextAnalysis.{RepTopBigramMax, RepTopUnigramMax}
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+         |), muni AS (
+         |  SELECT doc_id, max(c) AS mx FROM (
+         |    SELECT doc_id, t, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(tk) AS t FROM base) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |), mbig AS (
+         |  SELECT doc_id, max(c) AS mx FROM (
+         |    SELECT doc_id, t, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+         |            i -> concat_ws(' ', tk[i], tk[i+1]))) AS t FROM base) GROUP BY 1, 2
+         |  ) GROUP BY 1
+         |)
+         |SELECT b.doc_id,
+         |  round(CAST(coalesce(muni.mx, 0) AS DOUBLE) / len(b.tk), 4) AS top_unigram_ratio,
+         |  round(CAST(coalesce(mbig.mx, 0) AS DOUBLE) / greatest(1, len(b.tk) - 1), 4) AS top_bigram_ratio,
+         |  (round(CAST(coalesce(muni.mx, 0) AS DOUBLE) / len(b.tk), 4) > $RepTopUnigramMax
+         |   OR round(CAST(coalesce(mbig.mx, 0) AS DOUBLE) / greatest(1, len(b.tk) - 1), 4) > $RepTopBigramMax) AS flagged
+         |FROM base b
+         |LEFT JOIN muni ON b.doc_id = muni.doc_id
+         |LEFT JOIN mbig ON b.doc_id = mbig.doc_id""".stripMargin
+    },
 
     // boundary ties broken by term ASC on both sides, so the top-N SET
     // is deterministic cross-engine

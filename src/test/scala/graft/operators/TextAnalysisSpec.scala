@@ -103,6 +103,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.keys.forall(_._2 <= 2))
   }
 
+  test("repetition stats: degenerate docs flagged, varied docs pass, tiny docs safe") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam ok"),   // unigram-degenerate
+      (2L, "ab cd ab cd ab cd ab cd ab cd"),                      // bigram-degenerate
+      (3L, "each word here appears exactly once in this doc"),    // clean
+      (4L, "solo")                                                // < 2 tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(d, "doc_id", "text")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 0.9 && out(1L)._4, s"got ${out(1L)}")
+    assert(out(2L)._3 > 0.18 && out(2L)._4, s"got ${out(2L)}")
+    assert(!out(3L)._4, s"clean doc flagged: ${out(3L)}")
+    assert(out(4L)._2 == 1.0 && out(4L)._3 == 0.0, s"got ${out(4L)}")
+  }
+
   test("vocab heavy-hitters: frequency order, doc_freq <= occurrences, top-k plan") {
     val d = Seq(
       (1L, "common common common rare"),
