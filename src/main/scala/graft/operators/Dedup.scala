@@ -195,12 +195,19 @@ object Dedup {
     // interpreter k times per document. Each md5 yields TWO independent
     // 60-bit values (hex chars 1-15 and 17-31), so k signatures cost
     // k/2 digests; the shuffle carries only |docs|·k partial minima.
-    // Repartition by doc_id BEFORE digesting: a small input scans as
-    // 1-2 partitions, which would run the k/2 digests per shingle
-    // nearly single-threaded. The min-agg groups by doc_id, so this
-    // partitioning is reused — no additional shuffle is introduced.
-    val exploded = withSh.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // Repartition by doc_id BEFORE digesting ONLY when the scan is
+    // narrower than the cluster: a small input scans as 1-2 partitions,
+    // which would run the k/2 digests per shingle nearly
+    // single-threaded, and the min-agg groups by doc_id so the
+    // partitioning is reused. A well-partitioned 100 TB input already
+    // saturates every core — there the repartition would be a full
+    // shuffle of exploded shingle rows that buys nothing, so it is
+    // skipped (input partitions >= default parallelism).
+    val spark = docs.sparkSession
+    val fanOut = withSh.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism
+    val spread = if (fanOut) withSh.repartition(col("doc_id")) else withSh
+    val exploded = spread.select(col("doc_id"), explode(col("sh")).as("s"))
     val digests = (0 until (k + 1) / 2).map(i =>
       md5(concat(lit(s"$i#"), col("s"))).as(s"m$i"))
     val hashCols = (0 until k).map(j =>

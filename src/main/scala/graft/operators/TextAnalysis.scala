@@ -194,23 +194,24 @@ object TextAnalysis {
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the
     * ROUNDED score means a 1-ulp ln() difference between engines can
-    * never flip the top-k cutoff. Scale shape: one explode feeding two
-    * partial-aggregated groupBys; the (term, df) side and the 1-row
-    * corpus count broadcast into the scoring join, so the only big
-    * shuffle is the (doc, term) tf aggregation. */
+    * never flip the top-k cutoff. Scale shape: one explode feeding the
+    * (doc, term) tf aggregation; df is a whole-partition window count
+    * over tf's term groups (one (doc,term) group per in-doc term, so
+    * rows-per-term == count(DISTINCT doc)) — NO df join and NO
+    * vocabulary-sized broadcast: an open 100 TB vocabulary (typos,
+    * codes, numerals) is tens of GB and would OOM a broadcast, so the
+    * df computation rides the same term-keyed shuffle the scoring
+    * needs anyway. The only broadcast left is the 1-row corpus count. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df falls out of tf for free: one (doc, term) group per in-doc
-    // term, so counting tf's groups per term == count(DISTINCT doc)
-    // — no second explode+shuffle of the raw token stream
-    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTbl = docs.agg(count(lit(1)).as("n_docs"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val scored = tf
-      .join(broadcast(dfTbl), "term")
+      .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nTbl))
       .select(col("doc_id"), col("term"),
         round(col("tf") *

@@ -101,10 +101,14 @@ class PlanSpec extends SparkSpec {
       s"scan must read only (doc_id, lang):\n$p")
   }
 
-  test("tfidf_top_terms: df side and corpus count broadcast into scoring") {
+  test("tfidf_top_terms: no vocabulary-sized broadcast; df rides the term window") {
     val p = plan("tfidf_top_terms")
-    val broadcasts = "Broadcast".r.findAllIn(p).length
-    assert(broadcasts >= 2, s"df table + corpus count should broadcast:\n$p")
+    // the open vocabulary of a 100 TB corpus is tens of GB — the df
+    // side must NEVER broadcast; only the 1-row corpus count may
+    assert(!p.contains("BroadcastHashJoin"),
+      s"df must come from the term-partitioned window, not a broadcast join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus count should still broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
