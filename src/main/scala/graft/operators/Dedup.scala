@@ -275,17 +275,36 @@ object Dedup {
   /** Near-dup clusters + canonical-doc selection — the finishing step
     * of a dedup pipeline: candidate pairs → connected components →
     * cluster id = component-minimum doc id → keep exactly the canonical
-    * doc per cluster (singletons keep themselves).
+    * doc per cluster (singletons keep themselves). Convenience form over
+    * prefix-blocked pairs; [[nearDupClustersFromPairs]] takes ANY pair
+    * source — at 100 TB feed it [[minhashLsh]] pairs, which catch
+    * near-dups whose openings differ (the prefix blocker's blind spot). */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = NgramThreshold, maxIters: Int = 30,
+      cacheResult: Boolean = true): DataFrame =
+    nearDupClustersFromPairs(docs, idCol,
+      blockedNgramJaccard(docs, idCol, textCol, threshold = threshold)
+        .select(col("doc_a"), col("doc_b")),
+      maxIters, cacheResult)
+
+  /** Connected components over an arbitrary `(doc_a, doc_b)` candidate
+    * pair DataFrame — the pair source is a parameter so the clustering
+    * consumes whichever recall profile the pipeline chose (prefix
+    * blocking, MinHash-LSH, SimHash bands, or a union of them).
     *
     * Components via min-label propagation: every doc starts labeled
     * with its own id; each round propagates labels across edges and
     * keeps the per-doc minimum; fixpoint when the global label sum
     * stops decreasing (a strictly monotone scalar — ONE lightweight agg
-    * per round, no driver-side data). Rounds needed = cluster diameter,
-    * which for near-dup clusters is tiny (dup groups are near-cliques);
-    * `maxIters` bounds pathological chains. At 100 TB each round is one
-    * equi-join + partial-agg shuffle on (edge, label) ids only — the
-    * GraphX/Pregel cc shape without carrying a graph library.
+    * per round, no driver-side data). The sum is taken as decimal(38,0)
+    * so 64-bit-id corpora cannot overflow it (a wrapped long sum could
+    * in principle spoof the fixpoint test with ANSI off), and an empty
+    * input yields a zero sum, not a NULL-unboxing throw. Rounds needed
+    * = cluster diameter, which for near-dup clusters is tiny (dup
+    * groups are near-cliques); `maxIters` bounds pathological chains.
+    * At 100 TB each round is one equi-join + partial-agg shuffle on
+    * (edge, label) ids only — the GraphX/Pregel cc shape without
+    * carrying a graph library.
     *
     * Deterministic and exact at fixpoint; `DedupOps` mirrors it as a
     * DuckDB recursive CTE for the value-level gate. If `maxIters` is
@@ -294,25 +313,34 @@ object Dedup {
     * near-cliques) a stderr warning is emitted and the partial labels
     * are returned: clusters may be split, never merged.
     *
-    * Caching contract: the returned result reads from a persisted
-    * label table (|docs| rows × 16 bytes) so repeated consumers don't
-    * replay the iterations; pass `cacheResult = false` to unpersist
-    * before returning (a single downstream action then recomputes the
-    * full loop once). */
-  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = NgramThreshold, maxIters: Int = 30,
+    * Caching contract: with `cacheResult = true` the returned result is
+    * an eager `localCheckpoint` of the final label table (|docs| rows ×
+    * 17 bytes) — lineage is truncated so consumers never replay the
+    * iterations, the blocks live in the block manager (NOT the
+    * session-lifetime CacheManager), and the ContextCleaner frees them
+    * when the DataFrame becomes unreachable: repeated one-shot runs do
+    * not accumulate cached tables. With `cacheResult = false` nothing
+    * is retained and a single downstream action recomputes the full
+    * loop once. */
+  def nearDupClustersFromPairs(docs: DataFrame, idCol: String,
+      pairs: DataFrame, maxIters: Int = 30,
       cacheResult: Boolean = true): DataFrame = {
-    val pairs = blockedNgramJaccard(docs, idCol, textCol, threshold = threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val edges = p
+      .union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .select(col("doc_a").cast("long").as("src"),
+        col("doc_b").cast("long").as("dst"))
       .persist() // re-read every round: never recompute the pair join
+    // Overflow-proof monotone scalar; NULL (empty input) reads as zero.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(
+        org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)"))).head()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    }
     var labels = docs.select(col(idCol).cast("long").as("v"))
       .withColumn("lbl", col("v")).persist()
-    var sum = labels.agg(org.apache.spark.sql.functions.sum(col("lbl")))
-      .head().getLong(0)
+    var sum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -322,11 +350,10 @@ object Dedup {
         .groupBy(col("v"))
         .agg(min(col("lbl")).as("lbl"))
         .persist()
-      val nextSum = next.agg(org.apache.spark.sql.functions.sum(col("lbl")))
-        .head().getLong(0)
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = nextSum == sum // label sum is strictly monotone until fixpoint
+      converged = nextSum.compareTo(sum) == 0 // strictly monotone until fixpoint
       sum = nextSum
       it += 1
     }
@@ -335,9 +362,11 @@ object Dedup {
         s"$maxIters rounds — a >$maxIters-hop similarity chain exists; " +
         "clusters may be split (never merged). Raise maxIters.")
     edges.unpersist() // final labels are materialized; edge cache done
-    if (!cacheResult) labels.unpersist()
-    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+    val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
       (col("v") === col("lbl")).as("keep"))
+    val result = if (cacheResult) out.localCheckpoint(eager = true) else out
+    labels.unpersist() // CacheManager entry released either way
+    result
   }
 
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,

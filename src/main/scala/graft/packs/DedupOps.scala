@@ -37,6 +37,17 @@ object DedupOps extends QueryPack {
   def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.nearDupClusters(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Clustering over the content-robust MinHash-LSH pair source (md5
+    * twin, so the WHOLE composition — signatures, banding, bucket cap,
+    * verification, components — is one cross-engine value gate). This
+    * is the pair source that catches near-dups whose openings differ,
+    * the prefix blocker's documented blind spot. */
+  def dedupComponentsLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.nearDupClustersFromPairs(docs, "doc_id",
+      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -44,7 +55,8 @@ object DedupOps extends QueryPack {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_minhash_md5" -> (dedupMinhashMd5 _),
     "dedup_simhash_md5" -> (dedupSimhashMd5 _),
-    "dedup_components" -> (dedupComponents _)
+    "dedup_components" -> (dedupComponents _),
+    "dedup_components_lsh" -> (dedupComponentsLsh _)
   )
 
   /** Shared CTEs: blocked shingle pairs with exact Jaccard over `src`
@@ -69,12 +81,15 @@ object DedupOps extends QueryPack {
 
   /** Min-label components over `pairs`/`src` as CTE text (requires the
     * query to open WITH RECURSIVE): every id labeled with the minimum
-    * reachable id — shared by the clustering and pipeline oracles. */
-  private[packs] def componentCtes(src: String): String =
+    * reachable id — shared by the clustering and pipeline oracles.
+    * `threshold` must be the SAME value the Spark-side pair source ran
+    * with (a hardcoded default here would silently drift from a
+    * non-default caller). */
+  private[packs] def componentCtes(src: String, threshold: Double): String =
     s"""edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jac >= $threshold
         |  UNION
-        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= ${Dedup.NgramThreshold}
+        |  SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jac >= $threshold
         |),
         |reach(v, lbl) AS (
         |  SELECT doc_id, doc_id FROM $src
@@ -96,7 +111,16 @@ object DedupOps extends QueryPack {
     * min reachable id == the fixpoint of Spark's min-label propagation. */
   val componentsOracle: String =
     s"""WITH RECURSIVE $ngramPairCtes,
-        |${componentCtes("documents")}
+        |${componentCtes("documents", Dedup.NgramThreshold)}
+        |SELECT v AS doc_id, cluster_id, (v = cluster_id) AS keep
+        |FROM cc""".stripMargin
+
+  /** DuckDB twin of [[dedupComponentsLsh]]: the md5-twin MinHash-LSH
+    * pair CTEs composed with the recursive-components CTEs — clustering
+    * value-gated over the content-robust pair source. */
+  val componentsLshOracle: String =
+    s"""WITH RECURSIVE ${minhashMd5PairCtesFrom("documents")},
+        |${componentCtes("documents", Dedup.NgramThreshold)}
         |SELECT v AS doc_id, cluster_id, (v = cluster_id) AS keep
         |FROM cc""".stripMargin
 
@@ -106,14 +130,16 @@ object DedupOps extends QueryPack {
   private def duckMd5h60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
-  /** Generated oracle for dedup_minhash_md5: the same shingle → k md5
-    * minima → band keys → bucket cap → candidate join → exact-Jaccard
-    * pipeline, interpolated from the SAME constants as the Spark side
-    * (Dedup.Md5Twin* / Ngram*) so the two engines can't drift. Two
+  /** md5-twin MinHash-LSH pair CTEs over `src` (ends in a `pairs` CTE
+    * with doc_a/doc_b/jac — the same contract as [[ngramPairCtesFrom]],
+    * so [[componentCtes]] composes over either pair source): shingle →
+    * k md5 minima → band keys → bucket cap → candidate join →
+    * exact-Jaccard, interpolated from the SAME constants as the Spark
+    * side (Dedup.Md5Twin* / Ngram*) so the two engines can't drift. Two
     * signatures per digest (hex chars 1-15 / 17-31), mirroring the
     * Spark projection. */
-  val minhashMd5Oracle: String = {
-    import Dedup.{Md5TwinBands, Md5TwinRows, NgramMaxBlockSize, NgramThreshold}
+  private[packs] def minhashMd5PairCtesFrom(src: String): String = {
+    import Dedup.{Md5TwinBands, Md5TwinRows, NgramMaxBlockSize}
     val k = Md5TwinBands * Md5TwinRows
     val sigCols = (0 until k).map { j =>
       val off = 1 + (j % 2) * 16
@@ -123,11 +149,11 @@ object DedupOps extends QueryPack {
       val key = (0 until Md5TwinRows).map(r => s"sig${b * Md5TwinRows + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH shd AS (
+    s"""shd AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, list_transform(generate_series(1, len(toks) - 2),
        |             i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS sh
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)
        |  ) WHERE len(sh) > 0
        |), sig AS (
        |  SELECT doc_id,
@@ -144,16 +170,21 @@ object DedupOps extends QueryPack {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), verified AS (
+       |), pairs AS (
        |  SELECT c.doc_a, c.doc_b,
        |         CASE WHEN len(list_distinct(x.sh || y.sh)) = 0 THEN 0.0
        |              ELSE CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE)
        |                   / len(list_distinct(x.sh || y.sh)) END AS jac
        |  FROM cand c JOIN shd x ON c.doc_a = x.doc_id JOIN shd y ON c.doc_b = y.doc_id
-       |)
-       |SELECT doc_a, doc_b, round(jac, 4) AS jac
-       |FROM verified WHERE jac >= $NgramThreshold""".stripMargin
+       |)""".stripMargin
   }
+
+  /** Generated oracle for dedup_minhash_md5 — the pair CTEs plus the
+    * threshold filter/rounding the registered query applies. */
+  val minhashMd5Oracle: String =
+    s"""WITH ${minhashMd5PairCtesFrom("documents")}
+       |SELECT doc_a, doc_b, round(jac, 4) AS jac
+       |FROM pairs WHERE jac >= ${Dedup.NgramThreshold}""".stripMargin
 
   /** Generated oracle for dedup_simhash_md5: token-occurrence bit votes
     * over the 60-bit md5 hash, vote>0 sets the bit, 4×15-bit pigeonhole
@@ -196,6 +227,7 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
-    "dedup_components" -> componentsOracle
+    "dedup_components" -> componentsOracle,
+    "dedup_components_lsh" -> componentsLshOracle
   )
 }

@@ -11,8 +11,9 @@ import graft.operators.{Dedup, TextAnalysis}
   * registered query — the composition the individual operators exist
   * for, value-gated by a single composed DuckDB oracle whose fragments
   * are the SAME shared SQL strings the per-operator oracles verify
-  * (TextOps.qualityExprSql / sampleGateSql, DedupOps.ngramPairCtesFrom /
-  * componentCtes), so pipeline and parts can't drift apart.
+  * (TextOps.qualityExprSql / sampleGateSql, DedupOps.
+  * minhashMd5PairCtesFrom / componentCtes), so pipeline and parts
+  * can't drift apart.
   *
   * Scale shape: quality + sample are scan-side projections/filters
   * fused into one stage before anything shuffles; only the surviving
@@ -32,7 +33,12 @@ object PipelineOps extends QueryPack {
       .filter(col("quality") >= QualityMin)
     val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
-    val clusters = Dedup.nearDupClusters(sampled, "doc_id", "text")
+    // Content-robust pair source: MinHash-LSH (md5 twin, so the whole
+    // composition stays value-gated) instead of prefix blocking, which
+    // misses near-dups whose openings differ — exactly the shuffled/
+    // boilerplate corpora a curation pipeline exists for.
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
     sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"))
   }
@@ -51,8 +57,8 @@ object PipelineOps extends QueryPack {
          |  WHERE quality >= $QualityMin
          |    AND ${TextOps.sampleGateSql}
          |),
-         |${DedupOps.ngramPairCtesFrom("sampled")},
-         |${DedupOps.componentCtes("sampled")}
+         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
          |SELECT s.doc_id, s.lang, s.quality
          |FROM sampled s JOIN cc ON s.doc_id = cc.v
          |WHERE s.doc_id = cc.cluster_id""".stripMargin

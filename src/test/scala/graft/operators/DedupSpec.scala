@@ -107,6 +107,61 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) == (20L, true) && out(21L) == (20L, false) && out(22L) == (20L, false))
   }
 
+  test("LSH-fed clustering catches different-prefix near-dups the blocker misses") {
+    // 30/31 are near-dups whose OPENINGS differ (jac of 3-shingles
+    // ≈ 0.89): prefix-40 blocking puts them in different blocks and
+    // misses the pair; the MinHash-LSH pair source must not.
+    val shifted = Seq(
+      (30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (31L, "zebra prefix alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+    val d = docs.union(shifted.toDF("doc_id", "text"))
+    val blocked = Dedup.nearDupClusters(d, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(blocked(30L) == 30L && blocked(31L) == 31L,
+      "prefix blocking should miss the different-opening pair (the blind spot)")
+    val lsh = Dedup.nearDupClustersFromPairs(d, "doc_id",
+        Dedup.minhashLshMd5(d, "doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(lsh(30L) == (30L, true) && lsh(31L) == (30L, false),
+      s"LSH pairs must cluster the different-prefix near-dups: $lsh")
+    // production-hash path finds the same pair
+    val prod = Dedup.nearDupClustersFromPairs(d, "doc_id",
+        Dedup.minhashLsh(d, "doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(prod(31L) == 30L)
+  }
+
+  test("nearDupClusters: empty input returns empty, no throw") {
+    val empty = docs.filter($"doc_id" < 0)
+    assert(Dedup.nearDupClusters(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.nearDupClustersFromPairs(empty, "doc_id",
+      empty.select($"doc_id".as("doc_a"), $"doc_id".as("doc_b"))).count() == 0)
+  }
+
+  test("nearDupClusters: 64-bit-scale ids converge exactly (decimal label sum)") {
+    // two ids near Long.MaxValue whose long sum wraps negative — the
+    // decimal(38,0) fixpoint scalar must stay exact
+    val big = Seq(
+      (Long.MaxValue - 1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (Long.MaxValue, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (7L, "entirely unrelated document about spark physical plans"))
+    val d = big.toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(d, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(Long.MaxValue - 1L) == (Long.MaxValue - 1L, true))
+    assert(out(Long.MaxValue) == (Long.MaxValue - 1L, false))
+    assert(out(7L) == (7L, true))
+  }
+
+  test("nearDupClusters: repeated runs leave no CacheManager entries") {
+    (1 to 3).foreach { _ =>
+      Dedup.nearDupClusters(docs, "doc_id", "text").count()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "one-shot clustering runs must not accumulate session-lifetime cached tables")
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)
