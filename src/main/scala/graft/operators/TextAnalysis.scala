@@ -195,23 +195,31 @@ object TextAnalysis {
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the
     * ROUNDED score means a 1-ulp ln() difference between engines can
     * never flip the top-k cutoff. Scale shape: one explode feeding the
-    * (doc, term) tf aggregation; df is a whole-partition window count
-    * over tf's term groups (one (doc,term) group per in-doc term, so
-    * rows-per-term == count(DISTINCT doc)) — NO df join and NO
-    * vocabulary-sized broadcast: an open 100 TB vocabulary (typos,
-    * codes, numerals) is tens of GB and would OOM a broadcast, so the
-    * df computation rides the same term-keyed shuffle the scoring
-    * needs anyway. The only broadcast left is the 1-row corpus count. */
+    * (doc, term) tf aggregation; df = tf's term group sizes via a
+    * partially-aggregated groupBy(term) (one (doc,term) row per in-doc
+    * term, so the count == count(DISTINCT doc)), joined back to tf with
+    * a SHUFFLE merge join — deliberately neither a broadcast (an open
+    * 100 TB vocabulary — typos, codes, numerals — is tens of GB and
+    * would OOM every executor) nor a term-partitioned window (a
+    * stopword term appears in ~every doc, and WindowExec would funnel
+    * those ~N_docs rows into ONE task with no partial aggregation and
+    * no AQE split). The map-side combine collapses a stopword's rows
+    * before the df shuffle, and AQE's skew-join handling can split the
+    * scoring join's term partitions. The only broadcast is the 1-row
+    * corpus count. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTbl = docs.agg(count(lit(1)).as("n_docs"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(wTerm))
+      // merge hint pins the join to sort-merge even where the sf0.01
+      // vocabulary would auto-broadcast — the plan must be the one that
+      // survives an open vocabulary, and both sides arrive term-hashed
+      .join(df.hint("merge"), "term")
       .crossJoin(broadcast(nTbl))
       .select(col("doc_id"), col("term"),
         round(col("tf") *

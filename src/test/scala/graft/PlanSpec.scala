@@ -101,12 +101,22 @@ class PlanSpec extends SparkSpec {
       s"scan must read only (doc_id, lang):\n$p")
   }
 
-  test("tfidf_top_terms: no vocabulary-sized broadcast; df rides the term window") {
+  test("tfidf_top_terms: df via partial-agg shuffle join — no vocab broadcast, no term window") {
     val p = plan("tfidf_top_terms")
     // the open vocabulary of a 100 TB corpus is tens of GB — the df
     // side must NEVER broadcast; only the 1-row corpus count may
     assert(!p.contains("BroadcastHashJoin"),
-      s"df must come from the term-partitioned window, not a broadcast join:\n$p")
+      s"df must come from a shuffle join, not a broadcast join:\n$p")
+    // ... and must not be a term-partitioned window either: WindowExec
+    // has no partial aggregation and AQE cannot split a window
+    // partition, so a stopword term would funnel ~N_docs rows into one
+    // straggler task. The doc_id top-k window is the only one allowed.
+    assert(!p.contains("windowspecdefinition(term"),
+      s"df must not ride a term-partitioned window:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the tf⋈df join must be a skew-splittable shuffle join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"df must be map-side partially aggregated before its shuffle:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row corpus count should still broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
