@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * feature-extraction runs batched per partition at a single well-marked
   * seam.
   *
-  * The Spark-side contract here is real and tested — schema, batch
-  * shape, partitioning, determinism. The actual codec (libvips/ffmpeg
-  * via JNI, or a Python worker over Arrow batches — the Scala analog of
-  * a Pandas `mapInPandas` UDF) is NOT available in this container, so
-  * `RealDecoder` is a clearly-marked stub and tests run against the
-  * deterministic `FakeDecoder`.
+  * The Spark-side contract is real and tested — schema, batch shape,
+  * partitioning, determinism — and so is the decode seam for the
+  * formats the JVM can decode natively: `RealDecoder` runs genuine
+  * `javax.imageio` (PNG et al.) and `javax.sound.sampled` (WAV PCM)
+  * codecs, value-gated end to end by multimodal_decode's oracle over
+  * synthesized PNGs. Only video, which has no pure-JVM codec, remains
+  * an explicit plug point (libvips/ffmpeg via JNI, or a Python worker
+  * over Arrow batches — the Scala analog of a Pandas `mapInPandas`
+  * UDF).
   *
   * Scale notes: assets are large blobs — `spark.sql.files.
   * maxPartitionBytes` bounds scan partitions; decode is CPU-bound, so
@@ -76,11 +79,103 @@ object Multimodal {
     }
   }
 
-  /** Real codec stub — requires image/audio native libs absent from this
-    * container. Plug point documented; do not call in tests. */
+  /** Mod-1e9+7 rolling fold, first value seeding the accumulator —
+    * list_reduce semantics, the same hash family as [[FakeDecoder]] and
+    * doc_fingerprint, so DuckDB can replay it exactly. */
+  private[operators] def rollingFold(it: Iterator[Int]): Long = {
+    if (!it.hasNext) return 0L
+    var h = it.next().toLong
+    while (it.hasNext) h = (31 * h + it.next()) % 1000000007L
+    h
+  }
+
+  /** Real pure-JVM codecs: PNG (and any `javax.imageio`-registered
+    * image format) and WAV PCM (`javax.sound.sampled`). Video has no
+    * pure-JVM codec — that one branch stays an explicit plug point for
+    * an ffmpeg/JNI worker and throws rather than faking.
+    *
+    * fingerprint = rolling fold over DECODED content (row-major
+    * (r,g,b) pixel channels for images; 16-bit PCM samples for audio)
+    * — it matches a precomputed expectation only if the decode
+    * genuinely inverted the encode, which is what multimodal_decode's
+    * DuckDB oracle checks. */
   object RealDecoder extends MediaDecoder {
-    override def decode(a: MediaAsset): MediaFeatures =
-      ??? // JNI/FFI call into libvips (image) / ffmpeg (audio/video)
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    private[operators] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image")
+      img
+    }
+
+    /** Row-major (r,g,b) channel iterator of a decoded image. */
+    private[operators] def channels(img: java.awt.image.BufferedImage): Iterator[Int] =
+      for {
+        y <- Iterator.range(0, img.getHeight)
+        x <- Iterator.range(0, img.getWidth)
+        rgb = img.getRGB(x, y)
+        c <- Iterator((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      } yield c
+
+    /** Signed 16-bit little-endian PCM samples of a decoded WAV. */
+    private[operators] def pcmSamples(bytes: Array[Byte]): Array[Int] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val raw = in.readAllBytes()
+        Array.tabulate(raw.length / 2) { i =>
+          ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8))
+        }
+      } finally in.close()
+    }
+
+    override def decode(a: MediaAsset): MediaFeatures = a.kind match {
+      case "image" =>
+        val img = readImage(a.bytes)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val fp = rollingFold(channels(img))
+        // mean r/g/b, overall brightness, and 4 quadrant brightnesses
+        val sums = new Array[Long](3)
+        val quad = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            sums(0) += r; sums(1) += g; sums(2) += b
+            quad((if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)) += r + g + b
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w * h).toDouble
+        val emb = Array(
+          (sums(0) / n / 255.0).toFloat, (sums(1) / n / 255.0).toFloat,
+          (sums(2) / n / 255.0).toFloat,
+          ((sums(0) + sums(1) + sums(2)) / (3 * n) / 255.0).toFloat,
+          (quad(0) / (3 * n) / 255.0 * 4).toFloat, (quad(1) / (3 * n) / 255.0 * 4).toFloat,
+          (quad(2) / (3 * n) / 255.0 * 4).toFloat, (quad(3) / (3 * n) / 255.0 * 4).toFloat)
+        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, fp, emb)
+      case "audio" =>
+        val samples = pcmSamples(a.bytes)
+        val fp = rollingFold(samples.iterator.map(_ & 0xffff))
+        // 8-chunk mean amplitude profile
+        val emb = Array.tabulate(8) { c =>
+          val lo = samples.length.toLong * c / 8
+          val hi = samples.length.toLong * (c + 1) / 8
+          if (hi == lo) 0f
+          else ((lo until hi).map(i => math.abs(samples(i.toInt).toLong)).sum
+            .toDouble / (hi - lo) / 32768.0).toFloat
+        }
+        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, fp, emb)
+      case other =>
+        // ffmpeg/JNI seam: a container-less pure-JVM video codec does
+        // not exist; plug a worker here, never a fake
+        throw new UnsupportedOperationException(
+          s"no pure-JVM codec for kind '$other' (asset ${a.asset_id}); " +
+            "plug an ffmpeg/JNI decoder at this seam")
+    }
   }
 
   /** Batched per-partition feature extraction over the decoder seam. */
@@ -108,6 +203,68 @@ object Multimodal {
     struct(
       round(width * scale).cast("int").as("target_width"),
       round(height * scale).cast("int").as("target_height"))
+  }
+
+  // Synthesized-PNG pixel formula, shared with the multimodal_decode
+  // DuckDB oracle (TextOps interpolates these constants): pixel (x,y)
+  // of asset `id` has channels
+  //   r = (id*31 + x*7  + y*13) % 256
+  //   g = (id*17 + x*3  + y*5 ) % 256
+  //   b = (id*29 + x*11 + y*3 ) % 256
+  // with width = 4 + id % 13, height = 3 + id % 7 — pure integer
+  // arithmetic both engines can compute, so the decoded-pixel hash
+  // matches ONLY if a genuine PNG decode inverted the encode.
+  val PngWBase = 4; val PngWMod = 13
+  val PngHBase = 3; val PngHMod = 7
+  val PngRMul = (31L, 7L, 13L)
+  val PngGMul = (17L, 3L, 5L)
+  val PngBMul = (29L, 11L, 3L)
+
+  final case class DecodedImage(asset_id: Long, width: Int, height: Int,
+      pixel_hash: Long)
+
+  /** Deterministic synthesized PNG assets (the encode side of the
+    * decode gate): real `ImageIO.write` PNG bytes per document id,
+    * pixels from the shared formula above. Runs on executors — the
+    * encode is part of the distributed plumbing under test. */
+  def syntheticPngAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (PngWBase + id % PngWMod).toInt
+        val h = (PngHBase + id % PngHMod).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * PngRMul._1 + x * PngRMul._2 + y * PngRMul._3) % 256).toInt
+            val g = ((id * PngGMul._1 + x * PngGMul._2 + y * PngGMul._3) % 256).toInt
+            val b = ((id * PngBMul._1 + x * PngBMul._2 + y * PngBMul._3) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaAsset(id, "image", bos.toByteArray,
+          MediaMeta(w, h, 0, 0L))
+      }
+    }
+  }
+
+  /** Decode image assets through [[RealDecoder]]'s codec path and emit
+    * the decoded dimensions + pixel-channel hash — the query surface
+    * multimodal_decode gates against arithmetic the oracle recomputes. */
+  def decodeImages(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[DecodedImage] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = RealDecoder.readImage(a.bytes)
+      DecodedImage(a.asset_id, img.getWidth, img.getHeight,
+        rollingFold(RealDecoder.channels(img)))
+    })
   }
 
   /** Deterministic media synthesis from the documents table (no binary

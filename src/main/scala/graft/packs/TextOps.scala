@@ -41,6 +41,17 @@ object TextOps extends QueryPack {
       .select(col("asset_id"), col("kind"), col("n_bytes"), col("fingerprint"))
   }
 
+  /** Synthesized PNGs decoded through the GENUINE `javax.imageio`
+    * codec path: the emitted (width, height, pixel-channel hash) match
+    * the oracle's pure-arithmetic expectation only if the decode
+    * inverted the encode byte-for-byte. */
+  def multimodalDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.decodeImages(spark,
+        Multimodal.syntheticPngAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
   /** Frame-sample plan + resize metadata for the video assets — the
     * declarative half of the multimodal pipeline (WHICH frames to pull
     * and WHAT size to decode to; the pixels happen at the decoder
@@ -118,7 +129,8 @@ object TextOps extends QueryPack {
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _)
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_decode" -> (multimodalDecode _)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -260,6 +272,29 @@ object TextOps extends QueryPack {
         |           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
         |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS BIGINT) AS fingerprint
         |FROM b""".stripMargin,
+
+    // pixel expectation recomputed from the shared synthesis formula
+    // (Multimodal.Png*): the Spark side hashes pixels from a genuine
+    // ImageIO decode of real PNG bytes — values match only if the
+    // codec round-trip is exact. Row-major fold, first channel seeds
+    // (list_reduce semantics both sides).
+    "multimodal_decode" -> {
+      import Multimodal.{PngBMul, PngGMul, PngHBase, PngHMod, PngRMul, PngWBase, PngWMod}
+      def ch(m: (Long, Long, Long)): String =
+        s"CAST((asset_id*${m._1} + (i % width)*${m._2} + (i // width)*${m._3}) % 256 AS BIGINT)"
+      s"""WITH dims AS (
+         |  SELECT doc_id AS asset_id,
+         |         CAST($PngWBase + doc_id % $PngWMod AS INT) AS width,
+         |         CAST($PngHBase + doc_id % $PngHMod AS INT) AS height
+         |  FROM documents
+         |)
+         |SELECT asset_id, width, height,
+         |  list_reduce(
+         |    flatten(list_transform(generate_series(0, width * height - 1),
+         |      i -> [${ch(PngRMul)}, ${ch(PngGMul)}, ${ch(PngBMul)}])),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
+         |FROM dims""".stripMargin
+    },
 
     // frame offsets: Spark's `/` is double division then a truncating
     // long cast — mirrored as floor (identical for the non-negative

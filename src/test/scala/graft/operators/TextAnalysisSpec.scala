@@ -153,4 +153,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L).embedding.toSeq == f1b(1L).embedding.toSeq)
     assert(byId(1L).fingerprint != byId(2L).fingerprint)
   }
+
+  test("real decode: ImageIO round-trips the synthesized PNGs exactly") {
+    val docs = Seq((5L, "x"), (17L, "y"), (40L, "z")).toDF("doc_id", "text")
+    val decoded = Multimodal.decodeImages(spark,
+      Multimodal.syntheticPngAssets(spark, docs)).collect()
+      .map(d => d.asset_id -> d).toMap
+    assert(decoded.keySet == Set(5L, 17L, 40L))
+    decoded.foreach { case (id, d) =>
+      // dims from the shared formula
+      assert(d.width == (4 + id % 13).toInt && d.height == (3 + id % 7).toInt)
+      // hash recomputed from the pixel formula, independent of ImageIO
+      var h = -1L
+      for (y <- 0 until d.height; x <- 0 until d.width;
+           c <- Seq((id * 31 + x * 7 + y * 13) % 256,
+             (id * 17 + x * 3 + y * 5) % 256,
+             (id * 29 + x * 11 + y * 3) % 256))
+        h = if (h < 0) c else (31 * h + c) % 1000000007L
+      assert(d.pixel_hash == h, s"asset $id: decode did not invert the encode")
+    }
+  }
+
+  test("real decode: RealDecoder features for PNG bytes; WAV PCM; video seam throws") {
+    // image through the full MediaDecoder seam
+    val docs = Seq((9L, "img")).toDF("doc_id", "text")
+    val asset = Multimodal.syntheticPngAssets(spark, docs).collect().head
+    val feats = Multimodal.RealDecoder.decode(asset)
+    assert(feats.n_bytes == asset.bytes.length.toLong)
+    assert(feats.embedding.length == 8 && feats.embedding.forall(v => v >= 0f && v <= 1f))
+    // WAV: synthesize 16-bit mono PCM, decode, check the sample fold
+    val samples = Array.tabulate(64)(i => ((9L * 31 + i * 7) % 65536 - 32768).toShort)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      raw(2 * i) = (s & 0xff).toByte; raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = Multimodal.MediaAsset(7L, "audio", bos.toByteArray,
+      Multimodal.MediaMeta(0, 0, 16000, 4L))
+    val af = Multimodal.RealDecoder.decode(wav)
+    var expect = -1L
+    samples.foreach { s =>
+      val u = (s & 0xffff).toLong
+      expect = if (expect < 0) u else (31 * expect + u) % 1000000007L
+    }
+    assert(af.fingerprint == expect, "WAV decode must recover the exact PCM samples")
+    intercept[UnsupportedOperationException] {
+      Multimodal.RealDecoder.decode(wav.copy(kind = "video"))
+    }
+  }
 }
