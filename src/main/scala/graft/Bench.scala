@@ -24,6 +24,9 @@ import scala.jdk.CollectionConverters._
   *           (/proc/self/io read_bytes) — proves whether we touched disk
   * A slow query with flat gc/cc/rd but a psiCpu or steal spike is host
   * interference, not a plan problem; flat everything = look at the plan.
+  * Round-6: the same deltas are persisted PER PASS PER QUERY under
+  * `passes` in BENCH.json, so a wandering warm pass is numerically
+  * attributable after the fact instead of averaged into a run total.
   *
   * Disk-independence: shuffle/spill scratch is tmpfs (GraftSession),
   * java.io.tmpdir is tmpfs (build.sbt), and the input parquet (17 MB at
@@ -70,6 +73,22 @@ object Bench {
     Snap(gcMs, psiMs("io"), psiMs("memory"), psiMs("cpu"), stealJiffies, selfReadBytes)
   private def d(a: Long, b: Long): Long = if (a < 0 || b < 0) -1 else b - a
 
+  /** Per-run unique staging root: two concurrent bench runs (or two SF
+    * dirs sharing a leaf name) must never cross-delete each other's
+    * staged parquet, so the path carries this JVM's pid. */
+  private[graft] def stagingRoot: java.nio.file.Path =
+    Paths.get("/dev/shm", s"graft-bench-input-${ProcessHandle.current().pid()}")
+
+  /** Recursively delete this run's staging root (end of run + JVM
+    * shutdown hook — staged parquet is tmpfs RAM and must not outlive
+    * the run that staged it). */
+  private def cleanupStaging(): Unit =
+    try {
+      if (Files.isDirectory(stagingRoot))
+        Files.walk(stagingRoot).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+
   /** Stage the input parquet into tmpfs so timed reads never touch the
     * virtual disk. Falls back to the original dir if tmpfs is absent,
     * too small (2× headroom — tmpfs pages are RAM the driver JVM also
@@ -81,7 +100,7 @@ object Bench {
     val shm = Paths.get("/dev/shm")
     if (!Files.isDirectory(shm) || !Files.isWritable(shm)) return sfDir
     val src = Paths.get(sfDir)
-    val dst = shm.resolve("graft-bench-input").resolve(src.getFileName)
+    val dst = stagingRoot.resolve(src.getFileName)
     def clear(): Unit =
       if (Files.isDirectory(dst))
         Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -108,8 +127,32 @@ object Bench {
     }
   }
 
+  /** One timed query execution with its telemetry deltas — persisted
+    * per pass into BENCH.json so a slow pass's excess is numerically
+    * attributable (GC? IO/memory/cpu pressure? steal? disk?) instead of
+    * a mystery in a whole-run total. */
+  private[graft] final case class QueryRun(sec: Double, gcMs: Long, psiIoMs: Long,
+      psiMemMs: Long, psiCpuMs: Long, stealJ: Long, rdKb: Long) {
+    def json: String =
+      s"""{"sec":$sec,"gc_ms":$gcMs,"psi_io_ms":$psiIoMs,"psi_mem_ms":$psiMemMs,""" +
+      s""""psi_cpu_ms":$psiCpuMs,"steal_j":$stealJ,"rd_kb":$rdKb}"""
+  }
+
+  /** Reported warm number per query. All three passes valid → the true
+    * median (stall suppression: one poisoned pass can't move it). A
+    * FAILED pass → the MAX of the survivors: min-of-2 would bias the
+    * headline optimistically exactly when a regression is likeliest
+    * (the per-pass data is in `passes` either way). */
+  private[graft] def warmMedian(xs: Seq[Double]): Double = {
+    val ok = xs.filter(_ >= 0).sorted
+    if (ok.isEmpty) -1.0
+    else if (ok.size == xs.size) ok((ok.size - 1) / 2)
+    else ok.last
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDirRaw = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => cleanupStaging()))
     val sfDir = stageToTmpfs(sfDirRaw)
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -119,7 +162,7 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val run0 = snap()
     def timed(pass: String, name: String,
-              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): QueryRun = {
       val s0 = snap()
       val t0 = System.nanoTime()
       val ok =
@@ -138,26 +181,24 @@ object Bench {
         f"[bench:$pass] $name%-24s $sec%8.2f s | gc+${d(s0.gc, s1.gc)}%dms cc=${codeCacheUsedMb}%dMB " +
         f"psiIo+${d(s0.io, s1.io)}%dms psiMem+${d(s0.mem, s1.mem)}%dms psiCpu+${d(s0.cpu, s1.cpu)}%dms " +
         f"steal+${d(s0.steal, s1.steal)}%dj rd+${d(s0.rd, s1.rd) >> 10}%dKB")
-      sec
+      QueryRun(sec, d(s0.gc, s1.gc), d(s0.io, s1.io), d(s0.mem, s1.mem),
+        d(s0.cpu, s1.cpu), d(s0.steal, s1.steal), d(s0.rd, s1.rd) >> 10)
     }
-    val cold = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
-    // Three warm passes; per-query median is the reported warm number.
-    val warmPasses = (1 to 3).map { i =>
+    val coldRuns = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
+    // Three timed warm passes; per-query warmMedian is the reported number.
+    val warmRuns = (1 to 3).map { i =>
       SparkEntry.queries.map { case (name, fn) => name -> timed(s"warm$i", name, fn) }
     }
-    def median3(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ >= 0)
-      // lower-middle on even counts: with one failed pass and one
-      // stalled pass, the surviving steady-state time must win — the
-      // whole point of the median protocol is stall suppression
-      if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
-    }
+    val cold = coldRuns.map { case (k, r) => k -> r.sec }
+    val warmPasses = warmRuns.map(_.map { case (k, r) => k -> r.sec })
     val warm = SparkEntry.queries.keys.map { name =>
-      name -> median3(warmPasses.map(_(name)))
+      name -> warmMedian(warmPasses.map(_(name)))
     }.toMap
     val run1 = snap()
     def obj(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def runObj(m: Map[String, QueryRun]) =
+      m.map { case (k, r) => s"\"" + k + "\":" + r.json }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.values.filter(_ >= 0).sum
     val totalWarm = warm.values.filter(_ >= 0).sum
@@ -167,12 +208,17 @@ object Bench {
       s""""psi_mem_ms":${d(run0.mem, run1.mem)},"psi_cpu_ms":${d(run0.cpu, run1.cpu)},""" +
       s""""steal_jiffies":${d(run0.steal, run1.steal)},"disk_read_kb":${d(run0.rd, run1.rd) >> 10},""" +
       s""""code_cache_mb":$codeCacheUsedMb}"""
+    // per-pass per-query telemetry: the wander forensics channel
+    val passesJson = (Seq("cold" -> coldRuns) ++
+      warmRuns.zipWithIndex.map { case (m, i) => s"warm${i + 1}" -> m })
+      .map { case (p, m) => s"\"$p\":${runObj(m)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDirRaw"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"passes":$passesJson,"failed":$failedJson,"sf":"$sfDirRaw"}"""
     // stdout carries sbt [info] prefixes and any log noise; the file is
     // the unambiguous machine-readable channel for the driver.
     Files.write(Paths.get("BENCH.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
     println(json)
     spark.stop()
+    cleanupStaging()
   }
 }
