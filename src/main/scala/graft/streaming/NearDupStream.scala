@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.SimHash64
+import graft.functions.{MinhashBands, SimHash64, WordShingles}
 
-/** Streaming SimHash near-duplicate detection — the streaming form of
-  * `Dedup.simhashPairs`, for dedup-at-ingest in a training-data
+/** Streaming near-duplicate detection — the streaming forms of
+  * `Dedup.simhashPairs` (hamming fingerprints) and `Dedup.minhashLsh`
+  * (verified-Jaccard LSH), for dedup-at-ingest in a training-data
   * pipeline (drop near-dups as documents arrive instead of re-scanning
   * the corpus).
   *
@@ -117,5 +118,126 @@ object NearDupStream {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         process(maxHamming))
+  }
+
+  // ---- MinHash-LSH streaming form ---------------------------------
+  //
+  // Same topology as the SimHash form — scan-side fingerprinting
+  // (fused native MinhashBands: shingle-hash → k minima → band keys),
+  // explode into `bands` buckets, ONE shuffle on (band, band_key),
+  // watermark-evicted per-bucket state — but candidates are VERIFIED
+  // with the exact shingle Jaccard before emission, matching the batch
+  // operator's semantics. That verification is why state carries each
+  // doc's shingle array (×bands buckets): the memory price of
+  // verified single-shuffle pairs. `maxBucketSize` bounds degenerate
+  // (boilerplate) buckets by evicting the oldest entries — the
+  // streaming analog of the batch bucket cap (which drops oversized
+  // buckets whole); precision/recall knob, documented tradeoff.
+  //
+  // Exactly-once without a dedup operator: a pair whose signatures
+  // agree in several bands collides in several buckets, but band keys
+  // are part of the stored state, so every bucket can compute the
+  // pair's MINIMUM matching band locally and only the bucket whose
+  // band index equals it emits.
+
+  final case class MinhashBandedDoc(docId: Long, ts: java.sql.Timestamp,
+      sh: Seq[String], bandKeys: Seq[Long], band: Int, bandKey: Long)
+  final case class StoredMinhashDoc(docId: Long, tsMs: Long,
+      bandKeys: Seq[Long], sh: Seq[String])
+  final case class JacPair(doc_a: Long, doc_b: Long, jac: Double)
+
+  /** Lowest band index where the two band-key arrays agree (-1 if none). */
+  private def minMatchingKeyBand(a: Seq[Long], b: Seq[Long]): Int = {
+    val n = math.min(a.length, b.length)
+    var j = 0
+    while (j < n) {
+      if (a(j) == b(j)) return j
+      j += 1
+    }
+    -1
+  }
+
+  /** Exact distinct-set Jaccard — the same semantics as the batch
+    * verifier (graft.functions.JaccardSimilarity): 0.0 on empty union. */
+  private def jaccardDistinct(a: Seq[String], b: Seq[String]): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    val union = sa.union(sb).size
+    if (union == 0) 0.0 else sa.intersect(sb).size.toDouble / union
+  }
+
+  private def processMinhash(threshold: Double, maxBucketSize: Int)(
+      key: (Int, Long),
+      rows: Iterator[MinhashBandedDoc],
+      state: GroupState[List[StoredMinhashDoc]]): Iterator[JacPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var stored = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
+    val out = List.newBuilder[JacPair]
+    val band = key._1
+    // deterministic order within the batch (state arrival order)
+    rows.toArray.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+      stored.foreach { s =>
+        if (s.docId != d.docId &&
+            minMatchingKeyBand(s.bandKeys, d.bandKeys) == band) {
+          val jac = jaccardDistinct(s.sh, d.sh)
+          if (jac >= threshold)
+            out += JacPair(math.min(s.docId, d.docId),
+              math.max(s.docId, d.docId), jac)
+        }
+      }
+      stored ::= StoredMinhashDoc(d.docId, d.ts.getTime, d.bandKeys, d.sh)
+      if (stored.length > maxBucketSize)
+        stored = stored.take(maxBucketSize) // newest-first list: drop oldest
+    }
+    if (stored.isEmpty) state.remove()
+    else {
+      state.update(stored)
+      // clean the bucket up once the watermark passes its newest doc
+      state.setTimeoutTimestamp(stored.map(_.tsMs).max + 1)
+    }
+    out.result().iterator
+  }
+
+  /** Streaming MinHash-LSH near-dup pairs: `docs` must carry (idCol:
+    * integral, tsCol: timestamp, textCol: string); returns append-mode
+    * (doc_a, doc_b, jac) pairs with exact-Jaccard-verified similarity,
+    * identical to batch `Dedup.minhashLsh` on the same in-horizon doc
+    * set (NearDupStreamSpec pins the parity). Two documents pair only
+    * if the earlier is still within the watermark horizon when the
+    * later arrives — the documented streaming bound. */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      watermark: String = "60 seconds",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rows: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): Dataset[JacPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(idCol).cast("long").as("docId"),
+        // the watermark tag rides on this column — it must survive into
+        // the stateful operator for EventTimeTimeout to be legal
+        col(tsCol).as("ts"),
+        WordShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0) // sub-n-token docs can't pair (batch parity)
+      .withColumn("bandKeys", MinhashBands(col("sh"), bands, rows))
+      .select(col("docId"), col("ts"), col("sh"), col("bandKeys"),
+        posexplode(col("bandKeys")))
+      .select(col("docId"), col("ts"), col("sh"), col("bandKeys"),
+        col("pos").cast("int").as("band"), col("col").as("bandKey"))
+      .as[MinhashBandedDoc]
+      .groupByKey(d => (d.band, d.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processMinhash(threshold, maxBucketSize))
   }
 }

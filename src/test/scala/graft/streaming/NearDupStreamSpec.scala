@@ -71,4 +71,59 @@ class NearDupStreamSpec extends SparkSpec {
       assert(pairs().sorted.contains((5L, 6L, 0)))
     } finally q.stop()
   }
+
+  test("streaming minhash near-dups: verified jaccard, exact-once, eviction, batch parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA2 = "the quick brown fox jumps over the lazy dog today" // near-dup of textA
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = NearDupStream
+      .minhashNearDups(in.toDF.toDF("doc_id", "ts", "text"),
+        "doc_id", "ts", "text", watermark = "60 seconds", threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_mh_out")
+      .start()
+
+    def ts(s: Long) = new Timestamp(s * 1000)
+    def pairs(): Seq[(Long, Long, Double)] =
+      spark.table("neardup_mh_out").as[(Long, Long, Double)].collect().toSeq
+
+    try {
+      // batch 1: exact dup pair (1,2) collides in ALL 8 bands — the
+      // min-matching-band rule must emit exactly once; 3 is unrelated
+      in.addData((1L, ts(100), textA), (2L, ts(105), textA), (3L, ts(110), textB))
+      q.processAllAvailable()
+      assert(pairs().sorted == Seq((1L, 2L, 1.0)), s"got ${pairs()}")
+
+      // batch 2, inside the horizon: 4 is a NEAR-dup (one shingle off)
+      // of both 1 and 2 — verified jaccard must ride along
+      in.addData((4L, ts(120), textA2))
+      q.processAllAvailable()
+      val expectJac = 7.0 / 9.0 // 8 shingles each, 7 shared
+      assert(pairs().sorted == Seq((1L, 2L, 1.0), (1L, 4L, expectJac), (2L, 4L, expectJac)),
+        s"got ${pairs()}")
+
+      // streaming == batch minhashLsh on the same in-horizon docs
+      val batch = Dedup.minhashLsh(
+          Seq((1L, textA), (2L, textA), (3L, textB), (4L, textA2))
+            .toDF("doc_id", "text"), "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(pairs().sorted == batch, s"stream ${pairs().sorted} vs batch $batch")
+
+      // advance the watermark far past docs 1-4
+      in.addData((90L, ts(5000), "sentinel zeta eta theta iota kappa lambda mu nu xi"))
+      q.processAllAvailable()
+      in.addData((91L, ts(9000), "omicron pi rho sigma tau upsilon phi chi psi omega"))
+      q.processAllAvailable()
+
+      // 5 is a dup of evicted docs — no new pair may reference them
+      in.addData((5L, ts(9100), textA))
+      q.processAllAvailable()
+      assert(!pairs().exists(p => p._2 == 5L), s"evicted docs must not pair: ${pairs()}")
+
+      // but a fresh in-horizon dup of 5 pairs with it
+      in.addData((6L, ts(9110), textA))
+      q.processAllAvailable()
+      assert(pairs().contains((5L, 6L, 1.0)))
+    } finally q.stop()
+  }
 }

@@ -75,6 +75,49 @@ class StateSoakSpec extends SparkSpec {
     }
   }
 
+  test("minhash neardup stream: 2000-doc soak — state plateaus at the horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = NearDupStream
+      .minhashNearDups(in.toDF.toDF("doc_id", "ts", "text"),
+        "doc_id", "ts", "text", watermark = "60 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_mh_soak")
+      .start()
+    try {
+      val batches = 20
+      val perBatch = 100
+      val stepSec = 10 // horizon = 60s → ~6-7 batches of docs live at once
+      val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var id = 0L
+      for (b <- 0 until batches) {
+        val t = new Timestamp(b.toLong * stepSec * 1000L)
+        val docs = (0 until perBatch).map { _ =>
+          id += 1
+          (id, t, s"word${id % 997} alpha${id % 313} beta${id % 101} " +
+            s"gamma${id % 53} delta${id % 29} epsilon${id % 13} zeta${id % 7}")
+        }
+        in.addData(docs: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty)
+          stateRows += p.stateOperators.head.numRowsTotal
+      }
+      assert(stateRows.nonEmpty, "no state metrics reported")
+      val steady = stateRows(math.min(8, stateRows.size - 1))
+      val fin = stateRows.last
+      // Bounded by the horizon: ≤ 8 band buckets per live doc, ~700 live.
+      val horizonCap = 8L * perBatch * 9
+      assert(fin <= horizonCap,
+        s"state rows $fin exceed horizon bound $horizonCap (input was $id docs)")
+      // NOT tracking total input: 2000 docs × 8 bands would be 16000.
+      assert(fin < 8L * id / 2,
+        s"state rows $fin track input volume, not the horizon")
+      assert(fin <= steady * 13 / 10,
+        s"state still growing: steady(batch 9)=$steady final=$fin trace=$stateRows")
+    } finally q.stop()
+  }
+
   test("ann serving: watermarked top-k state evicts served queries (horizon, not total)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rnd = new scala.util.Random(23)
