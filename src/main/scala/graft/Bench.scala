@@ -37,6 +37,15 @@ object Bench {
   // ---- telemetry probes (all best-effort; -1 when unavailable) -----
   private def gcMs: Long =
     ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+  /** Accumulated JIT compilation time (all compiler threads). A query
+    * that is slow with flat gc/psi/steal/rd but a jit spike is paying
+    * the C2 backlog of freshly generated (Janino) classes — the prime
+    * wander suspect once kernel and GC causes are excluded. */
+  private def jitMs: Long = {
+    val c = ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported) c.getTotalCompilationTime
+    else -1L
+  }
   private def codeCacheUsedMb: Long =
     ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
@@ -68,9 +77,11 @@ object Bench {
       .map(_.split(":")(1).trim.toLong)
       .getOrElse(-1L)
 
-  private case class Snap(gc: Long, io: Long, mem: Long, cpu: Long, steal: Long, rd: Long)
+  private case class Snap(gc: Long, jit: Long, io: Long, mem: Long, cpu: Long,
+      steal: Long, rd: Long)
   private def snap(): Snap =
-    Snap(gcMs, psiMs("io"), psiMs("memory"), psiMs("cpu"), stealJiffies, selfReadBytes)
+    Snap(gcMs, jitMs, psiMs("io"), psiMs("memory"), psiMs("cpu"), stealJiffies,
+      selfReadBytes)
   private def d(a: Long, b: Long): Long = if (a < 0 || b < 0) -1 else b - a
 
   /** Per-run unique staging root: two concurrent bench runs (or two SF
@@ -131,11 +142,11 @@ object Bench {
     * per pass into BENCH.json so a slow pass's excess is numerically
     * attributable (GC? IO/memory/cpu pressure? steal? disk?) instead of
     * a mystery in a whole-run total. */
-  private[graft] final case class QueryRun(sec: Double, gcMs: Long, psiIoMs: Long,
-      psiMemMs: Long, psiCpuMs: Long, stealJ: Long, rdKb: Long) {
+  private[graft] final case class QueryRun(sec: Double, gcMs: Long, jitMs: Long,
+      psiIoMs: Long, psiMemMs: Long, psiCpuMs: Long, stealJ: Long, rdKb: Long) {
     def json: String =
-      s"""{"sec":$sec,"gc_ms":$gcMs,"psi_io_ms":$psiIoMs,"psi_mem_ms":$psiMemMs,""" +
-      s""""psi_cpu_ms":$psiCpuMs,"steal_j":$stealJ,"rd_kb":$rdKb}"""
+      s"""{"sec":$sec,"gc_ms":$gcMs,"jit_ms":$jitMs,"psi_io_ms":$psiIoMs,""" +
+      s""""psi_mem_ms":$psiMemMs,"psi_cpu_ms":$psiCpuMs,"steal_j":$stealJ,"rd_kb":$rdKb}"""
   }
 
   /** Reported warm number per query. All three passes valid → the true
@@ -178,11 +189,12 @@ object Bench {
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       val s1 = snap()
       System.err.println(
-        f"[bench:$pass] $name%-24s $sec%8.2f s | gc+${d(s0.gc, s1.gc)}%dms cc=${codeCacheUsedMb}%dMB " +
+        f"[bench:$pass] $name%-24s $sec%8.2f s | gc+${d(s0.gc, s1.gc)}%dms jit+${d(s0.jit, s1.jit)}%dms cc=${codeCacheUsedMb}%dMB " +
         f"psiIo+${d(s0.io, s1.io)}%dms psiMem+${d(s0.mem, s1.mem)}%dms psiCpu+${d(s0.cpu, s1.cpu)}%dms " +
         f"steal+${d(s0.steal, s1.steal)}%dj rd+${d(s0.rd, s1.rd) >> 10}%dKB")
-      QueryRun(sec, d(s0.gc, s1.gc), d(s0.io, s1.io), d(s0.mem, s1.mem),
-        d(s0.cpu, s1.cpu), d(s0.steal, s1.steal), d(s0.rd, s1.rd) >> 10)
+      QueryRun(sec, d(s0.gc, s1.gc), d(s0.jit, s1.jit), d(s0.io, s1.io),
+        d(s0.mem, s1.mem), d(s0.cpu, s1.cpu), d(s0.steal, s1.steal),
+        d(s0.rd, s1.rd) >> 10)
     }
     val coldRuns = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
     // Three timed warm passes; per-query warmMedian is the reported number.
@@ -204,7 +216,7 @@ object Bench {
     val totalWarm = warm.values.filter(_ >= 0).sum
     val passTotals = warmPasses.map(p => p.values.filter(_ >= 0).sum)
     val telemetry =
-      s"""{"gc_ms":${d(run0.gc, run1.gc)},"psi_io_ms":${d(run0.io, run1.io)},""" +
+      s"""{"gc_ms":${d(run0.gc, run1.gc)},"jit_ms":${d(run0.jit, run1.jit)},"psi_io_ms":${d(run0.io, run1.io)},""" +
       s""""psi_mem_ms":${d(run0.mem, run1.mem)},"psi_cpu_ms":${d(run0.cpu, run1.cpu)},""" +
       s""""steal_jiffies":${d(run0.steal, run1.steal)},"disk_read_kb":${d(run0.rd, run1.rd) >> 10},""" +
       s""""code_cache_mb":$codeCacheUsedMb}"""

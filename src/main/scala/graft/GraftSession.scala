@@ -22,6 +22,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB
+      // Generated-class cache sized for a real multi-query workload.
+      // The 100-entry default thrashes once a session runs more than a
+      // handful of distinct queries (this library registers ~60, each
+      // with several codegen'd stages): every re-run then re-Janinos
+      // evicted classes AND re-JITs them as brand-new classes — bench
+      // telemetry measured 22-36 s of C2 time per WARM pass, the
+      // long-unattributed warm-pass wander. Static conf: must be set
+      // at builder time, ignored on getOrCreate of an existing session.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from the SPARK_GRAFT_CPUS env (driver contract).

@@ -30,8 +30,8 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("QueryRun json shape") {
-    val j = Bench.QueryRun(1.5, 10, 1, 2, 3, 4, 5).json
+    val j = Bench.QueryRun(1.5, 10, 20, 1, 2, 3, 4, 5).json
     assert(j ==
-      """{"sec":1.5,"gc_ms":10,"psi_io_ms":1,"psi_mem_ms":2,"psi_cpu_ms":3,"steal_j":4,"rd_kb":5}""")
+      """{"sec":1.5,"gc_ms":10,"jit_ms":20,"psi_io_ms":1,"psi_mem_ms":2,"psi_cpu_ms":3,"steal_j":4,"rd_kb":5}""")
   }
 }
