@@ -122,6 +122,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
+  test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
+    // the pair source feeding dedup_components_lsh and pipeline_curate
+    // (the components queries themselves run a driver-side loop, so the
+    // guard sits on the pair plan they consume)
+    val p = graft.operators.Dedup
+      .minhashLshMd5(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH banding must make candidate generation an equi-join:\n$p")
+  }
+
+  test("multimodal_decode: encode->decode is one shuffle-free stage over a pruned scan") {
+    val p = plan("multimodal_decode")
+    assert(!p.contains("Exchange"), s"decode pipeline must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"scan must read only doc_id (bytes are synthesized):\n$p")
+  }
+
   test("doc_fingerprint: native rolling-fp projection, no higher-order lambda, no shuffle") {
     val p = plan("doc_fingerprint")
     assert(p.contains("graft_rolling_fp"), s"expected the native expression in:\n$p")
