@@ -49,6 +49,24 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Ingest-time (incremental) exact dedup — the batch-merge form a
+    * continuously-fed corpus needs: survivors of a NEW batch against an
+    * already-ingested corpus, where a survivor is (a) the first
+    * occurrence of its text within the batch (min id) and (b) absent
+    * from the seen corpus. Scale shape: everything keys on the 128-bit
+    * md5 of the text — the within-batch firsts are a partial-agg
+    * groupBy and the corpus check is a LEFT ANTI join, so shuffles
+    * carry 16-byte hashes + ids, never document bodies, and the seen
+    * side streams through the join without materializing text. */
+  def incrementalExact(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    batch
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("doc_id"))
+      .join(seen.select(md5(col(textCol)).as("text_hash")),
+        Seq("text_hash"), "left_anti")
+
   /** MinHash signature: k minimums over splitmix64-derived permutations
     * of the per-shingle xxhash64. One base-hash pass (built-in, then the
     * native one-pass MinhashSignature expression) — returns array<long>

@@ -137,6 +137,26 @@ object TextAnalysis {
     docs.filter(gate < bp)
   }
 
+  /** Per-source document cap — the C4/RefinedWeb-style per-domain
+    * limit: keep at most `k` docs per source, chosen by a deterministic
+    * md5-derived priority (uniform, partition-independent — no bias
+    * toward low ids, reproducible across engines/runs) with id
+    * tie-break. Scale shape: `row_number() <= k` plans as Spark's
+    * WindowGroupLimit — each MAP task pre-trims its partition to k rows
+    * per source before the shuffle, so a mega-domain ships ≤ k ×
+    * n_partitions rows instead of funneling everything into one window
+    * task (PlanSpec pins the WindowGroupLimit node). */
+  def perSourceCap(docs: DataFrame, sourceCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val prio = graft.operators.Dedup.md5h60(
+      concat(col(sourceCol), lit("#"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(prio.asc, col(idCol).asc)
+    docs.select(col(idCol), col(sourceCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   // Repetition-filter thresholds (the published Gopher-rule ballpark),
   // shared with the generated oracle SQL via TextOps.
   val RepTopUnigramMax = 0.2

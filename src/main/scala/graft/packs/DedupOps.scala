@@ -48,8 +48,23 @@ object DedupOps extends QueryPack {
       Dedup.minhashLshMd5(docs, "doc_id", "text"))
   }
 
+  /** Ingest-time dedup gate: deterministic batch/corpus split of the
+    * documents table (doc_id % 5 picks the "new batch"; the rest is
+    * the "already-ingested corpus") — the split constant is shared
+    * with the generated oracle SQL below. */
+  val IncrementalBatchMod = 5
+
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalExact(
+      docs.filter(col("doc_id") % IncrementalBatchMod === 0),
+      docs.filter(col("doc_id") % IncrementalBatchMod =!= 0),
+      "doc_id", "text")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -223,6 +238,19 @@ object DedupOps extends QueryPack {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, md5(text) AS text_hash FROM documents
+         |  WHERE doc_id % $IncrementalBatchMod = 0
+         |), firsts AS (
+         |  SELECT text_hash, min(doc_id) AS doc_id FROM b GROUP BY text_hash
+         |)
+         |SELECT f.text_hash, f.doc_id FROM firsts f
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM documents s
+         |  WHERE s.doc_id % $IncrementalBatchMod <> 0
+         |    AND md5(s.text) = f.text_hash)""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,

@@ -118,6 +118,13 @@ object TextOps extends QueryPack {
   def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.repetitionStats(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Per-source cap size, shared with the generated oracle. */
+  val SourceCapK = 10
+
+  def perSourceCap(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
+      "source", "doc_id", SourceCapK)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -128,6 +135,7 @@ object TextOps extends QueryPack {
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
+    "per_source_cap" -> (perSourceCap _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _)
@@ -200,6 +208,17 @@ object TextOps extends QueryPack {
          |LEFT JOIN muni ON b.doc_id = muni.doc_id
          |LEFT JOIN mbig ON b.doc_id = mbig.doc_id""".stripMargin
     },
+
+    // deterministic hash priority + id tie-break: the kept SET per
+    // source is identical cross-engine
+    "per_source_cap" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ('0x' || substr(md5(source || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |             doc_id) AS rk
+         |  FROM documents
+         |) WHERE rk <= $SourceCapK""".stripMargin,
 
     // boundary ties broken by term ASC on both sides, so the top-N SET
     // is deterministic cross-engine

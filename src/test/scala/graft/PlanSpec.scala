@@ -140,6 +140,15 @@ class PlanSpec extends SparkSpec {
       s"scan must read only doc_id (bytes are synthesized):\n$p")
   }
 
+  test("per_source_cap: WindowGroupLimit pre-trims map-side (mega-source skew-safe)") {
+    val p = plan("per_source_cap")
+    // row_number() <= k must plan as WindowGroupLimit so each map task
+    // ships at most k rows per source into the shuffle — without it a
+    // mega-domain funnels its whole row set into one window task
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — per-group cap would straggle on big sources:\n$p")
+  }
+
   test("doc_fingerprint: native rolling-fp projection, no higher-order lambda, no shuffle") {
     val p = plan("doc_fingerprint")
     assert(p.contains("graft_rolling_fp"), s"expected the native expression in:\n$p")

@@ -107,6 +107,25 @@ class DedupSpec extends SparkSpec {
     assert(out(20L) == (20L, true) && out(21L) == (20L, false) && out(22L) == (20L, false))
   }
 
+  test("incremental exact dedup: batch firsts survive only if unseen in the corpus") {
+    val seen = Seq(
+      (1L, "already ingested text one"),
+      (2L, "already ingested text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested text one"),  // dup of corpus → dropped
+      (11L, "fresh text alpha"),           // new → survives
+      (12L, "fresh text alpha"),           // within-batch dup → dropped
+      (13L, "fresh text beta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, seen, "doc_id", "text")
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(out == Set(11L, 13L), s"got $out")
+    // empty corpus: batch self-dedups
+    val empty = seen.filter($"doc_id" < 0)
+    val out2 = Dedup.incrementalExact(batch, empty, "doc_id", "text")
+      .as[(String, Long)].collect().map(_._2).toSet
+    assert(out2 == Set(10L, 11L, 13L))
+  }
+
   test("LSH-fed clustering catches different-prefix near-dups the blocker misses") {
     // 30/31 are near-dups whose OPENINGS differ (jac of 3-shingles
     // ≈ 0.89): prefix-40 blocking puts them in different blocks and

@@ -154,6 +154,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L).fingerprint != byId(2L).fingerprint)
   }
 
+  test("per-source cap: exactly k kept per big source, small sources whole, deterministic") {
+    val docs = ((1L to 30L).map(i => (i, s"text $i", "big")) ++
+      (31L to 33L).map(i => (i, s"text $i", "small")))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.perSourceCap(docs, "source", "doc_id", k = 5)
+      .as[(Long, String, Long)].collect()
+    val bySource = out.groupBy(_._2)
+    assert(bySource("big").length == 5)
+    assert(bySource("small").map(_._1).toSet == Set(31L, 32L, 33L))
+    assert(out.forall(_._3 <= 5))
+    // deterministic: same keep set on re-run and after repartition
+    val out2 = TextAnalysis.perSourceCap(docs.repartition(7), "source", "doc_id", k = 5)
+      .as[(Long, String, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == out2.map(r => (r._1, r._2)).toSet)
+    // hash priority, not lowest-ids-win: the big-source keep set must
+    // not simply be ids 1-5
+    assert(bySource("big").map(_._1).toSet != (1L to 5L).toSet)
+  }
+
   test("real decode: ImageIO round-trips the synthesized PNGs exactly") {
     val docs = Seq((5L, "x"), (17L, "y"), (40L, "z")).toDF("doc_id", "text")
     val decoded = Multimodal.decodeImages(spark,
