@@ -137,6 +137,55 @@ object TextAnalysis {
     docs.filter(gate < bp)
   }
 
+  // PII-redaction patterns — deliberately RE2-compatible (no lookaround,
+  // no backrefs) so the DuckDB oracle runs the IDENTICAL regexes; the
+  // classic cheap scrub pass (a production pipeline would add NER at
+  // the same seam). Shared with TextOps' generated oracle SQL.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** Scrub emails/phones to typed placeholders + count what was
+    * scrubbed (the count column is the audit signal — and keeps the
+    * cross-engine gate meaningful even on a clean corpus). Scan-side
+    * projection: no shuffle, no row amplification. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"),
+      (regexp_count(t, lit(EmailPattern)) +
+        regexp_count(t, lit(PhonePattern))).cast("long").as("n_redacted"))
+  }
+
+  /** Benchmark decontamination — flag training docs sharing word
+    * n-grams with a held-out evaluation set (the train/test-overlap
+    * scrub every published pipeline runs): per doc, the count of
+    * DISTINCT shingles also present in the benchmark's shingle set.
+    * Scale shape: the benchmark side reduces to a distinct shingle set
+    * (small vs the corpus — benchmarks are thousands of docs, the
+    * corpus is billions); the corpus explodes each doc's distinct
+    * shingles once and LEFT SEMI joins them against the benchmark set
+    * (broadcast when it fits, AQE decides), then partial-agg counts
+    * per doc. The join carries (doc_id, shingle) for candidate
+    * shingles only; full doc rows are never replicated. */
+  def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3, minOverlap: Int = 1): DataFrame = {
+    val shingles = graft.functions.WordShingles(col(textCol), shingleN)
+    val benchSh = bench
+      .select(explode(array_distinct(shingles)).as("s")).distinct()
+    val docSh = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(shingles)).as("s"))
+    val overlap = docSh.join(benchSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("overlap_shingles"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap_shingles"), lit(0L)).as("overlap_shingles"))
+      .withColumn("flagged", col("overlap_shingles") >= minOverlap)
+  }
+
   /** Per-source document cap — the C4/RefinedWeb-style per-domain
     * limit: keep at most `k` docs per source, chosen by a deterministic
     * md5-derived priority (uniform, partition-independent — no bias

@@ -121,6 +121,24 @@ object TextOps extends QueryPack {
   /** Per-source cap size, shared with the generated oracle. */
   val SourceCapK = 10
 
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.redactPii(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Decontamination split: doc_id % 20 == 7 plays the held-out
+    * benchmark; the rest is the training corpus under scrub. Constants
+    * shared with the generated oracle. */
+  val ContamBenchMod = 20
+  val ContamBenchRem = 7
+  val ContamMinOverlap = 1
+
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.contamination(
+      docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
+      docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
+      "doc_id", "text", minOverlap = ContamMinOverlap)
+  }
+
   def perSourceCap(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
@@ -136,6 +154,8 @@ object TextOps extends QueryPack {
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
+    "text_redact" -> (textRedact _),
+    "decontaminate" -> (decontaminate _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _)
@@ -208,6 +228,41 @@ object TextOps extends QueryPack {
          |LEFT JOIN muni ON b.doc_id = muni.doc_id
          |LEFT JOIN mbig ON b.doc_id = mbig.doc_id""".stripMargin
     },
+
+    // identical RE2-compatible regexes both sides ('g' = replace all,
+    // matching Spark's regexp_replace semantics); n_redacted keeps the
+    // gate meaningful even where the corpus contains no PII
+    "text_redact" -> {
+      import graft.operators.TextAnalysis.{EmailPattern, PhonePattern}
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         |                 '$PhonePattern', '<PHONE>', 'g') AS redacted,
+         |  (len(regexp_extract_all(text, '$EmailPattern'))
+         |   + len(regexp_extract_all(text, '$PhonePattern')))::BIGINT AS n_redacted
+         |FROM documents""".stripMargin
+    },
+
+    // distinct-shingle overlap counts vs the held-out split; docs with
+    // no shingles or no overlap coalesce to 0 on both sides
+    "decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |), bench AS (
+         |  SELECT DISTINCT unnest(sh) AS s FROM sh
+         |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
+         |), d AS (
+         |  SELECT doc_id, sh FROM sh WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+         |), ov AS (
+         |  SELECT x.doc_id, count(*) AS overlap
+         |  FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
+         |  JOIN bench ON x.s = bench.s
+         |  GROUP BY x.doc_id
+         |)
+         |SELECT d.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_shingles,
+         |       coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
+         |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
 
     // deterministic hash priority + id tie-break: the kept SET per
     // source is identical cross-engine

@@ -154,6 +154,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L).fingerprint != byId(2L).fingerprint)
   }
 
+  test("pii redaction: emails and phones scrubbed to placeholders, counts audited") {
+    val docs = Seq(
+      (1L, "contact me at jane.doe+spam@example.co.uk or 555-867-5309 x12"),
+      (2L, "call 123 456 7890 then 987.654.3210 thanks"),
+      (3L, "clean text with no personal data at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == "contact me at <EMAIL> or <PHONE> x12")
+    assert(out(1L)._2 == 2L)
+    assert(out(2L)._1 == "call <PHONE> then <PHONE> thanks")
+    assert(out(2L)._2 == 2L)
+    assert(out(3L) == ("clean text with no personal data at all", 0L))
+  }
+
+  test("decontamination: benchmark-overlapping docs flagged with exact shingle counts") {
+    val bench = Seq((100L, "the capital of france is paris obviously")).toDF("doc_id", "text")
+    val docs = Seq(
+      // contains the benchmark 5-shingle run "capital of france is paris"
+      (1L, "quiz answer the capital of france is paris end"),
+      (2L, "unrelated text about distributed query planning today"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, bench, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // shared 3-shingles: "the capital of", "capital of france",
+    // "of france is", "france is paris" = 4
+    assert(out(1L) == (4L, true), s"got ${out(1L)}")
+    assert(out(2L) == (0L, false))
+    assert(out(3L) == (0L, false)) // sub-n docs can't overlap
+  }
+
   test("per-source cap: exactly k kept per big source, small sources whole, deterministic") {
     val docs = ((1L to 30L).map(i => (i, s"text $i", "big")) ++
       (31L to 33L).map(i => (i, s"text $i", "small")))
