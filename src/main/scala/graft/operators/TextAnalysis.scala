@@ -82,21 +82,23 @@ object TextAnalysis {
         nChars.cast("double")).as("digit_ratio"))
   }
 
-  /** Composite quality score in [0,1]: length saturation + alphabetic
-    * purity + stopword presence (the classic cheap pre-filter trio). */
-  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** Composite quality score in [0,1] as a Column: length saturation +
+    * alphabetic purity + stopword presence (the classic cheap
+    * pre-filter trio) — shared by the batch query and the streaming
+    * curation gate. */
+  def qualityExpr(t: Column): Column = {
     val toks = tokens(t)
     val nChars = length(t).cast("double")
     val nTokens = size(toks).cast("double")
     val alphaRatio = length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") / nChars
     val stopRatio = stopwordCount(toks, stopEn).cast("double") / nTokens
-    docs.select(
-      col(idCol),
-      round(least(lit(1.0), nTokens / 200.0) * 0.4 +
-        alphaRatio * 0.4 +
-        least(lit(0.2), stopRatio), 4).as("quality"))
+    round(least(lit(1.0), nTokens / 200.0) * 0.4 +
+      alphaRatio * 0.4 +
+      least(lit(0.2), stopRatio), 4)
   }
+
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), qualityExpr(col(textCol)).as("quality"))
 
   /** Token counting three ways: whitespace, word-regex, and a BPE-ish
     * chars/4 estimate (the standard budget heuristic). */

@@ -72,4 +72,31 @@ object StreamingPipelines {
       idCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Streaming curation at ingest — the streaming form of
+    * `PipelineOps.pipelineCurate`'s gate stages: quality floor and
+    * deterministic stratified mixture are STATELESS scan transforms
+    * (identical expressions to the batch pipeline, so a doc passes the
+    * stream gates iff it passes the batch gates), then exact dedup on
+    * the md5 text hash within the watermark horizon (state carries
+    * 16-byte hashes, evicted at the watermark — bounded by rate ×
+    * horizon, never corpus size). Near-dup PAIRING at ingest runs in
+    * `NearDupStream.minhashNearDups`/`simhashNearDups`; global near-dup
+    * CLUSTERING is a batch compaction job by design (connected
+    * components need the whole pair graph). */
+  def curateStream(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, langCol: String, watermark: String,
+      qualityMin: Double, ratesBp: Map[String, Int],
+      defaultBp: Int): DataFrame = {
+    import graft.operators.TextAnalysis
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col(textCol)))
+      .filter(col("quality") >= qualityMin)
+    val sampled = TextAnalysis.stratifiedSample(gated, langCol, idCol,
+      ratesBp, defaultBp)
+    dedupStream(
+      sampled.withColumn("text_hash", md5(col(textCol))),
+      tsCol, watermark, Seq("text_hash"))
+      .drop("text_hash")
+  }
 }
