@@ -124,6 +124,15 @@ object TextOps extends QueryPack {
   def textRedact(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.redactPii(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Encode every document as a JSON line and parse it back (FAILFAST):
+    * the identity oracle proves the JSONL codec round-trips the corpus
+    * byte-for-byte — escaping, unicode, nulls and all. */
+  def jsonlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.sources.JsonlCodec.decoded(
+      graft.sources.JsonlCodec.encoded(docs), "line", docs.schema)
+  }
+
   /** Decontamination split: doc_id % 20 == 7 plays the held-out
     * benchmark; the rest is the training corpus under scrub. Constants
     * shared with the generated oracle. */
@@ -156,6 +165,7 @@ object TextOps extends QueryPack {
     "per_source_cap" -> (perSourceCap _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
+    "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _)
@@ -241,6 +251,10 @@ object TextOps extends QueryPack {
          |   + len(regexp_extract_all(text, '$PhonePattern')))::BIGINT AS n_redacted
          |FROM documents""".stripMargin
     },
+
+    // identity oracle: encode->decode must reproduce the table exactly
+    "jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // distinct-shingle overlap counts vs the held-out split; docs with
     // no shingles or no overlap coalesce to 0 on both sides
