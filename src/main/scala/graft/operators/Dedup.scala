@@ -88,12 +88,20 @@ object Dedup {
     * `withSh`: (doc_id, sh). */
   private[operators] def lshVerifiedPairs(banded: DataFrame, withSh: DataFrame,
       maxBucketSize: Int, threshold: Double): DataFrame = {
-    // Cap pathological buckets before pair generation.
-    val bucketed = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_key"))))
-      .filter(col("bucket_n") <= maxBucketSize)
+    // Cap pathological buckets before pair generation. The count is a
+    // partial aggregation (map-side combine) — NOT a window count, which
+    // has no partial agg and ships every row of a degenerate bucket into
+    // ONE unsplittable task just to count-and-drop it (AQE cannot split a
+    // window partition; a boilerplate bucket at 100 TB is a guaranteed
+    // straggler). Oversized keys are a tiny set, so the anti-join
+    // broadcasts and the banded rows never re-shuffle on the skewed key.
+    val oversized = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_key"))
+    val bucketed = banded.join(
+      broadcast(oversized), Seq("band", "band_key"), "left_anti")
     val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
@@ -394,12 +402,17 @@ object Dedup {
     val t0 = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("blk"),
       shinglesFromText(col(textCol), shingleN).as("sh"))
-    val t = t0
-      .withColumn("blk_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("blk"))))
-      .filter(col("blk_n") <= maxBlockSize)
-      .drop("blk_n")
+    // Same skew-safe cap shape as lshVerifiedPairs: partial-agg count of
+    // block sizes (the count side prunes to just `blk` — shingles are
+    // never computed for it), then a broadcast anti-join against the tiny
+    // oversized-block set. A window count here would funnel a boilerplate
+    // prefix's millions of rows into one task.
+    val oversized = t0
+      .groupBy(col("blk"))
+      .agg(count(lit(1)).as("blk_n"))
+      .filter(col("blk_n") > maxBlockSize)
+      .select(col("blk"))
+    val t = t0.join(broadcast(oversized), Seq("blk"), "left_anti")
     val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, "blk")

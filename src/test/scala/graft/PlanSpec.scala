@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"LSH banding must make candidate generation an equi-join:\n$p")
+    // the bucket cap must be a partial-agg count + broadcast anti-join —
+    // a window count has no partial aggregation and AQE cannot split a
+    // window partition, so a degenerate boilerplate bucket would funnel
+    // ALL its rows into one task just to count-and-drop them
+    assert(!p.contains("windowspecdefinition"),
+      s"bucket cap must not ride a window count:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"oversized buckets must be dropped via an anti-join:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: block cap is partial-agg + anti-join, not a window count") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("windowspecdefinition"),
+      s"block cap must not ride a window count:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"oversized blocks must be dropped via an anti-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"block sizes must be map-side partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix blocking must make candidate generation an equi-join:\n$p")
   }
 
   test("range_join: binned equi-join, never a nested-loop inequality join") {
