@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew soak for the dedup bucket/block caps (VERDICT r06 "What's wrong 1").
+  *
+  * Synthesizes a degenerate corpus — one boilerplate prefix/bucket with
+  * 12000 members, 12x over the 1000 cap — and measures per-STAGE task
+  * skew: max task shuffle-read records / mean. The old
+  * `count().over(Window.partitionBy(...))` cap had no partial
+  * aggregation and AQE cannot split a window partition, so the whole
+  * degenerate block funneled into ONE task just to be counted and
+  * dropped — the control test reproduces that shape and proves the
+  * funnel (skew ratio ~25 at 32 shuffle partitions). The production cap
+  * (partial-agg count + broadcast anti-join, Dedup.scala) keeps every
+  * stage's skew bounded regardless of bucket degeneracy, while still
+  * finding the planted near-dup pair outside the degenerate block.
+  *
+  * Record counts, not wall-clock: per-task shuffle-read records are
+  * deterministic where timings on local[4] are noise. AQE partition
+  * coalescing is pinned OFF for these runs (at soak scale it merges the
+  * tiny shuffles into one task, which would mask per-key skew — on a
+  * real cluster the degenerate key exceeds the coalesce target and
+  * lands alone in its task regardless), and shuffle partitions are
+  * raised to 32 so a hash-distributed stage has a meaningful mean.
+  */
+class SkewSoakSpec extends SparkSpec {
+
+  private val Boiler = 12000 // one degenerate block, 12x the 1000 cap
+  private val CleanN = 3000
+
+  /** Degenerate corpus: `Boiler` docs sharing a 44-char boilerplate
+    * prefix (one prefix block — and shared-shingle LSH buckets — well
+    * over the cap) with unique md5 tails, plus `CleanN` distinct docs,
+    * plus one planted near-dup pair (J = 10/12) in a non-degenerate
+    * block. */
+  private def degenerateDocs = {
+    val s = spark
+    import s.implicits._
+    val prefix = "the quick brown fox jumps over the lazy dog " // 44 chars > prefixLen 40
+    val boiler = s.range(0, Boiler).select(col("id").as("doc_id"),
+      concat(lit(prefix), md5(col("id").cast("string")), lit(" "),
+        md5((col("id") + 1).cast("string"))).as("text"))
+    val clean = s.range(100000, 100000L + CleanN).select(col("id").as("doc_id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") * 7 + 1).cast("string")),
+        md5((col("id") * 13 + 2).cast("string")),
+        md5((col("id") * 31 + 3).cast("string"))).as("text"))
+    val dupBase = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val planted = Seq(
+      (900001L, dupBase + " nu"),
+      (900002L, dupBase + " xi")).toDF("doc_id", "text")
+    boiler.union(clean).union(planted)
+  }
+
+  private case class StageSkew(tasks: Int, total: Long, max: Long) {
+    def ratio: Double = if (tasks < 2 || total == 0) 1.0
+      else max.toDouble / (total.toDouble / tasks)
+  }
+
+  /** Runs `action` under soak confs (32 shuffle partitions, AQE coalesce
+    * off) with a task-metrics listener attached; returns (result,
+    * worst per-stage skew ratio over stages with >=2 tasks and >=1000
+    * shuffle-read records, max single-task shuffle read). Polls the
+    * async listener bus until metrics go quiet. */
+  private def measureSkew[T](action: => T): (T, Double, Long) = {
+    val conf = spark.conf
+    val oldParts = conf.get("spark.sql.shuffle.partitions")
+    val oldCoalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageSkew]()
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          stages.merge(te.stageId, StageSkew(1, r, r),
+            (a, b) => StageSkew(a.tasks + b.tasks, a.total + b.total,
+              math.max(a.max, b.max)))
+        }
+      }
+    }
+    conf.set("spark.sql.shuffle.partitions", "32")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = action
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      def snapshot(): Long = {
+        var s = 0L
+        stages.forEach((_, v) => s += v.total + v.tasks)
+        s
+      }
+      while (stable < 3 && waited < 100) {
+        Thread.sleep(100); waited += 1
+        val cur = snapshot()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      var worst = 1.0
+      var maxRead = 0L
+      stages.forEach { (_, v) =>
+        if (v.tasks >= 2 && v.total >= 1000) worst = math.max(worst, v.ratio)
+        maxRead = math.max(maxRead, v.max)
+      }
+      (out, worst, maxRead)
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      conf.set("spark.sql.shuffle.partitions", oldParts)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    }
+  }
+
+  /** The PRE-round-7 window-count cap, kept as an executable control: it
+    * must funnel the whole degenerate block into one task. If this test
+    * ever fails, Spark learned to split window partitions and the
+    * hazard class should be re-assessed. */
+  private def windowCapControl(docs: DataFrame): DataFrame = {
+    val t0 = docs.select(col("doc_id"),
+      substring(col("text"), 1, Dedup.NgramPrefixLen).as("blk"),
+      Dedup.shinglesFromText(col("text"), Dedup.NgramShingleN).as("sh"))
+    val t = t0
+      .withColumn("blk_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"))))
+      .filter(col("blk_n") <= Dedup.NgramMaxBlockSize)
+      .drop("blk_n")
+    val a = t.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = t.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= Dedup.NgramThreshold)
+  }
+
+  test("window-count control: degenerate block funnels into one straggler task") {
+    val (rows, worst, maxRead) = measureSkew {
+      windowCapControl(degenerateDocs).collect()
+    }
+    // semantics are fine either way — the planted pair is found
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((900001L, 900002L)))
+    // ... but one task read the ENTIRE degenerate block to count it
+    assert(maxRead >= Boiler,
+      s"control expected a >=$Boiler-record straggler task, saw max=$maxRead")
+    assert(worst >= 8.0,
+      f"control expected heavy stage skew, saw worst max/mean = $worst%.1f")
+    info(f"window control: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
+
+  test("production block cap: stage skew bounded under a degenerate block") {
+    val (rows, worst, maxRead) = measureSkew {
+      Dedup.blockedNgramJaccard(degenerateDocs, "doc_id", "text").collect()
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((900001L, 900002L)),
+      "planted near-dup pair must survive the cap rewrite")
+    assert(worst <= 4.0,
+      f"anti-join cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    assert(maxRead < Boiler,
+      s"no task may read the whole degenerate block: max=$maxRead")
+    info(f"production cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
+
+  test("production LSH bucket cap: stage skew bounded under degenerate buckets") {
+    val (rows, worst, maxRead) = measureSkew {
+      Dedup.minhashLsh(degenerateDocs, "doc_id", "text").collect()
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet.contains((900001L, 900002L)),
+      "planted near-dup pair must be found by LSH")
+    assert(worst <= 4.0,
+      f"bucket cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    info(f"production LSH cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
+}
