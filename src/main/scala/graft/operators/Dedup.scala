@@ -63,7 +63,7 @@ object Dedup {
     batch
       .select(md5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy(col("text_hash"))
-      .agg(min(col(idCol)).as("doc_id"))
+      .agg(min(col(idCol)).as(idCol))
       .join(seen.select(md5(col(textCol)).as("text_hash")),
         Seq("text_hash"), "left_anti")
 
@@ -352,11 +352,19 @@ object Dedup {
       pairs: DataFrame, maxIters: Int = 30,
       cacheResult: Boolean = true): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
+    // Edges whose target is not a seed vertex are dropped up front
+    // (one semi-join BEFORE the loop, not one per round): a
+    // caller-supplied pair source referencing ids outside `docs` would
+    // otherwise inject phantom doc_id rows into the output via the
+    // label union. Contract: pairs over unknown ids are ignored — two
+    // docs connected only THROUGH an unknown id do not merge.
     val edges = p
       .union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst"))
+      .join(docs.select(col(idCol).cast("long").as("dst")),
+        Seq("dst"), "left_semi")
       .persist() // re-read every round: never recompute the pair join
     // Overflow-proof monotone scalar; NULL (empty input) reads as zero.
     def labelSum(df: DataFrame): java.math.BigDecimal = {

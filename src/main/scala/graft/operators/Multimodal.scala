@@ -117,16 +117,35 @@ object Multimodal {
         c <- Iterator((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
       } yield c
 
-    /** Signed 16-bit little-endian PCM samples of a decoded WAV. */
+    /** Signed 16-bit little-endian mono PCM samples of a decoded WAV.
+      * The source stream is canonicalized to that format first — an
+      * 8/24-bit, big-endian, or unsigned WAV would otherwise decode
+      * without error into silently wrong samples. The JDK converts
+      * sample size/sign/endianness; what it cannot convert (e.g. stereo
+      * downmix) fails loudly instead of fingerprinting garbage. */
     private[operators] def pcmSamples(bytes: Array[Byte]): Array[Int] = {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val raw = in.readAllBytes()
-        Array.tabulate(raw.length / 2) { i =>
-          ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8))
-        }
-      } finally in.close()
+        val fmt = src.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate, 16, 1, true, false) // 16-bit signed LE mono
+        val in =
+          if (fmt.matches(target)) src
+          else try javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+          catch {
+            case e: IllegalArgumentException =>
+              throw new UnsupportedOperationException(
+                s"cannot canonicalize WAV ($fmt) to 16-bit LE mono — " +
+                  "downmix/resample before ingest", e)
+          }
+        try {
+          val raw = in.readAllBytes()
+          Array.tabulate(raw.length / 2) { i =>
+            ((raw(2 * i) & 0xff) | (raw(2 * i + 1).toInt << 8))
+          }
+        } finally in.close()
+      } finally src.close()
     }
 
     override def decode(a: MediaAsset): MediaFeatures = a.kind match {

@@ -152,12 +152,16 @@ object TextAnalysis {
     * projection: no shuffle, no row amplification. */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    // replacement is sequential (emails first), so the phone count runs
+    // over the email-redacted string — n_redacted is exactly the number
+    // of placeholders substituted, even when an email contains a
+    // phone-shaped substring (the oracle mirrors the same order)
+    val emailRedacted = regexp_replace(t, EmailPattern, "<EMAIL>")
     docs.select(
       col(idCol),
-      regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>").as("redacted"),
+      regexp_replace(emailRedacted, PhonePattern, "<PHONE>").as("redacted"),
       (regexp_count(t, lit(EmailPattern)) +
-        regexp_count(t, lit(PhonePattern))).cast("long").as("n_redacted"))
+        regexp_count(emailRedacted, lit(PhonePattern))).cast("long").as("n_redacted"))
   }
 
   /** Benchmark decontamination — flag training docs sharing word

@@ -248,7 +248,9 @@ object TextOps extends QueryPack {
          |  regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
          |                 '$PhonePattern', '<PHONE>', 'g') AS redacted,
          |  (len(regexp_extract_all(text, '$EmailPattern'))
-         |   + len(regexp_extract_all(text, '$PhonePattern')))::BIGINT AS n_redacted
+         |   + len(regexp_extract_all(
+         |       regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+         |       '$PhonePattern')))::BIGINT AS n_redacted
          |FROM documents""".stripMargin
     },
 

@@ -187,8 +187,19 @@ object NearDupStream {
         }
       }
       stored ::= StoredMinhashDoc(d.docId, d.ts.getTime, d.bandKeys, d.sh)
+      // Newest-first list: cap overflow drops the oldest. Interaction
+      // with the min-band exactly-once rule (documented recall bound):
+      // if THIS bucket is a pair's minimum matching band and evicts the
+      // earlier doc, higher-band buckets still co-holding the pair
+      // suppress it (their band != min) — eviction cannot be observed
+      // across buckets, so the pair is missed, not emitted twice. That
+      // only happens when the min-band bucket is degenerate (> cap),
+      // where the batch twin drops the WHOLE bucket: streaming recall
+      // under cap pressure is bounded below by batch-with-dropped-
+      // bucket recall minus pairs whose other shared bands are under
+      // cap. Never a duplicate emission either way.
       if (stored.length > maxBucketSize)
-        stored = stored.take(maxBucketSize) // newest-first list: drop oldest
+        stored = stored.take(maxBucketSize)
     }
     if (stored.isEmpty) state.remove()
     else {
@@ -205,7 +216,12 @@ object NearDupStream {
     * identical to batch `Dedup.minhashLsh` on the same in-horizon doc
     * set (NearDupStreamSpec pins the parity). Two documents pair only
     * if the earlier is still within the watermark horizon when the
-    * later arrives — the documented streaming bound. */
+    * later arrives — the documented streaming bound. Second documented
+    * bound: when a pair's MINIMUM matching band lands in a bucket that
+    * overflowed `maxBucketSize` and evicted the earlier doc, the pair
+    * is dropped even if other bands still co-hold it (see
+    * processMinhash) — matching the spirit of the batch cap, which
+    * drops oversized buckets whole. */
   def minhashNearDups(
       docs: DataFrame,
       idCol: String,

@@ -181,6 +181,25 @@ class DedupSpec extends SparkSpec {
       "one-shot clustering runs must not accumulate session-lifetime cached tables")
   }
 
+  test("incrementalExact propagates the caller's id column name") {
+    val batch = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("my_id", "text")
+    val seen = Seq((1L, "bbb")).toDF("my_id", "text")
+    val out = Dedup.incrementalExact(batch, seen, "my_id", "text")
+    assert(out.columns.contains("my_id"))
+    assert(out.select("my_id").as[Long].collect().toSet == Set(10L))
+  }
+
+  test("nearDupClustersFromPairs ignores pairs over ids outside docs (no phantoms)") {
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    // 999 is unknown; 1-999 and 999-2 must not create a phantom row,
+    // and 1 and 2 must NOT merge through the unknown vertex
+    val pairs = Seq((1L, 999L), (999L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClustersFromPairs(d, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"phantom ids in ${out.keySet}")
+    assert(out(1L) == (1L, true) && out(2L) == (2L, true) && out(3L) == (3L, true))
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)

@@ -255,4 +255,43 @@ class TextAnalysisSpec extends SparkSpec {
       Multimodal.RealDecoder.decode(wav.copy(kind = "video"))
     }
   }
+
+  test("redactPii: a phone-shaped substring inside an email counts once") {
+    val docs = Seq(
+      (1L, "contact 555-123-4567@example.com now"),
+      (2L, "call 555-123-4567 or mail a@b.co")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the email swallow the phone-shaped local part: ONE substitution,
+    // and n_redacted must agree with the placeholder count
+    assert(out(1L) == ("contact <EMAIL> now", 1L))
+    assert(out(2L) == ("call <PHONE> or mail <EMAIL>", 2L))
+  }
+
+  test("WAV canonicalization: big-endian PCM decodes to the same samples") {
+    val samples = Array.tabulate(64)(i => ((9L * 31 + i * 7) % 65536 - 32768).toShort)
+    def wavBytes(bigEndian: Boolean): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val (lo, hi) = ((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+        if (bigEndian) { raw(2 * i) = hi; raw(2 * i + 1) = lo }
+        else { raw(2 * i) = lo; raw(2 * i + 1) = hi }
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, bigEndian)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, samples.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val le = Multimodal.RealDecoder.decode(
+      Multimodal.MediaAsset(1L, "audio", wavBytes(bigEndian = false),
+        Multimodal.MediaMeta(0, 0, 16000, 4L)))
+    val be = Multimodal.RealDecoder.decode(
+      Multimodal.MediaAsset(2L, "audio", wavBytes(bigEndian = true),
+        Multimodal.MediaMeta(0, 0, 16000, 4L)))
+    assert(le.fingerprint == be.fingerprint,
+      "big-endian WAV must canonicalize to the same 16-bit LE samples")
+  }
 }
