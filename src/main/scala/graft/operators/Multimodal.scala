@@ -188,12 +188,59 @@ object Multimodal {
             .toDouble / (hi - lo) / 32768.0).toFloat
         }
         MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, fp, emb)
+      case "video" =>
+        // animated GIF is the one video-like container the JVM can
+        // decode natively; anything else (mp4/webm/...) still needs the
+        // ffmpeg/JNI worker at this seam and fails loudly, never fakes
+        val frames =
+          try gifFrames(a.bytes)
+          catch {
+            case e: Exception => throw new UnsupportedOperationException(
+              s"video asset ${a.asset_id} is not an animated GIF — " +
+                "plug an ffmpeg/JNI decoder at this seam for real containers", e)
+          }
+        val fp = rollingFold(frames.iterator.flatMap(channels))
+        // embedding: mean brightness over 8 even temporal chunks
+        val bright = frames.map { f =>
+          var s = 0L
+          var y = 0
+          while (y < f.getHeight) {
+            var x = 0
+            while (x < f.getWidth) {
+              val rgb = f.getRGB(x, y)
+              s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          s.toDouble / (3.0 * f.getWidth * f.getHeight) / 255.0
+        }
+        val emb = Array.tabulate(8) { c =>
+          val lo = bright.length * c / 8
+          val hi = bright.length * (c + 1) / 8
+          if (hi == lo) 0f else (bright.slice(lo, hi).sum / (hi - lo)).toFloat
+        }
+        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, fp, emb)
       case other =>
-        // ffmpeg/JNI seam: a container-less pure-JVM video codec does
-        // not exist; plug a worker here, never a fake
         throw new UnsupportedOperationException(
           s"no pure-JVM codec for kind '$other' (asset ${a.asset_id}); " +
             "plug an ffmpeg/JNI decoder at this seam")
+    }
+
+    /** All frames of an animated GIF, decoded raw (full frames as
+      * written — the synthesis writes no partial/disposal frames). */
+    private[operators] def gifFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+      val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      require(readers.hasNext, "no GIF reader registered")
+      val reader = readers.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        require(n > 0, "bytes are not a decodable GIF")
+        (0 until n).map(reader.read(_))
+      } finally { reader.dispose(); iis.close() }
     }
   }
 
@@ -283,6 +330,142 @@ object Multimodal {
       val img = RealDecoder.readImage(a.bytes)
       DecodedImage(a.asset_id, img.getWidth, img.getHeight,
         rollingFold(RealDecoder.channels(img)))
+    })
+  }
+
+  // Synthesized-animated-GIF formula, shared with the
+  // multimodal_frames_decode DuckDB oracle (TextOps interpolates these
+  // constants): frame `f` of asset `id` is a WxH 256-gray indexed image
+  // with pixel value
+  //   v = (id*7 + x*5 + y*11 + f*17) % 256        (gray: r = g = b = v)
+  // where W = 4 + id % 11, H = 3 + id % 5, frames = 2 + id % 4, and
+  // each frame lasts 100 ms. Grayscale-indexed on purpose: GIF is
+  // palette-based, so an exact 256-entry gray palette round-trips
+  // bit-exactly where arbitrary RGB would be quantizer-dependent.
+  val GifWBase = 4; val GifWMod = 11
+  val GifHBase = 3; val GifHMod = 5
+  val GifFBase = 2; val GifFMod = 4
+  val GifMsPerFrame = 100L
+  val GifPixMul = (7L, 5L, 11L, 17L) // id, x, y, frame multipliers
+
+  final case class DecodedFrame(asset_id: Long, n_frames: Int,
+      duration_ms: Long, frame_idx: Int, offset_ms: Long, sampled_frame: Int,
+      width: Int, height: Int, pixel_hash: Long)
+
+  private def gifPixel(id: Long, x: Int, y: Int, f: Int): Int =
+    ((id * GifPixMul._1 + x * GifPixMul._2 + y * GifPixMul._3 +
+      f * GifPixMul._4) % 256).toInt
+
+  /** Multi-frame GIF encode via ImageIO's sequence writer, with a
+    * GraphicControlExtension per frame (delay = GifMsPerFrame). */
+  private[operators] def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer registered")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        // new ImageTypeSpecifier(img), NOT createFromRenderedImage: the
+        // factory dispatches BufferedImage types to a GENERIC specifier
+        // whose indexed palette is the web-safe default, silently
+        // quantizing our gray palette; the constructor keeps the
+        // image's actual IndexColorModel so the round-trip is exact
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        // the writer interlaces by default, and the JDK codec garbles
+        // interlaced images under 5 rows tall (rows past the first
+        // pass decode as palette entry 0) — plain scan order is exact
+        // at every size
+        val desc = root.getElementsByTagName("ImageDescriptor")
+        if (desc.getLength > 0)
+          desc.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .setAttribute("interlaceFlag", "FALSE")
+        val gce = {
+          val nodes = root.getElementsByTagName("GraphicControlExtension")
+          if (nodes.getLength > 0)
+            nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+            root.appendChild(n); n
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", (GifMsPerFrame / 10).toString)
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Deterministic synthesized animated-GIF "video" assets for the
+    * docs the fixture maps to videos (doc_id % 3 == 2) — real
+    * `ImageIO` GIF sequence bytes, frames from the shared formula.
+    * Runs on executors; the encode is part of the plumbing under test. */
+  def syntheticGifAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val gray = Array.tabulate(256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+        ids.map { id =>
+          val w = (GifWBase + id % GifWMod).toInt
+          val h = (GifHBase + id % GifHMod).toInt
+          val nf = (GifFBase + id % GifFMod).toInt
+          val frames = (0 until nf).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster.setSample(x, y, 0, gifPixel(id, x, y, f))
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          MediaAsset(id, "video", encodeGif(frames),
+            MediaMeta(w, h, 0, nf * GifMsPerFrame))
+        }
+      }
+  }
+
+  /** Decode video (animated-GIF) assets and emit the frames the
+    * frame-sample plan selects: `samples` evenly spaced offsets across
+    * the clip, each hashed over its genuinely DECODED pixels — the
+    * query surface multimodal_frames_decode gates against arithmetic
+    * the oracle recomputes. Each asset decodes ONCE and emits all its
+    * sample rows (the plan-side alternative — explode frameOffsetsMs
+    * first, decode per row — would replicate the blob per sample row
+    * and decode it `samples` times); offsets use the same truncating
+    * division as [[frameOffsetsMs]], spec-pinned parity. */
+  def decodeVideoFrames(spark: SparkSession, assets: Dataset[MediaAsset],
+      samples: Int = FrameSamples): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val frames = RealDecoder.gifFrames(a.bytes)
+      val n = frames.length
+      val durationMs = n * GifMsPerFrame
+      (0 until samples).map { i =>
+        val offset = i * durationMs / samples
+        val sf = math.min(n - 1, (offset / GifMsPerFrame).toInt)
+        val img = frames(sf)
+        DecodedFrame(a.asset_id, n, durationMs, i, offset, sf,
+          img.getWidth, img.getHeight, rollingFold(RealDecoder.channels(img)))
+      }
     })
   }
 

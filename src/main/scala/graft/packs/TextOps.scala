@@ -73,6 +73,18 @@ object TextOps extends QueryPack {
         col("rs.target_height").as("target_height"))
   }
 
+  /** Synthesized animated GIFs decoded through the GENUINE multi-frame
+    * `ImageIO` reader: the frame-sample plan's offsets select real
+    * decoded frames, and each row's pixel hash matches the oracle's
+    * pure-arithmetic expectation only if the GIF decode inverted the
+    * encode frame-for-frame. */
+  def multimodalFramesDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.decodeVideoFrames(spark,
+        Multimodal.syntheticGifAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
   // Mixture rates for the stratified-sample query, in basis points —
   // shared between the Spark query and its generated oracle SQL
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
@@ -168,7 +180,8 @@ object TextOps extends QueryPack {
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_decode" -> (multimodalDecode _)
+    "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_frames_decode" -> (multimodalFramesDecode _)
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -404,6 +417,43 @@ object TextOps extends QueryPack {
          |       CAST(round($W * least(1.0, $ResizeMaxEdge.0 / CAST(greatest($W, $H) AS DOUBLE))) AS INT) AS target_width,
          |       CAST(round($H * least(1.0, $ResizeMaxEdge.0 / CAST(greatest($W, $H) AS DOUBLE))) AS INT) AS target_height
          |FROM vids CROSS JOIN generate_series(0, ${FrameSamples - 1}) AS t(i)""".stripMargin
+    },
+
+    // animated-GIF frame decode: dims/frame-count/offsets and every
+    // sampled frame's pixel hash recomputed from the shared synthesis
+    // formula (Multimodal.Gif*) — the Spark side hashes pixels from a
+    // genuine multi-frame ImageIO decode of real GIF bytes, so values
+    // match only if the codec round-trip is exact per frame. Offsets
+    // mirror frameOffsetsMs's truncating division; gray pixel v
+    // contributes (v,v,v), row-major, first channel seeds the fold.
+    "multimodal_frames_decode" -> {
+      import Multimodal.{FrameSamples, GifFBase, GifFMod, GifHBase, GifHMod,
+        GifMsPerFrame, GifPixMul, GifWBase, GifWMod}
+      val v = s"CAST((asset_id*${GifPixMul._1} + (p % width)*${GifPixMul._2}" +
+        s" + (p // width)*${GifPixMul._3} + sampled_frame*${GifPixMul._4}) % 256 AS BIGINT)"
+      s"""WITH vids AS (
+         |  SELECT doc_id AS asset_id,
+         |         CAST($GifWBase + doc_id % $GifWMod AS INT) AS width,
+         |         CAST($GifHBase + doc_id % $GifHMod AS INT) AS height,
+         |         CAST($GifFBase + doc_id % $GifFMod AS INT) AS n_frames
+         |  FROM documents WHERE doc_id % 3 = 2
+         |), fr AS (
+         |  SELECT asset_id, n_frames, width, height,
+         |         CAST(n_frames * $GifMsPerFrame AS BIGINT) AS duration_ms,
+         |         CAST(i AS INT) AS frame_idx,
+         |         CAST(floor((i * n_frames * $GifMsPerFrame) / $FrameSamples.0) AS BIGINT) AS offset_ms
+         |  FROM vids CROSS JOIN generate_series(0, ${FrameSamples - 1}) AS t(i)
+         |), sampled AS (
+         |  SELECT *, CAST(least(n_frames - 1, offset_ms // $GifMsPerFrame) AS INT) AS sampled_frame
+         |  FROM fr
+         |)
+         |SELECT asset_id, n_frames, duration_ms, frame_idx, offset_ms,
+         |  sampled_frame, width, height,
+         |  list_reduce(
+         |    flatten(list_transform(generate_series(0, width * height - 1),
+         |      p -> [$v, $v, $v])),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
+         |FROM sampled""".stripMargin
     }
   )
 }

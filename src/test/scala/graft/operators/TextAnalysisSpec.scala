@@ -256,6 +256,60 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("real decode: multi-frame GIF round-trips the synthesized frames exactly") {
+    import Multimodal._
+    // ids ≡ 2 (mod 3) exercise 1..4 distinct frame counts
+    val docs = Seq((2L, "a"), (5L, "b"), (17L, "c"), (38L, "d")).toDF("doc_id", "text")
+    val rows = Multimodal.decodeVideoFrames(spark,
+      Multimodal.syntheticGifAssets(spark, docs)).collect()
+    assert(rows.map(_.asset_id).toSet == Set(2L, 5L, 17L, 38L))
+    assert(rows.length == 4 * FrameSamples)
+    rows.foreach { r =>
+      val id = r.asset_id
+      assert(r.width == (GifWBase + id % GifWMod).toInt &&
+        r.height == (GifHBase + id % GifHMod).toInt &&
+        r.n_frames == (GifFBase + id % GifFMod).toInt)
+      assert(r.duration_ms == r.n_frames * GifMsPerFrame)
+      assert(r.offset_ms == r.frame_idx * r.duration_ms / FrameSamples)
+      assert(r.sampled_frame ==
+        math.min(r.n_frames - 1, (r.offset_ms / GifMsPerFrame).toInt))
+      // hash recomputed from the pixel formula, independent of ImageIO
+      var h = -1L
+      for (y <- 0 until r.height; x <- 0 until r.width; _ <- 0 until 3) {
+        val c = (id * GifPixMul._1 + x * GifPixMul._2 + y * GifPixMul._3 +
+          r.sampled_frame * GifPixMul._4) % 256
+        h = if (h < 0) c else (31 * h + c) % 1000000007L
+      }
+      assert(r.pixel_hash == h,
+        s"asset $id frame ${r.sampled_frame}: GIF decode did not invert the encode")
+    }
+  }
+
+  test("decodeVideoFrames offsets match the declarative frameOffsetsMs plan") {
+    val durations = Seq((1L, 200L), (2L, 300L), (3L, 500L)).toDF("id", "duration_ms")
+    val planned = durations.select(col("id"),
+        posexplode(Multimodal.frameOffsetsMs(col("duration_ms"),
+          Multimodal.FrameSamples)))
+      .select(col("id"), col("pos"), col("col"))
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, i, off) => (id, i) -> off }.toMap
+    durations.as[(Long, Long)].collect().foreach { case (id, dur) =>
+      (0 until Multimodal.FrameSamples).foreach { i =>
+        assert(planned((id, i)) == i * dur / Multimodal.FrameSamples,
+          "seam arithmetic must equal the frameOffsetsMs column")
+      }
+    }
+  }
+
+  test("RealDecoder features for a synthesized GIF video asset") {
+    val docs = Seq((11L, "v")).toDF("doc_id", "text")
+    val asset = Multimodal.syntheticGifAssets(spark, docs).collect().head
+    val feats = Multimodal.RealDecoder.decode(asset)
+    assert(feats.kind == "video" && feats.n_bytes == asset.bytes.length.toLong)
+    assert(feats.embedding.length == 8 &&
+      feats.embedding.forall(v => v >= 0f && v <= 1f))
+  }
+
   test("redactPii: a phone-shaped substring inside an email counts once") {
     val docs = Seq(
       (1L, "contact 555-123-4567@example.com now"),
