@@ -87,26 +87,42 @@ object Dedup {
     * production path runs. `banded`: (doc_id, band, band_key);
     * `withSh`: (doc_id, sh). */
   private[operators] def lshVerifiedPairs(banded: DataFrame, withSh: DataFrame,
+      maxBucketSize: Int, threshold: Double): DataFrame =
+    lshVerifiedPairsFrom(banded, banded, withSh, maxBucketSize, threshold)
+
+  /** Probe form of the LSH tail: candidates are (probe × all) bucket
+    * co-residents — the self-dedup case passes the same table twice;
+    * the incremental case probes a new batch's bands against the
+    * full-corpus view without ever self-joining the corpus. Pairs are
+    * canonicalized (least, greatest) before the distinct, so a
+    * batch-internal pair reached from both endpoints emits once.
+    * `withSh` must cover every doc reachable from either side. */
+  private[operators] def lshVerifiedPairsFrom(probeBanded: DataFrame,
+      allBanded: DataFrame, withSh: DataFrame,
       maxBucketSize: Int, threshold: Double): DataFrame = {
-    // Cap pathological buckets before pair generation. The count is a
-    // partial aggregation (map-side combine) — NOT a window count, which
-    // has no partial agg and ships every row of a degenerate bucket into
-    // ONE unsplittable task just to count-and-drop it (AQE cannot split a
-    // window partition; a boilerplate bucket at 100 TB is a guaranteed
-    // straggler). Oversized keys are a tiny set, so the anti-join
-    // broadcasts and the banded rows never re-shuffle on the skewed key.
-    val oversized = banded
+    // Cap pathological buckets before pair generation — bucket size is
+    // counted over the FULL corpus view, matching the self-dedup
+    // semantics. The count is a partial aggregation (map-side combine)
+    // — NOT a window count, which has no partial agg and ships every
+    // row of a degenerate bucket into ONE unsplittable task just to
+    // count-and-drop it (AQE cannot split a window partition; a
+    // boilerplate bucket at 100 TB is a guaranteed straggler).
+    // Oversized keys are a tiny set, so the anti-join broadcasts and
+    // the banded rows never re-shuffle on the skewed key.
+    val oversized = allBanded
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
       .select(col("band"), col("band_key"))
-    val bucketed = banded.join(
-      broadcast(oversized), Seq("band", "band_key"), "left_anti")
-    val a = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val b = bucketed.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
+    val a = probeBanded.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
+      .select(col("band"), col("band_key"), col("doc_id").as("probe_id"))
+    val b = allBanded.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
+      .select(col("band"), col("band_key"), col("doc_id").as("other_id"))
     val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .filter(col("probe_id") =!= col("other_id"))
+      .select(least(col("probe_id"), col("other_id")).as("doc_a"),
+        greatest(col("probe_id"), col("other_id")).as("doc_b"))
+      .distinct()
     val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
@@ -206,15 +222,28 @@ object Dedup {
     * hashing shingles with salt prefix "i#". Same banding → bucket cap
     * → candidate join → exact-Jaccard verification as the production
     * path; only the hash family differs. */
+  /** (doc_id, sh) shingle table — the shared head of every LSH path. */
+  private[operators] def withShOf(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        shinglesFromText(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   def minhashLshMd5(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
       rows: Int = Md5TwinRows, threshold: Double = NgramThreshold,
       maxBucketSize: Int = NgramMaxBlockSize): DataFrame = {
+    val withSh = withShOf(docs, idCol, textCol, shingleN)
+    lshVerifiedPairs(md5BandedFrom(withSh, bands, rows), withSh,
+      maxBucketSize, threshold)
+  }
+
+  /** (doc_id, band, band_key) md5-twin band table of a shingled corpus
+    * — the persisted artifact an incremental pipeline maintains. */
+  private[operators] def md5BandedFrom(withSh: DataFrame,
+      bands: Int = Md5TwinBands, rows: Int = Md5TwinRows): DataFrame = {
     val k = bands * rows
-    val withSh = docs
-      .select(col(idCol).as("doc_id"),
-        shinglesFromText(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
     // k per-shingle hashes as codegen'd projections after an explode,
     // folded by min-aggregates (map-side combine) — NOT a per-row
     // transform() lambda, which would run through the higher-order
@@ -229,7 +258,7 @@ object Dedup {
     // saturates every core — there the repartition would be a full
     // shuffle of exploded shingle rows that buys nothing, so it is
     // skipped (input partitions >= default parallelism).
-    val spark = docs.sparkSession
+    val spark = withSh.sparkSession
     val fanOut = withSh.rdd.getNumPartitions <
       spark.sparkContext.defaultParallelism
     val spread = if (fanOut) withSh.repartition(col("doc_id")) else withSh
@@ -249,10 +278,57 @@ object Dedup {
         concat_ws(",", (0 until rows).map(r => col(s"sig${b * rows + r}")): _*)
           .as("band_key"))
     }
-    val banded = sigged
+    sigged
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    lshVerifiedPairs(banded, withSh, maxBucketSize, threshold)
+  }
+
+  /** Incremental (batch-merge) MinHash near-dup — what a continuously
+    * fed corpus actually runs: a NEW batch's bands probed against the
+    * full-corpus view (seen ∪ batch), WITHOUT self-joining the corpus.
+    * Emits every verified pair touching the batch — (seen, new) pairs
+    * once from the probe side, batch-internal pairs once via the
+    * canonicalized distinct — and never a (seen, seen) pair: the
+    * already-deduped corpus is not re-paired. Equivalent to filtering
+    * the full self-dedup's output to pairs touching the batch (that
+    * equivalence is the oracle gate), at the cost of |batch| probes
+    * instead of a corpus-wide self-join.
+    *
+    * At 100 TB the seen side is the PERSISTED band table (16-byte keys
+    * + ids, maintained incrementally — the md5 twin of it is
+    * [[md5BandedFrom]]'s output) and the seen shingle table backs only
+    * the verification join for candidate ids; this convenience form
+    * recomputes both from the raw corpus. xxhash64 production twin:
+    * [[incrementalMinhashLsh]]. */
+  def incrementalMinhashLshMd5(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
+      rows: Int = Md5TwinRows, threshold: Double = NgramThreshold,
+      maxBucketSize: Int = NgramMaxBlockSize): DataFrame = {
+    val shNew = withShOf(batch, idCol, textCol, shingleN)
+    val shSeen = withShOf(seen, idCol, textCol, shingleN)
+    val bandedNew = md5BandedFrom(shNew, bands, rows)
+    val bandedAll = bandedNew.union(md5BandedFrom(shSeen, bands, rows))
+    lshVerifiedPairsFrom(bandedNew, bandedAll, shNew.union(shSeen),
+      maxBucketSize, threshold)
+  }
+
+  /** Production-hash (xxhash64 [[graft.functions.MinhashBands]]) twin of
+    * [[incrementalMinhashLshMd5]] — same probe topology, engine-native
+    * signatures. */
+  def incrementalMinhashLsh(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    def banded(withSh: DataFrame) = withSh.select(
+        col("doc_id"),
+        posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val shNew = withShOf(batch, idCol, textCol, shingleN)
+    val shSeen = withShOf(seen, idCol, textCol, shingleN)
+    val bandedNew = banded(shNew)
+    lshVerifiedPairsFrom(bandedNew, bandedNew.union(banded(shSeen)),
+      shNew.union(shSeen), maxBucketSize, threshold)
   }
 
   /** SimHash near-dup pairs with a 60-bit md5-derived fingerprint

@@ -62,9 +62,23 @@ object DedupOps extends QueryPack {
       "doc_id", "text")
   }
 
+  /** Ingest-time NEAR-dup gate (md5 twin): the batch-merge MinHash form
+    * — the new batch's bands probed against the corpus view. The oracle
+    * is the full self-dedup pair oracle filtered to pairs touching the
+    * batch: the probe topology must emit exactly that set. */
+  def dedupIncrementalMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalMinhashLshMd5(
+      docs.filter(col("doc_id") % IncrementalBatchMod === 0),
+      docs.filter(col("doc_id") % IncrementalBatchMod =!= 0),
+      "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -251,6 +265,16 @@ object DedupOps extends QueryPack {
          |  SELECT 1 FROM documents s
          |  WHERE s.doc_id % $IncrementalBatchMod <> 0
          |    AND md5(s.text) = f.text_hash)""".stripMargin,
+
+    // incremental probe ≡ full self-dedup restricted to pairs touching
+    // the batch — the same generated pair CTEs, one extra predicate
+    "dedup_incremental_minhash" ->
+      s"""WITH ${minhashMd5PairCtesFrom("documents")}
+         |SELECT doc_a, doc_b, round(jac, 4) AS jac
+         |FROM pairs
+         |WHERE jac >= ${Dedup.NgramThreshold}
+         |  AND (doc_a % $IncrementalBatchMod = 0
+         |       OR doc_b % $IncrementalBatchMod = 0)""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,

@@ -181,6 +181,38 @@ class DedupSpec extends SparkSpec {
       "one-shot clustering runs must not accumulate session-lifetime cached tables")
   }
 
+  test("incremental minhash: seen near-dups caught, batch pairs once, corpus never re-paired") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val seen = Seq(
+      (1L, base + " nu"),                       // near-dup of batch doc 20
+      (2L, base + " xi"),                       // near-dup of 1 — but (1,2) is seen-seen
+      (3L, "entirely unrelated corpus document about catalyst physical planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, base + " omicron"),                 // near-dup of SEEN 1 and 2
+      (21L, "fresh batch document with its own words about shuffle partitioning"),
+      (22L, "fresh batch document with its own words about shuffle plans")  // near-dup of 21
+    ).toDF("doc_id", "text")
+    val prod = Dedup.incrementalMinhashLsh(batch, seen, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val pairs = prod.map(p => (p._1, p._2))
+    assert(pairs.toSet == pairs.toList.toSet.toSet && pairs.length == pairs.toSet.size,
+      s"pairs must emit exactly once, got ${pairs.toList}")
+    assert(pairs.contains((1L, 20L)) && pairs.contains((2L, 20L)),
+      s"planted near-dup of a SEEN doc must be caught: ${pairs.toList}")
+    assert(pairs.contains((21L, 22L)),
+      s"batch-internal near-dup must be caught: ${pairs.toList}")
+    assert(!pairs.contains((1L, 2L)),
+      "seen-seen pairs must never re-emit from an incremental probe")
+    // md5 twin runs the same topology
+    val twin = Dedup.incrementalMinhashLshMd5(batch, seen, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(twin.contains((1L, 20L)) && twin.contains((21L, 22L)) &&
+      !twin.contains((1L, 2L)))
+  }
+
   test("incrementalExact propagates the caller's id column name") {
     val batch = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("my_id", "text")
     val seen = Seq((1L, "bbb")).toDF("my_id", "text")
