@@ -210,6 +210,96 @@ object NearDupStream {
     out.result().iterator
   }
 
+  // ---- drop-verdict form (curation-at-ingest) ----------------------
+  //
+  // Same banding/state topology as minhashNearDups, but instead of
+  // emitting PAIRS it emits one verdict row per (doc, band): `dropped`
+  // is true when the bucket holds an earlier in-horizon doc whose exact
+  // shingle Jaccard clears the threshold. The min-band exactly-once
+  // machinery is unnecessary here — verdicts are collapsed per doc with
+  // a bool-or by the micro-batch consumer (all of a doc's band rows
+  // ride the SAME trigger, so the collapse is a plain batch groupBy in
+  // foreachBatch, not a second stateful operator). Dropped docs still
+  // enter state: a third doc near-duping an already-dropped one must
+  // also drop — the streaming analog of transitive clustering, where
+  // only the cluster's first arrival survives.
+
+  final case class CurateDoc(docId: Long, ts: java.sql.Timestamp,
+      lang: String, text: String, sh: Seq[String], band: Int, bandKey: Long)
+  final case class CurateVerdict(doc_id: Long, ts: java.sql.Timestamp,
+      lang: String, text: String, dropped: Boolean)
+
+  private def processCurate(threshold: Double, maxBucketSize: Int)(
+      key: (Int, Long),
+      rows: Iterator[CurateDoc],
+      state: GroupState[List[StoredMinhashDoc]]): Iterator[CurateVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val wm = state.getCurrentWatermarkMs()
+    var stored = state.getOption.getOrElse(Nil).filter(_.tsMs >= wm)
+    val out = List.newBuilder[CurateVerdict]
+    // deterministic arrival order: the later of an in-batch pair drops
+    rows.toArray.sortBy(d => (d.ts.getTime, d.docId)).foreach { d =>
+      val matched = stored.exists(s => s.docId != d.docId &&
+        jaccardDistinct(s.sh, d.sh) >= threshold)
+      out += CurateVerdict(d.docId, d.ts, d.lang, d.text, matched)
+      stored ::= StoredMinhashDoc(d.docId, d.ts.getTime, Nil, d.sh)
+      if (stored.length > maxBucketSize) stored = stored.take(maxBucketSize)
+    }
+    if (stored.isEmpty) state.remove()
+    else {
+      state.update(stored)
+      state.setTimeoutTimestamp(stored.map(_.tsMs).max + 1)
+    }
+    out.result().iterator
+  }
+
+  /** Per-band drop verdicts for curation-at-ingest: one row per (doc,
+    * band) with `dropped` = an earlier in-horizon near-dup shares the
+    * bucket. Docs too short to shingle bypass the stateful stage with
+    * an always-keep verdict (they cannot pair — the batch pipeline
+    * keeps them too). Collapse per doc with
+    * [[StreamingPipelines.collapseCurated]] inside foreachBatch. */
+  def minhashDropVerdicts(
+      docs: DataFrame,
+      idCol: String,
+      tsCol: String,
+      textCol: String,
+      langCol: String,
+      watermark: String = "60 seconds",
+      shingleN: Int = 3,
+      bands: Int = 8,
+      rows: Int = 4,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): Dataset[CurateVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull &&
+        col(textCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(idCol).cast("long").as("docId"),
+        col(tsCol).as("ts"),
+        col(langCol).cast("string").as("lang"),
+        col(textCol).as("text"),
+        WordShingles(col(textCol), shingleN).as("sh"))
+    val shingled = base.filter(size(col("sh")) > 0)
+      .withColumn("bandKeys", MinhashBands(col("sh"), bands, rows))
+      .select(col("docId"), col("ts"), col("lang"), col("text"), col("sh"),
+        posexplode(col("bandKeys")))
+      .select(col("docId"), col("ts"), col("lang"), col("text"), col("sh"),
+        col("pos").cast("int").as("band"), col("col").as("bandKey"))
+      .as[CurateDoc]
+      .groupByKey(d => (d.band, d.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processCurate(threshold, maxBucketSize))
+    val shortDocs = base.filter(size(col("sh")) === 0)
+      .select(col("docId").as("doc_id"), col("ts"), col("lang"), col("text"),
+        lit(false).as("dropped"))
+      .as[CurateVerdict]
+    shingled.union(shortDocs)
+  }
+
   /** Streaming MinHash-LSH near-dup pairs: `docs` must carry (idCol:
     * integral, tsCol: timestamp, textCol: string); returns append-mode
     * (doc_a, doc_b, jac) pairs with exact-Jaccard-verified similarity,

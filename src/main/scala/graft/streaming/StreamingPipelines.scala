@@ -99,4 +99,44 @@ object StreamingPipelines {
       tsCol, watermark, Seq("text_hash"))
       .drop("text_hash")
   }
+
+  /** Streaming curation with the NEAR-dup gate composed in — the full
+    * `PipelineOps.pipelineCurate` analog in ONE streaming topology:
+    * quality floor and stratified mixture (stateless scan gates,
+    * identical expressions to the batch pipeline) → MinHash-LSH
+    * drop verdicts ([[NearDupStream.minhashDropVerdicts]]: the later
+    * doc of every in-horizon verified pair drops, transitively —
+    * which subsumes exact dedup for shingle-able text, jac = 1.0,
+    * exactly as the batch clustering does). Returns the per-band
+    * verdict stream; collapse per doc with [[collapseCurated]] inside
+    * foreachBatch — all of a doc's band rows ride the same trigger, so
+    * the collapse is a plain batch groupBy, never a second stateful
+    * operator. Streaming bound (documented): pairing sees the
+    * watermark horizon, not the whole corpus; global clustering stays
+    * a batch compaction job. */
+  def curateNearDupStream(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, langCol: String, watermark: String,
+      qualityMin: Double, ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    import graft.operators.TextAnalysis
+    val gated = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col(textCol)))
+      .filter(col("quality") >= qualityMin)
+    val sampled = TextAnalysis.stratifiedSample(gated, langCol, idCol,
+      ratesBp, defaultBp)
+    NearDupStream.minhashDropVerdicts(sampled, idCol, tsCol, textCol,
+      langCol, watermark, threshold = threshold,
+      maxBucketSize = maxBucketSize).toDF()
+  }
+
+  /** foreachBatch-side collapse of [[curateNearDupStream]]'s verdict
+    * rows: one row per doc no bucket dropped. */
+  def collapseCurated(verdicts: DataFrame): DataFrame =
+    verdicts
+      .groupBy(col("doc_id"))
+      .agg(first(col("ts")).as("ts"), first(col("lang")).as("lang"),
+        first(col("text")).as("text"), max(col("dropped")).as("dropped"))
+      .filter(!col("dropped"))
+      .drop("dropped")
 }

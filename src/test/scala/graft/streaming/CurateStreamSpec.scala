@@ -75,4 +75,73 @@ class CurateStreamSpec extends SparkSpec {
         s"beyond the horizon the hash state must be evicted: ${ids()}")
     } finally q.stop()
   }
+
+  test("composed near-dup gate: in-horizon near-dup drops in stream AND batch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.packs.PipelineOps
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // high-overlap near-dup texts: big shared shingle set, one word of
+    // difference at the end (J ≈ 0.94 — well over the 0.8 threshold)
+    val tail = "gentle rivers flow across the quiet valley under pale" +
+      " morning light while distant hills keep their long blue shadows"
+    val base = goodText + " " + tail
+    def textOf(suffix: String) = base + " " + suffix
+
+    // three ids that pass the deterministic 'en' mixture gate
+    val gateDf = (1L to 80L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val admitted = TextAnalysis.stratifiedSample(gateDf, "lang", "doc_id",
+        TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+      .as[(Long, String)].collect().map(_._1).sorted
+    assert(admitted.length >= 3, s"need 3 admitted ids, got ${admitted.toList}")
+    val Seq(a, b, c) = admitted.take(3).toSeq
+    val thinned = (1L to 80L).find(i => !admitted.contains(i)).get
+
+    val docs = Seq(
+      (a, ts(100), "en", textOf("alpha")),        // cluster canonical / first arrival
+      (b, ts(110), "en", textOf("beta")),         // in-horizon near-dup of a → drop
+      (c, ts(120), "en", "completely different words about catalyst rules" +
+        " and the quiet art of shuffle free physical plans " + tail),
+      (thinned, ts(121), "en", textOf("gamma")),  // mixture gate rejects
+      (900L, ts(122), "en", junkText))            // quality floor rejects
+
+    // streaming: one topology, foreachBatch collapse
+    val in = MemoryStream[(Long, Timestamp, String, String)]
+    val verdicts = StreamingPipelines.curateNearDupStream(
+      in.toDF.toDF("doc_id", "ts", "lang", "text"),
+      "doc_id", "ts", "text", "lang", watermark = "60 seconds",
+      qualityMin = PipelineOps.QualityMin,
+      ratesBp = TextOps.SampleRatesBp, defaultBp = TextOps.SampleDefaultBp)
+    val curated = scala.collection.mutable.Set[Long]()
+    val q = verdicts.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StreamingPipelines.collapseCurated(batch)
+          .select("doc_id").as[Long].collect()
+          .foreach(id => curated.synchronized { curated += id })
+      }.start()
+    try {
+      in.addData(docs.map(d => (d._1, d._2, d._3, d._4)))
+      q.processAllAvailable()
+      assert(curated.toSet == Set(a, c),
+        s"stream must keep first arrival + unrelated doc, got $curated")
+    } finally q.stop()
+
+    // batch: the same docs through the pipeline_curate composition must
+    // drop the same near-dup (canonical = min id = first arrival here)
+    val batchDocs = docs.toDF("doc_id", "ts", "lang", "text")
+    val quality = TextAnalysis.qualityScore(batchDocs, "doc_id", "text")
+    val filtered = batchDocs.join(quality, "doc_id")
+      .filter(col("quality") >= PipelineOps.QualityMin)
+    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    val kept = sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(a, c),
+      s"batch composition must drop the same near-dup, got $kept")
+  }
 }
