@@ -197,6 +197,25 @@ object Bench {
         d(s0.rd, s1.rd) >> 10)
     }
     val coldRuns = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
+    // Untimed full-set JIT-drain pass between cold and warm: the cold
+    // pass generates every query's codegen classes but C2 compiles them
+    // asynchronously, so without this pass warm pass 1 pays the whole
+    // backlog on the clock (driver r06: warm1 49.7 s vs warm3 26.1 s,
+    // 122 s of whole-run JIT). Re-executing the set makes the generated
+    // code hot NOW and gives the compiler threads an off-clock window
+    // to drain. Cold semantics unchanged — it stays the first timed
+    // execution of each query.
+    locally {
+      val s0 = snap()
+      val t0 = System.nanoTime()
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      val s1 = snap()
+      System.err.println(
+        f"[bench:drain] full-set untimed pass ${(System.nanoTime() - t0) / 1e9}%.2f s | " +
+        f"gc+${d(s0.gc, s1.gc)}%dms jit+${d(s0.jit, s1.jit)}%dms cc=${codeCacheUsedMb}%dMB")
+    }
     // Three timed warm passes; per-query warmMedian is the reported number.
     val warmRuns = (1 to 3).map { i =>
       SparkEntry.queries.map { case (name, fn) => name -> timed(s"warm$i", name, fn) }
