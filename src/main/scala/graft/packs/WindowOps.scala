@@ -16,9 +16,13 @@ object WindowOps extends QueryPack {
 
   private val GapMs = 7200000L // 2h session gap
 
-  /** session_agg — per-user session windows (2 h inactivity gap). */
-  def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  /** Shared session-aggregation body: the batch query below and the
+    * streaming twin (streaming/WindowStreams.sessionAggStream) apply
+    * this SAME plan to their respective sources, so the batch DuckDB
+    * oracle transitively pins the streaming form (parity spec:
+    * WindowParitySpec). */
+  def sessionAggOn(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -29,10 +33,14 @@ object WindowOps extends QueryPack {
         unix_millis(col("session_window.end")).as("session_end_ms"),
         col("n_events"), col("value_cents"))
 
-  /** sliding_window — 60 s windows sliding by 30 s (every event lands in
-    * exactly two windows). */
-  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  /** session_agg — per-user session windows (2 h inactivity gap). */
+  def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
+    sessionAggOn(Tables.events(spark, sfDir))
+
+  /** Shared sliding-window body — same single-implementation pattern as
+    * [[sessionAggOn]]. */
+  def slidingWindowOn(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "60 seconds", "30 seconds"))
       .agg(
         count(lit(1)).as("n"),
@@ -41,6 +49,11 @@ object WindowOps extends QueryPack {
         unix_millis(col("window.start")).as("ws_ms"),
         unix_millis(col("window.end")).as("we_ms"),
         col("n"), col("value_cents"))
+
+  /** sliding_window — 60 s windows sliding by 30 s (every event lands in
+    * exactly two windows). */
+  def slidingWindow(spark: SparkSession, sfDir: String): DataFrame =
+    slidingWindowOn(Tables.events(spark, sfDir))
 
   /** asof_join — trades (odd event ids) enriched with the latest quote
     * (even event ids) at-or-before each trade, per user. */
