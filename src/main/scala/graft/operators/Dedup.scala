@@ -88,18 +88,34 @@ object Dedup {
     * `withSh`: (doc_id, sh). */
   private[operators] def lshVerifiedPairs(banded: DataFrame, withSh: DataFrame,
       maxBucketSize: Int, threshold: Double): DataFrame =
-    lshVerifiedPairsFrom(banded, banded, withSh, maxBucketSize, threshold)
+    lshVerifiedPairsFrom(banded, None, withSh, maxBucketSize, threshold)
 
   /** Probe form of the LSH tail: candidates are (probe × all) bucket
-    * co-residents — the self-dedup case passes the same table twice;
-    * the incremental case probes a new batch's bands against the
-    * full-corpus view without ever self-joining the corpus. Pairs are
-    * canonicalized (least, greatest) before the distinct, so a
-    * batch-internal pair reached from both endpoints emits once.
-    * `withSh` must cover every doc reachable from either side. */
+    * co-residents, where all = probe ∪ `seenBanded` — the self-dedup
+    * case passes `seenBanded = None`; the incremental case probes a new
+    * batch's bands against the full-corpus view without ever
+    * self-joining the corpus. Pairs are canonicalized (least, greatest)
+    * before the distinct, so a batch-internal pair reached from both
+    * endpoints emits once. `withSh` must cover every doc reachable from
+    * either side. */
   private[operators] def lshVerifiedPairsFrom(probeBanded: DataFrame,
-      allBanded: DataFrame, withSh: DataFrame,
+      seenBanded: Option[DataFrame], withSh: DataFrame,
       maxBucketSize: Int, threshold: Double): DataFrame = {
+    // The banded table is consumed THREE times below (bucket count +
+    // both candidate-join sides). Its lineage carries the signature
+    // computation — the most expensive stage of the whole pipeline (k
+    // digests/minima per doc) — and while the two join sides share one
+    // exchange (identical subplans), the count branch would recompute
+    // the signatures from the raw corpus. A LAZY localCheckpoint
+    // materializes the narrow (doc_id, band, band_key) rows — ~24 bytes
+    // × bands per doc, no text, no shingles — exactly once on first
+    // use; blocks are executor-local and ContextCleaner-scoped (no
+    // CacheManager leak, unlike persist()).
+    val probeCk = probeBanded.localCheckpoint(false)
+    val allCk = seenBanded match {
+      case None => probeCk
+      case Some(seen) => probeCk.union(seen.localCheckpoint(false))
+    }
     // Cap pathological buckets before pair generation — bucket size is
     // counted over the FULL corpus view, matching the self-dedup
     // semantics. The count is a partial aggregation (map-side combine)
@@ -109,14 +125,14 @@ object Dedup {
     // boilerplate bucket at 100 TB is a guaranteed straggler).
     // Oversized keys are a tiny set, so the anti-join broadcasts and
     // the banded rows never re-shuffle on the skewed key.
-    val oversized = allBanded
+    val oversized = allCk
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
       .select(col("band"), col("band_key"))
-    val a = probeBanded.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
+    val a = probeCk.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
       .select(col("band"), col("band_key"), col("doc_id").as("probe_id"))
-    val b = allBanded.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
+    val b = allCk.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
       .select(col("band"), col("band_key"), col("doc_id").as("other_id"))
     val candidates = a.join(b, Seq("band", "band_key"))
       .filter(col("probe_id") =!= col("other_id"))
@@ -307,9 +323,8 @@ object Dedup {
       maxBucketSize: Int = NgramMaxBlockSize): DataFrame = {
     val shNew = withShOf(batch, idCol, textCol, shingleN)
     val shSeen = withShOf(seen, idCol, textCol, shingleN)
-    val bandedNew = md5BandedFrom(shNew, bands, rows)
-    val bandedAll = bandedNew.union(md5BandedFrom(shSeen, bands, rows))
-    lshVerifiedPairsFrom(bandedNew, bandedAll, shNew.union(shSeen),
+    lshVerifiedPairsFrom(md5BandedFrom(shNew, bands, rows),
+      Some(md5BandedFrom(shSeen, bands, rows)), shNew.union(shSeen),
       maxBucketSize, threshold)
   }
 
@@ -326,8 +341,7 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
     val shNew = withShOf(batch, idCol, textCol, shingleN)
     val shSeen = withShOf(seen, idCol, textCol, shingleN)
-    val bandedNew = banded(shNew)
-    lshVerifiedPairsFrom(bandedNew, bandedNew.union(banded(shSeen)),
+    lshVerifiedPairsFrom(banded(shNew), Some(banded(shSeen)),
       shNew.union(shSeen), maxBucketSize, threshold)
   }
 
@@ -490,7 +504,11 @@ object Dedup {
     // block sizes (the count side prunes to just `blk` — shingles are
     // never computed for it), then a broadcast anti-join against the tiny
     // oversized-block set. A window count here would funnel a boilerplate
-    // prefix's millions of rows into one task.
+    // prefix's millions of rows into one task. Unlike the LSH path, the
+    // count branch is NOT worth a checkpoint: its lineage is a pruned
+    // scan + substring (no signatures), so recomputing it costs one
+    // column read, while materializing t0 would write corpus-sized
+    // shingle arrays.
     val oversized = t0
       .groupBy(col("blk"))
       .agg(count(lit(1)).as("blk_n"))
