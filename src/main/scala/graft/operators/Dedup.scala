@@ -493,6 +493,32 @@ object Dedup {
     result
   }
 
+  /** Canonical selection by QUALITY over near-dup clusters: instead of
+    * [[nearDupClustersFromPairs]]'s min-id keep, keep the
+    * highest-quality member of each cluster (tie → min id) — what a
+    * curation pipeline actually wants when near-dups differ in
+    * cleanliness. `withQuality`: (idCol, cluster_id, quality).
+    *
+    * The argmax is ONE partial aggregation — max of a (quality,
+    * MaxValue−id) struct, so the merge is a plain max and map-side
+    * combine applies — NEVER a per-cluster row_number window: a
+    * mass-duplicated boilerplate cluster would ship every member into
+    * one unsplittable window task (the same WindowExec hazard class as
+    * the dedup bucket caps). The join back is a shuffle join on
+    * cluster_id; per-cluster best rows are bounded by the cluster
+    * count, not the corpus. */
+  def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val inv = lit(Long.MaxValue) - col(idCol)
+    val best = withQuality
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality").as("q"), inv.as("inv"))).as("b"))
+      .select(col("cluster_id"),
+        (lit(Long.MaxValue) - col("b.inv")).as("best_id"))
+    withQuality.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("quality"),
+        (col(idCol) === col("best_id")).as("keep"))
+  }
+
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = NgramShingleN, prefixLen: Int = NgramPrefixLen,
       threshold: Double = NgramThreshold,

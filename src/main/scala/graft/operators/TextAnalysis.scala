@@ -139,6 +139,41 @@ object TextAnalysis {
     docs.filter(gate < bp)
   }
 
+  /** Temperature-based mixture resampling (the α = 0.5 source-rebalance
+    * of multilingual/multi-source training mixes): sampling share per
+    * source q_s ∝ sqrt(n_s), so a source's per-doc keep rate is
+    * targetRows / (Σ_t sqrt(n_t) · sqrt(n_s)) — over-represented
+    * sources are down-sampled, rare sources boosted (capped at keeping
+    * everything). Unlike [[stratifiedSample]], the rates are COMPUTED
+    * from the corpus, not caller-supplied: one partial-agg count per
+    * source (tiny — |sources| rows), one 1-row total, broadcast back as
+    * per-source basis points, then the same deterministic md5 gate —
+    * still no corpus shuffle, and the gate stays a scan-side filter.
+    *
+    * Cross-engine determinism: Σ sqrt(n_t) is summed as DECIMAL(30,15)
+    * — decimal addition is exact, hence order-independent, where a
+    * double sum would expose the aggregation order in the last ulp
+    * (sqrt of an integer either is an exact integer or doesn't
+    * terminate at 15 digits, so the double→decimal rounding can't tie);
+    * the remaining arithmetic is written with the identical expression
+    * shape in the DuckDB oracle, and the final keep test is
+    * integer-only (basis points). */
+  def temperatureSample(docs: DataFrame, sourceCol: String, idCol: String,
+      targetRows: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+    val total = counts.agg(
+      sum(sqrt(col("n_s")).cast("decimal(30,15)")).cast("double").as("sum_sqrt"))
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        least(lit(10000L),
+          floor((lit(10000.0) * lit(targetRows.toDouble)) /
+            (col("sum_sqrt") * sqrt(col("n_s"))))).as("rate_bp"))
+    val gate = pmod(graft.operators.Dedup.md5h60(
+      concat(col(sourceCol), lit("#"), col(idCol).cast("string"))), lit(10000L))
+    docs.join(broadcast(rates), Seq(sourceCol))
+      .filter(gate < col("rate_bp"))
+  }
+
   // PII-redaction patterns — deliberately RE2-compatible (no lookaround,
   // no backrefs) so the DuckDB oracle runs the IDENTICAL regexes; the
   // classic cheap scrub pass (a production pipeline would add NER at

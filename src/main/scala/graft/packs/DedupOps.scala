@@ -48,6 +48,22 @@ object DedupOps extends QueryPack {
       Dedup.minhashLshMd5(docs, "doc_id", "text"))
   }
 
+  /** Quality-weighted canonical selection over the LSH clusters: the
+    * same md5-twin pair source and components as [[dedupComponentsLsh]],
+    * but keep = the highest-quality member per cluster (tie → min id)
+    * instead of min-id — composed under ONE oracle with the shared
+    * quality expression. */
+  def dedupKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
+      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+    val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
+        Seq("doc_id"))
+    Dedup.keepByQuality(withQuality)
+  }
+
   /** Ingest-time dedup gate: deterministic batch/corpus split of the
     * documents table (doc_id % 5 picks the "new batch"; the rest is
     * the "already-ingested corpus") — the split constant is shared
@@ -85,7 +101,8 @@ object DedupOps extends QueryPack {
     "dedup_minhash_md5" -> (dedupMinhashMd5 _),
     "dedup_simhash_md5" -> (dedupSimhashMd5 _),
     "dedup_components" -> (dedupComponents _),
-    "dedup_components_lsh" -> (dedupComponentsLsh _)
+    "dedup_components_lsh" -> (dedupComponentsLsh _),
+    "dedup_keep_quality" -> (dedupKeepQuality _)
   )
 
   /** Shared CTEs: blocked shingle pairs with exact Jaccard over `src`
@@ -152,6 +169,24 @@ object DedupOps extends QueryPack {
         |${componentCtes("documents", Dedup.NgramThreshold)}
         |SELECT v AS doc_id, cluster_id, (v = cluster_id) AS keep
         |FROM cc""".stripMargin
+
+  /** DuckDB twin of [[dedupKeepQuality]]: LSH pairs + components + the
+    * SHARED quality expression (TextOps.qualityExprSql), argmax per
+    * cluster with min-id tie-break. Quality is rounded to 4 decimals in
+    * BOTH engines before the max/equality, so no float boundary can
+    * flip the winner. */
+  val keepQualityOracle: String =
+    s"""WITH RECURSIVE ${minhashMd5PairCtesFrom("documents")},
+        |${componentCtes("documents", Dedup.NgramThreshold)},
+        |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality FROM documents),
+        |j AS (SELECT cc.v AS doc_id, cc.cluster_id, q.quality
+        |      FROM cc JOIN q ON cc.v = q.doc_id),
+        |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
+        |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
+        |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
+        |      GROUP BY j.cluster_id)
+        |SELECT j.doc_id, j.cluster_id, j.quality, (j.doc_id = k.best_id) AS keep
+        |FROM j JOIN k ON j.cluster_id = k.cluster_id""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.md5h60]]: 60-bit int from
     * the first 15 hex chars of md5 — bit-identical to Spark's
@@ -280,6 +315,7 @@ object DedupOps extends QueryPack {
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,
-    "dedup_components_lsh" -> componentsLshOracle
+    "dedup_components_lsh" -> componentsLshOracle,
+    "dedup_keep_quality" -> keepQualityOracle
   )
 }

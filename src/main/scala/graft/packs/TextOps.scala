@@ -117,6 +117,17 @@ object TextOps extends QueryPack {
         "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
       .select(col("doc_id"), col("lang"))
 
+  /** temperature_sample target: at the driver gate's sf0.01 documents
+    * table (500 docs, 20 near-uniform sources) this lands keep rates
+    * around 3000 bp — the oracle actually exercises the thinning, not
+    * the keep-everything cap. */
+  val TempSampleTarget = 150L
+
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.temperatureSample(Tables.documents(spark, sfDir),
+        "source", "doc_id", TempSampleTarget)
+      .select(col("doc_id"), col("source"), col("rate_bp"))
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", TfidfK)
@@ -171,6 +182,7 @@ object TextOps extends QueryPack {
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
+    "temperature_sample" -> (temperatureSample _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
@@ -223,6 +235,22 @@ object TextOps extends QueryPack {
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sampleGateSql""".stripMargin,
+
+    // Σ sqrt(n) summed as exact DECIMAL(30,15) in BOTH engines (order-
+    // independent where a double sum is not); the rate arithmetic is the
+    // identical expression shape as TextAnalysis.temperatureSample and
+    // the keep test is integer basis points.
+    "temperature_sample" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(CAST(sqrt(n_s) AS DECIMAL(30,15))) AS DOUBLE) AS sum_sqrt FROM c),
+         |r AS (SELECT source,
+         |        least(10000, CAST(floor((10000.0 * $TempSampleTarget) /
+         |          (t.sum_sqrt * sqrt(n_s))) AS BIGINT)) AS rate_bp
+         |      FROM c, t)
+         |SELECT d.doc_id, d.source, r.rate_bp
+         |FROM documents d JOIN r USING (source)
+         |WHERE ('0x' || substr(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 10000 < r.rate_bp""".stripMargin,
 
     // exact integer max-counts, single divisions, round(4) both sides;
     // sub-2-token docs have no bigrams → coalesce 0

@@ -232,6 +232,21 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == (1L, true) && out(2L) == (2L, true) && out(3L) == (3L, true))
   }
 
+  test("keepByQuality: best-quality member wins, min-id tie-break, singleton keeps itself") {
+    // cluster 1 = {1, 2, 3}: doc 3 has the best quality and must win
+    // over the min-id default; cluster 10 = {10, 11}: exact quality tie
+    // → min id 10; 20 is a singleton
+    val wq = Seq(
+      (1L, 1L, 0.5), (2L, 1L, 0.7), (3L, 1L, 0.9),
+      (10L, 10L, 0.6), (11L, 10L, 0.6),
+      (20L, 20L, 0.1)).toDF("doc_id", "cluster_id", "quality")
+    val out = Dedup.keepByQuality(wq)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+      10L -> true, 11L -> false, 20L -> true), s"got $out")
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)

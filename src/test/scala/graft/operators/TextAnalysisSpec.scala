@@ -89,6 +89,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(deRatio < enRatio, s"de ($deRatio) must be thinned below en ($enRatio)")
   }
 
+  test("temperature sample: rates computed from counts, rare sources boosted") {
+    val d = graft.Tables.documents(spark, sf)
+    val target = 150L
+    val out = TextAnalysis.temperatureSample(d, "source", "doc_id", target)
+    // deterministic and partition-independent, like every md5 gate
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextAnalysis.temperatureSample(d.repartition(7), "source",
+      "doc_id", target).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "keep set must not depend on partitioning")
+    // rate_bp reproduces the closed form for every source, capped at 1.0
+    val n = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    val sumSqrt = n.values.map(v => BigDecimal(math.sqrt(v.toDouble))
+      .setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val rates = out.select("source", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    rates.foreach { case (s, bp) =>
+      val expect = math.min(10000L,
+        math.floor(10000.0 * target / (sumSqrt * math.sqrt(n(s).toDouble))).toLong)
+      assert(bp == expect, s"source $s: rate $bp != closed-form $expect")
+    }
+    // the driver fixture is source-uniform, so the flattening property
+    // needs a skewed corpus: 400 docs of one source vs 16 of another —
+    // the rare source's per-doc keep rate must be strictly higher, and
+    // a tiny-enough source pins at the 10000 bp cap (keep everything)
+    val skewed = spark.range(0, 400).select(col("id").as("doc_id"), lit("big").as("src"))
+      .union(spark.range(1000, 1016).select(col("id").as("doc_id"), lit("small").as("src")))
+      .union(spark.range(2000, 2002).select(col("id").as("doc_id"), lit("tiny").as("src")))
+    val skewedRates = TextAnalysis.temperatureSample(skewed, "src", "doc_id", 60L)
+      .select("src", "rate_bp").distinct().as[(String, Long)].collect().toMap
+    assert(skewedRates("small") > skewedRates("big"),
+      s"rare source must be boosted: $skewedRates")
+    assert(skewedRates("tiny") == 10000L,
+      s"tiny source must cap at keep-everything: $skewedRates")
+  }
+
   test("tfidf: corpus-wide words rank below doc-specific words, k bounded") {
     val d = Seq(
       (1L, "shared shared apple apple apple"),
