@@ -55,4 +55,22 @@ object Writers {
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpointLocation)
+
+  /** ORC variant of [[partitionedParquet]] for pipelines standardized
+    * on ORC (Spark's reader/writer are native and columnar either way;
+    * predicate pushdown and column pruning work identically — pinned in
+    * WritersSpec). Same small-files-safe repartition-by-partition-cols
+    * layout. */
+  def partitionedOrc(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      targetFileParallelism: Option[Int] = None): Unit = {
+    val repartitioned = targetFileParallelism match {
+      case Some(n) => df.repartition(n, partitionCols.map(col): _*)
+      case None => df.repartition(partitionCols.map(col): _*)
+    }
+    repartitioned
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .orc(path)
+  }
 }

@@ -99,6 +99,26 @@ class PlanSpec extends SparkSpec {
       s"prefix blocking must make candidate generation an equi-join:\n$p")
   }
 
+  test("temperature_sample: rates broadcast back, corpus never key-shuffled") {
+    val p = plan("temperature_sample")
+    // the per-source rate table and the 1-row total must both broadcast;
+    // the corpus side of the gate join may not shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"rates must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the rate join:\n$p")
+    assert(p.contains("partial_count"),
+      s"per-source counts must partially aggregate map-side:\n$p")
+  }
+
+  test("dedup_keep_quality: argmax is a partial agg, never a per-cluster window") {
+    val p = plan("dedup_keep_quality")
+    assert(!p.contains("windowspecdefinition"),
+      s"canonical selection must not ride a per-cluster window:\n$p")
+    assert(p.contains("partial_max"),
+      s"the per-cluster argmax must partially aggregate map-side:\n$p")
+  }
+
   test("range_join: binned equi-join, never a nested-loop inequality join") {
     val p = plan("range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

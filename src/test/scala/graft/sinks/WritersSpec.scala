@@ -44,6 +44,21 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("orc roundtrip: values exact, partition pruning and column pushdown work") {
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val df = graft.Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    Writers.partitionedOrc(df, dir, Seq("lang"))
+    val back = spark.read.orc(dir)
+    // exact value roundtrip (ORC string/long codecs lossless)
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq
+      == df.select("doc_id", "text").as[(Long, String)].collect().sorted.toSeq)
+    val pruned = back.filter(col("lang") === "en").select("doc_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    // column pruning must reach the ORC scan — text not read
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"), plan)
+  }
+
   test("permissive decode null-fills malformed rows instead of failing") {
     import graft.sources.DelimitedCodec
     val df = Seq("0,1,apples,10.0", "garbage,without,enough").toDF("value")
