@@ -506,7 +506,12 @@ object Dedup {
     * one unsplittable window task (the same WindowExec hazard class as
     * the dedup bucket caps). The join back is a shuffle join on
     * cluster_id; per-cluster best rows are bounded by the cluster
-    * count, not the corpus. */
+    * count, not the corpus.
+    *
+    * Contract: ids must be non-negative (the tie-break encodes min-id
+    * as max(MaxValue − id) inside the struct, which would overflow for
+    * negative ids); quality must be non-null (qualityExpr's output
+    * always is). */
   def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val inv = lit(Long.MaxValue) - col(idCol)
     val best = withQuality

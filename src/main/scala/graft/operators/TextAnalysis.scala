@@ -174,6 +174,38 @@ object TextAnalysis {
       .filter(gate < col("rate_bp"))
   }
 
+  /** Corpus-RELATIVE quality floor: keep the top `keepFrac` of docs by
+    * quality score, ties at the boundary value included (value-based,
+    * so the keep set is deterministic and partition-independent).
+    *
+    * The cutoff comes from a HISTOGRAM of the 4-decimal-rounded score
+    * (quality_bp = round(quality·10⁴) — integer), so every step is
+    * integer-exact cross-engine and the intermediate is bounded by the
+    * VALUE DOMAIN (≤ 10⁴+1 rows), not the corpus: the groupBy is a
+    * partial agg over the scan, the cumulative window runs over the
+    * tiny histogram (the one place a global window is safe — its input
+    * cannot grow with the data), and the scalar cutoff broadcasts back
+    * onto a scan-side filter. An exact percentile aggregate over raw
+    * doubles would carry corpus-sized state and a float-interpolated
+    * cutoff whose last ulp could disagree across engines. */
+  def qualityFloor(docs: DataFrame, idCol: String, textCol: String,
+      keepFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col(idCol),
+      round(qualityExpr(col(textCol)) * 10000).cast("long").as("quality_bp"))
+    val hist = q.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val n = q.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("quality_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(n))
+      .filter(col("cum") >= ceil(col("n") * lit(keepFrac)))
+      .agg(max(col("quality_bp")).as("cutoff"))
+    q.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bp") >= col("cutoff"))
+      .select(col(idCol), col("quality_bp"))
+  }
+
   // PII-redaction patterns — deliberately RE2-compatible (no lookaround,
   // no backrefs) so the DuckDB oracle runs the IDENTICAL regexes; the
   // classic cheap scrub pass (a production pipeline would add NER at

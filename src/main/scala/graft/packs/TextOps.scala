@@ -128,6 +128,13 @@ object TextOps extends QueryPack {
         "source", "doc_id", TempSampleTarget)
       .select(col("doc_id"), col("source"), col("rate_bp"))
 
+  /** quality_floor keep fraction (top 60% by score, boundary ties in). */
+  val QualityFloorFrac = 0.6
+
+  def qualityFloor(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFloor(Tables.documents(spark, sfDir),
+      "doc_id", "text", QualityFloorFrac)
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", TfidfK)
@@ -183,6 +190,7 @@ object TextOps extends QueryPack {
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
     "temperature_sample" -> (temperatureSample _),
+    "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
@@ -251,6 +259,23 @@ object TextOps extends QueryPack {
          |FROM documents d JOIN r USING (source)
          |WHERE ('0x' || substr(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
          |      % 10000 < r.rate_bp""".stripMargin,
+
+    // integer-exact mirror of TextAnalysis.qualityFloor: histogram of
+    // the rounded score, cumulative from the top, ties at the boundary
+    // value kept
+    "quality_floor" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS quality_bp
+         |  FROM documents),
+         |h AS (SELECT quality_bp, count(*) AS c FROM q GROUP BY quality_bp),
+         |n AS (SELECT count(*) AS n FROM q),
+         |cum AS (SELECT quality_bp,
+         |        sum(c) OVER (ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM h),
+         |cut AS (SELECT max(quality_bp) AS cutoff FROM cum, n
+         |        WHERE cum >= ceil(n.n * $QualityFloorFrac))
+         |SELECT q.doc_id, q.quality_bp FROM q, cut
+         |WHERE q.quality_bp >= cut.cutoff""".stripMargin,
 
     // exact integer max-counts, single divisions, round(4) both sides;
     // sub-2-token docs have no bigrams → coalesce 0

@@ -124,6 +124,29 @@ class TextAnalysisSpec extends SparkSpec {
       s"tiny source must cap at keep-everything: $skewedRates")
   }
 
+  test("quality floor: top-frac kept, boundary ties included, deterministic") {
+    val d = graft.Tables.documents(spark, sf)
+    val out1 = TextAnalysis.qualityFloor(d, "doc_id", "text", 0.6)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val out2 = TextAnalysis.qualityFloor(d.repartition(7), "doc_id", "text", 0.6)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out1 == out2, "keep set must not depend on partitioning")
+    val n = d.count()
+    // at least the requested fraction survives; ties may push it higher
+    assert(out1.size >= math.ceil(n * 0.6).toLong, s"${out1.size} of $n kept")
+    // value-based floor: every kept score >= every dropped score
+    val cutoff = out1.map(_._2).min
+    val all = d.select(col("doc_id"),
+        round(TextAnalysis.qualityExpr(col("text")) * 10000).cast("long"))
+      .as[(Long, Long)].collect()
+    val dropped = all.filterNot(r => out1.exists(_._1 == r._1))
+    assert(dropped.forall(_._2 < cutoff),
+      "no dropped doc may score at or above the cutoff")
+    // boundary ties: every doc AT the cutoff value is kept
+    assert(all.filter(_._2 == cutoff).map(_._1).toSet
+      .subsetOf(out1.map(_._1).toSet))
+  }
+
   test("tfidf: corpus-wide words rank below doc-specific words, k bounded") {
     val d = Seq(
       (1L, "shared shared apple apple apple"),
