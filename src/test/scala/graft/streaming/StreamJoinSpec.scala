@@ -50,4 +50,67 @@ class StreamJoinSpec extends SparkSpec {
       assert(!rows().contains(("i2", true)))
     } finally q.stop()
   }
+
+  test("J1 parity: streaming join == batch join on the real ad fixtures") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.AdFixtures
+    import org.apache.spark.sql.functions._
+
+    // real sf0.001 fixtures, replayed per-stream in event-time order so
+    // a 10-minute watermark can never drop a row. At this SF the
+    // fixture's click offsets all land ~90 s before their impression —
+    // outside the ±60 s window — so three in-window clicks are planted
+    // on BOTH sides to exercise the matched path too.
+    val impRaw = AdFixtures.impressions(spark, sf)
+      .select(col("impression_id"), col("impression_time_ms"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val planted = impRaw.take(3).zipWithIndex.map { case ((iid, ms), k) =>
+      (iid, ms + 30000L, s"planted_$k")
+    }
+    val impRows = impRaw.map(r => (r._1, new Timestamp(r._2))).toSeq
+    val clkRows = (AdFixtures.clicks(spark, sf)
+        .select(col("impression_id"), col("click_time_ms"), col("click_id"))
+        .as[(String, Long, String)].collect() ++ planted).sortBy(_._2)
+      .map(r => (r._1, new Timestamp(r._2), r._3)).toSeq
+    val batchClicks = AdFixtures.clicks(spark, sf)
+      .select(col("impression_id"), col("click_time_ms"), col("click_id"))
+      .union(planted.toSeq.toDF("impression_id", "click_time_ms", "click_id"))
+    val maxMs = math.max(impRows.last._2.getTime, clkRows.last._2.getTime)
+
+    val imps = MemoryStream[(String, Timestamp)]
+    val clks = MemoryStream[(String, Timestamp, String)]
+    val q = StreamingPipelines.adJoinStream(
+        imps.toDF.toDF("impression_id", "imp_ts"),
+        clks.toDF.toDF("impression_id", "clk_ts", "click_id"),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sjoin_parity")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val (i1, i2) = impRows.splitAt(impRows.size / 2)
+      val (c1, c2) = clkRows.splitAt(clkRows.size / 2)
+      imps.addData(i1); clks.addData(c1); q.processAllAvailable()
+      imps.addData(i2); clks.addData(c2); q.processAllAvailable()
+      // two sentinel rounds on BOTH streams: the global watermark is the
+      // min across streams, and unmatched lefts only emit once it passes
+      // their join window
+      (3 to 4).foreach { d =>
+        imps.addData((s"sentinel_i$d", new Timestamp(maxMs + d * 86400000L)))
+        clks.addData((s"sentinel_c$d", new Timestamp(maxMs + d * 86400000L), s"sc$d"))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("sjoin_parity")
+        .filter(!col("impression_id").startsWith("sentinel_"))
+        .select(col("impression_id"), col("click_id"), col("was_clicked"))
+        .as[(String, Option[String], Boolean)].collect().toSeq.sorted
+      val batch = graft.operators.ClickThroughRate.joinImpressionsClicks(
+          AdFixtures.impressions(spark, sf), batchClicks)
+        .select(col("impression_id"), col("click_id"), col("was_clicked"))
+        .as[(String, Option[String], Boolean)].collect().toSeq.sorted
+      assert(batch.nonEmpty && batch.exists(_._3) && batch.exists(!_._3),
+        "fixture must exercise both matched and unmatched impressions")
+      assert(streamed == batch,
+        s"streaming=${streamed.size} rows, batch=${batch.size} rows")
+    } finally q.stop()
+  }
 }
