@@ -155,4 +155,64 @@ class StateSoakSpec extends SparkSpec {
       assert(spark.table("ann_soak_out").count() > 0)
     } finally q.stop()
   }
+
+  test("as-of stream: 25-batch soak — every trade answers once, state memory plateaus") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import AsOfStream.AsOfEvent
+    val in = MemoryStream[AsOfEvent]
+    val q = AsOfStream.asOf(in.toDS(), "20 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_soak")
+      .start()
+    try {
+      val batches = 25
+      val keys = 50
+      val stepSec = 10 // horizon 20 s → ~2 batches of quotes live per key
+      val base = 1000L // epoch-0 rows collide with the INITIAL watermark
+                       // (ts = 0 = wm drops as late) — start past it
+      val rowsTrace = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val memTrace = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var trades = 0L
+      for (b <- 0 until batches) {
+        val t = base + b.toLong * stepSec
+        val events = (0 until keys).flatMap { k =>
+          Seq(
+            AsOfEvent(k, new Timestamp(t * 1000), isQuote = true, b * 1.0 + k, 0L),
+            AsOfEvent(k, new Timestamp(t * 1000 + 500), isQuote = false, 0.0,
+              b.toLong * keys + k))
+        }
+        trades += keys
+        in.addData(events: _*)
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          rowsTrace += p.stateOperators.head.numRowsTotal
+          memTrace += p.stateOperators.head.memoryUsedBytes
+        }
+      }
+      // one GroupState row per key — never per trade or per quote
+      assert(rowsTrace.last <= keys,
+        s"state rows ${rowsTrace.last} exceed key count $keys: $rowsTrace")
+      // per-key payload is horizon-bounded: quotes at-or-below the
+      // watermark fold into ONE row, so memory plateaus instead of
+      // accumulating 25 batches of quotes
+      val steady = memTrace(math.min(6, memTrace.size - 1))
+      assert(memTrace.last <= steady * 15 / 10,
+        s"as-of state memory still growing: steady=$steady final=${memTrace.last}")
+      // exactness under soak: every trade the watermark passed answered
+      // exactly once, with the same-timestamp quote (quote@t <= trade@t+0.5s)
+      val out = spark.table("asof_soak")
+        .as[(Long, Long, Long, Option[Double], Option[Long])].collect()
+      assert(out.map(_._2).distinct.length == out.length, "duplicate answers")
+      // watermark after the last batch passed all but the final ~2 batches
+      assert(out.length >= trades - 3L * keys,
+        s"only ${out.length} of $trades trades answered")
+      out.foreach { r =>
+        val k = r._1; val tradeMs = r._3
+        val b = ((tradeMs - 500) / 1000 - base) / stepSec
+        assert(r._4.contains(b * 1.0 + k),
+          s"trade ${r._2} answered ${r._4}, expected quote of its own batch ($b)")
+      }
+    } finally q.stop()
+  }
 }
