@@ -111,6 +111,18 @@ class PlanSpec extends SparkSpec {
       s"per-source counts must partially aggregate map-side:\n$p")
   }
 
+  test("quality_floor: histogram partial-agg, cutoff broadcast, corpus never key-shuffled") {
+    val p = plan("quality_floor")
+    // the only window runs over the value-domain-bounded histogram;
+    // the corpus-side cutoff join must broadcast
+    assert(p.contains("partial_count"),
+      s"score histogram must partially aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the scalar cutoff must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the cutoff join:\n$p")
+  }
+
   test("dedup_keep_quality: argmax is a partial agg, never a per-cluster window") {
     val p = plan("dedup_keep_quality")
     assert(!p.contains("windowspecdefinition"),
