@@ -134,11 +134,22 @@ object Dedup {
       .select(col("band"), col("band_key"), col("doc_id").as("probe_id"))
     val b = allCk.join(broadcast(oversized), Seq("band", "band_key"), "left_anti")
       .select(col("band"), col("band_key"), col("doc_id").as("other_id"))
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("probe_id") =!= col("other_id"))
-      .select(least(col("probe_id"), col("other_id")).as("doc_a"),
-        greatest(col("probe_id"), col("other_id")).as("doc_b"))
-      .distinct()
+    // Self-dedup generates each co-bucket pair ONCE (probe < other): a
+    // size-m bucket emits m(m−1)/2 rows, not m(m−1) — this is the
+    // hottest intermediate of the whole pipeline. Only the incremental
+    // probe form needs both orientations canonicalized, because a
+    // (seen, new) pair is reachable only from its probe endpoint.
+    val candidates = (seenBanded match {
+      case None =>
+        a.join(b, Seq("band", "band_key"))
+          .filter(col("probe_id") < col("other_id"))
+          .select(col("probe_id").as("doc_a"), col("other_id").as("doc_b"))
+      case Some(_) =>
+        a.join(b, Seq("band", "band_key"))
+          .filter(col("probe_id") =!= col("other_id"))
+          .select(least(col("probe_id"), col("other_id")).as("doc_a"),
+            greatest(col("probe_id"), col("other_id")).as("doc_b"))
+    }).distinct()
     val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     candidates
@@ -147,6 +158,19 @@ object Dedup {
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** (doc_id, band, band_key) production band table of a shingled
+    * corpus — fused native shingle-hash → k minima → band hashes (one
+    * pass). The xxhash64 sibling of [[md5BandedFrom]]; self-dedup and
+    * the incremental probe share THIS one implementation, so the
+    * "incremental == filtered self-dedup" equivalence the oracle gate
+    * relies on cannot drift. */
+  private[operators] def bandedFrom(withSh: DataFrame, bands: Int,
+      rows: Int): DataFrame =
+    withSh.select(
+      col("doc_id"),
+      posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
 
   def minhashLsh(
       docs: DataFrame,
@@ -157,16 +181,9 @@ object Dedup {
       rows: Int = 4,
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val withSh = docs
-      .select(col(idCol).as("doc_id"),
-        shinglesFromText(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // fused native shingle-hash → k minima → band hashes (one pass)
-    val banded = withSh.select(
-      col("doc_id"),
-      posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
-    lshVerifiedPairs(banded, withSh, maxBucketSize, threshold)
+    val withSh = withShOf(docs, idCol, textCol, shingleN)
+    lshVerifiedPairs(bandedFrom(withSh, bands, rows), withSh,
+      maxBucketSize, threshold)
   }
 
   /** 64-bit SimHash per doc: token-frequency-weighted bit votes, folded
@@ -335,13 +352,10 @@ object Dedup {
       idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    def banded(withSh: DataFrame) = withSh.select(
-        col("doc_id"),
-        posexplode(graft.functions.MinhashBands(col("sh"), bands, rows)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
     val shNew = withShOf(batch, idCol, textCol, shingleN)
     val shSeen = withShOf(seen, idCol, textCol, shingleN)
-    lshVerifiedPairsFrom(banded(shNew), Some(banded(shSeen)),
+    lshVerifiedPairsFrom(bandedFrom(shNew, bands, rows),
+      Some(bandedFrom(shSeen, bands, rows)),
       shNew.union(shSeen), maxBucketSize, threshold)
   }
 

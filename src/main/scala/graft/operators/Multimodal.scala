@@ -227,8 +227,14 @@ object Multimodal {
             "plug an ffmpeg/JNI decoder at this seam")
     }
 
-    /** All frames of an animated GIF, decoded raw (full frames as
-      * written — the synthesis writes no partial/disposal frames). */
+    /** All frames of an animated GIF, decoded raw. ImageIO's reader
+      * returns each frame UNCOMPOSED — an optimized real-world GIF
+      * stores frames 2..n as delta sub-rectangles with disposal, which
+      * would fingerprint garbage silently. This decoder therefore
+      * REQUIRES full-frame GIFs (every frame the logical screen size,
+      * origin 0,0) and fails loudly otherwise — same
+      * fail-don't-garble contract as the WAV canonicalization; frame
+      * composition is part of the documented ffmpeg/JNI seam. */
     private[operators] def gifFrames(bytes: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
       val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
       require(readers.hasNext, "no GIF reader registered")
@@ -239,7 +245,24 @@ object Multimodal {
         reader.setInput(iis, false)
         val n = reader.getNumImages(true)
         require(n > 0, "bytes are not a decodable GIF")
-        (0 until n).map(reader.read(_))
+        val frames = (0 until n).map { f =>
+          val img = reader.read(f)
+          val meta = reader.getImageMetadata(f)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          val desc = meta.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[org.w3c.dom.Element]
+          require(desc.getAttribute("imageLeftPosition") == "0" &&
+            desc.getAttribute("imageTopPosition") == "0",
+            s"frame $f is a partial delta sub-rectangle — optimized " +
+              "GIFs need composed decode (ffmpeg/JNI seam)")
+          img
+        }
+        require(frames.forall(f => f.getWidth == frames.head.getWidth &&
+          f.getHeight == frames.head.getHeight),
+          "frames vary in size — optimized GIFs need composed decode " +
+            "(ffmpeg/JNI seam)")
+        frames
       } finally { reader.dispose(); iis.close() }
     }
   }

@@ -30,7 +30,12 @@ object Writers {
     * `maxRecordsPerFile` for that case. */
   def partitionedParquet(df: DataFrame, path: String,
       partitionCols: Seq[String],
-      targetFileParallelism: Option[Int] = None): Unit = {
+      targetFileParallelism: Option[Int] = None): Unit =
+    partitioned(df, path, partitionCols, targetFileParallelism, "parquet")
+
+  private def partitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], targetFileParallelism: Option[Int],
+      format: String): Unit = {
     val repartitioned = targetFileParallelism match {
       case Some(n) => df.repartition(n, partitionCols.map(col): _*)
       case None => df.repartition(partitionCols.map(col): _*)
@@ -38,7 +43,8 @@ object Writers {
     repartitioned
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
@@ -63,14 +69,6 @@ object Writers {
     * layout. */
   def partitionedOrc(df: DataFrame, path: String,
       partitionCols: Seq[String],
-      targetFileParallelism: Option[Int] = None): Unit = {
-    val repartitioned = targetFileParallelism match {
-      case Some(n) => df.repartition(n, partitionCols.map(col): _*)
-      case None => df.repartition(partitionCols.map(col): _*)
-    }
-    repartitioned
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionCols: _*)
-      .orc(path)
-  }
+      targetFileParallelism: Option[Int] = None): Unit =
+    partitioned(df, path, partitionCols, targetFileParallelism, "orc")
 }

@@ -92,11 +92,15 @@ object AsOfStream {
       if (e.isQuote) quotes = (e.ts.getTime, e.value) :: quotes
       else trades = (e.ts.getTime, e.tradeId) :: trades
     }
-    // Emit every trade the watermark has passed: all quotes <= that
-    // trade's ts have arrived (watermark contract), so the answer is
-    // final. Sort for deterministic output order only — correctness is
-    // per-trade.
-    val (ripe, pending) = trades.partition(_._1 <= wm)
+    // Emit every trade the watermark has STRICTLY passed: Spark's
+    // late-row filter only drops ts < watermark, so a quote with
+    // ts == wm is not late and may still arrive — a trade ripening at
+    // ts == wm could answer without its winning at-or-before quote
+    // (diverging from batch AsOfJoin). Strict < closes that boundary;
+    // the timers already wake at wm+1, so timer-driven emission was
+    // strict all along. Sort for deterministic output order only —
+    // correctness is per-trade.
+    val (ripe, pending) = trades.partition(_._1 < wm)
     val out = ripe.sortBy(t => (t._1, t._2)).map { case (tMs, tid) =>
       val candidates =
         (if (prev.hasBestBelow) List((prev.bestBelowTs, prev.bestBelowVal)) else Nil) ++

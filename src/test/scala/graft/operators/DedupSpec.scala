@@ -197,7 +197,7 @@ class DedupSpec extends SparkSpec {
         threshold = 0.5)
       .as[(Long, Long, Double)].collect()
     val pairs = prod.map(p => (p._1, p._2))
-    assert(pairs.toSet == pairs.toList.toSet.toSet && pairs.length == pairs.toSet.size,
+    assert(pairs.length == pairs.toSet.size,
       s"pairs must emit exactly once, got ${pairs.toList}")
     assert(pairs.contains((1L, 20L)) && pairs.contains((2L, 20L)),
       s"planted near-dup of a SEEN doc must be caught: ${pairs.toList}")

@@ -94,6 +94,17 @@ class AsOfStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("taggedUnion adapter: two-DataFrame contract maps onto AsOfEvent") {
+    val trades = Seq((1L, ts(5), 100L)).toDF("user_id", "t", "trade_id")
+    val quotes = Seq((1L, ts(3), 2.5)).toDF("user_id", "t", "px")
+    val events = AsOfStream
+      .taggedUnion(trades, quotes, "user_id", "t", "px", "trade_id")
+      .as[AsOfEvent].collect().sortBy(_.ts.getTime)
+    assert(events.toList == List(
+      AsOfEvent(1L, ts(3), isQuote = true, 2.5, 0L),
+      AsOfEvent(1L, ts(5), isQuote = false, 0.0, 100L)))
+  }
+
   test("as-of stream ≡ batch AsOfJoin on an in-horizon replay") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // deterministic mixed workload over 3 keys: quotes every 7 s,
