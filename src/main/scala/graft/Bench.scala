@@ -206,15 +206,25 @@ object Bench {
     // to drain. Cold semantics unchanged — it stays the first timed
     // execution of each query.
     locally {
+      import scala.util.control.NonFatal
       val s0 = snap()
       val t0 = System.nanoTime()
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      // NonFatal only, and name the casualty: a query that dies during
+      // the drain enters the warm passes un-drained, quietly
+      // reintroducing the warm1 JIT skew this pass exists to remove —
+      // that must be visible in the bench log, not swallowed.
+      val drainFailed = SparkEntry.queries.flatMap { case (name, fn) =>
+        try { fn(spark, sfDir).count(); None }
+        catch { case NonFatal(e) =>
+          Some(s"$name (${e.getClass.getSimpleName})") }
       }
       val s1 = snap()
+      val failNote =
+        if (drainFailed.isEmpty) "" else s" UNDRAINED=${drainFailed.mkString(",")}"
       System.err.println(
         f"[bench:drain] full-set untimed pass ${(System.nanoTime() - t0) / 1e9}%.2f s | " +
-        f"gc+${d(s0.gc, s1.gc)}%dms jit+${d(s0.jit, s1.jit)}%dms cc=${codeCacheUsedMb}%dMB")
+        f"gc+${d(s0.gc, s1.gc)}%dms jit+${d(s0.jit, s1.jit)}%dms cc=${codeCacheUsedMb}%dMB" +
+        failNote)
     }
     // Three timed warm passes; per-query warmMedian is the reported number.
     val warmRuns = (1 to 3).map { i =>
@@ -245,10 +255,20 @@ object Bench {
       .map { case (p, m) => s"\"$p\":${runObj(m)}" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"passes":$passesJson,"failed":$failedJson,"sf":"$sfDirRaw"}"""
+    // Compact totals line: the driver's round artifact keeps only a
+    // 2000-char tail of the run log, which lands INSIDE the big JSON
+    // line and loses the totals (they print before the per-pass dump).
+    // Emitting the summary both BEFORE the full line (head readers) and
+    // AFTER it (the tail window always ends with it) makes the round
+    // totals recoverable from any truncation.
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"n_queries":${SparkEntry.queries.size},"failed":$failedJson,"sf":"$sfDirRaw"}"""
     // stdout carries sbt [info] prefixes and any log noise; the file is
     // the unambiguous machine-readable channel for the driver.
     Files.write(Paths.get("BENCH.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    println(summary)
     println(json)
+    println(summary)
     spark.stop()
     cleanupStaging()
   }

@@ -100,7 +100,8 @@ object Dedup {
     * either side. */
   private[operators] def lshVerifiedPairsFrom(probeBanded: DataFrame,
       seenBanded: Option[DataFrame], withSh: DataFrame,
-      maxBucketSize: Int, threshold: Double): DataFrame = {
+      maxBucketSize: Int, threshold: Double,
+      materializeSeen: Boolean = true): DataFrame = {
     // The banded table is consumed THREE times below (bucket count +
     // both candidate-join sides). Its lineage carries the signature
     // computation — the most expensive stage of the whole pipeline (k
@@ -111,10 +112,15 @@ object Dedup {
     // × bands per doc, no text, no shingles — exactly once on first
     // use; blocks are executor-local and ContextCleaner-scoped (no
     // CacheManager leak, unlike persist()).
+    // `materializeSeen = false` is for a seen side that is ALREADY
+    // materialized storage (the persisted band table): re-reading a
+    // bucketed parquet scan is cheaper than copying the whole corpus
+    // band table into executor block storage.
     val probeCk = probeBanded.localCheckpoint(false)
     val allCk = seenBanded match {
       case None => probeCk
-      case Some(seen) => probeCk.union(seen.localCheckpoint(false))
+      case Some(seen) =>
+        probeCk.union(if (materializeSeen) seen.localCheckpoint(false) else seen)
     }
     // Cap pathological buckets before pair generation — bucket size is
     // counted over the FULL corpus view, matching the self-dedup
@@ -196,40 +202,120 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64(col(textCol)).as("simhash"))
 
-  /** Shared banding → candidate-join → exact-hamming tail for both the
-    * production (64-bit/16-bit-band) and md5-twin (60-bit/15-bit-band)
-    * simhash paths — ONE implementation, so the gated twin pins exactly
-    * the pipeline the production path runs. `fp`: (doc_id, simhash). */
+  /** Shared banding → bucket cap → candidate-join → exact-hamming tail
+    * for both the production (64-bit/16-bit-band) and md5-twin
+    * (60-bit/15-bit-band) simhash paths — ONE implementation, so the
+    * gated twin pins exactly the pipeline the production path runs.
+    * `fp`: (doc_id, simhash). Self-dedup form; the incremental probe
+    * form is [[simhashBandPairsFrom]]. */
   private[operators] def simhashBandPairs(fp: DataFrame, bandBits: Int,
-      nBands: Int, maxHamming: Int): DataFrame = {
+      nBands: Int, maxHamming: Int, maxBucketSize: Int): DataFrame =
+    simhashBandPairsFrom(fp, None, bandBits, nBands, maxHamming, maxBucketSize)
+
+  /** Probe form of the simhash band tail — [[lshVerifiedPairsFrom]]'s
+    * topology over fingerprint banding: candidates are (probe × all)
+    * band co-residents where all = probe ∪ `seenFp`; the self-dedup
+    * case passes `seenFp = None`.
+    *
+    * Degenerate band buckets are capped BEFORE pair generation with the
+    * same partial-agg count + broadcast anti-join as the MinHash-LSH
+    * path: a mass-duplicated boilerplate corpus puts thousands of docs
+    * on the IDENTICAL 64-bit fingerprint — identical band values on
+    * EVERY band — and the band join would otherwise emit an m²/2-row
+    * candidate blow-up that no AQE split can undo (the quadratic
+    * intermediate itself is the hazard, not just its partitioning).
+    * Same documented recall tradeoff as the LSH `maxBucketSize`: pairs
+    * inside a dropped bucket are missed on that band — and since
+    * identical fingerprints share ALL bands, a mass-dup family over the
+    * cap is dropped entirely, which is exactly the boilerplate case the
+    * cap exists for (route such corpora through exact dedup first). */
+  private[operators] def simhashBandPairsFrom(probeFp: DataFrame,
+      seenFp: Option[DataFrame], bandBits: Int, nBands: Int,
+      maxHamming: Int, maxBucketSize: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val bandCols = (0 until nBands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+    def bandedOf(fp: DataFrame): DataFrame = {
+      val bandCols = (0 until nBands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+      }
+      fp.select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("bv"))
+        .select(col("doc_id"), col("simhash"),
+          col("bv.band").as("band"), col("bv.band_val").as("band_val"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bv"))
-      .select(col("doc_id"), col("simhash"),
-        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
-    val a = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band"), col("band_val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band", "band_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    // The fingerprint table feeds three consumers (bucket count + both
+    // join sides). It is 16 bytes/doc, and on the md5-twin path its
+    // lineage carries the token-explode vote aggregation — a lazy
+    // localCheckpoint materializes it once (same rationale as the LSH
+    // banded checkpoint above; production fingerprints are a scan-side
+    // projection, where the checkpoint still saves two corpus scans).
+    val probeCk = probeFp.localCheckpoint(false)
+    val allCk = seenFp match {
+      case None => probeCk
+      case Some(seen) => probeCk.union(seen.localCheckpoint(false))
+    }
+    val probeBanded = bandedOf(probeCk)
+    val allBanded = bandedOf(allCk)
+    // Bucket sizes counted over the FULL corpus view as a partial agg
+    // (map-side combine), NEVER a window count — see lshVerifiedPairsFrom.
+    val oversized = allBanded
+      .groupBy(col("band"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_val"))
+    val a = probeBanded.join(broadcast(oversized), Seq("band", "band_val"), "left_anti")
+      .select(col("band"), col("band_val"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = allBanded.join(broadcast(oversized), Seq("band", "band_val"), "left_anti")
+      .select(col("band"), col("band_val"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val joined = a.join(b, Seq("band", "band_val"))
+    // Hamming is symmetric, so it is computed before id canonicalization.
+    // Self-dedup emits each co-bucket pair once (probe < other); only
+    // the probe form needs least/greatest — a (seen, new) pair is
+    // reachable only from its probe endpoint.
+    val pairs = seenFp match {
+      case None =>
+        joined.filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      case Some(_) =>
+        joined.filter(col("doc_a") =!= col("doc_b"))
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+            expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+    }
+    pairs.distinct().filter(col("hamming") <= maxHamming)
   }
+
+  /** Default band-bucket cap for the simhash candidate join, shared
+    * with the generated oracle SQL (DedupOps interpolates this same
+    * constant — the NgramMaxBlockSize pattern). */
+  val SimhashMaxBucketSize = 1000
 
   /** SimHash near-dup pairs: 16-bit band blocking (any pair within
     * hamming ≤ 3 of a 64-bit hash shares at least one of 4 exact 16-bit
     * bands — pigeonhole), verified with exact bit_count(xor) ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame =
+      maxHamming: Int = 3,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
     simhashBandPairs(simhash(docs, idCol, textCol),
-      bandBits = 16, nBands = 4, maxHamming = maxHamming)
+      bandBits = 16, nBands = 4, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+
+  /** Incremental (batch-merge) SimHash near-dup — production-hash twin:
+    * a NEW batch's fingerprint bands probed against the full-corpus
+    * view, same probe topology and guarantees as
+    * [[incrementalMinhashLsh]] ((seen, new) pairs once, batch-internal
+    * pairs once, (seen, seen) never re-paired; equivalent to the full
+    * self-dedup filtered to pairs touching the batch). */
+  def incrementalSimhash(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
+    simhashBandPairsFrom(simhash(batch, idCol, textCol),
+      Some(simhash(seen, idCol, textCol)),
+      bandBits = 16, nBands = 4, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
 
   // --- md5-derived oracle twins -------------------------------------
   // The production minhash/simhash paths hash with xxhash64, which has
@@ -271,6 +357,21 @@ object Dedup {
     lshVerifiedPairs(md5BandedFrom(withSh, bands, rows), withSh,
       maxBucketSize, threshold)
   }
+
+  /** Public (doc_id, sh) shingle table — backs the verification join
+    * of the store-backed probe (at corpus scale, persist it alongside
+    * the band table instead of recomputing from raw text). */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = NgramShingleN): DataFrame =
+    withShOf(docs, idCol, textCol, shingleN)
+
+  /** Public banding entry for [[BandStore]] maintenance: the
+    * (doc_id, band, band_key) md5-twin band rows of a corpus or an
+    * accepted batch — exactly the artifact the store persists. */
+  def md5Bands(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
+      rows: Int = Md5TwinRows): DataFrame =
+    md5BandedFrom(withShOf(docs, idCol, textCol, shingleN), bands, rows)
 
   /** (doc_id, band, band_key) md5-twin band table of a shingled corpus
     * — the persisted artifact an incremental pipeline maintains. */
@@ -345,6 +446,33 @@ object Dedup {
       maxBucketSize, threshold)
   }
 
+  /** Store-backed incremental MinHash near-dup — what
+    * [[incrementalMinhashLshMd5]]'s scaladoc promises for 100 TB: the
+    * seen side is the PERSISTED band table ([[BandStore]] /
+    * [[md5BandedFrom]]'s (doc_id, band, band_key) output, bucketed by
+    * band_key), so NO signature computation runs over the seen corpus —
+    * the dominant per-batch cost of the convenience form, repeated on
+    * every probe, disappears. `seenSh` backs only the verification join
+    * ((doc_id, sh) for seen docs; the candidate join prunes it to
+    * candidate ids — at corpus scale persist it alongside the band
+    * table, or pass seen docs semi-joined to the probe's candidates).
+    * Output is identical to [[incrementalMinhashLshMd5]] on the same
+    * (batch, seen) split — pinned by BandStoreSpec. */
+  def incrementalMinhashLshMd5FromStore(batch: DataFrame,
+      seenBanded: DataFrame, seenSh: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
+      rows: Int = Md5TwinRows, threshold: Double = NgramThreshold,
+      maxBucketSize: Int = NgramMaxBlockSize): DataFrame = {
+    val shNew = withShOf(batch, idCol, textCol, shingleN)
+    lshVerifiedPairsFrom(md5BandedFrom(shNew, bands, rows),
+      Some(seenBanded.select(col("doc_id"), col("band"), col("band_key"))),
+      shNew.union(seenSh), maxBucketSize, threshold,
+      // the stored band table is already materialized storage — do not
+      // copy the corpus band table into executor block memory
+      materializeSeen = false)
+  }
+
   /** Production-hash (xxhash64 [[graft.functions.MinhashBands]]) twin of
     * [[incrementalMinhashLshMd5]] — same probe topology, engine-native
     * signatures. */
@@ -366,8 +494,11 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming verification. The 60 bit-vote sums are
     * declarative aggregates (codegen'd), unlike the per-char interpreted
     * fold this module replaced in round 2. */
-  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = Md5SimhashMaxHamming): DataFrame = {
+  /** (doc_id, simhash) 60-bit md5-derived fingerprint table — the
+    * md5-twin sibling of [[simhash]], shared by the self-dedup and
+    * incremental probe forms. */
+  private[operators] def md5SimhashFp(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), md5h60(col("tok")).as("h"))
@@ -375,13 +506,35 @@ object Dedup {
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
     }
     val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = agg.select(col("doc_id"),
+    agg.select(col("doc_id"),
       (0 until Md5SimhashBits)
         .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("simhash"))
-    simhashBandPairs(fp, bandBits = Md5SimhashBandBits,
-      nBands = Md5SimhashBits / Md5SimhashBandBits, maxHamming = maxHamming)
   }
+
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = Md5SimhashMaxHamming,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
+    simhashBandPairs(md5SimhashFp(docs, idCol, textCol),
+      bandBits = Md5SimhashBandBits,
+      nBands = Md5SimhashBits / Md5SimhashBandBits,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /** Incremental (batch-merge) SimHash near-dup, md5 twin of
+    * [[incrementalSimhash]] — the DuckDB-gateable form: the oracle is
+    * the full simhash self-dedup oracle filtered to pairs touching the
+    * batch (the same equivalence the minhash probe gate relies on —
+    * fingerprints are per-doc, so banding and the full-view bucket
+    * count are identical between the probe and self-dedup runs). */
+  def incrementalSimhashMd5(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      maxHamming: Int = Md5SimhashMaxHamming,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
+    simhashBandPairsFrom(md5SimhashFp(batch, idCol, textCol),
+      Some(md5SimhashFp(seen, idCol, textCol)),
+      bandBits = Md5SimhashBandBits,
+      nBands = Md5SimhashBits / Md5SimhashBandBits,
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
 
   /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
     * on a text prefix, compute exact shingle Jaccard within blocks. The
@@ -513,26 +666,25 @@ object Dedup {
     * curation pipeline actually wants when near-dups differ in
     * cleanliness. `withQuality`: (idCol, cluster_id, quality).
     *
-    * The argmax is ONE partial aggregation — max of a (quality,
-    * MaxValue−id) struct, so the merge is a plain max and map-side
-    * combine applies — NEVER a per-cluster row_number window: a
-    * mass-duplicated boilerplate cluster would ship every member into
-    * one unsplittable window task (the same WindowExec hazard class as
-    * the dedup bucket caps). The join back is a shuffle join on
-    * cluster_id; per-cluster best rows are bounded by the cluster
-    * count, not the corpus.
+    * The argmax is ONE partial aggregation — max of a (quality, ~id)
+    * struct, so the merge is a plain max and map-side combine applies —
+    * NEVER a per-cluster row_number window: a mass-duplicated
+    * boilerplate cluster would ship every member into one unsplittable
+    * window task (the same WindowExec hazard class as the dedup bucket
+    * caps). The join back is a shuffle join on cluster_id; per-cluster
+    * best rows are bounded by the cluster count, not the corpus.
     *
-    * Contract: ids must be non-negative (the tie-break encodes min-id
-    * as max(MaxValue − id) inside the struct, which would overflow for
-    * negative ids); quality must be non-null (qualityExpr's output
-    * always is). */
+    * The min-id tie-break is encoded as max(bitwise NOT id): ~ is a
+    * strictly decreasing bijection on the full long domain, so it is
+    * overflow-free for negative ids too (a MaxValue − id encoding would
+    * wrap there and silently elect the wrong canonical). Contract:
+    * quality must be non-null (qualityExpr's output always is). */
   def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val inv = lit(Long.MaxValue) - col(idCol)
     val best = withQuality
       .groupBy(col("cluster_id"))
-      .agg(max(struct(col("quality").as("q"), inv.as("inv"))).as("b"))
-      .select(col("cluster_id"),
-        (lit(Long.MaxValue) - col("b.inv")).as("best_id"))
+      .agg(max(struct(col("quality").as("q"),
+        bitwise_not(col(idCol)).as("inv"))).as("b"))
+      .select(col("cluster_id"), bitwise_not(col("b.inv")).as("best_id"))
     withQuality.join(best, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("quality"),
         (col(idCol) === col("best_id")).as("keep"))

@@ -2,8 +2,7 @@ package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CentroidAssign, CentroidNearest, VectorOps}
@@ -151,9 +150,9 @@ object IvfIndex {
         round(VectorOps.cosinePrenormed(
           VectorOps.dotPrecast(col("qd_emb"), col("emb")),
           col("q_nrm"), col("v_nrm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    // bounded-heap ranking, not a per-query window: a dense cell can't
+    // funnel a query's whole candidate set into one task — see
+    // SimilaritySearch.heapTopK
+    SimilaritySearch.heapTopK(scored, k)
   }
 }

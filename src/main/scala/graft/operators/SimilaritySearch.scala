@@ -97,11 +97,28 @@ object SimilaritySearch {
         round(VectorOps.cosinePrenormed(
           VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
           col("q_nrm"), col("v_nrm")), 4).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    heapTopK(scored, k)
   }
+
+  /** Final ranking for every candidate-generation path: top-k per query
+    * via the bounded-heap aggregate ([[graft.functions.TopKByScore]]),
+    * NOT a per-query row_number window — the heap partially combines
+    * map-side (each partition reduces to ≤ k pairs before the shuffle,
+    * |queries|·k rows exchanged), whereas WindowExec would funnel a hot
+    * query's ENTIRE candidate set — a degenerate LSH bucket, a dense
+    * IVF cell — into one unsplittable task with no partial aggregation.
+    * Bit-identical output to the window form: same rounded score, same
+    * (score DESC, vec_id ASC) total order (proven by ann_brute vs
+    * ann_topk_agg and pinned in SimilaritySearchSpec). */
+  private[operators] def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("sim"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"),
+        col("col.id").as("vec_id"),
+        col("col.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rk"))
 
   /** Brute-force top-k via the bounded-heap aggregate instead of a
     * ranking window: map-side partial combine reduces each partition to
@@ -115,19 +132,13 @@ object SimilaritySearch {
     val q = queries.select(col("query_id"),
       VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
       VectorOps.norm(col("q_emb")).as("q_nrm"))
-    v.crossJoin(broadcast(q))
+    val scored = v.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosinePrenormed(
           VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
           col("q_nrm"), col("v_nrm")), 4).as("sim"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKByScore(col("sim"), col("vec_id"), k).as("topk"))
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"),
-        col("col.id").as("vec_id"),
-        col("col.score").as("sim"),
-        (col("pos") + 1).cast("long").as("rk"))
+    heapTopK(scored, k)
   }
 
   /** LSH-bucketed cosine near-dup pairs — the scale path for

@@ -188,19 +188,42 @@ object TextAnalysis {
     * onto a scan-side filter. An exact percentile aggregate over raw
     * doubles would carry corpus-sized state and a float-interpolated
     * cutoff whose last ulp could disagree across engines. */
-  def qualityFloor(docs: DataFrame, idCol: String, textCol: String,
+  /** quality_bp = the quality score as integer basis points (4-decimal
+    * rounding × 10⁴) — the value-domain-bounded histogram key, shared
+    * by the batch floor and its streaming twin
+    * ([[graft.streaming.QualityFloorStore]]) so the two can't drift. */
+  def qualityBp(t: Column): Column =
+    round(qualityExpr(t) * 10000).cast("long")
+
+  /** 1-row (cutoff) table from a (quality_bp, c) histogram: the largest
+    * quality_bp whose descending-cumulative count reaches
+    * ceil(n · keepFrac) — ties at the boundary value included. The one
+    * global window runs over the histogram (≤ 10⁴+1 rows by value
+    * domain — the one place a global window is safe), never the corpus.
+    * Shared by the batch floor and the streaming store's publish step:
+    * identical arithmetic, identical cutoff. */
+  private[graft] def cutoffFromHistogram(hist: DataFrame,
       keepFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = docs.select(col(idCol),
-      round(qualityExpr(col(textCol)) * 10000).cast("long").as("quality_bp"))
-    val hist = q.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
-    val n = q.agg(count(lit(1)).as("n"))
+    val n = hist.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
     val w = Window.orderBy(col("quality_bp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cutoff = hist.withColumn("cum", sum(col("c")).over(w))
+    hist.withColumn("cum", sum(col("c")).over(w))
       .crossJoin(broadcast(n))
       .filter(col("cum") >= ceil(col("n") * lit(keepFrac)))
       .agg(max(col("quality_bp")).as("cutoff"))
+  }
+
+  def qualityFloor(docs: DataFrame, idCol: String, textCol: String,
+      keepFrac: Double): DataFrame = {
+    // keepFrac <= 0 degenerates (ceil(n*0) = 0 qualifies every bucket →
+    // only the top bucket kept); keepFrac > 1 empties the cutoff agg
+    // and silently drops everything — both are caller bugs, fail loudly
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val q = docs.select(col(idCol), qualityBp(col(textCol)).as("quality_bp"))
+    val hist = q.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val cutoff = cutoffFromHistogram(hist, keepFrac)
     q.crossJoin(broadcast(cutoff))
       .filter(col("quality_bp") >= col("cutoff"))
       .select(col(idCol), col("quality_bp"))

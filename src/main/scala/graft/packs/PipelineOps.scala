@@ -43,8 +43,32 @@ object PipelineOps extends QueryPack {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** The flagship composition with QUALITY-weighted canonical keep:
+    * same gates and LSH clustering as [[pipelineCurate]], but the
+    * survivor of each near-dup cluster is its highest-quality member
+    * (tie → min id, [[Dedup.keepByQuality]]) instead of the min-id doc —
+    * what a curation pipeline actually ships. One composed oracle from
+    * the same shared CTE fragments. */
+  def pipelineCurateQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val filtered = docs.join(quality, "doc_id")
+      .filter(col("quality") >= QualityMin)
+    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(sampled.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
+    Dedup.keepByQuality(withQuality)
+      .filter(col("keep"))
+      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("pipeline_curate" -> (pipelineCurate _))
+    Map("pipeline_curate" -> (pipelineCurate _),
+      "pipeline_curate_quality" -> (pipelineCurateQuality _))
 
   override def oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->
@@ -61,6 +85,30 @@ object PipelineOps extends QueryPack {
          |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
          |SELECT s.doc_id, s.lang, s.quality
          |FROM sampled s JOIN cc ON s.doc_id = cc.v
-         |WHERE s.doc_id = cc.cluster_id""".stripMargin
+         |WHERE s.doc_id = cc.cluster_id""".stripMargin,
+
+    // same gates + clustering, quality-argmax keep (min-id tie-break) —
+    // the j/b/k tail mirrors DedupOps.keepQualityOracle over `sampled`
+    "pipeline_curate_quality" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, text,
+         |  ${TextOps.qualityExprSql} AS quality
+         |  FROM documents
+         |), sampled AS (
+         |  SELECT * FROM q
+         |  WHERE quality >= $QualityMin
+         |    AND ${TextOps.sampleGateSql}
+         |),
+         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)},
+         |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s.lang, s.quality
+         |      FROM cc JOIN sampled s ON cc.v = s.doc_id),
+         |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
+         |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
+         |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
+         |      GROUP BY j.cluster_id)
+         |SELECT j.doc_id, j.lang, j.quality
+         |FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |WHERE j.doc_id = k.best_id""".stripMargin
   )
 }

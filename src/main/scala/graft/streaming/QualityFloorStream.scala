@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming twin of [[graft.operators.TextAnalysis.qualityFloor]] —
+  * the corpus-RELATIVE quality floor over an unbounded stream.
+  *
+  * A corpus-relative cutoff is a global statistic no single micro-batch
+  * can know, so the floor splits into the same two halves the batch
+  * form has — a histogram and a filter — with the histogram maintained
+  * incrementally:
+  *
+  * - **Histogram store** (this class): each micro-batch's quality_bp
+  *   counts merge into a persisted (quality_bp, c) histogram via
+  *   CtrStore's copy-on-write version-publish pattern. The state is
+  *   bounded by the VALUE DOMAIN (≤ 10⁴+1 rows), never the stream
+  *   length — the same property that makes the batch form's one global
+  *   window safe.
+  * - **Published cutoff**: after each merge the cutoff is recomputed
+  *   from the merged histogram with the IDENTICAL shared arithmetic
+  *   ([[TextAnalysis.cutoffFromHistogram]]) and published as a scalar.
+  *   The 1-row read here is the publish path, not a data path.
+  * - **Read-time verdicts**: keep decisions apply the published cutoff
+  *   to the accumulated (id, quality_bp) docs at READ time —
+  *   retroactive and corpus-relative, exactly like the batch form, so
+  *   on any finalized horizon [[curated]] equals batch `qualityFloor`
+  *   row-for-row (QualityFloorStreamSpec pins it).
+  *
+  * Cutoff-lag semantics (documented delta vs batch): a verdict read
+  * between batch N and N+1 uses batches 1..N's histogram — the cutoff
+  * lags the corpus by at most the in-flight batch, and a consumer that
+  * filters eagerly at emit time (instead of at read time) keeps docs a
+  * later, stricter cutoff would have dropped. Pipelines that need the
+  * exact batch semantics read through [[curated]]; pipelines that need
+  * eager emission accept the lag.
+  */
+final class QualityFloorStore(keepFrac: Double, dir: String) {
+
+  def this(keepFrac: Double) =
+    this(keepFrac, Files.createTempDirectory("graft-qfloor-store").toString)
+
+  require(keepFrac > 0 && keepFrac <= 1,
+    s"keepFrac must be in (0, 1], got $keepFrac")
+
+  // Publish pointer — foreachBatch serializes merges per query, so a
+  // volatile suffices (same contract as CtrStore).
+  @volatile private var version: Int = 0
+  @volatile private var publishedCutoff: Option[Long] = None
+
+  private def versionDir(v: Int): String = s"$dir/v$v"
+
+  /** Current merged histogram: (quality_bp, c). */
+  def histogram(spark: SparkSession): DataFrame =
+    if (version == 0) {
+      import spark.implicits._
+      Seq.empty[(Long, Long)].toDF("quality_bp", "c")
+    } else spark.read.parquet(versionDir(version))
+
+  /** The quality_bp column expression — the SAME expression the batch
+    * floor scores with, re-exported so stream wiring can't drift. */
+  def qualityBp(text: Column): Column = TextAnalysis.qualityBp(text)
+
+  /** Merge one micro-batch's scored rows (any DataFrame with a
+    * quality_bp column — [[qualityBp]] output) and publish the updated
+    * cutoff. The batch-side count is a partial agg to ≤ 10⁴+1 rows
+    * before it touches the store. */
+  def merge(batchScored: DataFrame): Unit = {
+    val spark = batchScored.sparkSession
+    val next = version + 1
+    val batchHist = batchScored.select(col("quality_bp"))
+      .groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    histogram(spark).unionByName(batchHist)
+      .groupBy(col("quality_bp")).agg(sum(col("c")).cast("long").as("c"))
+      .write.mode(SaveMode.Overwrite).parquet(versionDir(next))
+    version = next
+    // publish: shared cutoff arithmetic over the ≤ 10⁴+1-row histogram;
+    // the head() is the 1-row publish read, bounded by value domain
+    val row = TextAnalysis
+      .cutoffFromHistogram(histogram(spark), keepFrac).head()
+    publishedCutoff = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    // retire versions older than the previous one (in-flight readers)
+    val stale = Paths.get(dir).resolve(s"v${next - 2}")
+    if (next >= 2 && Files.exists(stale)) {
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(stale)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** The published cutoff in basis points; None before the first
+    * non-empty merge. */
+  def cutoffBp: Option[Long] = publishedCutoff
+
+  /** Read-time curated view of accumulated docs (any DataFrame with a
+    * quality_bp column): keep rows at or above the CURRENT published
+    * cutoff — ties at the boundary included, exactly like the batch
+    * floor. Before any merge the view is empty (no corpus, no floor). */
+  def curated(docs: DataFrame): DataFrame = publishedCutoff match {
+    case Some(c) => docs.filter(col("quality_bp") >= lit(c))
+    case None => docs.limit(0)
+  }
+}

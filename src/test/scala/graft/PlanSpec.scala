@@ -131,6 +131,29 @@ class PlanSpec extends SparkSpec {
       s"the per-cluster argmax must partially aggregate map-side:\n$p")
   }
 
+  test("dedup_simhash_md5: band-bucket cap is partial-agg + anti-join, not a window count") {
+    val p = plan("dedup_simhash_md5")
+    assert(!p.contains("windowspecdefinition"),
+      s"simhash bucket cap must not ride a window count:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"oversized simhash band buckets must be dropped via an anti-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"simhash banding must make candidate generation an equi-join:\n$p")
+  }
+
+  test("ann_lsh + ann_ivf: heap top-k with map-side combine, never a ranking window") {
+    // a hot query hitting a degenerate LSH bucket / dense IVF cell must
+    // not funnel its full candidate set into one unsplittable window
+    // task — the bounded-heap aggregate partially combines map-side
+    Seq("ann_lsh", "ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_graft_topk"),
+        s"$q must rank via the bounded-heap aggregate (map-side combine):\n$p")
+      assert(!p.contains("windowspecdefinition"),
+        s"$q must not rank via a per-query window:\n$p")
+    }
+  }
+
   test("range_join: binned equi-join, never a nested-loop inequality join") {
     val p = plan("range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -213,6 +213,66 @@ class DedupSpec extends SparkSpec {
       !twin.contains((1L, 2L)))
   }
 
+  test("incremental simhash: seen dups caught, batch pairs once, corpus never re-paired") {
+    // byte-identical texts guarantee identical fingerprints (hamming 0)
+    // on both hash families, so the planted pairs are deterministic
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val seen = Seq(
+      (1L, dupText),                             // dup of batch doc 20
+      (2L, dupText),                             // (1,2) is seen-seen
+      (3L, "entirely unrelated corpus document about catalyst physical planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, dupText),                            // dup of SEEN 1 and 2
+      (21L, "fresh batch document with its own words about shuffle partitioning"),
+      (22L, "fresh batch document with its own words about shuffle partitioning")
+    ).toDF("doc_id", "text")
+    val prod = Dedup.incrementalSimhash(batch, seen, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val pairs = prod.map(p => (p._1, p._2))
+    assert(pairs.length == pairs.toSet.size,
+      s"pairs must emit exactly once, got ${pairs.toList}")
+    assert(pairs.contains((1L, 20L)) && pairs.contains((2L, 20L)),
+      s"planted dup of a SEEN doc must be caught: ${pairs.toList}")
+    assert(pairs.contains((21L, 22L)),
+      s"batch-internal dup must be caught: ${pairs.toList}")
+    assert(!pairs.contains((1L, 2L)),
+      "seen-seen pairs must never re-emit from an incremental probe")
+    // md5 twin runs the same topology
+    val twin = Dedup.incrementalSimhashMd5(batch, seen, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(twin.contains((1L, 20L)) && twin.contains((2L, 20L)) &&
+      twin.contains((21L, 22L)) && !twin.contains((1L, 2L)))
+  }
+
+  test("simhash pairs: over-cap fingerprint buckets dropped whole, small buckets kept") {
+    // 5 byte-identical docs share every band value; cap 4 drops them.
+    // The distinct pair in its own 2-member buckets survives.
+    val dup = "unique content alpha beta gamma delta epsilon zeta"
+    val d = ((1L to 5L).map(i => (i, "mass duplicated boilerplate body repeated verbatim")) ++
+      Seq((10L, dup), (11L, dup))).toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(d, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = Dedup.simhashPairs(d, "doc_id", "text", maxBucketSize = 4)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((10L, 11L)), s"got $capped")
+  }
+
+  test("keepByQuality: negative ids tie-break correctly (no overflow)") {
+    // a MaxValue − id encoding overflows for negative ids; the ~id
+    // encoding must elect the true min id on a quality tie
+    val wq = Seq(
+      (-5L, -10L, 0.9), (-10L, -10L, 0.9), (7L, -10L, 0.5),
+      (Long.MinValue, 30L, 0.2), (31L, 30L, 0.2))
+      .toDF("doc_id", "cluster_id", "quality")
+    val out = Dedup.keepByQuality(wq)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map(-10L -> true, -5L -> false, 7L -> false,
+      Long.MinValue -> true, 31L -> false), s"got $out")
+  }
+
   test("incrementalExact propagates the caller's id column name") {
     val batch = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("my_id", "text")
     val seen = Seq((1L, "bbb")).toDF("my_id", "text")

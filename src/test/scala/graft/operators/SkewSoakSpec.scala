@@ -174,4 +174,48 @@ class SkewSoakSpec extends SparkSpec {
       f"bucket cap must keep stages balanced, saw worst max/mean = $worst%.1f")
     info(f"production LSH cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
   }
+
+  /** Degenerate-FINGERPRINT corpus for the simhash path: `Boiler`
+    * byte-identical docs share ONE 64-bit simhash — identical values on
+    * all 4 bands, the worst case for the band join (an uncapped join
+    * would emit m²/2 ≈ 72M candidate rows; no AQE split undoes a
+    * quadratic intermediate). A planted exact-dup pair sits in its own
+    * 2-member buckets and must survive the cap. */
+  private def identicalFingerprintDocs = {
+    val s = spark
+    import s.implicits._
+    val boilerText = "standard boilerplate terms of service apply to every " +
+      "document in this mass duplicated corpus without any variation"
+    val boiler = s.range(0, Boiler).select(col("id").as("doc_id"),
+      lit(boilerText).as("text"))
+    val clean = s.range(100000, 100000L + CleanN).select(col("id").as("doc_id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") * 7 + 1).cast("string")),
+        md5((col("id") * 13 + 2).cast("string"))).as("text"))
+    val planted = Seq(
+      (900001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (900002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    boiler.union(clean).union(planted)
+  }
+
+  test("production simhash bucket cap: skew bounded under identical fingerprints") {
+    val (rows, worst, maxRead) = measureSkew {
+      Dedup.simhashPairs(identicalFingerprintDocs, "doc_id", "text").collect()
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "planted dup pair in a small bucket must survive the cap")
+    // the 12000-member fingerprint bucket is over the cap on EVERY band
+    // and is dropped whole (documented: mass-dups go through exact
+    // dedup first) — no boiler pair may appear, and no task may have
+    // read the degenerate bucket
+    assert(!pairs.exists(p => p._1 < Boiler && p._2 < Boiler),
+      "over-cap fingerprint bucket must be dropped, not paired")
+    assert(worst <= 4.0,
+      f"simhash bucket cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    assert(maxRead < Boiler,
+      s"no task may read the whole degenerate fingerprint bucket: max=$maxRead")
+    info(f"production simhash cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
 }
