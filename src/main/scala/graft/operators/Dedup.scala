@@ -473,6 +473,32 @@ object Dedup {
       materializeSeen = false)
   }
 
+  /** Production-hash ([[graft.functions.MinhashBands]], xxhash64)
+    * banding entry for [[BandStore]] maintenance — band_key cast to
+    * string so both hash families persist under the one store schema
+    * (the cast preserves equality: distinct longs ⇄ distinct strings). */
+  def minhashBandTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4): DataFrame =
+    bandedFrom(withShOf(docs, idCol, textCol, shingleN), bands, rows)
+      .withColumn("band_key", col("band_key").cast("string"))
+
+  /** Production-hash twin of [[incrementalMinhashLshMd5FromStore]]:
+    * probe a new batch's xxhash64 bands against the persisted band
+    * table — no signature recompute over the seen corpus. */
+  def incrementalMinhashLshFromStore(batch: DataFrame,
+      seenBanded: DataFrame, seenSh: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rows: Int = 4,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val shNew = withShOf(batch, idCol, textCol, shingleN)
+    lshVerifiedPairsFrom(
+      bandedFrom(shNew, bands, rows)
+        .withColumn("band_key", col("band_key").cast("string")),
+      Some(seenBanded.select(col("doc_id"), col("band"), col("band_key"))),
+      shNew.union(seenSh), maxBucketSize, threshold,
+      materializeSeen = false)
+  }
+
   /** Production-hash (xxhash64 [[graft.functions.MinhashBands]]) twin of
     * [[incrementalMinhashLshMd5]] — same probe topology, engine-native
     * signatures. */

@@ -355,6 +355,44 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Perplexity-style fluency score WITHOUT an external LM: per-doc
+    * average token log-probability under the corpus's OWN unigram
+    * distribution (Laplace-smoothed) — the cheap self-perplexity signal
+    * the published curation pipelines threshold on (a doc of rare junk
+    * tokens scores far below fluent prose; pair with repetitionStats,
+    * which catches the opposite degenerate of over-COMMON tokens).
+    *
+    * Scale shape: tfidfTopTerms' exact plan discipline. (doc, term)
+    * counts partially aggregate before any shuffle; term totals join
+    * back with a SHUFFLE merge join — never a vocabulary broadcast (an
+    * open 100 TB vocabulary is tens of GB) and never a term-partitioned
+    * window (a stopword would funnel ~N_docs rows into one task); the
+    * only broadcast is the 1-row (N, V) total.
+    *
+    * Cross-engine determinism: each term's log-probability is rounded
+    * to 6 decimals and summed as DECIMAL (exact, order-independent —
+    * a double sum would expose aggregation order in the last ulp);
+    * the final average divides once and rounds to 4. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = tf.groupBy(col("term")).agg(sum(col("tf")).as("tc"))
+    val tot = tc.agg(sum(col("tc")).as("n"), count(lit(1)).as("v"))
+    val scored = tf
+      .join(tc.hint("merge"), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        round(log((col("tc") + 1).cast("double") /
+          (col("n") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("llp")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logprob"))
+  }
+
   /** Top-k TF-IDF terms per document (keyword extraction / doc
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the

@@ -139,6 +139,10 @@ object TextOps extends QueryPack {
     TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", TfidfK)
 
+  def unigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   val VocabTopN = 100
 
   def vocabTopTerms(spark: SparkSession, sfDir: String): DataFrame =
@@ -192,6 +196,7 @@ object TextOps extends QueryPack {
     "temperature_sample" -> (temperatureSample _),
     "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
+    "unigram_logprob" -> (unigramLogprob _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -389,6 +394,28 @@ object TextOps extends QueryPack {
          |    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $TfidfK""".stripMargin,
+
+    // per-term logprob rounded to 6 decimals then summed as DECIMAL
+    // (exact, order-free) in BOTH engines; final avg divides once and
+    // rounds to 4 — ulp-level ln() skew can't survive the rounding
+    "unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+        |), tc AS (
+        |  SELECT term, sum(tf)::BIGINT AS tc FROM tf GROUP BY term
+        |), tot AS (
+        |  SELECT sum(tc)::BIGINT AS n, count(*)::BIGINT AS v FROM tc
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.tf,
+        |         CAST(round(ln((tc.tc + 1)::DOUBLE / (tot.n + tot.v)), 6)
+        |              AS DECIMAL(18,6)) AS llp
+        |  FROM tf JOIN tc USING (term) CROSS JOIN tot
+        |)
+        |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |       round(CAST(sum(tf * llp) AS DOUBLE) / sum(tf), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

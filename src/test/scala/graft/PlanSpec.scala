@@ -197,6 +197,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
+  test("unigram_logprob: term totals via merge join — no vocab broadcast, no term window") {
+    val p = plan("unigram_logprob")
+    // same open-vocabulary discipline as tfidf_top_terms: the term-count
+    // side must never broadcast and never ride a term-partitioned window
+    assert(!p.contains("BroadcastHashJoin"),
+      s"term totals must come from a shuffle join, not a broadcast join:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere in the logprob plan:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the tf⋈tc join must be a skew-splittable shuffle join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"(doc, term) counts must partially aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row (N, V) total should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the

@@ -46,6 +46,23 @@ class BandStoreSpec extends SparkSpec {
     assert(got.nonEmpty, "testdata should contain planted near-dups touching the batch")
   }
 
+  test("production-hash store probe ≡ production recompute form") {
+    val (batch, seen) = split(5)
+    val store = new BandStore("graft_band_store_prod")
+    store.merge(Dedup.minhashBandTable(seen, "doc_id", "text"))
+    val got = Dedup.incrementalMinhashLshFromStore(
+        batch, store.table(spark),
+        Dedup.shingleTable(seen, "doc_id", "text"), "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Dedup.incrementalMinhashLsh(batch, seen, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("merge publishes copy-on-write versions; reader window preserved") {
     val s = spark
     import s.implicits._

@@ -368,6 +368,31 @@ class TextAnalysisSpec extends SparkSpec {
       feats.embedding.forall(v => v >= 0f && v <= 1f))
   }
 
+  test("unigramLogProb: common-token prose outscores rare-token junk; exact hand-check") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a a b" (1), "a b" (2), "zzz qqq" (3)
+    // term counts: a=3, b=2, zzz=1, qqq=1 → N=7, V=4
+    val d = Seq((1L, "a a b"), (2L, "a b"), (3L, "zzz qqq"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def llp(tc: Long): BigDecimal =
+      BigDecimal(math.log((tc + 1).toDouble / 11.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(parts: (Long, Long)*): Double = {
+      val q = parts.map { case (tf, tc) => BigDecimal(tf) * llp(tc) }.sum.toDouble /
+        parts.map(_._1).sum
+      BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2 && out(3L)._1 == 2)
+    assert(out(1L)._2 == avg((2L, 3L), (1L, 2L)), s"got ${out(1L)}")
+    assert(out(3L)._2 == avg((1L, 1L), (1L, 1L)), s"got ${out(3L)}")
+    // fluency ordering: the common-token docs score above the junk doc
+    assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
+  }
+
   test("redactPii: a phone-shaped substring inside an email counts once") {
     val docs = Seq(
       (1L, "contact 555-123-4567@example.com now"),
