@@ -139,4 +139,32 @@ object StreamingPipelines {
         first(col("text")).as("text"), max(col("dropped")).as("dropped"))
       .filter(!col("dropped"))
       .drop("dropped")
+
+  /** Streaming curation with a CORPUS-RELATIVE quality floor — the
+    * composition [[curateStream]] can't express with its fixed
+    * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
+    * far by quality. Call inside foreachBatch; it (a) merges the
+    * batch's quality histogram into `store` (value-domain-bounded
+    * state, published cutoff) and (b) returns the batch's rows scored
+    * and mixture-gated, for the caller to append to its doc sink. The
+    * floor itself applies at READ time — `store.curated(sink)` — so
+    * the curated view is retroactively corpus-relative on any
+    * finalized horizon, exactly matching the batch composition
+    * qualityFloor ∘ stratifiedSample (CurateRelativeSpec pins it).
+    * The stateless mixture gate stays emit-time (a pure function of
+    * the row, same expression as batch); only the corpus-relative
+    * verdict is deferred — that split is the point: global statistics
+    * belong to the store, per-row gates to the stream. */
+  def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = batch.withColumn("quality_bp",
+      store.qualityBp(col(textCol)))
+    // the histogram sees EVERY doc (the floor is corpus-relative over
+    // the full stream, as the batch form is over the full table);
+    // the mixture gate thins what the sink keeps
+    store.merge(scored.select(col("quality_bp")))
+    TextAnalysis.stratifiedSample(scored, langCol, idCol, ratesBp, defaultBp)
+  }
 }
