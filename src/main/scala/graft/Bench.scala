@@ -206,16 +206,17 @@ object Bench {
     // to drain. Cold semantics unchanged — it stays the first timed
     // execution of each query.
     locally {
-      import scala.util.control.NonFatal
       val s0 = snap()
       val t0 = System.nanoTime()
-      // NonFatal only, and name the casualty: a query that dies during
+      // Catch Throwable (like the timed passes — a fatal error in one
+      // query must not abort the whole run before warm passes write
+      // BENCH.json) but NAME the casualty: a query that dies during
       // the drain enters the warm passes un-drained, quietly
       // reintroducing the warm1 JIT skew this pass exists to remove —
       // that must be visible in the bench log, not swallowed.
       val drainFailed = SparkEntry.queries.flatMap { case (name, fn) =>
         try { fn(spark, sfDir).count(); None }
-        catch { case NonFatal(e) =>
+        catch { case e: Throwable =>
           Some(s"$name (${e.getClass.getSimpleName})") }
       }
       val s1 = snap()

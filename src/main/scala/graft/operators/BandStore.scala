@@ -33,6 +33,7 @@ final class BandStore(name: String, buckets: Int = 32) {
   // (foreachBatch serializes batch N+1 behind batch N's merge), so a
   // volatile pointer suffices — same contract as CtrStore.
   @volatile private var version: Int = 0
+  @volatile private var lastBatch: Long = Long.MinValue
 
   private def tableName(v: Int): String = s"${name}_v$v"
 
@@ -48,8 +49,14 @@ final class BandStore(name: String, buckets: Int = 32) {
     * [[Dedup.md5Bands]] output): current ∪ batch → new bucketed
     * version. The union re-bucketing is one shuffle of 24-byte rows —
     * the copy-on-write price; an append-only bucketed table would
-    * amortize it further at the cost of small-file compaction. */
-  def merge(batchBanded: DataFrame): Unit = {
+    * amortize it further at the cost of small-file compaction.
+    *
+    * Pass the foreachBatch `batchId` when merging from a stream: replay
+    * of an at-least-once micro-batch is then a no-op — duplicated band
+    * rows would double bucket counts and spuriously drop buckets over
+    * maxBucketSize/2 (silently missed near-dups). */
+  def merge(batchBanded: DataFrame, batchId: Long = Long.MinValue): Unit = synchronized {
+    if (batchId != Long.MinValue && batchId <= lastBatch) return
     val spark = batchBanded.sparkSession
     val next = version + 1
     val rows = table(spark)
@@ -62,6 +69,7 @@ final class BandStore(name: String, buckets: Int = 32) {
     dropVersion(spark, next)
     Writers.bucketedTable(rows, tableName(next), "band_key", buckets)
     version = next
+    if (batchId != Long.MinValue) lastBatch = batchId
     // retire versions older than the previous one (kept for any
     // in-flight reader of N-1)
     if (next >= 2) dropVersion(spark, next - 2)

@@ -704,16 +704,22 @@ object Dedup {
     * strictly decreasing bijection on the full long domain, so it is
     * overflow-free for negative ids too (a MaxValue − id encoding would
     * wrap there and silently elect the wrong canonical). Contract:
-    * quality must be non-null (qualityExpr's output always is). */
-  def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    * quality must be non-null (qualityExpr's output always is).
+    *
+    * `carryCols` names extra input columns to pass through to the
+    * output — a composition that needs them (pipeline_curate_quality
+    * carries lang) would otherwise have to join the verdicts back to
+    * its input, re-executing the whole upstream lineage. */
+  def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val best = withQuality
       .groupBy(col("cluster_id"))
       .agg(max(struct(col("quality").as("q"),
         bitwise_not(col(idCol)).as("inv"))).as("b"))
       .select(col("cluster_id"), bitwise_not(col("b.inv")).as("best_id"))
     withQuality.join(best, Seq("cluster_id"))
-      .select(col(idCol), col("cluster_id"), col("quality"),
-        (col(idCol) === col("best_id")).as("keep"))
+      .select(col(idCol) +: col("cluster_id") +: col("quality") +:
+        (col(idCol) === col("best_id")).as("keep") +: carryCols.map(col): _*)
   }
 
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,

@@ -256,26 +256,23 @@ object Multimodal {
             desc.getAttribute("imageTopPosition") == "0",
             s"frame $f is a partial delta sub-rectangle — optimized " +
               "GIFs need composed decode (ffmpeg/JNI seam)")
-          // A full-frame delta can still hide behind transparency: a
-          // frame > 0 with transparentColorFlag shows the PREVIOUS
-          // frame through its transparent pixels (per the disposal
-          // method), so the uncomposed decode would fingerprint
-          // garbage silently — the exact failure this guard exists to
-          // prevent. Require opaque frames with non-preserving-free
-          // disposal (none/doNotDispose: the new frame fully covers).
-          if (f > 0) {
-            val gceNodes = meta.getElementsByTagName("GraphicControlExtension")
-            if (gceNodes.getLength > 0) {
-              val gce = gceNodes.item(0).asInstanceOf[org.w3c.dom.Element]
-              val transparent =
-                gce.getAttribute("transparentColorFlag").equalsIgnoreCase("TRUE")
-              val disposal = gce.getAttribute("disposalMethod")
-              require(!transparent &&
-                (disposal.isEmpty || disposal == "none" || disposal == "doNotDispose"),
-                s"frame $f uses transparency/disposal composition " +
-                  s"(transparent=$transparent, disposal=$disposal) — " +
-                  "optimized GIFs need composed decode (ffmpeg/JNI seam)")
-            }
+          // A full-frame frame can still hide behind transparency: a
+          // transparent pixel shows whatever composition left beneath
+          // it (the previous frame per its disposal, or the background
+          // for frame 0), so the uncomposed decode would fingerprint
+          // pixels no viewer ever sees — the exact silent-garble this
+          // guard exists to prevent. Opacity is required of EVERY
+          // frame (frame 0 composes over the background). With every
+          // frame full-frame, full-size, and opaque, the new frame
+          // fully covers the canvas, which makes all disposal methods
+          // equivalent — so disposal needs no check at all.
+          val gceNodes = meta.getElementsByTagName("GraphicControlExtension")
+          if (gceNodes.getLength > 0) {
+            val gce = gceNodes.item(0).asInstanceOf[org.w3c.dom.Element]
+            require(!gce.getAttribute("transparentColorFlag")
+                .equalsIgnoreCase("TRUE"),
+              s"frame $f uses transparency composition — optimized " +
+                "GIFs need composed decode (ffmpeg/JNI seam)")
           }
           img
         }

@@ -60,9 +60,11 @@ object PipelineOps extends QueryPack {
       Dedup.minhashLshMd5(sampled, "doc_id", "text"))
     val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
       .join(sampled.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
-    Dedup.keepByQuality(withQuality)
+    // lang rides through the argmax join (carryCols) — a join back to
+    // `sampled` here would re-execute the whole gate lineage just to
+    // recover one column
+    Dedup.keepByQuality(withQuality, carryCols = Seq("lang"))
       .filter(col("keep"))
-      .join(sampled.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 

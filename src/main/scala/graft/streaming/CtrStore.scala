@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -13,57 +13,46 @@ import org.apache.spark.sql.functions._
   * The merge is fully distributed: each batch's increments (already
   * aggregated to group cardinality by ctrIncrements) are unioned with
   * the current table and re-aggregated by key, and the result is
-  * written as a new immutable version directory — read-version N,
-  * write-version N+1, publish by bumping the version. That is exactly
-  * the copy-on-write MERGE a Delta/Iceberg table does at scale; plain
-  * versioned parquet keeps it dependency-free here. Nothing is ever
-  * collected to the driver on the merge path — `snapshot()` is the
-  * queryable-store READ surface (bounded by ad cardinality, the
+  * written as a new immutable version directory — the copy-on-write
+  * version-publish machinery lives in [[VersionedParquetStore]]
+  * (shared with the quality-floor store), including the at-least-once
+  * replay guard: pass foreachBatch's batchId to [[merge]] and a
+  * replayed micro-batch's increments apply exactly once. Nothing is
+  * ever collected to the driver on the merge path — `snapshot()` is
+  * the queryable-store READ surface (bounded by ad cardinality, the
   * reference's interactive-query analog), not part of the pipeline.
   */
 final class CtrStore(dir: String) {
 
   def this() = this(Files.createTempDirectory("graft-ctr-store").toString)
 
-  // Versions are immutable once written; `version` is the publish
-  // pointer (foreachBatch serializes merges per query, so no CAS
-  // needed — batch N+1 never starts before batch N's merge returns).
-  @volatile private var version: Int = 0
-
-  private def versionDir(v: Int): String = s"$dir/v$v"
+  private val store = new VersionedParquetStore(dir)
 
   /** Current table as a DataFrame: (ad_id, num_impressions, num_clicks). */
-  def table(spark: SparkSession): DataFrame =
-    if (version == 0) {
+  def table(spark: SparkSession): DataFrame = store.current match {
+    case None =>
       import spark.implicits._
       Seq.empty[(String, Long, Long)]
         .toDF("ad_id", "num_impressions", "num_clicks")
-    } else spark.read.parquet(versionDir(version))
+    case Some(d) => spark.read.parquet(d)
+  }
 
   /** Merge a batch of (ad_id, num_impressions, num_clicks) increments:
-    * union + keyed re-aggregation + copy-on-write publish. */
-  def merge(increments: DataFrame): Unit = {
+    * union + keyed re-aggregation + copy-on-write publish. Pass the
+    * foreachBatch `batchId` so a replayed batch is a no-op. */
+  def merge(increments: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId): Unit = {
     val spark = increments.sparkSession
     val inc = increments.select(
       col("ad_id"),
       col("num_impressions").cast("long").as("num_impressions"),
       col("num_clicks").cast("long").as("num_clicks"))
-    val next = version + 1
-    table(spark).unionByName(inc)
-      .groupBy(col("ad_id"))
-      .agg(sum(col("num_impressions")).as("num_impressions"),
-        sum(col("num_clicks")).as("num_clicks"))
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(next))
-    version = next
-    // retire versions older than the previous one (kept for any
-    // in-flight reader of N-1)
-    val stale = Paths.get(dir).resolve(s"v${next - 2}")
-    if (next >= 2 && Files.exists(stale)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(stale)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      finally walk.close()
+    store.publish(batchId) { nextDir =>
+      table(spark).unionByName(inc)
+        .groupBy(col("ad_id"))
+        .agg(sum(col("num_impressions")).as("num_impressions"),
+          sum(col("num_clicks")).as("num_clicks"))
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,19 +47,16 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
   require(keepFrac > 0 && keepFrac <= 1,
     s"keepFrac must be in (0, 1], got $keepFrac")
 
-  // Publish pointer — foreachBatch serializes merges per query, so a
-  // volatile suffices (same contract as CtrStore).
-  @volatile private var version: Int = 0
+  private val store = new VersionedParquetStore(dir)
   @volatile private var publishedCutoff: Option[Long] = None
 
-  private def versionDir(v: Int): String = s"$dir/v$v"
-
   /** Current merged histogram: (quality_bp, c). */
-  def histogram(spark: SparkSession): DataFrame =
-    if (version == 0) {
+  def histogram(spark: SparkSession): DataFrame = store.current match {
+    case None =>
       import spark.implicits._
       Seq.empty[(Long, Long)].toDF("quality_bp", "c")
-    } else spark.read.parquet(versionDir(version))
+    case Some(d) => spark.read.parquet(d)
+  }
 
   /** The quality_bp column expression — the SAME expression the batch
     * floor scores with, re-exported so stream wiring can't drift. */
@@ -68,29 +65,26 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
   /** Merge one micro-batch's scored rows (any DataFrame with a
     * quality_bp column — [[qualityBp]] output) and publish the updated
     * cutoff. The batch-side count is a partial agg to ≤ 10⁴+1 rows
-    * before it touches the store. */
-  def merge(batchScored: DataFrame): Unit = {
+    * before it touches the store. Pass the foreachBatch `batchId` so a
+    * replayed batch can't double-count its mass (at-least-once replay
+    * would silently shift the cutoff for every future verdict). */
+  def merge(batchScored: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId): Unit = {
     val spark = batchScored.sparkSession
-    val next = version + 1
     val batchHist = batchScored.select(col("quality_bp"))
       .groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
-    histogram(spark).unionByName(batchHist)
-      .groupBy(col("quality_bp")).agg(sum(col("c")).cast("long").as("c"))
-      .write.mode(SaveMode.Overwrite).parquet(versionDir(next))
-    version = next
-    // publish: shared cutoff arithmetic over the ≤ 10⁴+1-row histogram;
-    // the head() is the 1-row publish read, bounded by value domain
-    val row = TextAnalysis
-      .cutoffFromHistogram(histogram(spark), keepFrac).head()
-    publishedCutoff = if (row.isNullAt(0)) None else Some(row.getLong(0))
-    // retire versions older than the previous one (in-flight readers)
-    val stale = Paths.get(dir).resolve(s"v${next - 2}")
-    if (next >= 2 && Files.exists(stale)) {
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(stale)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
-      finally walk.close()
+    val applied = store.publish(batchId) { nextDir =>
+      histogram(spark).unionByName(batchHist)
+        .groupBy(col("quality_bp")).agg(sum(col("c")).cast("long").as("c"))
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
+    }
+    if (applied) {
+      // publish: shared cutoff arithmetic over the ≤ 10⁴+1-row
+      // histogram; the head() is the 1-row publish read, bounded by
+      // value domain
+      val row = TextAnalysis
+        .cutoffFromHistogram(histogram(spark), keepFrac).head()
+      publishedCutoff = if (row.isNullAt(0)) None else Some(row.getLong(0))
     }
   }
 

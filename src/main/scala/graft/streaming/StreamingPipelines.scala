@@ -157,14 +157,20 @@ object StreamingPipelines {
     * belong to the store, per-row gates to the stream. */
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
-      ratesBp: Map[String, Int], defaultBp: Int): DataFrame = {
+      ratesBp: Map[String, Int], defaultBp: Int,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
     import graft.operators.TextAnalysis
+    // eager checkpoint: the histogram merge below is an ACTION and the
+    // returned rows get materialized again by the caller's sink write —
+    // without it the regex-heavy quality scoring (and a file source's
+    // batch read) would run twice per batch
     val scored = batch.withColumn("quality_bp",
-      store.qualityBp(col(textCol)))
+      store.qualityBp(col(textCol))).localCheckpoint()
     // the histogram sees EVERY doc (the floor is corpus-relative over
     // the full stream, as the batch form is over the full table);
-    // the mixture gate thins what the sink keeps
-    store.merge(scored.select(col("quality_bp")))
+    // the mixture gate thins what the sink keeps. batchId makes an
+    // at-least-once replay a no-op on the histogram.
+    store.merge(scored.select(col("quality_bp")), batchId)
     TextAnalysis.stratifiedSample(scored, langCol, idCol, ratesBp, defaultBp)
   }
 }

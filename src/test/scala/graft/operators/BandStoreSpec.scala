@@ -82,4 +82,18 @@ class BandStoreSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft_band_store_versions_v2"))
     assert(store.table(spark).count() == 4)
   }
+
+  test("replayed batchId is a no-op: band rows can't duplicate and skew bucket counts") {
+    val s = spark
+    import s.implicits._
+    val store = new BandStore("graft_band_store_replay", buckets = 2)
+    val batch = Seq((1L, 0, "k1"), (2L, 0, "k1")).toDF("doc_id", "band", "band_key")
+    store.merge(batch, batchId = 0L)
+    store.merge(batch, batchId = 0L) // at-least-once replay
+    assert(store.table(spark).count() == 2,
+      "replay must not duplicate band rows (doubled bucket counts would " +
+        "spuriously trip the bucket cap)")
+    store.merge(Seq((3L, 0, "k2")).toDF("doc_id", "band", "band_key"), batchId = 1L)
+    assert(store.table(spark).count() == 3)
+  }
 }

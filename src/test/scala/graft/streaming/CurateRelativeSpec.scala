@@ -42,9 +42,10 @@ class CurateRelativeSpec extends SparkSpec {
     val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
     val q = in.toDF.toDF("doc_id", "lang", "text")
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val kept = StreamingPipelines.curateRelativeBatch(store, batch,
-          "doc_id", "text", "lang", TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+          "doc_id", "text", "lang", TextOps.SampleRatesBp, TextOps.SampleDefaultBp,
+          batchId)
         val rows = kept.select(col("doc_id"), col("quality_bp"))
           .as[(Long, Long)].collect()
         sunk.synchronized { sunk ++= rows }

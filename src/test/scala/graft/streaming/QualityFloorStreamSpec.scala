@@ -69,6 +69,20 @@ class QualityFloorStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("replayed batchId is a no-op: at-least-once replay can't double-count the histogram") {
+    val store = new QualityFloorStore(KeepFrac)
+    val batch = Seq(9000L, 9000L, 100L).toDF("quality_bp")
+    store.merge(batch, batchId = 0L)
+    val once = store.histogram(spark).as[(Long, Long)].collect().toMap
+    assert(once == Map(9000L -> 2L, 100L -> 1L), s"got $once")
+    store.merge(batch, batchId = 0L) // replay
+    val twice = store.histogram(spark).as[(Long, Long)].collect().toMap
+    assert(twice == once, s"replay must not double-count: $twice")
+    store.merge(batch, batchId = 1L) // genuinely new batch
+    val fresh = store.histogram(spark).as[(Long, Long)].collect().toMap
+    assert(fresh == Map(9000L -> 4L, 100L -> 2L), s"got $fresh")
+  }
+
   test("cutoff lags by at most the in-flight batch; empty store keeps nothing") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val store = new QualityFloorStore(KeepFrac)
