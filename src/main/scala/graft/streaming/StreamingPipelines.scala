@@ -155,6 +155,59 @@ object StreamingPipelines {
     * the row, same expression as batch); only the corpus-relative
     * verdict is deferred — that split is the point: global statistics
     * belong to the store, per-row gates to the stream. */
+  /** The full incremental near-dup INGEST loop over the persisted band
+    * store — the production form of dedup-at-ingest, as a foreachBatch
+    * body: (1) probe the batch's bands against the store-backed corpus
+    * view (zero signature recompute over the seen side —
+    * [[graft.operators.Dedup.incrementalMinhashLshMd5FromStore]]),
+    * (2) drop every batch doc verified near-dup of the accepted corpus,
+    * and the later doc of each batch-internal pair — transitively: a
+    * doc whose canonical partner was itself dropped still drops (same
+    * policy as `NearDupStream.minhashDropVerdicts`), (3) merge the
+    * SURVIVORS' bands into the store (batchId-idempotent: an
+    * at-least-once replay neither re-drops nor double-merges). Returns
+    * the surviving rows. Only canonical (surviving) docs' bands enter
+    * the store — a later near-dup of a dropped doc still pairs against
+    * its surviving canonical, whose bands are near-identical by
+    * construction. `seenDocs` backs the verification join only
+    * (candidate ids; at corpus scale a persisted shingle table). */
+  def nearDupIngestBatch(store: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val pairs = Dedup.incrementalMinhashLshMd5FromStore(
+      batch, store.table(spark),
+      Dedup.shingleTable(seenDocs, idCol, textCol), idCol, textCol,
+      threshold = threshold, maxBucketSize = maxBucketSize)
+    val members = batch.select(col(idCol).cast("long").as("v"))
+      .withColumn("in_batch", lit(true))
+    val flagged = pairs
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .join(members.select(col("v").as("a"), col("in_batch").as("a_in")), Seq("a"), "left")
+      .join(members.select(col("v").as("b"), col("in_batch").as("b_in")), Seq("b"), "left")
+      .na.fill(false, Seq("a_in", "b_in"))
+    // the batch endpoint of a (seen, new) pair drops (the corpus doc is
+    // the accepted canonical); of a batch-internal pair (canonicalized
+    // a < b), the later id drops — unconditionally, so drops chain
+    val drops = flagged.select(
+        when(col("a_in") && !col("b_in"), col("a"))
+          .when(!col("a_in") && col("b_in"), col("b"))
+          .when(col("a_in") && col("b_in"), col("b"))
+          .as("drop_id"))
+      .filter(col("drop_id").isNotNull).distinct()
+    // eager checkpoint: the store merge below is an action over the
+    // survivors' lineage (the whole probe pipeline), and the caller's
+    // sink write would re-execute it — materialize once
+    val survivors = batch.join(drops,
+      batch(idCol).cast("long") === drops("drop_id"), "left_anti")
+      .localCheckpoint()
+    store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
+    survivors
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,
