@@ -343,6 +343,65 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gifFrames rejects transparency-composed frames (fail-don't-garble)") {
+    // re-encode a 2-frame gray GIF but mark frames transparent: the
+    // uncomposed decode would fingerprint pixels no viewer sees, so the
+    // guard must throw instead — including for frame 0 (it composes
+    // over the background)
+    def grayFrame(v: Int): java.awt.image.BufferedImage = {
+      val cmap = Array.tabulate(256)(i => (0xff000000 | (i << 16) | (i << 8) | i))
+      val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false, 0,
+        java.awt.image.DataBuffer.TYPE_BYTE)
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      for (y <- 0 until 4; x <- 0 until 4) img.getRaster.setSample(x, y, 0, v)
+      img
+    }
+    def encodeTransparent(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { img =>
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = {
+            val nodes = root.getElementsByTagName("GraphicControlExtension")
+            if (nodes.getLength > 0)
+              nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            else {
+              val n = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+              root.appendChild(n); n
+            }
+          }
+          gce.setAttribute("disposalMethod", "doNotDispose")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "TRUE")
+          gce.setAttribute("transparentColorIndex", "0")
+          gce.setAttribute("delayTime", "10")
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val bytes = encodeTransparent(Seq(grayFrame(10), grayFrame(200)))
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.RealDecoder.gifFrames(bytes)
+    }
+    assert(e.getMessage.contains("transparency"), e.getMessage)
+    // and the opaque encode still round-trips (no false rejection)
+    val ok = Multimodal.RealDecoder.gifFrames(
+      Multimodal.encodeGif(Seq(grayFrame(10), grayFrame(200))))
+    assert(ok.length == 2)
+  }
+
   test("decodeVideoFrames offsets match the declarative frameOffsetsMs plan") {
     val durations = Seq((1L, 200L), (2L, 300L), (3L, 500L)).toDF("id", "duration_ms")
     val planned = durations.select(col("id"),
