@@ -10,7 +10,9 @@ class CodegenStrictSpec extends SparkSpec {
 
   private val hotQueries = Seq(
     "ann_ivf", "ann_lsh", "ann_brute", "ann_topk_agg",
-    "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash")
+    "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash",
+    "dedup_incremental_simhash", "dedup_incremental_minhash_store",
+    "unigram_logprob", "pipeline_curate_quality")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
