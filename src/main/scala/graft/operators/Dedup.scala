@@ -67,6 +67,53 @@ object Dedup {
       .join(seen.select(md5(col(textCol)).as("text_hash")),
         Seq("text_hash"), "left_anti")
 
+  /** Bloom-gated incremental exact dedup — [[incrementalExact]]'s
+    * exact output, computed WITHOUT ever shuffling the seen corpus.
+    *
+    * [[incrementalExact]]'s LEFT ANTI join shuffles the full seen-side
+    * hash set on every batch (16 bytes × |corpus| — at 10⁹ docs, tens
+    * of GB re-shuffled per ingest batch forever). Here a Bloom filter
+    * of the seen hashes (built once per corpus snapshot by a
+    * distributed aggregation; bits sized by `fpp`) gates the batch
+    * SCAN-SIDE via the native [[graft.functions.BloomContains]]
+    * expression: definite-new rows (no false negatives exist) pass
+    * straight through, and only the tiny maybe set — true dups plus
+    * fpp·|batch| false positives — is confirmed exactly, with the
+    * maybe-hash set BROADCAST onto a seen scan (left semi) and the
+    * confirmed-dup set broadcast back for the anti join. The seen
+    * corpus is scanned, never shuffled; output is EXACT regardless of
+    * fpp (false positives die in the confirm join), so the oracle is
+    * the same SQL as dedup_incremental — zero drift allowed.
+    *
+    * `expectedSeen` sizes the filter; pass the corpus count a real
+    * pipeline already tracks (≤ 0 → one count() pass here). At corpus
+    * scale the filter is built once and reused across batches (the
+    * BandStore maintenance pattern), not per call. */
+  def incrementalExactBloom(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String, fpp: Double = 0.01,
+      expectedSeen: Long = -1L): DataFrame = {
+    val seenHashes = seen.select(md5(col(textCol)).as("text_hash"))
+    val n = if (expectedSeen > 0) expectedSeen else seenHashes.count()
+    val firsts = batch
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      // consumed by both branches below; the rows are (hash, id) only
+      .localCheckpoint(false)
+    // empty corpus: every first is definite-new, and the bloom
+    // aggregation itself yields no sketch over zero rows
+    if (n == 0) return firsts
+    val bloom = seenHashes.stat.bloomFilter("text_hash", n, fpp)
+    val contains = graft.functions.BloomContains(col("text_hash"), bloom)
+    val definiteNew = firsts.filter(!contains)
+    val maybes = firsts.filter(contains)
+    val confirmed = seenHashes
+      .join(broadcast(maybes.select(col("text_hash"))), Seq("text_hash"), "left_semi")
+      .distinct()
+    val stillNew = maybes.join(broadcast(confirmed), Seq("text_hash"), "left_anti")
+    definiteNew.union(stillNew)
+  }
+
   /** MinHash signature: k minimums over splitmix64-derived permutations
     * of the per-shingle xxhash64. One base-hash pass (built-in, then the
     * native one-pass MinhashSignature expression) — returns array<long>

@@ -131,6 +131,19 @@ class PlanSpec extends SparkSpec {
       s"the per-cluster argmax must partially aggregate map-side:\n$p")
   }
 
+  test("dedup_incremental_bloom: native scan-side gate, seen corpus never shuffle-joined") {
+    val p = plan("dedup_incremental_bloom")
+    assert(p.contains("graft_bloom_contains"),
+      s"the bloom gate must be the native reference-object expression:\n$p")
+    // the seen side participates only via broadcast semi/anti joins —
+    // a sort-merge or shuffled-hash join would re-shuffle the corpus
+    // hash set on every ingest batch
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the seen corpus must never shuffle for the confirm join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"maybe-set and confirmed-dup set must broadcast:\n$p")
+  }
+
   test("dedup_simhash_md5: band-bucket cap is partial-agg + anti-join, not a window count") {
     val p = plan("dedup_simhash_md5")
     assert(!p.contains("windowspecdefinition"),

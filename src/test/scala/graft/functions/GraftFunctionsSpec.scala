@@ -77,6 +77,22 @@ class GraftFunctionsSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("BloomContains matches stat.bloomFilter's string encoding (no false negatives)") {
+    // the filter is built by DataFrameStatFunctions over a string
+    // column; the native expression must hash the same UTF-8 bytes —
+    // every inserted value (incl. multibyte) MUST test true
+    val vals = Seq("alpha", "beta", "γδε multibyte", "1234")
+    val df = vals.toDF("s")
+    val bf = df.stat.bloomFilter("s", 100, 0.01)
+    val got = df.select(col("s"), BloomContains(col("s"), bf).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got.values.forall(identity), s"false negative: $got")
+    // and a value never inserted is (with these sizes) absent
+    val miss = Seq("definitely not inserted zzz").toDF("s")
+      .select(BloomContains(col("s"), bf)).as[Boolean].head()
+    assert(!miss)
+  }
+
   test("GraftSparkExtensions injects the same functions (builder-time path)") {
     val ext = new SparkSessionExtensions
     new GraftSparkExtensions().apply(ext)

@@ -273,6 +273,30 @@ class DedupSpec extends SparkSpec {
       Long.MinValue -> true, 31L -> false), s"got $out")
   }
 
+  test("bloom-gated incremental exact dedup == anti-join form (exact despite the sketch)") {
+    val seen = Seq(
+      (1L, "already ingested text one"),
+      (2L, "already ingested text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "already ingested text one"),  // dup of corpus → dropped
+      (11L, "fresh text alpha"),           // new → survives
+      (12L, "fresh text alpha"),           // within-batch dup → dropped
+      (13L, "fresh text beta")).toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.as[(String, Long)].collect().map(_._2).toSet
+    val want = ids(Dedup.incrementalExact(batch, seen, "doc_id", "text"))
+    // a sane fpp AND a saturated filter (expectedSeen=1 at fpp 0.5 →
+    // dense false positives) must both give the exact answer: false
+    // positives only widen the maybe set, the confirm join is exact
+    assert(ids(Dedup.incrementalExactBloom(batch, seen, "doc_id", "text")) == want)
+    assert(ids(Dedup.incrementalExactBloom(batch, seen, "doc_id", "text",
+      fpp = 0.5, expectedSeen = 1L)) == want)
+    // empty corpus: everything definite-new
+    val empty = seen.filter($"doc_id" < 0)
+    assert(ids(Dedup.incrementalExactBloom(batch, empty, "doc_id", "text")) ==
+      Set(10L, 11L, 13L))
+  }
+
   test("incrementalExact propagates the caller's id column name") {
     val batch = Seq((10L, "aaa"), (11L, "aaa"), (12L, "bbb")).toDF("my_id", "text")
     val seen = Seq((1L, "bbb")).toDF("my_id", "text")
