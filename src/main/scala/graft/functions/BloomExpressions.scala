@@ -3,10 +3,11 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -21,6 +22,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * GraftFunctionsSpec. */
 case class BloomContains(child: Expression, bloom: BloomHolder)
   extends UnaryExpression {
+
+  // analysis-time enforcement of the string contract (ExpectsInputTypes'
+  // type classes are private[sql]) — without it a non-string child
+  // surfaces as a mid-job ClassCastException (or a Janino compile
+  // failure under codegen)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = BooleanType
 

@@ -54,9 +54,22 @@ final class BandStore(name: String, buckets: Int = 32) {
     * Pass the foreachBatch `batchId` when merging from a stream: replay
     * of an at-least-once micro-batch is then a no-op — duplicated band
     * rows would double bucket counts and spuriously drop buckets over
-    * maxBucketSize/2 (silently missed near-dups). */
-  def merge(batchBanded: DataFrame, batchId: Long = Long.MinValue): Unit = synchronized {
-    if (batchId != Long.MinValue && batchId <= lastBatch) return
+    * maxBucketSize/2 (silently missed near-dups). The sentinel is the
+    * SHARED [[graft.streaming.VersionedParquetStore.NoBatchId]] — one
+    * definition for every store's replay guard. */
+  def merge(batchBanded: DataFrame,
+      batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit = synchronized {
+    if (batchId != graft.streaming.VersionedParquetStore.NoBatchId &&
+      batchId <= lastBatch) return
+    // the store schema is (doc_id long, band int, band_key string) —
+    // a differently-typed id column would silently union-coerce and
+    // break the probe join's type resolution downstream; fail loudly
+    // (map non-numeric ids to a surrogate long, e.g. xxhash64, first)
+    require(batchBanded.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"BandStore stores LONG doc ids, got " +
+        s"${batchBanded.schema("doc_id").dataType.catalogString} — map ids " +
+        "to a surrogate long (e.g. xxhash64) before banding")
     val spark = batchBanded.sparkSession
     val next = version + 1
     val rows = table(spark)
@@ -69,7 +82,8 @@ final class BandStore(name: String, buckets: Int = 32) {
     dropVersion(spark, next)
     Writers.bucketedTable(rows, tableName(next), "band_key", buckets)
     version = next
-    if (batchId != Long.MinValue) lastBatch = batchId
+    if (batchId != graft.streaming.VersionedParquetStore.NoBatchId)
+      lastBatch = batchId
     // retire versions older than the previous one (kept for any
     // in-flight reader of N-1)
     if (next >= 2) dropVersion(spark, next - 2)

@@ -104,7 +104,12 @@ object Dedup {
     // aggregation itself yields no sketch over zero rows
     if (n == 0) return firsts
     val bloom = seenHashes.stat.bloomFilter("text_hash", n, fpp)
-    val contains = graft.functions.BloomContains(col("text_hash"), bloom)
+    // null-safe routing: a null text (null hash) can never match a seen
+    // row in the anti-join form, so it must reach the output here too —
+    // a bare filter on the null-intolerant gate would silently drop it
+    // from BOTH branches (zero-drift contract with dedup_incremental)
+    val contains = coalesce(
+      graft.functions.BloomContains(col("text_hash"), bloom), lit(false))
     val definiteNew = firsts.filter(!contains)
     val maybes = firsts.filter(contains)
     val confirmed = seenHashes

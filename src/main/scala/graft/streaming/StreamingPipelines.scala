@@ -178,14 +178,31 @@ object StreamingPipelines {
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // same contract as BandStore.merge, enforced before the probe is
+    // even built: a non-long id would union-coerce against the store's
+    // long-keyed schema and break type resolution mid-plan
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"nearDupIngestBatch requires LONG doc ids (the BandStore schema), got " +
+        s"${batch.schema(idCol).dataType.catalogString} — map ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+    // the corpus view EXCLUDES the batch's own ids: a doc never
+    // near-dups itself, and on an at-least-once REPLAY (survivors'
+    // bands already merged) this restores the original run's exact
+    // probe input — bucket-cap counts included — so the replay
+    // computes the same drop set instead of double-counting the
+    // batch's bands in the cap
+    val seenView = store.table(spark).join(
+      broadcast(batch.select(col(idCol).as("doc_id"))), Seq("doc_id"), "left_anti")
     val pairs = Dedup.incrementalMinhashLshMd5FromStore(
-      batch, store.table(spark),
+      batch, seenView,
       Dedup.shingleTable(seenDocs, idCol, textCol), idCol, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize)
-    val members = batch.select(col(idCol).cast("long").as("v"))
+    // membership joins on the raw id values — a cast would null out
+    // non-numeric id types and silently disable every drop
+    val members = batch.select(col(idCol).as("v"))
       .withColumn("in_batch", lit(true))
     val flagged = pairs
-      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .join(members.select(col("v").as("a"), col("in_batch").as("a_in")), Seq("a"), "left")
       .join(members.select(col("v").as("b"), col("in_batch").as("b_in")), Seq("b"), "left")
       .na.fill(false, Seq("a_in", "b_in"))
@@ -202,7 +219,7 @@ object StreamingPipelines {
     // survivors' lineage (the whole probe pipeline), and the caller's
     // sink write would re-execute it — materialize once
     val survivors = batch.join(drops,
-      batch(idCol).cast("long") === drops("drop_id"), "left_anti")
+      batch(idCol) === drops("drop_id"), "left_anti")
       .localCheckpoint()
     store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
     survivors

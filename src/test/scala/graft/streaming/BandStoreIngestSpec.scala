@@ -69,6 +69,24 @@ class BandStoreIngestSpec extends SparkSpec {
       "replayed batchId must not merge bands twice")
   }
 
+  test("non-long doc ids fail LOUDLY at the store boundary (no silent type coercion)") {
+    // the store schema is long-keyed; a string-id corpus must be mapped
+    // to surrogate longs — anything else must throw, not silently
+    // union-coerce and disable the drop logic
+    val store = new BandStore("graft_band_store_strid", buckets = 2)
+    val empty = Seq.empty[(String, String)].toDF("doc_id", "text")
+    val batch = Seq(
+      ("doc-a", base + " nu"),
+      ("doc-b", base + " xi"),
+      ("doc-c", "entirely different words about physical plans and joins"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipelines.nearDupIngestBatch(store, empty, batch,
+        "doc_id", "text", threshold = 0.5, batchId = 0L).collect()
+    }
+    assert(e.getMessage.contains("LONG doc ids"), e.getMessage)
+  }
+
   test("ingest loop drives from a real stream via foreachBatch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val store = new BandStore("graft_band_store_ingest_stream", buckets = 2)
