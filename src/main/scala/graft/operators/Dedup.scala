@@ -94,16 +94,21 @@ object Dedup {
       expectedSeen: Long = -1L): DataFrame = {
     val seenHashes = seen.select(md5(col(textCol)).as("text_hash"))
     val n = if (expectedSeen > 0) expectedSeen else seenHashes.count()
-    val firsts = batch
-      .select(md5(col(textCol)).as("text_hash"), col(idCol))
-      .groupBy(col("text_hash"))
-      .agg(min(col(idCol)).as(idCol))
-      // consumed by both branches below; the rows are (hash, id) only
-      .localCheckpoint(false)
-    // empty corpus: every first is definite-new, and the bloom
+    // empty corpus: every batch first is definite-new, and the bloom
     // aggregation itself yields no sketch over zero rows
-    if (n == 0) return firsts
-    val bloom = seenHashes.stat.bloomFilter("text_hash", n, fpp)
+    if (n == 0) return batchFirsts(batch, idCol, textCol)
+    incrementalExactBloomWith(batch, seen,
+      seenHashes.stat.bloomFilter("text_hash", n, fpp), idCol, textCol)
+  }
+
+  /** Prebuilt-sketch form: at scale the filter is the corpus-snapshot
+    * artifact, built once and probed per batch — this form takes it as
+    * a parameter so callers (and the bench) pay the build once. */
+  def incrementalExactBloomWith(batch: DataFrame, seen: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      idCol: String, textCol: String): DataFrame = {
+    val seenHashes = seen.select(md5(col(textCol)).as("text_hash"))
+    val firsts = batchFirsts(batch, idCol, textCol)
     // null-safe routing: a null text (null hash) can never match a seen
     // row in the anti-join form, so it must reach the output here too —
     // a bare filter on the null-intolerant gate would silently drop it
@@ -118,6 +123,17 @@ object Dedup {
     val stillNew = maybes.join(broadcast(confirmed), Seq("text_hash"), "left_anti")
     definiteNew.union(stillNew)
   }
+
+  /** Within-batch firsts keyed by text md5 — the shared head of both
+    * incremental-exact forms; consumed by two branches on the bloom
+    * path, hence the lazy checkpoint of the narrow (hash, id) rows. */
+  private def batchFirsts(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    batch
+      .select(md5(col(textCol)).as("text_hash"), col(idCol))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .localCheckpoint(false)
 
   /** MinHash signature: k minimums over splitmix64-derived permutations
     * of the per-shingle xxhash64. One base-hash pass (built-in, then the

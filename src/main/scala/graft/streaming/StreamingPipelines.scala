@@ -225,6 +225,40 @@ object StreamingPipelines {
     survivors
   }
 
+  /** The COMPLETE streaming curation ingest — every gate of the batch
+    * pipeline composed into ONE foreachBatch body over the two
+    * persisted stores:
+    *   1. quality HISTOGRAM merge (every doc counts — the floor is
+    *      corpus-relative over the full stream; verdicts apply at READ
+    *      time via `floorStore.curated(sink)`, retroactively, so the
+    *      floor cannot influence which canonical the dedup keeps),
+    *   2. stratified mixture (emit-time, stateless — pure function of
+    *      the row, identical expression to batch),
+    *   3. store-probed near-dup ingest (emit-time, greedy
+    *      first-arrival canonical — [[nearDupIngestBatch]]).
+    * Returns the batch's surviving rows WITH their quality_bp column —
+    * append them to the doc sink; the curated corpus at any moment is
+    * `floorStore.curated(sink)`. Both store merges are
+    * batchId-idempotent. CurateIngestSpec pins the read-time view
+    * against the batch composition (mixture ∩ greedy dedup ∩ floor)
+    * on finalized horizons. */
+  def curateIngestBatch(floorStore: QualityFloorStore,
+      bandStore: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored = batch.withColumn("quality_bp",
+      floorStore.qualityBp(col(textCol))).localCheckpoint()
+    floorStore.merge(scored.select(col("quality_bp")), batchId)
+    val mixed = TextAnalysis.stratifiedSample(scored, langCol, idCol,
+      ratesBp, defaultBp)
+    nearDupIngestBatch(bandStore, seenDocs, mixed, idCol, textCol,
+      threshold, maxBucketSize, batchId)
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{BandStore, Dedup, TextAnalysis}
+import graft.packs.TextOps
+
+/** The complete curation ingest (relative floor read-time + mixture
+  * emit-time + store-probed near-dup emit-time) against the batch
+  * composition on a finalized horizon. Dup groups in the fixture are
+  * cliques (mutually similar) and arrival order == id order, so the
+  * stream's greedy first-arrival canonical equals the batch
+  * clustering's min-id keep. The floor is retroactive read-time, so
+  * the batch comparator applies it LAST (it never removes docs from
+  * the dedup corpus — documented semantics). */
+class CurateIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val KeepFrac = 0.6
+  private val good = Seq.fill(8)("the quick brown fox is of a kind and").mkString(" ")
+  private val dupBase = good + " gentle rivers flow across the quiet valley under pale light"
+
+  test("stream curated view == batch mixture ∩ greedy-dedup ∩ floor per horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val floorStore = new QualityFloorStore(KeepFrac)
+    val bandStore = new BandStore("graft_band_store_curate", buckets = 2)
+    val acceptedDocs = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF.toDF("doc_id", "lang", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val seen = acceptedDocs.toSeq.toDF("doc_id", "lang", "text")
+        val out = StreamingPipelines.curateIngestBatch(floorStore, bandStore,
+            seen, batch, "doc_id", "text", "lang",
+            TextOps.SampleRatesBp, TextOps.SampleDefaultBp,
+            threshold = 0.5, batchId = batchId)
+          .select(col("doc_id"), col("lang"), col("text"), col("quality_bp"))
+          .as[(Long, String, String, Long)].collect()
+        acceptedDocs ++= out.map(r => (r._1, r._2, r._3))
+        sunk ++= out.map(r => (r._1, r._4))
+        ()
+      }.start()
+
+    def streamCurated(): Set[Long] = {
+      val sink = sunk.toSeq.toDF("doc_id", "quality_bp")
+      floorStore.curated(sink).select("doc_id").as[Long].collect().toSet
+    }
+
+    // all docs up to the horizon, in arrival (= id) order; a mix of
+    // quality levels, a 3-clique of near-dups (ids 1, 2, 21 across two
+    // batches), and junk that the floor should cut
+    def textOf(i: Long): String = i match {
+      case 1 | 2 | 21 => dupBase + s" variant$i"
+      case i if i % 3 == 0 => good + s" marker $i"
+      case i if i % 3 == 1 => s"plain words with the and of number $i mixed in shortish text"
+      case _ => s"$i 88 12 99 ${i * 7} 3 4"
+    }
+    def docsUpTo(n: Long) = (1L to n).map(i => (i, "en", textOf(i)))
+
+    def batchExpected(n: Long): Set[Long] = {
+      val docs = docsUpTo(n).toDF("doc_id", "lang", "text")
+      val mixed = TextAnalysis.stratifiedSample(docs, "lang", "doc_id",
+        TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+      val kept = Dedup.nearDupClustersFromPairs(mixed, "doc_id",
+          Dedup.minhashLshMd5(mixed, "doc_id", "text", threshold = 0.5))
+        .filter(col("keep")).select("doc_id")
+      val floor = TextAnalysis.qualityFloor(docs, "doc_id", "text", KeepFrac)
+        .select("doc_id")
+      mixed.select("doc_id").join(kept, "doc_id").join(floor, "doc_id")
+        .as[Long].collect().toSet
+    }
+
+    try {
+      in.addData(docsUpTo(15L))
+      q.processAllAvailable()
+      assert(streamCurated() == batchExpected(15L),
+        s"horizon 1: ${streamCurated()} vs ${batchExpected(15L)}")
+
+      in.addData((16L to 30L).map(i => (i, "en", textOf(i))))
+      q.processAllAvailable()
+      // id 21 (near-dup of accepted 1/2) must have been dropped by the
+      // store probe IF 1 or 2 passed the mixture gate; either way the
+      // view equals the batch composition
+      assert(streamCurated() == batchExpected(30L),
+        s"horizon 2: ${streamCurated()} vs ${batchExpected(30L)}")
+    } finally q.stop()
+  }
+}
