@@ -92,10 +92,15 @@ object Dedup {
   def incrementalExactBloom(batch: DataFrame, seen: DataFrame,
       idCol: String, textCol: String, fpp: Double = 0.01,
       expectedSeen: Long = -1L): DataFrame = {
+    // non-null view: md5(null) rows never enter the sketch (the
+    // aggregation skips nulls) nor the confirm join, so they must not
+    // inflate the sizing count — and a corpus of ONLY null texts has
+    // zero aggregable hashes, same no-sketch case as an empty one
     val seenHashes = seen.select(md5(col(textCol)).as("text_hash"))
+      .filter(col("text_hash").isNotNull)
     val n = if (expectedSeen > 0) expectedSeen else seenHashes.count()
-    // empty corpus: every batch first is definite-new, and the bloom
-    // aggregation itself yields no sketch over zero rows
+    // no non-null seen hash: every batch first is definite-new, and
+    // the bloom aggregation itself yields no sketch over zero rows
     if (n == 0) return batchFirsts(batch, idCol, textCol)
     incrementalExactBloomWith(batch, seen,
       seenHashes.stat.bloomFilter("text_hash", n, fpp), idCol, textCol)

@@ -109,7 +109,7 @@ object DedupOps extends QueryPack {
   // build, not the probe. Same immutable-dataset assumption as
   // IvfIndex.trainCached.
   private val seenBlooms = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
+    String, Option[org.apache.spark.util.sketch.BloomFilter]]()
 
   /** Bloom-gated ingest dedup: same split, same EXACT output as
     * dedup_incremental (the filter only routes; false positives die in
@@ -117,14 +117,23 @@ object DedupOps extends QueryPack {
     * corpus is scanned, never shuffled. */
   def dedupIncrementalBloom(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
     val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    // None = zero non-null seen hashes: the bloom aggregation yields no
+    // sketch over zero rows, so the sketchless guarded form (which
+    // returns the batch firsts directly) handles that split instead
     val bloom = seenBlooms.computeIfAbsent(sfDir, _ => {
       val hashes = seen.select(md5(col("text")).as("text_hash"))
-      hashes.stat.bloomFilter("text_hash", math.max(1L, hashes.count()), 0.01)
+        .filter(col("text_hash").isNotNull)
+      val n = hashes.count()
+      if (n == 0) None else Some(hashes.stat.bloomFilter("text_hash", n, 0.01))
     })
-    Dedup.incrementalExactBloomWith(
-      docs.filter(col("doc_id") % IncrementalBatchMod === 0),
-      seen, bloom, "doc_id", "text")
+    bloom match {
+      case Some(b) =>
+        Dedup.incrementalExactBloomWith(batch, seen, b, "doc_id", "text")
+      case None =>
+        Dedup.incrementalExactBloom(batch, seen, "doc_id", "text")
+    }
   }
 
   // One persisted band store per dataset per JVM: verify/bench execute

@@ -248,16 +248,13 @@ object StreamingPipelines {
       ratesBp: Map[String, Int], defaultBp: Int,
       threshold: Double = graft.operators.Dedup.NgramThreshold,
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
-    import graft.operators.TextAnalysis
-    val scored = batch.withColumn("quality_bp",
-      floorStore.qualityBp(col(textCol))).localCheckpoint()
-    floorStore.merge(scored.select(col("quality_bp")), batchId)
-    val mixed = TextAnalysis.stratifiedSample(scored, langCol, idCol,
-      ratesBp, defaultBp)
-    nearDupIngestBatch(bandStore, seenDocs, mixed, idCol, textCol,
-      threshold, maxBucketSize, batchId)
-  }
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame =
+    // literally gates 1+2 then gate 3 — one body per gate pair, so a
+    // fix to either stage lands in every composition that uses it
+    nearDupIngestBatch(bandStore, seenDocs,
+      curateRelativeBatch(floorStore, batch, idCol, textCol, langCol,
+        ratesBp, defaultBp, batchId),
+      idCol, textCol, threshold, maxBucketSize, batchId)
 
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,

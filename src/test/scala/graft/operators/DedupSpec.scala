@@ -295,6 +295,13 @@ class DedupSpec extends SparkSpec {
     val empty = seen.filter($"doc_id" < 0)
     assert(ids(Dedup.incrementalExactBloom(batch, empty, "doc_id", "text")) ==
       Set(10L, 11L, 13L))
+    // all-null seen texts: rows exist but NO aggregable hash — the
+    // sketchless guard must fire (zero-row bloom aggregation yields no
+    // sketch), and null hashes never match, so same answer as empty
+    val allNull = Seq((1L, null: String), (2L, null: String))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.incrementalExactBloom(batch, allNull, "doc_id", "text")) ==
+      Set(10L, 11L, 13L))
   }
 
   test("incrementalExact propagates the caller's id column name") {

@@ -40,13 +40,17 @@ class CurateIngestSpec extends SparkSpec {
             threshold = 0.5, batchId = batchId)
           .select(col("doc_id"), col("lang"), col("text"), col("quality_bp"))
           .as[(Long, String, String, Long)].collect()
-        acceptedDocs ++= out.map(r => (r._1, r._2, r._3))
-        sunk ++= out.map(r => (r._1, r._4))
+        // foreachBatch runs on the stream-execution thread; the test
+        // thread reads these buffers — guard both sides (JMM visibility)
+        sunk.synchronized {
+          acceptedDocs ++= out.map(r => (r._1, r._2, r._3))
+          sunk ++= out.map(r => (r._1, r._4))
+        }
         ()
       }.start()
 
     def streamCurated(): Set[Long] = {
-      val sink = sunk.toSeq.toDF("doc_id", "quality_bp")
+      val sink = sunk.synchronized(sunk.toSeq).toDF("doc_id", "quality_bp")
       floorStore.curated(sink).select("doc_id").as[Long].collect().toSet
     }
 
