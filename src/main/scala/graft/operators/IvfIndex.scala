@@ -136,15 +136,25 @@ object IvfIndex {
   /** Top-k by cosine probing the nprobe nearest cells per query. Same
     * output shape as SimilaritySearch.bruteForceTopK. */
   def topK(vectors: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], k: Int, nprobe: Int = 4): DataFrame =
+    topKFromIndexed(index(vectors, centroids), queries, centroids, k, nprobe)
+
+  /** Probe a PRE-ASSIGNED inverted file — [[index]]'s output, or the
+    * persisted [[IvfStore]] table — so the plan runs NO assignment
+    * stage over the corpus: candidate cells broadcast onto a bare
+    * (bucketed) scan. This is the serving form at 100 TB — the
+    * assignment argmin is paid once at ingest, not per query batch.
+    * Output is identical to [[topK]] over the same rows (IvfStoreSpec
+    * pins both the equality and the plan shape). */
+  def topKFromIndexed(indexed: DataFrame, queries: DataFrame,
       centroids: Seq[Seq[Double]], k: Int, nprobe: Int = 4): DataFrame = {
-    val idx = index(vectors, centroids)
     val probes = queries.select(col("query_id"),
         VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
         VectorOps.norm(col("q_emb")).as("q_nrm"))
       .select(col("query_id"), col("qd_emb"), col("q_nrm"),
         explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"))
 
-    val scored = idx.join(broadcast(probes), "cell")
+    val scored = indexed.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorOps.cosinePrenormed(

@@ -49,6 +49,35 @@ object SimilarityOps extends QueryPack {
       k = 10, nprobe = 4)
   }
 
+  // One persisted inverted file per dataset per JVM: verify/bench
+  // execute each registered query several times, and the store is the
+  // ingest-time artifact the probe form exists to amortize — build it
+  // once, probe it per execution. Same immutable-dataset-per-JVM
+  // assumption as IvfIndex.trainCached; the table name carries the
+  // dataset hash so different SF dirs in one JVM get distinct tables.
+  private val ivfStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.IvfStore]()
+
+  /** Store-backed IVF ANN: probes the PERSISTED cell-assigned inverted
+    * file ([[graft.operators.IvfStore]]) instead of re-assigning the
+    * corpus per query batch — the 100 TB serving form of ann_ivf,
+    * under the IDENTICAL oracle (the probe must return exactly the
+    * same top-k). The probe never runs an assignment stage over the
+    * corpus (IvfStoreSpec pins that plan). */
+  def annIvfStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = graft.operators.IvfIndex.trainCached(
+      vectors, datasetKey = sfDir, nlist = 16, iters = 2)
+    val store = ivfStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.IvfStore(
+        s"graft_ivf_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s.merge(graft.operators.IvfIndex.index(vectors, centroids))
+      s
+    })
+    graft.operators.IvfIndex.topKFromIndexed(store.table(spark),
+      queriesDf(spark, sfDir), centroids, k = 10, nprobe = 4)
+  }
+
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.lshNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -64,6 +93,7 @@ object SimilarityOps extends QueryPack {
     "ann_lsh" -> (annLsh _),
     "ann_topk_agg" -> (annTopkAgg _),
     "ann_ivf" -> (annIvf _),
+    "ann_ivf_store" -> (annIvfStore _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _)
   )
@@ -275,6 +305,11 @@ object SimilarityOps extends QueryPack {
     // ann_ivf's oracle is generated from the trained matrix, available
     // once the query pass has run (always true in Verify's dump order);
     // untrained/ambiguous → omitted, falling back to the rows-only check.
+    // ann_ivf_store runs under the SAME oracle — the persisted inverted
+    // file must return exactly the recompute form's top-k.
   ) ++ graft.operators.IvfIndex.trainedSnapshot(nlist = 16, iters = 2)
-    .map(c => "ann_ivf" -> annIvfOracle(c, k = 10, nprobe = 4))
+    .toList.flatMap { c =>
+      val o = annIvfOracle(c, k = 10, nprobe = 4)
+      Seq("ann_ivf" -> o, "ann_ivf_store" -> o)
+    }
 }

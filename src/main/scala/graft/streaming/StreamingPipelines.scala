@@ -256,6 +256,29 @@ object StreamingPipelines {
         ratesBp, defaultBp, batchId),
       idCol, textCol, threshold, maxBucketSize, batchId)
 
+  /** foreachBatch body for the streaming ANN ingest side: assign the
+    * arriving vectors to their IVF cells (one scan-side native-expression
+    * pass — [[graft.operators.IvfIndex.index]]) and merge them into the
+    * persisted inverted file. Centroids are frozen as of training (faiss
+    * semantics; retrain + rebuild is an offline job — a drifted corpus
+    * degrades recall only, never the exactness of returned scores).
+    * Returns the assigned rows (batchId-idempotent merge; the
+    * at-least-once replay re-emits but never double-inserts). Queries
+    * probe the store at any moment via
+    * [[graft.operators.IvfIndex.topKFromIndexed]] — IvfStoreSpec pins
+    * stream-ingested == batch-indexed, probe plans included. */
+  def annIngestBatch(store: graft.operators.IvfStore,
+      centroids: Seq[Seq[Double]], batch: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    // eager checkpoint: the store merge is an action over the assigned
+    // lineage and the caller's sink write would re-run the assignment
+    // (and a file source's batch read) a second time — materialize once
+    val assigned = graft.operators.IvfIndex.index(batch, centroids)
+      .localCheckpoint()
+    store.merge(assigned, batchId)
+    assigned
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,

@@ -9,7 +9,7 @@ package graft
 class CodegenStrictSpec extends SparkSpec {
 
   private val hotQueries = Seq(
-    "ann_ivf", "ann_lsh", "ann_brute", "ann_topk_agg",
+    "ann_ivf", "ann_ivf_store", "ann_lsh", "ann_brute", "ann_topk_agg",
     "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "unigram_logprob", "pipeline_curate_quality")
