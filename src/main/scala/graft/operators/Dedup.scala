@@ -305,17 +305,6 @@ object Dedup {
   private[operators] def simhashBandPairsFrom(probeFp: DataFrame,
       seenFp: Option[DataFrame], bandBits: Int, nBands: Int,
       maxHamming: Int, maxBucketSize: Int): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    def bandedOf(fp: DataFrame): DataFrame = {
-      val bandCols = (0 until nBands).map { j =>
-        struct(lit(j).as("band"),
-          shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask)).as("band_val"))
-      }
-      fp.select(col("doc_id"), col("simhash"),
-          explode(array(bandCols: _*)).as("bv"))
-        .select(col("doc_id"), col("simhash"),
-          col("bv.band").as("band"), col("bv.band_val").as("band_val"))
-    }
     // The fingerprint table feeds three consumers (bucket count + both
     // join sides). It is 16 bytes/doc, and on the md5-twin path its
     // lineage carries the token-explode vote aggregation — a lazy
@@ -323,12 +312,41 @@ object Dedup {
     // banded checkpoint above; production fingerprints are a scan-side
     // projection, where the checkpoint still saves two corpus scans).
     val probeCk = probeFp.localCheckpoint(false)
-    val allCk = seenFp match {
-      case None => probeCk
-      case Some(seen) => probeCk.union(seen.localCheckpoint(false))
+    val seenBanded = seenFp.map(seen =>
+      simhashBandedOf(seen.localCheckpoint(false), bandBits, nBands))
+    simhashBandTail(simhashBandedOf(probeCk, bandBits, nBands), seenBanded,
+      maxHamming, maxBucketSize)
+  }
+
+  /** (doc_id, simhash, band, band_val) banded fingerprint rows — the
+    * banding is cheap bit arithmetic over the 16-byte fingerprint, so
+    * unlike the MinHash band table this carries the fingerprint itself:
+    * the hamming verification then needs no second corpus join at all. */
+  private[operators] def simhashBandedOf(fp: DataFrame, bandBits: Int,
+      nBands: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val bandCols = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * bandBits).bitwiseAND(lit(mask)).as("band_val"))
     }
-    val probeBanded = bandedOf(probeCk)
-    val allBanded = bandedOf(allCk)
+    fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"),
+        col("bv.band").as("band"), col("bv.band_val").as("band_val"))
+  }
+
+  /** Shared banding tail: bucket cap → candidate join → exact hamming.
+    * `seenBanded` may be a freshly-banded fingerprint table or the
+    * persisted [[SimhashStore]] scan — either way it is consumed twice
+    * (bucket count + join side) without re-deriving fingerprints. */
+  private[operators] def simhashBandTail(probeBanded: DataFrame,
+      seenBanded: Option[DataFrame], maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    val allBanded = seenBanded match {
+      case None => probeBanded
+      case Some(seen) => probeBanded.unionByName(seen.select(
+        col("doc_id"), col("simhash"), col("band"), col("band_val")))
+    }
     // Bucket sizes counted over the FULL corpus view as a partial agg
     // (map-side combine), NEVER a window count — see lshVerifiedPairsFrom.
     val oversized = allBanded
@@ -345,9 +363,9 @@ object Dedup {
     val joined = a.join(b, Seq("band", "band_val"))
     // Hamming is symmetric, so it is computed before id canonicalization.
     // Self-dedup emits each co-bucket pair once (probe < other); only
-    // the probe form needs least/greatest — a (seen, new) pair is
-    // reachable only from its probe endpoint.
-    val pairs = seenFp match {
+    // the probe form needs both orientations canonicalized, because a
+    // (seen, new) pair is reachable only from its probe endpoint.
+    val pairs = seenBanded match {
       case None =>
         joined.filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"),
@@ -388,6 +406,28 @@ object Dedup {
     simhashBandPairsFrom(simhash(batch, idCol, textCol),
       Some(simhash(seen, idCol, textCol)),
       bandBits = 16, nBands = 4, maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
+
+  /** Public production banded-fingerprint entry for [[SimhashStore]]
+    * maintenance: the (doc_id, simhash, band, band_val) rows of a
+    * corpus or an accepted batch — exactly the artifact the store
+    * persists (the fingerprint rides along, so the probe needs no
+    * second corpus join for the hamming verification). */
+  def simhashBands(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    simhashBandedOf(simhash(docs, idCol, textCol), bandBits = 16, nBands = 4)
+
+  /** Store-backed incremental SimHash near-dup (production hash): the
+    * seen corpus's PERSISTED banded-fingerprint table is probed instead
+    * of re-fingerprinting the seen side — the 100 TB form of
+    * [[incrementalSimhash]], same output. */
+  def incrementalSimhashFromStore(batch: DataFrame, seenBanded: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
+    simhashBandTail(
+      simhashBandedOf(simhash(batch, idCol, textCol).localCheckpoint(false),
+        bandBits = 16, nBands = 4),
+      Some(seenBanded), maxHamming = maxHamming,
       maxBucketSize = maxBucketSize)
 
   // --- md5-derived oracle twins -------------------------------------
@@ -634,6 +674,31 @@ object Dedup {
       bandBits = Md5SimhashBandBits,
       nBands = Md5SimhashBits / Md5SimhashBandBits,
       maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /** md5-twin sibling of [[simhashBands]] — the gateable banded
+    * fingerprint rows a [[SimhashStore]] persists for the oracle path. */
+  def md5SimhashBands(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    simhashBandedOf(md5SimhashFp(docs, idCol, textCol),
+      bandBits = Md5SimhashBandBits,
+      nBands = Md5SimhashBits / Md5SimhashBandBits)
+
+  /** Store-backed incremental SimHash near-dup, md5 twin of
+    * [[incrementalSimhashFromStore]] — under the IDENTICAL oracle as
+    * [[incrementalSimhashMd5]]: the probe must emit exactly the same
+    * pair set, with zero fingerprint work over the seen side
+    * (SimhashStoreSpec pins that plan). */
+  def incrementalSimhashMd5FromStore(batch: DataFrame,
+      seenBanded: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = Md5SimhashMaxHamming,
+      maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
+    simhashBandTail(
+      simhashBandedOf(
+        md5SimhashFp(batch, idCol, textCol).localCheckpoint(false),
+        bandBits = Md5SimhashBandBits,
+        nBands = Md5SimhashBits / Md5SimhashBandBits),
+      Some(seenBanded), maxHamming = maxHamming,
+      maxBucketSize = maxBucketSize)
 
   /** Blocked word-n-gram Jaccard dedup (SQL-oracle-able variant): block
     * on a text prefix, compute exact shingle Jaccard within blocks. The

@@ -168,6 +168,29 @@ object DedupOps extends QueryPack {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
   }
 
+  private val simhashStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.SimhashStore]()
+
+  /** Store-backed incremental SimHash near-dup: the seen corpus's
+    * PERSISTED banded-fingerprint table ([[graft.operators.SimhashStore]])
+    * is probed instead of re-fingerprinting the seen side — the 100 TB
+    * form of dedup_incremental_simhash, under the IDENTICAL oracle.
+    * The probe runs zero fingerprint work over the seen side
+    * (SimhashStoreSpec pins that plan). */
+  def dedupIncrementalSimhashStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    val store = simhashStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.SimhashStore(
+        s"graft_simhash_store_im_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s.merge(Dedup.md5SimhashBands(seen, "doc_id", "text"))
+      s
+    })
+    Dedup.incrementalSimhashMd5FromStore(batch, store.table(spark),
+      "doc_id", "text")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
@@ -175,6 +198,7 @@ object DedupOps extends QueryPack {
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_incremental_minhash_store" -> (dedupIncrementalMinhashStore _),
     "dedup_incremental_simhash" -> (dedupIncrementalSimhash _),
+    "dedup_incremental_simhash_store" -> (dedupIncrementalSimhashStore _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -428,6 +452,16 @@ object DedupOps extends QueryPack {
     // touching the batch (fingerprints are per-doc, so banding and the
     // full-view bucket count are identical between the two runs)
     "dedup_incremental_simhash" ->
+      s"""WITH ${simhashMd5PairCtesFrom("documents")}
+         |SELECT doc_a, doc_b, hamming
+         |FROM pairs
+         |WHERE hamming <= ${Dedup.Md5SimhashMaxHamming}
+         |  AND (doc_a % $IncrementalBatchMod = 0
+         |       OR doc_b % $IncrementalBatchMod = 0)""".stripMargin,
+
+    // the store-backed probe must emit EXACTLY the same pair set as the
+    // recompute form — identical oracle, zero drift allowed
+    "dedup_incremental_simhash_store" ->
       s"""WITH ${simhashMd5PairCtesFrom("documents")}
          |SELECT doc_a, doc_b, hamming
          |FROM pairs

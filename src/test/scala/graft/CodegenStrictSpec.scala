@@ -12,6 +12,7 @@ class CodegenStrictSpec extends SparkSpec {
     "ann_ivf", "ann_ivf_store", "ann_lsh", "ann_brute", "ann_topk_agg",
     "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
+    "dedup_incremental_simhash_store",
     "unigram_logprob", "pipeline_curate_quality")
 
   private def strict[T](body: => T): T = {
