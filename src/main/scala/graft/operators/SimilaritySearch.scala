@@ -141,25 +141,101 @@ object SimilaritySearch {
     heapTopK(scored, k)
   }
 
+  /** Default bucket cap for the embedding LSH candidate joins, shared
+    * with the generated oracle SQL (the NgramMaxBlockSize pattern). */
+  val EmbLshMaxBucketSize = 1000
+
   /** LSH-bucketed cosine near-dup pairs — the scale path for
     * cosineNearDupPairs: candidates are pairs sharing a hyperplane
     * bucket in ANY table (cost ≈ sum of squared bucket sizes, near-
     * linear for non-degenerate corpora, vs the exact form's |corpus|²),
     * then exact-cosine verified. Recall at threshold θ with L tables of
     * p planes is 1-(1-(1-acos(θ)/π)^p)^L — tune (nTables, nPlanes) per
-    * corpus; verification keeps precision exact. */
+    * corpus; verification keeps precision exact.
+    *
+    * Degenerate buckets are capped BEFORE pair generation with the same
+    * partial-agg count + broadcast anti-join as every other banding
+    * path (Dedup LSH/simhash): a mass-duplicated embedding (boilerplate
+    * vectorized twice, zero vectors, a collapsed encoder) puts
+    * thousands of ids into the IDENTICAL bucket of EVERY table — an
+    * m²/2 candidate blow-up no AQE split can undo. Same documented
+    * recall tradeoff: pairs inside a dropped bucket are missed on that
+    * table; identical embeddings share all tables, so an over-cap
+    * exact-dup family is dropped entirely (route such corpora through
+    * exact dedup on a vector hash first). */
   def lshNearDupPairs(vectors: DataFrame, threshold: Double,
       nTables: Int = 8, nPlanes: Int = 8, seed: Long = 42L,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    // consumed by the bucket count AND both join sides — materialize the
+    // narrow (id, tbl, bucket) rows once (lazy localCheckpoint, same
+    // rationale as the Dedup banding paths)
     val vb = bucketed(vectors, "vec_id", "embedding", planes)
-    val candA = vb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
-    val candB = vb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
-    val candidates = candA.join(candB, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+      .localCheckpoint(false)
+    nearDupPairsTail(vb, None, vectors, threshold, maxBucketSize)
+  }
 
-    val v = vectors.select(col("vec_id"),
+  /** Incremental (batch-merge) embedding near-dup: a NEW batch's
+    * buckets probed against the full-corpus view — same probe topology
+    * and guarantees as Dedup.incrementalMinhashLsh ((seen, new) pairs
+    * once, batch-internal pairs once canonicalized, (seen, seen) never
+    * re-paired; equivalent to the full self-dedup restricted to pairs
+    * touching the batch, since bucketing is a pure per-vector
+    * function). The bucket cap counts over the full view, matching the
+    * self-dedup semantics. */
+  def incrementalLshNearDupPairs(batch: DataFrame, seen: DataFrame,
+      threshold: Double, nTables: Int = 8, nPlanes: Int = 8,
+      seed: Long = 42L, dim: Int = 64,
+      maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    val pb = bucketed(batch, "vec_id", "embedding", planes)
+      .localCheckpoint(false)
+    val sb = bucketed(seen, "vec_id", "embedding", planes)
+      .localCheckpoint(false)
+    nearDupPairsTail(pb, Some(sb),
+      batch.select("vec_id", "embedding")
+        .unionByName(seen.select("vec_id", "embedding")),
+      threshold, maxBucketSize)
+  }
+
+  /** Shared candidate tail of the embedding near-dup paths: bucket cap
+    * (partial-agg count over the FULL view + broadcast anti-join, never
+    * a window) → candidate join → exact-cosine verification against
+    * `vectorsAll` (every doc reachable from either side). */
+  private def nearDupPairsTail(probeBucketed: DataFrame,
+      seenBucketed: Option[DataFrame], vectorsAll: DataFrame,
+      threshold: Double, maxBucketSize: Int): DataFrame = {
+    val allB = seenBucketed match {
+      case None => probeBucketed
+      case Some(s) => probeBucketed.unionByName(s)
+    }
+    val oversized = allB
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val candA = probeBucketed
+      .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+    val candB = allB
+      .join(broadcast(oversized), Seq("tbl", "bucket"), "left_anti")
+      .select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"))
+    val joined = candA.join(candB, Seq("tbl", "bucket"))
+    // self-dedup emits each co-bucket pair once (a < b); the probe form
+    // canonicalizes both orientations — a (seen, new) pair is reachable
+    // only from its probe endpoint
+    val candidates = (seenBucketed match {
+      case None =>
+        joined.filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"))
+      case Some(_) =>
+        joined.filter(col("vec_a") =!= col("vec_b"))
+          .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+            greatest(col("vec_a"), col("vec_b")).as("vec_b"))
+    }).distinct()
+
+    val v = vectorsAll.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"),
       VectorOps.norm(col("embedding")).as("nrm"))
     candidates

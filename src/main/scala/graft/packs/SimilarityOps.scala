@@ -83,6 +83,20 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       threshold = 0.4)
 
+  /** Batch split for the incremental embedding near-dup probe — shared
+    * with the generated oracle, which filters the full self-dedup pair
+    * set to pairs touching the batch (the same equivalence every other
+    * incremental probe gate relies on: bucketing is per-vector). */
+  val EmbIncrementalBatchMod = 5
+
+  def embeddingNearDupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    SimilaritySearch.incrementalLshNearDupPairs(
+      vecs.filter(col("vec_id") % EmbIncrementalBatchMod === 0),
+      vecs.filter(col("vec_id") % EmbIncrementalBatchMod =!= 0),
+      threshold = 0.4)
+  }
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -95,7 +109,8 @@ object SimilarityOps extends QueryPack {
     "ann_ivf" -> (annIvf _),
     "ann_ivf_store" -> (annIvfStore _),
     "embedding_neardup" -> (embeddingNearDup _),
-    "embedding_neardup_lsh" -> (embeddingNearDupLsh _)
+    "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
+    "embedding_neardup_incremental" -> (embeddingNearDupIncremental _)
   )
 
   private val normCte =
@@ -262,25 +277,55 @@ object SimilarityOps extends QueryPack {
          |) WHERE rk <= $k""".stripMargin
   }
 
+  /** Bucket-capped candidate pairs + verified-sim tail, shared by the
+    * self-dedup and incremental embedding-near-dup oracles. The cap
+    * mirror (HAVING count(*) <= max, identical to the engine's
+    * partial-agg + anti-join) keeps the two sides equivalent even on a
+    * degenerate corpus. `extraPred` restricts the final pair set (the
+    * incremental "touching the batch" filter). */
+  private def embNearDupPairsSql(extraPred: String): String = {
+    val keep =
+      s"""vkeep AS (
+         |  SELECT vb.vec_id, vb.tbl, vb.bucket FROM vbuck vb
+         |  JOIN (SELECT tbl, bucket FROM vbuck GROUP BY tbl, bucket
+         |        HAVING count(*) <= ${SimilaritySearch.EmbLshMaxBucketSize}) ok
+         |    USING (tbl, bucket)
+         |)""".stripMargin
+    keep + ",\n" +
+      s"""cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM vkeep a JOIN vkeep b USING (tbl, bucket)
+         |  WHERE a.vec_id < b.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM (
+         |  SELECT c.vec_a, c.vec_b,
+         |         round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |                / (a.nrm * b.nrm) END, 4) AS sim
+         |  FROM cand c
+         |  JOIN v a ON a.vec_id = c.vec_a
+         |  JOIN v b ON b.vec_id = c.vec_b
+         |) s WHERE sim >= 0.4$extraPred""".stripMargin
+  }
+
   private def embeddingNearDupLshOracle: String = {
     val planes = SimilaritySearch.hyperplanes(nTables = 8, nPlanes = 8,
       dim = 64, seed = 42L)
     normCte + ",\n" + planesCte(planes) + ",\n" + vbuckCte + ",\n" +
-      """cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM vbuck a JOIN vbuck b USING (tbl, bucket)
-        |  WHERE a.vec_id < b.vec_id
-        |)
-        |SELECT vec_a, vec_b, sim FROM (
-        |  SELECT c.vec_a, c.vec_b,
-        |         round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-        |           ELSE list_sum(list_transform(generate_series(1, 64),
-        |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |                / (a.nrm * b.nrm) END, 4) AS sim
-        |  FROM cand c
-        |  JOIN v a ON a.vec_id = c.vec_a
-        |  JOIN v b ON b.vec_id = c.vec_b
-        |) s WHERE sim >= 0.4""".stripMargin
+      embNearDupPairsSql(extraPred = "")
+  }
+
+  /** Incremental probe ≡ full self-dedup restricted to pairs touching
+    * the batch — same generated CTEs, one extra predicate (the
+    * dedup_incremental_minhash oracle pattern). */
+  private def embeddingNearDupIncrementalOracle: String = {
+    val planes = SimilaritySearch.hyperplanes(nTables = 8, nPlanes = 8,
+      dim = 64, seed = 42L)
+    normCte + ",\n" + planesCte(planes) + ",\n" + vbuckCte + ",\n" +
+      embNearDupPairsSql(extraPred =
+        s"\n  AND (vec_a % $EmbIncrementalBatchMod = 0" +
+        s" OR vec_b % $EmbIncrementalBatchMod = 0)")
   }
 
   override def oracleSql: Map[String, String] = Map(
@@ -289,6 +334,7 @@ object SimilarityOps extends QueryPack {
     "ann_brute" -> annBruteOracle,
     "ann_lsh" -> annLshOracle,
     "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
+    "embedding_neardup_incremental" -> embeddingNearDupIncrementalOracle,
 
     "embedding_neardup" -> (normCte +
       """

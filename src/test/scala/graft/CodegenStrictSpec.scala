@@ -10,7 +10,8 @@ class CodegenStrictSpec extends SparkSpec {
 
   private val hotQueries = Seq(
     "ann_ivf", "ann_ivf_store", "ann_lsh", "ann_brute", "ann_topk_agg",
-    "embedding_neardup_lsh", "dedup_minhash", "dedup_simhash",
+    "embedding_neardup_lsh", "embedding_neardup_incremental",
+    "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "dedup_incremental_simhash_store",
     "unigram_logprob", "pipeline_curate_quality")

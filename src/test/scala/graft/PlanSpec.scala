@@ -154,6 +154,18 @@ class PlanSpec extends SparkSpec {
       s"simhash banding must make candidate generation an equi-join:\n$p")
   }
 
+  test("embedding_neardup_lsh (+incremental): bucket cap is partial-agg + anti-join, not a window count") {
+    Seq("embedding_neardup_lsh", "embedding_neardup_incremental").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q bucket cap must not ride a window count:\n$p")
+      assert(p.contains("LeftAnti"),
+        s"$q oversized buckets must be dropped via an anti-join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q bucketing must make candidate generation an equi-join:\n$p")
+    }
+  }
+
   test("ann_lsh + ann_ivf: heap top-k with map-side combine, never a ranking window") {
     // a hot query hitting a degenerate LSH bucket / dense IVF cell must
     // not funnel its full candidate set into one unsplittable window

@@ -76,4 +76,65 @@ class SimilaritySearchSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("incremental probe: seen dups caught, batch pairs once, corpus never re-paired") {
+    val base = Array.fill(64)(1.0f)
+    def noisy(seed: Int) = {
+      val r = new Random(seed)
+      base.map(x => x + 0.01f * r.nextGaussian().toFloat).toSeq
+    }
+    val ortho = (Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)).toSeq
+    val seen = Seq(
+      (1L, noisy(1)), (2L, noisy(2)),       // (1,2) is seen-seen
+      (3L, ortho))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (20L, noisy(3)),                      // near-dup of SEEN 1 and 2
+      (21L, ortho.map(-_)), (22L, ortho.map(-_))) // batch-internal pair
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch
+      .incrementalLshNearDupPairs(batch, seen, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    val ids = got.map(p => (p._1, p._2))
+    assert(ids.length == ids.toSet.size, s"pairs must emit once: ${ids.toList}")
+    assert(ids.contains((1L, 20L)) && ids.contains((2L, 20L)),
+      s"planted near-dup of a SEEN vector must be caught: ${ids.toList}")
+    assert(ids.contains((21L, 22L)),
+      s"batch-internal near-dup must be caught: ${ids.toList}")
+    assert(!ids.contains((1L, 2L)),
+      "seen-seen pairs must never re-emit from an incremental probe")
+    // equivalence the oracle gate relies on: probe == self-dedup over
+    // batch ∪ seen restricted to pairs touching the batch
+    val all = seen.unionByName(batch)
+    val want = SimilaritySearch.lshNearDupPairs(all, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => p._1 >= 20L || p._2 >= 20L).toSet
+    assert(got.toSet == want,
+      s"extra=${got.toSet -- want} missing=${want -- got.toSet}")
+  }
+
+  test("over-cap buckets dropped whole on both forms; small buckets kept") {
+    // 6 byte-identical vectors share every table's bucket; cap 4 drops
+    // the family. The distinct near-pair survives in its own buckets.
+    val dup = Array.fill(64)(1.0f).toSeq
+    val ortho = (Array.fill(32)(1.0f) ++ Array.fill(32)(-1.0f)).toSeq
+    val vecs = ((1L to 6L).map(i => (i, dup)) ++
+      Seq((10L, ortho), (11L, ortho))).toDF("vec_id", "embedding")
+    val capped = SimilaritySearch
+      .lshNearDupPairs(vecs, threshold = 0.9, maxBucketSize = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(capped == Set((10L, 11L)),
+      s"over-cap family must drop whole, survivor pair kept: $capped")
+    val uncapped = SimilaritySearch.lshNearDupPairs(vecs, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)),
+      s"default cap must keep the small corpus intact: $uncapped")
+    // probe form: batch vector joining an over-cap seen family is capped
+    val probeCapped = SimilaritySearch
+      .incrementalLshNearDupPairs(
+        Seq((20L, dup)).toDF("vec_id", "embedding"),
+        vecs, threshold = 0.9, maxBucketSize = 4)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(probeCapped.isEmpty, s"got $probeCapped")
+  }
 }
