@@ -173,8 +173,24 @@ object SimilaritySearch {
     // rationale as the Dedup banding paths)
     val vb = bucketed(vectors, "vec_id", "embedding", planes)
       .localCheckpoint(false)
-    nearDupPairsTail(vb, None, vectors, threshold, maxBucketSize)
+    nearDupPairsTail(vb, None, normalizedVectors(vectors), threshold,
+      maxBucketSize)
   }
+
+  /** (vec_id, tbl, bucket) hyperplane bucket rows — the candidate-join
+    * artifact an [[EmbStore]] persists for the store-backed probe. */
+  def lshBucketRows(vectors: DataFrame, nTables: Int = 8, nPlanes: Int = 8,
+      seed: Long = 42L, dim: Int = 64): DataFrame =
+    bucketed(vectors, "vec_id", "embedding",
+      hyperplanes(nTables, nPlanes, dim, seed))
+
+  /** (vec_id, emb, nrm) pre-cast/pre-normed vectors — the verification
+    * artifact an [[EmbStore]] persists (the cast and norm are computed
+    * once at ingest, not per probe). */
+  def normalizedVectors(vectors: DataFrame): DataFrame =
+    vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("emb"),
+      VectorOps.norm(col("embedding")).as("nrm"))
 
   /** Incremental (batch-merge) embedding near-dup: a NEW batch's
     * buckets probed against the full-corpus view — same probe topology
@@ -194,17 +210,39 @@ object SimilaritySearch {
     val sb = bucketed(seen, "vec_id", "embedding", planes)
       .localCheckpoint(false)
     nearDupPairsTail(pb, Some(sb),
-      batch.select("vec_id", "embedding")
-        .unionByName(seen.select("vec_id", "embedding")),
+      normalizedVectors(batch.select("vec_id", "embedding")
+        .unionByName(seen.select("vec_id", "embedding"))),
+      threshold, maxBucketSize)
+  }
+
+  /** Store-backed incremental embedding near-dup: the seen corpus's
+    * PERSISTED bucket rows and pre-normed vectors ([[EmbStore]]) are
+    * probed instead of re-hashing/re-norming the seen side — the
+    * 100 TB form of [[incrementalLshNearDupPairs]], same output
+    * (EmbStoreSpec pins the plan runs zero hyperplane math over the
+    * seen corpus). */
+  def incrementalLshNearDupPairsFromStore(batch: DataFrame,
+      seenBuckets: DataFrame, seenVectors: DataFrame, threshold: Double,
+      nTables: Int = 8, nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64,
+      maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
+    val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    val pb = bucketed(batch, "vec_id", "embedding", planes)
+      .localCheckpoint(false)
+    nearDupPairsTail(pb,
+      Some(seenBuckets.select(col("vec_id"), col("tbl"), col("bucket"))),
+      normalizedVectors(batch.select("vec_id", "embedding"))
+        .unionByName(seenVectors.select("vec_id", "emb", "nrm")),
       threshold, maxBucketSize)
   }
 
   /** Shared candidate tail of the embedding near-dup paths: bucket cap
     * (partial-agg count over the FULL view + broadcast anti-join, never
     * a window) → candidate join → exact-cosine verification against
-    * `vectorsAll` (every doc reachable from either side). */
+    * `vAll` — pre-normed (vec_id, emb, nrm) rows covering every doc
+    * reachable from either side (a fresh [[normalizedVectors]]
+    * projection, or the persisted [[EmbStore]] vector table). */
   private def nearDupPairsTail(probeBucketed: DataFrame,
-      seenBucketed: Option[DataFrame], vectorsAll: DataFrame,
+      seenBucketed: Option[DataFrame], vAll: DataFrame,
       threshold: Double, maxBucketSize: Int): DataFrame = {
     val allB = seenBucketed match {
       case None => probeBucketed
@@ -235,9 +273,7 @@ object SimilaritySearch {
             greatest(col("vec_a"), col("vec_b")).as("vec_b"))
     }).distinct()
 
-    val v = vectorsAll.select(col("vec_id"),
-      VectorOps.toDoubleVec(col("embedding")).as("emb"),
-      VectorOps.norm(col("embedding")).as("nrm"))
+    val v = vAll
     candidates
       .join(v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
         col("nrm").as("nrm_a")), "vec_a")

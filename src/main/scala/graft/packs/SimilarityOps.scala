@@ -97,6 +97,30 @@ object SimilarityOps extends QueryPack {
       threshold = 0.4)
   }
 
+  private val embStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.EmbStore]()
+
+  /** Store-backed incremental embedding near-dup: the seen corpus's
+    * PERSISTED bucket rows and pre-normed vectors
+    * ([[graft.operators.EmbStore]]) are probed instead of re-hashing /
+    * re-norming the seen side — the 100 TB form of
+    * embedding_neardup_incremental, under the IDENTICAL oracle.
+    * (EmbStoreSpec pins the zero-seen-side-recompute plan.) */
+  def embeddingNearDupIncrementalStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val batch = vecs.filter(col("vec_id") % EmbIncrementalBatchMod === 0)
+    val seen = vecs.filter(col("vec_id") % EmbIncrementalBatchMod =!= 0)
+    val store = embStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.EmbStore(
+        s"graft_emb_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s.merge(SimilaritySearch.lshBucketRows(seen),
+        SimilaritySearch.normalizedVectors(seen))
+      s
+    })
+    SimilaritySearch.incrementalLshNearDupPairsFromStore(batch,
+      store.bucketRows(spark), store.vectorRows(spark), threshold = 0.4)
+  }
+
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.cosineNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -110,7 +134,8 @@ object SimilarityOps extends QueryPack {
     "ann_ivf_store" -> (annIvfStore _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
-    "embedding_neardup_incremental" -> (embeddingNearDupIncremental _)
+    "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
+    "embedding_neardup_incremental_store" -> (embeddingNearDupIncrementalStore _)
   )
 
   private val normCte =
@@ -335,6 +360,9 @@ object SimilarityOps extends QueryPack {
     "ann_lsh" -> annLshOracle,
     "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
     "embedding_neardup_incremental" -> embeddingNearDupIncrementalOracle,
+    // the store-backed probe must emit EXACTLY the same pair set as the
+    // recompute form — identical oracle, zero drift allowed
+    "embedding_neardup_incremental_store" -> embeddingNearDupIncrementalOracle,
 
     "embedding_neardup" -> (normCte +
       """

@@ -11,6 +11,7 @@ class CodegenStrictSpec extends SparkSpec {
   private val hotQueries = Seq(
     "ann_ivf", "ann_ivf_store", "ann_lsh", "ann_brute", "ann_topk_agg",
     "embedding_neardup_lsh", "embedding_neardup_incremental",
+    "embedding_neardup_incremental_store",
     "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "dedup_incremental_simhash_store",
