@@ -45,6 +45,13 @@ private[graft] abstract class CopyOnWriteBucketedStore(
   def table(spark: SparkSession): DataFrame =
     if (version == 0) emptyTable(spark) else spark.table(tableName(version))
 
+  /** True when `batchId` was already merged — [[merge]] would no-op.
+    * Lets a foreachBatch body skip the batch-artifact computation (and
+    * any eager checkpoint of it) entirely on an at-least-once replay. */
+  def isReplay(batchId: Long): Boolean =
+    batchId != graft.streaming.VersionedParquetStore.NoBatchId &&
+      batchId <= lastBatch
+
   /** Publish an accepted batch: current ∪ batch → new bucketed version.
     *
     * Pass the foreachBatch `batchId` when merging from a stream: replay
@@ -55,8 +62,7 @@ private[graft] abstract class CopyOnWriteBucketedStore(
     * definition for every store's replay guard. */
   def merge(batch: DataFrame,
       batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit = synchronized {
-    if (batchId != graft.streaming.VersionedParquetStore.NoBatchId &&
-      batchId <= lastBatch) return
+    if (isReplay(batchId)) return
     val spark = batch.sparkSession
     val next = version + 1
     val rows = table(spark).unionByName(normalize(batch))

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  IntegerType, LongType}
 
 /** Persisted embedding near-dup artifact — TWO copy-on-write bucketed
   * tables maintained in lockstep:
@@ -10,33 +12,75 @@ import org.apache.spark.sql.functions.col
   *  - vector rows (vec_id, emb, nrm), bucketed by vec_id: the
   *    verification side ([[SimilaritySearch.normalizedVectors]] output
   *    — the double cast and the norm are paid once at ingest).
-  * A probe ([[SimilaritySearch.incrementalLshNearDupPairsFromStore]])
+  * A probe ([[probe]] / [[SimilaritySearch.incrementalLshNearDupPairsFromStore]])
   * then runs ZERO hyperplane math, zero casts and zero norms over the
   * seen corpus: candidate generation reads a pre-partitioned bucket
   * scan, verification a pre-partitioned vector scan. Completes the
   * store-backed incremental story on the vector side (text:
   * bloom/BandStore/SimhashStore; vectors: IvfStore for serving, this
-  * for dedup). Maintenance is the shared copy-on-write version-publish
-  * machinery ([[CopyOnWriteBucketedStore]]); both tables share one
-  * replay guard via the same batchId passed to [[merge]].
+  * for dedup).
+  *
+  * The LSH configuration (nTables, nPlanes, seed, dim) is a FIELD of
+  * the store, and [[ingest]]/[[probe]] derive their hyperplanes from
+  * it — bucket rows persisted under one plane set probed under another
+  * would silently match nothing (missed near-dups, no error), so the
+  * config-consistent surface is the one to use; the raw
+  * [[merge]]/[[bucketRows]]/[[vectorRows]] remain for callers that
+  * manage their own artifacts.
+  *
+  * Maintenance is the shared copy-on-write version-publish machinery
+  * ([[CopyOnWriteBucketedStore]]); both tables share one replay guard
+  * via the same batchId passed to [[merge]]. BOTH batches are fully
+  * schema-validated (every stored column, not just the id/emb types)
+  * BEFORE either table is touched — a half-applied merge would leave
+  * the candidate and verification sides inconsistent: orphan bucket
+  * rows generate candidates that silently vanish in the verification
+  * join.
   */
-final class EmbStore(name: String, buckets: Int = 32) {
+final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
+    nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64) {
 
-  private def requireLongId(df: DataFrame): Unit =
-    require(df.schema("vec_id").dataType ==
-      org.apache.spark.sql.types.LongType,
+  private def requireCol(df: DataFrame, colName: String, dt: DataType,
+      what: String): Unit = {
+    require(df.schema.fieldNames.contains(colName),
+      s"EmbStore $what batch is missing column '$colName'")
+    require(df.schema(colName).dataType == dt,
+      s"EmbStore $what batch column '$colName' must be " +
+        s"${dt.catalogString}, got " +
+        s"${df.schema(colName).dataType.catalogString}")
+  }
+
+  private def requireLongId(df: DataFrame, what: String): Unit =
+    require(df.schema.fieldNames.contains("vec_id") &&
+      df.schema("vec_id").dataType == LongType,
       s"EmbStore stores LONG vec ids, got " +
-        s"${df.schema("vec_id").dataType.catalogString} — map ids to a " +
+        s"${if (df.schema.fieldNames.contains("vec_id"))
+          df.schema("vec_id").dataType.catalogString
+        else "no vec_id column"} in the $what batch — map ids to a " +
         "surrogate long (e.g. xxhash64) before bucketing")
 
   private def requireDoubleEmb(df: DataFrame): Unit = {
+    require(df.schema.fieldNames.contains("emb"),
+      "EmbStore vector batch is missing column 'emb'")
     val embType = df.schema("emb").dataType
-    require(embType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
-      embType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
-        .elementType == org.apache.spark.sql.types.DoubleType,
+    require(embType.isInstanceOf[ArrayType] &&
+      embType.asInstanceOf[ArrayType].elementType == DoubleType,
       s"EmbStore stores array<double> embeddings " +
         s"(SimilaritySearch.normalizedVectors output), got " +
         s"${embType.catalogString}")
+  }
+
+  // full validation of BOTH stored schemas — called on both batches
+  // before either table merges, so a drift can never half-apply
+  private def validateBuckets(df: DataFrame): Unit = {
+    requireLongId(df, "bucket")
+    requireCol(df, "tbl", IntegerType, "bucket")
+    requireCol(df, "bucket", LongType, "bucket")
+  }
+  private def validateVectors(df: DataFrame): Unit = {
+    requireLongId(df, "vector")
+    requireDoubleEmb(df)
+    requireCol(df, "nrm", DoubleType, "vector")
   }
 
   private val bucketStore =
@@ -46,7 +90,7 @@ final class EmbStore(name: String, buckets: Int = 32) {
         Seq.empty[(Long, Int, Long)].toDF("vec_id", "tbl", "bucket")
       }
       override protected def normalize(batch: DataFrame): DataFrame = {
-        requireLongId(batch)
+        validateBuckets(batch)
         batch.select(col("vec_id"), col("tbl"), col("bucket"))
       }
     }
@@ -58,8 +102,7 @@ final class EmbStore(name: String, buckets: Int = 32) {
         Seq.empty[(Long, Seq[Double], Double)].toDF("vec_id", "emb", "nrm")
       }
       override protected def normalize(batch: DataFrame): DataFrame = {
-        requireLongId(batch)
-        requireDoubleEmb(batch)
+        validateVectors(batch)
         batch.select(col("vec_id"), col("emb"), col("nrm"))
       }
     }
@@ -71,17 +114,40 @@ final class EmbStore(name: String, buckets: Int = 32) {
   /** Current pre-normed vector rows (vec_id, emb, nrm). */
   def vectorRows(spark: SparkSession): DataFrame = vecStore.table(spark)
 
-  /** Publish an ACCEPTED batch's artifacts (post-dedup survivors):
-    * bucket rows and normalized vectors, under one batchId so an
-    * at-least-once replay is a no-op on BOTH tables. Both batches are
-    * schema-validated BEFORE either table is touched — a half-applied
-    * merge would leave the candidate and verification sides
-    * inconsistent. */
+  /** True when `batchId` was already merged — lets a foreachBatch body
+    * skip computing the batch's artifacts entirely on a replay. */
+  def isReplay(batchId: Long): Boolean = bucketStore.isReplay(batchId)
+
+  /** Publish an ACCEPTED batch of raw (vec_id, embedding) vectors:
+    * bucket rows and pre-normed vectors are derived under the STORE's
+    * LSH config, so ingest and probe can never drift apart. */
+  def ingest(vectors: DataFrame,
+      batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit =
+    merge(
+      SimilaritySearch.lshBucketRows(vectors, nTables, nPlanes, seed, dim),
+      SimilaritySearch.normalizedVectors(vectors), batchId)
+
+  /** Incremental embedding near-dup of a NEW batch against the stored
+    * corpus, under the store's LSH config — the store-backed form of
+    * [[SimilaritySearch.incrementalLshNearDupPairs]], identical
+    * output, zero hyperplane/cast/norm work over the seen side. */
+  def probe(batch: DataFrame, threshold: Double,
+      maxBucketSize: Int = SimilaritySearch.EmbLshMaxBucketSize): DataFrame =
+    SimilaritySearch.incrementalLshNearDupPairsFromStore(batch,
+      bucketRows(batch.sparkSession), vectorRows(batch.sparkSession),
+      threshold, nTables, nPlanes, seed, dim, maxBucketSize)
+
+  /** Publish an ACCEPTED batch's precomputed artifacts (post-dedup
+    * survivors): bucket rows and normalized vectors, under one batchId
+    * so an at-least-once replay is a no-op on BOTH tables. Both batches
+    * are fully schema-validated BEFORE either table is touched — a
+    * half-applied merge would leave the candidate and verification
+    * sides inconsistent. Prefer [[ingest]], which also guarantees the
+    * bucket rows were computed under the store's LSH config. */
   def merge(batchBuckets: DataFrame, batchVectors: DataFrame,
       batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit = {
-    requireLongId(batchBuckets)
-    requireLongId(batchVectors)
-    requireDoubleEmb(batchVectors)
+    validateBuckets(batchBuckets)
+    validateVectors(batchVectors)
     bucketStore.merge(batchBuckets, batchId)
     vecStore.merge(batchVectors, batchId)
   }

@@ -273,11 +273,10 @@ object SimilaritySearch {
             greatest(col("vec_a"), col("vec_b")).as("vec_b"))
     }).distinct()
 
-    val v = vAll
     candidates
-      .join(v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      .join(vAll.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
         col("nrm").as("nrm_a")), "vec_a")
-      .join(v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      .join(vAll.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
         col("nrm").as("nrm_b")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         round(VectorOps.cosinePrenormed(

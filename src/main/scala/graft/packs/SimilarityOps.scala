@@ -113,12 +113,10 @@ object SimilarityOps extends QueryPack {
     val store = embStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.EmbStore(
         s"graft_emb_store_${java.lang.Integer.toHexString(dir.hashCode)}")
-      s.merge(SimilaritySearch.lshBucketRows(seen),
-        SimilaritySearch.normalizedVectors(seen))
+      s.ingest(seen)
       s
     })
-    SimilaritySearch.incrementalLshNearDupPairsFromStore(batch,
-      store.bucketRows(spark), store.vectorRows(spark), threshold = 0.4)
+    store.probe(batch, threshold = 0.4)
   }
 
   def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame =

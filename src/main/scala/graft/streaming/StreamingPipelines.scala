@@ -270,13 +270,17 @@ object StreamingPipelines {
   def annIngestBatch(store: graft.operators.IvfStore,
       centroids: Seq[Seq[Double]], batch: DataFrame,
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    val assigned = graft.operators.IvfIndex.index(batch, centroids)
+    // on an at-least-once replay the merge would no-op — return the
+    // LAZY assignment (the sink re-emits once) instead of paying the
+    // full assignment + eager-checkpoint materialization for nothing
+    if (store.isReplay(batchId)) return assigned
     // eager checkpoint: the store merge is an action over the assigned
     // lineage and the caller's sink write would re-run the assignment
     // (and a file source's batch read) a second time — materialize once
-    val assigned = graft.operators.IvfIndex.index(batch, centroids)
-      .localCheckpoint()
-    store.merge(assigned, batchId)
-    assigned
+    val checkpointed = assigned.localCheckpoint()
+    store.merge(checkpointed, batchId)
+    checkpointed
   }
 
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,

@@ -32,6 +32,13 @@ private[graft] final class VersionedParquetStore(dir: String) {
   def current: Option[String] =
     if (version == 0) None else Some(versionDir(version))
 
+  /** True when `batchId` was already applied — [[publish]] would no-op.
+    * Lets a caller skip computing the batch artifact entirely on an
+    * at-least-once replay instead of paying the (often dominant)
+    * artifact computation just to have the publish skipped. */
+  def isReplay(batchId: Long): Boolean =
+    batchId != VersionedParquetStore.NoBatchId && batchId <= lastBatch
+
   /** Write the next version via `write(nextDir)` and flip the pointer —
     * unless `batchId` was already applied (replay → no-op). Returns
     * whether the publish was applied. Synchronized: foreachBatch

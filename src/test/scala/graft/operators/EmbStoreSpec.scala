@@ -30,12 +30,9 @@ class EmbStoreSpec extends SparkSpec {
     val batch = Seq((20L, noisy(3)), (21L, ortho.map(-_)), (22L, ortho.map(-_)))
       .toDF("vec_id", "embedding")
     val store = new EmbStore("graft_emb_store_spec", buckets = 2)
-    store.merge(SimilaritySearch.lshBucketRows(seen),
-      SimilaritySearch.normalizedVectors(seen))
+    store.ingest(seen)
 
-    val probe = SimilaritySearch.incrementalLshNearDupPairsFromStore(
-      batch, store.bucketRows(spark), store.vectorRows(spark),
-      threshold = 0.9)
+    val probe = store.probe(batch, threshold = 0.9)
 
     // Plan pin: both seen-side inputs are persisted bucketed tables —
     // the hyperplane expression appears ONLY for the batch side, which
@@ -65,11 +62,8 @@ class EmbStoreSpec extends SparkSpec {
     val batch = vecs.filter(col("vec_id") % 5 === 0)
     val seen = vecs.filter(col("vec_id") % 5 =!= 0)
     val store = new EmbStore("graft_emb_store_sf", buckets = 2)
-    store.merge(SimilaritySearch.lshBucketRows(seen),
-      SimilaritySearch.normalizedVectors(seen))
-    val got = pairsOf(SimilaritySearch.incrementalLshNearDupPairsFromStore(
-      batch, store.bucketRows(spark), store.vectorRows(spark),
-      threshold = 0.4))
+    store.ingest(seen)
+    val got = pairsOf(store.probe(batch, threshold = 0.4))
     val want = pairsOf(SimilaritySearch.incrementalLshNearDupPairs(
       batch, seen, threshold = 0.4))
     assert(got == want, s"extra=${got -- want} missing=${want -- got}")
@@ -78,19 +72,33 @@ class EmbStoreSpec extends SparkSpec {
   test("one batchId guards both tables: replay is a no-op on buckets AND vectors") {
     val b0 = Seq((1L, noisy(1))).toDF("vec_id", "embedding")
     val store = new EmbStore("graft_emb_store_replay", buckets = 2)
-    store.merge(SimilaritySearch.lshBucketRows(b0),
-      SimilaritySearch.normalizedVectors(b0), batchId = 0L)
+    store.ingest(b0, batchId = 0L)
     val (nb, nv) =
       (store.bucketRows(spark).count(), store.vectorRows(spark).count())
-    store.merge(SimilaritySearch.lshBucketRows(b0),
-      SimilaritySearch.normalizedVectors(b0), batchId = 0L) // replay
+    assert(store.isReplay(0L) && !store.isReplay(1L))
+    store.ingest(b0, batchId = 0L) // replay
     assert(store.bucketRows(spark).count() == nb &&
       store.vectorRows(spark).count() == nv,
       "replayed batchId must not double-insert in either table")
     val b1 = Seq((2L, noisy(2))).toDF("vec_id", "embedding")
-    store.merge(SimilaritySearch.lshBucketRows(b1),
-      SimilaritySearch.normalizedVectors(b1), batchId = 1L)
+    store.ingest(b1, batchId = 1L)
     assert(store.vectorRows(spark).count() == nv + 1)
+  }
+
+  test("a drifted batch cannot half-apply: neither table is touched") {
+    val store = new EmbStore("graft_emb_store_halfapply", buckets = 2)
+    val okBuckets = Seq((1L, 0, 1L)).toDF("vec_id", "tbl", "bucket")
+    // passes the id/emb checks but is missing nrm — without whole-schema
+    // validation BEFORE either merge, the bucket table would commit and
+    // the vector merge would then throw, leaving orphan bucket rows
+    // whose candidates silently vanish in the verification join
+    val vecsNoNrm = Seq((1L, Seq(1.0))).toDF("vec_id", "emb")
+    val e = intercept[IllegalArgumentException](
+      store.merge(okBuckets, vecsNoNrm))
+    assert(e.getMessage.contains("nrm"))
+    assert(store.bucketRows(spark).count() == 0 &&
+      store.vectorRows(spark).count() == 0,
+      "both tables must stay untouched when either batch fails validation")
   }
 
   test("schema drift fails loudly on both tables") {
