@@ -130,12 +130,32 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
   /** Incremental embedding near-dup of a NEW batch against the stored
     * corpus, under the store's LSH config — the store-backed form of
     * [[SimilaritySearch.incrementalLshNearDupPairs]], identical
-    * output, zero hyperplane/cast/norm work over the seen side. */
+    * output, zero hyperplane/cast/norm work over the seen side.
+    *
+    * `excludeBatchIds` makes an ingest loop replay-exact: on an
+    * at-least-once REPLAY the batch's own (already-merged) rows would
+    * otherwise appear as its "seen" corpus — excluding them restores
+    * the original run's exact probe input, bucket-cap counts included,
+    * so the replay computes the same drop set
+    * ([[graft.streaming.StreamingPipelines.embNearDupIngestBatch]]'s
+    * contract, same shape as the text-side ingest loop). The broadcast
+    * anti-join keys on the batch's ids only — the store sides stay
+    * bare pre-partitioned scans. */
   def probe(batch: DataFrame, threshold: Double,
-      maxBucketSize: Int = SimilaritySearch.EmbLshMaxBucketSize): DataFrame =
-    SimilaritySearch.incrementalLshNearDupPairsFromStore(batch,
-      bucketRows(batch.sparkSession), vectorRows(batch.sparkSession),
+      maxBucketSize: Int = SimilaritySearch.EmbLshMaxBucketSize,
+      excludeBatchIds: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val (sb, sv) =
+      if (!excludeBatchIds) (bucketRows(spark), vectorRows(spark))
+      else {
+        val ids = org.apache.spark.sql.functions.broadcast(
+          batch.select(col("vec_id")))
+        (bucketRows(spark).join(ids, Seq("vec_id"), "left_anti"),
+          vectorRows(spark).join(ids, Seq("vec_id"), "left_anti"))
+      }
+    SimilaritySearch.incrementalLshNearDupPairsFromStore(batch, sb, sv,
       threshold, nTables, nPlanes, seed, dim, maxBucketSize)
+  }
 
   /** Publish an ACCEPTED batch's precomputed artifacts (post-dedup
     * survivors): bucket rows and normalized vectors, under one batchId

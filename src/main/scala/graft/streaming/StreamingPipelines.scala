@@ -283,6 +283,58 @@ object StreamingPipelines {
     checkpointed
   }
 
+  /** The full incremental near-dup INGEST loop over the persisted
+    * embedding store — the VECTOR twin of [[nearDupIngestBatch]], as a
+    * foreachBatch body: (1) probe the batch against the store-backed
+    * corpus view under the STORE's LSH config (zero hyperplane / cast /
+    * norm work over the seen side; the batch's own ids are excluded
+    * from the seen view, so an at-least-once REPLAY — survivors already
+    * merged — sees the original run's exact probe input and computes
+    * the same drop set), (2) drop every batch vector verified near-dup
+    * of the accepted corpus, and the later id of each batch-internal
+    * pair — unconditionally, so drops chain, (3) ingest the SURVIVORS
+    * (one batchId guards BOTH store tables; a replay neither re-drops
+    * nor double-merges, and skips the eager checkpoint entirely).
+    * Returns the surviving rows. Only canonical (surviving) vectors
+    * enter the store — a later near-dup of a dropped vector still
+    * pairs against its surviving canonical, whose embedding is
+    * near-identical by construction. */
+  def embNearDupIngestBatch(store: graft.operators.EmbStore,
+      batch: DataFrame, threshold: Double,
+      maxBucketSize: Int =
+        graft.operators.SimilaritySearch.EmbLshMaxBucketSize,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    val pairs = store.probe(batch, threshold, maxBucketSize,
+      excludeBatchIds = true)
+    // membership joins on the raw long ids — pairs are canonicalized
+    // (vec_a < vec_b), so either endpoint of a (seen, new) pair can be
+    // the batch one; same drop policy as the text-side ingest loop
+    val members = batch.select(col("vec_id").as("v"))
+      .withColumn("in_batch", lit(true))
+    val flagged = pairs
+      .select(col("vec_a").as("a"), col("vec_b").as("b"))
+      .join(members.select(col("v").as("a"), col("in_batch").as("a_in")), Seq("a"), "left")
+      .join(members.select(col("v").as("b"), col("in_batch").as("b_in")), Seq("b"), "left")
+      .na.fill(false, Seq("a_in", "b_in"))
+    val drops = flagged.select(
+        when(col("a_in") && !col("b_in"), col("a"))
+          .when(!col("a_in") && col("b_in"), col("b"))
+          .when(col("a_in") && col("b_in"), col("b"))
+          .as("drop_id"))
+      .filter(col("drop_id").isNotNull).distinct()
+    val survivors = batch.join(drops,
+      batch("vec_id") === drops("drop_id"), "left_anti")
+    // on a replay the ingest below would no-op — return the LAZY
+    // survivors (the sink re-emits once) instead of re-materializing
+    if (store.isReplay(batchId)) return survivors
+    // eager checkpoint: the store ingest is an action over the
+    // survivors' lineage (the whole probe pipeline), and the caller's
+    // sink write would re-execute it — materialize once
+    val checkpointed = survivors.localCheckpoint()
+    store.ingest(checkpointed, batchId)
+    checkpointed
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,
