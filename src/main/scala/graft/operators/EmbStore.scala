@@ -114,9 +114,15 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
   /** Current pre-normed vector rows (vec_id, emb, nrm). */
   def vectorRows(spark: SparkSession): DataFrame = vecStore.table(spark)
 
-  /** True when `batchId` was already merged — lets a foreachBatch body
-    * skip computing the batch's artifacts entirely on a replay. */
-  def isReplay(batchId: Long): Boolean = bucketStore.isReplay(batchId)
+  /** True when `batchId` was already merged into BOTH tables — lets a
+    * foreachBatch body skip computing the batch's artifacts entirely
+    * on a replay. The conjunction matters: [[merge]] applies the
+    * bucket side first, so a vec-side write failure leaves the batch
+    * half-applied — reporting that batch as a replay would skip the
+    * retry that heals it (each table's own merge guard makes the
+    * retry no-op on the side already applied). */
+  def isReplay(batchId: Long): Boolean =
+    bucketStore.isReplay(batchId) && vecStore.isReplay(batchId)
 
   /** Publish an ACCEPTED batch of raw (vec_id, embedding) vectors:
     * bucket rows and pre-normed vectors are derived under the STORE's

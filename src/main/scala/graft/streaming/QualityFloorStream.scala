@@ -88,6 +88,11 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
     }
   }
 
+  /** True when `batchId` was already merged — lets a foreachBatch body
+    * skip the batch's scoring checkpoint entirely on an at-least-once
+    * replay ([[merge]] itself would no-op). */
+  def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
+
   /** The published cutoff in basis points; None before the first
     * non-empty merge. */
   def cutoffBp: Option[Long] = publishedCutoff

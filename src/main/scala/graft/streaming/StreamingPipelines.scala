@@ -197,32 +197,41 @@ object StreamingPipelines {
       batch, seenView,
       Dedup.shingleTable(seenDocs, idCol, textCol), idCol, textCol,
       threshold = threshold, maxBucketSize = maxBucketSize)
-    // membership joins on the raw id values — a cast would null out
-    // non-numeric id types and silently disable every drop
+    val survivors0 = dropSurvivors(batch, pairs, idCol, "doc_a", "doc_b")
+    // on a replay the merge below would no-op — return the LAZY
+    // survivors (the sink re-emits once) instead of re-materializing
+    if (store.isReplay(batchId)) return survivors0
+    // eager checkpoint: the store merge below is an action over the
+    // survivors' lineage (the whole probe pipeline), and the caller's
+    // sink write would re-execute it — materialize once
+    val survivors = survivors0.localCheckpoint()
+    store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
+    survivors
+  }
+
+  /** The ONE drop policy of the store-backed ingest loops (text and
+    * vector — a divergence here would silently split their dedup
+    * semantics): the batch endpoint of a (seen, new) pair drops (the
+    * corpus row is the accepted canonical); of a batch-internal pair
+    * (canonicalized a < b), the later id drops — unconditionally, so
+    * drops chain. Membership joins on the raw id values — a cast would
+    * null out non-numeric id types and silently disable every drop. */
+  private def dropSurvivors(batch: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String, bCol: String): DataFrame = {
     val members = batch.select(col(idCol).as("v"))
       .withColumn("in_batch", lit(true))
     val flagged = pairs
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .select(col(aCol).as("a"), col(bCol).as("b"))
       .join(members.select(col("v").as("a"), col("in_batch").as("a_in")), Seq("a"), "left")
       .join(members.select(col("v").as("b"), col("in_batch").as("b_in")), Seq("b"), "left")
       .na.fill(false, Seq("a_in", "b_in"))
-    // the batch endpoint of a (seen, new) pair drops (the corpus doc is
-    // the accepted canonical); of a batch-internal pair (canonicalized
-    // a < b), the later id drops — unconditionally, so drops chain
     val drops = flagged.select(
         when(col("a_in") && !col("b_in"), col("a"))
           .when(!col("a_in") && col("b_in"), col("b"))
           .when(col("a_in") && col("b_in"), col("b"))
           .as("drop_id"))
       .filter(col("drop_id").isNotNull).distinct()
-    // eager checkpoint: the store merge below is an action over the
-    // survivors' lineage (the whole probe pipeline), and the caller's
-    // sink write would re-execute it — materialize once
-    val survivors = batch.join(drops,
-      batch(idCol) === drops("drop_id"), "left_anti")
-      .localCheckpoint()
-    store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
-    survivors
+    batch.join(drops, batch(idCol) === drops("drop_id"), "left_anti")
   }
 
   /** The COMPLETE streaming curation ingest — every gate of the batch
@@ -304,26 +313,18 @@ object StreamingPipelines {
       maxBucketSize: Int =
         graft.operators.SimilaritySearch.EmbLshMaxBucketSize,
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    // same contract as EmbStore, enforced before the probe is even
+    // built — a wrong-typed id would otherwise pay the whole probe and
+    // fail late inside ingest with a message about the DERIVED bucket
+    // batch, not the caller's input
+    require(batch.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"embNearDupIngestBatch requires LONG vec ids (the EmbStore " +
+        s"schema), got ${batch.schema("vec_id").dataType.catalogString} " +
+        "— map ids to a surrogate long (e.g. xxhash64) first")
     val pairs = store.probe(batch, threshold, maxBucketSize,
       excludeBatchIds = true)
-    // membership joins on the raw long ids — pairs are canonicalized
-    // (vec_a < vec_b), so either endpoint of a (seen, new) pair can be
-    // the batch one; same drop policy as the text-side ingest loop
-    val members = batch.select(col("vec_id").as("v"))
-      .withColumn("in_batch", lit(true))
-    val flagged = pairs
-      .select(col("vec_a").as("a"), col("vec_b").as("b"))
-      .join(members.select(col("v").as("a"), col("in_batch").as("a_in")), Seq("a"), "left")
-      .join(members.select(col("v").as("b"), col("in_batch").as("b_in")), Seq("b"), "left")
-      .na.fill(false, Seq("a_in", "b_in"))
-    val drops = flagged.select(
-        when(col("a_in") && !col("b_in"), col("a"))
-          .when(!col("a_in") && col("b_in"), col("b"))
-          .when(col("a_in") && col("b_in"), col("b"))
-          .as("drop_id"))
-      .filter(col("drop_id").isNotNull).distinct()
-    val survivors = batch.join(drops,
-      batch("vec_id") === drops("drop_id"), "left_anti")
+    val survivors = dropSurvivors(batch, pairs, "vec_id", "vec_a", "vec_b")
     // on a replay the ingest below would no-op — return the LAZY
     // survivors (the sink re-emits once) instead of re-materializing
     if (store.isReplay(batchId)) return survivors
@@ -340,12 +341,18 @@ object StreamingPipelines {
       ratesBp: Map[String, Int], defaultBp: Int,
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
     import graft.operators.TextAnalysis
+    val scored0 = batch.withColumn("quality_bp", store.qualityBp(col(textCol)))
+    // on a replay the histogram merge below would no-op — return the
+    // LAZY scored sample (the sink re-emits once) instead of paying the
+    // regex-heavy scoring checkpoint for nothing
+    if (store.isReplay(batchId))
+      return TextAnalysis.stratifiedSample(scored0, langCol, idCol,
+        ratesBp, defaultBp)
     // eager checkpoint: the histogram merge below is an ACTION and the
     // returned rows get materialized again by the caller's sink write —
     // without it the regex-heavy quality scoring (and a file source's
     // batch read) would run twice per batch
-    val scored = batch.withColumn("quality_bp",
-      store.qualityBp(col(textCol))).localCheckpoint()
+    val scored = scored0.localCheckpoint()
     // the histogram sees EVERY doc (the floor is corpus-relative over
     // the full stream, as the batch form is over the full table);
     // the mixture gate thins what the sink keeps. batchId makes an

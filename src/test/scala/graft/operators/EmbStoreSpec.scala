@@ -85,6 +85,32 @@ class EmbStoreSpec extends SparkSpec {
     assert(store.vectorRows(spark).count() == nv + 1)
   }
 
+  test("a half-applied merge (vec-side write failure) is NOT a replay and self-heals on retry") {
+    val store = new EmbStore("graft_emb_store_heal", buckets = 2)
+    val b0 = Seq((1L, noisy(1))).toDF("vec_id", "embedding")
+    val buckets = SimilaritySearch.lshBucketRows(b0)
+    val goodVecs = SimilaritySearch.normalizedVectors(b0)
+    // schema-valid but fails at execution time — models an executor
+    // OOM/disk failure in the vec table's write AFTER the bucket table
+    // committed
+    val boom = udf((_: Long) =>
+      if (true) throw new RuntimeException("vec write failure")
+      else Seq(0.0))
+    val badVecs = goodVecs.select(col("vec_id"),
+      boom(col("vec_id")).as("emb"), col("nrm"))
+    intercept[Exception](store.merge(buckets, badVecs, batchId = 7L))
+    assert(store.bucketRows(spark).count() > 0 &&
+      store.vectorRows(spark).count() == 0,
+      "models the half-applied state: buckets committed, vectors not")
+    // keyed on BOTH tables: reporting 7 as a replay would skip the
+    // retry that heals the divergence
+    assert(!store.isReplay(7L))
+    store.merge(buckets, goodVecs, batchId = 7L) // the healing retry
+    assert(store.vectorRows(spark).count() == 1 && store.isReplay(7L))
+    assert(store.bucketRows(spark).select("vec_id").distinct().count() == 1,
+      "the retry must not double-insert the already-committed bucket side")
+  }
+
   test("a drifted batch cannot half-apply: neither table is touched") {
     val store = new EmbStore("graft_emb_store_halfapply", buckets = 2)
     val okBuckets = Seq((1L, 0, 1L)).toDF("vec_id", "tbl", "bucket")
