@@ -31,6 +31,18 @@ object GraftSession {
       // long-unattributed warm-pass wander. Static conf: must be set
       // at builder time, ignored on getOrCreate of an existing session.
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // CORRECTNESS: Spark 4.1's unionOutputPartitioning (default true)
+      // lets UnionExec CLAIM its children's common hash partitioning
+      // while the execution still CONCATENATES their partitions — any
+      // clustering-required operator above an aligned union (bucketed
+      // scan ∪ bucketed scan, bucketed table ∪ same-key same-count
+      // Exchange, as in every store-merge shape) then elides its
+      // shuffle and silently emits per-child duplicate groups.
+      // Measured on 4.1.2: 7 keys over 2 same-bucketed tables →
+      // 14 groups; the KTable-merge shape was wrong nondeterministically
+      // (AQE coalescing sometimes breaks the false claim). Pinned off
+      // here and regression-tested in UnionPartitioningSpec.
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session sized from the SPARK_GRAFT_CPUS env (driver contract).

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions.col
   * ingested batch instead: ~24 bytes × bands per doc, no text, no
   * shingles, bucketed by band_key so the probe's candidate join reads
   * the corpus side pre-partitioned. Maintenance is the shared
-  * copy-on-write version-publish machinery
-  * ([[CopyOnWriteBucketedStore]]).
+  * append-only segment machinery ([[SegmentedBucketedStore]]): each
+  * merge writes only the batch's band rows; [[compact]] periodically
+  * folds segments back to the single bare bucketed scan.
   */
-final class BandStore(name: String, buckets: Int = 32)
-    extends CopyOnWriteBucketedStore(name, "band_key", buckets) {
+final class BandStore(name: String, buckets: Int = 32,
+    pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer)
+    extends SegmentedBucketedStore(name, "band_key", buckets, pointer) {
 
   override protected def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -28,14 +28,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * [[merge]]/[[bucketRows]]/[[vectorRows]] remain for callers that
   * manage their own artifacts.
   *
-  * Maintenance is the shared copy-on-write version-publish machinery
-  * ([[CopyOnWriteBucketedStore]]); both tables share one replay guard
+  * Maintenance is the shared append-only segment machinery
+  * ([[SegmentedBucketedStore]]); both tables share one replay guard
   * via the same batchId passed to [[merge]]. BOTH batches are fully
   * schema-validated (every stored column, not just the id/emb types)
-  * BEFORE either table is touched — a half-applied merge would leave
-  * the candidate and verification sides inconsistent: orphan bucket
-  * rows generate candidates that silently vanish in the verification
-  * join.
+  * BEFORE either table is touched, and the vector table merges first —
+  * a half-applied merge then leaves only orphan VECTORS (harmless: no
+  * bucket rows, no candidates), never orphan bucket rows whose
+  * candidates would silently vanish in the verification join.
   */
 final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
     nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64) {
@@ -84,7 +84,7 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
   }
 
   private val bucketStore =
-    new CopyOnWriteBucketedStore(s"${name}_buckets", "bucket", buckets) {
+    new SegmentedBucketedStore(s"${name}_buckets", "bucket", buckets) {
       override protected def emptyTable(spark: SparkSession): DataFrame = {
         import spark.implicits._
         Seq.empty[(Long, Int, Long)].toDF("vec_id", "tbl", "bucket")
@@ -96,7 +96,7 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
     }
 
   private val vecStore =
-    new CopyOnWriteBucketedStore(s"${name}_vecs", "vec_id", buckets) {
+    new SegmentedBucketedStore(s"${name}_vecs", "vec_id", buckets) {
       override protected def emptyTable(spark: SparkSession): DataFrame = {
         import spark.implicits._
         Seq.empty[(Long, Seq[Double], Double)].toDF("vec_id", "emb", "nrm")
@@ -117,9 +117,9 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
   /** True when `batchId` was already merged into BOTH tables — lets a
     * foreachBatch body skip computing the batch's artifacts entirely
     * on a replay. The conjunction matters: [[merge]] applies the
-    * bucket side first, so a vec-side write failure leaves the batch
-    * half-applied — reporting that batch as a replay would skip the
-    * retry that heals it (each table's own merge guard makes the
+    * vector side first, so a bucket-side write failure leaves the
+    * batch half-applied — reporting that batch as a replay would skip
+    * the retry that heals it (each table's own merge guard makes the
     * retry no-op on the side already applied). */
   def isReplay(batchId: Long): Boolean =
     bucketStore.isReplay(batchId) && vecStore.isReplay(batchId)
@@ -174,7 +174,28 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
       batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit = {
     validateBuckets(batchBuckets)
     validateVectors(batchVectors)
-    bucketStore.merge(batchBuckets, batchId)
+    // vectors FIRST: a crash (or concurrent reader) between the two
+    // merges then sees orphan vectors with no bucket rows — harmless,
+    // they generate no candidates. The other order loses pairs: orphan
+    // BUCKET rows generate candidates that silently vanish in the
+    // verification join (missed near-dups) until the retry heals it.
+    // The inconsistent window degrades to the safe direction.
     vecStore.merge(batchVectors, batchId)
+    bucketStore.merge(batchBuckets, batchId)
+  }
+
+  /** Fold both tables' segments ([[SegmentedBucketedStore.compact]]) —
+    * restores the two bare partitioning-reporting probe scans and
+    * bounds segment count; call on the ingest loop's compaction cadence. */
+  def compact(spark: SparkSession): Unit = {
+    vecStore.compact(spark)
+    bucketStore.compact(spark)
+  }
+
+  /** Compact both tables once either exceeds `maxSegments` live
+    * segments — the ingest loops' periodic hook. */
+  def compactIfNeeded(spark: SparkSession, maxSegments: Int): Unit = {
+    vecStore.compactIfNeeded(spark, maxSegments)
+    bucketStore.compactIfNeeded(spark, maxSegments)
   }
 }

@@ -17,12 +17,29 @@ import org.apache.spark.sql.functions.col
   * [[graft.streaming.StreamingPipelines.annIngestBatch]]: assign the
   * batch (scan-side native expression), merge, done — the standard
   * "add to the inverted file" IVF maintenance, centroids frozen as of
-  * training (faiss semantics; retrain + rebuild is an offline job).
-  * Maintenance is the shared copy-on-write version-publish machinery
-  * ([[CopyOnWriteBucketedStore]]).
+  * training (faiss semantics; retrain is offline, applied with
+  * [[rebuild]]). Maintenance is the shared append-only segment
+  * machinery ([[SegmentedBucketedStore]]).
   */
-final class IvfStore(name: String, buckets: Int = 32)
-    extends CopyOnWriteBucketedStore(name, "cell", buckets) {
+final class IvfStore(name: String, buckets: Int = 32,
+    pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer)
+    extends SegmentedBucketedStore(name, "cell", buckets, pointer) {
+
+  /** Re-assign the WHOLE inverted file under freshly-trained centroids —
+    * the offline half of the faiss retrain story ([[IvfIndex.train]] on
+    * a new corpus snapshot, then this). One scan-side native-expression
+    * pass over the stored vectors (emb and v_nrm are already cast and
+    * normed — only the cell argmin recomputes) into one fresh bucketed
+    * segment, published atomically: probes read the old inverted file
+    * until the pointer flips, and readers holding the prior manifest
+    * keep their segments for a grace generation (IvfStoreSpec pins
+    * mid-rebuild reader isolation and equality with a from-scratch
+    * [[IvfIndex.index]]). */
+  def rebuild(spark: SparkSession, newCentroids: Seq[Seq[Double]]): Unit =
+    replaceAllWith(spark, table(spark)
+      .select(col("vec_id"), col("emb"), col("v_nrm"))
+      .withColumn("cell",
+        graft.functions.CentroidAssign(col("emb"), newCentroids)))
 
   override protected def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._

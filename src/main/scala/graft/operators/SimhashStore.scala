@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions.col
   * verification needs no second corpus join at all — and bucketing by
   * band_val pre-partitions the candidate join's seen side (hash on
   * band_val satisfies the (band, band_val) clustering requirement).
-  * Maintenance is the shared copy-on-write version-publish machinery
-  * ([[CopyOnWriteBucketedStore]]).
+  * Maintenance is the shared append-only segment machinery
+  * ([[SegmentedBucketedStore]]).
   */
-final class SimhashStore(name: String, buckets: Int = 32)
-    extends CopyOnWriteBucketedStore(name, "band_val", buckets) {
+final class SimhashStore(name: String, buckets: Int = 32,
+    pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer)
+    extends SegmentedBucketedStore(name, "band_val", buckets, pointer) {
 
   override protected def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._

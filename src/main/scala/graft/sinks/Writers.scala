@@ -47,13 +47,18 @@ object Writers {
       .save(path)
   }
 
+  /** Pass `path` to create the table EXTERNAL at that location: the
+    * data then survives a DROP TABLE / catalog death, which is what
+    * lets [[graft.operators.SegmentedBucketedStore]] re-adopt its
+    * segments on a new JVM (a managed table's drop deletes the files). */
   def bucketedTable(df: DataFrame, table: String, bucketCol: String,
-      buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+      buckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   def streamingParquet(df: DataFrame, path: String,
       checkpointLocation: String): DataStreamWriter[Row] =

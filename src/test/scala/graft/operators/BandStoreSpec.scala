@@ -63,7 +63,7 @@ class BandStoreSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("merge publishes copy-on-write versions; reader window preserved") {
+  test("merge appends a batch-sized segment; compaction folds and preserves the reader window") {
     val s = spark
     import s.implicits._
     val store = new BandStore("graft_band_store_versions", buckets = 2)
@@ -71,15 +71,25 @@ class BandStoreSpec extends SparkSpec {
     store.merge(Seq((1L, 0, "k1"), (1L, 1, "k2")).toDF("doc_id", "band", "band_key"))
     assert(store.table(spark).count() == 2)
     store.merge(Seq((2L, 0, "k1")).toDF("doc_id", "band", "band_key"))
-    val t = store.table(spark)
-    assert(t.count() == 3, "merge must union, not replace")
-    // v1 (N-1) must still exist for in-flight readers; after a third
-    // merge it is retired
-    assert(spark.catalog.tableExists("graft_band_store_versions_v1"))
+    assert(store.table(spark).count() == 3, "merge must union, not replace")
+    // append-only: the second merge wrote ONLY the batch's rows — its
+    // segment holds 1 row, the first segment's 2 are untouched
+    assert(store.liveSegments == List(1, 2))
+    assert(spark.table("graft_band_store_versions_s2").count() == 1,
+      "a merge must write the batch's rows only, never re-write the store")
+    // a reader holding the pre-compaction manifest keeps its segments
+    val preCompaction = store.table(spark)
+    store.compact(spark)
+    assert(store.liveSegments.size == 1, "compaction folds to one segment")
+    assert(store.table(spark).count() == 3, "compaction preserves content")
+    assert(preCompaction.count() == 3,
+      "in-flight readers of the prior manifest must survive a compaction " +
+        "(retired segments live one grace generation)")
+    // the NEXT compaction drops the grace segments
     store.merge(Seq((3L, 0, "k3")).toDF("doc_id", "band", "band_key"))
-    assert(!spark.catalog.tableExists("graft_band_store_versions_v1"),
-      "versions older than N-1 must be retired")
-    assert(spark.catalog.tableExists("graft_band_store_versions_v2"))
+    store.compact(spark)
+    assert(!spark.catalog.tableExists("graft_band_store_versions_s1"),
+      "grace segments must be dropped by the following compaction")
     assert(store.table(spark).count() == 4)
   }
 

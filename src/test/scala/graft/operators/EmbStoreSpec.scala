@@ -85,30 +85,33 @@ class EmbStoreSpec extends SparkSpec {
     assert(store.vectorRows(spark).count() == nv + 1)
   }
 
-  test("a half-applied merge (vec-side write failure) is NOT a replay and self-heals on retry") {
+  test("a half-applied merge (bucket-side write failure) degrades SAFE and self-heals on retry") {
     val store = new EmbStore("graft_emb_store_heal", buckets = 2)
     val b0 = Seq((1L, noisy(1))).toDF("vec_id", "embedding")
-    val buckets = SimilaritySearch.lshBucketRows(b0)
-    val goodVecs = SimilaritySearch.normalizedVectors(b0)
+    val goodBuckets = SimilaritySearch.lshBucketRows(b0)
+    val vecs = SimilaritySearch.normalizedVectors(b0)
     // schema-valid but fails at execution time — models an executor
-    // OOM/disk failure in the vec table's write AFTER the bucket table
-    // committed
+    // OOM/disk failure in the SECOND table's write (the bucket table:
+    // merge applies vectors first, precisely so the half-applied state
+    // is orphan VECTORS, which generate no candidates — the other
+    // order loses pairs silently in the verification join)
     val boom = udf((_: Long) =>
-      if (true) throw new RuntimeException("vec write failure")
-      else Seq(0.0))
-    val badVecs = goodVecs.select(col("vec_id"),
-      boom(col("vec_id")).as("emb"), col("nrm"))
-    intercept[Exception](store.merge(buckets, badVecs, batchId = 7L))
-    assert(store.bucketRows(spark).count() > 0 &&
-      store.vectorRows(spark).count() == 0,
-      "models the half-applied state: buckets committed, vectors not")
+      if (true) throw new RuntimeException("bucket write failure")
+      else 0L)
+    val badBuckets = goodBuckets.select(col("vec_id"), col("tbl"),
+      boom(col("vec_id")).as("bucket"))
+    intercept[Exception](store.merge(badBuckets, vecs, batchId = 7L))
+    assert(store.vectorRows(spark).count() > 0 &&
+      store.bucketRows(spark).count() == 0,
+      "the half-applied state must be the safe direction: vectors " +
+        "committed (orphans generate no candidates), buckets not")
     // keyed on BOTH tables: reporting 7 as a replay would skip the
     // retry that heals the divergence
     assert(!store.isReplay(7L))
-    store.merge(buckets, goodVecs, batchId = 7L) // the healing retry
-    assert(store.vectorRows(spark).count() == 1 && store.isReplay(7L))
-    assert(store.bucketRows(spark).select("vec_id").distinct().count() == 1,
-      "the retry must not double-insert the already-committed bucket side")
+    store.merge(goodBuckets, vecs, batchId = 7L) // the healing retry
+    assert(store.bucketRows(spark).count() > 0 && store.isReplay(7L))
+    assert(store.vectorRows(spark).select("vec_id").distinct().count() == 1,
+      "the retry must not double-insert the already-committed vector side")
   }
 
   test("a drifted batch cannot half-apply: neither table is touched") {

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.operators.BandStore
+import org.apache.spark.sql.functions._
+
+/** The pointer seam (VERDICT r08 task 6): store logic must be identical
+  * under the in-memory pointer (single-driver default) and the
+  * file-backed atomic-rename pointer — and the file pointer buys
+  * restart adoption: a NEW JVM's store instance re-registers the
+  * surviving segment directories as bucketed external tables, same
+  * content, same shuffle-free probe plan, replay guard included. */
+class StorePointerSpec extends SparkSpec {
+
+  test("file pointer: atomic replace round-trips payloads") {
+    val p = Files.createTempDirectory("graft-ptr").resolve("ptr")
+    val fp = new FilePointer(p)
+    assert(fp.read().isEmpty)
+    fp.write("1;42;;")
+    assert(fp.read().contains("1;42;;"))
+    fp.write("3;44;1,2;")
+    assert(fp.read().contains("3;44;1,2;"))
+  }
+
+  test("store behaves identically on both pointer impls") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ptr-band")
+    val stores = Seq(
+      new BandStore("graft_ptr_mem", buckets = 2),
+      new BandStore("graft_ptr_file", buckets = 2,
+        pointer = new FilePointer(dir.resolve("band.ptr"))))
+    stores.foreach { st =>
+      st.merge(Seq((1L, 0, "k1"), (2L, 0, "k2")).toDF("doc_id", "band", "band_key"),
+        batchId = 0L)
+      st.merge(Seq((3L, 1, "k1")).toDF("doc_id", "band", "band_key"), batchId = 1L)
+      st.merge(Seq((3L, 1, "k1")).toDF("doc_id", "band", "band_key"), batchId = 1L)
+      assert(st.table(spark).count() == 3, "replay must no-op on both impls")
+      assert(st.isReplay(1L) && !st.isReplay(2L))
+      st.compact(spark)
+      assert(st.table(spark).count() == 3 && st.liveSegments.size == 1)
+    }
+  }
+
+  test("restart adoption: a fresh store instance on the same file pointer sees the corpus") {
+    val s = spark
+    import s.implicits._
+    val ptr = Files.createTempDirectory("graft-ptr-adopt").resolve("band.ptr")
+    val a = new BandStore("graft_ptr_adopt", buckets = 2,
+      pointer = new FilePointer(ptr))
+    a.merge(Seq((1L, 0, "k1"), (2L, 0, "k2")).toDF("doc_id", "band", "band_key"),
+      batchId = 5L)
+    a.merge(Seq((3L, 1, "k3")).toDF("doc_id", "band", "band_key"), batchId = 6L)
+    // model the restart: drop the session's catalog entries (the
+    // in-memory catalog dies with the JVM; warehouse dirs and the
+    // pointer file survive) and build a brand-new store instance
+    a.liveSegments.foreach(k =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ptr_adopt_s$k"))
+    val b = new BandStore("graft_ptr_adopt", buckets = 2,
+      pointer = new FilePointer(ptr))
+    assert(b.table(spark).count() == 3,
+      "adoption must re-register every surviving segment")
+    assert(b.isReplay(6L) && !b.isReplay(7L),
+      "the replay guard must survive the restart")
+    // adopted external tables keep the bucket layout: bucket-key
+    // aggregation over the compacted store runs with no Exchange
+    b.compact(spark)
+    val agg = b.table(spark).groupBy("band_key").count()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "adopted segments must keep the partitioning-reporting bucketed scan")
+    // merging continues seamlessly after adoption
+    b.merge(Seq((4L, 0, "k4")).toDF("doc_id", "band", "band_key"), batchId = 7L)
+    assert(b.table(spark).count() == 4)
+  }
+}
