@@ -86,3 +86,107 @@ object BloomContains {
   def apply(c: Column, bloom: BloomFilter): Column =
     bridge.column(BloomContains(bridge.expression(c), BloomHolder(bloom)))
 }
+
+/** Sharded membership gate — [[BloomContains]] for sketches too big to
+  * ride a task closure. The serialized per-shard filters ship to
+  * executors ONCE via a torrent broadcast (never per task: the
+  * monolithic holder travels inside every task's serialized plan,
+  * ~1.2 GB at 10⁹ keys @ 1% fpp), and each shard deserializes lazily
+  * on first probe — a task whose input was repartitioned by shard
+  * touches exactly one, so the per-task deserialized working set is
+  * bounded by the SHARD size, not the sketch. Shard choice is the
+  * key's first two hex nibbles mod nShards ([[ShardedBloomHolder.shardOfHex]])
+  * — the same function the build side groups by, one implementation,
+  * so gate and build can never drift. */
+case class ShardedBloomContains(child: Expression, holder: ShardedBloomHolder)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = BooleanType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_sharded_bloom_contains"
+
+  override def nullSafeEval(input: Any): Any =
+    ShardedBloomHolder.contains(holder, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shardedBloom", holder,
+      classOf[ShardedBloomHolder].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShardedBloomHolder.contains($ref, $a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShardedBloomContains =
+    copy(child = newChild)
+}
+
+/** Carrier for the sharded sketch: holds only the Broadcast handle (a
+  * few bytes per task), deserializes shards lazily and caches them per
+  * executor instance. Rebuild races are benign — filters are
+  * read-only. Keys MUST be lowercase-hex strings (md5 output): the
+  * shard is parsed from the first two nibbles. */
+final class ShardedBloomHolder(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
+  extends Serializable {
+
+  def nShards: Int = bc.value.length
+
+  /** Serialized sizes per shard — the size pin BloomStoreSpec asserts. */
+  def shardByteSizes: Seq[Int] = bc.value.map(_.length).toSeq
+
+  @transient private lazy val cache: Array[BloomFilter] =
+    new Array[BloomFilter](bc.value.length)
+
+  private[functions] def shardFilter(s: Int): BloomFilter = {
+    var f = cache(s)
+    if (f == null) {
+      f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value(s)))
+      cache(s) = f
+    }
+    f
+  }
+}
+
+object ShardedBloomHolder {
+
+  /** Shard of a lowercase-hex key: first two nibbles mod nShards. ONE
+    * implementation for build side (groupByKey) and gate side
+    * ([[contains]] parses the same two leading ASCII bytes). */
+  def shardOfHex(key: String, nShards: Int): Int = {
+    require(key.length >= 2,
+      s"sharded bloom keys must be hex digests (>= 2 chars), got '$key'")
+    val hi = Character.digit(key.charAt(0), 16)
+    val lo = Character.digit(key.charAt(1), 16)
+    require(hi >= 0 && lo >= 0,
+      s"sharded bloom keys must be hex digests, got '$key'")
+    ((hi << 4) | lo) % nShards
+  }
+
+  /** UTF-8-byte membership against the key's shard — same encoding as
+    * putBinary on the build side. Hex digits are ASCII, so the first
+    * two bytes ARE the first two chars. */
+  def contains(h: ShardedBloomHolder, v: UTF8String): Boolean = {
+    val bytes = v.getBytes
+    if (bytes.length < 2)
+      throw new IllegalArgumentException(
+        "sharded bloom keys must be hex digests (>= 2 chars)")
+    val hi = Character.digit(bytes(0).toChar, 16)
+    val lo = Character.digit(bytes(1).toChar, 16)
+    if (hi < 0 || lo < 0)
+      throw new IllegalArgumentException(
+        s"sharded bloom keys must be hex digests, got '$v'")
+    h.shardFilter(((hi << 4) | lo) % h.nShards).mightContainBinary(bytes)
+  }
+}
+
+object ShardedBloomContains {
+  /** Column API: `c` must be a lowercase-hex string column. */
+  def apply(c: Column, holder: ShardedBloomHolder): Column =
+    bridge.column(ShardedBloomContains(bridge.expression(c), holder))
+}

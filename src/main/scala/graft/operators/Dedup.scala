@@ -111,15 +111,37 @@ object Dedup {
     * a parameter so callers (and the bench) pay the build once. */
   def incrementalExactBloomWith(batch: DataFrame, seen: DataFrame,
       bloom: org.apache.spark.util.sketch.BloomFilter,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    gatedIncrementalExact(batch, seen,
+      graft.functions.BloomContains(col("text_hash"), bloom), idCol, textCol)
+
+  /** Store-backed gate form: the PERSISTED, incrementally-merged
+    * sharded sketch ([[BloomStore]]) replaces the per-snapshot filter
+    * build — no corpus aggregation ever runs here; the store merged
+    * each accepted batch's own small filter as it committed. Output is
+    * [[incrementalExact]]'s exactly (the sharded gate only routes;
+    * false positives die in the confirm join, false negatives cannot
+    * exist), so the oracle is the same SQL — zero drift. Before the
+    * store's first merge the gate is literal false: every batch first
+    * is definite-new, which is also exact. */
+  def incrementalExactBloomFromStore(batch: DataFrame, seen: DataFrame,
+      store: BloomStore, idCol: String, textCol: String): DataFrame =
+    gatedIncrementalExact(batch, seen,
+      store.mightContain(col("text_hash")), idCol, textCol)
+
+  // the shared bloom-routed tail: definite-new passes the scan-side
+  // gate straight through; the tiny maybe set is confirmed exactly
+  // against a seen scan (broadcast semi + anti) — the seen corpus is
+  // scanned, never shuffled, and the output is exact at any fpp
+  private def gatedIncrementalExact(batch: DataFrame, seen: DataFrame,
+      gate: Column, idCol: String, textCol: String): DataFrame = {
     val seenHashes = seen.select(md5(col(textCol)).as("text_hash"))
     val firsts = batchFirsts(batch, idCol, textCol)
     // null-safe routing: a null text (null hash) can never match a seen
     // row in the anti-join form, so it must reach the output here too —
     // a bare filter on the null-intolerant gate would silently drop it
     // from BOTH branches (zero-drift contract with dedup_incremental)
-    val contains = coalesce(
-      graft.functions.BloomContains(col("text_hash"), bloom), lit(false))
+    val contains = coalesce(gate, lit(false))
     val definiteNew = firsts.filter(!contains)
     val maybes = firsts.filter(contains)
     val confirmed = seenHashes

@@ -136,6 +136,36 @@ object DedupOps extends QueryPack {
     }
   }
 
+  // One persisted sharded bloom store per dataset per JVM — the
+  // maintained seen-hash artifact (BloomStore), ingested once, probed
+  // per execution. Ingested in TWO batches deliberately: the query
+  // exercises the incremental mergeInPlace path, not a from-scratch
+  // build (BloomStoreSpec pins the two forms bit-identical).
+  private val bloomStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.BloomStore]()
+
+  /** Store-backed bloom-gated ingest dedup: same split, same EXACT
+    * output as dedup_incremental under the IDENTICAL oracle, but the
+    * gate probes the PERSISTED incrementally-merged sharded sketch —
+    * no per-snapshot corpus aggregation anywhere in the query. */
+  def dedupIncrementalBloomStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    val store = bloomStores.computeIfAbsent(sfDir, _ => {
+      val hashes = seen.select(md5(col("text")).as("text_hash"))
+        .filter(col("text_hash").isNotNull)
+      val n = math.max(1L, hashes.count())
+      val s = new graft.operators.BloomStore(
+        java.nio.file.Files.createTempDirectory("graft-bloom-store-im").toString,
+        expectedItems = n)
+      s.merge(hashes.filter(col("text_hash") < lit("8")), "text_hash")
+      s.merge(hashes.filter(col("text_hash") >= lit("8")), "text_hash")
+      s
+    })
+    Dedup.incrementalExactBloomFromStore(batch, seen, store, "doc_id", "text")
+  }
+
   // One persisted band store per dataset per JVM: verify/bench execute
   // each registered query several times, and the store is the
   // ingest-time artifact the probe form exists to amortize — build it
@@ -195,6 +225,7 @@ object DedupOps extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
+    "dedup_incremental_bloom_store" -> (dedupIncrementalBloomStore _),
     "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
     "dedup_incremental_minhash_store" -> (dedupIncrementalMinhashStore _),
     "dedup_incremental_simhash" -> (dedupIncrementalSimhash _),
@@ -427,6 +458,9 @@ object DedupOps extends QueryPack {
     // confirm join, false negatives don't exist — so the output must be
     // exactly the anti-join form's: identical oracle, zero drift allowed
     "dedup_incremental_bloom" -> incrementalExactOracle,
+    // ... and the persisted sharded-store gate changes nothing about
+    // that contract: same oracle, zero drift
+    "dedup_incremental_bloom_store" -> incrementalExactOracle,
 
     // incremental probe ≡ full self-dedup restricted to pairs touching
     // the batch — the same generated pair CTEs, one extra predicate

@@ -140,21 +140,6 @@ object StreamingPipelines {
       .filter(!col("dropped"))
       .drop("dropped")
 
-  /** Streaming curation with a CORPUS-RELATIVE quality floor — the
-    * composition [[curateStream]] can't express with its fixed
-    * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
-    * far by quality. Call inside foreachBatch; it (a) merges the
-    * batch's quality histogram into `store` (value-domain-bounded
-    * state, published cutoff) and (b) returns the batch's rows scored
-    * and mixture-gated, for the caller to append to its doc sink. The
-    * floor itself applies at READ time — `store.curated(sink)` — so
-    * the curated view is retroactively corpus-relative on any
-    * finalized horizon, exactly matching the batch composition
-    * qualityFloor ∘ stratifiedSample (CurateRelativeSpec pins it).
-    * The stateless mixture gate stays emit-time (a pure function of
-    * the row, same expression as batch); only the corpus-relative
-    * verdict is deferred — that split is the point: global statistics
-    * belong to the store, per-row gates to the stream. */
   /** The full incremental near-dup INGEST loop over the persisted band
     * store — the production form of dedup-at-ingest, as a foreachBatch
     * body: (1) probe the batch's bands against the store-backed corpus
@@ -170,7 +155,15 @@ object StreamingPipelines {
     * the store — a later near-dup of a dropped doc still pairs against
     * its surviving canonical, whose bands are near-identical by
     * construction. `seenDocs` backs the verification join only
-    * (candidate ids; at corpus scale a persisted shingle table). */
+    * (candidate ids; at corpus scale a persisted shingle table).
+    *
+    * Id contract: `idCol` must be unique ACROSS the stream, not just
+    * within a batch. A previously-ingested doc re-sent under a NEW
+    * batchId is not a replay — it hides from its own prior bands (the
+    * seen view excludes the batch's ids) and, surviving, appends
+    * duplicate band rows for its id, skewing the store's bucket
+    * counts. Replace-on-id is the catalog seam's job (Delta MERGE);
+    * same contract on [[embNearDupIngestBatch]]. */
   def nearDupIngestBatch(store: graft.operators.BandStore, seenDocs: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = graft.operators.Dedup.NgramThreshold,
@@ -234,8 +227,28 @@ object StreamingPipelines {
     batch.join(drops, batch(idCol) === drops("drop_id"), "left_anti")
   }
 
+  /** The scan-side EXACT-dedup gate of the complete ingest loop: route
+    * the batch through the persisted sharded bloom sketch
+    * ([[graft.operators.Dedup.incrementalExactBloomFromStore]] — the
+    * native gate, no corpus shuffle, no banding cost for exact dups)
+    * and return the batch rows that are first-of-their-text within the
+    * batch AND absent from the seen corpus. Replay-exact by the same
+    * mechanism as the near-dup loops: the batch's own ids are excluded
+    * from the CONFIRM side, so survivor hashes a previous attempt
+    * merged can only route rows into the confirm join (where the
+    * excluded view clears them), never flip a verdict. */
+  def exactGateBatch(exactStore: graft.operators.BloomStore,
+      seenDocs: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val seenExcl = seenDocs.join(
+      broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
+    val survivorIds = graft.operators.Dedup.incrementalExactBloomFromStore(
+      batch, seenExcl, exactStore, idCol, textCol).select(col(idCol))
+    batch.join(broadcast(survivorIds), Seq(idCol), "left_semi")
+  }
+
   /** The COMPLETE streaming curation ingest — every gate of the batch
-    * pipeline composed into ONE foreachBatch body over the two
+    * pipeline composed into ONE foreachBatch body over the three
     * persisted stores:
     *   1. quality HISTOGRAM merge (every doc counts — the floor is
     *      corpus-relative over the full stream; verdicts apply at READ
@@ -243,27 +256,46 @@ object StreamingPipelines {
     *      floor cannot influence which canonical the dedup keeps),
     *   2. stratified mixture (emit-time, stateless — pure function of
     *      the row, identical expression to batch),
-    *   3. store-probed near-dup ingest (emit-time, greedy
-    *      first-arrival canonical — [[nearDupIngestBatch]]).
+    *   3. scan-side EXACT dedup against the persisted bloom sketch
+    *      ([[exactGateBatch]] — exact dups die HERE, paying one native
+    *      membership test instead of the full banding pipeline; the
+    *      band store never ingests an exact dup's bands),
+    *   4. store-probed near-dup ingest (emit-time, greedy
+    *      first-arrival canonical — [[nearDupIngestBatch]]);
+    *      survivors' text hashes then merge into the bloom sketch
+    *      (batchId-idempotent, like both other stores).
     * Returns the batch's surviving rows WITH their quality_bp column —
     * append them to the doc sink; the curated corpus at any moment is
-    * `floorStore.curated(sink)`. Both store merges are
-    * batchId-idempotent. CurateIngestSpec pins the read-time view
-    * against the batch composition (mixture ∩ greedy dedup ∩ floor)
-    * on finalized horizons. */
+    * `floorStore.curated(sink)`. Semantics are unchanged from the
+    * pre-bloom composition: an exact dup is a jac-1.0 near-dup, so the
+    * banding gate reached the same verdicts — the bloom gate just
+    * reaches them at membership-test cost (CurateIngestSpec pins both
+    * the composed view and the routing). Exact dups of DROPPED docs
+    * pass the bloom gate (survivor hashes only) and still die in
+    * banding against their surviving canonical — same as before. */
   def curateIngestBatch(floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
       bandStore: graft.operators.BandStore, seenDocs: DataFrame,
       batch: DataFrame, idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,
       threshold: Double = graft.operators.Dedup.NgramThreshold,
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame =
-    // literally gates 1+2 then gate 3 — one body per gate pair, so a
-    // fix to either stage lands in every composition that uses it
-    nearDupIngestBatch(bandStore, seenDocs,
-      curateRelativeBatch(floorStore, batch, idCol, textCol, langCol,
-        ratesBp, defaultBp, batchId),
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    // literally gates 1+2, gate 3, then gate 4 — one body per gate, so
+    // a fix to any stage lands in every composition that uses it
+    val gated = curateRelativeBatch(floorStore, batch, idCol, textCol,
+      langCol, ratesBp, defaultBp, batchId)
+    val exactSurvivors = exactGateBatch(exactStore, seenDocs, gated,
+      idCol, textCol)
+    val out = nearDupIngestBatch(bandStore, seenDocs, exactSurvivors,
       idCol, textCol, threshold, maxBucketSize, batchId)
+    // survivors' hashes into the sketch — out is already materialized
+    // (localCheckpoint inside nearDupIngestBatch) on the non-replay path
+    if (!exactStore.isReplay(batchId))
+      exactStore.merge(out.select(md5(col(textCol)).as("text_hash"))
+        .filter(col("text_hash").isNotNull), "text_hash", batchId)
+    out
+  }
 
   /** foreachBatch body for the streaming ANN ingest side: assign the
     * arriving vectors to their IVF cells (one scan-side native-expression
@@ -336,6 +368,21 @@ object StreamingPipelines {
     checkpointed
   }
 
+  /** Streaming curation with a CORPUS-RELATIVE quality floor — the
+    * composition [[curateStream]] can't express with its fixed
+    * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
+    * far by quality. Call inside foreachBatch; it (a) merges the
+    * batch's quality histogram into `store` (value-domain-bounded
+    * state, published cutoff) and (b) returns the batch's rows scored
+    * and mixture-gated, for the caller to append to its doc sink. The
+    * floor itself applies at READ time — `store.curated(sink)` — so
+    * the curated view is retroactively corpus-relative on any
+    * finalized horizon, exactly matching the batch composition
+    * qualityFloor ∘ stratifiedSample (CurateRelativeSpec pins it).
+    * The stateless mixture gate stays emit-time (a pure function of
+    * the row, same expression as batch); only the corpus-relative
+    * verdict is deferred — that split is the point: global statistics
+    * belong to the store, per-row gates to the stream. */
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,

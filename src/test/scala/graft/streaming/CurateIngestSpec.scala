@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.operators.{BandStore, Dedup, TextAnalysis}
+import graft.operators.{BandStore, BloomStore, Dedup, TextAnalysis}
 import graft.packs.TextOps
 
 /** The complete curation ingest (relative floor read-time + mixture
@@ -26,6 +26,7 @@ class CurateIngestSpec extends SparkSpec {
   test("stream curated view == batch mixture ∩ greedy-dedup ∩ floor per horizon") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val floorStore = new QualityFloorStore(KeepFrac)
+    val exactStore = new BloomStore(1000L)
     val bandStore = new BandStore("graft_band_store_curate", buckets = 2)
     val acceptedDocs = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
     val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
@@ -34,7 +35,8 @@ class CurateIngestSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val seen = acceptedDocs.toSeq.toDF("doc_id", "lang", "text")
-        val out = StreamingPipelines.curateIngestBatch(floorStore, bandStore,
+        val out = StreamingPipelines.curateIngestBatch(floorStore,
+            exactStore, bandStore,
             seen, batch, "doc_id", "text", "lang",
             TextOps.SampleRatesBp, TextOps.SampleDefaultBp,
             threshold = 0.5, batchId = batchId)
@@ -92,5 +94,47 @@ class CurateIngestSpec extends SparkSpec {
       assert(streamCurated() == batchExpected(30L),
         s"horizon 2: ${streamCurated()} vs ${batchExpected(30L)}")
     } finally q.stop()
+  }
+
+  test("exact dups die at the native bloom gate; their bands never enter the band store") {
+    val keepAll = Map("en" -> 10000)
+    val floorStore = new QualityFloorStore(1.0)
+    val exactStore = new BloomStore(1000L)
+    val bandStore = new BandStore("graft_band_store_exactgate", buckets = 2)
+    val t1 = good + " alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = good + " one two three four five six seven eight nine"
+    val t3 = good + " fresh completely new sentence about rivers and stones"
+    val seen0 = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    // threshold > 1 disables the near-dup gate entirely (jac ≤ 1): any
+    // drop below can only come from the EXACT gate — proof the routing
+    // is the bloom path, not banding catching a jac-1.0 pair
+    val b1 = Seq((1L, "en", t1), (2L, "en", t2)).toDF("doc_id", "lang", "text")
+    val out1 = StreamingPipelines.curateIngestBatch(floorStore, exactStore,
+      bandStore, seen0, b1, "doc_id", "text", "lang", keepAll, 10000,
+      threshold = 1.1, batchId = 0L)
+    assert(out1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+
+    val seen1 = Seq((1L, "en", t1), (2L, "en", t2)).toDF("doc_id", "lang", "text")
+    // 50 = exact dup of accepted 1; 51/52 within-batch exact dups
+    // (firsts keep the min id); 53 = exact dup of accepted 2
+    val b2 = Seq((50L, "en", t1), (51L, "en", t3), (52L, "en", t3),
+      (53L, "en", t2)).toDF("doc_id", "lang", "text")
+    val out2 = StreamingPipelines.curateIngestBatch(floorStore, exactStore,
+      bandStore, seen1, b2, "doc_id", "text", "lang", keepAll, 10000,
+      threshold = 1.1, batchId = 1L)
+    assert(out2.select("doc_id").as[Long].collect().toSet == Set(51L),
+      "every exact dup must die at the bloom gate (banding is disabled here)")
+    // the band store never ingested an exact dup's bands
+    assert(bandStore.table(spark)
+      .filter(col("doc_id").isin(50L, 52L, 53L)).count() == 0,
+      "exact dups' bands must never reach the band store")
+    assert(bandStore.table(spark).select("doc_id").distinct().count() == 3,
+      "survivors' bands (1, 2, 51) must all be present")
+    // plan pin: the routing gate is the native sharded bloom expression
+    val probePlan = StreamingPipelines
+      .exactGateBatch(exactStore, seen1, b2, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("graft_sharded_bloom_contains"),
+      s"exact routing must be the native sharded bloom gate:\n$probePlan")
   }
 }
