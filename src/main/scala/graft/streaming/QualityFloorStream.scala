@@ -69,7 +69,12 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
     * replayed batch can't double-count its mass (at-least-once replay
     * would silently shift the cutoff for every future verdict). */
   def merge(batchScored: DataFrame,
-      batchId: Long = VersionedParquetStore.NoBatchId): Unit = {
+      batchId: Long = VersionedParquetStore.NoBatchId): Unit = synchronized {
+    // synchronized end-to-end (merge + cutoff recompute + assignment):
+    // store.publish alone is atomic, but with two queries sharing the
+    // store an older merge's cutoff could otherwise overwrite a newer
+    // one between ITS publish and ITS assignment — histogram version
+    // and published cutoff must advance together
     val spark = batchScored.sparkSession
     val batchHist = batchScored.select(col("quality_bp"))
       .groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))

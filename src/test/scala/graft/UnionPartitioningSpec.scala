@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * fails if either pin is lost. */
 class UnionPartitioningSpec extends SparkSpec {
 
+  // a previous JVM's managed-table directory survives as an orphan the
+  // new session has no catalog entry for — saveAsTable then refuses the
+  // location; clear both sides before writing
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   test("session pins unionOutputPartitioning off") {
     assert(spark.conf.get("spark.sql.unionOutputPartitioning") == "false")
   }
@@ -24,6 +35,8 @@ class UnionPartitioningSpec extends SparkSpec {
     import s.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key")
     val b = (101 to 200).map(i => (i.toLong, s"k${i % 7}")).toDF("id", "key")
+    freshTable("upp_s1")
+    freshTable("upp_s2")
     a.write.mode("overwrite").bucketBy(4, "key").sortBy("key").saveAsTable("upp_s1")
     b.write.mode("overwrite").bucketBy(4, "key").sortBy("key").saveAsTable("upp_s2")
     val agg = spark.table("upp_s1").unionByName(spark.table("upp_s2"))
@@ -41,6 +54,7 @@ class UnionPartitioningSpec extends SparkSpec {
     // bucket count == shuffle partition count is the alignment trigger
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cur = (1 to 50).map(i => (i.toLong, i * 10L)).toDF("ad_id", "imps")
+    freshTable("upp_ctr")
     cur.write.mode("overwrite").bucketBy(n, "ad_id").sortBy("ad_id")
       .saveAsTable("upp_ctr")
     val inc = (30 to 80).map(i => (i.toLong, 1L)).toDF("ad_id", "imps")

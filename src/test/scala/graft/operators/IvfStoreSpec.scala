@@ -82,6 +82,41 @@ class IvfStoreSpec extends SparkSpec {
     assert(got == want, s"extra=${got -- want} missing=${want -- got}")
   }
 
+  test("offline rebuild: re-assigns under new centroids, publishes atomically, old readers keep the grace window") {
+    val vectors = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cA = IvfIndex.train(vectors, nlist = 16, iters = 2)
+    val cB = IvfIndex.train(vectors, nlist = 8, iters = 2)
+    val store = new IvfStore("graft_ivf_store_rebuild", buckets = 4)
+    store.merge(IvfIndex.index(vectors.filter(col("vec_id") % 2 === 0), cA))
+    store.merge(IvfIndex.index(vectors.filter(col("vec_id") % 2 =!= 0), cA))
+    val total = store.table(spark).count()
+    val oldReader = store.table(spark) // holds the pre-rebuild manifest
+
+    store.rebuild(spark, cB)
+    assert(store.liveSegments.size == 1,
+      "rebuild publishes ONE fresh segment (probes get the bare bucketed scan back)")
+    assert(store.table(spark).count() == total, "rebuild re-assigns, never drops")
+    // probing the rebuilt file under the NEW centroids == a from-scratch
+    // index + probe over the same vectors
+    val got = rows(IvfIndex.topKFromIndexed(store.table(spark), queriesDf,
+      cB, k = 10, nprobe = 4))
+    val want = rows(IvfIndex.topK(vectors, queriesDf, cB, k = 10, nprobe = 4))
+    assert(got == want,
+      s"rebuilt probe must equal the from-scratch form; " +
+        s"extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty)
+    // a reader that planned BEFORE the rebuild still sees the OLD
+    // inverted file (its segments live one grace generation)
+    assert(oldReader.count() == total,
+      "mid-rebuild readers of the prior manifest must be unaffected")
+    val oldCells = oldReader.select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val wantOld = IvfIndex.index(vectors, cA).select(col("vec_id"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(oldCells == wantOld,
+      "mid-rebuild readers must see the pre-rebuild assignment")
+  }
+
   test("schema drift fails loudly: non-long ids, non-double embeddings") {
     val s = spark
     import s.implicits._

@@ -199,6 +199,51 @@ class SkewSoakSpec extends SparkSpec {
     boiler.union(clean).union(planted)
   }
 
+  /** Degenerate-EMBEDDING corpus for the vector LSH path: `Boiler`
+    * IDENTICAL embeddings land in the same hyperplane bucket of EVERY
+    * table (12x over the cap — the collapsed-encoder / vectorized-
+    * boilerplate case; an uncapped bucket join would emit m²/2 ≈ 72M
+    * candidates per table). Clean vectors are random ±1 sign patterns
+    * (32 dims: chance cosine ≥ 0.9 needs ≥ 31/32 agreeing signs,
+    * ~1e-8 over all clean pairs). The planted near pair differs in ONE
+    * sign (cos = 30/32 = 0.9375) in its own small buckets. */
+  private def degenerateEmbeddings = {
+    val s = spark
+    import s.implicits._
+    val dim = 32
+    val boiler = s.range(0, Boiler).select(col("id").as("vec_id"),
+      array((0 until dim).map(_ => lit(1.0)): _*).as("embedding"))
+    val clean = s.range(100000, 100000L + CleanN).select(col("id").as("vec_id"),
+      array((0 until dim).map(j =>
+        when(pmod(xxhash64(col("id"), lit(j)), lit(2)) === 0, lit(1.0))
+          .otherwise(lit(-1.0))): _*).as("embedding"))
+    val base = (0 until dim).map(j => if (j % 3 == 0) 1.0 else -1.0)
+    val planted = Seq(
+      (900001L, base),
+      (900002L, base.updated(0, -1.0))).toDF("vec_id", "embedding")
+    boiler.union(clean).union(planted)
+  }
+
+  test("production embedding LSH cap: skew bounded under an identical-embedding block") {
+    val (rows, worst, maxRead) = measureSkew {
+      SimilaritySearch.lshNearDupPairs(degenerateEmbeddings,
+        threshold = 0.9, dim = 32).collect()
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "planted near pair in a small bucket must survive the cap")
+    // the identical-embedding block shares ALL tables' buckets, every
+    // one over the cap → dropped whole (documented: route mass-dup
+    // vectors through exact dedup on a vector hash first)
+    assert(!pairs.exists(p => p._1 < Boiler && p._2 < Boiler),
+      "over-cap embedding bucket must be dropped, not paired")
+    assert(worst <= 4.0,
+      f"embedding bucket cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    assert(maxRead < Boiler,
+      s"no task may read the whole degenerate embedding bucket: max=$maxRead")
+    info(f"production embedding cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
+
   test("production simhash bucket cap: skew bounded under identical fingerprints") {
     val (rows, worst, maxRead) = measureSkew {
       Dedup.simhashPairs(identicalFingerprintDocs, "doc_id", "text").collect()
