@@ -127,10 +127,14 @@ case class ShardedBloomContains(child: Expression, holder: ShardedBloomHolder)
 }
 
 /** Carrier for the sharded sketch: holds only the Broadcast handle (a
-  * few bytes per task), deserializes shards lazily and caches them per
-  * executor instance. Rebuild races are benign — filters are
-  * read-only. Keys MUST be lowercase-hex strings (md5 output): the
-  * shard is parsed from the first two nibbles. */
+  * few bytes per task), deserializes shards lazily into an
+  * executor-JVM-level cache keyed by broadcast generation (the holder
+  * itself is deserialized fresh from every task binary, so an
+  * instance field would re-parse the shard once per task — with many
+  * short tasks that is a per-task ~5 MB parse at the design point).
+  * Rebuild races are benign — filters are read-only. Keys MUST be
+  * lowercase-hex strings (md5 output): the shard is parsed from the
+  * first two nibbles. */
 final class ShardedBloomHolder(
     bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]])
   extends Serializable {
@@ -140,20 +144,41 @@ final class ShardedBloomHolder(
   /** Serialized sizes per shard — the size pin BloomStoreSpec asserts. */
   def shardByteSizes: Seq[Int] = bc.value.map(_.length).toSeq
 
-  @transient private lazy val cache: Array[BloomFilter] =
-    new Array[BloomFilter](bc.value.length)
+  /** The underlying Broadcast — [[graft.operators.BloomStore]] retires
+    * superseded generations through it. */
+  private[graft] def handle: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] = bc
 
   private[functions] def shardFilter(s: Int): BloomFilter = {
-    var f = cache(s)
+    val arr = ShardedBloomHolder.generation(bc.id, bc.value.length)
+    var f = arr(s)
     if (f == null) {
       f = BloomFilter.readFrom(new ByteArrayInputStream(bc.value(s)))
-      cache(s) = f
+      arr(s) = f // benign race: read-only, any winner is equivalent
     }
     f
   }
 }
 
 object ShardedBloomHolder {
+
+  // Executor-JVM shard cache, keyed by broadcast id (one entry per
+  // sketch generation). Bounded: publishes replace the broadcast, so
+  // old generations stop being probed — LRU-evict beyond the reader
+  // grace depth and let GC take the parsed filters.
+  private val MaxGenerations = 4
+  private val generations =
+    new java.util.LinkedHashMap[Long, Array[BloomFilter]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Array[BloomFilter]]): Boolean =
+        size() > MaxGenerations
+    }
+
+  private def generation(bcId: Long, n: Int): Array[BloomFilter] =
+    generations.synchronized {
+      var a = generations.get(bcId)
+      if (a == null) { a = new Array[BloomFilter](n); generations.put(bcId, a) }
+      a
+    }
 
   /** Shard of a lowercase-hex key: first two nibbles mod nShards. ONE
     * implementation for build side (groupByKey) and gate side

@@ -40,6 +40,13 @@ import graft.streaming.VersionedParquetStore
   * output never depends on fpp (false positives die in the confirm
   * join). A batch must only merge once (the batchId guard handles
   * streaming replays); keys are lowercase-hex digests (md5 output).
+  *
+  * Restart: a new JVM over the same `dir` ADOPTS the committed
+  * version's shards (and its persisted last-batch replay guard) —
+  * without adoption every pre-restart key would gate definite-new and
+  * its duplicate would silently ship, the one failure mode the
+  * no-false-negative contract forbids. BloomStoreSpec pins adoption,
+  * replay-guard survival, and merge-after-restart byte equality.
   */
 final class BloomStore(dir: String, expectedItems: Long,
     fpp: Double = 0.01, nShards: Int = 16) {
@@ -53,10 +60,52 @@ final class BloomStore(dir: String, expectedItems: Long,
 
   private val perShardCapacity: Long = math.max(1L, expectedItems / nShards)
 
-  private val store = new VersionedParquetStore(dir)
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
   // (serialized shards, gate holder) — immutable once published; the
   // holder's Broadcast re-ships per publish, replacing the previous
   @volatile private var published: Option[(Array[Array[Byte]], ShardedBloomHolder)] = None
+  // the superseded generation's Broadcast: kept alive one publish for
+  // holders still riding in-flight plans, unpersisted when the NEXT
+  // publish retires it — without this, every merge at the design point
+  // (~1.2 GB sketch) pins another generation on the executors until
+  // driver GC happens to notice
+  private var graceBc: Option[org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]] = None
+  // shards adopted from a previous JVM's committed version (the
+  // restart path — a persisted sketch that vanished on restart would
+  // silently break the no-false-negative contract: every pre-restart
+  // key would gate as definite-new and its duplicate would ship).
+  // Bytes only: the gate's Broadcast needs a SparkContext, which the
+  // constructor doesn't have — materialized lazily on first use.
+  @volatile private var adopted: Option[Array[Array[Byte]]] =
+    store.current.map(loadShards)
+
+  private def loadShards(vdir: String): Array[Array[Byte]] = {
+    val files = (0 until nShards).map(i => Paths.get(vdir, s"shard-$i.bloom"))
+    files.foreach(p => require(Files.exists(p),
+      s"bloom store at $dir committed version is missing ${p.getFileName} — " +
+        s"was the artifact written with fewer shards than nShards=$nShards? " +
+        "Probing a differently-sharded sketch would produce false " +
+        "negatives (silent duplicate leaks)"))
+    require(!Files.exists(Paths.get(vdir, s"shard-$nShards.bloom")),
+      s"bloom store at $dir was written with more than nShards=$nShards " +
+        "shards — refusing to probe a differently-sharded sketch")
+    files.map(Files.readAllBytes).toArray
+  }
+
+  // the current sketch bytes regardless of which JVM built them
+  private def currentBytes: Option[Array[Array[Byte]]] =
+    published.map(_._1).orElse(adopted)
+
+  // materialize the adopted sketch's gate holder on first use (needs a
+  // live SparkContext for the Broadcast)
+  private def ensureAdoptedHolder(): Unit =
+    if (published.isEmpty && adopted.nonEmpty) synchronized {
+      if (published.isEmpty) adopted.foreach { bytes =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        published = Some((bytes,
+          new ShardedBloomHolder(spark.sparkContext.broadcast(bytes))))
+      }
+    }
 
   /** True when `batchId` was already merged — [[merge]] would no-op. */
   def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
@@ -65,12 +114,12 @@ final class BloomStore(dir: String, expectedItems: Long,
     * across merges by construction (capacity-sized bit arrays), the
     * size pin BloomStoreSpec asserts. */
   def shardByteSizes: Seq[Int] =
-    published.map(_._1.map(_.length).toSeq).getOrElse(Nil)
+    currentBytes.map(_.map(_.length).toSeq).getOrElse(Nil)
 
   /** The published serialized shards — BloomStoreSpec pins the
     * incremental merge bit-identical to a from-scratch build. */
   private[graft] def shardBytes: Seq[Array[Byte]] =
-    published.map(_._1.toSeq).getOrElse(Nil)
+    currentBytes.map(_.toSeq).getOrElse(Nil)
 
   /** Merge one accepted batch's key digests (string column `keyCol`,
     * lowercase hex, nulls ignored): one distributed pass over the
@@ -96,9 +145,13 @@ final class BloomStore(dir: String, expectedItems: Long,
       }.collect()
     var nextBytes: Array[Array[Byte]] = null
     val applied = store.publish(batchId) { nextDir =>
-      // copy-then-OR: the published shards stay immutable for readers
-      val base: Array[BloomFilter] = published match {
-        case Some((bytes, _)) =>
+      // copy-then-OR: the published shards stay immutable for readers.
+      // The base is whatever generation is current — this JVM's
+      // published sketch, or one adopted from a previous JVM's version
+      // dir (a capacity-drifted adopted artifact fails loudly in
+      // mergeInPlace's compatibility check)
+      val base: Array[BloomFilter] = currentBytes match {
+        case Some(bytes) =>
           bytes.map(b => BloomFilter.readFrom(new ByteArrayInputStream(b)))
         case None => Array.fill(ns)(BloomFilter.create(cap, p))
       }
@@ -113,15 +166,25 @@ final class BloomStore(dir: String, expectedItems: Long,
     }
     if (applied) {
       val bc = spark.sparkContext.broadcast(nextBytes)
+      // retire the N-2 generation (nothing can still probe it — plans
+      // built since the previous publish hold that generation's holder)
+      graceBc.foreach(_.unpersist(blocking = false))
+      graceBc = published.map(_._2.handle)
       published = Some((nextBytes, new ShardedBloomHolder(bc)))
+      adopted = None
     }
   }
 
-  /** The scan-side sharded membership gate over the CURRENT sketch.
-    * Before the first merge every key is definite-new: literal false. */
-  def mightContain(c: Column): Column = published match {
-    case Some((_, holder)) => ShardedBloomContains(c, holder)
-    case None => lit(false)
+  /** The scan-side sharded membership gate over the CURRENT sketch —
+    * this JVM's published generation, or the artifact adopted from a
+    * previous JVM's committed version (restart). Before the first
+    * merge ever, every key is definite-new: literal false. */
+  def mightContain(c: Column): Column = {
+    ensureAdoptedHolder()
+    published match {
+      case Some((_, holder)) => ShardedBloomContains(c, holder)
+      case None => lit(false)
+    }
   }
 }
 

@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   IntegerType, LongType}
 
-/** Persisted embedding near-dup artifact — TWO copy-on-write bucketed
-  * tables maintained in lockstep:
+/** Persisted embedding near-dup artifact — TWO append-only segmented
+  * bucketed tables maintained in lockstep:
   *  - bucket rows (vec_id, tbl, bucket), bucketed by bucket: the
   *    candidate-join side ([[SimilaritySearch.lshBucketRows]] output);
   *  - vector rows (vec_id, emb, nrm), bucketed by vec_id: the
@@ -38,7 +38,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * candidates would silently vanish in the verification join.
   */
 final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
-    nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64) {
+    nPlanes: Int = 8, seed: Long = 42L, dim: Int = 64,
+    bucketPointer: graft.streaming.StorePointer =
+      new graft.streaming.InMemoryPointer,
+    vecPointer: graft.streaming.StorePointer =
+      new graft.streaming.InMemoryPointer) {
 
   private def requireCol(df: DataFrame, colName: String, dt: DataType,
       what: String): Unit = {
@@ -84,7 +88,8 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
   }
 
   private val bucketStore =
-    new SegmentedBucketedStore(s"${name}_buckets", "bucket", buckets) {
+    new SegmentedBucketedStore(s"${name}_buckets", "bucket", buckets,
+        bucketPointer) {
       override protected def emptyTable(spark: SparkSession): DataFrame = {
         import spark.implicits._
         Seq.empty[(Long, Int, Long)].toDF("vec_id", "tbl", "bucket")
@@ -96,7 +101,8 @@ final class EmbStore(name: String, buckets: Int = 32, nTables: Int = 8,
     }
 
   private val vecStore =
-    new SegmentedBucketedStore(s"${name}_vecs", "vec_id", buckets) {
+    new SegmentedBucketedStore(s"${name}_vecs", "vec_id", buckets,
+        vecPointer) {
       override protected def emptyTable(spark: SparkSession): DataFrame = {
         import spark.implicits._
         Seq.empty[(Long, Seq[Double], Double)].toDF("vec_id", "emb", "nrm")

@@ -34,9 +34,12 @@ final class IvfStore(name: String, buckets: Int = 32,
     * until the pointer flips, and readers holding the prior manifest
     * keep their segments for a grace generation (IvfStoreSpec pins
     * mid-rebuild reader isolation and equality with a from-scratch
-    * [[IvfIndex.index]]). */
+    * [[IvfIndex.index]]). The current-table snapshot is taken inside
+    * the store lock (the thunk), so a concurrent streaming merge
+    * serializes before or after the rebuild — never into a silently
+    * dropped window. */
   def rebuild(spark: SparkSession, newCentroids: Seq[Seq[Double]]): Unit =
-    replaceAllWith(spark, table(spark)
+    replaceAllWith(spark, cur => cur
       .select(col("vec_id"), col("emb"), col("v_nrm"))
       .withColumn("cell",
         graft.functions.CentroidAssign(col("emb"), newCentroids)))

@@ -155,13 +155,23 @@ private[graft] abstract class SegmentedBucketedStore(
   def compactIfNeeded(spark: SparkSession, maxSegments: Int): Unit =
     if (state.segs.size > maxSegments) compact(spark)
 
-  /** Atomically replace the ENTIRE store content with `rows` (written
-    * as one fresh segment) — the rebuild primitive ([[IvfStore.rebuild]]
-    * re-assigns the inverted file under new centroids with it). Readers
-    * of the prior manifest keep their segments (grace window), exactly
-    * like [[compact]]. */
-  protected def replaceAllWith(spark: SparkSession, rows: DataFrame): Unit =
-    synchronized { rewriteTo(spark, state, rows) }
+  /** Atomically replace the ENTIRE store content with `rows(current)`
+    * (written as one fresh segment) — the rebuild primitive
+    * ([[IvfStore.rebuild]] re-assigns the inverted file under new
+    * centroids with it). Readers of the prior manifest keep their
+    * segments (grace window), exactly like [[compact]].
+    *
+    * Takes a FUNCTION of the current table, not a DataFrame: the
+    * store snapshot must be taken INSIDE the lock. An argument built
+    * from `table(spark)` at the call site would fix the segment list
+    * before the lock is held — a concurrent streaming merge landing in
+    * that window would be absent from the rebuilt segment while its
+    * batchId stays recorded as applied: silent, unhealable loss (the
+    * replay guard then no-ops the checkpoint replay that would heal
+    * it). */
+  protected def replaceAllWith(spark: SparkSession,
+      rows: DataFrame => DataFrame): Unit =
+    synchronized { rewriteTo(spark, state, rows(table(spark))) }
 
   // one fresh segment from `rows`, previous grace dropped, live set
   // becomes the new grace — shared by compact and replaceAllWith.
@@ -194,19 +204,27 @@ private[graft] abstract class SegmentedBucketedStore(
   // surviving segment by re-registering its warehouse directory as a
   // bucketed EXTERNAL table — same layout, same partitioning report,
   // same probe plans (bucket ids live in the file names Spark wrote)
+  // synchronized + IF NOT EXISTS: table() is reader-facing and two
+  // concurrent probes adopting the same surviving segment after a
+  // restart would otherwise race check-then-create (the loser's query
+  // fails spuriously on TableAlreadyExists); the lock serializes this
+  // JVM, IF NOT EXISTS absorbs anything else sharing the catalog
   private def ensureRegistered(spark: SparkSession, k: Int): Unit =
-    if (!spark.catalog.tableExists(segTable(k))) {
-      val p = segPath(spark, k)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(p),
-        s"store '$name' manifest references segment ${segTable(k)} but " +
-          s"its directory $p is gone — pointer and warehouse diverged")
-      spark.sql(
-        s"""CREATE TABLE ${segTable(k)} (${emptyTable(spark).schema.toDDL})
-           |USING parquet
-           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-           |INTO $buckets BUCKETS
-           |LOCATION '$p'""".stripMargin)
+    if (!spark.catalog.tableExists(segTable(k))) synchronized {
+      if (!spark.catalog.tableExists(segTable(k))) {
+        val p = segPath(spark, k)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(p),
+          s"store '$name' manifest references segment ${segTable(k)} but " +
+            s"its directory $p is gone — pointer and warehouse diverged")
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS ${segTable(k)}
+             |(${emptyTable(spark).schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+             |INTO $buckets BUCKETS
+             |LOCATION '$p'""".stripMargin)
+      }
     }
 
   private def segPath(spark: SparkSession, k: Int): Path = {

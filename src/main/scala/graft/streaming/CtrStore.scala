@@ -26,7 +26,10 @@ final class CtrStore(dir: String) {
 
   def this() = this(Files.createTempDirectory("graft-ctr-store").toString)
 
-  private val store = new VersionedParquetStore(dir)
+  // adoptExisting: a restarted driver resumes the committed version
+  // (and its replay guard) instead of silently zeroing the KTable —
+  // the whole point of a PERSISTED merge target
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
 
   /** Current table as a DataFrame: (ad_id, num_impressions, num_clicks). */
   def table(spark: SparkSession): DataFrame = store.current match {

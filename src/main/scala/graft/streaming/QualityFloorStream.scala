@@ -47,8 +47,24 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
   require(keepFrac > 0 && keepFrac <= 1,
     s"keepFrac must be in (0, 1], got $keepFrac")
 
-  private val store = new VersionedParquetStore(dir)
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
   @volatile private var publishedCutoff: Option[Long] = None
+  // a committed histogram adopted from a previous JVM still needs its
+  // cutoff recomputed (that takes a SparkSession the constructor
+  // doesn't have) — done lazily on first use. Without adoption a
+  // restarted driver would start with an EMPTY floor (curated() = no
+  // rows) and a checkpoint-replayed batch would double-count its mass.
+  @volatile private var adoptionPending: Boolean = store.current.nonEmpty
+
+  private def ensureAdopted(spark: SparkSession): Unit =
+    if (adoptionPending) synchronized {
+      if (adoptionPending) {
+        val row = TextAnalysis
+          .cutoffFromHistogram(histogram(spark), keepFrac).head()
+        publishedCutoff = if (row.isNullAt(0)) None else Some(row.getLong(0))
+        adoptionPending = false
+      }
+    }
 
   /** Current merged histogram: (quality_bp, c). */
   def histogram(spark: SparkSession): DataFrame = store.current match {
@@ -76,6 +92,10 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
     // one between ITS publish and ITS assignment — histogram version
     // and published cutoff must advance together
     val spark = batchScored.sparkSession
+    // restore the adopted cutoff first: a REPLAYED batch after a
+    // restart no-ops the publish below, and the cutoff must still
+    // reflect the adopted histogram, not stay None
+    ensureAdopted(spark)
     val batchHist = batchScored.select(col("quality_bp"))
       .groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
     val applied = store.publish(batchId) { nextDir =>
@@ -100,14 +120,20 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
 
   /** The published cutoff in basis points; None before the first
     * non-empty merge. */
-  def cutoffBp: Option[Long] = publishedCutoff
+  def cutoffBp: Option[Long] = {
+    if (adoptionPending) ensureAdopted(SparkSession.active)
+    publishedCutoff
+  }
 
   /** Read-time curated view of accumulated docs (any DataFrame with a
     * quality_bp column): keep rows at or above the CURRENT published
     * cutoff — ties at the boundary included, exactly like the batch
     * floor. Before any merge the view is empty (no corpus, no floor). */
-  def curated(docs: DataFrame): DataFrame = publishedCutoff match {
-    case Some(c) => docs.filter(col("quality_bp") >= lit(c))
-    case None => docs.limit(0)
+  def curated(docs: DataFrame): DataFrame = {
+    ensureAdopted(docs.sparkSession)
+    publishedCutoff match {
+      case Some(c) => docs.filter(col("quality_bp") >= lit(c))
+      case None => docs.limit(0)
+    }
   }
 }

@@ -14,6 +14,16 @@ import graft.sources.DelimitedCodec
   */
 object StreamingPipelines {
 
+  /** The ingest loops' compaction cadence: fold a store's segments once
+    * more than this many are live. Bounds BOTH small-file growth and
+    * the probe-side Exchange a multi-segment store pays (a compacted
+    * store is one bare partitioning-reporting bucketed scan) while
+    * keeping each compaction O(corpus)/budget-amortized over the
+    * merges since the last one. A long-running stream without ANY
+    * compaction would accumulate one segment per trigger forever —
+    * unbounded file count, permanent probe shuffle. */
+  val DefaultSegmentBudget: Int = 8
+
   /** The full Aggregations topology (SURVEY.md §3.1): CSV lines →
     * FAILFAST decode → event time from the embedded orderTimeMs field →
     * 30 s tumbling avg(v*2)/avg(v) → reference output encoding
@@ -168,7 +178,8 @@ object StreamingPipelines {
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = graft.operators.Dedup.NgramThreshold,
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     // same contract as BandStore.merge, enforced before the probe is
@@ -199,6 +210,9 @@ object StreamingPipelines {
     // sink write would re-execute it — materialize once
     val survivors = survivors0.localCheckpoint()
     store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
+    // the periodic fold that pays back append-only merges: without it
+    // the store is an ever-growing per-trigger segment list
+    store.compactIfNeeded(spark, maxSegments)
     survivors
   }
 
@@ -280,7 +294,8 @@ object StreamingPipelines {
       ratesBp: Map[String, Int], defaultBp: Int,
       threshold: Double = graft.operators.Dedup.NgramThreshold,
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
     // literally gates 1+2, gate 3, then gate 4 — one body per gate, so
     // a fix to any stage lands in every composition that uses it
     val gated = curateRelativeBatch(floorStore, batch, idCol, textCol,
@@ -288,7 +303,7 @@ object StreamingPipelines {
     val exactSurvivors = exactGateBatch(exactStore, seenDocs, gated,
       idCol, textCol)
     val out = nearDupIngestBatch(bandStore, seenDocs, exactSurvivors,
-      idCol, textCol, threshold, maxBucketSize, batchId)
+      idCol, textCol, threshold, maxBucketSize, batchId, maxSegments)
     // survivors' hashes into the sketch — out is already materialized
     // (localCheckpoint inside nearDupIngestBatch) on the non-replay path
     if (!exactStore.isReplay(batchId))
@@ -310,7 +325,8 @@ object StreamingPipelines {
     * stream-ingested == batch-indexed, probe plans included. */
   def annIngestBatch(store: graft.operators.IvfStore,
       centroids: Seq[Seq[Double]], batch: DataFrame,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
     val assigned = graft.operators.IvfIndex.index(batch, centroids)
     // on an at-least-once replay the merge would no-op — return the
     // LAZY assignment (the sink re-emits once) instead of paying the
@@ -321,6 +337,7 @@ object StreamingPipelines {
     // (and a file source's batch read) a second time — materialize once
     val checkpointed = assigned.localCheckpoint()
     store.merge(checkpointed, batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
   }
 
@@ -344,7 +361,8 @@ object StreamingPipelines {
       batch: DataFrame, threshold: Double,
       maxBucketSize: Int =
         graft.operators.SimilaritySearch.EmbLshMaxBucketSize,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
     // same contract as EmbStore, enforced before the probe is even
     // built — a wrong-typed id would otherwise pay the whole probe and
     // fail late inside ingest with a message about the DERIVED bucket
@@ -365,6 +383,7 @@ object StreamingPipelines {
     // sink write would re-execute it — materialize once
     val checkpointed = survivors.localCheckpoint()
     store.ingest(checkpointed, batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
   }
 

@@ -20,12 +20,45 @@ import java.nio.file.{Files, Paths}
   * all silently corrupt otherwise). Pass [[VersionedParquetStore.NoBatchId]]
   * for non-streaming callers that manage their own dedup.
   */
-private[graft] final class VersionedParquetStore(dir: String) {
+private[graft] final class VersionedParquetStore(dir: String,
+    adoptExisting: Boolean = false) {
+
+  import VersionedParquetStore.MetaFile
 
   @volatile private var version: Int = 0
   @volatile private var lastBatch: Long = Long.MinValue
 
   private def versionDir(v: Int): String = s"$dir/v$v"
+
+  // Restart adoption (opt-in): a persisted artifact is only worth its
+  // disk if a new JVM can resume it. A version dir COMMITS when its
+  // meta file lands (written last in publish) — a crash mid-write
+  // leaves an uncommitted dir adoption ignores and the next publish
+  // overwrites. The meta file also carries the last applied batch id,
+  // so the replay guard survives the restart (without it, a
+  // checkpoint-replayed batch would double-merge into the adopted
+  // content — exactly the corruption the guard exists to stop).
+  if (adoptExisting) {
+    val root = Paths.get(dir)
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      val listing = Files.list(root)
+      val committed =
+        try listing.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.matches("v\\d+") &&
+            Files.exists(p.resolve(MetaFile)))
+          .map(_.getFileName.toString.drop(1).toInt)
+          .toSeq
+        finally listing.close()
+      if (committed.nonEmpty) {
+        version = committed.max
+        lastBatch = new String(
+          Files.readAllBytes(Paths.get(versionDir(version), MetaFile)),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      }
+    }
+  }
 
   /** Directory of the current published version; None before the first
     * publish. */
@@ -49,8 +82,15 @@ private[graft] final class VersionedParquetStore(dir: String) {
     else {
       val next = version + 1
       write(versionDir(next))
+      val nextBatch =
+        if (batchId != VersionedParquetStore.NoBatchId) batchId else lastBatch
+      // commit marker LAST (adoption ignores dirs without it); the
+      // underscore prefix keeps parquet directory readers blind to it
+      Files.createDirectories(Paths.get(versionDir(next)))
+      Files.write(Paths.get(versionDir(next), MetaFile),
+        nextBatch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       version = next
-      if (batchId != VersionedParquetStore.NoBatchId) lastBatch = batchId
+      lastBatch = nextBatch
       retire(next - 2)
       true
     }
@@ -72,4 +112,8 @@ private[graft] final class VersionedParquetStore(dir: String) {
 private[graft] object VersionedParquetStore {
   /** Sentinel for callers outside a replayable stream. */
   val NoBatchId: Long = Long.MinValue
+
+  /** Per-version commit marker + persisted replay guard (last applied
+    * batch id). Underscore-prefixed: parquet readers skip it. */
+  val MetaFile: String = "_last_batch"
 }

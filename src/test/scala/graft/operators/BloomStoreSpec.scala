@@ -122,4 +122,52 @@ class BloomStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](ShardedBloomHolder.shardOfHex("zz00", 4))
     intercept[IllegalArgumentException](ShardedBloomHolder.shardOfHex("a", 4))
   }
+
+  test("restart adopts the committed sketch: gate, replay guard, merge base") {
+    val docs = Tables.documents(spark, sf)
+    val h = hashes(docs)
+    val n = h.count()
+    val dir = Files.createTempDirectory("bloom-restart").toString
+    val before = new BloomStore(dir, n, nShards = 8)
+    val old = h.filter(col("text_hash") < "8")
+    before.merge(old, "text_hash", batchId = 7L)
+
+    // a NEW instance over the same dir = driver restart
+    val after = new BloomStore(dir, n, nShards = 8)
+    // (a) replay guard survives: the checkpoint-replayed batch no-ops
+    assert(after.isReplay(7L),
+      "persisted last-batch id must survive the restart — otherwise a " +
+        "checkpoint replay double-merges into the adopted sketch")
+    // (b) no false negatives across the restart: every pre-restart key
+    // still gates as seen (a fresh-empty gate would route every one of
+    // them definite-new — silent duplicate ship)
+    val misses = old
+      .filter(!coalesce(after.mightContain(col("text_hash")), lit(false)))
+      .count()
+    assert(misses == 0,
+      s"adopted gate lost $misses pre-restart keys (false negatives)")
+    // (c) post-restart merges OR into the ADOPTED base: final bytes ==
+    // a single-JVM two-batch build
+    after.merge(h.filter(col("text_hash") >= "8"), "text_hash", batchId = 8L)
+    val oneJvm = new BloomStore(
+      Files.createTempDirectory("bloom-restart-ref").toString, n, nShards = 8)
+    oneJvm.merge(old, "text_hash")
+    oneJvm.merge(h.filter(col("text_hash") >= "8"), "text_hash")
+    assert(after.shardBytes.zip(oneJvm.shardBytes)
+      .forall { case (a, b) => java.util.Arrays.equals(a, b) },
+      "merge after restart must OR into the adopted sketch, " +
+        "bit-identical to an uninterrupted build")
+  }
+
+  test("restart refuses a sketch persisted under a different shard count") {
+    val docs = Tables.documents(spark, sf)
+    val h = hashes(docs)
+    val dir = Files.createTempDirectory("bloom-drift").toString
+    new BloomStore(dir, 100, nShards = 8).merge(h.limit(20), "text_hash")
+    // probing shard s of a differently-sharded sketch would produce
+    // FALSE NEGATIVES — must fail loudly at construction, not silently
+    // leak duplicates at probe time
+    intercept[IllegalArgumentException](new BloomStore(dir, 100, nShards = 4))
+    intercept[IllegalArgumentException](new BloomStore(dir, 100, nShards = 16))
+  }
 }

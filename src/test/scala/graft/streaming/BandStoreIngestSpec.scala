@@ -69,6 +69,37 @@ class BandStoreIngestSpec extends SparkSpec {
       "replayed batchId must not merge bands twice")
   }
 
+  test("ingest loop compacts on its segment budget; drops survive the folds") {
+    val store = new BandStore("graft_band_store_cadence", buckets = 2)
+    val accepted = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+
+    def ingest(batchId: Long, docs: (Long, String)*): Set[Long] = {
+      val out = StreamingPipelines.nearDupIngestBatch(store,
+          accepted.toSeq.toDF("doc_id", "text"), docs.toDF("doc_id", "text"),
+          "doc_id", "text", threshold = 0.5, batchId = batchId,
+          maxSegments = 1)
+        .as[(Long, String)].collect()
+      accepted ++= out
+      out.map(_._1).toSet
+    }
+
+    ingest(0L, (10L, base + " nu"))
+    ingest(1L, (20L, "another corpus entirely about adaptive query execution"))
+    ingest(2L, (30L, "a third direction on watermarks and state eviction"))
+    // budget 1 → every post-merge trigger folds back to ONE live
+    // segment (the bare partitioning-reporting probe scan), instead of
+    // one segment per trigger forever
+    assert(store.liveSegments.size == 1,
+      s"segment budget not enforced by the loop: ${store.liveSegments}")
+    // and the folds lost nothing: a near-dup of the BATCH-0 survivor
+    // (two compactions ago) still drops against the compacted store
+    val b3 = ingest(3L, (40L, base + " omicron"),
+      (41L, "genuinely novel text on bucket pruning"))
+    assert(b3 == Set(41L), s"got $b3")
+    assert(store.table(spark).select("doc_id").distinct()
+      .as[Long].collect().toSet == Set(10L, 20L, 30L, 41L))
+  }
+
   test("non-long doc ids fail LOUDLY at the store boundary (no silent type coercion)") {
     // the store schema is long-keyed; a string-id corpus must be mapped
     // to surrogate longs — anything else must throw, not silently

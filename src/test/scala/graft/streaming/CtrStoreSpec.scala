@@ -66,4 +66,26 @@ class CtrStoreSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("restart adopts the committed KTable: counts, snapshot, replay guard") {
+    val dir = java.nio.file.Files.createTempDirectory("ctr-restart").toString
+    val before = new CtrStore(dir)
+    before.merge(Seq(("ad1", 3L, 1L), ("ad2", 2L, 0L))
+      .toDF("ad_id", "num_impressions", "num_clicks"), batchId = 5L)
+
+    // a NEW instance over the same dir = driver restart
+    val after = new CtrStore(dir)
+    assert(after.snapshot() == before.snapshot(),
+      "a restarted driver must resume the committed KTable, not zero it")
+    // replay guard survives: the checkpoint-replayed batch applies
+    // exactly once ACROSS the restart
+    after.merge(Seq(("ad1", 3L, 1L), ("ad2", 2L, 0L))
+      .toDF("ad_id", "num_impressions", "num_clicks"), batchId = 5L)
+    assert(after.snapshot()("ad1") == ((3L, 1L, 1.0 / 3)),
+      "replayed batch after restart must not double-count")
+    // and NEW batches keep accumulating on the adopted base
+    after.merge(Seq(("ad1", 1L, 0L))
+      .toDF("ad_id", "num_impressions", "num_clicks"), batchId = 6L)
+    assert(after.snapshot()("ad1") == ((4L, 1L, 0.25)))
+  }
 }

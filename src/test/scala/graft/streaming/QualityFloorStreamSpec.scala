@@ -111,4 +111,28 @@ class QualityFloorStreamSpec extends SparkSpec {
         s"published ${store.cutoffBp} vs batch-so-far $want")
     } finally q.stop()
   }
+
+  test("restart adopts the committed histogram: cutoff, curated view, replay guard") {
+    val dir = java.nio.file.Files.createTempDirectory("qfloor-restart").toString
+    val before = new QualityFloorStore(KeepFrac, dir)
+    val docs = (1L to 30L).map(i => (i, textOf(i))).toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+      before.qualityBp(col("text")).as("quality_bp"))
+    before.merge(scored, batchId = 3L)
+
+    // a NEW instance over the same dir = driver restart
+    val after = new QualityFloorStore(KeepFrac, dir)
+    // replay guard survives: a checkpoint-replayed batch can't
+    // double-count its mass into the adopted histogram
+    assert(after.isReplay(3L))
+    after.merge(scored, batchId = 3L)
+    assert(after.histogram(spark).agg(sum(col("c"))).head().getLong(0) == 30L,
+      "replayed batch after restart must not double-count")
+    // the adopted cutoff equals the pre-restart one, and the curated
+    // view is identical (a restart-amnesiac floor would keep NOTHING)
+    assert(after.cutoffBp == before.cutoffBp)
+    assert(after.cutoffBp.nonEmpty)
+    assert(after.curated(scored).select("doc_id").as[Long].collect().toSet ==
+      before.curated(scored).select("doc_id").as[Long].collect().toSet)
+  }
 }
