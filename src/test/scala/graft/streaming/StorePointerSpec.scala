@@ -74,4 +74,44 @@ class StorePointerSpec extends SparkSpec {
     b.merge(Seq((4L, 0, "k4")).toDF("doc_id", "band", "band_key"), batchId = 7L)
     assert(b.table(spark).count() == 4)
   }
+
+  test("EmbStore threads the pointer seam to BOTH tables (restart adoption)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-ptr-emb")
+    def mk() = new graft.operators.EmbStore("graft_ptr_emb", buckets = 2,
+      bucketPointer = new FilePointer(dir.resolve("buckets.ptr")),
+      vecPointer = new FilePointer(dir.resolve("vecs.ptr")))
+    val one = Seq.fill(64)(1.0)
+    val near = Seq.tabulate(64)(i => if (i == 0) 1.0 else 1.001)
+    val ortho = Seq.tabulate(64)(i => if (i < 32) 1.0 else -1.0)
+
+    val a = mk()
+    a.ingest(Seq((1L, one), (2L, ortho)).toDF("vec_id", "embedding"),
+      batchId = 4L)
+    // model the restart: in-memory catalog entries die with the JVM;
+    // warehouse dirs and both pointer files survive
+    (1 to 4).foreach { k =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ptr_emb_buckets_s$k")
+      spark.sql(s"DROP TABLE IF EXISTS graft_ptr_emb_vecs_s$k")
+    }
+    val b = mk()
+    // both tables adopted — a seam on only one of them would leave
+    // candidates without vectors (or vectors without candidates)
+    assert(b.vectorRows(spark).select("vec_id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    assert(b.bucketRows(spark).select("vec_id").distinct().as[Long]
+      .collect().toSet == Set(1L, 2L))
+    assert(b.isReplay(4L) && !b.isReplay(5L),
+      "the shared replay guard must survive the restart on both tables")
+    // the adopted corpus is probe-able: a near-dup of pre-restart vec 1
+    // is found (a restart-amnesiac store would find nothing)
+    val pairs = b.probe(Seq((10L, near)).toDF("vec_id", "embedding"),
+      threshold = 0.9).select("vec_a", "vec_b").as[(Long, Long)].collect()
+    assert(pairs.length == 1 &&
+      Set(pairs.head._1, pairs.head._2) == Set(1L, 10L), s"got ${pairs.toSeq}")
+    // and ingest continues seamlessly on the adopted base
+    b.ingest(Seq((3L, near)).toDF("vec_id", "embedding"), batchId = 5L)
+    assert(b.vectorRows(spark).count() == 3)
+  }
 }
