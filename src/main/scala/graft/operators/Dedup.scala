@@ -162,6 +162,64 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .localCheckpoint(false)
 
+  /** Default minimum duplicated run length for [[duplicateSpans]], in
+    * tokens — shared with the generated oracle SQL. (Production corpora
+    * use ~50; the synthetic docs run 10-99 tokens, so the registered
+    * query keeps the property testable.) */
+  val DupSpanTokens = 8
+
+  /** Exact repeated-substring span detection — the TOKEN-level dedup
+    * pass large-scale curation runs after DOCUMENT-level dedup: find
+    * every maximal span of >= k consecutive tokens that occurs more
+    * than once anywhere in the corpus (other documents or elsewhere in
+    * the same document) — boilerplate headers, license blocks, quoted
+    * chunks that document-granularity passes cannot see. Output: one
+    * row per maximal duplicated span, (doc_id, span_start token
+    * offset, span_tokens length); overlapping and adjacent duplicated
+    * k-token windows merge into the maximal span (gaps-and-islands
+    * over token positions).
+    *
+    * Scale shape: tokenize + window-hash is scan-side (the native
+    * [[shinglesFromText]] expression, position-ordered, one md5 per
+    * window) and the shuffle carries (doc_id, pos, 32-char hex) rows —
+    * never text bodies. "Occurs more than once" is a partial-agg
+    * groupBy(gram) (map-side combine collapses each partition's
+    * repeats before the exchange) + LEFT SEMI join back onto the gram
+    * rows: a membership test, not a pairing, so a mass-repeated window
+    * (boilerplate in millions of docs) costs LINEAR rows on one key —
+    * AQE's skew-join split applies, and no quadratic candidate
+    * blow-up exists on this path (contrast the banding paths, which
+    * pair within buckets and need the bucket cap). The corpus is
+    * scanned twice (once per semi-join side) — at scale that beats
+    * materializing the O(total tokens) gram table. The island merge
+    * windows by doc_id ordered by pos: per-DOCUMENT state, bounded by
+    * document length, never corpus-wide. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DupSpanTokens): DataFrame = {
+    val grams = docs
+      .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
+      .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    marked
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      // a window starting <= k after the previous duplicated window
+      // overlaps-or-abuts it: same island, one maximal span
+      .withColumn("step",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("step")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k) - min(col("pos"))).as("span_tokens"))
+      .select(col(idCol), col("span_start").cast("long").as("span_start"),
+        col("span_tokens").cast("long").as("span_tokens"))
+  }
+
   /** MinHash signature: k minimums over splitmix64-derived permutations
     * of the per-shingle xxhash64. One base-hash pass (built-in, then the
     * native one-pass MinhashSignature expression) — returns array<long>

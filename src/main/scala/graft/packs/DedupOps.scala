@@ -221,8 +221,14 @@ object DedupOps extends QueryPack {
       "doc_id", "text")
   }
 
+  /** Token-level repeated-substring spans over the whole corpus —
+    * [[graft.operators.Dedup.duplicateSpans]] at the shared k. */
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_bloom_store" -> (dedupIncrementalBloomStore _),
@@ -286,6 +292,37 @@ object DedupOps extends QueryPack {
     s"""WITH $ngramPairCtes
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
         |FROM pairs WHERE jac >= ${Dedup.NgramThreshold}""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.duplicateSpans]]: identical
+    * windows (split on single space, k consecutive tokens, md5 of the
+    * space-joined window), identical duplicate rule (count > 1 over the
+    * corpus), identical gaps-and-islands merge — position arithmetic is
+    * integer-exact in both engines, so the compare is value-exact. */
+  val substringSpansOracle: String = {
+    val k = Dedup.DupSpanTokens
+    s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(list_slice(t, i, i + $k - 1), ' ')) AS gram
+        |  FROM toks, unnest(range(1, len(t) - $k + 2)) AS u(i)
+        |  WHERE len(t) >= $k
+        |),
+        |dupg AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+        |marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gram)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    SUM(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM marked)
+        |)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + $k - min(pos) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: true
     * connected components by recursive reachable-label enumeration —
@@ -504,6 +541,7 @@ object DedupOps extends QueryPack {
          |       OR doc_b % $IncrementalBatchMod = 0)""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_substring_spans" -> substringSpansOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,

@@ -10,6 +10,13 @@ object BenchOne {
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val spark = graft.GraftSession.local() // same config as Bench/Verify
     spark.sparkContext.setLogLevel("WARN")
+    // dev escape hatch: SPARK_GRAFT_SET="k=v;k2=v2" applies runtime SQL
+    // confs for A/B experiments (static confs can't be overridden here)
+    sys.env.get("SPARK_GRAFT_SET").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()

@@ -272,4 +272,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("aggregate("), s"interpreted higher-order fold must be gone:\n$p")
     assert(!p.contains("Exchange"), s"fingerprints must not shuffle:\n$p")
   }
+
+  test("dedup_substring_spans: membership semi-join, per-doc windows, native shingles") {
+    val p = plan("dedup_substring_spans")
+    // duplicate detection is a MEMBERSHIP test (semi join against the
+    // partial-agg'd repeated-gram set) — linear on a hot gram and
+    // AQE-splittable, unlike any pairing shape
+    assert(p.contains("LeftSemi"),
+      s"repeated-gram routing must be a semi join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"gram counts must partially aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must never pair rows:\n$p")
+    // the island merge must window per document, never globally — a
+    // global window funnels the corpus into one task
+    assert(p.contains("windowspecdefinition(doc_id#"),
+      s"island merge must partition its window by doc:\n$p")
+    // windows come from the native codegen'd expression, not the
+    // interpreted transform/slice/array_join chain
+    assert(p.contains("graft_shingles"),
+      s"expected the native shingle expression:\n$p")
+  }
 }
