@@ -220,6 +220,49 @@ object Dedup {
         col("span_tokens").cast("long").as("span_tokens"))
   }
 
+  /** Transform twin of [[duplicateSpans]]: rewrite each document with
+    * every duplicated span's tokens REMOVED (the curation policy for
+    * boilerplate — license blocks, repeated headers — where no
+    * occurrence is the "canonical" one; corpus-level canonical-copy
+    * retention is [[exact]]/near-dup dedup's job, which runs first in
+    * the composed pipeline). Output: (id, clean text, n tokens
+    * dropped); documents with no duplicated span pass through
+    * unchanged with n_dropped = 0.
+    *
+    * Scale shape: span detection is [[duplicateSpans]] verbatim; the
+    * rewrite re-keys tokens AND spans by document (one shuffle each —
+    * rewriting text is inherently a per-document regroup), joins them
+    * doc-equi (spans per doc are few; the range containment is a
+    * post-join filter, never a cross product), and rebuilds the text
+    * with an order-preserving aggregation. Nothing global, nothing
+    * driver-side. */
+  def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DupSpanTokens): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k)
+      .select(col(idCol), col("span_start"), col("span_tokens"))
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("tok"))
+    val marked = toks
+      .join(spans, Seq(idCol), "left")
+      .withColumn("in_span",
+        col("span_start").isNotNull &&
+          col("pos") >= col("span_start") &&
+          col("pos") < col("span_start") + col("span_tokens"))
+      // a token joined against several spans keeps one row: dropped iff
+      // ANY covering span exists (spans are non-overlapping by island
+      // maximality, but the doc-equi join still fans out per span row)
+      .groupBy(col(idCol), col("pos"))
+      .agg(first(col("tok")).as("tok"), max(col("in_span")).as("dropped"))
+    marked
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(!col("dropped"), struct(col("pos"), col("tok"))))),
+          x => x("tok")), " ").as("clean_text"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** MinHash signature: k minimums over splitmix64-derived permutations
     * of the per-shingle xxhash64. One base-hash pass (built-in, then the
     * native one-pass MinhashSignature expression) — returns array<long>

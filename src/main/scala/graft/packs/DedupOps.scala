@@ -226,9 +226,15 @@ object DedupOps extends QueryPack {
   def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.duplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** The transform twin: documents rewritten with duplicated spans
+    * removed — [[graft.operators.Dedup.stripDuplicateSpans]]. */
+  def dedupStripSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.stripDuplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
+    "dedup_strip_spans" -> (dedupStripSpans _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_bloom_store" -> (dedupIncrementalBloomStore _),
@@ -293,14 +299,13 @@ object DedupOps extends QueryPack {
         |SELECT doc_a, doc_b, round(jac, 4) AS jac
         |FROM pairs WHERE jac >= ${Dedup.NgramThreshold}""".stripMargin
 
-  /** DuckDB twin of [[graft.operators.Dedup.duplicateSpans]]: identical
-    * windows (split on single space, k consecutive tokens, md5 of the
+  /** Shared CTEs of both substring-span oracles: identical windows
+    * (split on single space, k consecutive tokens, md5 of the
     * space-joined window), identical duplicate rule (count > 1 over the
     * corpus), identical gaps-and-islands merge — position arithmetic is
-    * integer-exact in both engines, so the compare is value-exact. */
-  val substringSpansOracle: String = {
-    val k = Dedup.DupSpanTokens
-    s"""WITH toks AS (
+    * integer-exact in both engines, so the compares are value-exact. */
+  private def substringSpanCtes(k: Int): String =
+    s"""toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |),
         |grams AS (
@@ -318,11 +323,43 @@ object DedupOps extends QueryPack {
         |  FROM (SELECT doc_id, pos,
         |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
         |        FROM marked)
+        |),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start,
+        |         max(pos) + $k - min(pos) AS span_tokens
+        |  FROM isl GROUP BY doc_id, island
+        |)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.duplicateSpans]]. */
+  val substringSpansOracle: String =
+    s"""WITH ${substringSpanCtes(Dedup.DupSpanTokens)}
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |       CAST(span_tokens AS BIGINT) AS span_tokens
+        |FROM spans""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.stripDuplicateSpans]]: the
+    * SAME span CTEs, then per-token covered-by-any-span verdicts and an
+    * order-preserving rebuild of the kept tokens. */
+  val stripSpansOracle: String =
+    s"""WITH ${substringSpanCtes(Dedup.DupSpanTokens)},
+        |toks2 AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        |),
+        |markedt AS (
+        |  SELECT t2.doc_id, t2.pos, any_value(t2.tok) AS tok,
+        |    max(CASE WHEN s.span_start IS NOT NULL
+        |          AND t2.pos >= s.span_start
+        |          AND t2.pos < s.span_start + s.span_tokens
+        |        THEN 1 ELSE 0 END) AS dropped
+        |  FROM toks2 t2 LEFT JOIN spans s ON t2.doc_id = s.doc_id
+        |  GROUP BY t2.doc_id, t2.pos
         |)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |       CAST(max(pos) + $k - min(pos) AS BIGINT) AS span_tokens
-        |FROM isl GROUP BY doc_id, island""".stripMargin
-  }
+        |SELECT doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+        |    FILTER (WHERE dropped = 0), '') AS clean_text,
+        |  CAST(sum(dropped) AS BIGINT) AS n_dropped
+        |FROM markedt GROUP BY doc_id""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: true
     * connected components by recursive reachable-label enumeration —
@@ -542,6 +579,7 @@ object DedupOps extends QueryPack {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_substring_spans" -> substringSpansOracle,
+    "dedup_strip_spans" -> stripSpansOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,

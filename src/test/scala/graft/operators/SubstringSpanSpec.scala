@@ -58,6 +58,29 @@ class SubstringSpanSpec extends SparkSpec {
       "a 7-token shared run must be invisible at k = 8")
   }
 
+  private def strip(docs: Seq[(Long, String)]): Map[Long, (String, Long)] =
+    Dedup.stripDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", K)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("strip removes exactly the duplicated spans, keeps order, counts drops") {
+    val a = s"a1 a2 a3 a4 a5 $run10 a6 a7 a8"
+    val b = s"$run10 b1 b2 b3 b4 b5 b6 b7 b8"
+    val c = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10" // untouched bystander
+    val got = strip(Seq((1L, a), (2L, b), (3L, c)))
+    assert(got(1L) == (("a1 a2 a3 a4 a5 a6 a7 a8", 10L)), s"got ${got(1L)}")
+    assert(got(2L) == (("b1 b2 b3 b4 b5 b6 b7 b8", 10L)), s"got ${got(2L)}")
+    assert(got(3L) == ((c, 0L)),
+      "a document with no duplicated span must pass through verbatim")
+  }
+
+  test("strip of a fully-duplicated document leaves empty text") {
+    val got = strip(Seq((1L, run10 + " x1 x2"), (2L, run10)))
+    // doc 2 IS the shared run — every token drops
+    assert(got(2L) == (("", 10L)), s"got ${got(2L)}")
+    assert(got(1L) == (("x1 x2", 10L)), s"got ${got(1L)}")
+  }
+
   test("sf documents: spans exist, all >= k tokens, starts in range") {
     val docs = graft.Tables.documents(spark, sf)
     val got = Dedup.duplicateSpans(docs, "doc_id", "text")
