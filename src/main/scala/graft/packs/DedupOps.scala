@@ -304,9 +304,9 @@ object DedupOps extends QueryPack {
     * space-joined window), identical duplicate rule (count > 1 over the
     * corpus), identical gaps-and-islands merge — position arithmetic is
     * integer-exact in both engines, so the compares are value-exact. */
-  private def substringSpanCtes(k: Int): String =
+  private[packs] def substringSpanCtesFrom(src: String, k: Int): String =
     s"""toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
         |),
         |grams AS (
         |  SELECT doc_id, i - 1 AS pos,
@@ -332,16 +332,17 @@ object DedupOps extends QueryPack {
 
   /** DuckDB twin of [[graft.operators.Dedup.duplicateSpans]]. */
   val substringSpansOracle: String =
-    s"""WITH ${substringSpanCtes(Dedup.DupSpanTokens)}
+    s"""WITH ${substringSpanCtesFrom("documents", Dedup.DupSpanTokens)}
         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
         |       CAST(span_tokens AS BIGINT) AS span_tokens
         |FROM spans""".stripMargin
 
-  /** DuckDB twin of [[graft.operators.Dedup.stripDuplicateSpans]]: the
-    * SAME span CTEs, then per-token covered-by-any-span verdicts and an
-    * order-preserving rebuild of the kept tokens. */
-  val stripSpansOracle: String =
-    s"""WITH ${substringSpanCtes(Dedup.DupSpanTokens)},
+  /** Span CTEs + per-token covered-by-any-span verdicts (`markedt`):
+    * the shared detect→mark fragment of the strip oracle and the
+    * composed pipeline oracle (PipelineOps.pipeline_curate_strip) —
+    * callers add their own kept-token rebuild on top. */
+  private[packs] def spanMarkCtesFrom(src: String, k: Int): String =
+    s"""${substringSpanCtesFrom(src, k)},
         |toks2 AS (
         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
@@ -354,7 +355,13 @@ object DedupOps extends QueryPack {
         |        THEN 1 ELSE 0 END) AS dropped
         |  FROM toks2 t2 LEFT JOIN spans s ON t2.doc_id = s.doc_id
         |  GROUP BY t2.doc_id, t2.pos
-        |)
+        |)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.stripDuplicateSpans]]: the
+    * SAME span CTEs, then per-token covered-by-any-span verdicts and an
+    * order-preserving rebuild of the kept tokens. */
+  val stripSpansOracle: String =
+    s"""WITH ${spanMarkCtesFrom("documents", Dedup.DupSpanTokens)}
         |SELECT doc_id,
         |  coalesce(string_agg(tok, ' ' ORDER BY pos)
         |    FILTER (WHERE dropped = 0), '') AS clean_text,

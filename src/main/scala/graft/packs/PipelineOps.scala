@@ -49,8 +49,13 @@ object PipelineOps extends QueryPack {
     * (tie → min id, [[Dedup.keepByQuality]]) instead of the min-id doc —
     * what a curation pipeline actually ships. One composed oracle from
     * the same shared CTE fragments. */
-  def pipelineCurateQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def pipelineCurateQuality(spark: SparkSession, sfDir: String): DataFrame =
+    curateQuality(Tables.documents(spark, sfDir))
+
+  /** [[pipelineCurateQuality]] over an arbitrary (doc_id, lang, text)
+    * corpus — the registered query binds it to the documents table;
+    * specs drive it with corpora that exercise each gate. */
+  def curateQuality(docs: DataFrame): DataFrame = {
     val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
     val filtered = docs.join(quality, "doc_id")
       .filter(col("quality") >= QualityMin)
@@ -68,9 +73,40 @@ object PipelineOps extends QueryPack {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** The full document→token curation stack: [[pipelineCurateQuality]]
+    * picks each near-dup cluster's best member, then
+    * [[Dedup.stripDuplicateSpans]] runs token-level boilerplate removal
+    * over the SURVIVORS — the order the scaladoc on strip promises
+    * (document-granularity dedup first, so a mass-duplicated doc's body
+    * is retired by canonical-copy retention, and only boilerplate still
+    * repeated among survivors is stripped). Output: (doc_id, lang,
+    * quality, clean_text, n_dropped).
+    *
+    * Scale shape: the survivor set (id, lang, quality, text) is
+    * localCheckpointed once — span detection scans its input twice
+    * (gram side + semi-join side) and the strip re-tokenizes it, and
+    * without the checkpoint each scan would re-execute the whole
+    * gate+cluster lineage. Everything downstream of the checkpoint is
+    * the strip operator's own per-document shape. */
+  def pipelineCurateStrip(spark: SparkSession, sfDir: String): DataFrame =
+    curateStrip(Tables.documents(spark, sfDir))
+
+  /** [[pipelineCurateStrip]] over an arbitrary corpus (see
+    * [[curateQuality]]). */
+  def curateStrip(docs: DataFrame): DataFrame = {
+    val kept = curateQuality(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .localCheckpoint(false)
+    Dedup.stripDuplicateSpans(kept, "doc_id", "text")
+      .join(kept.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("clean_text"), col("n_dropped"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
-      "pipeline_curate_quality" -> (pipelineCurateQuality _))
+      "pipeline_curate_quality" -> (pipelineCurateQuality _),
+      "pipeline_curate_strip" -> (pipelineCurateStrip _))
 
   override def oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->
@@ -111,6 +147,41 @@ object PipelineOps extends QueryPack {
          |      GROUP BY j.cluster_id)
          |SELECT j.doc_id, j.lang, j.quality
          |FROM j JOIN k ON j.cluster_id = k.cluster_id
-         |WHERE j.doc_id = k.best_id""".stripMargin
+         |WHERE j.doc_id = k.best_id""".stripMargin,
+
+    // the pipeline_curate_quality tail becomes a `kept` CTE (with text
+    // re-joined from sampled), then the shared span-mark fragment runs
+    // over the survivors and the kept tokens are rebuilt per document
+    "pipeline_curate_strip" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, lang, text,
+         |  ${TextOps.qualityExprSql} AS quality
+         |  FROM documents
+         |), sampled AS (
+         |  SELECT * FROM q
+         |  WHERE quality >= $QualityMin
+         |    AND ${TextOps.sampleGateSql}
+         |),
+         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)},
+         |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s.lang, s.quality
+         |      FROM cc JOIN sampled s ON cc.v = s.doc_id),
+         |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
+         |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
+         |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
+         |      GROUP BY j.cluster_id),
+         |kept AS (
+         |  SELECT j.doc_id, j.lang, j.quality, s.text
+         |  FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |       JOIN sampled s ON j.doc_id = s.doc_id
+         |  WHERE j.doc_id = k.best_id
+         |),
+         |${DedupOps.spanMarkCtesFrom("kept", graft.operators.Dedup.DupSpanTokens)}
+         |SELECT kp.doc_id, kp.lang, kp.quality,
+         |  coalesce(string_agg(m.tok, ' ' ORDER BY m.pos)
+         |    FILTER (WHERE m.dropped = 0), '') AS clean_text,
+         |  CAST(sum(m.dropped) AS BIGINT) AS n_dropped
+         |FROM markedt m JOIN kept kp ON m.doc_id = kp.doc_id
+         |GROUP BY kp.doc_id, kp.lang, kp.quality""".stripMargin
   )
 }
