@@ -108,6 +108,30 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _))
 
+  /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
+    * md5-twin LSH pairs, recursive components, and the quality-argmax
+    * keep (j/b/k) — pipeline_curate_quality selects the winners
+    * directly, pipeline_curate_strip re-joins text and strips. ONE
+    * string, so a keep-rule change can't drift the two apart. */
+  private val qualityKeepCtes: String =
+    s"""q AS (
+       |  SELECT doc_id, lang, text,
+       |  ${TextOps.qualityExprSql} AS quality
+       |  FROM documents
+       |), sampled AS (
+       |  SELECT * FROM q
+       |  WHERE quality >= $QualityMin
+       |    AND ${TextOps.sampleGateSql}
+       |),
+       |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+       |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)},
+       |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s.lang, s.quality
+       |      FROM cc JOIN sampled s ON cc.v = s.doc_id),
+       |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
+       |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
+       |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
+       |      GROUP BY j.cluster_id)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->
       s"""WITH RECURSIVE q AS (
@@ -128,23 +152,7 @@ object PipelineOps extends QueryPack {
     // same gates + clustering, quality-argmax keep (min-id tie-break) —
     // the j/b/k tail mirrors DedupOps.keepQualityOracle over `sampled`
     "pipeline_curate_quality" ->
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id, lang, text,
-         |  ${TextOps.qualityExprSql} AS quality
-         |  FROM documents
-         |), sampled AS (
-         |  SELECT * FROM q
-         |  WHERE quality >= $QualityMin
-         |    AND ${TextOps.sampleGateSql}
-         |),
-         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
-         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)},
-         |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s.lang, s.quality
-         |      FROM cc JOIN sampled s ON cc.v = s.doc_id),
-         |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
-         |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
-         |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
-         |      GROUP BY j.cluster_id)
+      s"""WITH RECURSIVE $qualityKeepCtes
          |SELECT j.doc_id, j.lang, j.quality
          |FROM j JOIN k ON j.cluster_id = k.cluster_id
          |WHERE j.doc_id = k.best_id""".stripMargin,
@@ -153,23 +161,7 @@ object PipelineOps extends QueryPack {
     // re-joined from sampled), then the shared span-mark fragment runs
     // over the survivors and the kept tokens are rebuilt per document
     "pipeline_curate_strip" ->
-      s"""WITH RECURSIVE q AS (
-         |  SELECT doc_id, lang, text,
-         |  ${TextOps.qualityExprSql} AS quality
-         |  FROM documents
-         |), sampled AS (
-         |  SELECT * FROM q
-         |  WHERE quality >= $QualityMin
-         |    AND ${TextOps.sampleGateSql}
-         |),
-         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
-         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)},
-         |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s.lang, s.quality
-         |      FROM cc JOIN sampled s ON cc.v = s.doc_id),
-         |b AS (SELECT cluster_id, max(quality) AS best_q FROM j GROUP BY cluster_id),
-         |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
-         |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
-         |      GROUP BY j.cluster_id),
+      s"""WITH RECURSIVE $qualityKeepCtes,
          |kept AS (
          |  SELECT j.doc_id, j.lang, j.quality, s.text
          |  FROM j JOIN k ON j.cluster_id = k.cluster_id

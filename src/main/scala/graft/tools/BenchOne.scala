@@ -14,8 +14,10 @@ object BenchOne {
     // confs for A/B experiments (static confs can't be overridden here)
     sys.env.get("SPARK_GRAFT_SET").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"SPARK_GRAFT_SET segment without '=': '$kv'")
+        }
       })
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to reps) {
