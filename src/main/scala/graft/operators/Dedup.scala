@@ -196,13 +196,28 @@ object Dedup {
     * document length, never corpus-wide. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DupSpanTokens): DataFrame = {
-    val grams = docs
-      .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
-      .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
+    val grams = spanGrams(docs, idCol, textCol, k)
     val dup = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("gram"))
-    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    mergeIslandSpans(grams.join(dup, Seq("gram"), "left_semi"), idCol, k)
+  }
+
+  /** The k-token windows of a corpus, one row per position:
+    * (id, pos, gram = md5 hex of the space-joined window) — the rows
+    * [[duplicateSpans]] detects over and a [[GramStore]] persists. */
+  def spanGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DupSpanTokens): DataFrame =
+    docs
+      .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
+      .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
+
+  // gaps-and-islands merge of duplicated window positions into maximal
+  // spans — per-DOCUMENT window state, bounded by document length;
+  // shared by the full-corpus and incremental span detectors so their
+  // outputs can only differ in which positions are marked
+  private def mergeIslandSpans(marked: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     marked
@@ -218,6 +233,36 @@ object Dedup {
         (max(col("pos")) + lit(k) - min(col("pos"))).as("span_tokens"))
       .select(col(idCol), col("span_start").cast("long").as("span_start"),
         col("span_tokens").cast("long").as("span_tokens"))
+  }
+
+  /** Incremental [[duplicateSpans]]: the spans of a NEW batch's docs
+    * that the FULL-corpus detector would emit, computed without
+    * re-windowing the seen corpus — `seenGrams` is the seen side's
+    * (…, gram) rows, in practice a persisted [[GramStore]] scan. A
+    * batch window is duplicated iff it repeats WITHIN the batch
+    * (partial-agg count > 1) or occurs anywhere in the seen corpus
+    * (LEFT SEMI membership against `seenGrams` — multiplicity and
+    * extra columns there are irrelevant). Output == full-corpus
+    * [[duplicateSpans]] over seen ∪ batch restricted to batch ids,
+    * exactly (the per-doc island merge only sees batch rows either
+    * way).
+    *
+    * Scale shape: the batch's gram table is computed once behind a
+    * lazy narrow localCheckpoint (three consumers: internal count,
+    * seen membership, island merge). Both duplicate tests are
+    * membership-shaped — linear on a hot gram, no pairing, no bucket
+    * cap needed — and the seen side is never re-scanned per consumer,
+    * never shuffled when the store scan reports its gram bucketing. */
+  def incrementalDuplicateSpansFrom(batch: DataFrame, seenGrams: DataFrame,
+      idCol: String, textCol: String, k: Int = DupSpanTokens): DataFrame = {
+    val grams = spanGrams(batch, idCol, textCol, k).localCheckpoint(false)
+    val dupInternal = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("gram"))
+    val dupSeen = grams.select(col("gram")).distinct()
+      .join(seenGrams.select(col("gram")), Seq("gram"), "left_semi")
+    val dup = dupInternal.union(dupSeen).distinct()
+    mergeIslandSpans(grams.join(dup, Seq("gram"), "left_semi"), idCol, k)
   }
 
   /** Transform twin of [[duplicateSpans]]: rewrite each document with
@@ -237,8 +282,15 @@ object Dedup {
     * with an order-preserving aggregation. Nothing global, nothing
     * driver-side. */
   def stripDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DupSpanTokens): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k)
+      k: Int = DupSpanTokens): DataFrame =
+    stripSpans(docs, duplicateSpans(docs, idCol, textCol, k), idCol, textCol)
+
+  /** The rewrite half of [[stripDuplicateSpans]] over PRECOMPUTED span
+    * rows (idCol, span_start, span_tokens) — the ingest loops strip a
+    * batch from its store-probed spans with it instead of re-detecting. */
+  def stripSpans(docs: DataFrame, spanRows: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spans = spanRows
       .select(col(idCol), col("span_start"), col("span_tokens"))
     val toks = docs
       .select(col(idCol), posexplode(tokens(col(textCol))))

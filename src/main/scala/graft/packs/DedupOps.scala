@@ -226,6 +226,40 @@ object DedupOps extends QueryPack {
   def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.duplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Incremental span detection: the batch's duplicated spans against
+    * seen ∪ batch WITHOUT re-windowing the seen corpus per batch-doc
+    * consumer — output must equal full-corpus [[dedupSubstringSpans]]
+    * restricted to batch ids (the oracle IS that restriction). */
+  def dedupIncrementalSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    Dedup.incrementalDuplicateSpansFrom(batch,
+      Dedup.spanGrams(seen, "doc_id", "text"), "doc_id", "text")
+  }
+
+  private val gramStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.GramStore]()
+
+  /** Store-backed incremental span detection: the seen corpus's
+    * PERSISTED (doc_id, gram) table ([[graft.operators.GramStore]]) is
+    * probed instead of re-windowing the seen side — the 100 TB form of
+    * [[dedupIncrementalSpans]], under the IDENTICAL oracle. The probe
+    * runs zero window/hash work over the seen side
+    * (IncrementalSpanSpec pins that plan). */
+  def dedupIncrementalSpansStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    val store = gramStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.GramStore(
+        s"graft_gram_store_im_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s.ingest(seen, "doc_id", "text")
+      s
+    })
+    store.probe(batch, "doc_id", "text")
+  }
+
   /** The transform twin: documents rewritten with duplicated spans
     * removed — [[graft.operators.Dedup.stripDuplicateSpans]]. */
   def dedupStripSpans(spark: SparkSession, sfDir: String): DataFrame =
@@ -235,6 +269,8 @@ object DedupOps extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_strip_spans" -> (dedupStripSpans _),
+    "dedup_incremental_spans" -> (dedupIncrementalSpans _),
+    "dedup_incremental_spans_store" -> (dedupIncrementalSpansStore _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_bloom_store" -> (dedupIncrementalBloomStore _),
@@ -336,6 +372,15 @@ object DedupOps extends QueryPack {
         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
         |       CAST(span_tokens AS BIGINT) AS span_tokens
         |FROM spans""".stripMargin
+
+  /** DuckDB twin of BOTH incremental span forms: the FULL-corpus span
+    * detection restricted to batch ids — that restriction is the
+    * incremental operator's entire contract. */
+  val incrementalSpansOracle: String =
+    s"""WITH ${substringSpanCtesFrom("documents", Dedup.DupSpanTokens)}
+        |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+        |       CAST(span_tokens AS BIGINT) AS span_tokens
+        |FROM spans WHERE doc_id % $IncrementalBatchMod = 0""".stripMargin
 
   /** Span CTEs + per-token covered-by-any-span verdicts (`markedt`):
     * the shared detect→mark fragment of the strip oracle and the
@@ -587,6 +632,11 @@ object DedupOps extends QueryPack {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_substring_spans" -> substringSpansOracle,
     "dedup_strip_spans" -> stripSpansOracle,
+    // the incremental forms must emit exactly the full-corpus spans
+    // restricted to batch docs — the oracle IS that restriction; the
+    // store-backed probe shares it verbatim (zero-drift gate)
+    "dedup_incremental_spans" -> incrementalSpansOracle,
+    "dedup_incremental_spans_store" -> incrementalSpansOracle,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,

@@ -387,6 +387,47 @@ object StreamingPipelines {
     checkpointed
   }
 
+  /** Token-level boilerplate removal at ingest: strip each arriving
+    * batch of every >= k-token span already duplicated — against the
+    * persisted gram corpus OR within the batch itself — then publish
+    * the batch's own windows for future batches to match. Call inside
+    * foreachBatch; returns (idCol, clean_text, n_dropped).
+    *
+    * The store ingests grams of the ORIGINAL text, not the cleaned
+    * rewrite: the gram table records what the corpus has SEEN, so
+    * boilerplate keeps matching future re-occurrences even after every
+    * stored doc had it stripped downstream (cleaned-gram ingest would
+    * quietly forget a span the moment its last carrier was cleaned).
+    *
+    * Replay-exact: the probe always anti-joins the batch's own ids out
+    * of the seen view ([[graft.operators.GramStore.probe]]
+    * `excludeBatchIds` — a first run is unaffected, the store has no
+    * such rows yet), so an at-least-once replay after the merge
+    * recomputes the identical span set; the merge itself is
+    * batchId-idempotent. Same id contract as the other loops: ids
+    * unique ACROSS the stream, not just within a batch. */
+  def spanIngestBatch(store: graft.operators.GramStore, batch: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    import graft.operators.Dedup
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"spanIngestBatch requires LONG doc ids (the GramStore schema), got " +
+        s"${batch.schema(idCol).dataType.catalogString} — map ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+    val spans = store.probe(batch, idCol, textCol, excludeBatchIds = true)
+    val cleaned0 = Dedup.stripSpans(batch, spans, idCol, textCol)
+    // on a replay the merge below no-ops — return the LAZY rewrite
+    if (store.isReplay(batchId)) return cleaned0
+    // eager checkpoint: the store ingest is an action over the batch's
+    // lineage and the caller's sink write would re-run the whole
+    // probe+rewrite — materialize once
+    val cleaned = cleaned0.localCheckpoint()
+    store.ingest(batch, idCol, textCol, batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
+    cleaned
+  }
+
   /** Streaming curation with a CORPUS-RELATIVE quality floor — the
     * composition [[curateStream]] can't express with its fixed
     * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
