@@ -312,6 +312,37 @@ object StreamingPipelines {
     out
   }
 
+  /** The COMPLETE curation ingest with token-level boilerplate removal
+    * — the streaming twin of the batch
+    * [[graft.packs.PipelineOps.pipelineCurateStrip]] composition, same
+    * stage order: quality scoring + mixture + exact gate + near-dup
+    * drop ([[curateIngestBatch]]) first, THEN [[spanIngestBatch]] over
+    * the batch's SURVIVORS — a retired duplicate's grams never enter
+    * the gram corpus, so a canonical doc is not self-duplicated by its
+    * own dropped copies (the ordering the batch spec pins). Returns the
+    * survivors with `textCol` replaced by (clean_text, n_dropped);
+    * `seenDocs` stays the ORIGINAL accepted texts — near-dup
+    * verification compares arriving content against what the corpus
+    * actually contained, not the rewrites. Every store merge is
+    * batchId-idempotent; both probes are replay-exact. */
+  def curateStripIngestBatch(floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
+      bandStore: graft.operators.BandStore,
+      gramStore: graft.operators.GramStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val survivors = curateIngestBatch(floorStore, exactStore, bandStore,
+      seenDocs, batch, idCol, textCol, langCol, ratesBp, defaultBp,
+      threshold, maxBucketSize, batchId, maxSegments)
+    val cleaned = spanIngestBatch(gramStore, survivors, idCol, textCol,
+      batchId, maxSegments)
+    survivors.drop(textCol).join(cleaned, Seq(idCol))
+  }
+
   /** foreachBatch body for the streaming ANN ingest side: assign the
     * arriving vectors to their IVF cells (one scan-side native-expression
     * pass — [[graft.operators.IvfIndex.index]]) and merge them into the
