@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (BASELINE.json
@@ -109,6 +110,68 @@ object TextAnalysis {
       size(tokens(t)).cast("long").as("ws_tokens"),
       regexp_count(t, lit("[a-z0-9]+")).cast("long").as("word_tokens"),
       ceil(length(t).cast("double") / 4.0).cast("long").as("bpe_est"))
+  }
+
+  /** Deterministic training-output sharding — the LAST stage of a
+    * curation pipeline: every doc gets a shard and a pseudo-random
+    * position within it, both pure md5 functions of the id (salted
+    * separately, so shard and order are independent). No RNG, no seed
+    * plumbing: re-runs, engines, and repartitionings all agree, and a
+    * resumed job re-derives the exact same layout.
+    *
+    * Scale shape: the hashes are scan-side; the only shuffle is the
+    * per-shard ranking window, keyed by shard — nShards in the
+    * thousands bounds each window partition to corpus/nShards and
+    * parallelizes the sort across shards. */
+  def shardAssign(docs: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val w = Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
+    docs.select(col(idCol),
+        pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
+          .as("shard"),
+        Dedup.md5h60(concat(lit("ord#"), idStr)).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Concat-and-chunk sequence packing (the pretraining layout): each
+    * shard's documents, taken in the [[shardAssign]] order, are
+    * conceptually concatenated and cut into fixed `budget`-token
+    * training sequences — a document may straddle a cut. Output per
+    * doc: its shard/pos, token count, the first and last sequence ids
+    * it lands in, and its token offset inside the first one. Greedy
+    * whole-doc bin packing is inherently sequential state; the
+    * concat-and-chunk policy is the one large pipelines actually use
+    * AND is a pure prefix-sum — cross-engine exact.
+    *
+    * Scale shape: one shuffle on shard, then TWO per-shard window
+    * passes (rank + running token sum) over the same partitioning —
+    * Catalyst fuses them into one sort, no second exchange. The
+    * running sum is integer (exact, order-locked by the unique (ord,
+    * id) sort key); everything downstream is scan-side arithmetic. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Int): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val w = Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
+    docs.select(col(idCol),
+        pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
+          .as("shard"),
+        Dedup.md5h60(concat(lit("ord#"), idStr)).as("ord"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev", col("cum") - col("n_tokens"))
+      // nonnegative longs: cast-truncation IS floor-division (the
+      // oracle's // operator); tokens >= 1 always (split("") = [""]),
+      // so cum > prev and seq_last >= seq_first
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"),
+        (col("prev") / budget).cast("long").as("seq_first"),
+        ((col("cum") - 1) / budget).cast("long").as("seq_last"),
+        pmod(col("prev"), lit(budget.toLong)).as("seq_offset"))
   }
 
   /** Fingerprints: rolling content hash + md5. */

@@ -90,6 +90,11 @@ object TextOps extends QueryPack {
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
   val SampleRatesBp: Map[String, Int] = Map("en" -> 5000, "zh" -> 10000)
   val SampleDefaultBp: Int = 2500
+  /** Training-output layout constants, shared with the generated SQL
+    * (production: shards in the thousands, budgets 2k-8k tokens; the
+    * small values keep every boundary case live on the test corpus). */
+  val NumShards: Int = 8
+  val PackBudget: Int = 256
   val TfidfK: Int = 3
 
   /** DuckDB twin of TextAnalysis.qualityScore's expression — shared by
@@ -116,6 +121,18 @@ object TextOps extends QueryPack {
     TextAnalysis.stratifiedSample(Tables.documents(spark, sfDir),
         "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
       .select(col("doc_id"), col("lang"))
+
+  /** Deterministic shard + within-shard order for training output —
+    * [[graft.operators.TextAnalysis.shardAssign]]. */
+  def shardAssign(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.shardAssign(Tables.documents(spark, sfDir), "doc_id",
+      NumShards)
+
+  /** Concat-and-chunk packing of each shard's token stream into fixed
+    * training sequences — [[graft.operators.TextAnalysis.packSequences]]. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(spark, sfDir), "doc_id",
+      "text", NumShards, PackBudget)
 
   /** temperature_sample target: at the driver gate's sf0.01 documents
     * table (500 docs, 20 near-uniform sources) this lands keep rates
@@ -193,6 +210,8 @@ object TextOps extends QueryPack {
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
+    "shard_assign" -> (shardAssign _),
+    "pack_sequences" -> (packSequences _),
     "temperature_sample" -> (temperatureSample _),
     "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -209,7 +228,35 @@ object TextOps extends QueryPack {
     "multimodal_frames_decode" -> (multimodalFramesDecode _)
   )
 
+  /** Shared CTEs of the training-output oracles: the SAME salted
+    * md5-derived shard/order hashes as the Spark side (the md5h60
+    * idiom) and one per-shard ranked + token-prefix-summed pass. */
+  private val shardPackCtes: String =
+    s"""s AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
+       |    ('0x' || substr(md5('ord#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM s
+       |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "shard_assign" ->
+      s"""WITH $shardPackCtes
+         |SELECT doc_id, shard, pos FROM w""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH $shardPackCtes
+         |SELECT doc_id, shard, pos, n_tokens,
+         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
+         |  CAST((cum - 1) // $PackBudget AS BIGINT) AS seq_last,
+         |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
+         |FROM w""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
