@@ -238,6 +238,22 @@ object DedupOps extends QueryPack {
       Dedup.spanGrams(seen, "doc_id", "text"), "doc_id", "text")
   }
 
+  /** The ingest-loop rewrite as a gated query: the batch's docs with
+    * every span duplicated against seen ∪ batch stripped
+    * ([[graft.operators.Dedup.stripSpans]] over the incremental
+    * detector's spans) — what [[graft.streaming.StreamingPipelines.spanIngestBatch]]
+    * emits per trigger, value-gated against the full-corpus strip
+    * restricted to batch ids. */
+  def dedupIncrementalStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    Dedup.stripSpans(batch,
+      Dedup.incrementalDuplicateSpansFrom(batch,
+        Dedup.spanGrams(seen, "doc_id", "text"), "doc_id", "text"),
+      "doc_id", "text")
+  }
+
   private val gramStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.GramStore]()
 
@@ -271,6 +287,7 @@ object DedupOps extends QueryPack {
     "dedup_strip_spans" -> (dedupStripSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
     "dedup_incremental_spans_store" -> (dedupIncrementalSpansStore _),
+    "dedup_incremental_strip" -> (dedupIncrementalStrip _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_bloom" -> (dedupIncrementalBloom _),
     "dedup_incremental_bloom_store" -> (dedupIncrementalBloomStore _),
@@ -637,6 +654,16 @@ object DedupOps extends QueryPack {
     // store-backed probe shares it verbatim (zero-drift gate)
     "dedup_incremental_spans" -> incrementalSpansOracle,
     "dedup_incremental_spans_store" -> incrementalSpansOracle,
+    // full-corpus detect+mark, rewrite restricted to batch docs — the
+    // incremental strip must equal exactly that
+    "dedup_incremental_strip" ->
+      s"""WITH ${spanMarkCtesFrom("documents", Dedup.DupSpanTokens)}
+          |SELECT doc_id,
+          |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+          |    FILTER (WHERE dropped = 0), '') AS clean_text,
+          |  CAST(sum(dropped) AS BIGINT) AS n_dropped
+          |FROM markedt WHERE doc_id % $IncrementalBatchMod = 0
+          |GROUP BY doc_id""".stripMargin,
     "dedup_minhash_md5" -> minhashMd5Oracle,
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,
