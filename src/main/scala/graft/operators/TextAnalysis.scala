@@ -153,6 +153,16 @@ object TextAnalysis {
     * id) sort key); everything downstream is scan-side arithmetic. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int, budget: Int): DataFrame = {
+    val rows = shardPackRows(docs, idCol, textCol, nShards)
+    packColumns(rows, idCol, budget, lit(0L), lit(0L))
+  }
+
+  /** The shared windowing body of [[packSequences]] and the streaming
+    * pack-ingest loop: shard/order hashes, token counts, and the
+    * per-shard rank (`bpos`) + running token sum (`bcum`) WITHIN
+    * `docs`. A consumer adds its own base offsets. */
+  private[graft] def shardPackRows(docs: DataFrame, idCol: String,
+      textCol: String, nShards: Int): DataFrame = {
     val idStr = col(idCol).cast("string")
     val w = Window
       .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
@@ -161,17 +171,27 @@ object TextAnalysis {
           .as("shard"),
         Dedup.md5h60(concat(lit("ord#"), idStr)).as("ord"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .withColumn("cum", sum(col("n_tokens"))
+      .withColumn("bpos", row_number().over(w).cast("long"))
+      .withColumn("bcum", sum(col("n_tokens"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("prev", col("cum") - col("n_tokens"))
-      // nonnegative longs: cast-truncation IS floor-division (the
-      // oracle's // operator); tokens >= 1 always (split("") = [""]),
-      // so cum > prev and seq_last >= seq_first
-      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"),
-        (col("prev") / budget).cast("long").as("seq_first"),
-        ((col("cum") - 1) / budget).cast("long").as("seq_last"),
-        pmod(col("prev"), lit(budget.toLong)).as("seq_offset"))
+  }
+
+  /** Finish [[shardPackRows]] into the packed layout on top of
+    * per-shard base offsets (lit(0) for the batch operator; a store's
+    * accumulated totals for the ingest loop — ONE arithmetic, so the
+    * two can't drift). */
+  private[graft] def packColumns(rows: DataFrame, idCol: String,
+      budget: Int, baseDocs: Column, baseToks: Column): DataFrame = {
+    val cum = baseToks + col("bcum")
+    val prev = cum - col("n_tokens")
+    // nonnegative longs: cast-truncation IS floor-division (the
+    // oracle's // operator); tokens >= 1 always (split("") = [""]),
+    // so cum > prev and seq_last >= seq_first
+    rows.select(col(idCol), col("shard"),
+      (baseDocs + col("bpos")).as("pos"), col("n_tokens"),
+      (prev / budget).cast("long").as("seq_first"),
+      ((cum - 1) / budget).cast("long").as("seq_last"),
+      pmod(prev, lit(budget.toLong)).as("seq_offset"))
   }
 
   /** Fingerprints: rolling content hash + md5. */
