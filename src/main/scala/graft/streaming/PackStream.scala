@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming twin of [[graft.operators.TextAnalysis.packSequences]] —
+  * the training-output layout maintained incrementally over an
+  * unbounded ingest stream.
+  *
+  * Batch packing orders the WHOLE corpus by the salted hash; a stream
+  * cannot re-sort history (the already-emitted layout is immutable), so
+  * the streaming layout is arrival-major: batches occupy the token
+  * stream in arrival order, hash-ordered WITHIN each batch. The only
+  * state that needs to persist is per-shard totals — how many docs and
+  * tokens each shard has absorbed — because the packing arithmetic is a
+  * pure prefix sum: batch N's rows are exactly
+  * `packColumns(shardPackRows(batch))` on top of batches 1..N-1's
+  * accumulated totals (ONE shared arithmetic with the batch operator,
+  * so the two forms cannot drift).
+  *
+  * State shape: `(batch_id, shard, n_docs, n_tokens)` — the folded
+  * history (one `FoldedBatch` row per shard) plus the LAST batch's
+  * per-shard contribution, ≤ 2·nShards rows forever. Keeping the last
+  * contribution under its own batch_id is what makes replay exact: the
+  * base offsets for batch B read `batch_id < B`, so an at-least-once
+  * REPLAY of the last batch (its contribution already merged, tagged B)
+  * recomputes the identical emission — the same
+  * exclude-the-batch's-own-rows trick the band/gram stores use, in
+  * aggregate form. Each merge folds everything older than the incoming
+  * batch into the `FoldedBatch` rows, so state stays bounded by the
+  * shard count, never the stream length.
+  *
+  * nShards and budget live ON the store: a layout is only coherent if
+  * every batch agrees on both (a mid-stream budget change would
+  * re-chunk the already-emitted sequence ids).
+  */
+final class PackStore(val nShards: Int, val budget: Int, dir: String) {
+
+  def this(nShards: Int, budget: Int) =
+    this(nShards, budget,
+      Files.createTempDirectory("graft-pack-store").toString)
+
+  require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+  require(budget >= 1, s"budget must be >= 1, got $budget")
+
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
+
+  /** Current totals table: (batch_id, shard, n_docs, n_tokens). Empty
+    * before the first merge. ≤ 2·nShards rows by construction. */
+  def table(spark: SparkSession): DataFrame = store.current match {
+    case None =>
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("batch_id", "shard", "n_docs", "n_tokens")
+    case Some(d) => spark.read.parquet(d)
+  }
+
+  /** Per-shard base offsets for batch `batchId`: the stream's mass
+    * STRICTLY BEFORE it — (shard, base_docs, base_toks). Excluding the
+    * batch's own id (not just "everything") is the replay-exactness
+    * seam; monotonic foreachBatch ids make the two equivalent on a
+    * first run. */
+  def totalsBefore(spark: SparkSession, batchId: Long): DataFrame =
+    table(spark).filter(col("batch_id") < lit(batchId))
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).cast("long").as("base_docs"),
+        sum(col("n_tokens")).cast("long").as("base_toks"))
+
+  /** True when `batchId` was already merged — [[merge]] would no-op and
+    * the emission for it is a pure replay read. */
+  def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
+
+  /** Merge one batch's per-shard contribution (shard, n_docs,
+    * n_tokens): fold all older rows into the `FoldedBatch` sentinel,
+    * append the contribution under its own batch_id. batchId-idempotent
+    * via the shared version-publish guard. */
+  def merge(contrib: DataFrame, batchId: Long): Unit = synchronized {
+    require(batchId >= 0,
+      s"PackStore.merge needs a real (monotonic, >= 0) batchId for its " +
+        s"base-offset arithmetic, got $batchId")
+    val spark = contrib.sparkSession
+    store.publish(batchId) { nextDir =>
+      val folded = table(spark).filter(col("batch_id") < lit(batchId))
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .select(lit(PackStore.FoldedBatch).as("batch_id"), col("shard"),
+          col("n_docs"), col("n_tokens"))
+      val tagged = contrib.select(lit(batchId).as("batch_id"),
+        col("shard").cast("long").as("shard"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      folded.unionByName(tagged)
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
+    }
+  }
+}
+
+object PackStore {
+  /** batch_id sentinel for folded history rows — strictly below every
+    * real foreachBatch id, so `batch_id < B` always includes them. */
+  val FoldedBatch: Long = -1L
+}

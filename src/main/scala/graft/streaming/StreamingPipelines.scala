@@ -459,6 +459,59 @@ object StreamingPipelines {
     cleaned
   }
 
+  /** Training-output layout at ingest — the streaming twin of
+    * [[graft.operators.TextAnalysis.packSequences]], as a foreachBatch
+    * body: shard/order/rank the ARRIVING batch with the identical
+    * hash-window machinery the batch operator uses
+    * ([[graft.operators.TextAnalysis.shardPackRows]]), then finish it
+    * into global positions and sequence ids on top of the store's
+    * accumulated per-shard totals
+    * ([[graft.operators.TextAnalysis.packColumns]] — one shared
+    * arithmetic, so stream and batch cannot drift). The layout is
+    * arrival-major (the stream appends to each shard's token stream;
+    * hash order applies within a batch — the already-emitted layout is
+    * immutable, documented delta vs the all-corpus hash order of the
+    * batch form), and the seams are exact: a batch's first doc starts
+    * in the very token slot the previous batch ended, mid-sequence
+    * included.
+    *
+    * Replay-exact: base offsets read the stream's mass STRICTLY BEFORE
+    * this batchId ([[PackStore.totalsBefore]]), so an at-least-once
+    * replay — its own contribution already merged under its id — sees
+    * the original base and re-emits the identical rows; the totals
+    * merge itself is batchId-idempotent. State is ≤ 2·nShards rows
+    * regardless of stream length. Returns the batch's packed rows
+    * (same schema as the batch operator) for the caller's sink. */
+  def packIngestBatch(store: PackStore, batch: DataFrame, idCol: String,
+      textCol: String, batchId: Long): DataFrame = {
+    import graft.operators.TextAnalysis
+    require(batchId >= 0,
+      s"packIngestBatch needs a real (monotonic, >= 0) batchId for its " +
+        s"base-offset arithmetic, got $batchId")
+    val spark = batch.sparkSession
+    val rows = TextAnalysis.shardPackRows(batch, idCol, textCol, store.nShards)
+    // ≤ nShards rows — always broadcast, the corpus never re-shuffles
+    // on shard for the join
+    val withBase = rows
+      .join(broadcast(store.totalsBefore(spark, batchId)), Seq("shard"), "left")
+      .na.fill(0L, Seq("base_docs", "base_toks"))
+    val packed0 = TextAnalysis.packColumns(withBase, idCol, store.budget,
+      col("base_docs"), col("base_toks"))
+    // on a replay the merge below would no-op — return the LAZY rows
+    if (store.isReplay(batchId)) return packed0
+    // eager checkpoint: the totals merge below is an action over the
+    // batch's window lineage and the caller's sink write would re-run
+    // it — materialize once; the contribution then derives from the
+    // OUTPUT (packed rows carry shard + n_tokens), zero recompute
+    val packed = packed0.localCheckpoint()
+    store.merge(
+      packed.groupBy(col("shard")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens")),
+      batchId)
+    packed
+  }
+
   /** Streaming curation with a CORPUS-RELATIVE quality floor — the
     * composition [[curateStream]] can't express with its fixed
     * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
