@@ -194,6 +194,74 @@ object TextAnalysis {
       pmod(prev, lit(budget.toLong)).as("seq_offset"))
   }
 
+  /** Padded sequence packing — the OTHER training layout: a document
+    * never straddles a sequence boundary it could avoid. Documents are
+    * taken in the [[shardAssign]] order; if the current sequence's
+    * remainder can't hold the next whole document, the remainder is
+    * padded out (`pad_before` tokens) and the document starts a fresh
+    * sequence at offset 0. Only a document LONGER than the budget ever
+    * crosses a boundary (it starts at offset 0 and spans
+    * ceil(n/budget) sequences — the unavoidable case). This is the
+    * no-cross-doc-attention layout (SFT / document-isolated
+    * pretraining); [[packSequences]] is the dense concat-and-chunk
+    * layout. Output adds `pad_before` so Σ(pad_before + n_tokens) per
+    * shard reconstructs the physical token stream exactly.
+    *
+    * Unlike concat-and-chunk, the padded layout is NOT a prefix sum:
+    * each document's start slot depends on every earlier pad decision
+    * (offset_{i+1} = f(offset_i), no closed form), so the per-shard
+    * fold is genuinely sequential state — the documented last-resort
+    * case for `mapPartitions`. Scale shape: the ONE shard exchange +
+    * sort come from [[shardPackRows]]'s window (the explicit
+    * `sortWithinPartitions` restates the ordering contract and is
+    * elided by the planner — plan-pinned one exchange / one sort);
+    * the fold itself is a narrow per-partition pass, O(1) state per
+    * shard, parallel across shards exactly like the training-output
+    * writers that consume it. Hash partitioning never splits a shard
+    * across partitions, so each shard is one contiguous, ordered run
+    * and the fold resets state on the shard boundary. */
+  def packSequencesPadded(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val rows = shardPackRows(docs, idCol, textCol, nShards)
+      .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+    val sch = rows.schema
+    val iId = sch.fieldIndex(idCol)
+    val iShard = sch.fieldIndex("shard")
+    val iPos = sch.fieldIndex("bpos")
+    val iTok = sch.fieldIndex("n_tokens")
+    val outSchema = StructType(Array(
+      sch(iId), StructField("shard", LongType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("seq_first", LongType, nullable = false),
+      StructField("seq_last", LongType, nullable = false),
+      StructField("seq_offset", LongType, nullable = false),
+      StructField("pad_before", LongType, nullable = false)))
+    val b = budget.toLong
+    rows.mapPartitions { it =>
+      var curShard = Long.MinValue
+      var nextSeq = 0L
+      var nextOff = 0L
+      it.map { r =>
+        val shard = r.getLong(iShard)
+        if (shard != curShard) { curShard = shard; nextSeq = 0L; nextOff = 0L }
+        val n = r.getLong(iTok)
+        val pad = if (nextOff > 0 && nextOff + n > b) b - nextOff else 0L
+        val startSeq = if (pad > 0) nextSeq + 1 else nextSeq
+        val startOff = if (pad > 0) 0L else nextOff
+        val seqLast = startSeq + (startOff + n - 1) / b
+        val endOff = (startOff + n) % b
+        nextSeq = if (endOff == 0) seqLast + 1 else seqLast
+        nextOff = endOff
+        Row(r.get(iId), shard, r.getLong(iPos), n,
+          startSeq, seqLast, startOff, pad)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Fingerprints: rolling content hash + md5. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

@@ -199,6 +199,10 @@ object TextOps extends QueryPack {
       "doc_id", "text", minOverlap = ContamMinOverlap)
   }
 
+  def packSequencesPadded(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextAnalysis.packSequencesPadded(
+      Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
+
   def perSourceCap(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
@@ -212,6 +216,7 @@ object TextOps extends QueryPack {
     "stratified_sample" -> (stratifiedSample _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
+    "pack_sequences_padded" -> (packSequencesPadded _),
     "temperature_sample" -> (temperatureSample _),
     "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -257,6 +262,43 @@ object TextOps extends QueryPack {
          |  CAST((cum - 1) // $PackBudget AS BIGINT) AS seq_last,
          |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
          |FROM w""".stripMargin,
+
+    // padded layout: a per-shard sequential recurrence (each start slot
+    // depends on every earlier pad decision), mirrored as a recursive
+    // CTE walking pos -> pos+1 per shard — the standard-SQL spelling of
+    // the same fold the Spark side runs in mapPartitions
+    "pack_sequences_padded" ->
+      s"""WITH RECURSIVE $shardPackCtes,
+         |p AS (
+         |  SELECT shard, CAST(0 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
+         |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS seq_first,
+         |    CAST(NULL AS BIGINT) AS seq_last, CAST(NULL AS BIGINT) AS seq_offset,
+         |    CAST(NULL AS BIGINT) AS pad_before,
+         |    CAST(0 AS BIGINT) AS next_seq, CAST(0 AS BIGINT) AS next_off
+         |  FROM (SELECT DISTINCT shard FROM w)
+         |  UNION ALL
+         |  SELECT shard, pos, doc_id, n_tokens,
+         |    start_seq AS seq_first,
+         |    start_seq + (start_off + n_tokens - 1) // $PackBudget AS seq_last,
+         |    start_off AS seq_offset, pad AS pad_before,
+         |    CASE WHEN (start_off + n_tokens) % $PackBudget = 0
+         |         THEN start_seq + (start_off + n_tokens - 1) // $PackBudget + 1
+         |         ELSE start_seq + (start_off + n_tokens - 1) // $PackBudget END AS next_seq,
+         |    (start_off + n_tokens) % $PackBudget AS next_off
+         |  FROM (
+         |    SELECT w.shard, w.pos, w.doc_id, w.n_tokens,
+         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+         |           THEN p.next_seq + 1 ELSE p.next_seq END AS start_seq,
+         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+         |           THEN CAST(0 AS BIGINT) ELSE p.next_off END AS start_off,
+         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+         |           THEN $PackBudget - p.next_off ELSE CAST(0 AS BIGINT) END AS pad
+         |    FROM p JOIN w ON w.shard = p.shard AND w.pos = p.pos + 1
+         |  )
+         |)
+         |SELECT doc_id, shard, pos, n_tokens, seq_first, seq_last, seq_offset,
+         |  pad_before
+         |FROM p WHERE doc_id IS NOT NULL""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
