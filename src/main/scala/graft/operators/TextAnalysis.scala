@@ -221,17 +221,38 @@ object TextAnalysis {
     * across partitions, so each shard is one contiguous, ordered run
     * and the fold resets state on the shard boundary. */
   def packSequencesPadded(docs: DataFrame, idCol: String, textCol: String,
-      nShards: Int, budget: Int): DataFrame = {
+      nShards: Int, budget: Int): DataFrame =
+    paddedPackColumns(
+      shardPackRows(docs, idCol, textCol, nShards)
+        .withColumn("base_docs", lit(0L))
+        .withColumn("base_seq", lit(0L))
+        .withColumn("base_off", lit(0L)),
+      idCol, budget)
+
+  /** The shared per-shard fold of [[packSequencesPadded]] and the
+    * streaming padded-pack ingest loop: rows are [[shardPackRows]]
+    * output plus per-shard resume state (`base_docs`/`base_seq`/
+    * `base_off` — lit(0) for the batch operator; a store's carried
+    * state for the ingest loop — ONE arithmetic, so the two can't
+    * drift). Every row of a shard carries the same base triple; the
+    * fold re-seeds from it on each shard boundary. The explicit
+    * `sortWithinPartitions` restates the ordering contract the window
+    * already established and is elided by the planner (plan-pinned:
+    * the fold adds no exchange and no second sort). */
+  private[graft] def paddedPackColumns(rows: DataFrame, idCol: String,
+      budget: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val rows = shardPackRows(docs, idCol, textCol, nShards)
-      .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
-    val sch = rows.schema
+    val sorted = rows.sortWithinPartitions(col("shard"), col("ord"), col(idCol))
+    val sch = sorted.schema
     val iId = sch.fieldIndex(idCol)
     val iShard = sch.fieldIndex("shard")
     val iPos = sch.fieldIndex("bpos")
     val iTok = sch.fieldIndex("n_tokens")
+    val iBDocs = sch.fieldIndex("base_docs")
+    val iBSeq = sch.fieldIndex("base_seq")
+    val iBOff = sch.fieldIndex("base_off")
     val outSchema = StructType(Array(
       sch(iId), StructField("shard", LongType, nullable = false),
       StructField("pos", LongType, nullable = false),
@@ -241,13 +262,19 @@ object TextAnalysis {
       StructField("seq_offset", LongType, nullable = false),
       StructField("pad_before", LongType, nullable = false)))
     val b = budget.toLong
-    rows.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       var curShard = Long.MinValue
+      var baseDocs = 0L
       var nextSeq = 0L
       var nextOff = 0L
       it.map { r =>
         val shard = r.getLong(iShard)
-        if (shard != curShard) { curShard = shard; nextSeq = 0L; nextOff = 0L }
+        if (shard != curShard) {
+          curShard = shard
+          baseDocs = r.getLong(iBDocs)
+          nextSeq = r.getLong(iBSeq)
+          nextOff = r.getLong(iBOff)
+        }
         val n = r.getLong(iTok)
         val pad = if (nextOff > 0 && nextOff + n > b) b - nextOff else 0L
         val startSeq = if (pad > 0) nextSeq + 1 else nextSeq
@@ -256,7 +283,7 @@ object TextAnalysis {
         val endOff = (startOff + n) % b
         nextSeq = if (endOff == 0) seqLast + 1 else seqLast
         nextOff = endOff
-        Row(r.get(iId), shard, r.getLong(iPos), n,
+        Row(r.get(iId), shard, baseDocs + r.getLong(iPos), n,
           startSeq, seqLast, startOff, pad)
       }
     }(Encoders.row(outSchema))

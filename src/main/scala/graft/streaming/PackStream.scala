@@ -103,3 +103,93 @@ object PackStore {
     * real foreachBatch id, so `batch_id < B` always includes them. */
   val FoldedBatch: Long = -1L
 }
+
+/** Streaming twin of [[graft.operators.TextAnalysis.packSequencesPadded]]
+  * — the document-isolated training layout maintained incrementally.
+  *
+  * The padded fold's whole cross-batch state is one resume triple per
+  * shard — (n_docs, next_seq, next_off): where the shard's token stream
+  * currently ends. Batch N's rows are exactly
+  * `paddedPackColumns(shardPackRows(batch))` re-seeded from that triple
+  * (the SAME fold the batch operator runs from (0,0,0) — one arithmetic,
+  * no drift), and the state after the batch derives from the batch's
+  * OUTPUT alone (its per-shard last row), never from a rescan.
+  *
+  * Unlike [[PackStore]]'s additive totals, resume state is
+  * last-writer-wins: `stateBefore(B)` picks each shard's row with the
+  * highest batch_id < B (an argmax over ≤ 2·nShards rows, not a sum).
+  * The same replay seam applies — a replayed batch's own rows are
+  * excluded by the strict inequality, so an at-least-once re-delivery
+  * re-seeds from the original triple and re-emits identical rows. Each
+  * merge folds all older state into [[PackStore.FoldedBatch]]-tagged
+  * rows (one per shard ever seen) plus the incoming batch's rows under
+  * its own id: state stays ≤ 2·nShards rows forever, and shards absent
+  * from a batch carry their folded state forward untouched. */
+final class PaddedPackStore(val nShards: Int, val budget: Int, dir: String) {
+
+  def this(nShards: Int, budget: Int) =
+    this(nShards, budget,
+      Files.createTempDirectory("graft-padded-pack-store").toString)
+
+  require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+  require(budget >= 1, s"budget must be >= 1, got $budget")
+
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
+
+  /** Current state table: (batch_id, shard, n_docs, next_seq,
+    * next_off). Empty before the first merge. ≤ 2·nShards rows. */
+  def table(spark: SparkSession): DataFrame = store.current match {
+    case None =>
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("batch_id", "shard", "n_docs", "next_seq", "next_off")
+    case Some(d) => spark.read.parquet(d)
+  }
+
+  /** Per-shard resume triples for batch `batchId`: each shard's
+    * newest state STRICTLY BEFORE it — (shard, base_docs, base_seq,
+    * base_off). The argmax struct is ordered by batch_id (real ids
+    * ≥ 0 outrank the folded sentinel), so a shard updated by the last
+    * batch resumes from that batch, everything else from its folded
+    * row. */
+  def stateBefore(spark: SparkSession, batchId: Long): DataFrame =
+    table(spark).filter(col("batch_id") < lit(batchId))
+      .groupBy(col("shard"))
+      .agg(max(struct(col("batch_id"), col("n_docs"), col("next_seq"),
+        col("next_off"))).as("s"))
+      .select(col("shard"), col("s.n_docs").as("base_docs"),
+        col("s.next_seq").as("base_seq"), col("s.next_off").as("base_off"))
+
+  /** True when `batchId` was already merged — [[merge]] would no-op and
+    * the emission for it is a pure replay read. */
+  def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
+
+  /** Merge one batch's per-shard resume state (shard, n_docs,
+    * next_seq, next_off — the state AFTER the batch): fold every older
+    * row into per-shard `FoldedBatch` sentinels (shards the batch
+    * didn't touch keep their state there), append the batch's rows
+    * under its own id. batchId-idempotent via the shared
+    * version-publish guard. */
+  def merge(stateAfter: DataFrame, batchId: Long): Unit = synchronized {
+    require(batchId >= 0,
+      s"PaddedPackStore.merge needs a real (monotonic, >= 0) batchId " +
+        s"for its resume arithmetic, got $batchId")
+    val spark = stateAfter.sparkSession
+    store.publish(batchId) { nextDir =>
+      val folded = table(spark).filter(col("batch_id") < lit(batchId))
+        .groupBy(col("shard"))
+        .agg(max(struct(col("batch_id"), col("n_docs"), col("next_seq"),
+          col("next_off"))).as("s"))
+        .select(lit(PackStore.FoldedBatch).as("batch_id"), col("shard"),
+          col("s.n_docs").as("n_docs"), col("s.next_seq").as("next_seq"),
+          col("s.next_off").as("next_off"))
+      val tagged = stateAfter.select(lit(batchId).as("batch_id"),
+        col("shard").cast("long").as("shard"),
+        col("n_docs").cast("long").as("n_docs"),
+        col("next_seq").cast("long").as("next_seq"),
+        col("next_off").cast("long").as("next_off"))
+      folded.unionByName(tagged)
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
+    }
+  }
+}

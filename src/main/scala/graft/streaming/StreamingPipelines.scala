@@ -512,6 +512,59 @@ object StreamingPipelines {
     packed
   }
 
+  /** Padded-pack ingest — the streaming twin of
+    * [[graft.operators.TextAnalysis.packSequencesPadded]]: the arriving
+    * batch is shard/order/ranked by the shared window machinery, then
+    * run through the SAME per-shard fold
+    * ([[graft.operators.TextAnalysis.paddedPackColumns]]) re-seeded
+    * from the store's resume triples, so every emitted batch continues
+    * each shard's token stream exactly — a document that fits the
+    * current sequence's remainder lands there even across a batch (or
+    * restart) boundary; one that doesn't pads it out, exactly as the
+    * batch operator would have.
+    *
+    * Replay-exact for the same reason [[packIngestBatch]] is: resume
+    * state reads STRICTLY BEFORE this batchId
+    * ([[PaddedPackStore.stateBefore]]), and the post-batch state the
+    * merge records derives from the batch's OUTPUT (its per-shard last
+    * row — an argmax over the emitted rows), never a rescan. State is
+    * ≤ 2·nShards resume triples regardless of stream length. Returns
+    * the batch's packed rows (same schema as the batch operator, pads
+    * included) for the caller's sink. */
+  def packPaddedIngestBatch(store: PaddedPackStore, batch: DataFrame,
+      idCol: String, textCol: String, batchId: Long): DataFrame = {
+    import graft.operators.TextAnalysis
+    require(batchId >= 0,
+      s"packPaddedIngestBatch needs a real (monotonic, >= 0) batchId for " +
+        s"its resume arithmetic, got $batchId")
+    val spark = batch.sparkSession
+    val rows = TextAnalysis.shardPackRows(batch, idCol, textCol, store.nShards)
+    // ≤ nShards resume rows — always broadcast; the broadcast hash join
+    // streams the window output, so the fold still sees each shard as
+    // one contiguous ordered run with no extra exchange
+    val withBase = rows
+      .join(broadcast(store.stateBefore(spark, batchId)), Seq("shard"), "left")
+      .na.fill(0L, Seq("base_docs", "base_seq", "base_off"))
+    val packed0 = TextAnalysis.paddedPackColumns(withBase, idCol, store.budget)
+    // on a replay the merge below would no-op — return the LAZY rows
+    if (store.isReplay(batchId)) return packed0
+    // eager checkpoint: the state merge is an action over the batch's
+    // window+fold lineage and the caller's sink write would re-run it —
+    // materialize once; the resume state then derives from the OUTPUT
+    val packed = packed0.localCheckpoint()
+    val b = store.budget.toLong
+    val last = packed.groupBy(col("shard")).agg(
+      max(struct(col("pos"), col("seq_last"), col("seq_offset"),
+        col("n_tokens"))).as("l"))
+    store.merge(
+      last.select(col("shard"), col("l.pos").as("n_docs"),
+        when(pmod(col("l.seq_offset") + col("l.n_tokens"), lit(b)) === 0,
+          col("l.seq_last") + 1).otherwise(col("l.seq_last")).as("next_seq"),
+        pmod(col("l.seq_offset") + col("l.n_tokens"), lit(b)).as("next_off")),
+      batchId)
+    packed
+  }
+
   /** Streaming curation with a CORPUS-RELATIVE quality floor — the
     * composition [[curateStream]] can't express with its fixed
     * `qualityMin`: keep the top keepFrac of the WHOLE corpus seen so
