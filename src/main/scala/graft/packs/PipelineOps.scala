@@ -103,10 +103,29 @@ object PipelineOps extends QueryPack {
         col("clean_text"), col("n_dropped"))
   }
 
+  /** The COMPLETE stack, gates to training layout: curate (quality →
+    * mixture → near-dup keep), strip (token-level boilerplate removal
+    * over survivors), then the deterministic training-output layout —
+    * [[TextAnalysis.packSequences]] over the CLEANED text. This is the
+    * end-to-end a pipeline user actually runs: what comes out is the
+    * (shard, pos, sequence) coordinate of every surviving document in
+    * the final token stream.
+    *
+    * Scale shape: everything upstream is [[curateStrip]]'s shape (one
+    * survivor-set checkpoint, candidates-only near-dup machinery);
+    * the layout stage adds exactly ONE more shuffle (on shard) and a
+    * fused rank+prefix-sum window — the terminal stage cost is
+    * independent of how the corpus was curated. */
+  def pipelineCuratePack(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.packSequences(
+      curateStrip(Tables.documents(spark, sfDir)),
+      "doc_id", "clean_text", TextOps.NumShards, TextOps.PackBudget)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
-      "pipeline_curate_strip" -> (pipelineCurateStrip _))
+      "pipeline_curate_strip" -> (pipelineCurateStrip _),
+      "pipeline_curate_pack" -> (pipelineCuratePack _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -174,6 +193,28 @@ object PipelineOps extends QueryPack {
          |    FILTER (WHERE m.dropped = 0), '') AS clean_text,
          |  CAST(sum(m.dropped) AS BIGINT) AS n_dropped
          |FROM markedt m JOIN kept kp ON m.doc_id = kp.doc_id
-         |GROUP BY kp.doc_id, kp.lang, kp.quality""".stripMargin
+         |GROUP BY kp.doc_id, kp.lang, kp.quality""".stripMargin,
+
+    // the pipeline_curate_strip tail becomes a `cleaned` CTE, then the
+    // shared shard/pack fragments lay out the CLEANED text — the same
+    // strings the standalone strip and pack oracles verify, end to end
+    "pipeline_curate_pack" ->
+      s"""WITH RECURSIVE $qualityKeepCtes,
+         |kept AS (
+         |  SELECT j.doc_id, j.lang, j.quality, s.text
+         |  FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |       JOIN sampled s ON j.doc_id = s.doc_id
+         |  WHERE j.doc_id = k.best_id
+         |),
+         |${DedupOps.spanMarkCtesFrom("kept", graft.operators.Dedup.DupSpanTokens)},
+         |cleaned AS (
+         |  SELECT m.doc_id,
+         |    coalesce(string_agg(m.tok, ' ' ORDER BY m.pos)
+         |      FILTER (WHERE m.dropped = 0), '') AS clean_text
+         |  FROM markedt m
+         |  GROUP BY m.doc_id
+         |),
+         |${TextOps.shardPackCtesFrom("cleaned", "clean_text", "ps", "pw")}
+         |${TextOps.packSelectFrom("pw")}""".stripMargin
   )
 }

@@ -235,20 +235,36 @@ object TextOps extends QueryPack {
 
   /** Shared CTEs of the training-output oracles: the SAME salted
     * md5-derived shard/order hashes as the Spark side (the md5h60
-    * idiom) and one per-shard ranked + token-prefix-summed pass. */
-  private val shardPackCtes: String =
-    s"""s AS (
+    * idiom) and one per-shard ranked + token-prefix-summed pass.
+    * Parameterized over the source relation/text column (the pipeline
+    * composition packs stripped survivors) and the CTE names (so a
+    * composed oracle can avoid clashes) — every caller gets the ONE
+    * string, so the hash/window arithmetic can't drift. */
+  private[packs] def shardPackCtesFrom(rel: String, textCol: String,
+      sName: String = "s", wName: String = "w"): String =
+    s"""$sName AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
        |    ('0x' || substr(md5('ord#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents
-       |), w AS (
+       |    CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tokens
+       |  FROM $rel
+       |), $wName AS (
        |  SELECT doc_id, shard, n_tokens,
        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM s
+       |  FROM $sName
        |)""".stripMargin
+
+  private val shardPackCtes: String = shardPackCtesFrom("documents", "text")
+
+  /** The pack_sequences SELECT tail over a [[shardPackCtesFrom]] `w`
+    * CTE — shared with the pipeline composition's oracle. */
+  private[packs] def packSelectFrom(wName: String): String =
+    s"""SELECT doc_id, shard, pos, n_tokens,
+       |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
+       |  CAST((cum - 1) // $PackBudget AS BIGINT) AS seq_last,
+       |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
+       |FROM $wName""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "shard_assign" ->
@@ -257,11 +273,7 @@ object TextOps extends QueryPack {
 
     "pack_sequences" ->
       s"""WITH $shardPackCtes
-         |SELECT doc_id, shard, pos, n_tokens,
-         |  CAST((cum - n_tokens) // $PackBudget AS BIGINT) AS seq_first,
-         |  CAST((cum - 1) // $PackBudget AS BIGINT) AS seq_last,
-         |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
-         |FROM w""".stripMargin,
+         |${packSelectFrom("w")}""".stripMargin,
 
     // padded layout: a per-shard sequential recurrence (each start slot
     // depends on every earlier pad decision), mirrored as a recursive

@@ -88,4 +88,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3L)._5 == 0L && out(3L)._4 == docC,
       "canonical survivor of the dup pair must pass through unstripped")
   }
+
+  test("curate+pack: layout covers exactly the strip survivors, token counts from CLEANED text") {
+    val stripped = PipelineOps.pipelineCurateStrip(spark, sf)
+      .as[(Long, String, Double, String, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val packed = PipelineOps.pipelineCuratePack(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(packed.length == stripped.size,
+      "every strip survivor lands in the layout exactly once")
+    // n_tokens counts the CLEANED text — the layout is of what ships
+    packed.foreach { case (id, _, _, n, _, _, _) =>
+      assert(n == stripped(id).split(" ", -1).length.toLong,
+        s"doc $id: packed n_tokens $n != cleaned token count")
+    }
+    // per-shard seam exactness, same invariant as ShardPackSpec
+    val B = TextOps.PackBudget
+    packed.groupBy(_._2).foreach { case (shard, rs) =>
+      val inOrder = rs.sortBy(_._3)
+      assert(inOrder.map(_._3).toSeq == (1L to rs.length).toSeq,
+        s"shard $shard: positions must be 1..n contiguous")
+      var cum = 0L
+      inOrder.foreach { case (id, _, _, n, first, last, off) =>
+        assert(off == cum % B && first == cum / B && last == (cum + n - 1) / B,
+          s"doc $id: seam broken")
+        cum += n
+      }
+    }
+  }
 }
