@@ -446,11 +446,25 @@ object TextAnalysis {
   def contamination(docs: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3, minOverlap: Int = 1): DataFrame = {
     val shingles = graft.functions.WordShingles(col(textCol), shingleN)
-    val benchSh = bench
-      .select(explode(array_distinct(shingles)).as("s")).distinct()
+    contaminationFrom(docs,
+      bench.select(explode(array_distinct(shingles)).as("s")).distinct(),
+      idCol, textCol, shingleN, minOverlap)
+  }
+
+  /** [[contamination]] against a PREBUILT benchmark shingle relation
+    * (one `s` string column) — the probe form a persisted
+    * [[BenchmarkStore]] plugs into: the benchmark side arrives as a
+    * bare store scan with zero shingle/explode work, and duplicate
+    * rows on the bench side are harmless (membership is a LEFT SEMI).
+    * The inline [[contamination]] builds the relation from benchmark
+    * docs and delegates here — one probe shape, no drift. */
+  def contaminationFrom(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      minOverlap: Int = 1): DataFrame = {
+    val shingles = graft.functions.WordShingles(col(textCol), shingleN)
     val docSh = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(shingles)).as("s"))
-    val overlap = docSh.join(benchSh, Seq("s"), "left_semi")
+    val overlap = docSh.join(benchShingles.select(col("s")), Seq("s"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("overlap_shingles"))
     docs.select(col(idCol).as("doc_id"))

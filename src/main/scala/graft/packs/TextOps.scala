@@ -203,6 +203,29 @@ object TextOps extends QueryPack {
     graft.operators.TextAnalysis.packSequencesPadded(
       Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
 
+  private val benchStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.BenchmarkStore]()
+
+  /** Store-backed decontamination: the benchmark's PERSISTED shingle
+    * set ([[graft.operators.BenchmarkStore]]) is probed instead of
+    * re-shingling the eval corpus per run — the ingest-loop form of
+    * [[decontaminate]], under the IDENTICAL oracle (the store only
+    * moves WHERE the bench shingles come from; the probe join and
+    * counts are the same [[graft.operators.TextAnalysis.contaminationFrom]]
+    * body both forms share). */
+  def decontaminateStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = benchStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.BenchmarkStore(
+        s"graft_bench_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s.ingest(docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
+        "text")
+      s
+    })
+    store.overlaps(docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
+      "doc_id", "text", ContamMinOverlap)
+  }
+
   def perSourceCap(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
@@ -226,6 +249,7 @@ object TextOps extends QueryPack {
     "per_source_cap" -> (perSourceCap _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_store" -> (decontaminateStore _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -256,6 +280,29 @@ object TextOps extends QueryPack {
        |)""".stripMargin
 
   private val shardPackCtes: String = shardPackCtesFrom("documents", "text")
+
+  /** DuckDB twin of BOTH decontamination forms (inline and
+    * store-backed — the store only relocates the bench shingle build,
+    * the probe is value-identical). */
+  private val decontaminateOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |), bench AS (
+       |  SELECT DISTINCT unnest(sh) AS s FROM sh
+       |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
+       |), d AS (
+       |  SELECT doc_id, sh FROM sh WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+       |), ov AS (
+       |  SELECT x.doc_id, count(*) AS overlap
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
+       |  JOIN bench ON x.s = bench.s
+       |  GROUP BY x.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_shingles,
+       |       coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
+       |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin
 
   /** The pack_sequences SELECT tail over a [[shardPackCtesFrom]] `w`
     * CTE — shared with the pipeline composition's oracle. */
@@ -432,25 +479,11 @@ object TextOps extends QueryPack {
 
     // distinct-shingle overlap counts vs the held-out split; docs with
     // no shingles or no overlap coalesce to 0 on both sides
-    "decontaminate" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
-         |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-         |), bench AS (
-         |  SELECT DISTINCT unnest(sh) AS s FROM sh
-         |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
-         |), d AS (
-         |  SELECT doc_id, sh FROM sh WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
-         |), ov AS (
-         |  SELECT x.doc_id, count(*) AS overlap
-         |  FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
-         |  JOIN bench ON x.s = bench.s
-         |  GROUP BY x.doc_id
-         |)
-         |SELECT d.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_shingles,
-         |       coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
-         |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin,
+    "decontaminate" -> decontaminateOracle,
+
+    // the store only moves WHERE the bench shingles come from — the
+    // probe is value-identical, so the oracle is the SAME string
+    "decontaminate_store" -> decontaminateOracle,
 
     // deterministic hash priority + id tie-break: the kept SET per
     // source is identical cross-engine

@@ -261,6 +261,28 @@ object StreamingPipelines {
     batch.join(broadcast(survivorIds), Seq(idCol), "left_semi")
   }
 
+  /** Benchmark-decontamination gate for an ingest loop: drop every
+    * arriving doc whose word-shingle overlap with the persisted eval
+    * suite ([[graft.operators.BenchmarkStore]]) reaches `minOverlap` —
+    * the train/test-overlap scrub, applied where it belongs: BEFORE
+    * the corpus-relative machinery ([[curateIngestBatch]]), because
+    * contamination is an ABSOLUTE property of (doc, eval suite) while
+    * the quality floor is relative to the shipped corpus — a
+    * contaminated doc must not count toward the histogram of a corpus
+    * it can never join. No batchId/replay seam: the gate is a pure
+    * read of the store (re-running it is idempotent by construction).
+    * Verdicts are as-of-ingest; docs accepted before an eval set
+    * merged are re-judged at read time by running
+    * [[graft.operators.TextAnalysis.contaminationFrom]] over the sink
+    * against the grown store. */
+  def decontaminateGateBatch(benchStore: graft.operators.BenchmarkStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      minOverlap: Int = 1): DataFrame = {
+    val clean = benchStore.overlaps(batch, idCol, textCol, minOverlap)
+      .filter(!col("flagged")).select(col("doc_id").as(idCol))
+    batch.join(broadcast(clean), Seq(idCol), "left_semi")
+  }
+
   /** The COMPLETE streaming curation ingest — every gate of the batch
     * pipeline composed into ONE foreachBatch body over the three
     * persisted stores:
