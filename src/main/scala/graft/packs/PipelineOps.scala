@@ -91,12 +91,18 @@ object PipelineOps extends QueryPack {
   def pipelineCurateStrip(spark: SparkSession, sfDir: String): DataFrame =
     curateStrip(Tables.documents(spark, sfDir))
 
+  /** The checkpointed survivor set (doc_id, lang, quality, text) both
+    * strip-stage compositions scan repeatedly — see [[curateStrip]]'s
+    * scaladoc for why the checkpoint sits exactly here. */
+  private def keptWithText(docs: DataFrame): DataFrame =
+    curateQuality(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .localCheckpoint(false)
+
   /** [[pipelineCurateStrip]] over an arbitrary corpus (see
     * [[curateQuality]]). */
   def curateStrip(docs: DataFrame): DataFrame = {
-    val kept = curateQuality(docs)
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .localCheckpoint(false)
+    val kept = keptWithText(docs)
     Dedup.stripDuplicateSpans(kept, "doc_id", "text")
       .join(kept.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"),
@@ -112,13 +118,17 @@ object PipelineOps extends QueryPack {
     * the final token stream.
     *
     * Scale shape: everything upstream is [[curateStrip]]'s shape (one
-    * survivor-set checkpoint, candidates-only near-dup machinery);
+    * survivor-set checkpoint, candidates-only near-dup machinery),
+    * MINUS its final lang/quality re-join — the layout needs only
+    * (doc_id, clean_text), so this composition packs the strip output
+    * directly instead of paying a join whose columns it would drop;
     * the layout stage adds exactly ONE more shuffle (on shard) and a
     * fused rank+prefix-sum window — the terminal stage cost is
     * independent of how the corpus was curated. */
   def pipelineCuratePack(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.packSequences(
-      curateStrip(Tables.documents(spark, sfDir)),
+      Dedup.stripDuplicateSpans(
+        keptWithText(Tables.documents(spark, sfDir)), "doc_id", "text"),
       "doc_id", "clean_text", TextOps.NumShards, TextOps.PackBudget)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
