@@ -137,4 +137,36 @@ class CurateIngestSpec extends SparkSpec {
     assert(probePlan.contains("graft_sharded_bloom_contains"),
       s"exact routing must be the native sharded bloom gate:\n$probePlan")
   }
+
+  test("decontamination gate composes in FRONT: contaminated docs reach no store, not even the floor histogram") {
+    import graft.operators.BenchmarkStore
+    val keepAll = Map("en" -> 10000)
+    val floorStore = new QualityFloorStore(1.0)
+    val exactStore = new BloomStore(1000L)
+    val bandStore = new BandStore("graft_band_store_decontam", buckets = 2)
+    val benchStore = new BenchmarkStore("graft_bench_store_decontam")
+    benchStore.ingest(
+      Seq((100L, "held out evaluation prompt about unicorns and chess"))
+        .toDF("doc_id", "text"), "text")
+    val contaminated = good + " held out evaluation prompt about unicorns and chess"
+    val cleanDoc = good + " fresh completely new sentence about rivers and stones"
+    val batch = Seq((1L, "en", contaminated), (2L, "en", cleanDoc))
+      .toDF("doc_id", "lang", "text")
+    val seen0 = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val gated = StreamingPipelines.decontaminateGateBatch(benchStore, batch,
+      "doc_id", "text")
+    val out = StreamingPipelines.curateIngestBatch(floorStore, exactStore,
+      bandStore, seen0, gated, "doc_id", "text", "lang", keepAll, 10000,
+      threshold = 1.1, batchId = 0L)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L),
+      "the contaminated doc must die at the decontamination gate")
+    // the absolute gate ran BEFORE the corpus-relative floor: the
+    // histogram counted only the clean doc (a contaminated doc must
+    // not shift the floor of a corpus it can never join)
+    assert(floorStore.histogram(spark).agg(sum(col("c")))
+      .collect()(0).getLong(0) == 1L,
+      "floor histogram must count only decontaminated docs")
+    assert(bandStore.table(spark).filter(col("doc_id") === 1L).count() == 0,
+      "a contaminated doc's bands must never reach the band store")
+  }
 }
