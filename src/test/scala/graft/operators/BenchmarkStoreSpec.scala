@@ -29,6 +29,17 @@ class BenchmarkStoreSpec extends SparkSpec {
     assert(fromStore.nonEmpty && fromStore.toSeq == inline.toSeq,
       "store-backed probe must equal the inline operator")
     assert(fromStore.exists(_._3), "split must flag something")
+
+    // plan pin: the store side is a bare scan of the persisted shingle
+    // table — exactly ONE Generate (the PROBE side's shingle explode);
+    // the inline form pays two
+    val p = store.overlaps(train, "doc_id", "text", TextOps.ContamMinOverlap)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_bench_spec"),
+      s"probe must scan the persisted shingle table:\n$p")
+    val generates = "\\bGenerate\\b".r.findAllIn(p).size
+    assert(generates == 1,
+      s"only the probe side may shingle/explode (got $generates Generates):\n$p")
   }
 
   test("eval-suite growth: merged sets union, replays no-op, verdicts are as-of-probe") {
