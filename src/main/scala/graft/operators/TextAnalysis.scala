@@ -289,6 +289,27 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Context-length cap — truncate each document to its first
+    * `maxTokens` whitespace tokens (the standard pre-tokenization
+    * budget guard: a pathological mega-document must not blow up a
+    * downstream packer or tokenizer). Output: (doc_id, text truncated,
+    * n_tokens_orig, truncated flag). Pure scan-side Column arithmetic
+    * (slice + re-join) — codegen'd, no shuffle, no row amplification;
+    * composes in front of [[packSequences]]/[[packSequencesPadded]]
+    * the way a real pipeline caps before layout. */
+  def truncateTokens(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    docs.select(
+      col(idCol),
+      when(n > maxTokens, array_join(slice(toks, 1, maxTokens), " "))
+        .otherwise(col(textCol)).as("text"),
+      n.as("n_tokens_orig"),
+      (n > maxTokens).as("truncated"))
+  }
+
   /** Fingerprints: rolling content hash + md5. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

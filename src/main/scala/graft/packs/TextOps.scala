@@ -203,6 +203,14 @@ object TextOps extends QueryPack {
     graft.operators.TextAnalysis.packSequencesPadded(
       Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
 
+  /** Context cap, shared with the generated oracle (median corpus doc
+    * is ~56 tokens, so the cap exercises both branches). */
+  val TruncateMaxTokens = 64
+
+  def truncateTokens(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextAnalysis.truncateTokens(
+      Tables.documents(spark, sfDir), "doc_id", "text", TruncateMaxTokens)
+
   private val benchStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.BenchmarkStore]()
 
@@ -250,6 +258,7 @@ object TextOps extends QueryPack {
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
+    "truncate_tokens" -> (truncateTokens _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -484,6 +493,18 @@ object TextOps extends QueryPack {
     // the store only moves WHERE the bench shingles come from — the
     // probe is value-identical, so the oracle is the SAME string
     "decontaminate_store" -> decontaminateOracle,
+
+    // list_slice/array_to_string mirror slice/array_join exactly;
+    // the <= branch returns the ORIGINAL string (not a re-join), so
+    // pathological whitespace can't differ between branches
+    "truncate_tokens" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len(string_split(text, ' ')) > $TruncateMaxTokens
+         |       THEN array_to_string(list_slice(string_split(text, ' '), 1, $TruncateMaxTokens), ' ')
+         |       ELSE text END AS text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_orig,
+         |  len(string_split(text, ' ')) > $TruncateMaxTokens AS truncated
+         |FROM documents""".stripMargin,
 
     // deterministic hash priority + id tie-break: the kept SET per
     // source is identical cross-engine
