@@ -182,16 +182,20 @@ object TextAnalysis {
     * two can't drift). */
   private[graft] def packColumns(rows: DataFrame, idCol: String,
       budget: Int, baseDocs: Column, baseToks: Column): DataFrame = {
-    val cum = baseToks + col("bcum")
-    val prev = cum - col("n_tokens")
-    // nonnegative longs: cast-truncation IS floor-division (the
-    // oracle's // operator); tokens >= 1 always (split("") = [""]),
-    // so cum > prev and seq_last >= seq_first
-    rows.select(col(idCol), col("shard"),
-      (baseDocs + col("bpos")).as("pos"), col("n_tokens"),
-      (prev / budget).cast("long").as("seq_first"),
-      ((cum - 1) / budget).cast("long").as("seq_last"),
-      pmod(prev, lit(budget.toLong)).as("seq_offset"))
+    // INTEGRAL division (SQL `div` = IntegralDivide), not Column `/`:
+    // `/` promotes to double, which silently loses low bits once a
+    // shard's cumulative token count passes 2^53 — the unbounded
+    // streaming pack loop feeds exactly that accumulator here. Both
+    // operands are nonnegative longs (tokens >= 1 always — split("")
+    // = [""] — so cum > prev and seq_last >= seq_first), matching the
+    // oracle's `//` exactly at every scale.
+    rows.withColumn("gcum", baseToks + col("bcum"))
+      .withColumn("gprev", col("gcum") - col("n_tokens"))
+      .select(col(idCol), col("shard"),
+        (baseDocs + col("bpos")).as("pos"), col("n_tokens"),
+        expr(s"gprev div ${budget}L").as("seq_first"),
+        expr(s"(gcum - 1L) div ${budget}L").as("seq_last"),
+        pmod(col("gprev"), lit(budget.toLong)).as("seq_offset"))
   }
 
   /** Padded sequence packing — the OTHER training layout: a document
@@ -228,6 +232,7 @@ object TextAnalysis {
         .withColumn("base_seq", lit(0L))
         .withColumn("base_off", lit(0L)),
       idCol, budget)
+      .drop("next_seq", "next_off")
 
   /** The shared per-shard fold of [[packSequencesPadded]] and the
     * streaming padded-pack ingest loop: rows are [[shardPackRows]]
@@ -238,7 +243,13 @@ object TextAnalysis {
     * fold re-seeds from it on each shard boundary. The explicit
     * `sortWithinPartitions` restates the ordering contract the window
     * already established and is elided by the planner (plan-pinned:
-    * the fold adds no exchange and no second sort). */
+    * the fold adds no exchange and no second sort).
+    *
+    * Every output row also carries the fold's state AFTER the row
+    * (`next_seq`/`next_off`) — the resume triple an ingest loop
+    * persists is then a per-shard last-row SELECTION, never a
+    * re-derivation of the recurrence (the batch operator drops the
+    * two columns). */
   private[graft] def paddedPackColumns(rows: DataFrame, idCol: String,
       budget: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -260,7 +271,9 @@ object TextAnalysis {
       StructField("seq_first", LongType, nullable = false),
       StructField("seq_last", LongType, nullable = false),
       StructField("seq_offset", LongType, nullable = false),
-      StructField("pad_before", LongType, nullable = false)))
+      StructField("pad_before", LongType, nullable = false),
+      StructField("next_seq", LongType, nullable = false),
+      StructField("next_off", LongType, nullable = false)))
     val b = budget.toLong
     sorted.mapPartitions { it =>
       var curShard = Long.MinValue
@@ -284,7 +297,7 @@ object TextAnalysis {
         nextSeq = if (endOff == 0) seqLast + 1 else seqLast
         nextOff = endOff
         Row(r.get(iId), shard, baseDocs + r.getLong(iPos), n,
-          startSeq, seqLast, startOff, pad)
+          startSeq, seqLast, startOff, pad, nextSeq, nextOff)
       }
     }(Encoders.row(outSchema))
   }

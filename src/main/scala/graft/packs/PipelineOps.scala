@@ -161,6 +161,17 @@ object PipelineOps extends QueryPack {
        |      FROM j JOIN b ON j.cluster_id = b.cluster_id AND j.quality = b.best_q
        |      GROUP BY j.cluster_id)""".stripMargin
 
+  /** The survivor set with text re-joined — the `kept` CTE both
+    * strip-stage composed oracles build on (ONE string, same reason as
+    * [[qualityKeepCtes]]: a keep-rule change cannot drift them). */
+  private val keptCte: String =
+    s"""kept AS (
+       |  SELECT j.doc_id, j.lang, j.quality, s.text
+       |  FROM j JOIN k ON j.cluster_id = k.cluster_id
+       |       JOIN sampled s ON j.doc_id = s.doc_id
+       |  WHERE j.doc_id = k.best_id
+       |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->
       s"""WITH RECURSIVE q AS (
@@ -191,12 +202,7 @@ object PipelineOps extends QueryPack {
     // over the survivors and the kept tokens are rebuilt per document
     "pipeline_curate_strip" ->
       s"""WITH RECURSIVE $qualityKeepCtes,
-         |kept AS (
-         |  SELECT j.doc_id, j.lang, j.quality, s.text
-         |  FROM j JOIN k ON j.cluster_id = k.cluster_id
-         |       JOIN sampled s ON j.doc_id = s.doc_id
-         |  WHERE j.doc_id = k.best_id
-         |),
+         |$keptCte,
          |${DedupOps.spanMarkCtesFrom("kept", graft.operators.Dedup.DupSpanTokens)}
          |SELECT kp.doc_id, kp.lang, kp.quality,
          |  coalesce(string_agg(m.tok, ' ' ORDER BY m.pos)
@@ -210,12 +216,7 @@ object PipelineOps extends QueryPack {
     // strings the standalone strip and pack oracles verify, end to end
     "pipeline_curate_pack" ->
       s"""WITH RECURSIVE $qualityKeepCtes,
-         |kept AS (
-         |  SELECT j.doc_id, j.lang, j.quality, s.text
-         |  FROM j JOIN k ON j.cluster_id = k.cluster_id
-         |       JOIN sampled s ON j.doc_id = s.doc_id
-         |  WHERE j.doc_id = k.best_id
-         |),
+         |$keptCte,
          |${DedupOps.spanMarkCtesFrom("kept", graft.operators.Dedup.DupSpanTokens)},
          |cleaned AS (
          |  SELECT m.doc_id,

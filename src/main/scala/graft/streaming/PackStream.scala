@@ -146,17 +146,23 @@ final class PaddedPackStore(val nShards: Int, val budget: Int, dir: String) {
     case Some(d) => spark.read.parquet(d)
   }
 
-  /** Per-shard resume triples for batch `batchId`: each shard's
-    * newest state STRICTLY BEFORE it — (shard, base_docs, base_seq,
-    * base_off). The argmax struct is ordered by batch_id (real ids
-    * ≥ 0 outrank the folded sentinel), so a shard updated by the last
-    * batch resumes from that batch, everything else from its folded
-    * row. */
-  def stateBefore(spark: SparkSession, batchId: Long): DataFrame =
+  /** Each shard's NEWEST state row among `batch_id < batchId` — the
+    * one argmax both [[stateBefore]] and [[merge]]'s fold reduce with
+    * (struct ordered by batch_id first; real ids ≥ 0 outrank the
+    * folded sentinel): one spelling, so the resume read and the fold
+    * cannot disagree on which row is newest. */
+  private def newestBefore(spark: SparkSession, batchId: Long): DataFrame =
     table(spark).filter(col("batch_id") < lit(batchId))
       .groupBy(col("shard"))
       .agg(max(struct(col("batch_id"), col("n_docs"), col("next_seq"),
         col("next_off"))).as("s"))
+
+  /** Per-shard resume triples for batch `batchId`: each shard's
+    * newest state STRICTLY BEFORE it — (shard, base_docs, base_seq,
+    * base_off) — so a shard updated by the last batch resumes from
+    * that batch, everything else from its folded row. */
+  def stateBefore(spark: SparkSession, batchId: Long): DataFrame =
+    newestBefore(spark, batchId)
       .select(col("shard"), col("s.n_docs").as("base_docs"),
         col("s.next_seq").as("base_seq"), col("s.next_off").as("base_off"))
 
@@ -176,10 +182,7 @@ final class PaddedPackStore(val nShards: Int, val budget: Int, dir: String) {
         s"for its resume arithmetic, got $batchId")
     val spark = stateAfter.sparkSession
     store.publish(batchId) { nextDir =>
-      val folded = table(spark).filter(col("batch_id") < lit(batchId))
-        .groupBy(col("shard"))
-        .agg(max(struct(col("batch_id"), col("n_docs"), col("next_seq"),
-          col("next_off"))).as("s"))
+      val folded = newestBefore(spark, batchId)
         .select(lit(PackStore.FoldedBatch).as("batch_id"), col("shard"),
           col("s.n_docs").as("n_docs"), col("s.next_seq").as("next_seq"),
           col("s.next_off").as("next_off"))

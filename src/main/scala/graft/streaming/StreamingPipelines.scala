@@ -569,22 +569,21 @@ object StreamingPipelines {
       .na.fill(0L, Seq("base_docs", "base_seq", "base_off"))
     val packed0 = TextAnalysis.paddedPackColumns(withBase, idCol, store.budget)
     // on a replay the merge below would no-op — return the LAZY rows
-    if (store.isReplay(batchId)) return packed0
+    if (store.isReplay(batchId)) return packed0.drop("next_seq", "next_off")
     // eager checkpoint: the state merge is an action over the batch's
     // window+fold lineage and the caller's sink write would re-run it —
     // materialize once; the resume state then derives from the OUTPUT
     val packed = packed0.localCheckpoint()
-    val b = store.budget.toLong
+    // the fold already emitted its own state after every row
+    // (next_seq/next_off) — persisting it is a per-shard last-row
+    // SELECTION, never a re-spelling of the recurrence
     val last = packed.groupBy(col("shard")).agg(
-      max(struct(col("pos"), col("seq_last"), col("seq_offset"),
-        col("n_tokens"))).as("l"))
+      max(struct(col("pos"), col("next_seq"), col("next_off"))).as("l"))
     store.merge(
       last.select(col("shard"), col("l.pos").as("n_docs"),
-        when(pmod(col("l.seq_offset") + col("l.n_tokens"), lit(b)) === 0,
-          col("l.seq_last") + 1).otherwise(col("l.seq_last")).as("next_seq"),
-        pmod(col("l.seq_offset") + col("l.n_tokens"), lit(b)).as("next_off")),
+        col("l.next_seq").as("next_seq"), col("l.next_off").as("next_off")),
       batchId)
-    packed
+    packed.drop("next_seq", "next_off")
   }
 
   /** Streaming curation with a CORPUS-RELATIVE quality floor — the
