@@ -51,4 +51,22 @@ class ShardPackSpec extends SparkSpec {
     val sorts = "\\bSort \\[".r.findAllIn(p).size
     assert(sorts == 1, s"both windows must share one sort, got $sorts:\n$p")
   }
+
+  test("sql twin: identical rows and the same one-exchange one-sort plan") {
+    val sql = graft.packs.SqlSurfaceOps.packSequencesSql(spark, sf)
+    val df = TextAnalysis.packSequences(Tables.documents(spark, sf),
+      "doc_id", "text", TextOps.NumShards, B)
+    val t7 = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(sql.collect().map(t7).sortBy(_._1).toSeq ==
+      df.collect().map(t7).sortBy(_._1).toSeq,
+      "SQL text and DataFrame operator must agree row-for-row")
+    // a fresh (unexecuted) instance: post-collect the AQE plan string
+    // repeats the exchange in its Initial/Final sections
+    val p = graft.packs.SqlSurfaceOps.packSequencesSql(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1 &&
+      "\\bSort \\[".r.findAllIn(p).size == 1,
+      s"the SQL text must plan exactly like the DataFrame twin:\n$p")
+  }
 }
