@@ -67,6 +67,30 @@ object Writers {
       .option("path", path)
       .option("checkpointLocation", checkpointLocation)
 
+  /** Materialize a training layout ([[graft.operators.TextAnalysis
+    * .packSequences]]/[[graft.operators.TextAnalysis.packSequencesPadded]]
+    * output, or anything carrying `shard` + `pos`) as one directory per
+    * shard whose files hold rows in `pos` ORDER — the property a
+    * sequential training reader needs: it streams each shard file
+    * start-to-finish and sees the token stream in layout order, no
+    * sort at read time.
+    *
+    * How the order survives: the explicit repartition puts each shard
+    * wholly in ONE task (hash partitioning never splits a key) and the
+    * within-partition sort's (shard, pos) prefix satisfies the
+    * partition-column ordering FileFormatWriter would otherwise insert
+    * its own sort for — rows therefore reach each shard's file in
+    * exactly the sorted order, one writer task per shard directory.
+    * Parallelism = number of shards, the same unit the layout
+    * operators parallelize over; pick nShards accordingly upstream
+    * (a mega-shard would pin one writer task regardless). */
+  def trainingShards(packed: DataFrame, path: String): Unit =
+    packed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** ORC variant of [[partitionedParquet]] for pipelines standardized
     * on ORC (Spark's reader/writer are native and columnar either way;
     * predicate pushdown and column pruning work identically — pinned in

@@ -69,4 +69,36 @@ class WritersSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("orderValue").isNull).count() == 1)
   }
+
+  test("trainingShards: one directory per shard, rows in pos order inside each file") {
+    import graft.operators.TextAnalysis
+    import graft.packs.TextOps
+    val dir = Files.createTempDirectory("graft_shards").toString + "/out"
+    val packed = TextAnalysis.packSequences(
+      graft.Tables.documents(spark, sf), "doc_id", "text",
+      TextOps.NumShards, TextOps.PackBudget)
+    Writers.trainingShards(packed, dir)
+
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.length == TextOps.NumShards,
+      s"one directory per shard, got ${dirs.toSeq}")
+
+    // every shard directory's file(s) hold rows already in pos order —
+    // a sequential reader needs no sort; read file-by-file, one
+    // partition each, so scan order == file order
+    var total = 0L
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$d: one writer task -> one file")
+      val pos = spark.read.parquet(files.head.getPath).coalesce(1)
+        .select(col("pos")).as[Long].collect()
+      assert(pos.length > 0)
+      assert(pos.toSeq == pos.sorted.toSeq, s"$d: rows must be in pos order")
+      assert(pos.toSeq == (1L to pos.length).toSeq, s"$d: positions 1..n")
+      total += pos.length
+    }
+    assert(total == packed.count(), "every packed row lands exactly once")
+  }
 }
