@@ -16,3 +16,14 @@ trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
 }
+
+object QueryPack {
+  /** Collision-free warehouse-name suffix for a per-sfDir memoized
+    * store: the full sanitized path plus its hash. A bare
+    * `dir.hashCode` suffix can collide across different dirs — the
+    * second store's first merge would then orphan-sweep the first
+    * store's live segments under the shared name. */
+  def storeSuffix(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+}

@@ -23,6 +23,14 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ branch's cast interprets the stored wall clock in the
+    // SESSION timezone; the stored values are UTC instants, so pin the
+    // zone the same defensive way as the nanos conf above — without it
+    // a non-GraftSession caller (spark-shell, notebook) in another zone
+    // would silently shift every event by its UTC offset. GraftSession
+    // and SparkSpec already pin UTC; this makes the reader
+    // self-contained.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

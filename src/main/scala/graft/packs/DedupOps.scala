@@ -187,7 +187,7 @@ object DedupOps extends QueryPack {
     val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
     val store = bandStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.BandStore(
-        s"graft_band_store_im_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_band_store_im_${graft.QueryPack.storeSuffix(dir)}")
       s.merge(Dedup.md5Bands(seen, "doc_id", "text"))
       s
     })
@@ -213,7 +213,7 @@ object DedupOps extends QueryPack {
     val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
     val store = simhashStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.SimhashStore(
-        s"graft_simhash_store_im_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_simhash_store_im_${graft.QueryPack.storeSuffix(dir)}")
       s.merge(Dedup.md5SimhashBands(seen, "doc_id", "text"))
       s
     })
@@ -269,7 +269,7 @@ object DedupOps extends QueryPack {
     val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
     val store = gramStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.GramStore(
-        s"graft_gram_store_im_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_gram_store_im_${graft.QueryPack.storeSuffix(dir)}")
       s.ingest(seen, "doc_id", "text")
       s
     })

@@ -70,7 +70,7 @@ object SimilarityOps extends QueryPack {
       vectors, datasetKey = sfDir, nlist = 16, iters = 2)
     val store = ivfStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.IvfStore(
-        s"graft_ivf_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_ivf_store_${graft.QueryPack.storeSuffix(dir)}")
       s.merge(graft.operators.IvfIndex.index(vectors, centroids))
       s
     })
@@ -112,7 +112,7 @@ object SimilarityOps extends QueryPack {
     val seen = vecs.filter(col("vec_id") % EmbIncrementalBatchMod =!= 0)
     val store = embStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.EmbStore(
-        s"graft_emb_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_emb_store_${graft.QueryPack.storeSuffix(dir)}")
       s.ingest(seen)
       s
     })

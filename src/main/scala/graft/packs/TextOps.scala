@@ -225,7 +225,7 @@ object TextOps extends QueryPack {
     val docs = Tables.documents(spark, sfDir)
     val store = benchStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.BenchmarkStore(
-        s"graft_bench_store_${java.lang.Integer.toHexString(dir.hashCode)}")
+        s"graft_bench_store_${graft.QueryPack.storeSuffix(dir)}")
       s.ingest(docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
         "text")
       s

@@ -102,4 +102,15 @@ class PackIngestSpec extends SparkSpec {
       store.merge(contrib, VersionedParquetStore.NoBatchId)
     }
   }
+
+  test("adoption refuses mismatched layout parameters") {
+    val dir = Files.createTempDirectory("graft-pack-params").toString
+    new PackStore(4, 32, dir)
+    // a restart with a different budget or shard count would re-chunk
+    // the already-emitted layout — construction must fail loudly
+    intercept[IllegalArgumentException] { new PackStore(4, 64, dir) }
+    intercept[IllegalArgumentException] { new PackStore(8, 32, dir) }
+    intercept[IllegalArgumentException] { new PaddedPackStore(4, 64, dir) }
+    new PackStore(4, 32, dir) // identical parameters still adopt
+  }
 }
