@@ -302,6 +302,28 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic train/validation/test split — the holdout
+    * assignment every training pipeline runs last: each doc's split is
+    * a pure salted-md5 function of its id (same family as
+    * [[shardAssign]]'s hashes — no RNG, no seed plumbing; re-runs,
+    * engines and repartitionings agree, and adding documents never
+    * moves an existing doc's split). Basis-point thresholds: id-hash
+    * < trainBp → train, < trainBp+validBp → valid, else test. Pure
+    * scan-side projection — composes in FRONT of the layout operators
+    * (pack the train split, hold the rest out). */
+  def splitAssign(docs: DataFrame, idCol: String,
+      trainBp: Int, validBp: Int): DataFrame = {
+    require(trainBp >= 0 && validBp >= 0 && trainBp + validBp <= 10000,
+      s"split basis points must be >= 0 and sum <= 10000, " +
+        s"got train=$trainBp valid=$validBp")
+    val h = pmod(graft.operators.Dedup.md5h60(
+      concat(lit("split#"), col(idCol).cast("string"))), lit(10000L))
+    docs.select(col(idCol),
+      when(h < trainBp, lit("train"))
+        .when(h < trainBp + validBp, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+  }
+
   /** Context-length cap — truncate each document to its first
     * `maxTokens` whitespace tokens (the standard pre-tokenization
     * budget guard: a pathological mega-document must not blow up a

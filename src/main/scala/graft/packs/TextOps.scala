@@ -203,6 +203,16 @@ object TextOps extends QueryPack {
     graft.operators.TextAnalysis.packSequencesPadded(
       Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
 
+  /** Holdout split thresholds in basis points (90/5/5 keeps every
+    * branch populated at the gate's 500-doc corpus), shared with the
+    * generated oracle. */
+  val SplitTrainBp = 9000
+  val SplitValidBp = 500
+
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.splitAssign(Tables.documents(spark, sfDir), "doc_id",
+      SplitTrainBp, SplitValidBp)
+
   /** Context cap, shared with the generated oracle (median corpus doc
     * is ~56 tokens, so the cap exercises both branches). */
   val TruncateMaxTokens = 64
@@ -259,6 +269,7 @@ object TextOps extends QueryPack {
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
     "truncate_tokens" -> (truncateTokens _),
+    "split_assign" -> (splitAssign _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -493,6 +504,17 @@ object TextOps extends QueryPack {
     // the store only moves WHERE the bench shingles come from — the
     // probe is value-identical, so the oracle is the SAME string
     "decontaminate_store" -> decontaminateOracle,
+
+    // the same salted md5h60 idiom as the shard/order hashes; integer
+    // basis-point thresholds, so no float boundary can flip cross-engine
+    "split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN h < $SplitTrainBp THEN 'train'
+         |       WHEN h < ${SplitTrainBp + SplitValidBp} THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |        ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h
+         |      FROM documents)""".stripMargin,
 
     // list_slice/array_to_string mirror slice/array_join exactly;
     // the <= branch returns the ORIGINAL string (not a re-join), so
