@@ -302,6 +302,62 @@ object TextAnalysis {
     }(Encoders.row(outSchema))
   }
 
+  /** Token-budget sampling — keep the maximal PREFIX of the corpus, in
+    * a deterministic salted-hash priority order, whose running token
+    * sum stays within `budgetTokens` (the "give me ~N tokens of this
+    * corpus, reproducibly" primitive; the doc that would cross the
+    * budget and everything after it is dropped — prefix semantics, no
+    * back-filling, so the kept set is a pure function of the corpus).
+    *
+    * The naive form is a GLOBAL-order running sum — one Window with no
+    * partition key, the exact shape this codebase bans at scale. The
+    * scale-safe decomposition: the priority hash's TOP bits define
+    * `nBuckets` order-aligned ranges (bucket = h div 2^60/nBuckets, so
+    * bucket order == priority order); a partial agg reduces the corpus
+    * to ≤ nBuckets (bucket, token-sum) rows; the driver prefix-sums
+    * that bounded table (same deliberately-bounded-collect contract as
+    * IVF training) to find the ONE boundary bucket; every earlier
+    * bucket keeps scan-side, every later bucket drops scan-side, and
+    * only the boundary bucket — 1/nBuckets of the corpus — runs an
+    * exact windowed cumsum (partitioned BY bucket), offset by the
+    * exact integer mass before it. Identical output to the global
+    * window at any scale. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, nBuckets: Int = 4096): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(nBuckets >= 1 && (1L << 60) % nBuckets == 0,
+      s"nBuckets must divide 2^60, got $nBuckets")
+    val bucketWidth = (1L << 60) / nBuckets
+    val h = Dedup.md5h60(concat(lit("budget#"), col(idCol).cast("string")))
+    val scored = docs.select(col(idCol), h.as("h"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"h div ${bucketWidth}L"))
+    // ≤ nBuckets rows — the documented bounded driver collect
+    val bucketSums = scored.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var boundary = -1L   // first bucket whose full inclusion would overflow
+    var massBefore = 0L  // exact token mass of all buckets before it
+    bucketSums.foreach { case (b, t) =>
+      if (boundary < 0) {
+        if (cum + t > budgetTokens) { boundary = b; massBefore = cum }
+        else cum += t
+      }
+    }
+    if (boundary < 0)  // whole corpus fits
+      return scored.select(col(idCol), col("n_tokens"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBoundary = scored.filter(col("bucket") === boundary)
+      .withColumn("cum", sum(col("n_tokens")).over(w) + massBefore)
+      .filter(col("cum") <= budgetTokens)
+    scored.filter(col("bucket") < boundary)
+      .select(col(idCol), col("n_tokens"))
+      .unionByName(inBoundary.select(col(idCol), col("n_tokens")))
+  }
+
   /** Deterministic train/validation/test split — the holdout
     * assignment every training pipeline runs last: each doc's split is
     * a pure salted-md5 function of its id (same family as

@@ -203,6 +203,15 @@ object TextOps extends QueryPack {
     graft.operators.TextAnalysis.packSequencesPadded(
       Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
 
+  /** Token-budget sample target: sf0.01's documents carry ~28k tokens
+    * total, so 10k cuts mid-corpus — the boundary-bucket machinery is
+    * actually exercised at the gate. */
+  val TokenSampleBudget = 10000L
+
+  def tokenBudgetSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenBudgetSample(Tables.documents(spark, sfDir),
+      "doc_id", "text", TokenSampleBudget)
+
   /** Holdout split thresholds in basis points (90/5/5 keeps every
     * branch populated at the gate's 500-doc corpus), shared with the
     * generated oracle. */
@@ -270,6 +279,7 @@ object TextOps extends QueryPack {
     "decontaminate_store" -> (decontaminateStore _),
     "truncate_tokens" -> (truncateTokens _),
     "split_assign" -> (splitAssign _),
+    "token_budget_sample" -> (tokenBudgetSample _),
     "jsonl_roundtrip" -> (jsonlRoundtrip _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
@@ -504,6 +514,23 @@ object TextOps extends QueryPack {
     // the store only moves WHERE the bench shingles come from — the
     // probe is value-identical, so the oracle is the SAME string
     "decontaminate_store" -> decontaminateOracle,
+
+    // the oracle is the NAIVE global-order running sum the Spark side
+    // deliberately decomposes away (bucket partial-agg + bounded driver
+    // prefix + boundary-bucket-only window) — identical output is the
+    // whole point
+    "token_budget_sample" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('budget#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens FROM (
+         |  SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |WHERE cum <= $TokenSampleBudget""".stripMargin,
 
     // the same salted md5h60 idiom as the shard/order hashes; integer
     // basis-point thresholds, so no float boundary can flip cross-engine
