@@ -18,12 +18,15 @@ trait QueryPack {
 }
 
 object QueryPack {
-  /** Collision-free warehouse-name suffix for a per-sfDir memoized
-    * store: the full sanitized path plus its hash. A bare
-    * `dir.hashCode` suffix can collide across different dirs — the
-    * second store's first merge would then orphan-sweep the first
-    * store's live segments under the shared name. */
+  /** Collision-resistant warehouse-name suffix for a per-sfDir
+    * memoized store: the sanitized path TAIL (bounded, so a deep CI
+    * path can't push the directory name past filesystem limits) plus
+    * the full string's hash. A bare `dir.hashCode` suffix can collide
+    * across different dirs — the second store's first merge would then
+    * orphan-sweep the first store's live segments under the shared
+    * name; a collision here requires the same 48-char tail AND the
+    * same hash. */
   def storeSuffix(dir: String): String =
-    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+    dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(48) + "_" +
       java.lang.Integer.toHexString(dir.hashCode)
 }

@@ -20,21 +20,27 @@ object Tables {
     * pinned to UTC (GraftSession), so the NTZ cast is value-identical to
     * the epoch-micros interpretation the nanos path produces. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.expr
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The NTZ branch's cast interprets the stored wall clock in the
-    // SESSION timezone; the stored values are UTC instants, so pin the
-    // zone the same defensive way as the nanos conf above — without it
-    // a non-GraftSession caller (spark-shell, notebook) in another zone
-    // would silently shift every event by its UTC offset. GraftSession
-    // and SparkSpec already pin UTC; this makes the reader
-    // self-contained.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      // The stored NTZ wall clocks are UTC instants. A bare cast
+      // interprets them in the SESSION zone (silently shifting events
+      // for any non-UTC caller); composing the cast with
+      // from_utc_timestamp over the SAME zone cancels the
+      // interpretation exactly — the cast maps wall w to the instant
+      // whose zone-rendering is w, from_utc_timestamp maps it back to
+      // the instant whose UTC-rendering is w — so the result is
+      // w-as-UTC in every session, and no global conf is mutated
+      // (EventsTzSpec pins both properties). A plain
+      // to_utc_timestamp(ts, 'UTC') would NOT work: its implicit
+      // NTZ→TZ cast itself reads the session zone.
+      case TimestampNTZType =>
+        val z = spark.conf.get("spark.sql.session.timeZone")
+        raw.withColumn("ts",
+          expr(s"from_utc_timestamp(cast(ts as timestamp), '$z')"))
       case _                => raw
     }
   }

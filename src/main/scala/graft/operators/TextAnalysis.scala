@@ -329,9 +329,14 @@ object TextAnalysis {
       s"nBuckets must divide 2^60, got $nBuckets")
     val bucketWidth = (1L << 60) / nBuckets
     val h = Dedup.md5h60(concat(lit("budget#"), col(idCol).cast("string")))
+    // lazy checkpoint: the bucket-sum collect below materializes the
+    // (id, h, n_tokens, bucket) projection ONCE — 4 longs/doc — and the
+    // keep/boundary branches read the checkpointed blocks instead of
+    // re-scanning and re-hashing the text twice more
     val scored = docs.select(col(idCol), h.as("h"),
         size(tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"h div ${bucketWidth}L"))
+      .localCheckpoint(false)
     // ≤ nBuckets rows — the documented bounded driver collect
     val bucketSums = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("toks"))

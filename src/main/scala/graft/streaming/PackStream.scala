@@ -33,18 +33,39 @@ private[streaming] abstract class ShardLayoutStore(
   protected val store = new VersionedParquetStore(dir, adoptExisting = true)
 
   locally {
+    // store TYPE rides along with the parameters: a PaddedPackStore
+    // adopting a PackStore's totals (or vice versa) under matching
+    // (nShards, budget) would otherwise only fail deep inside a later
+    // schema resolution instead of loudly at construction
+    val self = s"${getClass.getSimpleName},$nShards,$budget"
     val paramsFile = Paths.get(dir, "layout_params")
     if (Files.exists(paramsFile)) {
-      val Array(n, b) =
-        new String(Files.readAllBytes(paramsFile), UTF_8).trim.split(",")
-      require(n.toInt == nShards && b.toInt == budget,
-        s"store at $dir was written with nShards=$n, budget=$b — adopting " +
-          s"it with nShards=$nShards, budget=$budget would re-chunk the " +
-          "already-emitted layout; a layout is only coherent under the " +
-          "parameters that wrote it")
+      val stored = new String(Files.readAllBytes(paramsFile), UTF_8).trim
+      require(stored.split(",").length == 3,
+        s"corrupt layout_params at $dir: '$stored' — the file is written " +
+          "atomically (temp + rename), so this indicates external damage")
+      require(stored == self,
+        s"store at $dir was written as '$stored' — adopting it as '$self' " +
+          "would re-chunk or mis-type the already-emitted layout; a layout " +
+          "is only coherent under the store type and parameters that wrote it")
     } else {
+      // temp-file + atomic rename: a crash mid-write can't leave a
+      // truncated file for the next adoption to trip over. (Two brand-
+      // new writers racing the SAME empty dir remains the documented
+      // single-driver contract, as for the version pointer itself.)
       Files.createDirectories(Paths.get(dir))
-      Files.write(paramsFile, s"$nShards,$budget".getBytes(UTF_8))
+      val tmp = Files.createTempFile(Paths.get(dir), ".layout_params", ".tmp")
+      Files.write(tmp, self.getBytes(UTF_8))
+      try Files.move(tmp, paramsFile,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          val stored = new String(Files.readAllBytes(paramsFile), UTF_8).trim
+          require(stored == self,
+            s"store at $dir was concurrently initialized as '$stored', " +
+              s"this writer wanted '$self'")
+      }
     }
   }
 

@@ -103,14 +103,17 @@ class PackIngestSpec extends SparkSpec {
     }
   }
 
-  test("adoption refuses mismatched layout parameters") {
+  test("adoption refuses mismatched layout parameters AND cross-type adoption") {
     val dir = Files.createTempDirectory("graft-pack-params").toString
     new PackStore(4, 32, dir)
     // a restart with a different budget or shard count would re-chunk
     // the already-emitted layout — construction must fail loudly
     intercept[IllegalArgumentException] { new PackStore(4, 64, dir) }
     intercept[IllegalArgumentException] { new PackStore(8, 32, dir) }
-    intercept[IllegalArgumentException] { new PaddedPackStore(4, 64, dir) }
-    new PackStore(4, 32, dir) // identical parameters still adopt
+    // matching parameters but the WRONG store type: a padded store
+    // adopting concat-and-chunk totals must fail at construction, not
+    // as a schema error mid-stream
+    intercept[IllegalArgumentException] { new PaddedPackStore(4, 32, dir) }
+    new PackStore(4, 32, dir) // identical type + parameters still adopt
   }
 }
