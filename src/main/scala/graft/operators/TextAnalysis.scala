@@ -702,6 +702,47 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Per-doc mean bigram conditional log-probability — the
+    * perplexity-style fluency signal one rung above [[unigramLogProb]]
+    * (shuffled or concatenated word salad scores near the unigram
+    * floor; coherent text scores higher because its transitions are
+    * corpus-typical): mean over positions of ln P(w_i | w_{i-1}) with
+    * add-one smoothing, P = (C(prev,cur)+1) / (C_uni(prev) + V).
+    *
+    * Cross-engine exactness: the per-bigram log is rounded to 6
+    * decimals and carried as DECIMAL(18,6), so the weighted per-doc
+    * sum is exact-integer arithmetic no matter the aggregation order —
+    * the same idiom as [[unigramLogProb]]. Scale shape mirrors
+    * [[tfidfTopTerms]]'s discipline: per-(doc,bigram) partial-agg
+    * collapses repeats before any shuffle, corpus counts join back
+    * with SHUFFLE merge joins (an open bigram vocabulary is far too
+    * large to broadcast), and the only broadcast is the 1-row vocab
+    * size. Docs with fewer than 2 tokens have no transitions and no
+    * row. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
+    val bf = big.groupBy(col("doc_id"), col("big"))
+      .agg(count(lit(1)).as("bf"))
+    val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
+    val uc = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val scored = bf
+      .join(bc.hint("merge"), "big")
+      .withColumn("prev", substring_index(col("big"), " ", 1))
+      .join(uc.hint("merge"), col("prev") === col("term"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("bf"),
+        round(log((col("bc") + 1).cast("double") /
+          (col("uc") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        round(sum(col("bf") * col("llp")).cast("double") /
+          sum(col("bf")).cast("double"), 4).as("avg_logprob"))
+  }
+
   /** Top-k TF-IDF terms per document (keyword extraction / doc
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the

@@ -160,6 +160,10 @@ object TextOps extends QueryPack {
     TextAnalysis.unigramLogProb(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  def bigramLogprob(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   val VocabTopN = 100
 
   def vocabTopTerms(spark: SparkSession, sfDir: String): DataFrame =
@@ -271,6 +275,7 @@ object TextOps extends QueryPack {
     "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "unigram_logprob" -> (unigramLogprob _),
+    "bigram_logprob" -> (bigramLogprob _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -619,6 +624,37 @@ object TextOps extends QueryPack {
         |)
         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
         |       round(CAST(sum(tf * llp) AS DOUBLE) / sum(tf), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // same decimal-exact idiom as unigram_logprob; the smoothing
+    // denominator is the PREV token's unigram count + V
+    "bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), big AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS big
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2
+        |), bf AS (
+        |  SELECT doc_id, big, count(*)::BIGINT AS bf FROM big GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT big, sum(bf)::BIGINT AS bc FROM bf GROUP BY big
+        |), uc AS (
+        |  SELECT term, count(*)::BIGINT AS uc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term
+        |), v AS (
+        |  SELECT count(*)::BIGINT AS v FROM uc
+        |), scored AS (
+        |  SELECT bf.doc_id, bf.bf,
+        |         CAST(round(ln((bc.bc + 1)::DOUBLE / (uc.uc + v.v)), 6)
+        |              AS DECIMAL(18,6)) AS llp
+        |  FROM bf JOIN bc USING (big)
+        |       JOIN uc ON string_split(bf.big, ' ')[1] = uc.term
+        |       CROSS JOIN v
+        |)
+        |SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
+        |       round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
 
     "token_count" ->

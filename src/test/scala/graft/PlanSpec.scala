@@ -239,6 +239,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
+  test("bigram_logprob: same open-vocabulary discipline — merge joins, no vocab broadcast, no window") {
+    val p = plan("bigram_logprob")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"bigram/unigram totals must come from shuffle joins, not broadcasts:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere in the logprob plan:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the count joins must be skew-splittable shuffle joins:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"(doc, bigram) counts must partially aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row vocab size should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the

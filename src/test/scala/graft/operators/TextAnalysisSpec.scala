@@ -452,6 +452,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("bigramLogProb: corpus-typical transitions outscore one-offs; exact hand-check") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b c" (1), "a b" (2), "c a" (3)
+    // unigrams: a=3, b=2, c=2 → V=3
+    // bigrams: "a b"×2, "b c"×1, "c a"×1
+    val d = Seq((1L, "a b c"), (2L, "a b"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def llp(bc: Long, ucPrev: Long): BigDecimal =
+      BigDecimal(math.log((bc + 1).toDouble / (ucPrev + 3).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(parts: (Long, BigDecimal)*): Double = {
+      val q = parts.map { case (bf, l) => BigDecimal(bf) * l }.sum.toDouble /
+        parts.map(_._1).sum
+      BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1 && out(3L)._1 == 1)
+    assert(out(1L)._2 == avg((1L, llp(2, 3)), (1L, llp(1, 2))), s"got ${out(1L)}")
+    assert(out(2L)._2 == avg((1L, llp(2, 3))), s"got ${out(2L)}")
+    assert(out(3L)._2 == avg((1L, llp(1, 2))), s"got ${out(3L)}")
+    // the doc made of the corpus-typical transition outscores the one-off
+    assert(out(2L)._2 > out(3L)._2)
+  }
+
   test("redactPii: a phone-shaped substring inside an email counts once") {
     val docs = Seq(
       (1L, "contact 555-123-4567@example.com now"),
