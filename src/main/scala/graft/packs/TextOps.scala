@@ -634,7 +634,6 @@ object TextOps extends QueryPack {
         |), big AS (
         |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS big
         |  FROM toks, unnest(range(1, len(t))) AS u(i)
-        |  WHERE len(t) >= 2
         |), bf AS (
         |  SELECT doc_id, big, count(*)::BIGINT AS bf FROM big GROUP BY 1, 2
         |), bc AS (

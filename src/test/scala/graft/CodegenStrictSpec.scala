@@ -15,7 +15,7 @@ class CodegenStrictSpec extends SparkSpec {
     "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "dedup_incremental_simhash_store",
-    "unigram_logprob", "pipeline_curate_quality")
+    "unigram_logprob", "bigram_logprob", "pipeline_curate_quality")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
