@@ -141,6 +141,44 @@ object SimilaritySearch {
     heapTopK(scored, k)
   }
 
+  /** Int8 scalar-quantized brute-force cosine top-k — the
+    * memory/bandwidth play of production vector systems (4× smaller
+    * vectors, integer dot products): each vector is encoded as
+    * round(x / scale) with scale = max|x|/127. Scoring by QUANTIZED
+    * cosine makes the per-vector scales cancel, so the similarity is
+    * pure integer arithmetic (exact, order-independent, trivially
+    * cross-engine) divided by two integer-derived norms — no float
+    * accumulation anywhere. Ranking and output shape match
+    * [[bruteForceTopKHeap]]; recall vs the exact scorer is asserted in
+    * the spec (int8 cosine error is ~1e-2, far inside the gap between
+    * non-neighbors and true neighbors for real embeddings). */
+  def bruteForceTopKInt8(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    def withCodes(df: DataFrame, emb: String): DataFrame = df
+      .withColumn("scale",
+        array_max(transform(col(emb), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("code",
+        when(col("scale") === 0d, transform(col(emb), _ => lit(0L)))
+          .otherwise(transform(col(emb),
+            x => round(x.cast("double") / col("scale")).cast("long"))))
+      .withColumn("cn", sqrt(aggregate(
+        transform(col("code"), x => x * x), lit(0L),
+        (acc, x) => acc + x).cast("double")))
+    val v = withCodes(vectors, "embedding")
+      .select(col("vec_id"), col("code").as("v_code"), col("cn").as("v_n"))
+    val q = withCodes(queries, "q_emb")
+      .select(col("query_id"), col("code").as("q_code"), col("cn").as("q_n"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(when(col("q_n") * col("v_n") === 0d, lit(0d))
+          .otherwise(aggregate(
+            zip_with(col("q_code"), col("v_code"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).cast("double") /
+            (col("q_n") * col("v_n"))), 4).as("sim"))
+    heapTopK(scored, k)
+  }
+
   /** Default bucket cap for the embedding LSH candidate joins, shared
     * with the generated oracle SQL (the NgramMaxBlockSize pattern). */
   val EmbLshMaxBucketSize = 1000

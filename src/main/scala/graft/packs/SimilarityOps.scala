@@ -39,6 +39,14 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       queriesDf(spark, sfDir), k = 10)
 
+  /** Int8-quantized brute force — integer dot products over 4×-smaller
+    * codes; the quantized-cosine scales cancel so the score is exact
+    * cross-engine integer arithmetic. */
+  def annBruteInt8(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.bruteForceTopKInt8(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      queriesDf(spark, sfDir), k = 10)
+
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     // train once per (dataset, params) per JVM — verify/bench re-execute
@@ -126,6 +134,7 @@ object SimilarityOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
+    "ann_brute_int8" -> (annBruteInt8 _),
     "ann_lsh" -> (annLsh _),
     "ann_topk_agg" -> (annTopkAgg _),
     "ann_ivf" -> (annIvf _),
@@ -355,6 +364,41 @@ object SimilarityOps extends QueryPack {
     // same oracle for both — proves the heap aggregate's bit-identity
     "ann_topk_agg" -> annBruteOracle,
     "ann_brute" -> annBruteOracle,
+
+    // quantized-cosine: the per-vector scales cancel, so besides the
+    // scale division inside round() the whole score is integer-exact
+    "ann_brute_int8" ->
+      """WITH v0 AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))
+        |    END AS code
+        |  FROM v0
+        |), cn AS (
+        |  SELECT vec_id, code,
+        |    sqrt(CAST(list_sum(list_transform(code, x -> x * x)) AS DOUBLE)) AS n
+        |  FROM c
+        |), q AS (
+        |  SELECT vec_id AS query_id, code AS q_code, n AS q_n
+        |  FROM cn WHERE vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.query_id, v.vec_id,
+        |    round(CASE WHEN q.q_n * v.n = 0 THEN 0.0
+        |      ELSE CAST(list_sum(list_transform(generate_series(1, 64),
+        |             i -> q.q_code[i] * v.code[i])) AS DOUBLE) / (q.q_n * v.n)
+        |      END, 4) AS sim
+        |  FROM q, cn v WHERE v.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
     "embedding_neardup_incremental" -> embeddingNearDupIncrementalOracle,

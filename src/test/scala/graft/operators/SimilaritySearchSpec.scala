@@ -44,6 +44,23 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("int8-quantized topk: high recall vs exact, same-cluster neighbors") {
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val int8 = SimilaritySearch.bruteForceTopKInt8(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(int8.length == 30)
+    // quantization error ~1e-2 is far inside the cluster/non-cluster gap
+    int8.foreach { case (qid, vid, sim, _) =>
+      assert(vid / 100 == qid / 100, s"query $qid got cross-cluster $vid")
+      assert(sim > 0.75 && sim <= 1.0001, s"quantized sim out of range: $sim")
+    }
+    val recall = (brute & int8.map(r => (r._1, r._2)).toSet).size.toDouble /
+      brute.size
+    assert(recall >= 0.9, s"int8 recall $recall too low")
+  }
+
   test("LSH topk achieves high recall vs brute force on clustered data") {
     val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
       .as[(Long, Long, Double, Long)].collect()
