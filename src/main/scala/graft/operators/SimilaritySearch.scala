@@ -323,6 +323,71 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** Default cell cap for the semantic (IVF-cell-blocked) near-dup
+    * candidate join, shared with the generated oracle SQL. */
+  val SemDedupMaxCellSize = 1000
+
+  /** SemDeDup — semantic near-duplicate pairs blocked by the IVF
+    * coarse quantizer (the published web-scale curation recipe:
+    * k-means the embedding space, compare only within a cluster;
+    * Abbas et al. 2023, arXiv:2303.09540): candidates are pairs
+    * sharing a k-means CELL, then exact-cosine verified — unlike the
+    * hyperplane LSH blocker, the blocking structure here is the SAME
+    * trained artifact [[IvfIndex]] uses for ANN serving, so one
+    * quantizer (and one persisted inverted file) powers both search
+    * and dedup-at-ingest.
+    *
+    * Scale shape: cell assignment is one scan-side native argmin
+    * ([[graft.functions.CentroidAssign]]); within-cell pairing costs
+    * O(Σ cell²) — production sizes nlist ≈ √N (the faiss guidance),
+    * keeping cells ~√N and candidate volume ~N·(cells' balance
+    * factor). Degenerate cells (a collapsed encoder, mass-duplicated
+    * boilerplate vectors) are capped BEFORE pair generation with the
+    * same partial-agg count + broadcast anti-join as every banding
+    * path; pairs inside a dropped cell are missed — the documented
+    * recall tradeoff (route exact-dup families through hash dedup
+    * first). Verification is exact cosine over pre-normed vectors, so
+    * precision is exact at any scale. */
+  def semanticNearDupPairs(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double,
+      maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
+    // one assignment pass feeds both the cell blocker and the
+    // verification vectors (emb/nrm are already cast+normed there)
+    val indexed = IvfIndex.index(vectors, centroids).localCheckpoint(false)
+    nearDupPairsTail(cellBuckets(indexed), None, indexedVecs(indexed),
+      threshold, maxCellSize)
+  }
+
+  /** Store-backed incremental SemDeDup: a NEW batch is cell-assigned
+    * (scan-side argmin) and probed against the PERSISTED inverted
+    * file's (vec_id, emb, v_nrm, cell) rows — the same [[IvfStore]]
+    * artifact ANN serving reads, so dedup-at-ingest pays zero
+    * recompute over the seen corpus (no assignment, no cast, no
+    * norm). Same probe guarantees as every incremental banding path:
+    * (seen, new) pairs once, batch-internal pairs canonicalized,
+    * (seen, seen) never re-paired — output ≡ the full
+    * [[semanticNearDupPairs]] restricted to pairs touching the batch
+    * (cell assignment is a pure per-vector function). The cell cap
+    * counts over the full view, matching the self-dedup semantics. */
+  def incrementalSemanticNearDupPairsFromStore(batch: DataFrame,
+      seenIndexed: DataFrame, centroids: Seq[Seq[Double]],
+      threshold: Double,
+      maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
+    val pb = IvfIndex.index(batch, centroids).localCheckpoint(false)
+    nearDupPairsTail(cellBuckets(pb), Some(cellBuckets(seenIndexed)),
+      indexedVecs(pb).unionByName(indexedVecs(seenIndexed)),
+      threshold, maxCellSize)
+  }
+
+  // adapt an inverted-file row set to the shared candidate tail: the
+  // IVF cell is a single-"table" bucket
+  private def cellBuckets(indexed: DataFrame): DataFrame =
+    indexed.select(col("vec_id"), lit(0).as("tbl"),
+      col("cell").cast("long").as("bucket"))
+
+  private def indexedVecs(indexed: DataFrame): DataFrame =
+    indexed.select(col("vec_id"), col("emb"), col("v_nrm").as("nrm"))
+
   /** All pairs above a cosine threshold (embedding near-dup). Exact
     * (self-join) form — the LSH bucket join is the scale path for
     * high thresholds. */

@@ -49,13 +49,16 @@ object SimilarityOps extends QueryPack {
 
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    // train once per (dataset, params) per JVM — verify/bench re-execute
-    // each query; retraining the quantizer per execution is a scale-killer
-    val centroids = graft.operators.IvfIndex.trainCached(
-      vectors, datasetKey = sfDir, nlist = 16, iters = 2)
+    val centroids = ivfCentroids(vectors, sfDir)
     graft.operators.IvfIndex.topK(vectors, queriesDf(spark, sfDir), centroids,
       k = 10, nprobe = 4)
   }
+
+  // train once per (dataset, params) per JVM — verify/bench re-execute
+  // each query; retraining the quantizer per execution is a scale-killer
+  private def ivfCentroids(vectors: DataFrame, sfDir: String): Seq[Seq[Double]] =
+    graft.operators.IvfIndex.trainCached(
+      vectors, datasetKey = sfDir, nlist = 16, iters = 2)
 
   // One persisted inverted file per dataset per JVM: verify/bench
   // execute each registered query several times, and the store is the
@@ -72,18 +75,64 @@ object SimilarityOps extends QueryPack {
     * under the IDENTICAL oracle (the probe must return exactly the
     * same top-k). The probe never runs an assignment stage over the
     * corpus (IvfStoreSpec pins that plan). */
-  def annIvfStore(spark: SparkSession, sfDir: String): DataFrame = {
-    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val centroids = graft.operators.IvfIndex.trainCached(
-      vectors, datasetKey = sfDir, nlist = 16, iters = 2)
-    val store = ivfStores.computeIfAbsent(sfDir, dir => {
+  private def ivfStoreFor(spark: SparkSession, sfDir: String,
+      vectors: DataFrame, centroids: Seq[Seq[Double]]): graft.operators.IvfStore =
+    ivfStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.IvfStore(
         s"graft_ivf_store_${graft.QueryPack.storeSuffix(dir)}")
       s.merge(graft.operators.IvfIndex.index(vectors, centroids))
       s
     })
+
+  def annIvfStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val store = ivfStoreFor(spark, sfDir, vectors, centroids)
     graft.operators.IvfIndex.topKFromIndexed(store.table(spark),
       queriesDf(spark, sfDir), centroids, k = 10, nprobe = 4)
+  }
+
+  /** SemDeDup self-dedup pairs: IVF-cell-blocked cosine near-dups over
+    * the whole embeddings table — the ANN quantizer doubling as the
+    * dedup blocker (one trained artifact, two uses). */
+  def semanticNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    SimilaritySearch.semanticNearDupPairs(vectors,
+      ivfCentroids(vectors, sfDir), threshold = 0.4)
+  }
+
+  /** SemDeDup survivors: drop every vector with a SMALLER-id semantic
+    * near-duplicate (the deterministic keep-one-representative policy —
+    * same canonical-min-id convention as exact dedup). LEFT ANTI on the
+    * pair set's greater ids: |pairs| rows against the corpus, no
+    * windows, no per-cluster funnel. */
+  def semanticDedupKeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val pairs = SimilaritySearch.semanticNearDupPairs(vectors,
+      ivfCentroids(vectors, sfDir), threshold = 0.4)
+    vectors.select(col("vec_id"))
+      .join(pairs.select(col("vec_b").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+  }
+
+  /** Store-backed incremental SemDeDup: the batch (vec_id % 5 = 0) is
+    * cell-assigned scan-side and probed against the SAME persisted
+    * inverted file ann_ivf_store serves from — dedup-at-ingest reads
+    * the seen corpus's (emb, v_nrm, cell) rows as a bare bucketed
+    * scan, zero seen-side recompute. The seen view excludes the
+    * batch's own ids (the ingest-loop replay-exact convention), so
+    * output ≡ the full pair set restricted to pairs touching the
+    * batch — the oracle is the self-dedup SQL plus one predicate. */
+  def semanticNearDupIncrementalStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val store = ivfStoreFor(spark, sfDir, vectors, centroids)
+    val batch = vectors.filter(col("vec_id") % EmbIncrementalBatchMod === 0)
+    val seen = store.table(spark)
+      .filter(col("vec_id") % EmbIncrementalBatchMod =!= 0)
+    SimilaritySearch.incrementalSemanticNearDupPairsFromStore(
+      batch, seen, centroids, threshold = 0.4)
   }
 
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -142,7 +191,10 @@ object SimilarityOps extends QueryPack {
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
-    "embedding_neardup_incremental_store" -> (embeddingNearDupIncrementalStore _)
+    "embedding_neardup_incremental_store" -> (embeddingNearDupIncrementalStore _),
+    "semantic_neardup" -> (semanticNearDup _),
+    "semantic_dedup_keep" -> (semanticDedupKeep _),
+    "semantic_neardup_incremental_store" -> (semanticNearDupIncrementalStore _)
   )
 
   private val normCte =
@@ -239,6 +291,32 @@ object SimilarityOps extends QueryPack {
         |) WHERE rk <= 10""".stripMargin
   }
 
+  /** The trained centroid matrix as a DuckDB VALUES CTE (cell, weights,
+    * precomputed ||c||² — same sequential sum as CentroidSet.fromRows). */
+  private def centCte(centroids: Seq[Seq[Double]]): String = {
+    val rows = centroids.zipWithIndex.map { case (c, i) =>
+      val nsq = c.foldLeft(0.0)((s, x) => s + x * x)
+      s"($i, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(nsq)})"
+    }
+    s"cent(cell, w, nsq) AS (VALUES\n  ${rows.mkString(",\n  ")})"
+  }
+
+  /** Cell assignment CTE: argmin of ||c||² − 2·v·c with ties to the
+    * lowest cell — CentroidSet.assign's exact arithmetic (`list_reduce`
+    * = sequential left fold, bit-identical to the engine's loop). */
+  private val vcellCte =
+    """vcell AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+      |               i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i]),
+      |               (acc, x) -> acc + x) ASC,
+      |             c.cell ASC) AS rn
+      |    FROM v, cent c
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
   /** DuckDB oracle for ann_ivf, generated from the exact centroid matrix
     * the engine trained (IvfIndex training is deterministic: seedless
     * stride sample, fixed iterations, strict-< argmin — so the matrix is
@@ -258,24 +336,8 @@ object SimilarityOps extends QueryPack {
     * score columns, but an ORDERING decided by it must be exact). */
   private def annIvfOracle(centroids: Seq[Seq[Double]], k: Int,
       nprobe: Int): String = {
-    val rows = centroids.zipWithIndex.map { case (c, i) =>
-      val nsq = c.foldLeft(0.0)((s, x) => s + x * x)
-      s"($i, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(nsq)})"
-    }
-    val centCte =
-      s"cent(cell, w, nsq) AS (VALUES\n  ${rows.mkString(",\n  ")})"
-    normCte + ",\n" + centCte + ",\n" +
-      s"""vcell AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT v.vec_id, c.cell,
-         |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
-         |               i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i]),
-         |               (acc, x) -> acc + x) ASC,
-         |             c.cell ASC) AS rn
-         |    FROM v, cent c
-         |  ) WHERE rn = 1
-         |), q AS (
+    normCte + ",\n" + centCte(centroids) + ",\n" + vcellCte + ",\n" +
+      s"""q AS (
          |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
          |  FROM v WHERE vec_id % 100 = 0
          |), qprobe AS (
@@ -308,6 +370,52 @@ object SimilarityOps extends QueryPack {
          |  FROM scored
          |) WHERE rk <= $k""".stripMargin
   }
+
+  /** SemDeDup pair CTEs, generated from the SAME trained matrix as the
+    * ann_ivf oracle (the engine reuses one quantizer for both): cell
+    * assignment via [[vcellCte]]'s exact argmin, degenerate cells
+    * capped with the engine's HAVING mirror, candidates = within-cell
+    * id-ordered pairs, exact-cosine verification tail. */
+  private def semanticPairsWith(centroids: Seq[Seq[Double]]): String =
+    normCte + ",\n" + centCte(centroids) + ",\n" + vcellCte + ",\n" +
+      s"""ckeep AS (
+         |  SELECT vc.vec_id, vc.cell FROM vcell vc
+         |  JOIN (SELECT cell FROM vcell GROUP BY cell
+         |        HAVING count(*) <= ${SimilaritySearch.SemDedupMaxCellSize}) ok
+         |    USING (cell)
+         |), cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM ckeep a JOIN ckeep b USING (cell)
+         |  WHERE a.vec_id < b.vec_id
+         |), pairs AS (
+         |  SELECT vec_a, vec_b, sim FROM (
+         |    SELECT c.vec_a, c.vec_b,
+         |           round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |             ELSE list_sum(list_transform(generate_series(1, 64),
+         |                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |                  / (a.nrm * b.nrm) END, 4) AS sim
+         |    FROM cand c
+         |    JOIN v a ON a.vec_id = c.vec_a
+         |    JOIN v b ON b.vec_id = c.vec_b
+         |  ) s WHERE sim >= 0.4
+         |)""".stripMargin
+
+  private def semanticNearDupOracle(c: Seq[Seq[Double]]): String =
+    semanticPairsWith(c) + "\nSELECT vec_a, vec_b, sim FROM pairs"
+
+  /** Incremental probe ≡ self pairs touching the batch (cell
+    * assignment is per-vector — the standard incremental equivalence). */
+  private def semanticIncrementalOracle(c: Seq[Seq[Double]]): String =
+    semanticPairsWith(c) +
+      s"\nSELECT vec_a, vec_b, sim FROM pairs" +
+      s"\nWHERE vec_a % $EmbIncrementalBatchMod = 0" +
+      s" OR vec_b % $EmbIncrementalBatchMod = 0"
+
+  /** Survivors: every vec_id without a smaller-id semantic near-dup.
+    * (NOT IN is safe: vec_b is never NULL by construction.) */
+  private def semanticKeepOracle(c: Seq[Seq[Double]]): String =
+    semanticPairsWith(c) +
+      "\nSELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_b FROM pairs)"
 
   /** Bucket-capped candidate pairs + verified-sim tail, shared by the
     * self-dedup and incremental embedding-near-dup oracles. The cap
@@ -426,6 +534,11 @@ object SimilarityOps extends QueryPack {
   ) ++ graft.operators.IvfIndex.trainedSnapshot(nlist = 16, iters = 2)
     .toList.flatMap { c =>
       val o = annIvfOracle(c, k = 10, nprobe = 4)
-      Seq("ann_ivf" -> o, "ann_ivf_store" -> o)
+      Seq("ann_ivf" -> o, "ann_ivf_store" -> o,
+        // SemDeDup rides the same trained matrix; the store probe's
+        // oracle is the self-dedup SQL plus the touching-batch filter
+        "semantic_neardup" -> semanticNearDupOracle(c),
+        "semantic_dedup_keep" -> semanticKeepOracle(c),
+        "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c))
     }
 }
