@@ -44,7 +44,17 @@ object IvfIndex {
     * with ingestion layout. When the corpus is within maxSample the
     * sample is the whole corpus, identical to the old sampler. */
   def train(vectors: DataFrame, nlist: Int, iters: Int = 2,
-      maxSample: Int = 4096): Seq[Seq[Double]] = {
+      maxSample: Int = 4096): Seq[Seq[Double]] =
+    lloyd(trainSample(vectors, maxSample), nlist, iters)
+      .map(_.toIndexedSeq).toIndexedSeq
+
+  /** The bounded deterministic training draw shared by the coarse
+    * quantizer and the PQ codebooks ([[IvfPq]]): hash-ordered top-k
+    * (TakeOrderedAndProject — per-partition heaps, one scan, driver
+    * memory bounded by maxSample), then vec_id order for the
+    * order-sensitive Lloyd init. */
+  private[operators] def trainSample(vectors: DataFrame,
+      maxSample: Int): Array[Array[Double]] = {
     val v = vectors.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"))
     val sample: Array[Array[Double]] = v
@@ -54,6 +64,14 @@ object IvfIndex {
       .sortBy(_.getLong(0)) // Lloyd init is order-sensitive: fix vec_id order
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty corpus")
+    sample
+  }
+
+  /** Driver-local Lloyd over an in-memory sample — deterministic:
+    * index-stride init, fixed iteration count, strict-< argmin (ties →
+    * lowest cell), empty cells keep their previous centroid. */
+  private[operators] def lloyd(sample: Array[Array[Double]], nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample(0).length
 
     // init: index-stride over the (vec_id-ordered) sample — one seed
@@ -90,7 +108,7 @@ object IvfIndex {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    centroids.map(_.toIndexedSeq).toIndexedSeq
+    centroids
   }
 
   // One trained quantizer per (dataset, nlist, iters) per JVM: verify /

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CentroidAssign, CentroidNearest, PqAdcDot, VectorOps}
+
+/** IVF-PQ: the IVF cell structure of [[IvfIndex]] with
+  * product-quantized corpus vectors — the memory-bound scale path of
+  * every production vector system (faiss IndexIVFPQ): a 64-dim float
+  * vector becomes m=8 codebook indices (4 bits each at ksub=16) plus
+  * one stored norm, ~64× smaller than the raw doubles, so a
+  * billion-vector corpus fits where raw vectors never could.
+  *
+  * Scoring is asymmetric (ADC): the query stays full-precision and is
+  * dotted against the RECONSTRUCTION Σ_s codebook_s[code_s] via one
+  * native expression ([[graft.functions.PqAdcDot]]) — O(m·dsub) per
+  * candidate, same multiply count as a raw dot, but the corpus side
+  * streams codes, not vectors. Quantization error shifts scores by
+  * ~the cell radius of each subspace codebook; candidates still come
+  * only from the nprobe nearest IVF cells, and the top-k is ranked on
+  * the rounded ADC score with vec_id ties — deterministic
+  * cross-engine, mirrored exactly by the generated DuckDB oracle
+  * (recall vs the exact scorer is pinned in IvfPqSpec).
+  *
+  * PQ here quantizes RAW vectors, not cell residuals (faiss's
+  * by_residual=false): one codebook set serves every cell, the
+  * encode step needs no second pass, and the oracle stays one argmin
+  * per (vector, subspace). Residual PQ buys accuracy at nlist ≫ 16
+  * and is a documented extension seam, not a semantic change.
+  *
+  * Training reuses [[IvfIndex]]'s bounded deterministic machinery:
+  * the SAME hash-ordered ≤ maxSample draw, per-subspace Lloyd with
+  * stride init / fixed iters / strict-< argmin — codebooks are a pure
+  * function of the dataset, so the oracle can embed them as literals.
+  */
+object IvfPq {
+
+  /** Per-subspace k-means codebooks: [m][ksub][dsub]. */
+  def trainCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, maxSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = IvfIndex.trainSample(vectors, maxSample)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      IvfIndex.lloyd(sub, ksub, iters).map(_.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  // One codebook set per (dataset, m, ksub, iters) per JVM — the
+  // IvfIndex.trainCached pattern (and the same immutable-snapshot
+  // assumption; stale codebooks degrade recall only, every returned
+  // row is scored by the same ADC arithmetic either way).
+  private val trained =
+    new ConcurrentHashMap[(String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  def trainCodebooksCached(vectors: DataFrame, datasetKey: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): Seq[Seq[Seq[Double]]] =
+    trained.computeIfAbsent((datasetKey, m, ksub, iters),
+      _ => trainCodebooks(vectors, m, ksub, iters))
+
+  /** The single codebook set trained for (m, ksub, iters) in this JVM,
+    * if unambiguous — the oracle-generation hook (the
+    * IvfIndex.trainedSnapshot pattern: Verify runs queries before
+    * dumping oracleSql; ambiguity → omit, weaker rows-only gate). */
+  def trainedSnapshot(m: Int, ksub: Int,
+      iters: Int): Option[Seq[Seq[Seq[Double]]]] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = trained.asScala.collect {
+      case ((_, mm, kk, it), c) if mm == m && kk == ksub && it == iters => c
+    }.toSeq.distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int>, v_nrm, cell) — the
+    * compressed inverted file. One scan-side pass: the coarse argmin
+    * plus m per-subspace argmins are all native expressions over the
+    * same casted vector; nothing shuffles. The TRUE norm is stored
+    * (8 bytes) so cosine scoring at probe time divides by the real
+    * magnitude, not the reconstruction's. */
+  def encode(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    vectors
+      .select(col("vec_id"),
+        VectorOps.toDoubleVec(col("embedding")).as("emb"),
+        VectorOps.norm(col("embedding")).as("v_nrm"))
+      .select(col("vec_id"),
+        array(codebooks.indices.map(s =>
+          CentroidAssign(slice(col("emb"), s * dsub + 1, dsub),
+            codebooks(s))): _*).as("codes"),
+        col("v_nrm"),
+        CentroidAssign(col("emb"), centroids).as("cell"))
+  }
+
+  /** Top-k by quantized cosine probing the nprobe nearest cells. Same
+    * output shape as the other ANN paths. */
+  def topK(vectors: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nprobe: Int = 4): DataFrame =
+    topKFromEncoded(encode(vectors, centroids, codebooks), queries,
+      centroids, codebooks, k, nprobe)
+
+  /** Probe a PRE-ENCODED inverted file — [[encode]]'s output or a
+    * persisted store of it: candidate cells broadcast onto the code
+    * table, ADC-scored, heap-ranked. The corpus side carries codes and
+    * norms only — at serving scale this is the plan that fits in
+    * memory-bandwidth budgets raw vectors blow. */
+  def topKFromEncoded(encoded: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = queries.select(col("query_id"),
+        VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+        VectorOps.norm(col("q_emb")).as("q_nrm"))
+      .select(col("query_id"), col("qd_emb"), col("q_nrm"),
+        explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"))
+
+    val scored = encoded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(when(col("q_nrm") * col("v_nrm") === 0d, lit(0d))
+          .otherwise(PqAdcDot(col("qd_emb"), col("codes"), codebooks) /
+            (col("q_nrm") * col("v_nrm"))), 4).as("sim"))
+    SimilaritySearch.heapTopK(scored, k)
+  }
+}

@@ -135,6 +135,41 @@ object SimilarityOps extends QueryPack {
       batch, seen, centroids, threshold = 0.4)
   }
 
+  /** IVF-PQ ANN: product-quantized codes (8 subspaces × 16 codes —
+    * ~64× smaller corpus side) ADC-scored inside the probed IVF
+    * cells. Same quantizer as ann_ivf; codebooks trained once per
+    * JVM on the same bounded deterministic draw. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val codebooks = graft.operators.IvfPq.trainCodebooksCached(
+      vectors, datasetKey = sfDir, m = 8, ksub = 16, iters = 2)
+    graft.operators.IvfPq.topK(vectors, queriesDf(spark, sfDir),
+      centroids, codebooks, k = 10, nprobe = 4)
+  }
+
+  private val ivfPqStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.IvfPqStore]()
+
+  /** Store-backed IVF-PQ: probes the PERSISTED compressed inverted
+    * file ([[graft.operators.IvfPqStore]]) — assignment AND encoding
+    * paid once at ingest, the probe reads codes+norms only. IDENTICAL
+    * oracle to ann_ivfpq: the store only moves where codes come from. */
+  def annIvfPqStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val codebooks = graft.operators.IvfPq.trainCodebooksCached(
+      vectors, datasetKey = sfDir, m = 8, ksub = 16, iters = 2)
+    val store = ivfPqStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.IvfPqStore(
+        s"graft_ivfpq_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.merge(graft.operators.IvfPq.encode(vectors, centroids, codebooks))
+      s
+    })
+    graft.operators.IvfPq.topKFromEncoded(store.table(spark),
+      queriesDf(spark, sfDir), centroids, codebooks, k = 10, nprobe = 4)
+  }
+
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.lshNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -188,6 +223,8 @@ object SimilarityOps extends QueryPack {
     "ann_topk_agg" -> (annTopkAgg _),
     "ann_ivf" -> (annIvf _),
     "ann_ivf_store" -> (annIvfStore _),
+    "ann_ivfpq" -> (annIvfPq _),
+    "ann_ivfpq_store" -> (annIvfPqStore _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
@@ -371,6 +408,88 @@ object SimilarityOps extends QueryPack {
          |) WHERE rk <= $k""".stripMargin
   }
 
+  /** The PQ codebooks as a DuckDB VALUES CTE: one row per (subspace,
+    * code) with the dsub-element weight list and precomputed ||c||²
+    * (same sequential sum as PqSet/CentroidSet). */
+  private def cbCte(codebooks: Seq[Seq[Seq[Double]]]): String = {
+    val rows = for {
+      s <- codebooks.indices
+      k <- codebooks(s).indices
+    } yield {
+      val c = codebooks(s)(k)
+      val nsq = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      s"($s, $k, [${c.map(sqlDouble).mkString(", ")}], ${sqlDouble(nsq)})"
+    }
+    s"cb(sub, code, w, nsq) AS (VALUES\n  ${rows.mkString(",\n  ")})"
+  }
+
+  /** DuckDB oracle for ann_ivfpq, generated from the trained centroid
+    * matrix AND codebooks (both deterministic functions of the
+    * dataset). Stage-for-stage mirror: coarse cells via [[vcellCte]],
+    * per-subspace code argmin with `list_reduce` sequential dots over
+    * the embedding SLICE (CentroidAssign over slice() in the engine —
+    * discrete decisions need exact arithmetic), probe list as in
+    * ann_ivf, and the ADC score = Σ_sub q_sub·codebook[sub][code]
+    * divided by the true norms, rounded before ranking (summation
+    * order slop lives inside round(.,4), the established score
+    * discipline). */
+  private def annIvfPqOracle(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int): String = {
+    val dsub = codebooks.head.head.length
+    normCte + ",\n" + centCte(centroids) + ",\n" + vcellCte + ",\n" +
+      cbCte(codebooks) + ",\n" +
+      s"""vcode AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT v.vec_id, c.sub, c.code,
+         |           row_number() OVER (PARTITION BY v.vec_id, c.sub ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, $dsub),
+         |               i -> CAST(v.embedding[c.sub * $dsub + i] AS DOUBLE) * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.code ASC) AS rn
+         |    FROM v, cb c
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM v WHERE vec_id % 100 = 0
+         |), qprobe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.q_emb[i] AS DOUBLE) * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM q, cent c
+         |  ) WHERE rn <= $nprobe
+         |), cand AS (
+         |  SELECT qp.query_id, vc.vec_id
+         |  FROM qprobe qp JOIN vcell vc USING (cell)
+         |  WHERE vc.vec_id <> qp.query_id
+         |), adc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         sum(list_reduce(list_transform(generate_series(1, $dsub),
+         |           i -> CAST(q.q_emb[vc.sub * $dsub + i] AS DOUBLE) * b.w[i]),
+         |           (acc, x) -> acc + x)) AS adot
+         |  FROM cand c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN vcode vc ON vc.vec_id = c.vec_id
+         |  JOIN cb b ON b.sub = vc.sub AND b.code = vc.code
+         |  GROUP BY c.query_id, c.vec_id
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |           ELSE a.adot / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM adc a
+         |  JOIN q ON q.query_id = a.query_id
+         |  JOIN v ON v.vec_id = a.vec_id
+         |)
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $k""".stripMargin
+  }
+
   /** SemDeDup pair CTEs, generated from the SAME trained matrix as the
     * ann_ivf oracle (the engine reuses one quantizer for both): cell
     * assignment via [[vcellCte]]'s exact argmin, degenerate cells
@@ -539,6 +658,13 @@ object SimilarityOps extends QueryPack {
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),
         "semantic_dedup_keep" -> semanticKeepOracle(c),
-        "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c))
+        "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c)) ++
+        // IVF-PQ additionally needs the codebook snapshot; the store
+        // probe must return exactly the recompute form's top-k
+        graft.operators.IvfPq.trainedSnapshot(m = 8, ksub = 16, iters = 2)
+          .toList.flatMap { cb =>
+            val o = annIvfPqOracle(c, cb, k = 10, nprobe = 4)
+            Seq("ann_ivfpq" -> o, "ann_ivfpq_store" -> o)
+          }
     }
 }

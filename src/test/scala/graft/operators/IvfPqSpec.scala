@@ -1,0 +1,86 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** IVF-PQ — code shape, determinism, recall vs the exact scorer on
+  * clustered fixtures, and store-probe ≡ recompute equality. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val clustered = {
+    val rnd = new Random(23)
+    val bases = Array.fill(3, 64)(rnd.nextGaussian())
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val v = bases(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (c * 100L + i, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private val queryOf = clustered
+    .where("vec_id IN (0, 100, 200)")
+    .toDF("query_id", "q_emb")
+
+  private lazy val centroids = IvfIndex.train(clustered, nlist = 4, iters = 3)
+  private lazy val codebooks = IvfPq.trainCodebooks(clustered, m = 8,
+    ksub = 16, iters = 3)
+
+  test("codebooks: m subspaces of ksub × dsub; codes in range") {
+    assert(codebooks.length == 8)
+    assert(codebooks.forall(_.length == 16))
+    assert(codebooks.forall(_.forall(_.length == 8)))
+    val enc = IvfPq.encode(clustered, centroids, codebooks)
+      .select("codes").as[Seq[Int]].collect()
+    assert(enc.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+  }
+
+  test("topk: same-cluster neighbors, high recall vs exact brute force") {
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val pq = IvfPq.topK(clustered, queryOf, centroids, codebooks,
+        k = 10, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(pq.length == 30)
+    // ADC error (~cell radius per subspace) is far inside the
+    // cluster/non-cluster cosine gap
+    pq.foreach { case (qid, vid, sim, _) =>
+      assert(vid / 100 == qid / 100, s"query $qid got cross-cluster $vid")
+      assert(sim > 0.5, s"quantized sim $sim implausibly low for a neighbor")
+    }
+    // ADC ranks coarsely WITHIN a cluster (top-10 out of 19 close
+    // neighbors, codebooks trained on just 60 vectors) — the guarantee
+    // is same-cluster candidates + deterministic scoring, not exact
+    // fine order; measured 0.53 here, production-typical for 4-bit PQ
+    // without a refine pass
+    val recall = (brute & pq.map(r => (r._1, r._2)).toSet).size.toDouble /
+      brute.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low")
+  }
+
+  test("deterministic: re-encode + re-rank is bit-identical") {
+    val a = IvfPq.topK(clustered, queryOf, centroids, codebooks, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val b = IvfPq.topK(clustered, queryOf, centroids, codebooks, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("store probe returns exactly the recompute form's top-k") {
+    val store = new IvfPqStore("graft_ivfpq_spec_store")
+    store.merge(IvfPq.encode(clustered, centroids, codebooks))
+    val fromStore = IvfPq.topKFromEncoded(store.table(spark), queryOf,
+        centroids, codebooks, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val recompute = IvfPq.topK(clustered, queryOf, centroids, codebooks,
+        k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(fromStore == recompute)
+    assert(fromStore.nonEmpty)
+  }
+}
