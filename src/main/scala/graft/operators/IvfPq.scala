@@ -128,4 +128,40 @@ object IvfPq {
             (col("q_nrm") * col("v_nrm"))), 4).as("sim"))
     SimilaritySearch.heapTopK(scored, k)
   }
+
+  /** PQ shortlist + exact re-rank (faiss IndexRefineFlat): the
+    * compressed index narrows each query to a `shortlist`-sized
+    * candidate set by ADC, then the TRUE top-k is ranked by exact
+    * cosine over the raw vectors — fetched per candidate from
+    * `rawVectors` ((vec_id, emb, nrm/v_nrm): a [[IvfStore]] table or
+    * [[SimilaritySearch.normalizedVectors]] projection). This is the
+    * standard accuracy/memory split at serving scale: the hot scan
+    * touches codes only (memory-bandwidth-bound, 64× smaller), the
+    * exact math runs on |queries|·shortlist rows — a point-lookup
+    * volume, not a corpus scan. Recall approaches exact search as
+    * shortlist/k grows (spec pins it on clustered fixtures); output
+    * sims are exact cosine, same rounding/tie discipline as every
+    * ranking path. */
+  def topKRefined(encoded: DataFrame, rawVectors: DataFrame,
+      queries: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, shortlist: Int,
+      nprobe: Int = 4): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val sl = topKFromEncoded(encoded, queries, centroids, codebooks,
+        shortlist, nprobe)
+      .select(col("query_id"), col("vec_id"))
+    val q = queries.select(col("query_id"),
+      VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+      VectorOps.norm(col("q_emb")).as("q_nrm"))
+    val raw = rawVectors.withColumnRenamed("v_nrm", "nrm")
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val scored = sl
+      .join(raw, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("qd_emb"), col("emb")),
+          col("q_nrm"), col("nrm")), 4).as("sim"))
+    SimilaritySearch.heapTopK(scored, k)
+  }
 }

@@ -155,19 +155,40 @@ object SimilarityOps extends QueryPack {
     * file ([[graft.operators.IvfPqStore]]) — assignment AND encoding
     * paid once at ingest, the probe reads codes+norms only. IDENTICAL
     * oracle to ann_ivfpq: the store only moves where codes come from. */
-  def annIvfPqStore(spark: SparkSession, sfDir: String): DataFrame = {
-    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
-    val centroids = ivfCentroids(vectors, sfDir)
-    val codebooks = graft.operators.IvfPq.trainCodebooksCached(
-      vectors, datasetKey = sfDir, m = 8, ksub = 16, iters = 2)
-    val store = ivfPqStores.computeIfAbsent(sfDir, dir => {
+  private def ivfPqStoreFor(sfDir: String, vectors: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): graft.operators.IvfPqStore =
+    ivfPqStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.IvfPqStore(
         s"graft_ivfpq_store_${graft.QueryPack.storeSuffix(dir)}")
       s.merge(graft.operators.IvfPq.encode(vectors, centroids, codebooks))
       s
     })
+
+  def annIvfPqStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val codebooks = graft.operators.IvfPq.trainCodebooksCached(
+      vectors, datasetKey = sfDir, m = 8, ksub = 16, iters = 2)
+    val store = ivfPqStoreFor(sfDir, vectors, centroids, codebooks)
     graft.operators.IvfPq.topKFromEncoded(store.table(spark),
       queriesDf(spark, sfDir), centroids, codebooks, k = 10, nprobe = 4)
+  }
+
+  /** PQ shortlist + exact refine across BOTH persisted artifacts: the
+    * compressed file narrows (codes only — the memory-bandwidth win),
+    * the raw inverted file re-ranks the |queries|·shortlist survivors
+    * exactly (point-lookup volume, not a scan). */
+  def annIvfPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val codebooks = graft.operators.IvfPq.trainCodebooksCached(
+      vectors, datasetKey = sfDir, m = 8, ksub = 16, iters = 2)
+    val pqStore = ivfPqStoreFor(sfDir, vectors, centroids, codebooks)
+    val rawStore = ivfStoreFor(spark, sfDir, vectors, centroids)
+    graft.operators.IvfPq.topKRefined(pqStore.table(spark),
+      rawStore.table(spark), queriesDf(spark, sfDir), centroids, codebooks,
+      k = 10, shortlist = 30, nprobe = 4)
   }
 
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
@@ -225,6 +246,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivf_store" -> (annIvfStore _),
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_store" -> (annIvfPqStore _),
+    "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
@@ -434,7 +456,48 @@ object SimilarityOps extends QueryPack {
     * order slop lives inside round(.,4), the established score
     * discipline). */
   private def annIvfPqOracle(centroids: Seq[Seq[Double]],
-      codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int): String = {
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int): String =
+    ivfPqAdcCtes(centroids, codebooks, nprobe) +
+      s"""
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $k""".stripMargin
+
+  /** PQ shortlist + exact re-rank: the ADC `scored` CTE narrows to the
+    * shortlist (same rounded-sim/vec_id rank the engine's heap
+    * produces), then exact cosine over raw vectors ranks the final k. */
+  private def annIvfPqRefineOracle(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, shortlist: Int,
+      nprobe: Int): String =
+    ivfPqAdcCtes(centroids, codebooks, nprobe) +
+      s""", sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |    FROM scored
+         |  ) WHERE rk <= $shortlist
+         |), refined AS (
+         |  SELECT s.query_id, s.vec_id,
+         |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+         |                / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM sl s
+         |  JOIN q ON q.query_id = s.query_id
+         |  JOIN v ON v.vec_id = s.vec_id
+         |)
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM refined
+         |) WHERE rk <= $k""".stripMargin
+
+  /** Shared CTE prefix of the IVF-PQ oracles, ending at the ADC
+    * `scored` CTE (rounded quantized sim per candidate). */
+  private def ivfPqAdcCtes(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], nprobe: Int): String = {
     val dsub = codebooks.head.head.length
     normCte + ",\n" + centCte(centroids) + ",\n" + vcellCte + ",\n" +
       cbCte(codebooks) + ",\n" +
@@ -482,12 +545,7 @@ object SimilarityOps extends QueryPack {
          |  FROM adc a
          |  JOIN q ON q.query_id = a.query_id
          |  JOIN v ON v.vec_id = a.vec_id
-         |)
-         |SELECT query_id, vec_id, sim, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, vec_id ASC) AS rk
-         |  FROM scored
-         |) WHERE rk <= $k""".stripMargin
+         |)""".stripMargin
   }
 
   /** SemDeDup pair CTEs, generated from the SAME trained matrix as the
@@ -664,7 +722,9 @@ object SimilarityOps extends QueryPack {
         graft.operators.IvfPq.trainedSnapshot(m = 8, ksub = 16, iters = 2)
           .toList.flatMap { cb =>
             val o = annIvfPqOracle(c, cb, k = 10, nprobe = 4)
-            Seq("ann_ivfpq" -> o, "ann_ivfpq_store" -> o)
+            Seq("ann_ivfpq" -> o, "ann_ivfpq_store" -> o,
+              "ann_ivfpq_refine" -> annIvfPqRefineOracle(c, cb, k = 10,
+                shortlist = 30, nprobe = 4))
           }
     }
 }

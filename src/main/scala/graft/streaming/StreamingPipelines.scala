@@ -394,6 +394,74 @@ object StreamingPipelines {
     checkpointed
   }
 
+  /** SemDeDup at ingest over the SAME inverted file [[annIngestBatch]]
+    * maintains and ANN serving probes — the semantic twin of
+    * [[embNearDupIngestBatch]], as a foreachBatch body: (1) cell-assign
+    * the batch (scan-side argmin) and probe it against the store-backed
+    * corpus view (zero recompute over the seen side; the batch's own
+    * ids are excluded, so an at-least-once REPLAY sees the original
+    * probe input — cell-cap counts included — and computes the same
+    * drop set), (2) drop every batch vector semantically near-dup of
+    * the accepted corpus, and the later id of each batch-internal pair
+    * (the shared [[dropSurvivors]] policy — drops chain), (3) merge the
+    * SURVIVORS' assigned rows (batchId-idempotent). Returns the
+    * surviving rows. The result is an ANN store that is dedup-gated by
+    * construction: accepted vectors are immediately servable via
+    * [[graft.operators.IvfPq]]/[[graft.operators.IvfIndex]] probes, and
+    * no two accepted vectors within a cell exceed the threshold.
+    * Centroids are frozen as of training (faiss semantics) — retrain
+    * applies offline via [[graft.operators.IvfStore.rebuild]]. Same
+    * unique-id-across-the-stream contract as the other loops. */
+  def semanticDedupIngestBatch(store: graft.operators.IvfStore,
+      centroids: Seq[Seq[Double]], batch: DataFrame, threshold: Double,
+      maxCellSize: Int =
+        graft.operators.SimilaritySearch.SemDedupMaxCellSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    import graft.operators.{IvfIndex, SimilaritySearch}
+    val spark = batch.sparkSession
+    require(batch.schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"semanticDedupIngestBatch requires LONG vec ids (the IvfStore " +
+        s"schema), got ${batch.schema("vec_id").dataType.catalogString} " +
+        "— map ids to a surrogate long (e.g. xxhash64) first")
+    val seenView = store.table(spark).join(
+      broadcast(batch.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val pairs = SimilaritySearch.incrementalSemanticNearDupPairsFromStore(
+      batch, seenView, centroids, threshold, maxCellSize)
+    val survivors = dropSurvivors(batch, pairs, "vec_id", "vec_a", "vec_b")
+    // on a replay the merge below would no-op — return the LAZY
+    // survivors (the sink re-emits once) instead of re-materializing
+    if (store.isReplay(batchId)) return survivors
+    // eager checkpoint: the store merge is an action over the
+    // survivors' lineage (the whole probe pipeline), and the caller's
+    // sink write would re-execute it — materialize once
+    val checkpointed = survivors.localCheckpoint()
+    store.merge(IvfIndex.index(checkpointed, centroids), batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    checkpointed
+  }
+
+  /** Compressed-index maintenance: encode the batch under frozen
+    * centroids + codebooks and merge into the persisted PQ inverted
+    * file ([[graft.operators.IvfPqStore]]) — [[annIngestBatch]]'s twin
+    * for the memory-bound serving form; probes read codes+norms only.
+    * Re-quantization (new centroids OR codebooks) is offline and must
+    * re-encode from the raw vector source — codes are lossy. */
+  def annPqIngestBatch(store: graft.operators.IvfPqStore,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      batch: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val encoded = graft.operators.IvfPq.encode(batch, centroids, codebooks)
+    // replay: the merge would no-op — return the LAZY encoding
+    if (store.isReplay(batchId)) return encoded
+    val checkpointed = encoded.localCheckpoint()
+    store.merge(checkpointed, batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
+    checkpointed
+  }
+
   /** The full incremental near-dup INGEST loop over the persisted
     * embedding store — the VECTOR twin of [[nearDupIngestBatch]], as a
     * foreachBatch body: (1) probe the batch against the store-backed

@@ -71,6 +71,20 @@ class IvfPqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("refine: exact re-rank of a full-cluster shortlist recovers the exact top-k") {
+    // shortlist 19 with nprobe 2 covers every same-cluster candidate,
+    // so the exact re-rank must reproduce brute force bit-for-bit
+    // (cross-cluster cosine ~0 never enters the top-10)
+    val refined = IvfPq.topKRefined(
+        IvfPq.encode(clustered, centroids, codebooks),
+        SimilaritySearch.normalizedVectors(clustered),
+        queryOf, centroids, codebooks, k = 10, shortlist = 19, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(refined == brute)
+  }
+
   test("store probe returns exactly the recompute form's top-k") {
     val store = new IvfPqStore("graft_ivfpq_spec_store")
     store.merge(IvfPq.encode(clustered, centroids, codebooks))
