@@ -88,8 +88,21 @@ class IvfPqSpec extends SparkSpec {
   test("store probe returns exactly the recompute form's top-k") {
     val store = new IvfPqStore("graft_ivfpq_spec_store")
     store.merge(IvfPq.encode(clustered, centroids, codebooks))
-    val fromStore = IvfPq.topKFromEncoded(store.table(spark), queryOf,
-        centroids, codebooks, k = 10)
+    val fromStoreDf = IvfPq.topKFromEncoded(store.table(spark), queryOf,
+      centroids, codebooks, k = 10)
+
+    // Plan pin: the probe reads the persisted codes — no encoding
+    // (cell/code argmins) may run over the corpus; the only PQ math
+    // left is the per-candidate ADC dot and the query-side probe list.
+    val p = fromStoreDf.queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivfpq_spec_store"),
+      s"probe must scan the persisted compressed file:\n$p")
+    assert(!p.contains("graft_ivf_assign"),
+      s"no assignment/encoding stage may run above the stored scan:\n$p")
+    assert(p.contains("graft_pq_adc_dot"),
+      s"ADC scoring expected in the probe plan:\n$p")
+
+    val fromStore = fromStoreDf
       .as[(Long, Long, Double, Long)].collect().toSet
     val recompute = IvfPq.topK(clustered, queryOf, centroids, codebooks,
         k = 10)

@@ -66,9 +66,19 @@ class SemDedupSpec extends SparkSpec {
     val store = new IvfStore("graft_semdedup_spec_store")
     store.merge(IvfIndex.index(seen, centroids))
 
-    val probe = SimilaritySearch.incrementalSemanticNearDupPairsFromStore(
-        batch, store.table(spark), centroids, threshold = 0.9)
-      .as[(Long, Long, Double)].collect().toSet
+    val probeDf = SimilaritySearch.incrementalSemanticNearDupPairsFromStore(
+      batch, store.table(spark), centroids, threshold = 0.9)
+
+    // Plan pin: the seen corpus is the persisted inverted file and the
+    // batch's own assignment hides behind its lazy localCheckpoint —
+    // the executed probe plan must run ZERO cell-assignment work.
+    val p = probeDf.queryExecution.executedPlan.toString
+    assert(p.contains("graft_semdedup_spec_store"),
+      s"probe must scan the persisted inverted file:\n$p")
+    assert(!p.contains("graft_ivf_assign"),
+      s"no assignment stage may run above the stored scan:\n$p")
+
+    val probe = probeDf.as[(Long, Long, Double)].collect().toSet
     val full = SimilaritySearch.semanticNearDupPairs(clustered, centroids, 0.9)
       .as[(Long, Long, Double)].collect()
       .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0).toSet
