@@ -191,6 +191,21 @@ object SimilarityOps extends QueryPack {
       k = 10, shortlist = 30, nprobe = 4)
   }
 
+  /** Inverted-file balance monitor (faiss's imbalance_factor story):
+    * per-cell population from the PERSISTED inverted file — the
+    * operational signal that the quantizer needs retraining (a hot
+    * cell degrades every probe that lands in it; the probe cost model
+    * assumes ~|corpus|·nprobe/nlist candidates). Bare bucketed scan +
+    * partial-agg count; at serving scale this reads the store's cell
+    * column only. */
+  def ivfCellStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    ivfStoreFor(spark, sfDir, vectors, centroids).table(spark)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame =
     SimilaritySearch.lshNearDupPairs(
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
@@ -247,6 +262,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq" -> (annIvfPq _),
     "ann_ivfpq_store" -> (annIvfPqStore _),
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
+    "ivf_cell_stats" -> (ivfCellStats _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
@@ -716,7 +732,12 @@ object SimilarityOps extends QueryPack {
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),
         "semantic_dedup_keep" -> semanticKeepOracle(c),
-        "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c)) ++
+        "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c),
+        // the oracle recomputes cells from scratch, so the gate also
+        // proves the STORE's ingest-time assignments match a fresh pass
+        "ivf_cell_stats" -> (normCte + ",\n" + centCte(c) + ",\n" +
+          vcellCte +
+          "\nSELECT cell, count(*) AS n_vecs FROM vcell GROUP BY cell")) ++
         // IVF-PQ additionally needs the codebook snapshot; the store
         // probe must return exactly the recompute form's top-k
         graft.operators.IvfPq.trainedSnapshot(m = 8, ksub = 16, iters = 2)
