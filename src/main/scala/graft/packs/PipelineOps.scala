@@ -131,11 +131,61 @@ object PipelineOps extends QueryPack {
         keptWithText(Tables.documents(spark, sfDir)), "doc_id", "text"),
       "doc_id", "clean_text", TextOps.NumShards, TextOps.PackBudget)
 
+  /** The AUDIT view of the flagship pipeline — one verdict row per
+    * input document: `keep`, `drop_quality`, `drop_mixture`, or
+    * `drop_neardup` with `dup_of` naming the canonical (quality-argmax,
+    * min-id tie) the document lost to. This is the data-governance
+    * surface a production curation run owes its users ("why was my
+    * document dropped, and who superseded it") and the debugging
+    * surface for gate tuning — same gates, same clustering, same keep
+    * rule as [[pipelineCurateQuality]], composed so a policy change
+    * cannot drift the audit from the pipeline.
+    *
+    * Scale shape: the gate lineage is [[curateQuality]]'s; the audit
+    * adds only id-keyed LEFT joins of two id-sized sets (mixture
+    * membership, loser→winner map) back onto the corpus — no new
+    * shuffle classes, no windows, nothing driver-side. Verdict
+    * precedence mirrors the gate order (quality → mixture → near-dup),
+    * so a doc failing several gates reports the FIRST one that
+    * actually removed it. */
+  def pipelineCurateAudit(spark: SparkSession, sfDir: String): DataFrame =
+    curateAudit(Tables.documents(spark, sfDir))
+
+  def curateAudit(docs: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val withQ = docs.join(quality, "doc_id")
+    val filtered = withQ.filter(col("quality") >= QualityMin)
+    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(sampled.select(col("doc_id"), col("quality")), "doc_id")
+    val verdicts = Dedup.keepByQuality(withQuality)
+    val winners = verdicts.filter(col("keep"))
+      .select(col("cluster_id"), col("doc_id").as("dup_of"))
+    val losers = verdicts.filter(!col("keep"))
+      .select(col("doc_id"), col("cluster_id"))
+      .join(winners, "cluster_id")
+      .select(col("doc_id"), col("dup_of"))
+    withQ.select(col("doc_id"), col("quality"))
+      .join(sampled.select(col("doc_id"), lit(true).as("in_mix")),
+        Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality") < QualityMin, lit("drop_quality"))
+          .when(col("in_mix").isNull, lit("drop_mixture"))
+          .when(col("dup_of").isNotNull, lit("drop_neardup"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("dup_of"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _),
-      "pipeline_curate_pack" -> (pipelineCuratePack _))
+      "pipeline_curate_pack" -> (pipelineCuratePack _),
+      "pipeline_curate_audit" -> (pipelineCurateAudit _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -226,6 +276,24 @@ object PipelineOps extends QueryPack {
          |  GROUP BY m.doc_id
          |),
          |${TextOps.shardPackCtesFrom("cleaned", "clean_text", "ps", "pw")}
-         |${TextOps.packSelectFrom("pw")}""".stripMargin
+         |${TextOps.packSelectFrom("pw")}""".stripMargin,
+
+    // the shared j/k argmax tail becomes a loser→winner map; verdict
+    // precedence mirrors the gate order, so the CASE reports the FIRST
+    // gate that removed each doc
+    "pipeline_curate_audit" ->
+      s"""WITH RECURSIVE $qualityKeepCtes,
+         |lose AS (
+         |  SELECT j.doc_id AS lid, k.best_id AS dup_of
+         |  FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |  WHERE j.doc_id <> k.best_id
+         |)
+         |SELECT q.doc_id,
+         |  CASE WHEN q.quality < $QualityMin THEN 'drop_quality'
+         |       WHEN NOT (${TextOps.sampleGateSql}) THEN 'drop_mixture'
+         |       WHEN l.dup_of IS NOT NULL THEN 'drop_neardup'
+         |       ELSE 'keep' END AS verdict,
+         |  l.dup_of
+         |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin
   )
 }

@@ -27,6 +27,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "pipeline must be deterministic")
   }
 
+  test("audit: one verdict per input doc; keep set == pipeline survivors; dup_of names keepers") {
+    val audit = PipelineOps.pipelineCurateAudit(spark, sf)
+      .as[(Long, String, Option[Long])].collect()
+    val allIds = Tables.documents(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // total function of the corpus: exactly one row per input doc
+    assert(audit.map(_._1).toSet == allIds && audit.length == allIds.size)
+    // the audit's keep set IS the pipeline's survivor set
+    val kept = PipelineOps.pipelineCurateQuality(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(audit.filter(_._2 == "keep").map(_._1).toSet == kept)
+    // every verdict is one of the four; dup_of set exactly on neardup
+    // drops, and always names a KEPT doc
+    assert(audit.forall(r => Set("keep", "drop_quality", "drop_mixture",
+      "drop_neardup").contains(r._2)))
+    audit.foreach { case (id, v, dupOf) =>
+      assert(dupOf.isDefined == (v == "drop_neardup"),
+        s"doc $id: verdict $v with dup_of $dupOf")
+      dupOf.foreach(d => assert(kept(d),
+        s"doc $id lost to $d, which is not a keeper"))
+    }
+    assert(audit.exists(_._2 == "drop_quality") &&
+      audit.exists(_._2 == "drop_mixture"), "fixture exercises the gates")
+  }
+
   test("curate+strip: same survivors, per-token drop accounting consistent") {
     val kept = PipelineOps.pipelineCurateQuality(spark, sf)
       .select("doc_id", "lang", "quality")
