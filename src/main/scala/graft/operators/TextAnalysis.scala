@@ -702,6 +702,46 @@ object TextAnalysis {
           sum(col("tf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** [[unigramLogProb]] under a REFERENCE distribution — the CCNet
+    * pattern: the corpus is scored against a language model trained on
+    * a trusted high-quality subset (there: wikipedia; here: any
+    * (textCol) relation), not against itself — so a corpus saturated
+    * with one flavor of junk cannot make that junk look fluent, which
+    * is exactly the self-scoring failure mode [[unigramLogProb]]
+    * inherits by design. Laplace smoothing over the REFERENCE
+    * vocabulary: an out-of-reference term costs
+    * ln(1 / (N_ref + V_ref)) — the OOV floor.
+    *
+    * Scale shape and determinism are [[unigramLogProb]]'s verbatim
+    * (per-(doc,term) partial agg, merge-joined reference counts with
+    * LEFT join + coalesce for OOV, the single 1-row (N,V) broadcast,
+    * 6-decimal rounded log carried as DECIMAL so aggregation order
+    * cannot move the sum); the reference side reduces to its count
+    * table once per run — at serving scale that table is the persisted
+    * artifact (the BandStore pattern), refreshed when the reference
+    * corpus changes, not per batch. */
+  def unigramLogProbFrom(reference: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val tc = reference.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+    val tot = tc.agg(sum(col("tc")).as("n"), count(lit(1)).as("v"))
+    val scored = tf
+      .join(tc.hint("merge"), Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("tf"),
+        round(log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+          (col("n") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("llp")).cast("double") /
+          sum(col("tf")).cast("double"), 4).as("avg_logprob"))
+  }
+
   /** Per-doc mean bigram conditional log-probability — the
     * perplexity-style fluency signal one rung above [[unigramLogProb]]
     * (shuffled or concatenated word salad scores near the unigram

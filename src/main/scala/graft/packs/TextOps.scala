@@ -164,6 +164,24 @@ object TextOps extends QueryPack {
     TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** Reference-LM quality floor for [[unigramLogprobRef]]'s trusted
+    * subset (shared with the generated SQL). Same value as the
+    * pipeline's QualityMin, declared here so the two packs stay
+    * dependency-free. */
+  val RefQualityMin = 0.5
+
+  /** The CCNet scoring split: every document scored under the unigram
+    * distribution of the TRUSTED subset (quality >= RefQualityMin) —
+    * not under its own corpus, so saturating junk can't normalize
+    * itself. */
+  def unigramLogprobRef(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val reference = docs.join(
+        TextAnalysis.qualityScore(docs, "doc_id", "text"), "doc_id")
+      .filter(col("quality") >= RefQualityMin)
+    TextAnalysis.unigramLogProbFrom(reference, docs, "doc_id", "text")
+  }
+
   val VocabTopN = 100
 
   def vocabTopTerms(spark: SparkSession, sfDir: String): DataFrame =
@@ -275,6 +293,7 @@ object TextOps extends QueryPack {
     "quality_floor" -> (qualityFloor _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "unigram_logprob" -> (unigramLogprob _),
+    "unigram_logprob_ref" -> (unigramLogprobRef _),
     "bigram_logprob" -> (bigramLogprob _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
@@ -625,6 +644,33 @@ object TextOps extends QueryPack {
         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
         |       round(CAST(sum(tf * llp) AS DOUBLE) / sum(tf), 4) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // reference-LM variant: counts from the TRUSTED subset only; OOV
+    // terms coalesce to count 0 (the ln(1/(N+V)) floor)
+    "unigram_logprob_ref" ->
+      s"""WITH ref AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, $qualityExprSql AS quality FROM documents
+         |  ) WHERE quality >= $RefQualityMin
+         |), tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+         |), tc AS (
+         |  SELECT term, count(*)::BIGINT AS tc FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS term FROM ref
+         |  ) GROUP BY term
+         |), tot AS (
+         |  SELECT sum(tc)::BIGINT AS n, count(*)::BIGINT AS v FROM tc
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.tf,
+         |         CAST(round(ln((coalesce(tc.tc, 0) + 1)::DOUBLE / (tot.n + tot.v)), 6)
+         |              AS DECIMAL(18,6)) AS llp
+         |  FROM tf LEFT JOIN tc USING (term) CROSS JOIN tot
+         |)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |       round(CAST(sum(tf * llp) AS DOUBLE) / sum(tf), 4) AS avg_logprob
+         |FROM scored GROUP BY doc_id""".stripMargin,
 
     // same decimal-exact idiom as unigram_logprob; the smoothing
     // denominator is the PREV token's unigram count + V

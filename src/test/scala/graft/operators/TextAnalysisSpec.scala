@@ -452,6 +452,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("unigramLogProbFrom: reference distribution, OOV floor; exact hand-check") {
+    val s = spark
+    import s.implicits._
+    // reference: "the cat sat on the mat" → the=2, cat/sat/on/mat=1
+    // → N=6, V=5, denominator 11
+    val ref = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    // scored docs never contribute counts; zzz/qqq are OOV
+    val docs = Seq((10L, "the cat"), (11L, "zzz qqq")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProbFrom(ref, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def llp(tc: Long): BigDecimal =
+      BigDecimal(math.log((tc + 1).toDouble / 11.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(parts: (Long, Long)*): Double = {
+      val q = parts.map { case (tf, tc) => BigDecimal(tf) * llp(tc) }.sum.toDouble /
+        parts.map(_._1).sum
+      BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(10L)._1 == 2 && out(11L)._1 == 2)
+    assert(out(10L)._2 == avg((1L, 2L), (1L, 1L)), s"got ${out(10L)}")
+    // both OOV terms sit exactly on the ln(1/(N+V)) floor
+    assert(out(11L)._2 == avg((1L, 0L), (1L, 0L)), s"got ${out(11L)}")
+    assert(out(10L)._2 > out(11L)._2)
+    // self-scoring would have normalized the junk: under ITS OWN corpus
+    // doc 11 outscores its reference-LM verdict
+    val self = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(self(11L) > out(11L)._2,
+      "reference scoring must punish junk harder than self-scoring")
+  }
+
   test("bigramLogProb: corpus-typical transitions outscore one-offs; exact hand-check") {
     val s = spark
     import s.implicits._
