@@ -244,6 +244,42 @@ class SkewSoakSpec extends SparkSpec {
     info(f"production embedding cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
   }
 
+  /** The SemDeDup path under the same degenerate corpus: the
+    * identical-embedding block collapses into ONE k-means cell (12000
+    * rows — 6x the test cap; an uncapped within-cell join would emit
+    * 72M pairs there), while the planted near pair shares a normal
+    * cell. The training draw is ~80% identical boiler vectors, so the
+    * quantizer effectively yields one boiler cell and one cell holding
+    * ALL ~3000 clean vectors — cap 4000 (3x under the boiler block)
+    * keeps that clean cell while dropping the collapsed one, which is
+    * exactly the production setting: cap above the p99 cell, below the
+    * degenerate one. */
+  test("production semantic cell cap: skew bounded under a collapsed-encoder cell") {
+    val corpus = degenerateEmbeddings
+    val centroids = IvfIndex.train(corpus, nlist = 4, iters = 2)
+    val (rows, worst, maxRead) = measureSkew {
+      SimilaritySearch.semanticNearDupPairs(corpus, centroids,
+        threshold = 0.9, maxCellSize = 4000).collect()
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "planted near pair in a normal cell must survive the cap")
+    assert(!pairs.exists(p => p._1 < Boiler && p._2 < Boiler),
+      "over-cap cell must be dropped, not paired")
+    assert(worst <= 4.0,
+      f"semantic cell cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    // the surviving ~3000-row clean cell legitimately generates ~4.5M
+    // candidate pairs (SemDeDup's within-cell price when nlist is far
+    // too small for the corpus — production sizes nlist ≈ √N); the
+    // hazard the cap removes is the COLLAPSED cell's 72M-pair blowup,
+    // so the bound is an order of magnitude under that while leaving
+    // the honest cell's spread-across-tasks reads alone (measured
+    // ~140k max)
+    assert(maxRead < 5000000,
+      s"no task may absorb the collapsed cell's quadratic blowup: max=$maxRead")
+    info(f"production semantic cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
+
   test("production simhash bucket cap: skew bounded under identical fingerprints") {
     val (rows, worst, maxRead) = measureSkew {
       Dedup.simhashPairs(identicalFingerprintDocs, "doc_id", "text").collect()
