@@ -166,17 +166,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("ann_lsh + ann_ivf: heap top-k with map-side combine, never a ranking window") {
+  test("ann_lsh + ann_ivf + ann_ivfpq(+refine): heap top-k with map-side combine, never a ranking window") {
     // a hot query hitting a degenerate LSH bucket / dense IVF cell must
     // not funnel its full candidate set into one unsplittable window
     // task — the bounded-heap aggregate partially combines map-side
-    Seq("ann_lsh", "ann_ivf").foreach { q =>
+    Seq("ann_lsh", "ann_ivf", "ann_ivfpq", "ann_ivfpq_refine").foreach { q =>
       val p = plan(q)
       assert(p.contains("partial_graft_topk"),
         s"$q must rank via the bounded-heap aggregate (map-side combine):\n$p")
       assert(!p.contains("windowspecdefinition"),
         s"$q must not rank via a per-query window:\n$p")
     }
+  }
+
+  test("ann_ivfpq: ADC scoring native, probe side broadcast, no cartesian") {
+    val p = plan("ann_ivfpq")
+    assert(p.contains("graft_pq_adc_dot"),
+      s"ADC must be the native reference-object expression:\n$p")
+    assert(p.contains("BroadcastExchange"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semantic_neardup: cell cap is partial-agg + anti-join, not a window count") {
+    val p = plan("semantic_neardup")
+    // (the cell assignment itself sits behind the indexed table's lazy
+    // localCheckpoint — one materialization feeding cap count, both
+    // join sides, and verification — so it does not appear here; the
+    // SemDedupSpec store-probe pin covers the zero-recompute property)
+    assert(p.contains("partial_count"),
+      s"cell sizes must partially aggregate map-side:\n$p")
+    assert(p.contains("LeftAnti") || p.contains("left_anti"),
+      s"over-cap cells must drop via broadcast anti-join:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window may count cell sizes:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("range_join: binned equi-join, never a nested-loop inequality join") {
