@@ -323,6 +323,41 @@ object SimilaritySearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** Binary (sign) quantization + Hamming ranking — the 1-bit
+    * quantization path of production vector stores (binary embeddings /
+    * "BQ" indexes): each vector becomes 64 sign bits of seeded random
+    * projections (two 32-bit words via [[graft.functions.HyperplaneBuckets]]
+    * — one scan-side native pass, no explode), and candidates rank by
+    * the number of AGREEING bits. 32× smaller than int8 codes and the
+    * scoring is pure integer XOR+popcount — exact, order-independent,
+    * trivially cross-engine (no float accumulation anywhere, unlike
+    * every cosine path). Sign-random-projection Hamming similarity
+    * estimates angular similarity (the SimHash bound:
+    * P[bit agrees] = 1 − θ/π), so same-cluster neighbors dominate the
+    * top-k; recall vs exact cosine is pinned in the spec. Output shape
+    * matches the other ANN paths with sim = agreeing-bit count. */
+  def bruteForceTopKHamming(vectors: DataFrame, queries: DataFrame,
+      k: Int, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nTables = 2, nPlanes = 32, dim, seed)
+    def codes(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col(idCol),
+          graft.functions.HyperplaneBuckets(
+            VectorOps.toDoubleVec(col(embCol)), planes).as("c"))
+        .select(col(idCol),
+          element_at(col("c"), 1).as("c0"),
+          element_at(col("c"), 2).as("c1"))
+    val v = codes(vectors, "vec_id", "embedding")
+    val q = codes(queries, "query_id", "q_emb")
+      .withColumnRenamed("c0", "q0").withColumnRenamed("c1", "q1")
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (lit(64) - bit_count(col("c0").bitwiseXOR(col("q0")))
+          - bit_count(col("c1").bitwiseXOR(col("q1"))))
+          .cast("double").as("sim"))
+    heapTopK(scored, k)
+  }
+
   /** Default cell cap for the semantic (IVF-cell-blocked) near-dup
     * candidate join, shared with the generated oracle SQL. */
   val SemDedupMaxCellSize = 1000

@@ -191,6 +191,14 @@ object SimilarityOps extends QueryPack {
       k = 10, shortlist = 30, nprobe = 4)
   }
 
+  /** Binary-quantization ANN: 64 sign bits per vector, integer
+    * XOR+popcount ranking — no float accumulation anywhere, so the
+    * oracle is exact by construction. */
+  def annHamming(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.bruteForceTopKHamming(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      queriesDf(spark, sfDir), k = 10)
+
   /** Inverted-file balance monitor (faiss's imbalance_factor story):
     * per-cell population from the PERSISTED inverted file — the
     * operational signal that the quantizer needs retraining (a hot
@@ -263,6 +271,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_store" -> (annIvfPqStore _),
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
+    "ann_hamming" -> (annHamming _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
@@ -564,6 +573,34 @@ object SimilarityOps extends QueryPack {
          |)""".stripMargin
   }
 
+  /** Hamming oracle: the same vbuck sign-bucket CTE the LSH oracles
+    * prove, pivoted to two 32-bit words; scoring is integer
+    * XOR+popcount — bit-exact cross-engine with no rounding needed. */
+  private def annHammingOracle: String = {
+    val planes = SimilaritySearch.hyperplanes(nTables = 2, nPlanes = 32,
+      dim = 64, seed = 42L)
+    normCte + ",\n" + planesCte(planes) + ",\n" + vbuckCte + ",\n" +
+      """codes AS (
+        |  SELECT vec_id,
+        |         CAST(max(CASE WHEN tbl = 0 THEN bucket END) AS BIGINT) AS c0,
+        |         CAST(max(CASE WHEN tbl = 1 THEN bucket END) AS BIGINT) AS c1
+        |  FROM vbuck GROUP BY vec_id
+        |), q AS (
+        |  SELECT vec_id AS query_id, c0 AS q0, c1 AS q1
+        |  FROM codes WHERE vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id,
+        |         CAST(64 - bit_count(xor(c.c0, q.q0))
+        |              - bit_count(xor(c.c1, q.q1)) AS DOUBLE) AS sim
+        |  FROM q, codes c WHERE c.vec_id <> q.query_id
+        |)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""".stripMargin
+  }
+
   /** SemDeDup pair CTEs, generated from the SAME trained matrix as the
     * ann_ivf oracle (the engine reuses one quantizer for both): cell
     * assignment via [[vcellCte]]'s exact argmin, degenerate cells
@@ -701,6 +738,7 @@ object SimilarityOps extends QueryPack {
         |  FROM scored
         |) WHERE rk <= 10""".stripMargin,
     "ann_lsh" -> annLshOracle,
+    "ann_hamming" -> annHammingOracle,
     "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
     "embedding_neardup_incremental" -> embeddingNearDupIncrementalOracle,
     // the store-backed probe must emit EXACTLY the same pair set as the

@@ -61,6 +61,22 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall $recall too low")
   }
 
+  test("hamming topk: same-cluster neighbors, whole-number sims, deterministic") {
+    val out = SimilaritySearch.bruteForceTopKHamming(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 30)
+    out.foreach { case (qid, vid, sim, _) =>
+      assert(vid / 100 == qid / 100, s"query $qid got cross-cluster $vid")
+      assert(sim == sim.floor && sim >= 0 && sim <= 64,
+        s"hamming sim must be a whole agreeing-bit count: $sim")
+      // within-cluster angular similarity is high → most sign bits agree
+      assert(sim >= 48, s"same-cluster neighbor with implausibly low bit agreement: $sim")
+    }
+    val again = SimilaritySearch.bruteForceTopKHamming(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._4)).toSeq == again.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
   test("LSH topk achieves high recall vs brute force on clustered data") {
     val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
       .as[(Long, Long, Double, Long)].collect()
