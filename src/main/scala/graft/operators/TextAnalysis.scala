@@ -16,13 +16,19 @@ object TextAnalysis {
 
   /** Canonical text normalization for messy corpora: lowercase, strip
     * punctuation to spaces, collapse whitespace runs, trim. Feed its
-    * output to tokens()/shingles for dedup over real-world text (the
-    * driver corpus is already single-space clean, so the oracle queries
-    * skip it). */
+    * output to tokens()/shingles for dedup over real-world text, or
+    * hash it for normalization-robust ("fuzzy-exact") dedup —
+    * trivial reformattings must not defeat the dedup pass. Pure
+    * scan-side string expression (codegen'd); pattern literals shared
+    * with the generated oracle SQL (Java regex and DuckDB's RE2 agree
+    * on these unicode character classes). */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^\\p{L}\\p{N}]+", " "),
-      " +", " "))
+      regexp_replace(lower(text), NormPunctPattern, " "),
+      NormSpacePattern, " "))
+
+  val NormPunctPattern = "[^\\p{L}\\p{N}]+"
+  val NormSpacePattern = " +"
 
   /** Printable-ASCII projection (deterministic cross-engine base for
     * char-level ops; multibyte text handled by the CJK branch of langId). */

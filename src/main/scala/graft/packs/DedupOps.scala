@@ -16,6 +16,18 @@ object DedupOps extends QueryPack {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.exact(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Exact dedup over NORMALIZED text — casefold/punctuation/
+    * whitespace variants of the same content collapse to one hash (the
+    * fuzzy-exact pass that runs before the banding machinery; a
+    * reformatted copy never reaches the quadratic candidate paths).
+    * Same plan shape as dedup_exact: one scan-side normalize+hash
+    * projection, one partial-agg groupBy. */
+  def dedupExactNormalized(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exact(
+      Tables.documents(spark, sfDir).withColumn("norm_text",
+        graft.operators.TextAnalysis.normalizeText(col("text"))),
+      "doc_id", "norm_text")
+
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedNgramJaccard(Tables.documents(spark, sfDir), "doc_id", "text")
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
@@ -283,6 +295,7 @@ object DedupOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_strip_spans" -> (dedupStripSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
@@ -594,6 +607,15 @@ object DedupOps extends QueryPack {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // identical shape over the normalized text (shared pattern
+    // literals with TextAnalysis.normalizeText)
+    "dedup_exact_normalized" ->
+      s"""SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |         '${graft.operators.TextAnalysis.NormPunctPattern}', ' ', 'g'),
+         |         '${graft.operators.TextAnalysis.NormSpacePattern}', ' ', 'g'))) AS text_hash,
+         |       min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_incremental" -> incrementalExactOracle,
 

@@ -21,6 +21,27 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup._2 == 1L)
   }
 
+  test("normalized exact dedup collapses casefold/punctuation/whitespace variants") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val variants = Seq(
+      (1L, "Hello, World! 42"),
+      (2L, "hello  world 42"),       // reformatting of 1
+      (3L, "HELLO WORLD  42."),      // reformatting of 1
+      (4L, "hello world 43")         // genuinely different
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(
+        variants.withColumn("norm_text", TextAnalysis.normalizeText(col("text"))),
+        "doc_id", "norm_text")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 2)
+    val grp = out.find(_._3 == 3L).get
+    assert(grp._2 == 1L, "min-id canonical must survive")
+    // raw exact dedup sees 4 distinct texts — normalization is the delta
+    assert(Dedup.exact(variants, "doc_id", "text").count() == 4)
+  }
+
   test("shingles: empty below n tokens, sliding window otherwise") {
     import org.apache.spark.sql.functions._
     val sh = docs.select(col("doc_id"),
