@@ -78,6 +78,39 @@ case class CentroidNearest(
     copy(child = newChild)
 }
 
+/** The centroid VECTOR of a cell id as `array<double>` — the lookup
+  * residual-PQ needs on both sides: encode subtracts it from the raw
+  * vector, probe adds its query dot back into the ADC score. One
+  * array copy per row, no shuffle, reference-object codegen. */
+case class CentroidVec(
+    child: Expression,
+    centroids: CentroidSet)
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_ivf_centroid"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      CentroidSet.row(input.asInstanceOf[Int], centroids))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfCentroids", centroids,
+      classOf[CentroidSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.CentroidSet.row($c, $ref));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidVec =
+    copy(child = newChild)
+}
+
 /** Flat row-major centroid matrix with precomputed ||c||² per cell.
   * Serializable so it ships to executors once per task as a codegen
   * reference object, never as an expression tree. */
@@ -116,6 +149,15 @@ object CentroidSet {
     var i = 0
     while (i < s.dim) { dotVC += emb.getDouble(i) * s.w(base + i); i += 1 }
     s.normSq(c) - 2.0 * dotVC
+  }
+
+  /** The centroid row of cell `c` (defensive copy — GenericArrayData
+    * must own its backing array). */
+  def row(c: Int, s: CentroidSet): Array[Double] = {
+    require(c >= 0 && c < s.nlist, s"cell $c out of range [0, ${s.nlist})")
+    val out = new Array[Double](s.dim)
+    System.arraycopy(s.w, c * s.dim, out, 0, s.dim)
+    out
   }
 
   def assign(emb: ArrayData, s: CentroidSet): Int = {
@@ -170,4 +212,11 @@ object CentroidNearest {
   def apply(emb: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     bridge.column(CentroidNearest(bridge.expression(emb),
       CentroidSet.fromRows(centroids), nprobe))
+}
+
+object CentroidVec {
+  /** Column API: `cell` must be int. */
+  def apply(cell: Column, centroids: Seq[Seq[Double]]): Column =
+    bridge.column(CentroidVec(bridge.expression(cell),
+      CentroidSet.fromRows(centroids)))
 }

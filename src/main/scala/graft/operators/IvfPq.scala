@@ -25,11 +25,13 @@ import graft.functions.{CentroidAssign, CentroidNearest, PqAdcDot, VectorOps}
   * cross-engine, mirrored exactly by the generated DuckDB oracle
   * (recall vs the exact scorer is pinned in IvfPqSpec).
   *
-  * PQ here quantizes RAW vectors, not cell residuals (faiss's
-  * by_residual=false): one codebook set serves every cell, the
-  * encode step needs no second pass, and the oracle stays one argmin
-  * per (vector, subspace). Residual PQ buys accuracy at nlist ≫ 16
-  * and is a documented extension seam, not a semantic change.
+  * Two quantization forms, one store schema: [[encode]] quantizes RAW
+  * vectors (faiss's by_residual=false — one codebook set serving
+  * every cell, single-pass encode), [[encodeResidual]] quantizes the
+  * CELL RESIDUAL v − centroid[cell] (by_residual=true, the faiss
+  * default — residuals are centered with far smaller spread, so the
+  * same code budget buys a finer grid; the probe adds the centroid
+  * dot back per candidate).
   *
   * Training reuses [[IvfIndex]]'s bounded deterministic machinery:
   * the SAME hash-ordered ≤ maxSample draw, per-subspace Lloyd with
@@ -128,6 +130,109 @@ object IvfPq {
             (col("q_nrm") * col("v_nrm"))), 4).as("sim"))
     SimilaritySearch.heapTopK(scored, k)
   }
+
+  /** Residual PQ codebooks (faiss's by_residual=true — the canonical
+    * IVF-PQ): quantize v − centroid[cell(v)], not v itself. Residuals
+    * are centered near the origin with far smaller spread than raw
+    * vectors, so the same code budget buys a finer quantization grid —
+    * the accuracy the raw-vector form trades away at larger nlist.
+    * Sample assignment uses the ENGINE's argmin arithmetic
+    * (CentroidSet.assign via the same relative-distance loop), so the
+    * codebooks are a pure function of (dataset, centroids). */
+  def trainResidualCodebooks(vectors: DataFrame,
+      centroids: Seq[Seq[Double]], m: Int = 8, ksub: Int = 16,
+      iters: Int = 2, maxSample: Int = 4096): Seq[Seq[Seq[Double]]] = {
+    val sample = IvfIndex.trainSample(vectors, maxSample)
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val cs = graft.functions.CentroidSet.fromRows(centroids)
+    val residuals = sample.map { v =>
+      val cell = graft.functions.CentroidSet.assign(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), cs)
+      val out = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { out(i) = v(i) - cs.w(cell * dim + i); i += 1 }
+      out
+    }
+    (0 until m).map { s =>
+      IvfIndex.lloyd(residuals.map(r =>
+        java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub)),
+        ksub, iters).map(_.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  private val trainedRes =
+    new ConcurrentHashMap[(String, Int, Int, Int), Seq[Seq[Seq[Double]]]]()
+
+  def trainResidualCodebooksCached(vectors: DataFrame, datasetKey: String,
+      centroids: Seq[Seq[Double]], m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): Seq[Seq[Seq[Double]]] =
+    trainedRes.computeIfAbsent((datasetKey, m, ksub, iters),
+      _ => trainResidualCodebooks(vectors, centroids, m, ksub, iters))
+
+  def trainedResidualSnapshot(m: Int, ksub: Int,
+      iters: Int): Option[Seq[Seq[Seq[Double]]]] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = trainedRes.asScala.collect {
+      case ((_, mm, kk, it), c) if mm == m && kk == ksub && it == iters => c
+    }.toSeq.distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
+
+  /** Residual encode: same (vec_id, codes, v_nrm, cell) schema as
+    * [[encode]] (an [[IvfPqStore]] holds either form), but the codes
+    * quantize the CELL RESIDUAL. The residual subtraction is an
+    * elementwise zip (exact, no accumulation — cross-engine safe by
+    * construction); it runs once at ingest. */
+  def encodeResidual(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val dsub = codebooks.head.head.length
+    vectors
+      .select(col("vec_id"),
+        VectorOps.toDoubleVec(col("embedding")).as("emb"),
+        VectorOps.norm(col("embedding")).as("v_nrm"))
+      .withColumn("cell", CentroidAssign(col("emb"), centroids))
+      .withColumn("res", zip_with(col("emb"),
+        graft.functions.CentroidVec(col("cell"), centroids),
+        (a, b) => a - b))
+      .select(col("vec_id"),
+        array(codebooks.indices.map(s =>
+          CentroidAssign(slice(col("res"), s * dsub + 1, dsub),
+            codebooks(s))): _*).as("codes"),
+        col("v_nrm"), col("cell"))
+  }
+
+  /** Residual-ADC top-k: score = (q·centroid[cell] + q·residual
+    * reconstruction) / norms — the centroid dot is one native
+    * [[graft.functions.CentroidVec]] lookup + DotProduct per
+    * candidate, the residual part is the same [[PqAdcDot]] lookup sum
+    * as the raw form. Same output shape and ranking discipline. */
+  def topKFromEncodedResidual(encoded: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nprobe: Int = 4): DataFrame = {
+    val probes = queries.select(col("query_id"),
+        VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+        VectorOps.norm(col("q_emb")).as("q_nrm"))
+      .select(col("query_id"), col("qd_emb"), col("q_nrm"),
+        explode(CentroidNearest(col("qd_emb"), centroids, nprobe)).as("cell"))
+
+    val scored = encoded.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(when(col("q_nrm") * col("v_nrm") === 0d, lit(0d))
+          .otherwise((VectorOps.dotPrecast(col("qd_emb"),
+              graft.functions.CentroidVec(col("cell"), centroids)) +
+            PqAdcDot(col("qd_emb"), col("codes"), codebooks)) /
+            (col("q_nrm") * col("v_nrm"))), 4).as("sim"))
+    SimilaritySearch.heapTopK(scored, k)
+  }
+
+  def topKResidual(vectors: DataFrame, queries: DataFrame,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, nprobe: Int = 4): DataFrame =
+    topKFromEncodedResidual(encodeResidual(vectors, centroids, codebooks),
+      queries, centroids, codebooks, k, nprobe)
 
   /** PQ shortlist + exact re-rank (faiss IndexRefineFlat): the
     * compressed index narrows each query to a `shortlist`-sized

@@ -191,6 +191,18 @@ object SimilarityOps extends QueryPack {
       k = 10, shortlist = 30, nprobe = 4)
   }
 
+  /** Residual IVF-PQ (faiss by_residual=true): codes quantize
+    * v − centroid[cell], the probe adds the centroid dot back —
+    * the canonical compressed-index form. */
+  def annIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    val codebooks = graft.operators.IvfPq.trainResidualCodebooksCached(
+      vectors, datasetKey = sfDir, centroids, m = 8, ksub = 16, iters = 2)
+    graft.operators.IvfPq.topKResidual(vectors, queriesDf(spark, sfDir),
+      centroids, codebooks, k = 10, nprobe = 4)
+  }
+
   /** Binary-quantization ANN: 64 sign bits per vector, integer
     * XOR+popcount ranking — no float accumulation anywhere, so the
     * oracle is exact by construction. */
@@ -272,6 +284,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_hamming" -> (annHamming _),
+    "ann_ivfpq_res" -> (annIvfPqRes _),
     "embedding_neardup" -> (embeddingNearDup _),
     "embedding_neardup_lsh" -> (embeddingNearDupLsh _),
     "embedding_neardup_incremental" -> (embeddingNearDupIncremental _),
@@ -601,6 +614,85 @@ object SimilarityOps extends QueryPack {
         |) WHERE rk <= 10""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: the residual is an exact elementwise
+    * subtraction (no accumulation — cross-engine safe by
+    * construction); the code argmin folds sequentially over residual
+    * slices (the engine's CentroidAssign loop over zip_with output);
+    * the score adds the sequential centroid dot to the ADC sum before
+    * the one division and rounding. */
+  private def annIvfPqResOracle(centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nprobe: Int): String = {
+    val dsub = codebooks.head.head.length
+    normCte + ",\n" + centCte(centroids) + ",\n" + vcellCte + ",\n" +
+      cbCte(codebooks) + ",\n" +
+      s"""vres AS (
+         |  SELECT v.vec_id, vc.cell,
+         |         list_transform(generate_series(1, 64),
+         |           i -> CAST(v.embedding[i] AS DOUBLE) - ct.w[i]) AS res
+         |  FROM v
+         |  JOIN vcell vc ON vc.vec_id = v.vec_id
+         |  JOIN cent ct ON ct.cell = vc.cell
+         |), vcode AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT r.vec_id, c.sub, c.code,
+         |           row_number() OVER (PARTITION BY r.vec_id, c.sub ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, $dsub),
+         |               i -> r.res[c.sub * $dsub + i] * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.code ASC) AS rn
+         |    FROM vres r, cb c
+         |  ) WHERE rn = 1
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM v WHERE vec_id % 100 = 0
+         |), qprobe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+         |               i -> CAST(q.q_emb[i] AS DOUBLE) * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM q, cent c
+         |  ) WHERE rn <= $nprobe
+         |), cand AS (
+         |  SELECT qp.query_id, vc.vec_id, vc.cell
+         |  FROM qprobe qp JOIN vcell vc USING (cell)
+         |  WHERE vc.vec_id <> qp.query_id
+         |), adc AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         sum(list_reduce(list_transform(generate_series(1, $dsub),
+         |           i -> CAST(q.q_emb[vc.sub * $dsub + i] AS DOUBLE) * b.w[i]),
+         |           (acc, x) -> acc + x)) AS rdot
+         |  FROM cand c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN vcode vc ON vc.vec_id = c.vec_id
+         |  JOIN cb b ON b.sub = vc.sub AND b.code = vc.code
+         |  GROUP BY c.query_id, c.vec_id
+         |), cdot AS (
+         |  SELECT c.query_id, c.vec_id,
+         |         list_reduce(list_transform(generate_series(1, 64),
+         |           i -> CAST(q.q_emb[i] AS DOUBLE) * ct.w[i]),
+         |           (acc, x) -> acc + x) AS cd
+         |  FROM cand c
+         |  JOIN q ON q.query_id = c.query_id
+         |  JOIN cent ct ON ct.cell = c.cell
+         |), scored AS (
+         |  SELECT a.query_id, a.vec_id,
+         |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |           ELSE (cd.cd + a.rdot) / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM adc a
+         |  JOIN cdot cd ON cd.query_id = a.query_id AND cd.vec_id = a.vec_id
+         |  JOIN q ON q.query_id = a.query_id
+         |  JOIN v ON v.vec_id = a.vec_id
+         |)
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $k""".stripMargin
+  }
+
   /** SemDeDup pair CTEs, generated from the SAME trained matrix as the
     * ann_ivf oracle (the engine reuses one quantizer for both): cell
     * assignment via [[vcellCte]]'s exact argmin, degenerate cells
@@ -784,6 +876,11 @@ object SimilarityOps extends QueryPack {
             Seq("ann_ivfpq" -> o, "ann_ivfpq_store" -> o,
               "ann_ivfpq_refine" -> annIvfPqRefineOracle(c, cb, k = 10,
                 shortlist = 30, nprobe = 4))
+          } ++
+        graft.operators.IvfPq.trainedResidualSnapshot(m = 8, ksub = 16,
+            iters = 2)
+          .toList.map { cb =>
+            "ann_ivfpq_res" -> annIvfPqResOracle(c, cb, k = 10, nprobe = 4)
           }
     }
 }

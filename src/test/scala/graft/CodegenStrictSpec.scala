@@ -10,7 +10,7 @@ class CodegenStrictSpec extends SparkSpec {
 
   private val hotQueries = Seq(
     "ann_ivf", "ann_ivf_store", "ann_ivfpq", "ann_ivfpq_store",
-    "ann_ivfpq_refine",
+    "ann_ivfpq_refine", "ann_ivfpq_res", "ann_hamming",
     "ann_lsh", "ann_brute", "ann_topk_agg",
     "semantic_neardup", "semantic_neardup_incremental_store",
     "embedding_neardup_lsh", "embedding_neardup_incremental",

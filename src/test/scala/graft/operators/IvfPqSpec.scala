@@ -71,6 +71,32 @@ class IvfPqSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("residual PQ: same-cluster neighbors; recall at least matches raw PQ") {
+    val resCb = IvfPq.trainResidualCodebooks(clustered, centroids, m = 8,
+      ksub = 16, iters = 3)
+    val brute = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val res = IvfPq.topKResidual(clustered, queryOf, centroids, resCb,
+        k = 10, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(res.length == 30)
+    res.foreach { case (qid, vid, _, _) =>
+      assert(vid / 100 == qid / 100, s"query $qid got cross-cluster $vid")
+    }
+    val rawRecall = (brute & IvfPq.topK(clustered, queryOf, centroids,
+        codebooks, k = 10, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2)).toSet).size.toDouble / brute.size
+    val resRecall =
+      (brute & res.map(r => (r._1, r._2)).toSet).size.toDouble / brute.size
+    // residual quantization grids the (small) within-cell spread, so
+    // fine ranking must not be WORSE than the raw form on clustered data
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall below raw PQ recall $rawRecall")
+    assert(resRecall >= 0.5, s"residual recall $resRecall too low")
+  }
+
   test("refine: exact re-rank of a full-cluster shortlist recovers the exact top-k") {
     // shortlist 19 with nprobe 2 covers every same-cluster candidate,
     // so the exact re-rank must reproduce brute force bit-for-bit
