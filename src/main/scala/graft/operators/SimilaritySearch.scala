@@ -414,6 +414,37 @@ object SimilaritySearch {
       threshold, maxCellSize)
   }
 
+  /** SemDeDup's published keep policy (arXiv:2303.09540 §3): within
+    * each semantic-duplicate CLUSTER (connected components over the
+    * verified pair graph — the shared min-label machinery) keep the
+    * member FARTHEST from its cell centroid, the diversity-maximizing
+    * choice: the member nearest the centroid is the most redundant
+    * with the cell's bulk. "Farthest" ranks on the exact relative
+    * distance ||c||² − 2·v·c the assignment argmin uses (two native
+    * sequential dots — no new arithmetic class), ties → min id; the
+    * argmax is [[Dedup.keepByQuality]]'s single partial aggregation,
+    * never a per-cluster window. Returns the surviving vec_ids. */
+  def semanticDedupKeepFarthest(vectors: DataFrame,
+      centroids: Seq[Seq[Double]], threshold: Double,
+      maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
+    import graft.functions.{CentroidVec, VectorOps}
+    val pairs = semanticNearDupPairs(vectors, centroids, threshold,
+        maxCellSize)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val clusters = Dedup.nearDupClustersFromPairs(
+      vectors.select(col("vec_id").as("doc_id")), "doc_id", pairs)
+    val indexed = IvfIndex.index(vectors, centroids)
+    val cv = CentroidVec(col("cell"), centroids)
+    val withDist = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(indexed.select(col("vec_id").as("doc_id"),
+        (VectorOps.dotPrecast(cv, cv) -
+          lit(2d) * VectorOps.dotPrecast(col("emb"), cv))
+          .as("quality")), "doc_id")
+    Dedup.keepByQuality(withDist)
+      .filter(col("keep"))
+      .select(col("doc_id").as("vec_id"))
+  }
+
   // adapt an inverted-file row set to the shared candidate tail: the
   // IVF cell is a single-"table" bucket
   private def cellBuckets(indexed: DataFrame): DataFrame =

@@ -115,6 +115,15 @@ object SimilarityOps extends QueryPack {
         Seq("vec_id"), "left_anti")
   }
 
+  /** SemDeDup's published keep policy: within each cluster keep the
+    * example FARTHEST from its cell centroid (see
+    * [[SimilaritySearch.semanticDedupKeepFarthest]]). */
+  def semanticDedupKeepFar(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    SimilaritySearch.semanticDedupKeepFarthest(vectors,
+      ivfCentroids(vectors, sfDir), threshold = 0.4)
+  }
+
   /** Store-backed incremental SemDeDup: the batch (vec_id % 5 = 0) is
     * cell-assigned scan-side and probed against the SAME persisted
     * inverted file ann_ivf_store serves from — dedup-at-ingest reads
@@ -291,6 +300,7 @@ object SimilarityOps extends QueryPack {
     "embedding_neardup_incremental_store" -> (embeddingNearDupIncrementalStore _),
     "semantic_neardup" -> (semanticNearDup _),
     "semantic_dedup_keep" -> (semanticDedupKeep _),
+    "semantic_dedup_keep_far" -> (semanticDedupKeepFar _),
     "semantic_neardup_incremental_store" -> (semanticNearDupIncrementalStore _)
   )
 
@@ -739,6 +749,43 @@ object SimilarityOps extends QueryPack {
     semanticPairsWith(c) +
       "\nSELECT vec_id FROM v WHERE vec_id NOT IN (SELECT vec_b FROM pairs)"
 
+  /** The paper policy: recursive components over the pair graph, keep
+    * the member with MAX relative distance ||c||² − 2·v·c to its cell
+    * centroid (exact argmin arithmetic — nsq literal + sequential
+    * fold), ties → min id. */
+  private def semanticKeepFarOracle(c: Seq[Seq[Double]]): String =
+    "WITH RECURSIVE " + semanticPairsWith(c).stripPrefix("WITH ") + ",\n" +
+      """edges AS (
+        |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+        |  UNION
+        |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+        |), reach(vv, lbl) AS (
+        |  SELECT vec_id, vec_id FROM v
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.vv = e.src
+        |), cc AS (
+        |  SELECT vv, min(lbl) AS cluster_id FROM reach GROUP BY vv
+        |), vdist AS (
+        |  SELECT vc.vec_id,
+        |         ct.nsq - 2 * list_reduce(list_transform(generate_series(1, 64),
+        |           i -> CAST(v.embedding[i] AS DOUBLE) * ct.w[i]),
+        |           (acc, x) -> acc + x) AS rd
+        |  FROM vcell vc
+        |  JOIN cent ct ON ct.cell = vc.cell
+        |  JOIN v ON v.vec_id = vc.vec_id
+        |), jj AS (
+        |  SELECT cc.vv AS vec_id, cc.cluster_id, d.rd
+        |  FROM cc JOIN vdist d ON d.vec_id = cc.vv
+        |), bb AS (
+        |  SELECT cluster_id, max(rd) AS best_rd FROM jj GROUP BY cluster_id
+        |), kk AS (
+        |  SELECT jj.cluster_id, min(jj.vec_id) AS best_id
+        |  FROM jj JOIN bb ON jj.cluster_id = bb.cluster_id AND jj.rd = bb.best_rd
+        |  GROUP BY jj.cluster_id
+        |)
+        |SELECT jj.vec_id FROM jj JOIN kk ON jj.cluster_id = kk.cluster_id
+        |WHERE jj.vec_id = kk.best_id""".stripMargin
+
   /** Bucket-capped candidate pairs + verified-sim tail, shared by the
     * self-dedup and incremental embedding-near-dup oracles. The cap
     * mirror (HAVING count(*) <= max, identical to the engine's
@@ -862,6 +909,7 @@ object SimilarityOps extends QueryPack {
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),
         "semantic_dedup_keep" -> semanticKeepOracle(c),
+        "semantic_dedup_keep_far" -> semanticKeepFarOracle(c),
         "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c),
         // the oracle recomputes cells from scratch, so the gate also
         // proves the STORE's ingest-time assignments match a fresh pass

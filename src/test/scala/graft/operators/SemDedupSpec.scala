@@ -60,6 +60,46 @@ class SemDedupSpec extends SparkSpec {
       planted.select("vec_id").as[Long].collect().toSet)
   }
 
+  test("keep-far policy: each cluster's farthest-from-centroid member survives") {
+    val survivors = SimilaritySearch.semanticDedupKeepFarthest(
+        clustered, centroids, threshold = 0.9)
+      .as[Long].collect().toSet
+
+    // driver-side reference: same pair graph → components → max
+    // relative distance (ties → min id), via the same arithmetic
+    val pairs = SimilaritySearch.semanticNearDupPairs(clustered, centroids, 0.9)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    clustered.select("vec_id").as[Long].collect().foreach(v => parent(v) = v)
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val cs = graft.functions.CentroidSet.fromRows(centroids)
+    val embs = clustered.as[(Long, Seq[Float])].collect().toMap
+    def relDist(id: Long): Double = {
+      val v = embs(id).map(_.toDouble).toArray
+      val cell = graft.functions.CentroidSet.assign(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v), cs)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * cs.w(cell * v.length + i); i += 1 }
+      cs.normSq(cell) - 2.0 * dot
+    }
+    val expected = embs.keySet.groupBy(find).values.map { comp =>
+      comp.toSeq.map(id => (relDist(id), id))
+        .sortBy { case (d, id) => (-d, id) }.head._2
+    }.toSet
+    assert(survivors == expected,
+      s"extra=${survivors -- expected} missing=${expected -- survivors}")
+    // the policy actually bites: some multi-member cluster exists and
+    // its min-id member is NOT always the survivor
+    assert(survivors.size < embs.size)
+  }
+
   test("store probe == full self-dedup restricted to pairs touching the batch") {
     val batch = clustered.where("vec_id % 5 = 0")
     val seen = clustered.where("vec_id % 5 <> 0")
