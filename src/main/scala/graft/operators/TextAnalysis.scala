@@ -789,6 +789,67 @@ object TextAnalysis {
           sum(col("bf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  val DsirBuckets = 8192
+  val DsirTopN = 100
+
+  /** DSIR-style data selection: rank raw-corpus documents by hashed
+    * n-gram importance weight against a TARGET domain (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023). Features are unigrams + word bigrams hashed into a
+    * FIXED number of buckets; a bag-of-hashed-ngrams model is fit on
+    * the target subset (p) and the raw corpus (q), and each document
+    * scores log w = Σ_b tf_b · (ln p_b − ln q_b) (Laplace-smoothed).
+    * The paper resamples with Gumbel noise; this operator takes the
+    * deterministic top-N by weight (ties by doc id) so the selection
+    * is reproducible and oracle-checkable — swap the final sort for a
+    * seeded Gumbel perturbation to get the paper's sampler.
+    *
+    * Scale shape — the whole point of HASHED features: the model is
+    * AT MOST `buckets` rows regardless of corpus size (vs. the open
+    * vocabulary [[unigramLogProb]] must merge-join), so the per-bucket
+    * log-ratio table broadcasts. Gram rows partially aggregate to
+    * (doc, bucket) before any shuffle, bucketing is scan-side md5 (no
+    * vocabulary lookup), scoring is one broadcast join + one per-doc
+    * partial agg, and selection is orderBy+limit — per-partition top-N
+    * heaps (TakeOrderedAndProject), never a global sort or window.
+    * Cross-engine exactness: each ln is rounded to 6 decimals and the
+    * ratio carried as DECIMAL, so per-doc sums are order-independent;
+    * the final weight divides nothing and rounds to 4.
+    *
+    * Ref semantics (operator coverage): reference has no selection op;
+    * this extends the curation surface per the north-star brief. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = DsirBuckets,
+      topN: Int = DsirTopN): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+      col(textCol).as("text"))
+    val grams = base.select(col("doc_id"), col("tgt"),
+      explode(concat(tokens(col("text")),
+        graft.functions.WordShingles(col("text"), 2))).as("gram"))
+    val tf = grams
+      .select(col("doc_id"), col("tgt"),
+        pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("tgt"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy(col("bucket"))
+      .agg(sum(when(col("tgt"), col("tf")).otherwise(lit(0L))).as("ct"),
+        sum(col("tf")).as("cr"))
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val llr = model.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (round(log((col("ct") + 1).cast("double") /
+            (col("nt") + buckets).cast("double")), 6).cast("decimal(18,6)") -
+          round(log((col("cr") + 1).cast("double") /
+            (col("nr") + buckets).cast("double")), 6).cast("decimal(18,6)"))
+          .as("llr"))
+    tf.join(broadcast(llr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("tf") * col("llr")).cast("double"), 4).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** Top-k TF-IDF terms per document (keyword extraction / doc
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the

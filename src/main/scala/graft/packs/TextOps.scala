@@ -279,6 +279,13 @@ object TextOps extends QueryPack {
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
 
+  /** DSIR selection with the English subset as the target domain —
+    * any predicate over the corpus works; lang is the natural
+    * stand-in for the paper's "formal text" target. */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.dsirSelect(Tables.documents(spark, sfDir),
+      "doc_id", "text", col("lang") === "en")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -298,6 +305,7 @@ object TextOps extends QueryPack {
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
+    "dsir_select" -> (dsirSelect _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
@@ -589,6 +597,43 @@ object TextOps extends QueryPack {
          |             doc_id) AS rk
          |  FROM documents
          |) WHERE rk <= $SourceCapK""".stripMargin,
+
+    // hashed-ngram importance weights: the same md5h60 bucketing, each
+    // ln rounded to 6 decimals and differenced as DECIMAL (order-
+    // independent sums), final weight rounded to 4; top-N ties by id
+    "dsir_select" -> {
+      val b = TextAnalysis.DsirBuckets
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
+         |  FROM documents
+         |), gram AS (
+         |  SELECT doc_id, tgt, unnest(t) AS gram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, tgt, concat_ws(' ', t[i], t[i+1]) AS gram
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |), tf AS (
+         |  SELECT doc_id, tgt,
+         |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $b AS bucket,
+         |         count(*)::BIGINT AS tf
+         |  FROM gram GROUP BY 1, 2, 3
+         |), model AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
+         |         sum(tf)::BIGINT AS cr
+         |  FROM tf GROUP BY bucket
+         |), tot AS (
+         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM model
+         |), llr AS (
+         |  SELECT bucket,
+         |         CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)), 6) AS DECIMAL(18,6))
+         |         - CAST(round(ln((cr + 1)::DOUBLE / (nr + $b)), 6) AS DECIMAL(18,6)) AS llr
+         |  FROM model CROSS JOIN tot
+         |)
+         |SELECT doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
+         |FROM tf JOIN llr l USING (bucket)
+         |GROUP BY doc_id
+         |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
+    },
 
     // boundary ties broken by term ASC on both sides, so the top-N SET
     // is deterministic cross-engine

@@ -245,6 +245,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
+  test("dsir_select: bounded hashed model broadcasts, heap top-N, no window") {
+    val p = plan("dsir_select")
+    // the hashed-feature model is ≤ DsirBuckets rows BY CONSTRUCTION —
+    // broadcasting it is the point (contrast unigram_logprob, whose
+    // open vocabulary must merge-join); the scoring join must be the
+    // broadcast, never a corpus-side shuffle join on bucket
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket log-ratio table must broadcast onto the tf rows:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N selection must be per-partition heaps, not a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort for the limited selection:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no ranking window anywhere in the DSIR plan:\n$p")
+    assert(p.contains("partial_count"),
+      s"(doc, bucket) tf must partially aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals cross join must broadcast:\n$p")
+  }
+
   test("unigram_logprob: term totals via merge join — no vocab broadcast, no term window") {
     val p = plan("unigram_logprob")
     // same open-vocabulary discipline as tfidf_top_terms: the term-count

@@ -452,6 +452,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("dsirSelect: target-typical docs outrank off-domain docs; top-N honors ties") {
+    val s = spark
+    import s.implicits._
+    // target domain (tgt=true): docs about "the cat sat". Raw pool adds
+    // a target-typical doc (4) and an off-domain junk doc (5): the
+    // typical doc's hashed grams all carry positive log-ratios (present
+    // in target), the junk doc's are target-absent (ct=0 → negative).
+    val d = Seq(
+      (1L, "the cat sat", true), (2L, "the cat sat here", true),
+      (3L, "a cat sat down", true),
+      (4L, "the cat sat", false), (5L, "zzz qqq vvv www", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirSelect(d, "doc_id", "text", col("tgt"),
+      buckets = 64, topN = 4).as[(Long, Double)].collect()
+    assert(out.length == 4)
+    val ids = out.map(_._1).toSet
+    assert(ids.contains(4L), s"target-typical raw doc must be selected: ${out.toSeq}")
+    assert(!ids.contains(5L), s"off-domain junk must rank last: ${out.toSeq}")
+    // doc 4's text is doc 1's verbatim → identical grams, identical
+    // weight — the deterministic id tie-break keeps both reproducible
+    val byId = out.toMap
+    assert(byId(4L) == byId(1L), s"identical text must weigh identically: ${out.toSeq}")
+    // weights sorted descending; doc 4 (pure target text) has every
+    // gram in-target, doc 5 has none — strict order between them
+    val w = out.map(_._2)
+    assert(w.sameElements(w.sorted(Ordering[Double].reverse)))
+  }
+
   test("unigramLogProbFrom: reference distribution, OOV floor; exact hand-check") {
     val s = spark
     import s.implicits._
