@@ -789,6 +789,70 @@ object TextAnalysis {
           sum(col("bf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  val GopherTopNgramCharMax = 0.20
+  val GopherDupNgramCharMax = 0.14
+
+  /** Gopher-rule repetition fractions by CHARACTER mass (Rae et al.,
+    * "Scaling Language Models: ... Gopher", table A1) — the two
+    * signals [[repetitionStats]]' token-count ratios don't cover:
+    * top_ngram_char_frac = max over in-doc n-grams (n = topN) of
+    * occurrences · gram chars, over total text chars (the "fraction of
+    * characters in the most common n-gram" rule; taking the max of
+    * count·len is deterministic without an argmax tie-break, and equals
+    * the rule whenever one gram dominates); dup_ngram_char_frac = chars
+    * of tokens covered by ANY duplicated n-gram (n = dupN, count ≥ 2
+    * within the doc, coverage = union of the gram's token spans) over
+    * total token chars. `flagged` applies the paper's 0.20 / 0.14
+    * thresholds for n = 2 / 6.
+    *
+    * Scale shape: everything is doc-local — explode → partial-agg on
+    * (doc, gram) keys, a LEFT SEMI membership join per doc (no
+    * corpus-global gram key exists, so no hot-key funnel; contrast
+    * [[graft.operators.Dedup.duplicateSpans]], which is deliberately
+    * corpus-global), covered positions dedup with a partial-agg
+    * distinct, and every fraction is one division rounded to 4.
+    * No windows, no broadcasts beyond Spark's own small-side picks. */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 6): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val toks = base.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val totals = base.select(col("doc_id"),
+      length(col("text")).cast("long").as("text_chars"))
+      .join(toks.groupBy(col("doc_id"))
+          .agg(sum(length(col("tok"))).cast("long").as("tok_chars")),
+        Seq("doc_id"), "left")
+    val topG = base.select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("text"), topN)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c") * length(col("g"))).cast("long").as("top_mass"))
+    val g6 = base.select(col("doc_id"),
+      posexplode(graft.functions.WordShingles(col("text"), dupN))
+        .as(Seq("i", "g")))
+    val dupG = g6.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select(col("doc_id"), col("g"))
+    val covered = g6.join(dupG, Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (dupN - 1))).as("pos"))
+      .distinct()
+      .join(toks, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("tok"))).cast("long").as("dup_mass"))
+    totals
+      .join(topG, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("top_mass"), lit(0L)).cast("double") /
+          col("text_chars"), 4).as("top_ngram_char_frac"),
+        round(coalesce(col("dup_mass"), lit(0L)).cast("double") /
+          greatest(lit(1L), col("tok_chars")), 4).as("dup_ngram_char_frac"))
+      .withColumn("flagged",
+        col("top_ngram_char_frac") > GopherTopNgramCharMax ||
+          col("dup_ngram_char_frac") > GopherDupNgramCharMax)
+  }
+
   val DsirBuckets = 8192
   val DsirTopN = 100
 

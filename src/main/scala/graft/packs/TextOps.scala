@@ -279,6 +279,10 @@ object TextOps extends QueryPack {
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
 
+  def textDupChars(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherRepetition(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   /** DSIR selection with the English subset as the target domain —
     * any predicate over the corpus works; lang is the natural
     * stand-in for the paper's "formal text" target. */
@@ -306,6 +310,7 @@ object TextOps extends QueryPack {
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
     "dsir_select" -> (dsirSelect _),
+    "text_dup_chars" -> (textDupChars _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
@@ -597,6 +602,48 @@ object TextOps extends QueryPack {
          |             doc_id) AS rk
          |  FROM documents
          |) WHERE rk <= $SourceCapK""".stripMargin,
+
+    // Gopher char-mass repetition: integer char masses, single rounded
+    // divisions; dup coverage = distinct token positions under any
+    // duplicated 6-gram span
+    "text_dup_chars" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+         |), pos AS (
+         |  SELECT doc_id, i, t[i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+         |), tot AS (
+         |  SELECT t.doc_id, strlen(t.text)::BIGINT AS text_chars,
+         |         sum(strlen(p.tok))::BIGINT AS tok_chars
+         |  FROM toks t JOIN pos p USING (doc_id)
+         |  GROUP BY t.doc_id, t.text
+         |), top2 AS (
+         |  SELECT doc_id, max(c * strlen(g))::BIGINT AS top_mass FROM (
+         |    SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS g, count(*) AS c
+         |    FROM toks, unnest(range(1, len(t))) AS u(i)
+         |    GROUP BY 1, 2
+         |  ) GROUP BY doc_id
+         |), g6 AS (
+         |  SELECT doc_id, i,
+         |         concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4], t[i+5]) AS g
+         |  FROM toks, unnest(range(1, len(t) - 4)) AS u(i)
+         |), dup AS (
+         |  SELECT doc_id, g FROM g6 GROUP BY doc_id, g HAVING count(*) > 1
+         |), cov AS (
+         |  SELECT DISTINCT g6.doc_id, p.i, p.tok
+         |  FROM g6 JOIN dup USING (doc_id, g)
+         |  JOIN pos p ON p.doc_id = g6.doc_id AND p.i BETWEEN g6.i AND g6.i + 5
+         |), covc AS (
+         |  SELECT doc_id, sum(strlen(tok))::BIGINT AS dup_mass FROM cov GROUP BY doc_id
+         |)
+         |SELECT tot.doc_id,
+         |  round(coalesce(top2.top_mass, 0)::DOUBLE / tot.text_chars, 4) AS top_ngram_char_frac,
+         |  round(coalesce(covc.dup_mass, 0)::DOUBLE / greatest(1, tot.tok_chars), 4) AS dup_ngram_char_frac,
+         |  (round(coalesce(top2.top_mass, 0)::DOUBLE / tot.text_chars, 4) > ${TextAnalysis.GopherTopNgramCharMax}
+         |   OR round(coalesce(covc.dup_mass, 0)::DOUBLE / greatest(1, tot.tok_chars), 4) > ${TextAnalysis.GopherDupNgramCharMax}) AS flagged
+         |FROM tot
+         |LEFT JOIN top2 USING (doc_id)
+         |LEFT JOIN covc USING (doc_id)""".stripMargin,
 
     // hashed-ngram importance weights: the same md5h60 bucketing, each
     // ln rounded to 6 decimals and differenced as DECIMAL (order-

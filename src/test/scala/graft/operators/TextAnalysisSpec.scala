@@ -452,6 +452,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("gopherRepetition: exact char-mass hand-check, coverage unions overlaps") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "a b c d e f a b c d e f" — the 6-gram "a b c d e f"
+    //   occurs at positions 0 and 6 (count 2) → EVERY token covered:
+    //   dup_mass = 12 tok chars, tok_chars = 12 → frac 1.0.
+    //   top 2-gram: "a b"/"b c"/… each count 2, len 3 → mass 6;
+    //   "f a" count 1 → max mass 6; text_chars = 23 → 6/23 = 0.2609.
+    // doc 2: "x y z w v u t s" — no repeated 2- or 6-gram:
+    //   top 2-gram mass = 1·3 = 3, text_chars 15 → 0.2; dup frac 0.
+    // doc 3: "p q" — too short for any 6-gram; top 2-gram "p q" mass 3,
+    //   text_chars 3 → 1.0 → flagged on the top-gram rule.
+    val d = Seq((1L, "a b c d e f a b c d e f"),
+      (2L, "x y z w v u t s"), (3L, "p q")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(d, "doc_id", "text")
+      .as[(Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((0.2609, 1.0, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((0.2, 0.0, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((1.0, 0.0, true)), s"got ${out(3L)}")
+  }
+
   test("dsirSelect: target-typical docs outrank off-domain docs; top-N honors ties") {
     val s = spark
     import s.implicits._
