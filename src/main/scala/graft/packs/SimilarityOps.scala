@@ -220,6 +220,27 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       queriesDf(spark, sfDir), k = 10)
 
+  /** Recall@k of the IVF index against brute-force ground truth — the
+    * standard ANN quality gauge (faiss benchmarks report exactly this),
+    * run as a QUERY so index quality is monitored continuously: per
+    * query vector, how many of the exact top-k the nprobe-bounded
+    * probe returned. Scale shape: both inputs are top-k OUTPUTS
+    * (|queries|·k rows — the corpus never appears), the join is on
+    * (query_id, vec_id), and the per-query hit count is one partial
+    * agg. Drops in recall → retrain/rebuild ([[graft.operators.IvfStore]]
+    * .rebuild). In production the brute side runs over a SAMPLE of
+    * queries; here every registered query vector is checked. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir).select(col("query_id"), col("vec_id"))
+    val ivf = annIvf(spark, sfDir)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    brute.join(ivf, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits").cast("double") / 10.0, 4).as("recall"))
+  }
+
   /** Inverted-file balance monitor (faiss's imbalance_factor story):
     * per-cell population from the PERSISTED inverted file — the
     * operational signal that the quantizer needs retraining (a hot
@@ -292,6 +313,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_store" -> (annIvfPqStore _),
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
+    "ann_recall" -> (annRecall _),
     "ann_hamming" -> (annHamming _),
     "ann_ivfpq_res" -> (annIvfPqRes _),
     "embedding_neardup" -> (embeddingNearDup _),
@@ -905,6 +927,18 @@ object SimilarityOps extends QueryPack {
     .toList.flatMap { c =>
       val o = annIvfOracle(c, k = 10, nprobe = 4)
       Seq("ann_ivf" -> o, "ann_ivf_store" -> o,
+        // recall@k: the brute and ivf oracles nested as CTEs — the
+        // gate recomputes BOTH sides from scratch and intersects
+        "ann_recall" -> s"""WITH brute AS (
+$annBruteOracle
+), ivf AS (
+$o
+)
+SELECT b.query_id, count(i.vec_id)::BIGINT AS hits,
+       round(count(i.vec_id) / 10.0, 4) AS recall
+FROM brute b LEFT JOIN ivf i
+  ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+GROUP BY b.query_id""",
         // SemDeDup rides the same trained matrix; the store probe's
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),
