@@ -445,6 +445,48 @@ object SimilaritySearch {
       .select(col("doc_id").as("vec_id"))
   }
 
+  val ProtoKeepFrac = 0.5
+
+  /** Prototypicality pruning (Sorscher et al., "Beyond neural scaling
+    * laws: beating power law scaling via data pruning", NeurIPS 2022):
+    * score each example by cosine similarity to its k-means prototype
+    * (its IVF cell centroid — the SAME trained quantizer the ANN index
+    * and SemDeDup use) and, per cell, KEEP the hardest keepFrac
+    * fraction — the least prototypical examples, which the paper shows
+    * carry the most training signal when data is abundant. Pruning
+    * per-CELL rather than by global score keeps every cluster
+    * represented (global pruning would empty the easiest clusters
+    * entirely — the imbalance failure mode the follow-up literature
+    * warns about).
+    *
+    * Scale shape: assignment + scoring are scan-side native
+    * expressions over the indexed rows ([[IvfIndex.index]] — in
+    * serving this is the PERSISTED inverted file, so no recompute);
+    * ranking is a per-cell window, bounded by ~|corpus|/nlist rows —
+    * strictly cheaper than the O(cell²) pairing [[semanticNearDupPairs]]
+    * already runs per cell, with [[graft.packs.SimilarityOps.ivfCellStats]]
+    * as the operational balance guard; the keep count joins back from
+    * a partial-agg cell count. Ranks on the ROUNDED score (ulp-proof)
+    * with id tie-break. */
+  def prototypePrune(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      keepFrac: Double = ProtoKeepFrac): DataFrame = {
+    import graft.functions.CentroidVec
+    val cv = CentroidVec(col("cell"), centroids)
+    val cNrm = sqrt(VectorOps.dotPrecast(cv, cv))
+    val scored = IvfIndex.index(vectors, centroids)
+      .select(col("vec_id"), col("cell"),
+        round(when(col("v_nrm") * cNrm === 0, lit(0.0))
+          .otherwise(VectorOps.dotPrecast(col("emb"), cv) /
+            (col("v_nrm") * cNrm)), 4).as("proto"))
+    val counts = scored.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("proto").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(counts), "cell")
+      .filter(col("rk") <= ceil(lit(keepFrac) * col("n_cell")))
+      .select(col("vec_id"), col("cell"), col("proto"), col("rk"))
+  }
+
   // adapt an inverted-file row set to the shared candidate tail: the
   // IVF cell is a single-"table" bucket
   private def cellBuckets(indexed: DataFrame): DataFrame =

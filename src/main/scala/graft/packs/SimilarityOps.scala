@@ -241,6 +241,15 @@ object SimilarityOps extends QueryPack {
         round(col("hits").cast("double") / 10.0, 4).as("recall"))
   }
 
+  /** Prototypicality pruning over the embeddings table — keep the
+    * hardest half of every IVF cell (see
+    * [[SimilaritySearch.prototypePrune]]); same trained quantizer as
+    * ann_ivf / semantic_neardup. */
+  def prunePrototypes(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    SimilaritySearch.prototypePrune(vectors, ivfCentroids(vectors, sfDir))
+  }
+
   /** Inverted-file balance monitor (faiss's imbalance_factor story):
     * per-cell population from the PERSISTED inverted file — the
     * operational signal that the quantizer needs retraining (a hot
@@ -314,6 +323,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_recall" -> (annRecall _),
+    "prune_prototypes" -> (prunePrototypes _),
     "ann_hamming" -> (annHamming _),
     "ann_ivfpq_res" -> (annIvfPqRes _),
     "embedding_neardup" -> (embeddingNearDup _),
@@ -754,6 +764,30 @@ object SimilarityOps extends QueryPack {
          |  ) s WHERE sim >= 0.4
          |)""".stripMargin
 
+  /** Prototype-pruning oracle: same cell assignment + cosine as the
+    * engine (sequential dots, sqlDouble literals), ranked per cell on
+    * the ROUNDED score with id tie-break; 0.5e0 parses as DOUBLE so
+    * the keep-count ceil is the same IEEE arithmetic. */
+  private def protoPruneOracle(c: Seq[Seq[Double]]): String =
+    normCte + ",\n" + centCte(c) + ",\n" + vcellCte + ",\n" +
+      s"""scored AS (
+         |  SELECT v.vec_id, vc.cell,
+         |         round(CASE WHEN v.nrm * sqrt(c.nsq) = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                  i -> CAST(v.embedding[i] AS DOUBLE) * c.w[i]))
+         |                / (v.nrm * sqrt(c.nsq)) END, 4) AS proto
+         |  FROM v JOIN vcell vc USING (vec_id) JOIN cent c ON c.cell = vc.cell
+         |), counts AS (
+         |  SELECT cell, count(*) AS n_cell FROM scored GROUP BY cell
+         |), ranked AS (
+         |  SELECT vec_id, cell, proto, row_number() OVER (
+         |    PARTITION BY cell ORDER BY proto ASC, vec_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT r.vec_id, r.cell, r.proto, r.rk::BIGINT AS rk
+         |FROM ranked r JOIN counts USING (cell)
+         |WHERE r.rk <= ceil(${sqlDouble(SimilaritySearch.ProtoKeepFrac)} * n_cell)""".stripMargin
+
   private def semanticNearDupOracle(c: Seq[Seq[Double]]): String =
     semanticPairsWith(c) + "\nSELECT vec_a, vec_b, sim FROM pairs"
 
@@ -943,6 +977,7 @@ GROUP BY b.query_id""",
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),
         "semantic_dedup_keep" -> semanticKeepOracle(c),
+        "prune_prototypes" -> protoPruneOracle(c),
         "semantic_dedup_keep_far" -> semanticKeepFarOracle(c),
         "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c),
         // the oracle recomputes cells from scratch, so the gate also
