@@ -885,20 +885,41 @@ object TextAnalysis {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = DsirBuckets,
       topN: Int = DsirTopN): DataFrame = {
+    val tf = dsirTf(docs, idCol, textCol, isTarget, buckets)
+    dsirRank(tf.drop("tgt"), dsirModelOf(tf), buckets, topN)
+  }
+
+  /** Per-(doc, bucket) hashed-gram term frequencies with the target
+    * flag — [[dsirSelect]]'s head, shared with [[DsirStore]]'s ingest
+    * (which persists only the bucket-level sums). */
+  private[graft] def dsirTf(docs: DataFrame, idCol: String,
+      textCol: String, isTarget: Column, buckets: Int): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
       col(textCol).as("text"))
-    val grams = base.select(col("doc_id"), col("tgt"),
-      explode(concat(tokens(col("text")),
-        graft.functions.WordShingles(col("text"), 2))).as("gram"))
-    val tf = grams
+    base.select(col("doc_id"), col("tgt"),
+        explode(concat(tokens(col("text")),
+          graft.functions.WordShingles(col("text"), 2))).as("gram"))
       .select(col("doc_id"), col("tgt"),
         pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
           lit(buckets.toLong)).as("bucket"))
       .groupBy(col("doc_id"), col("tgt"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
-    val model = tf.groupBy(col("bucket"))
+  }
+
+  /** Bucket-level (ct, cr) model counts from a tf relation — ADDITIVE:
+    * the model of a corpus equals the bucket-wise sum of its batches'
+    * models, which is what makes the persisted form a trivial
+    * append-only store ([[DsirStore]]). */
+  private[graft] def dsirModelOf(tf: DataFrame): DataFrame =
+    tf.groupBy(col("bucket"))
       .agg(sum(when(col("tgt"), col("tf")).otherwise(lit(0L))).as("ct"),
         sum(col("tf")).as("cr"))
+
+  /** Score (doc, bucket, tf) rows against a (bucket, ct, cr) model and
+    * take the deterministic top-N — [[dsirSelect]]'s tail, shared with
+    * the store-backed probe so the two forms cannot drift. */
+  private[graft] def dsirRank(tf: DataFrame, model: DataFrame,
+      buckets: Int, topN: Int): DataFrame = {
     val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val llr = model.crossJoin(broadcast(tot))
       .select(col("bucket"),

@@ -290,6 +290,26 @@ object TextOps extends QueryPack {
     TextAnalysis.dsirSelect(Tables.documents(spark, sfDir),
       "doc_id", "text", col("lang") === "en")
 
+  private val dsirStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.DsirStore]()
+
+  /** Store-backed DSIR: the persisted bucket-count model (ingested in
+    * TWO batches, so the probe also proves segment-sum additivity)
+    * ranks the corpus — identical oracle to dsir_select, zero drift. */
+  def dsirSelectStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = dsirStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.DsirStore(
+        s"graft_dsir_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        col("lang") === "en", batchId = 0L)
+      s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        col("lang") === "en", batchId = 1L)
+      s
+    })
+    store.select(docs, "doc_id", "text")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
@@ -310,6 +330,7 @@ object TextOps extends QueryPack {
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
     "dsir_select" -> (dsirSelect _),
+    "dsir_select_store" -> (dsirSelectStore _),
     "text_dup_chars" -> (textDupChars _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
@@ -379,6 +400,44 @@ object TextOps extends QueryPack {
        |  CAST((cum - 1) // $PackBudget AS BIGINT) AS seq_last,
        |  CAST((cum - n_tokens) % $PackBudget AS BIGINT) AS seq_offset
        |FROM $wName""".stripMargin
+
+  /** Shared DSIR oracle — hashed-ngram importance weights: the same
+    * md5h60 bucketing, each ln rounded to 6 decimals and differenced
+    * as DECIMAL (order-independent sums), final weight rounded to 4;
+    * top-N ties by id. Shared by the one-shot and store-backed forms. */
+  private val dsirOracle: String = {
+    val b = TextAnalysis.DsirBuckets
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
+         |  FROM documents
+         |), gram AS (
+         |  SELECT doc_id, tgt, unnest(t) AS gram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, tgt, concat_ws(' ', t[i], t[i+1]) AS gram
+         |  FROM tok, unnest(range(1, len(t))) AS u(i)
+         |), tf AS (
+         |  SELECT doc_id, tgt,
+         |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $b AS bucket,
+         |         count(*)::BIGINT AS tf
+         |  FROM gram GROUP BY 1, 2, 3
+         |), model AS (
+         |  SELECT bucket,
+         |         sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
+         |         sum(tf)::BIGINT AS cr
+         |  FROM tf GROUP BY bucket
+         |), tot AS (
+         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM model
+         |), llr AS (
+         |  SELECT bucket,
+         |         CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)), 6) AS DECIMAL(18,6))
+         |         - CAST(round(ln((cr + 1)::DOUBLE / (nr + $b)), 6) AS DECIMAL(18,6)) AS llr
+         |  FROM model CROSS JOIN tot
+         |)
+         |SELECT doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
+         |FROM tf JOIN llr l USING (bucket)
+         |GROUP BY doc_id
+         |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "shard_assign" ->
@@ -648,39 +707,11 @@ object TextOps extends QueryPack {
     // hashed-ngram importance weights: the same md5h60 bucketing, each
     // ln rounded to 6 decimals and differenced as DECIMAL (order-
     // independent sums), final weight rounded to 4; top-N ties by id
-    "dsir_select" -> {
-      val b = TextAnalysis.DsirBuckets
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
-         |  FROM documents
-         |), gram AS (
-         |  SELECT doc_id, tgt, unnest(t) AS gram FROM tok
-         |  UNION ALL
-         |  SELECT doc_id, tgt, concat_ws(' ', t[i], t[i+1]) AS gram
-         |  FROM tok, unnest(range(1, len(t))) AS u(i)
-         |), tf AS (
-         |  SELECT doc_id, tgt,
-         |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $b AS bucket,
-         |         count(*)::BIGINT AS tf
-         |  FROM gram GROUP BY 1, 2, 3
-         |), model AS (
-         |  SELECT bucket,
-         |         sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
-         |         sum(tf)::BIGINT AS cr
-         |  FROM tf GROUP BY bucket
-         |), tot AS (
-         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM model
-         |), llr AS (
-         |  SELECT bucket,
-         |         CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)), 6) AS DECIMAL(18,6))
-         |         - CAST(round(ln((cr + 1)::DOUBLE / (nr + $b)), 6) AS DECIMAL(18,6)) AS llr
-         |  FROM model CROSS JOIN tot
-         |)
-         |SELECT doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
-         |FROM tf JOIN llr l USING (bucket)
-         |GROUP BY doc_id
-         |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
-    },
+    "dsir_select" -> dsirOracle,
+    // the persisted-model probe must rank IDENTICALLY to the one-shot
+    // form — shared oracle, zero drift allowed
+    "dsir_select_store" -> dsirOracle,
+
 
     // boundary ties broken by term ASC on both sides, so the top-N SET
     // is deterministic cross-engine
