@@ -669,6 +669,31 @@ object StreamingPipelines {
     * the row, same expression as batch); only the corpus-relative
     * verdict is deferred — that split is the point: global statistics
     * belong to the store, per-row gates to the stream. */
+  /** foreachBatch body maintaining the DSIR importance model at ingest
+    * ([[graft.operators.DsirStore]]): each accepted batch merges its
+    * own PARTIAL bucket counts — O(batch) compute, ≤ `buckets` rows
+    * written, the cheapest incremental state any store here carries
+    * (counts are additive; no probe/anti-join is even needed). The
+    * target flag is a per-row predicate, so a batch may mix target and
+    * raw documents freely. Selection against the CURRENT model is
+    * available at any moment via `store.select` — the cutoff-lag
+    * semantics match [[QualityFloorStore]]: a doc is ranked under the
+    * model as of read time, not arrival time, which is exactly the
+    * corpus-relative behavior the batch form has over its full input.
+    * Returns the batch unchanged (model maintenance only — DSIR does
+    * not gate at ingest; it RANKS at selection time). */
+  def dsirIngestBatch(store: graft.operators.DsirStore, batch: DataFrame,
+      idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    if (!store.isReplay(batchId)) {
+      store.ingest(batch, idCol, textCol, isTarget, batchId)
+      store.compactIfNeeded(batch.sparkSession, maxSegments)
+    }
+    batch
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,
