@@ -280,6 +280,33 @@ class SkewSoakSpec extends SparkSpec {
     info(f"production semantic cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
   }
 
+  test("prototype prune: collapsed-encoder cell costs LINEAR rank work, exact keep counts") {
+    val corpus = degenerateEmbeddings
+    val centroids = IvfIndex.train(corpus, nlist = 4, iters = 2)
+    val (rows, _, maxRead) = measureSkew {
+      SimilaritySearch.prototypePrune(corpus, centroids, keepFrac = 0.5)
+        .collect()
+    }
+    // exact per-cell keep counts — the hot cell included: a collapsed
+    // cell must be PRUNED at its fraction, not dropped or over-kept
+    val keptPerCell = rows.groupBy(_.getInt(1)).view.mapValues(_.size).toMap
+    val sizePerCell = IvfIndex.index(corpus, centroids)
+      .groupBy(col("cell")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizePerCell.foreach { case (cell, n) =>
+      assert(keptPerCell.getOrElse(cell, 0) == math.ceil(0.5 * n).toLong,
+        s"cell $cell: kept ${keptPerCell.getOrElse(cell, 0)} of $n")
+    }
+    // the hot cell funnels into one window task BY DESIGN — but the
+    // cost is LINEAR in cell size (rank), unlike the quadratic pairing
+    // semanticNearDupPairs must cap: no task may read more than the
+    // corpus itself (the 12k-member cell reads 12k rows, not 72M pairs)
+    val corpusN = Boiler + CleanN + 2
+    assert(maxRead <= corpusN.toLong,
+      s"prune cost must stay linear in the hot cell: max task read $maxRead")
+    info(f"prototype prune under collapsed cell: max task read $maxRead%,d records (corpus $corpusN%,d)")
+  }
+
   test("production simhash bucket cap: skew bounded under identical fingerprints") {
     val (rows, worst, maxRead) = measureSkew {
       Dedup.simhashPairs(identicalFingerprintDocs, "doc_id", "text").collect()
