@@ -180,12 +180,35 @@ object PipelineOps extends QueryPack {
         col("dup_of"))
   }
 
+  /** Curation then SELECTION: the full gate stack picks the clean
+    * corpus, then DSIR ranks the survivors against the English target
+    * domain and keeps the top-N — the two halves of a training-data
+    * pipeline (filter what's junk, then CHOOSE what's most valuable)
+    * composed under one oracle. The DSIR model is fit on the SURVIVOR
+    * set (post-dedup counts — a mass-duplicated target doc can no
+    * longer dominate the target distribution, which is the reason for
+    * this stage order). Output carries lang/quality with each selected
+    * doc's weight. */
+  def pipelineCurateDsir(spark: SparkSession, sfDir: String): DataFrame =
+    curateDsir(Tables.documents(spark, sfDir))
+
+  /** [[pipelineCurateDsir]] over an arbitrary corpus (see
+    * [[curateQuality]]). */
+  def curateDsir(docs: DataFrame): DataFrame = {
+    val kept = keptWithText(docs)
+    TextAnalysis.dsirSelect(kept, "doc_id", "text", col("lang") === "en")
+      .join(kept.select(col("doc_id"), col("lang"), col("quality")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"), col("weight"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _),
       "pipeline_curate_pack" -> (pipelineCuratePack _),
-      "pipeline_curate_audit" -> (pipelineCurateAudit _))
+      "pipeline_curate_audit" -> (pipelineCurateAudit _),
+      "pipeline_curate_dsir" -> (pipelineCurateDsir _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -277,6 +300,20 @@ object PipelineOps extends QueryPack {
          |),
          |${TextOps.shardPackCtesFrom("cleaned", "clean_text", "ps", "pw")}
          |${TextOps.packSelectFrom("pw")}""".stripMargin,
+
+    // the quality-keep tail becomes the `kept` relation, then the
+    // SHARED DSIR fragment (TextOps.dsirCtesFrom — the same string the
+    // standalone oracle verifies) fits the model on the survivors and
+    // the top-N selection joins back lang/quality
+    "pipeline_curate_dsir" ->
+      s"""WITH RECURSIVE $qualityKeepCtes,
+         |$keptCte,
+         |${TextOps.dsirCtesFrom("kept", "lang = 'en'")}
+         |SELECT w.doc_id, kp.lang, kp.quality, w.weight
+         |FROM (SELECT doc_id, weight FROM dw
+         |      ORDER BY weight DESC, doc_id ASC
+         |      LIMIT ${graft.operators.TextAnalysis.DsirTopN}) w
+         |JOIN kept kp USING (doc_id)""".stripMargin,
 
     // the shared j/k argmax tail becomes a loser→winner map; verdict
     // precedence mirrors the gate order, so the CASE reports the FIRST

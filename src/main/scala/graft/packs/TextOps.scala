@@ -405,39 +405,49 @@ object TextOps extends QueryPack {
     * md5h60 bucketing, each ln rounded to 6 decimals and differenced
     * as DECIMAL (order-independent sums), final weight rounded to 4;
     * top-N ties by id. Shared by the one-shot and store-backed forms. */
-  private val dsirOracle: String = {
+  /** DSIR CTE chain over an arbitrary (doc_id, text, …) relation,
+    * ending in `dw(doc_id, weight)` — d-prefixed names so a composed
+    * oracle (PipelineOps) can splice it after its own CTEs without
+    * clashes. The fragment is the SAME string the standalone oracle
+    * verifies, so pipeline and part can't drift. */
+  private[packs] def dsirCtesFrom(src: String, tgtPred: String): String = {
     val b = TextAnalysis.DsirBuckets
-      s"""WITH tok AS (
-         |  SELECT doc_id, lang = 'en' AS tgt, string_split(text, ' ') AS t
-         |  FROM documents
-         |), gram AS (
-         |  SELECT doc_id, tgt, unnest(t) AS gram FROM tok
-         |  UNION ALL
-         |  SELECT doc_id, tgt, concat_ws(' ', t[i], t[i+1]) AS gram
-         |  FROM tok, unnest(range(1, len(t))) AS u(i)
-         |), tf AS (
-         |  SELECT doc_id, tgt,
-         |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $b AS bucket,
-         |         count(*)::BIGINT AS tf
-         |  FROM gram GROUP BY 1, 2, 3
-         |), model AS (
-         |  SELECT bucket,
-         |         sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
-         |         sum(tf)::BIGINT AS cr
-         |  FROM tf GROUP BY bucket
-         |), tot AS (
-         |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM model
-         |), llr AS (
-         |  SELECT bucket,
-         |         CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)), 6) AS DECIMAL(18,6))
-         |         - CAST(round(ln((cr + 1)::DOUBLE / (nr + $b)), 6) AS DECIMAL(18,6)) AS llr
-         |  FROM model CROSS JOIN tot
-         |)
-         |SELECT doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
-         |FROM tf JOIN llr l USING (bucket)
-         |GROUP BY doc_id
-         |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
+    s"""dtok AS (
+       |  SELECT doc_id, ($tgtPred) AS tgt, string_split(text, ' ') AS t
+       |  FROM $src
+       |), dgram AS (
+       |  SELECT doc_id, tgt, unnest(t) AS gram FROM dtok
+       |  UNION ALL
+       |  SELECT doc_id, tgt, concat_ws(' ', t[i], t[i+1]) AS gram
+       |  FROM dtok, unnest(range(1, len(t))) AS u(i)
+       |), dtf AS (
+       |  SELECT doc_id, tgt,
+       |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $b AS bucket,
+       |         count(*)::BIGINT AS tf
+       |  FROM dgram GROUP BY 1, 2, 3
+       |), dmodel AS (
+       |  SELECT bucket,
+       |         sum(CASE WHEN tgt THEN tf ELSE 0 END)::BIGINT AS ct,
+       |         sum(tf)::BIGINT AS cr
+       |  FROM dtf GROUP BY bucket
+       |), dtot AS (
+       |  SELECT sum(ct)::BIGINT AS nt, sum(cr)::BIGINT AS nr FROM dmodel
+       |), dllr AS (
+       |  SELECT bucket,
+       |         CAST(round(ln((ct + 1)::DOUBLE / (nt + $b)), 6) AS DECIMAL(18,6))
+       |         - CAST(round(ln((cr + 1)::DOUBLE / (nr + $b)), 6) AS DECIMAL(18,6)) AS llr
+       |  FROM dmodel CROSS JOIN dtot
+       |), dw AS (
+       |  SELECT doc_id, round(CAST(sum(dtf.tf * l.llr) AS DOUBLE), 4) AS weight
+       |  FROM dtf JOIN dllr l USING (bucket)
+       |  GROUP BY doc_id
+       |)""".stripMargin
   }
+
+  private val dsirOracle: String =
+    s"""WITH ${dsirCtesFrom("documents", "lang = 'en'")}
+       |SELECT doc_id, weight FROM dw
+       |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "shard_assign" ->
