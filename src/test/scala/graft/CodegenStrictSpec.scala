@@ -18,7 +18,9 @@ class CodegenStrictSpec extends SparkSpec {
     "dedup_minhash", "dedup_simhash",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "dedup_incremental_simhash_store",
-    "unigram_logprob", "bigram_logprob", "pipeline_curate_quality")
+    "unigram_logprob", "bigram_logprob", "pipeline_curate_quality",
+    "dsir_select", "dsir_select_store", "pipeline_curate_dsir",
+    "text_dup_chars", "ann_recall", "prune_prototypes")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
