@@ -250,6 +250,21 @@ object SimilarityOps extends QueryPack {
     SimilaritySearch.prototypePrune(vectors, ivfCentroids(vectors, sfDir))
   }
 
+  /** Recall@k of the IVF-PQ ADC ranking against exact ground truth —
+    * the quantization-loss gauge (how much the 8×16 code compression
+    * costs in retrieval quality, the number faiss users tune m/ksub
+    * by). Same |queries|·k join shape as [[annRecall]]. */
+  def annRecallPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir).select(col("query_id"), col("vec_id"))
+    val pq = annIvfPq(spark, sfDir)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    brute.join(pq, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits").cast("double") / 10.0, 4).as("recall"))
+  }
+
   /** Inverted-file balance monitor (faiss's imbalance_factor story):
     * per-cell population from the PERSISTED inverted file — the
     * operational signal that the quantizer needs retraining (a hot
@@ -323,6 +338,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
     "ann_hamming" -> (annHamming _),
     "ann_ivfpq_res" -> (annIvfPqRes _),
@@ -991,6 +1007,18 @@ GROUP BY b.query_id""",
           .toList.flatMap { cb =>
             val o = annIvfPqOracle(c, cb, k = 10, nprobe = 4)
             Seq("ann_ivfpq" -> o, "ann_ivfpq_store" -> o,
+              // quantization-loss recall: brute and ADC oracles nested,
+              // both sides recomputed from scratch and intersected
+              "ann_recall_pq" -> s"""WITH brute AS (
+$annBruteOracle
+), pq AS (
+$o
+)
+SELECT b.query_id, count(p.vec_id)::BIGINT AS hits,
+       round(count(p.vec_id) / 10.0, 4) AS recall
+FROM brute b LEFT JOIN pq p
+  ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+GROUP BY b.query_id""",
               "ann_ivfpq_refine" -> annIvfPqRefineOracle(c, cb, k = 10,
                 shortlist = 30, nprobe = 4))
           } ++
