@@ -66,12 +66,58 @@ object SqlSurfaceOps extends QueryPack {
          |FROM w""".stripMargin)
   }
 
+  /** DSIR selection as pure SQL text — the declarative twin of
+    * [[graft.operators.TextAnalysis.dsirSelect]]: hashed-ngram buckets
+    * via the builtin md5h60 idiom, bigrams via explode(sequence(..))
+    * (guarded `WHERE size >= 2` — Spark's sequence(0,-1) DESCENDS, so
+    * the unguarded spelling would fabricate grams for 1-token docs),
+    * each ln rounded to 6 decimals and differenced as DECIMAL, top-N
+    * by (weight DESC, doc_id). Same oracle string as the DataFrame
+    * twin. */
+  def dsirSelectSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{DsirBuckets => B, DsirTopN => N}
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, split(text, ' ') AS t
+         |  FROM documents
+         |), gram AS (
+         |  SELECT doc_id, tgt, explode(t) AS gram FROM tok
+         |  UNION ALL
+         |  SELECT doc_id, tgt, concat(t[i-1], ' ', t[i]) AS gram
+         |  FROM (SELECT doc_id, tgt, t, explode(sequence(1, size(t) - 1)) AS i
+         |        FROM tok WHERE size(t) >= 2)
+         |), tf AS (
+         |  SELECT doc_id, tgt,
+         |    pmod(CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT), $B) AS bucket,
+         |    count(1) AS tf
+         |  FROM gram GROUP BY 1, 2, 3
+         |), model AS (
+         |  SELECT bucket,
+         |    sum(CASE WHEN tgt THEN tf ELSE 0L END) AS ct,
+         |    sum(tf) AS cr
+         |  FROM tf GROUP BY bucket
+         |), tot AS (
+         |  SELECT sum(ct) AS nt, sum(cr) AS nr FROM model
+         |), llr AS (
+         |  SELECT bucket,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $B AS DOUBLE)), 6) AS DECIMAL(18,6))
+         |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $B AS DOUBLE)), 6) AS DECIMAL(18,6)) AS llr
+         |  FROM model CROSS JOIN tot
+         |)
+         |SELECT tf.doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
+         |FROM tf JOIN llr l ON tf.bucket = l.bucket
+         |GROUP BY tf.doc_id
+         |ORDER BY weight DESC, doc_id ASC LIMIT $N""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
     "sql_ctr" -> (KsqlSurface.ctrSql _),
     "sql_dedup_ngram" -> (dedupNgramSql _),
-    "sql_pack_sequences" -> (packSequencesSql _)
+    "sql_pack_sequences" -> (packSequencesSql _),
+    "sql_dsir_select" -> (dsirSelectSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -89,6 +135,8 @@ object SqlSurfaceOps extends QueryPack {
 
     "sql_dedup_ngram" -> DedupOps.ngramJaccardOracle,
 
-    "sql_pack_sequences" -> TextOps.oracleSql("pack_sequences")
+    "sql_pack_sequences" -> TextOps.oracleSql("pack_sequences"),
+
+    "sql_dsir_select" -> TextOps.oracleSql("dsir_select")
   )
 }
