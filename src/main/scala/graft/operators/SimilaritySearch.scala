@@ -469,11 +469,22 @@ object SimilaritySearch {
     * a partial-agg cell count. Ranks on the ROUNDED score (ulp-proof)
     * with id tie-break. */
   def prototypePrune(vectors: DataFrame, centroids: Seq[Seq[Double]],
+      keepFrac: Double = ProtoKeepFrac): DataFrame =
+    prototypePruneFromIndexed(IvfIndex.index(vectors, centroids),
+      centroids, keepFrac)
+
+  /** [[prototypePrune]] over PRE-ASSIGNED rows — [[IvfIndex.index]]'s
+    * output or the persisted [[IvfStore]] table: the serving form runs
+    * NO assignment argmin over the corpus (paid once at ingest); the
+    * only per-row work left is one dot against the row's own centroid.
+    * Identical output to the recompute form over the same rows. */
+  def prototypePruneFromIndexed(indexed: DataFrame,
+      centroids: Seq[Seq[Double]],
       keepFrac: Double = ProtoKeepFrac): DataFrame = {
     import graft.functions.CentroidVec
     val cv = CentroidVec(col("cell"), centroids)
     val cNrm = sqrt(VectorOps.dotPrecast(cv, cv))
-    val scored = IvfIndex.index(vectors, centroids)
+    val scored = indexed
       .select(col("vec_id"), col("cell"),
         round(when(col("v_nrm") * cNrm === 0, lit(0.0))
           .otherwise(VectorOps.dotPrecast(col("emb"), cv) /

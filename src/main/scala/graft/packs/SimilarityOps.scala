@@ -250,6 +250,16 @@ object SimilarityOps extends QueryPack {
     SimilaritySearch.prototypePrune(vectors, ivfCentroids(vectors, sfDir))
   }
 
+  /** Store-backed prototype pruning: scores the PERSISTED inverted
+    * file's pre-assigned rows — zero assignment work over the corpus,
+    * identical oracle to the recompute form. */
+  def prunePrototypesStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val centroids = ivfCentroids(vectors, sfDir)
+    SimilaritySearch.prototypePruneFromIndexed(
+      ivfStoreFor(spark, sfDir, vectors, centroids).table(spark), centroids)
+  }
+
   /** Recall@k of the IVF-PQ ADC ranking against exact ground truth —
     * the quantization-loss gauge (how much the 8×16 code compression
     * costs in retrieval quality, the number faiss users tune m/ksub
@@ -340,6 +350,7 @@ object SimilarityOps extends QueryPack {
     "ann_recall" -> (annRecall _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
+    "prune_prototypes_store" -> (prunePrototypesStore _),
     "ann_hamming" -> (annHamming _),
     "ann_ivfpq_res" -> (annIvfPqRes _),
     "embedding_neardup" -> (embeddingNearDup _),
@@ -994,6 +1005,9 @@ GROUP BY b.query_id""",
         "semantic_neardup" -> semanticNearDupOracle(c),
         "semantic_dedup_keep" -> semanticKeepOracle(c),
         "prune_prototypes" -> protoPruneOracle(c),
+        // the stored inverted file's assignments must prune EXACTLY
+        // like a fresh assignment pass — identical oracle
+        "prune_prototypes_store" -> protoPruneOracle(c),
         "semantic_dedup_keep_far" -> semanticKeepFarOracle(c),
         "semantic_neardup_incremental_store" -> semanticIncrementalOracle(c),
         // the oracle recomputes cells from scratch, so the gate also
