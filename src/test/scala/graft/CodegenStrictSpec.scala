@@ -20,7 +20,8 @@ class CodegenStrictSpec extends SparkSpec {
     "dedup_incremental_simhash_store",
     "unigram_logprob", "bigram_logprob", "pipeline_curate_quality",
     "dsir_select", "dsir_select_store", "pipeline_curate_dsir",
-    "text_dup_chars", "ann_recall", "prune_prototypes")
+    "text_dup_chars", "ann_recall", "ann_recall_pq", "prune_prototypes",
+    "prune_prototypes_store", "sql_dsir_select")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

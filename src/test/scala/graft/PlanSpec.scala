@@ -265,6 +265,17 @@ class PlanSpec extends SparkSpec {
       s"the 1-row totals cross join must broadcast:\n$p")
   }
 
+  test("prune_prototypes_store: scores the persisted assignments, no re-assignment") {
+    val p = plan("prune_prototypes_store")
+    // the probe form's reason to exist: the assignment argmin is paid
+    // once at ingest — it must never appear above the stored scan
+    assert(!p.contains("graft_ivf_assign"),
+      s"store-backed pruning must not re-assign the corpus:\n$p")
+    assert(p.contains("graft_ivf_store_"),
+      s"probe must scan the persisted inverted file:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("unigram_logprob: term totals via merge join — no vocab broadcast, no term window") {
     val p = plan("unigram_logprob")
     // same open-vocabulary discipline as tfidf_top_terms: the term-count
