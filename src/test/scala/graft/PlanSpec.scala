@@ -265,6 +265,19 @@ class PlanSpec extends SparkSpec {
       s"the 1-row totals cross join must broadcast:\n$p")
   }
 
+  test("text_dup_chars: doc-local semi-join membership, no corpus-global window") {
+    val p = plan("text_dup_chars")
+    // every stage keys on (doc_id, …): dup-gram detection must be the
+    // partial-agg + LEFT SEMI membership pattern, never a window count
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere in the repetition-fraction plan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"duplicated-gram membership must be a semi join:\n$p")
+    assert(p.contains("partial_count"),
+      s"(doc, gram) counts must partially aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("prune_prototypes_store: scores the persisted assignments, no re-assignment") {
     val p = plan("prune_prototypes_store")
     // the probe form's reason to exist: the assignment argmin is paid

@@ -502,6 +502,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w.sameElements(w.sorted(Ordering[Double].reverse)))
   }
 
+  test("dsirSelect: weights are partition-invariant (the DECIMAL-sum design)") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until (i % 7 + 2).toInt).map(j => s"w${(i + j) % 11}")
+        .mkString(" "), if (i % 3 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.dsirSelect(d, "doc_id", "text", col("lang") === "en",
+        buckets = 64, topN = 40).as[(Long, Double)].collect().toSeq
+    val base = run(docs)
+    // the per-bucket llr is rounded then carried as DECIMAL, so the
+    // per-doc sum cannot depend on aggregation order — any partitioning
+    // must produce bit-identical weights and the same selection order
+    assert(run(docs.repartition(7)) == base)
+    assert(run(docs.repartition(1)) == base)
+  }
+
   test("unigramLogProbFrom: reference distribution, OOV floor; exact hand-check") {
     val s = spark
     import s.implicits._
