@@ -1023,6 +1023,30 @@ object Dedup {
     * output — a composition that needs them (pipeline_curate_quality
     * carries lang) would otherwise have to join the verdicts back to
     * its input, re-executing the whole upstream lineage. */
+  /** SOFT dedup: instead of dropping a near-dup cluster's losers, keep
+    * every document with weight 1/cluster_size — the loss-weighting
+    * form of dedup used when hard dropping would cost too much data
+    * (each cluster contributes one document's worth of gradient mass
+    * in expectation, however many copies exist; singletons keep weight
+    * 1.0). Composes over ANY pair source, like
+    * [[nearDupClustersFromPairs]].
+    *
+    * Scale shape: cluster sizes are a partial-agg groupBy over the
+    * id-only cluster table joined back on cluster_id — a shuffle join
+    * on an id-sized relation (a mass-duplicated cluster is ONE count
+    * row, and AQE can split its join partition), never a per-cluster
+    * window. */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClustersFromPairs(docs, idCol, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        round(lit(1.0) / col("n"), 4).as("weight"))
+  }
+
   def keepByQuality(withQuality: DataFrame, idCol: String = "doc_id",
       carryCols: Seq[String] = Nil): DataFrame = {
     val best = withQuality

@@ -53,6 +53,38 @@ object SimilaritySearch {
       .filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for metric/embedding training: per query,
+    * the top-k most similar vectors with a DIFFERENT label — the
+    * near-miss negatives contrastive training needs (random negatives
+    * are trivially easy; the informative ones sit just across the
+    * decision boundary). `vectors`: (vec_id, embedding, label);
+    * `queries`: (query_id, q_emb, q_label).
+    *
+    * Scale shape: the label filter applies INSIDE the scoring stage
+    * (before any aggregation state exists), and ranking is the
+    * bounded-heap aggregate — map-side combine, |queries|·k rows
+    * shuffled, never a per-query window. In production the candidate
+    * stage is any of the ANN paths (LSH/IVF) with the same filter;
+    * this exact form is the oracle-able baseline, mirroring
+    * [[bruteForceTopK]]. */
+  def hardNegativesTopK(vectors: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("label"),
+      VectorOps.toDoubleVec(col("embedding")).as("v_emb"),
+      VectorOps.norm(col("embedding")).as("v_nrm"))
+    val q = queries.select(col("query_id"), col("q_label"),
+      VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
+      VectorOps.norm(col("q_emb")).as("q_nrm"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("qd_emb"), col("v_emb")),
+          col("q_nrm"), col("v_nrm")), 4).as("sim"))
+    heapTopK(scored, k)
+  }
+
   /** Deterministic seeded hyperplanes: nTables × nPlanes × dim gaussians. */
   private[graft] def hyperplanes(nTables: Int, nPlanes: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] = {

@@ -60,6 +60,14 @@ object DedupOps extends QueryPack {
       Dedup.minhashLshMd5(docs, "doc_id", "text"))
   }
 
+  /** Soft dedup over the LSH pair source: every doc kept at weight
+    * 1/cluster_size ([[graft.operators.Dedup.softDedupWeights]]). */
+  def dedupSoftWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.softDedupWeights(docs, "doc_id",
+      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+  }
+
   /** Quality-weighted canonical selection over the LSH clusters: the
     * same md5-twin pair source and components as [[dedupComponentsLsh]],
     * but keep = the highest-quality member per cluster (tie → min id)
@@ -315,6 +323,7 @@ object DedupOps extends QueryPack {
     "dedup_simhash_md5" -> (dedupSimhashMd5 _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
+    "dedup_soft_weights" -> (dedupSoftWeights _),
     "dedup_keep_quality" -> (dedupKeepQuality _)
   )
 
@@ -690,6 +699,15 @@ object DedupOps extends QueryPack {
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_components" -> componentsOracle,
     "dedup_components_lsh" -> componentsLshOracle,
+    // soft weights: cluster sizes over the same recursive components,
+    // single rounded division
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE ${minhashMd5PairCtesFrom("documents")},
+          |${componentCtes("documents", Dedup.NgramThreshold)}
+          |SELECT v AS doc_id, cluster_id,
+          |       round(1::DOUBLE / s.n, 4) AS weight
+          |FROM cc JOIN (SELECT cluster_id, count(*)::BIGINT AS n
+          |              FROM cc GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
     "dedup_keep_quality" -> keepQualityOracle
   )
 }

@@ -220,6 +220,18 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       queriesDf(spark, sfDir), k = 10)
 
+  /** Hard-negative mining over the labeled embeddings: per query, the
+    * top-10 nearest DIFFERENT-label vectors
+    * ([[SimilaritySearch.hardNegativesTopK]]). */
+  def annHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    SimilaritySearch.hardNegativesTopK(emb, q, k = 10)
+  }
+
   /** Recall@k of the IVF index against brute-force ground truth — the
     * standard ANN quality gauge (faiss benchmarks report exactly this),
     * run as a QUERY so index quality is monitored continuously: per
@@ -348,6 +360,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_recall" -> (annRecall _),
+    "ann_hard_negatives" -> (annHardNegatives _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
     "prune_prototypes_store" -> (prunePrototypesStore _),
@@ -923,6 +936,31 @@ object SimilarityOps extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     // same oracle for both — proves the heap aggregate's bit-identity
     "ann_topk_agg" -> annBruteOracle,
+
+    // label-filtered brute force: same double math, negatives only
+    "ann_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, label AS q_label, embedding AS q_emb, nrm AS q_nrm
+        |  FROM v WHERE vec_id % 100 = 0
+        |), scored AS (
+        |  SELECT q.query_id, v.vec_id,
+        |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+        |           ELSE list_sum(list_transform(generate_series(1, 64),
+        |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+        |                / (q.q_nrm * v.nrm) END, 4) AS sim
+        |  FROM q, v
+        |  WHERE v.vec_id <> q.query_id AND v.label <> q.q_label
+        |)
+        |SELECT query_id, vec_id, sim, rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, vec_id ASC) AS rk
+        |  FROM scored
+        |) WHERE rk <= 10""".stripMargin,
     "ann_brute" -> annBruteOracle,
 
     // quantized-cosine: the per-vector scales cancel, so besides the
