@@ -21,6 +21,21 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup._2 == 1L)
   }
 
+  test("soft dedup weights: 1/cluster_size, singletons at 1.0, mass conserved") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // transitive chain 1-2-4 (cluster of 3) + singletons 3, 5
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.softDedupWeights(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("weight"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 0.3333 && out(2L) == 0.3333 && out(4L) == 0.3333)
+    assert(out(3L) == 1.0 && out(5L) == 1.0)
+    // every doc keeps a row — soft dedup never drops
+    assert(out.size == 5)
+  }
+
   test("normalized exact dedup collapses casefold/punctuation/whitespace variants") {
     val s = spark
     import s.implicits._

@@ -26,6 +26,43 @@ class SimilaritySearchSpec extends SparkSpec {
     .where("vec_id IN (0, 100, 200)")
     .toDF("query_id", "q_emb")
 
+  test("hard negatives: nearest DIFFERENT-label vectors only, own cluster excluded") {
+    val labeled = clustered.withColumn("label",
+      (org.apache.spark.sql.functions.col("vec_id") / 100).cast("int"))
+    val q = labeled.where("vec_id IN (0, 100, 200)")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("q_emb"),
+        org.apache.spark.sql.functions.col("label").as("q_label"))
+    val out = SimilaritySearch.hardNegativesTopK(labeled, q, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 30)
+    out.foreach { case (qid, vid, sim, _) =>
+      assert(vid / 100 != qid / 100,
+        s"query $qid mined same-label $vid — negatives must cross labels")
+      // near-orthogonal cluster bases: a cross-cluster sim is far below
+      // the ≥0.8 same-cluster sims the positive top-k returns
+      assert(sim < 0.8, s"suspiciously positive-like negative: $sim")
+    }
+    // the negatives are still the HARDEST available: re-ranking all
+    // cross-label candidates by hand must give the same top-10 set
+    val all = labeled.as[(Long, Seq[Float], Int)].collect()
+    val byId = all.map(r => r._1 -> r._2).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na * nb == 0) 0.0 else dot / (na * nb)
+    }
+    Seq(0L, 100L, 200L).foreach { qid =>
+      val want = all.filter(r => r._1 / 100 != qid / 100)
+        .map(r => (BigDecimal(cos(byId(qid), r._2))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, r._1))
+        .sortBy { case (s0, id) => (-s0, id) }.take(10).map(_._2).toSet
+      val got = out.filter(_._1 == qid).map(_._2).toSet
+      assert(got == want, s"query $qid: $got != $want")
+    }
+  }
+
   test("brute-force topk returns same-cluster neighbors, ranked") {
     val out = SimilaritySearch.bruteForceTopK(clustered, queryOf, k = 10)
       .as[(Long, Long, Double, Long)].collect()
