@@ -21,6 +21,22 @@ final class IvfPqStore(name: String, buckets: Int = 32,
     pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer)
     extends SegmentedBucketedStore(name, "cell", buckets, pointer) {
 
+  /** Re-derive the ENTIRE compressed index from the raw vector
+    * source-of-truth under new artifacts — the offline retrain seam as
+    * CODE: codes are lossy, so unlike [[IvfStore.rebuild]] this takes
+    * `rawVectors` (the (vec_id, embedding) relation the codes were
+    * derived from), re-encodes under the NEW centroids/codebooks, and
+    * publishes atomically (one fresh segment; readers of the prior
+    * manifest keep their grace-window segments — the
+    * [[SegmentedBucketedStore.replaceAllWith]] semantics). Streaming
+    * merges landing mid-rebuild are NOT in the rebuilt generation —
+    * pause the ingest loop across a retrain, the same operational rule
+    * faiss's retrain-and-reindex has. */
+  def rebuildFrom(spark: SparkSession, rawVectors: DataFrame,
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]]): Unit =
+    replaceAllWith(spark, _ => IvfPq.encode(rawVectors, centroids, codebooks))
+
   override protected def emptyTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq.empty[(Long, Seq[Int], Double, Int)]

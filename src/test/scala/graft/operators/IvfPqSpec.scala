@@ -111,6 +111,32 @@ class IvfPqSpec extends SparkSpec {
     assert(refined == brute)
   }
 
+  test("rebuildFrom: re-encodes from the raw source under new artifacts, atomically") {
+    val store = new IvfPqStore("graft_ivfpq_spec_rebuild")
+    store.merge(IvfPq.encode(clustered, centroids, codebooks))
+
+    // retrain with different iteration counts → different artifacts
+    val c2 = IvfIndex.train(clustered, nlist = 4, iters = 5)
+    val cb2 = IvfPq.trainCodebooks(clustered, m = 8, ksub = 16, iters = 5)
+    store.rebuildFrom(spark, clustered, c2, cb2)
+
+    // the rebuilt generation must equal a fresh encode under the new
+    // artifacts — row-for-row, codes included
+    val got = store.table(spark)
+      .as[(Long, Seq[Int], Double, Int)].collect().toSet
+    val want = IvfPq.encode(clustered, c2, cb2)
+      .as[(Long, Seq[Int], Double, Int)].collect().toSet
+    assert(got == want)
+
+    // and probes under the new artifacts serve from it directly
+    val probed = IvfPq.topKFromEncoded(store.table(spark), queryOf,
+        c2, cb2, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val recompute = IvfPq.topK(clustered, queryOf, c2, cb2, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(probed == recompute && probed.nonEmpty)
+  }
+
   test("store probe returns exactly the recompute form's top-k") {
     val store = new IvfPqStore("graft_ivfpq_spec_store")
     store.merge(IvfPq.encode(clustered, centroids, codebooks))
