@@ -21,6 +21,24 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup._2 == 1L)
   }
 
+  test("components: a 60-hop chain converges inside the round cap (pointer jump)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // a pure path graph — worst case for edge flooding (diameter 60 >
+    // maxIters 30, so the pre-jump loop would emit its split-cluster
+    // warning); path doubling closes it in O(log n) jump rounds
+    val n = 61L
+    val chainDocs = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chainPairs = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClustersFromPairs(chainDocs, "doc_id", chainPairs)
+      .select(col("doc_id"), col("cluster_id"))
+      .as[(Long, Long)].collect()
+    assert(out.length == n)
+    assert(out.forall(_._2 == 0L),
+      s"every chain member must reach the component min: ${out.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   test("soft dedup weights: 1/cluster_size, singletons at 1.0, mass conserved") {
     val s = spark
     import s.implicits._
