@@ -789,6 +789,40 @@ object TextAnalysis {
           sum(col("bf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  val EntropyMinBits = 3.0
+
+  /** Per-document character-level Shannon entropy (bits/char) — the
+    * compressibility-style quality signal: machine-generated padding,
+    * repeated-character junk, and base64/hex blobs sit at the extremes
+    * of the entropy range while natural prose clusters mid-range
+    * (pair with [[gopherRepetition]], which catches TOKEN-level
+    * repetition; entropy catches sub-token degeneracy). `flagged`
+    * marks docs below `EntropyMinBits`.
+    *
+    * Scale shape: explode to (doc, char) → ONE partial-agg count per
+    * (doc, char) (alphabet-bounded: ≤ |charset| rows per doc survive
+    * the map-side combine) → per-doc entropy as a sum of per-char
+    * terms. Cross-engine exactness: each −p·log2(p) term is rounded
+    * to 6 decimals and summed as DECIMAL (order-independent — the
+    * [[unigramLogProb]] idiom), final entropy rounded to 4. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val cc = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val n = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    cc.join(n, "doc_id")
+      .select(col("doc_id"), col("n"),
+        round(-(col("c").cast("double") / col("n")) *
+            log(2.0, col("c").cast("double") / col("n")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_chars"),
+        round(sum(col("term")).cast("double"), 4).as("entropy_bits"))
+      .withColumn("flagged", col("entropy_bits") < EntropyMinBits)
+  }
+
   val GopherTopNgramCharMax = 0.20
   val GopherDupNgramCharMax = 0.14
 

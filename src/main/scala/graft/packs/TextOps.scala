@@ -279,6 +279,10 @@ object TextOps extends QueryPack {
     TextAnalysis.perSourceCap(Tables.documents(spark, sfDir),
       "source", "doc_id", SourceCapK)
 
+  def textEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.charEntropy(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   def textDupChars(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherRepetition(Tables.documents(spark, sfDir),
       "doc_id", "text")
@@ -332,6 +336,7 @@ object TextOps extends QueryPack {
     "dsir_select" -> (dsirSelect _),
     "dsir_select_store" -> (dsirSelectStore _),
     "text_dup_chars" -> (textDupChars _),
+    "text_entropy" -> (textEntropy _),
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
@@ -671,6 +676,28 @@ object TextOps extends QueryPack {
          |             doc_id) AS rk
          |  FROM documents
          |) WHERE rk <= $SourceCapK""".stripMargin,
+
+    // Shannon entropy: each -p*log2(p) term rounded to 6 decimals and
+    // summed as DECIMAL; log2 spelled ln/ln(2) to mirror Spark's
+    // Logarithm codegen exactly
+    "text_entropy" ->
+      s"""WITH ch AS (
+         |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+         |), cc AS (
+         |  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2
+         |), n AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n FROM cc GROUP BY doc_id
+         |), t AS (
+         |  SELECT cc.doc_id, n.n,
+         |    CAST(round(-(cc.c::DOUBLE / n.n) * (ln(cc.c::DOUBLE / n.n) / ln(2)), 6)
+         |         AS DECIMAL(18,6)) AS term
+         |  FROM cc JOIN n USING (doc_id)
+         |)
+         |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(term) AS DOUBLE), 4) AS entropy_bits,
+         |  round(CAST(sum(term) AS DOUBLE), 4) < ${TextAnalysis.EntropyMinBits} AS flagged
+         |FROM t GROUP BY doc_id""".stripMargin,
 
     // Gopher char-mass repetition: integer char masses, single rounded
     // divisions; dup coverage = distinct token positions under any

@@ -452,6 +452,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("charEntropy: exact hand-check; degenerate text flagged, varied text not") {
+    val s = spark
+    import s.implicits._
+    // doc 1: "aaaa" → p(a)=1 → entropy 0, flagged
+    // doc 2: "abab" → two chars at p=.5 → exactly 1 bit, flagged
+    // doc 3: 16 distinct chars once each → exactly 4 bits, not flagged
+    val d = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcdefghijklmnop"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((4L, 0.0, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 1.0, true)), s"got ${out(2L)}")
+    assert(out(3L) == ((16L, 4.0, false)), s"got ${out(3L)}")
+  }
+
   test("gopherRepetition: exact char-mass hand-check, coverage unions overlaps") {
     val s = spark
     import s.implicits._
