@@ -362,6 +362,100 @@ object Multimodal {
     }
   }
 
+  final case class ImageHash(asset_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual average-hash (aHash) fingerprints over GENUINELY
+    * DECODED pixels — the image-dedup primitive (the classic
+    * pHash-family member whose arithmetic is exactly reproducible):
+    * pool the decoded image onto an 8×8 grid (cell of pixel (x,y) is
+    * (y·8/h, x·8/w) — pure integer floors), bit = cell's mean channel
+    * mass above the image mean. The mean comparison is CROSS-
+    * MULTIPLIED (cellSum·totalCnt > totalSum·cellCnt) so no float
+    * average exists anywhere — the oracle recomputes the identical
+    * integers from the synthesis formula, and the gate passes only if
+    * the real codec decode inverted the encode. 64 bits split into
+    * two non-negative 32-bit halves (hash_hi = cells 32-63) so both
+    * engines carry them as exact BIGINTs.
+    *
+    * Scale shape: one mapPartitions over the asset bytes (the decoder
+    * seam — same honest boundary as [[decodeImages]]); everything
+    * downstream of the hash is ordinary columnar work. */
+  def imageAHashes(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val img = RealDecoder.readImage(a.bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val cellSum = new Array[Long](64)
+      val cellCnt = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val c = (y * 8 / h) * 8 + (x * 8 / w)
+          cellSum(c) += luma; cellCnt(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val totalSum = cellSum.sum
+      val totalCnt = w.toLong * h
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      ImageHash(a.asset_id, w, h, hi, lo)
+    })
+  }
+
+  /** Near-duplicate image pairs by hamming distance over the aHash —
+    * the multimodal twin of the simhash text path, same machinery:
+    * 4×16-bit bands, bucket join, partial-agg + broadcast-anti bucket
+    * cap, exact popcount verification. With maxDist ≤ 3 and 4 bands
+    * the banding is EXACT by pigeonhole (≤ 3 differing bits cannot
+    * touch all 4 bands), so under the cap the pair set equals the
+    * brute-force scan the oracle runs. */
+  def imageHammingPairs(hashes: DataFrame, maxDist: Int = AHashMaxDist,
+      maxBucketSize: Int = AHashMaxBucketSize): DataFrame = {
+    val bands = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
+      explode(array((0 until 4).map { b =>
+        val src = if (b < 2) col("hash_lo") else col("hash_hi")
+        struct(lit(b).as("band"),
+          shiftrightunsigned(src, 16 * (b % 2)).bitwiseAND(lit(0xffffL))
+            .as("bv"))
+      }: _*)).as("bb"))
+      .select(col("asset_id"), col("hash_hi"), col("hash_lo"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val over = bands.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bv"))
+    val capped = bands.join(broadcast(over), Seq("band", "bv"), "left_anti")
+    val cand = capped.select(col("band"), col("bv"), col("asset_id").as("asset_a"))
+      .join(capped.select(col("band"), col("bv"), col("asset_id").as("asset_b")),
+        Seq("band", "bv"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b")).distinct()
+    val a = hashes.select(col("asset_id").as("asset_a"),
+      col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a"))
+    val b = hashes.select(col("asset_id").as("asset_b"),
+      col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b"))
+    cand.join(a, "asset_a").join(b, "asset_b")
+      .select(col("asset_a"), col("asset_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  val AHashMaxDist = 3
+  val AHashMaxBucketSize = 1000
+
   /** Decode image assets through [[RealDecoder]]'s codec path and emit
     * the decoded dimensions + pixel-channel hash — the query surface
     * multimodal_decode gates against arithmetic the oracle recomputes. */

@@ -85,6 +85,25 @@ object TextOps extends QueryPack {
       .toDF()
   }
 
+  /** aHash fingerprints of the synthesized PNGs through the REAL
+    * decode path — the oracle recomputes the same integer pooling from
+    * the synthesis formula, so a wrong decode fails the gate. */
+  def multimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.imageAHashes(spark,
+        Multimodal.syntheticPngAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
+  /** Hamming near-dup image pairs over the aHashes — simhash-style
+    * banding (exact by pigeonhole at maxDist 3 under the cap). */
+  def multimodalPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.imageHammingPairs(Multimodal.imageAHashes(spark,
+      Multimodal.syntheticPngAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF())
+  }
+
   // Mixture rates for the stratified-sample query, in basis points —
   // shared between the Spark query and its generated oracle SQL
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
@@ -347,7 +366,9 @@ object TextOps extends QueryPack {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),
-    "multimodal_frames_decode" -> (multimodalFramesDecode _)
+    "multimodal_frames_decode" -> (multimodalFramesDecode _),
+    "multimodal_phash" -> (multimodalPhash _),
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _)
   )
 
   /** Shared CTEs of the training-output oracles: the SAME salted
@@ -453,6 +474,42 @@ object TextOps extends QueryPack {
     s"""WITH ${dsirCtesFrom("documents", "lang = 'en'")}
        |SELECT doc_id, weight FROM dw
        |ORDER BY weight DESC, doc_id ASC LIMIT ${TextAnalysis.DsirTopN}""".stripMargin
+
+  /** Shared aHash oracle head: pixels from the synthesis formula,
+    * 8x8 integer-floor pooling, cross-multiplied above-mean bits,
+    * 32-bit halves — ending in ah(asset_id, w, h, hash_hi, hash_lo). */
+  private val phashCte: String = {
+    import graft.operators.Multimodal._
+    s"""WITH px AS (
+       |  SELECT doc_id AS asset_id,
+       |         ($PngWBase + doc_id % $PngWMod) AS w,
+       |         ($PngHBase + doc_id % $PngHMod) AS h, x, y,
+       |         ((doc_id * ${PngRMul._1} + x * ${PngRMul._2} + y * ${PngRMul._3}) % 256)
+       |       + ((doc_id * ${PngGMul._1} + x * ${PngGMul._2} + y * ${PngGMul._3}) % 256)
+       |       + ((doc_id * ${PngBMul._1} + x * ${PngBMul._2} + y * ${PngBMul._3}) % 256) AS luma
+       |  FROM documents,
+       |       unnest(range(0, $PngWBase + $PngWMod)) AS ux(x),
+       |       unnest(range(0, $PngHBase + $PngHMod)) AS uy(y)
+       |  WHERE x < $PngWBase + doc_id % $PngWMod
+       |    AND y < $PngHBase + doc_id % $PngHMod
+       |), cells AS (
+       |  SELECT asset_id, w, h, ((y * 8) // h) * 8 + ((x * 8) // w) AS cell,
+       |         sum(luma)::BIGINT AS cs, count(*)::BIGINT AS cc
+       |  FROM px GROUP BY 1, 2, 3, 4
+       |), tot AS (
+       |  SELECT asset_id, max(w) AS w, max(h) AS h,
+       |         sum(cs)::BIGINT AS ts, sum(cc)::BIGINT AS tc
+       |  FROM cells GROUP BY asset_id
+       |), ah AS (
+       |  SELECT t.asset_id, t.w, t.h,
+       |    coalesce(sum(CASE WHEN c.cell >= 32 AND c.cs * t.tc > t.ts * c.cc
+       |      THEN (1::BIGINT << CAST(c.cell - 32 AS INT)) ELSE 0 END), 0)::BIGINT AS hash_hi,
+       |    coalesce(sum(CASE WHEN c.cell < 32 AND c.cs * t.tc > t.ts * c.cc
+       |      THEN (1::BIGINT << CAST(c.cell AS INT)) ELSE 0 END), 0)::BIGINT AS hash_lo
+       |  FROM tot t LEFT JOIN cells c ON c.asset_id = t.asset_id
+       |  GROUP BY t.asset_id, t.w, t.h
+       |)""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = Map(
     "shard_assign" ->
@@ -906,6 +963,40 @@ object TextOps extends QueryPack {
     // ImageIO decode of real PNG bytes — values match only if the
     // codec round-trip is exact. Row-major fold, first channel seeds
     // (list_reduce semantics both sides).
+    // aHash from the synthesis formula: same integer cell floors, same
+    // cross-multiplied mean comparison — zero float averages; bands and
+    // pairs mirror the Spark path exactly (pigeonhole-exact at dist 3
+    // under the mirrored cap)
+    "multimodal_phash" -> (phashCte +
+      """
+        |SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       hash_hi, hash_lo
+        |FROM ah""".stripMargin),
+
+    "multimodal_phash_dedup" -> (phashCte + s""",
+        |bands AS (
+        |  SELECT asset_id, hash_hi, hash_lo, b,
+        |    CASE WHEN b < 2 THEN (hash_lo >> (16 * b)) & 65535
+        |         ELSE (hash_hi >> (16 * (b - 2))) & 65535 END AS bv
+        |  FROM ah, unnest(range(0, 4)) AS ub(b)
+        |), ok AS (
+        |  SELECT b, bv FROM bands GROUP BY b, bv
+        |  HAVING count(*) <= ${graft.operators.Multimodal.AHashMaxBucketSize}
+        |), cand AS (
+        |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+        |  FROM bands x JOIN ok USING (b, bv) JOIN bands y USING (b, bv)
+        |  WHERE x.asset_id < y.asset_id
+        |)
+        |SELECT c.asset_a, c.asset_b,
+        |  CAST(bit_count(xor(p.hash_hi, q.hash_hi))
+        |     + bit_count(xor(p.hash_lo, q.hash_lo)) AS BIGINT) AS dist
+        |FROM cand c
+        |JOIN ah p ON p.asset_id = c.asset_a
+        |JOIN ah q ON q.asset_id = c.asset_b
+        |WHERE bit_count(xor(p.hash_hi, q.hash_hi))
+        |    + bit_count(xor(p.hash_lo, q.hash_lo))
+        |    <= ${graft.operators.Multimodal.AHashMaxDist}""".stripMargin),
+
     "multimodal_decode" -> {
       import Multimodal.{PngBMul, PngGMul, PngHBase, PngHMod, PngRMul, PngWBase, PngWMod}
       def ch(m: (Long, Long, Long)): String =
