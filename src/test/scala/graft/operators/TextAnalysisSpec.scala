@@ -452,6 +452,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L)._2 > out(3L)._2 && out(2L)._2 > out(3L)._2)
   }
 
+  test("imageAHash: exact bits on a hand-built gradient; identical images pair at dist 0") {
+    val s = spark
+    import s.implicits._
+    // 8×8 image, luma rises with x: cells are single pixels; columns
+    // 4..7 sit above the mean in every row → hash bits set exactly
+    // where x >= 4 (the right half of each 8-bit row)
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val grad = png(8, 8, (x, _) => x * 30)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "image", grad, Multimodal.MediaMeta(8, 8, 0, 0L)),
+      Multimodal.MediaAsset(2L, "image", grad, Multimodal.MediaMeta(8, 8, 0, 0L)),
+      Multimodal.MediaAsset(3L, "image", png(8, 8, (x, _) => (7 - x) * 30),
+        Multimodal.MediaMeta(8, 8, 0, 0L))).toDS()
+    val hashes = Multimodal.imageAHashes(spark, assets).collect()
+      .map(ih => ih.asset_id -> ih).toMap
+    // right-half bits per row: mask 0xF0 in each byte row
+    val rowMask = 0xF0L
+    val wantLo = (0 until 4).map(r => rowMask << (8 * r)).reduce(_ | _)
+    assert(hashes(1L).hash_lo == wantLo && hashes(1L).hash_hi == wantLo,
+      s"got ${hashes(1L)}")
+    assert(hashes(1L) == hashes(2L).copy(asset_id = 1L))
+    // mirrored gradient sets the LEFT half — full 64-bit distance 64...
+    // actually complementary: every row flips 4 set + 4 unset = 8 bits
+    val pairs = Multimodal.imageHammingPairs(
+      Multimodal.imageAHashes(spark, assets).toDF(), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)),
+      s"identical images must pair at dist 0, mirror must not: $pairs")
+  }
+
   test("charEntropy: exact hand-check; degenerate text flagged, varied text not") {
     val s = spark
     import s.implicits._
