@@ -456,6 +456,84 @@ object Multimodal {
   val AHashMaxDist = 3
   val AHashMaxBucketSize = 1000
 
+  // Synthesized-WAV formula, shared with the multimodal_audio_* DuckDB
+  // oracles: asset `id` is n = 200 + id % 57 mono 16-bit LE samples at
+  // 16 kHz with sample(i) = (id*31 + i²·(7 + id % 11)) % 65536 − 32768.
+  // The QUADRATIC phase wraps the 16-bit range many times within the
+  // clip at an id-dependent rate, so each asset gets a distinct energy
+  // envelope — a linear ramp never wraps inside 256 samples, every
+  // |sample| profile is the same monotone triangle, and the hamming
+  // query degenerates to the full cross product.
+  val AudNBase = 200; val AudNMod = 57
+  val AudMul = (31L, 7L) // id multiplier, slope base
+  val AudSlopeMod = 11L
+  val AudSampleRate = 16000
+
+  /** Deterministic synthesized WAV assets — real `AudioSystem.write`
+    * RIFF bytes per document id, samples from the shared formula; the
+    * audio analog of [[syntheticPngAssets]]. */
+  def syntheticWavAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+      val n = (AudNBase + id % AudNMod).toInt
+      val raw = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = ((id * AudMul._1 + i.toLong * i * (AudMul._2 + id % AudSlopeMod)) % 65536 - 32768).toInt
+        raw(2 * i) = (v & 0xff).toByte
+        raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        AudSampleRate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaAsset(id, "audio", bos.toByteArray,
+        MediaMeta(0, 0, AudSampleRate, n.toLong * 1000 / AudSampleRate))
+    })
+  }
+
+  final case class AudioHash(asset_id: Long, n_samples: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Energy-envelope average-hash over GENUINELY DECODED PCM — the
+    * audio twin of [[imageAHashes]]: 64 integer-floor windows over the
+    * canonicalized 16-bit samples, bit = window's mean |sample| above
+    * the clip mean, cross-multiplied so no float average exists. The
+    * decode runs [[RealDecoder.pcmSamples]] (real `javax.sound` WAV
+    * parsing + canonicalization), so the gate fails on any decode
+    * drift. Pairs ride [[imageHammingPairs]] unchanged — the banding
+    * machinery is hash-source-agnostic. */
+  def audioAHashes(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[AudioHash] = {
+    import spark.implicits._
+    assets.mapPartitions(_.map { a =>
+      val s = RealDecoder.pcmSamples(a.bytes)
+      val n = s.length
+      val winSum = new Array[Long](64)
+      val winCnt = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val w = i * 64 / n
+        winSum(w) += math.abs(s(i)); winCnt(w) += 1
+        i += 1
+      }
+      val totalSum = winSum.sum
+      val totalCnt = n.toLong
+      var hi = 0L; var lo = 0L
+      var b = 0
+      while (b < 64) {
+        if (winSum(b) * totalCnt > totalSum * winCnt(b)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      AudioHash(a.asset_id, n, hi, lo)
+    })
+  }
+
   /** Decode image assets through [[RealDecoder]]'s codec path and emit
     * the decoded dimensions + pixel-channel hash — the query surface
     * multimodal_decode gates against arithmetic the oracle recomputes. */

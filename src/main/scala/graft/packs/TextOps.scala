@@ -104,6 +104,24 @@ object TextOps extends QueryPack {
       .toDF())
   }
 
+  /** Energy-envelope hashes of the synthesized WAVs through the REAL
+    * javax.sound decode path — audio twin of multimodal_phash. */
+  def multimodalAudioHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.audioAHashes(spark,
+        Multimodal.syntheticWavAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
+  /** Hamming near-dup audio pairs — the SAME banding machinery as the
+    * image path (hash-source-agnostic). */
+  def multimodalAudioDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.imageHammingPairs(Multimodal.audioAHashes(spark,
+      Multimodal.syntheticWavAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF())
+  }
+
   // Mixture rates for the stratified-sample query, in basis points —
   // shared between the Spark query and its generated oracle SQL
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
@@ -368,7 +386,9 @@ object TextOps extends QueryPack {
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_frames_decode" -> (multimodalFramesDecode _),
     "multimodal_phash" -> (multimodalPhash _),
-    "multimodal_phash_dedup" -> (multimodalPhashDedup _)
+    "multimodal_phash_dedup" -> (multimodalPhashDedup _),
+    "multimodal_audio_hash" -> (multimodalAudioHash _),
+    "multimodal_audio_dedup" -> (multimodalAudioDedup _)
   )
 
   /** Shared CTEs of the training-output oracles: the SAME salted
@@ -508,6 +528,62 @@ object TextOps extends QueryPack {
        |      THEN (1::BIGINT << CAST(c.cell AS INT)) ELSE 0 END), 0)::BIGINT AS hash_lo
        |  FROM tot t LEFT JOIN cells c ON c.asset_id = t.asset_id
        |  GROUP BY t.asset_id, t.w, t.h
+       |)""".stripMargin
+  }
+
+  /** Shared banding/cap/popcount pair tail over an `ah(asset_id,
+    * hash_hi, hash_lo, …)` CTE — one string for image AND audio, so
+    * the two dedup oracles cannot drift. */
+  private val hammingTailSql: String =
+    s""",
+       |bands AS (
+       |  SELECT asset_id, hash_hi, hash_lo, b,
+       |    CASE WHEN b < 2 THEN (hash_lo >> (16 * b)) & 65535
+       |         ELSE (hash_hi >> (16 * (b - 2))) & 65535 END AS bv
+       |  FROM ah, unnest(range(0, 4)) AS ub(b)
+       |), ok AS (
+       |  SELECT b, bv FROM bands GROUP BY b, bv
+       |  HAVING count(*) <= ${graft.operators.Multimodal.AHashMaxBucketSize}
+       |), cand AS (
+       |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
+       |  FROM bands x JOIN ok USING (b, bv) JOIN bands y USING (b, bv)
+       |  WHERE x.asset_id < y.asset_id
+       |)
+       |SELECT c.asset_a, c.asset_b,
+       |  CAST(bit_count(xor(p.hash_hi, q.hash_hi))
+       |     + bit_count(xor(p.hash_lo, q.hash_lo)) AS BIGINT) AS dist
+       |FROM cand c
+       |JOIN ah p ON p.asset_id = c.asset_a
+       |JOIN ah q ON q.asset_id = c.asset_b
+       |WHERE bit_count(xor(p.hash_hi, q.hash_hi))
+       |    + bit_count(xor(p.hash_lo, q.hash_lo))
+       |    <= ${graft.operators.Multimodal.AHashMaxDist}""".stripMargin
+
+  /** Audio energy-hash oracle head: samples from the synthesis
+    * formula, 64 integer-floor windows, cross-multiplied above-mean
+    * bits — ah(asset_id, n, hash_hi, hash_lo). */
+  private val audioHashCte: String = {
+    import graft.operators.Multimodal._
+    s"""WITH smp AS (
+       |  SELECT doc_id AS asset_id, ($AudNBase + doc_id % $AudNMod) AS n, i,
+       |         abs(((doc_id * ${AudMul._1} + i * i * (${AudMul._2} + doc_id % $AudSlopeMod)) % 65536) - 32768) AS e
+       |  FROM documents, unnest(range(0, $AudNBase + $AudNMod)) AS ui(i)
+       |  WHERE i < $AudNBase + doc_id % $AudNMod
+       |), wins AS (
+       |  SELECT asset_id, n, (i * 64) // n AS w,
+       |         sum(e)::BIGINT AS ws, count(*)::BIGINT AS wc
+       |  FROM smp GROUP BY 1, 2, 3
+       |), tot AS (
+       |  SELECT asset_id, max(n) AS n, sum(ws)::BIGINT AS ts, sum(wc)::BIGINT AS tc
+       |  FROM wins GROUP BY asset_id
+       |), ah AS (
+       |  SELECT t.asset_id, t.n,
+       |    coalesce(sum(CASE WHEN w.w >= 32 AND w.ws * t.tc > t.ts * w.wc
+       |      THEN (1::BIGINT << CAST(w.w - 32 AS INT)) ELSE 0 END), 0)::BIGINT AS hash_hi,
+       |    coalesce(sum(CASE WHEN w.w < 32 AND w.ws * t.tc > t.ts * w.wc
+       |      THEN (1::BIGINT << CAST(w.w AS INT)) ELSE 0 END), 0)::BIGINT AS hash_lo
+       |  FROM tot t LEFT JOIN wins w ON w.asset_id = t.asset_id
+       |  GROUP BY t.asset_id, t.n
        |)""".stripMargin
   }
 
@@ -973,29 +1049,16 @@ object TextOps extends QueryPack {
         |       hash_hi, hash_lo
         |FROM ah""".stripMargin),
 
-    "multimodal_phash_dedup" -> (phashCte + s""",
-        |bands AS (
-        |  SELECT asset_id, hash_hi, hash_lo, b,
-        |    CASE WHEN b < 2 THEN (hash_lo >> (16 * b)) & 65535
-        |         ELSE (hash_hi >> (16 * (b - 2))) & 65535 END AS bv
-        |  FROM ah, unnest(range(0, 4)) AS ub(b)
-        |), ok AS (
-        |  SELECT b, bv FROM bands GROUP BY b, bv
-        |  HAVING count(*) <= ${graft.operators.Multimodal.AHashMaxBucketSize}
-        |), cand AS (
-        |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
-        |  FROM bands x JOIN ok USING (b, bv) JOIN bands y USING (b, bv)
-        |  WHERE x.asset_id < y.asset_id
-        |)
-        |SELECT c.asset_a, c.asset_b,
-        |  CAST(bit_count(xor(p.hash_hi, q.hash_hi))
-        |     + bit_count(xor(p.hash_lo, q.hash_lo)) AS BIGINT) AS dist
-        |FROM cand c
-        |JOIN ah p ON p.asset_id = c.asset_a
-        |JOIN ah q ON q.asset_id = c.asset_b
-        |WHERE bit_count(xor(p.hash_hi, q.hash_hi))
-        |    + bit_count(xor(p.hash_lo, q.hash_lo))
-        |    <= ${graft.operators.Multimodal.AHashMaxDist}""".stripMargin),
+    "multimodal_phash_dedup" -> (phashCte + hammingTailSql),
+
+    // audio: same formula-recompute gate (real javax.sound decode) and
+    // the SAME banding/cap/popcount tail — machinery shared verbatim
+    "multimodal_audio_hash" -> (audioHashCte +
+      """
+        |SELECT asset_id, CAST(n AS INT) AS n_samples, hash_hi, hash_lo
+        |FROM ah""".stripMargin),
+
+    "multimodal_audio_dedup" -> (audioHashCte + hammingTailSql),
 
     "multimodal_decode" -> {
       import Multimodal.{PngBMul, PngGMul, PngHBase, PngHMod, PngRMul, PngWBase, PngWMod}

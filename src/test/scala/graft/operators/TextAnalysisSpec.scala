@@ -492,6 +492,41 @@ class TextAnalysisSpec extends SparkSpec {
       s"identical images must pair at dist 0, mirror must not: $pairs")
   }
 
+  test("audioAHash: identical clips pair at dist 0 through the real WAV decode") {
+    val s = spark
+    import s.implicits._
+    def wav(f: Int => Int, n: Int): Array[Byte] = {
+      val raw = new Array[Byte](n * 2)
+      (0 until n).foreach { i =>
+        val v = f(i)
+        raw(2 * i) = (v & 0xff).toByte; raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // loud first half, quiet second half → bits exactly on windows 0-31
+    val halves = wav(i => if (i < 128) 20000 else 100, 256)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "audio", halves, Multimodal.MediaMeta(0, 0, 16000, 16L)),
+      Multimodal.MediaAsset(2L, "audio", halves, Multimodal.MediaMeta(0, 0, 16000, 16L)),
+      Multimodal.MediaAsset(3L, "audio", wav(i => if (i < 128) 100 else 20000, 256),
+        Multimodal.MediaMeta(0, 0, 16000, 16L))).toDS()
+    val hashes = Multimodal.audioAHashes(spark, assets).collect()
+      .map(h => h.asset_id -> h).toMap
+    assert(hashes(1L).hash_lo == 0xffffffffL && hashes(1L).hash_hi == 0L,
+      s"loud-first clip must set exactly windows 0-31: ${hashes(1L)}")
+    val pairs = Multimodal.imageHammingPairs(
+      Multimodal.audioAHashes(spark, assets).toDF(), maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0L)),
+      s"identical clips pair at dist 0, the mirrored clip must not: $pairs")
+  }
+
   test("charEntropy: exact hand-check; degenerate text flagged, varied text not") {
     val s = spark
     import s.implicits._
