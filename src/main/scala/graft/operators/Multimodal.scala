@@ -381,36 +381,68 @@ object Multimodal {
     * Scale shape: one mapPartitions over the asset bytes (the decoder
     * seam — same honest boundary as [[decodeImages]]); everything
     * downstream of the hash is ordinary columnar work. */
+  /** The shared 8×8 integer-pooling aHash core over any decoded frame
+    * — (hash_hi, hash_lo) 32-bit halves; see [[imageAHashes]]. */
+  private[operators] def aHashOf(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(c) += luma; cellCnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalSum = cellSum.sum
+    val totalCnt = w.toLong * h
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   def imageAHashes(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[ImageHash] = {
     import spark.implicits._
     assets.mapPartitions(_.map { a =>
       val img = RealDecoder.readImage(a.bytes)
-      val w = img.getWidth; val h = img.getHeight
-      val cellSum = new Array[Long](64)
-      val cellCnt = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-          val c = (y * 8 / h) * 8 + (x * 8 / w)
-          cellSum(c) += luma; cellCnt(c) += 1
-          x += 1
-        }
-        y += 1
+      val (hi, lo) = aHashOf(img)
+      ImageHash(a.asset_id, img.getWidth, img.getHeight, hi, lo)
+    })
+  }
+
+  final case class VideoFrameHash(asset_id: Long, frame_idx: Int,
+      sampled_frame: Int, hash_hi: Long, hash_lo: Long)
+
+  /** Per-sampled-frame aHash of the video assets through the REAL
+    * multi-frame GIF decode — [[decodeVideoFrames]]' frame-sampling
+    * plan with the [[aHashOf]] core replacing the rolling fold: the
+    * temporal fingerprint video dedup matches on (near-dup videos
+    * agree frame-hash by frame-hash). One mapPartitions at the decoder
+    * seam; everything downstream is columnar. */
+  def videoFrameAHashes(spark: SparkSession, assets: Dataset[MediaAsset],
+      samples: Int = FrameSamples): Dataset[VideoFrameHash] = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val frames = RealDecoder.gifFrames(a.bytes)
+      val n = frames.length
+      val durationMs = n * GifMsPerFrame
+      (0 until samples).map { i =>
+        val offset = i * durationMs / samples
+        val sf = math.min(n - 1, (offset / GifMsPerFrame).toInt)
+        val (hi, lo) = aHashOf(frames(sf))
+        VideoFrameHash(a.asset_id, i, sf, hi, lo)
       }
-      val totalSum = cellSum.sum
-      val totalCnt = w.toLong * h
-      var hi = 0L; var lo = 0L
-      var i = 0
-      while (i < 64) {
-        if (cellSum(i) * totalCnt > totalSum * cellCnt(i)) {
-          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-        }
-        i += 1
-      }
-      ImageHash(a.asset_id, w, h, hi, lo)
     })
   }
 

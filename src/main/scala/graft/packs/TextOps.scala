@@ -122,6 +122,15 @@ object TextOps extends QueryPack {
       .toDF())
   }
 
+  /** Per-sampled-frame aHashes of the synthesized GIF videos through
+    * the REAL multi-frame decode — the temporal video fingerprint. */
+  def multimodalVideoHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.videoFrameAHashes(spark,
+        Multimodal.syntheticGifAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
   // Mixture rates for the stratified-sample query, in basis points —
   // shared between the Spark query and its generated oracle SQL
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
@@ -388,7 +397,8 @@ object TextOps extends QueryPack {
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "multimodal_audio_hash" -> (multimodalAudioHash _),
-    "multimodal_audio_dedup" -> (multimodalAudioDedup _)
+    "multimodal_audio_dedup" -> (multimodalAudioDedup _),
+    "multimodal_video_hash" -> (multimodalVideoHash _)
   )
 
   /** Shared CTEs of the training-output oracles: the SAME salted
@@ -1039,6 +1049,47 @@ object TextOps extends QueryPack {
     // ImageIO decode of real PNG bytes — values match only if the
     // codec round-trip is exact. Row-major fold, first channel seeds
     // (list_reduce semantics both sides).
+
+    // video: per-sampled-frame aHash recomputed from the GIF synthesis
+    // formula (gray v -> luma 3v), same integer pooling core
+    "multimodal_video_hash" -> {
+      import graft.operators.Multimodal.{FrameSamples, GifFBase, GifFMod,
+        GifHBase, GifHMod, GifMsPerFrame, GifPixMul, GifWBase, GifWMod}
+      s"""WITH vids AS (
+         |  SELECT doc_id AS asset_id,
+         |         ($GifWBase + doc_id % $GifWMod) AS w,
+         |         ($GifHBase + doc_id % $GifHMod) AS h,
+         |         ($GifFBase + doc_id % $GifFMod) AS nf
+         |  FROM documents WHERE doc_id % 3 = 2
+         |), fr AS (
+         |  SELECT asset_id, w, h, nf, fi,
+         |         least(nf - 1, ((fi * (nf * $GifMsPerFrame)) // $FrameSamples) // $GifMsPerFrame) AS sf
+         |  FROM vids, unnest(range(0, $FrameSamples)) AS uf(fi)
+         |), px AS (
+         |  SELECT asset_id, fi, sf, w, h, x, y,
+         |         3 * ((asset_id * ${GifPixMul._1} + x * ${GifPixMul._2}
+         |               + y * ${GifPixMul._3} + sf * ${GifPixMul._4}) % 256) AS luma
+         |  FROM fr,
+         |       unnest(range(0, $GifWBase + $GifWMod)) AS ux(x),
+         |       unnest(range(0, $GifHBase + $GifHMod)) AS uy(y)
+         |  WHERE x < w AND y < h
+         |), cells AS (
+         |  SELECT asset_id, fi, sf, ((y * 8) // h) * 8 + ((x * 8) // w) AS cell,
+         |         sum(luma)::BIGINT AS cs, count(*)::BIGINT AS cc
+         |  FROM px GROUP BY 1, 2, 3, 4
+         |), tot AS (
+         |  SELECT asset_id, fi, sf, sum(cs)::BIGINT AS ts, sum(cc)::BIGINT AS tc
+         |  FROM cells GROUP BY 1, 2, 3
+         |)
+         |SELECT t.asset_id, CAST(t.fi AS INT) AS frame_idx,
+         |  CAST(t.sf AS INT) AS sampled_frame,
+         |  coalesce(sum(CASE WHEN c.cell >= 32 AND c.cs * t.tc > t.ts * c.cc
+         |    THEN (1::BIGINT << CAST(c.cell - 32 AS INT)) ELSE 0 END), 0)::BIGINT AS hash_hi,
+         |  coalesce(sum(CASE WHEN c.cell < 32 AND c.cs * t.tc > t.ts * c.cc
+         |    THEN (1::BIGINT << CAST(c.cell AS INT)) ELSE 0 END), 0)::BIGINT AS hash_lo
+         |FROM tot t LEFT JOIN cells c ON c.asset_id = t.asset_id AND c.fi = t.fi
+         |GROUP BY t.asset_id, t.fi, t.sf""".stripMargin
+    },
     // aHash from the synthesis formula: same integer cell floors, same
     // cross-multiplied mean comparison — zero float averages; bands and
     // pairs mirror the Spark path exactly (pigeonhole-exact at dist 3

@@ -21,7 +21,9 @@ class CodegenStrictSpec extends SparkSpec {
     "unigram_logprob", "bigram_logprob", "pipeline_curate_quality",
     "dsir_select", "dsir_select_store", "pipeline_curate_dsir",
     "text_dup_chars", "ann_recall", "ann_recall_pq", "prune_prototypes",
-    "prune_prototypes_store", "sql_dsir_select")
+    "prune_prototypes_store", "sql_dsir_select", "text_entropy",
+    "multimodal_phash_dedup", "multimodal_audio_dedup", "dedup_soft_weights",
+    "ann_hard_negatives")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
