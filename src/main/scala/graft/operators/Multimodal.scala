@@ -488,6 +488,76 @@ object Multimodal {
   val AHashMaxDist = 3
   val AHashMaxBucketSize = 1000
 
+  /** (asset_id, hash_hi, hash_lo, band, bv) banded rows of a hash set
+    * — [[imageHammingPairs]]' banding step, shared with
+    * [[MediaHashStore.ingest]] so store rows and inline rows cannot
+    * drift. The hash rides in every band row (the [[SimhashStore]]
+    * trick), so a probe's popcount verification needs no second
+    * corpus join. */
+  def hashBandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
+      explode(array((0 until 4).map { b =>
+        val src = if (b < 2) col("hash_lo") else col("hash_hi")
+        struct(lit(b).as("band"),
+          shiftrightunsigned(src, 16 * (b % 2)).bitwiseAND(lit(0xffffL))
+            .as("bv"))
+      }: _*)).as("bb"))
+      .select(col("asset_id"), col("hash_hi"), col("hash_lo"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+
+  /** Incremental hamming near-dup pairs: a BATCH of hashes against a
+    * pre-banded seen corpus (the [[MediaHashStore]] table) — emits
+    * every pair TOUCHING the batch ((seen, new) and batch-internal,
+    * canonicalized asset_a < asset_b; (seen, seen) never re-pairs).
+    * The bucket cap counts over the FULL view (seen ∪ batch) — the
+    * same as running the self-dedup over the union, which is what the
+    * restriction oracle checks. Seen-side rows carry their hashes, so
+    * the verification join touches only the candidate ids. */
+  def incrementalHammingPairs(batchHashes: DataFrame, seenBands: DataFrame,
+      maxDist: Int = AHashMaxDist,
+      maxBucketSize: Int = AHashMaxBucketSize): DataFrame =
+    incrementalHammingPairsChk(batchHashes.localCheckpoint(false),
+      seenBands, maxDist, maxBucketSize)
+
+  /** [[incrementalHammingPairs]] over ALREADY-CHECKPOINTED batch
+    * hashes — the probe fans the batch side out several ways (bands,
+    * full-view union, verification table), and without the checkpoint
+    * each consumer re-runs the decode+hash mapPartitions (measured: 7
+    * decode seams in one probe plan). Callers that also need the
+    * batch ids (the exclude list) checkpoint once and share. */
+  private[operators] def incrementalHammingPairsChk(batchHashes: DataFrame,
+      seenBands: DataFrame, maxDist: Int,
+      maxBucketSize: Int): DataFrame = {
+    val cols = Seq("asset_id", "hash_hi", "hash_lo", "band", "bv")
+    val batchBands = hashBandRows(batchHashes)
+    val full = seenBands.select(cols.map(col): _*)
+      .union(batchBands.select(cols.map(col): _*))
+    val over = full.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucketSize)
+      .select(col("band"), col("bv"))
+    val b = batchBands.join(broadcast(over), Seq("band", "bv"), "left_anti")
+    val f = full.join(broadcast(over), Seq("band", "bv"), "left_anti")
+    val cand = b.select(col("band"), col("bv"), col("asset_id").as("qa"))
+      .join(f.select(col("band"), col("bv"), col("asset_id").as("ca")),
+        Seq("band", "bv"))
+      .filter(col("qa") =!= col("ca"))
+      .select(least(col("qa"), col("ca")).as("asset_a"),
+        greatest(col("qa"), col("ca")).as("asset_b"))
+      .distinct()
+    val ht = full.select(col("asset_id"), col("hash_hi"), col("hash_lo"))
+      .dropDuplicates("asset_id")
+    cand
+      .join(ht.select(col("asset_id").as("asset_a"),
+        col("hash_hi").as("hi_a"), col("hash_lo").as("lo_a")), "asset_a")
+      .join(ht.select(col("asset_id").as("asset_b"),
+        col("hash_hi").as("hi_b"), col("hash_lo").as("lo_b")), "asset_b")
+      .select(col("asset_a"), col("asset_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   // Synthesized-WAV formula, shared with the multimodal_audio_* DuckDB
   // oracles: asset `id` is n = 200 + id % 57 mono 16-bit LE samples at
   // 16 kHz with sample(i) = (id*31 + i²·(7 + id % 11)) % 65536 − 32768.

@@ -131,6 +131,33 @@ object TextOps extends QueryPack {
       .toDF()
   }
 
+  private val mediaStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.MediaHashStore]()
+
+  /** Batch split for the incremental media-hash probe, shared with the
+    * restriction oracle (banding is per-asset, so probe output ≡ the
+    * full capped pair set restricted to pairs touching the batch). */
+  val MediaBatchMod = 5
+
+  /** Store-backed incremental image dedup: the batch's aHashes (real
+    * decode) probe the PERSISTED banded fingerprint corpus — zero
+    * decode/banding work over the seen side; pairs touching the batch
+    * only. */
+  def multimodalPhashIncrementalStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val store = mediaStores.computeIfAbsent(sfDir, dir => {
+      val st = new graft.operators.MediaHashStore(
+        s"graft_media_store_${graft.QueryPack.storeSuffix(dir)}")
+      st.ingest(Multimodal.imageAHashes(spark, Multimodal.syntheticPngAssets(
+          spark, docs.filter(col("doc_id") % MediaBatchMod =!= 0))).toDF())
+      st
+    })
+    store.probe(Multimodal.imageAHashes(spark, Multimodal.syntheticPngAssets(
+      spark, docs.filter(col("doc_id") % MediaBatchMod === 0))).toDF())
+  }
+
   // Mixture rates for the stratified-sample query, in basis points —
   // shared between the Spark query and its generated oracle SQL
   // (down-weight the dominant 'en', keep all 'zh', thin the rest).
@@ -398,7 +425,8 @@ object TextOps extends QueryPack {
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
     "multimodal_audio_hash" -> (multimodalAudioHash _),
     "multimodal_audio_dedup" -> (multimodalAudioDedup _),
-    "multimodal_video_hash" -> (multimodalVideoHash _)
+    "multimodal_video_hash" -> (multimodalVideoHash _),
+    "multimodal_phash_incremental_store" -> (multimodalPhashIncrementalStore _)
   )
 
   /** Shared CTEs of the training-output oracles: the SAME salted
@@ -542,9 +570,10 @@ object TextOps extends QueryPack {
   }
 
   /** Shared banding/cap/popcount pair tail over an `ah(asset_id,
-    * hash_hi, hash_lo, …)` CTE — one string for image AND audio, so
-    * the two dedup oracles cannot drift. */
-  private val hammingTailSql: String =
+    * hash_hi, hash_lo, …)` CTE — one string for image AND audio (and,
+    * with the touching-the-batch predicate, the store-backed
+    * incremental form), so the dedup oracles cannot drift. */
+  private def hammingTailSqlWhere(extraPred: String): String =
     s""",
        |bands AS (
        |  SELECT asset_id, hash_hi, hash_lo, b,
@@ -567,7 +596,9 @@ object TextOps extends QueryPack {
        |JOIN ah q ON q.asset_id = c.asset_b
        |WHERE bit_count(xor(p.hash_hi, q.hash_hi))
        |    + bit_count(xor(p.hash_lo, q.hash_lo))
-       |    <= ${graft.operators.Multimodal.AHashMaxDist}""".stripMargin
+       |    <= ${graft.operators.Multimodal.AHashMaxDist}$extraPred""".stripMargin
+
+  private val hammingTailSql: String = hammingTailSqlWhere("")
 
   /** Audio energy-hash oracle head: samples from the synthesis
     * formula, 64 integer-floor windows, cross-multiplied above-mean
@@ -1101,6 +1132,12 @@ object TextOps extends QueryPack {
         |FROM ah""".stripMargin),
 
     "multimodal_phash_dedup" -> (phashCte + hammingTailSql),
+
+    // the store probe must emit EXACTLY the full capped pair set
+    // restricted to pairs touching the batch — the established
+    // incremental-oracle equivalence (banding is per-asset)
+    "multimodal_phash_incremental_store" -> (phashCte + hammingTailSqlWhere(
+      s"\n  AND (c.asset_a % $MediaBatchMod = 0 OR c.asset_b % $MediaBatchMod = 0)")),
 
     // audio: same formula-recompute gate (real javax.sound decode) and
     // the SAME banding/cap/popcount tail — machinery shared verbatim
