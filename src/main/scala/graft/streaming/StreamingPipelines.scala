@@ -669,6 +669,34 @@ object StreamingPipelines {
     * the row, same expression as batch); only the corpus-relative
     * verdict is deferred — that split is the point: global statistics
     * belong to the store, per-row gates to the stream. */
+  /** foreachBatch body for MEDIA dedup-at-ingest — the multimodal twin
+    * of [[embNearDupIngestBatch]] over a [[graft.operators.MediaHashStore]]:
+    * (1) decode+hash the arriving assets ONCE (the expensive codec
+    * step — eagerly checkpointed so the probe, drop and merge all read
+    * the one materialization), (2) probe against the persisted banded
+    * fingerprint corpus with the batch's own ids excluded
+    * (replay-exact), (3) drop every batch asset hamming-near a seen
+    * asset, and the later id of each batch-internal pair (the shared
+    * [[dropSurvivors]] chain policy), (4) merge the SURVIVORS' band
+    * rows (batchId-idempotent). Returns the surviving hash rows — the
+    * caller sinks the asset bytes keyed by them. Same
+    * unique-id-across-the-stream contract as the other loops. */
+  def mediaDedupIngestBatch(store: graft.operators.MediaHashStore,
+      batchHashes: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val hashes =
+      if (store.isReplay(batchId)) batchHashes.localCheckpoint(false)
+      else batchHashes.localCheckpoint()
+    val pairs = store.probe(hashes, excludeBatchIds = true)
+    val survivors = dropSurvivors(hashes, pairs, "asset_id",
+      "asset_a", "asset_b")
+    if (store.isReplay(batchId)) return survivors
+    store.ingest(survivors, batchId)
+    store.compactIfNeeded(batchHashes.sparkSession, maxSegments)
+    survivors
+  }
+
   /** foreachBatch body maintaining the DSIR importance model at ingest
     * ([[graft.operators.DsirStore]]): each accepted batch merges its
     * own PARTIAL bucket counts — O(batch) compute, ≤ `buckets` rows
