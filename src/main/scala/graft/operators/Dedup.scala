@@ -49,6 +49,30 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Per-group duplication audit — the observability rollup a
+    * continuously-curated corpus tracks per source/domain: how many
+    * docs each group contributed and how many of them lose [[exact]]'s
+    * keep-min-id race (i.e. would drop under GLOBAL exact dedup; a
+    * doc's canonical may live in ANOTHER group, which is precisely
+    * what per-source drop rates surface — a mirror site reads as ~100%
+    * dropped against the original it copies). Scale shape: one
+    * scan-side md5 projection; firsts via partial-agg groupBy on the
+    * 16-byte hash; attribution joins keep_id back on the hash (hashes
+    * + ids only, never bodies); the rollup is a partial agg down to
+    * |groups| rows. */
+  def duplicationBy(docs: DataFrame, idCol: String, textCol: String,
+      byCol: String): DataFrame = {
+    val keyed = docs.select(col(byCol), col(idCol),
+      md5(col(textCol)).as("text_hash"))
+    val firsts = keyed.groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"))
+    keyed.join(firsts, Seq("text_hash"))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+  }
+
   /** Ingest-time (incremental) exact dedup — the batch-merge form a
     * continuously-fed corpus needs: survivors of a NEW batch against an
     * already-ingested corpus, where a survivor is (a) the first

@@ -530,6 +530,58 @@ object TextAnalysis {
       .select(col(idCol), col("quality_bp"))
   }
 
+  /** Per-GROUP corpus-relative quality floor: keep the top `keepFrac`
+    * of docs by quality score WITHIN each group (canonically: per
+    * language — the published quality heuristics are
+    * language-dependent, so a single global floor over a multilingual
+    * corpus silently starves whole languages whose score distribution
+    * sits lower; CCNet buckets per language for exactly this reason).
+    * Ties at each group's boundary value included, so every group's
+    * keep set is deterministic and partition-independent.
+    *
+    * Same decomposition as the global [[qualityFloor]], generalized:
+    * the histogram is a partial agg over (group, quality_bp) — bounded
+    * by |groups| · (10⁴+1) rows, never the corpus; the cumulative
+    * window is PARTITIONED BY GROUP over that histogram (each
+    * partition ≤ 10⁴+1 rows by value domain — bounded exactly like the
+    * global form's one safe window, and now also splittable across
+    * tasks by group); the |groups|-row cutoff table broadcasts back
+    * onto a scan-side filter. The corpus itself is never key-shuffled. */
+  def qualityFloorByGroup(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val q = docs.select(col(idCol), col(groupCol),
+      qualityBp(col(textCol)).as("quality_bp"))
+    val hist = q.groupBy(col(groupCol), col("quality_bp"))
+      .agg(count(lit(1)).as("c"))
+    val cutoffs = cutoffsFromGroupedHistogram(hist, groupCol, keepFrac)
+    q.join(broadcast(cutoffs), Seq(groupCol))
+      .filter(col("quality_bp") >= col("cutoff"))
+      .select(col(idCol), col(groupCol), col("quality_bp"))
+  }
+
+  /** (group, cutoff) table from a (group, quality_bp, c) histogram —
+    * [[cutoffFromHistogram]] partitioned per group: each group's
+    * cutoff is the largest quality_bp whose descending-cumulative
+    * count reaches ceil(n_group · keepFrac). The window partitions by
+    * group over the HISTOGRAM (≤ 10⁴+1 rows per group by value domain
+    * — bounded like the global form's one safe window, and
+    * task-splittable by group). Shared by the batch grouped floor and
+    * the streaming store's publish step: identical arithmetic,
+    * identical cutoffs. */
+  private[graft] def cutoffsFromGroupedHistogram(hist: DataFrame,
+      groupCol: String, keepFrac: Double): DataFrame = {
+    val n = hist.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(n), Seq(groupCol))
+      .filter(col("cum") >= ceil(col("n") * lit(keepFrac)))
+      .groupBy(col(groupCol)).agg(max(col("quality_bp")).as("cutoff"))
+  }
+
   // PII-redaction patterns — deliberately RE2-compatible (no lookaround,
   // no backrefs) so the DuckDB oracle runs the IDENTICAL regexes; the
   // classic cheap scrub pass (a production pipeline would add NER at

@@ -28,6 +28,13 @@ object DedupOps extends QueryPack {
         graft.operators.TextAnalysis.normalizeText(col("text"))),
       "doc_id", "norm_text")
 
+  /** Per-source duplication audit: docs contributed vs docs that would
+    * drop under GLOBAL exact dedup — the drop-rate dashboard that
+    * flags mirror/aggregator sources. */
+  def dedupRateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.duplicationBy(Tables.documents(spark, sfDir),
+      "doc_id", "text", "source")
+
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedNgramJaccard(Tables.documents(spark, sfDir), "doc_id", "text")
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
@@ -304,6 +311,7 @@ object DedupOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
+    "dedup_rate_by_source" -> (dedupRateBySource _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_strip_spans" -> (dedupStripSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
@@ -625,6 +633,18 @@ object DedupOps extends QueryPack {
          |         '${graft.operators.TextAnalysis.NormSpacePattern}', ' ', 'g'))) AS text_hash,
          |       min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin,
+
+    // DuckDB sum() over ints is HUGEINT — cast to BIGINT to match the
+    // Spark long
+    "dedup_rate_by_source" ->
+      """WITH k AS (SELECT source, doc_id, md5(text) AS text_hash
+        |           FROM documents),
+        |f AS (SELECT text_hash, min(doc_id) AS keep_id
+        |      FROM k GROUP BY text_hash)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped
+        |FROM k JOIN f USING (text_hash) GROUP BY source""".stripMargin,
 
     "dedup_incremental" -> incrementalExactOracle,
 

@@ -225,6 +225,13 @@ object TextOps extends QueryPack {
     TextAnalysis.qualityFloor(Tables.documents(spark, sfDir),
       "doc_id", "text", QualityFloorFrac)
 
+  /** Per-LANGUAGE corpus-relative floor — each language keeps its own
+    * top fraction (the heuristics score languages differently; a
+    * global floor starves the lower-scoring ones). */
+  def qualityFloorByLang(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityFloorByGroup(Tables.documents(spark, sfDir),
+      "doc_id", "text", "lang", QualityFloorFrac)
+
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tfidfTopTerms(Tables.documents(spark, sfDir),
       "doc_id", "text", TfidfK)
@@ -399,6 +406,7 @@ object TextOps extends QueryPack {
     "pack_sequences_padded" -> (packSequencesPadded _),
     "temperature_sample" -> (temperatureSample _),
     "quality_floor" -> (qualityFloor _),
+    "quality_floor_by_lang" -> (qualityFloorByLang _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "unigram_logprob" -> (unigramLogprob _),
     "unigram_logprob_ref" -> (unigramLogprobRef _),
@@ -743,6 +751,24 @@ object TextOps extends QueryPack {
          |cut AS (SELECT max(quality_bp) AS cutoff FROM cum, n
          |        WHERE cum >= ceil(n.n * $QualityFloorFrac))
          |SELECT q.doc_id, q.quality_bp FROM q, cut
+         |WHERE q.quality_bp >= cut.cutoff""".stripMargin,
+
+    // same integer-exact histogram arithmetic, partitioned per lang —
+    // each language's cumulative window and cutoff are independent
+    "quality_floor_by_lang" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS quality_bp
+         |  FROM documents),
+         |h AS (SELECT lang, quality_bp, count(*) AS c FROM q GROUP BY lang, quality_bp),
+         |n AS (SELECT lang, sum(c) AS n FROM h GROUP BY lang),
+         |cum AS (SELECT lang, quality_bp,
+         |        sum(c) OVER (PARTITION BY lang ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM h),
+         |cut AS (SELECT cum.lang, max(quality_bp) AS cutoff
+         |        FROM cum JOIN n USING (lang)
+         |        WHERE cum >= ceil(n.n * $QualityFloorFrac)
+         |        GROUP BY cum.lang)
+         |SELECT q.doc_id, q.lang, q.quality_bp FROM q JOIN cut USING (lang)
          |WHERE q.quality_bp >= cut.cutoff""".stripMargin,
 
     // exact integer max-counts, single divisions, round(4) both sides;

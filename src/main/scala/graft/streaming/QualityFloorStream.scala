@@ -137,3 +137,104 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
     }
   }
 }
+
+/** Streaming twin of [[graft.operators.TextAnalysis.qualityFloorByGroup]]
+  * — the per-GROUP (canonically per-language) corpus-relative floor
+  * over an unbounded stream. Same machinery as [[QualityFloorStore]],
+  * keyed by the group column: the persisted histogram is
+  * (group, quality_bp, c) — state bounded by |groups| · (10⁴+1) rows,
+  * never the stream length — and the publish step recomputes ONE cutoff
+  * per group with the SAME shared arithmetic the batch form uses
+  * ([[TextAnalysis.cutoffsFromGroupedHistogram]] — identical cutoffs,
+  * zero drift), published as a |groups|-entry map (the bounded publish
+  * read). Read-time verdicts join the cutoff table back broadcast, so
+  * on any finalized horizon [[curated]] equals batch
+  * `qualityFloorByGroup` row-for-row. A group with no merged mass has
+  * no floor — its docs are dropped at read time, exactly like the
+  * global store's no-corpus-no-floor empty view. Cutoff-lag semantics
+  * are the global store's, per group. */
+final class GroupedQualityFloorStore(keepFrac: Double, groupCol: String,
+    dir: String) {
+
+  def this(keepFrac: Double, groupCol: String) =
+    this(keepFrac, groupCol,
+      Files.createTempDirectory("graft-gqfloor-store").toString)
+
+  require(keepFrac > 0 && keepFrac <= 1,
+    s"keepFrac must be in (0, 1], got $keepFrac")
+
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
+  @volatile private var publishedCutoffs: Map[String, Long] = Map.empty
+  @volatile private var adoptionPending: Boolean = store.current.nonEmpty
+
+  private def cutoffsOf(spark: SparkSession): Map[String, Long] =
+    TextAnalysis.cutoffsFromGroupedHistogram(histogram(spark), groupCol,
+        keepFrac)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def ensureAdopted(spark: SparkSession): Unit =
+    if (adoptionPending) synchronized {
+      if (adoptionPending) {
+        publishedCutoffs = cutoffsOf(spark)
+        adoptionPending = false
+      }
+    }
+
+  /** Current merged histogram: (group, quality_bp, c). */
+  def histogram(spark: SparkSession): DataFrame = store.current match {
+    case None =>
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF(groupCol, "quality_bp", "c")
+    case Some(d) => spark.read.parquet(d)
+  }
+
+  /** Shared scoring expression — re-exported so wiring can't drift. */
+  def qualityBp(text: Column): Column = TextAnalysis.qualityBp(text)
+
+  /** Merge one micro-batch's scored rows (group column + quality_bp)
+    * and publish the updated per-group cutoffs. Synchronized
+    * end-to-end like the global store: histogram version and published
+    * cutoffs advance together. */
+  def merge(batchScored: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId): Unit = synchronized {
+    val spark = batchScored.sparkSession
+    ensureAdopted(spark)
+    val batchHist = batchScored.select(col(groupCol), col("quality_bp"))
+      .groupBy(col(groupCol), col("quality_bp")).agg(count(lit(1)).as("c"))
+    val applied = store.publish(batchId) { nextDir =>
+      histogram(spark).unionByName(batchHist)
+        .groupBy(col(groupCol), col("quality_bp"))
+        .agg(sum(col("c")).cast("long").as("c"))
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
+    }
+    if (applied) publishedCutoffs = cutoffsOf(spark)
+  }
+
+  /** True when `batchId` was already merged. */
+  def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
+
+  /** The published per-group cutoffs in basis points; empty before the
+    * first non-empty merge. */
+  def cutoffsBp: Map[String, Long] = {
+    if (adoptionPending) ensureAdopted(SparkSession.active)
+    publishedCutoffs
+  }
+
+  /** Read-time curated view of accumulated docs (group column +
+    * quality_bp): keep rows at or above THEIR group's current cutoff,
+    * boundary ties included. Groups with no merged mass have no floor
+    * (inner join drops them); before any merge the view is empty. */
+  def curated(docs: DataFrame): DataFrame = {
+    ensureAdopted(docs.sparkSession)
+    val cs = publishedCutoffs
+    if (cs.isEmpty) docs.limit(0)
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val cdf = cs.toSeq.toDF(groupCol, "cutoff")
+      docs.join(broadcast(cdf), Seq(groupCol))
+        .filter(col("quality_bp") >= col("cutoff"))
+        .drop("cutoff")
+    }
+  }
+}

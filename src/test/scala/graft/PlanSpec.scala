@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
       s"the corpus must not shuffle for the cutoff join:\n$p")
   }
 
+  test("quality_floor_by_lang: per-group window on histogram only, corpus never key-shuffled") {
+    val p = plan("quality_floor_by_lang")
+    assert(p.contains("partial_count"),
+      s"grouped score histogram must partially aggregate map-side:\n$p")
+    // the cumulative window must be partitioned (per group over the
+    // bounded histogram) — a global window here would be the unbounded
+    // single-task shape the decomposition exists to avoid
+    assert(p.contains("windowspecdefinition(lang"),
+      s"the cumulative window must be partitioned by the group column:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the per-group cutoff table must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must not shuffle for the cutoff join:\n$p")
+  }
+
   test("dedup_keep_quality: argmax is a partial agg, never a per-cluster window") {
     val p = plan("dedup_keep_quality")
     assert(!p.contains("windowspecdefinition"),

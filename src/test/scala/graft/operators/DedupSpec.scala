@@ -21,6 +21,22 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup._2 == 1L)
   }
 
+  test("duplicationBy attributes cross-source dup drops to the copying source") {
+    val d = Seq(
+      (1L, "orig", "a"),
+      (2L, "orig", "b"),    // b's copy of a's doc 1 → drops
+      (3L, "unique b", "b"),
+      (4L, "orig", "b"),    // second copy in b → drops
+      (5L, "b first", "b"),
+      (6L, "b first", "a")  // a copies b's doc 5 → drops in SOURCE a
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.duplicationBy(d, "doc_id", "text", "source")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("a") == ((2L, 1L)), s"source a: ${out("a")}")
+    assert(out("b") == ((4L, 2L)), s"source b: ${out("b")}")
+  }
+
   test("components: a 60-hop chain converges inside the round cap (pointer jump)") {
     val s = spark
     import s.implicits._

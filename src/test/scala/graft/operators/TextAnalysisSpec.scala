@@ -147,6 +147,27 @@ class TextAnalysisSpec extends SparkSpec {
       .subsetOf(out1.map(_._1).toSet))
   }
 
+  test("per-group quality floor == global floor run on each group's slice") {
+    val d = graft.Tables.documents(spark, sf)
+    val grouped = TextAnalysis
+      .qualityFloorByGroup(d, "doc_id", "text", "lang", 0.6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // the grouped floor must be EXACTLY the global floor applied to
+    // each language's slice alone — one arithmetic, no drift
+    val perLang = d.select("lang").distinct().as[String].collect().flatMap {
+      l =>
+        TextAnalysis.qualityFloor(d.filter(col("lang") === l),
+            "doc_id", "text", 0.6)
+          .as[(Long, Long)].collect().map { case (id, bp) => (id, l, bp) }
+    }.sortBy(_._1).toSeq
+    assert(grouped == perLang)
+    // keep set must not depend on partitioning
+    val again = TextAnalysis
+      .qualityFloorByGroup(d.repartition(7), "doc_id", "text", "lang", 0.6)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(grouped == again)
+  }
+
   test("tfidf: corpus-wide words rank below doc-specific words, k bounded") {
     val d = Seq(
       (1L, "shared shared apple apple apple"),
