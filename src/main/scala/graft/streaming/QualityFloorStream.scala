@@ -153,7 +153,7 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
   * no floor — its docs are dropped at read time, exactly like the
   * global store's no-corpus-no-floor empty view. Cutoff-lag semantics
   * are the global store's, per group. */
-final class GroupedQualityFloorStore(keepFrac: Double, groupCol: String,
+final class GroupedQualityFloorStore(keepFrac: Double, val groupCol: String,
     dir: String) {
 
   def this(keepFrac: Double, groupCol: String) =

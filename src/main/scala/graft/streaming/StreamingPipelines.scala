@@ -746,4 +746,32 @@ object StreamingPipelines {
     store.merge(scored.select(col("quality_bp")), batchId)
     TextAnalysis.stratifiedSample(scored, langCol, idCol, ratesBp, defaultBp)
   }
+
+  /** Grouped (per-language) twin of [[curateRelativeBatch]]: the
+    * histogram merge carries (group, quality_bp) mass into a
+    * [[GroupedQualityFloorStore]], so read-time verdicts apply each
+    * language's OWN corpus-relative floor — a multilingual stream
+    * where a single global floor would starve the lower-scoring
+    * languages keeps every language's top fraction instead. The
+    * mixture gate still thins emit-time; same replay no-op and eager
+    * checkpoint discipline as the global form (the scoring regex pass
+    * runs once per batch, never per consumer). */
+  def curateRelativeByGroupBatch(store: GroupedQualityFloorStore,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scored0 = batch.withColumn("quality_bp", store.qualityBp(col(textCol)))
+    if (store.isReplay(batchId))
+      return TextAnalysis.stratifiedSample(scored0, langCol, idCol,
+        ratesBp, defaultBp)
+    val scored = scored0.localCheckpoint()
+    // every doc's mass reaches ITS group's histogram (the floor is
+    // corpus-relative per group over the full stream); batchId makes
+    // an at-least-once replay a no-op
+    store.merge(
+      scored.select(col(langCol).as(store.groupCol), col("quality_bp")),
+      batchId)
+    TextAnalysis.stratifiedSample(scored, langCol, idCol, ratesBp, defaultBp)
+  }
 }
