@@ -43,6 +43,30 @@ object PipelineOps extends QueryPack {
       .select(col("doc_id"), col("lang"), col("quality"))
   }
 
+  /** The composition with the per-LANGUAGE RELATIVE floor as its
+    * quality gate: each language keeps its own top
+    * [[TextOps.QualityFloorFrac]] ([[TextAnalysis.qualityFloorByGroup]])
+    * instead of one absolute threshold — the multilingual-honest form
+    * of [[pipelineCurate]] (an absolute gate silently starves
+    * languages the heuristics score lower). Then the same mixture
+    * sample, md5-twin LSH clustering and min-id keep run over the
+    * floor's survivors. Scale shape: the floor adds only the bounded
+    * (lang, quality_bp) histogram shuffle before the banding machinery
+    * — the corpus itself still reaches the pair join un-shuffled. */
+  def pipelineCurateByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val floored = TextAnalysis.qualityFloorByGroup(docs, "doc_id", "text",
+      "lang", TextOps.QualityFloorFrac)
+    val withText = floored.join(docs.select(col("doc_id"), col("text")),
+      "doc_id")
+    val sampled = TextAnalysis.stratifiedSample(withText, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_bp"))
+  }
+
   /** The flagship composition with QUALITY-weighted canonical keep:
     * same gates and LSH clustering as [[pipelineCurate]], but the
     * survivor of each near-dup cluster is its highest-quality member
@@ -208,6 +232,7 @@ object PipelineOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
+      "pipeline_curate_bylang" -> (pipelineCurateByLang _),
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _),
       "pipeline_curate_pack" -> (pipelineCuratePack _),
@@ -263,6 +288,37 @@ object PipelineOps extends QueryPack {
          |${DedupOps.minhashMd5PairCtesFrom("sampled")},
          |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
          |SELECT s.doc_id, s.lang, s.quality
+         |FROM sampled s JOIN cc ON s.doc_id = cc.v
+         |WHERE s.doc_id = cc.cluster_id""".stripMargin,
+
+    // per-lang relative floor (the quality_floor_by_lang CTEs,
+    // f-prefixed to stay clear of the shared pair/component fragment
+    // names) replacing the absolute gate, then the SAME mixture gate +
+    // md5-twin pair/component fragments and min-id keep tail as
+    // pipeline_curate — floor change and dedup tail can't drift apart
+    "pipeline_curate_bylang" ->
+      s"""WITH RECURSIVE qbp AS (
+         |  SELECT doc_id, lang, text,
+         |  CAST(round((${TextOps.qualityExprSql}) * 10000) AS BIGINT) AS quality_bp
+         |  FROM documents
+         |), fh AS (SELECT lang, quality_bp, count(*) AS c FROM qbp GROUP BY lang, quality_bp),
+         |fn AS (SELECT lang, sum(c) AS n FROM fh GROUP BY lang),
+         |fcum AS (SELECT lang, quality_bp,
+         |        sum(c) OVER (PARTITION BY lang ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM fh),
+         |fcut AS (SELECT fcum.lang, max(quality_bp) AS cutoff
+         |        FROM fcum JOIN fn USING (lang)
+         |        WHERE cum >= ceil(fn.n * ${TextOps.QualityFloorFrac})
+         |        GROUP BY fcum.lang),
+         |sampled AS (
+         |  SELECT q.doc_id, q.lang, q.text, q.quality_bp
+         |  FROM qbp q JOIN fcut USING (lang)
+         |  WHERE q.quality_bp >= fcut.cutoff
+         |    AND ${TextOps.sampleGateSql}
+         |),
+         |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+         |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
+         |SELECT s.doc_id, s.lang, s.quality_bp
          |FROM sampled s JOIN cc ON s.doc_id = cc.v
          |WHERE s.doc_id = cc.cluster_id""".stripMargin,
 
