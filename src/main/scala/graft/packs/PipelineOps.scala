@@ -55,11 +55,22 @@ object PipelineOps extends QueryPack {
     * — the corpus itself still reaches the pair join un-shuffled. */
   def pipelineCurateByLang(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val floored = TextAnalysis.qualityFloorByGroup(docs, "doc_id", "text",
-      "lang", TextOps.QualityFloorFrac)
-    val withText = floored.join(docs.select(col("doc_id"), col("text")),
-      "doc_id")
-    val sampled = TextAnalysis.stratifiedSample(withText, "lang", "doc_id",
+    // score the corpus ONCE and checkpoint (the audit-checkpoint
+    // policy): the histogram, the floor filter and the banding
+    // machinery all read the scored rows — without this the
+    // regex-heavy scoring runs once per consumer, and deriving the
+    // floor from the standalone operator instead would force a corpus
+    // self-join on doc_id just to recover text
+    val scored = docs
+      .withColumn("quality_bp", TextAnalysis.qualityBp(col("text")))
+      .localCheckpoint(false)
+    val hist = scored.groupBy(col("lang"), col("quality_bp"))
+      .agg(count(lit(1)).as("c"))
+    val cutoffs = TextAnalysis.cutoffsFromGroupedHistogram(hist, "lang",
+      TextOps.QualityFloorFrac)
+    val floored = scored.join(broadcast(cutoffs), Seq("lang"))
+      .filter(col("quality_bp") >= col("cutoff"))
+    val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
       Dedup.minhashLshMd5(sampled, "doc_id", "text"))
