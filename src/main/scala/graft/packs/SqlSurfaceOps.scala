@@ -111,13 +111,56 @@ object SqlSurfaceOps extends QueryPack {
          |ORDER BY weight DESC, doc_id ASC LIMIT $N""".stripMargin)
   }
 
+  /** The per-language corpus-relative quality floor as pure SQL text —
+    * the declarative twin of
+    * [[graft.operators.TextAnalysis.qualityFloorByGroup]]: the quality
+    * score spelled in builtin functions (the same lambda-filter /
+    * regexp arithmetic the Column form lowers to), the bounded
+    * (lang, quality_bp) histogram, the per-lang cumulative window and
+    * the boundary-tie keep. Same oracle string as the DataFrame twin,
+    * so the two surfaces cannot drift. */
+  def qualityFloorByLangSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val frac = TextOps.QualityFloorFrac
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT doc_id, lang,
+         |    CAST(round(round(
+         |      least(1.0D, size(split(text, ' ')) / 200.0D) * 0.4D +
+         |      (CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS DOUBLE)
+         |        / length(text)) * 0.4D +
+         |      least(0.2D, CAST(size(filter(split(text, ' '),
+         |          t -> array_contains(array('the','a','of','and','to','in','is'), t))) AS DOUBLE)
+         |        / size(split(text, ' '))), 4) * 10000) AS BIGINT) AS quality_bp
+         |  FROM documents
+         |), h AS (
+         |  SELECT lang, quality_bp, count(1) AS c FROM q GROUP BY lang, quality_bp
+         |), n AS (
+         |  SELECT lang, sum(c) AS n FROM h GROUP BY lang
+         |), cum AS (
+         |  SELECT lang, quality_bp,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY quality_bp DESC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h
+         |), cut AS (
+         |  SELECT cum.lang, max(quality_bp) AS cutoff
+         |  FROM cum JOIN n USING (lang)
+         |  WHERE cum.cum >= ceil(n.n * $frac)
+         |  GROUP BY cum.lang
+         |)
+         |SELECT q.doc_id, q.lang, q.quality_bp
+         |FROM q JOIN cut USING (lang)
+         |WHERE q.quality_bp >= cut.cutoff""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
     "sql_ctr" -> (KsqlSurface.ctrSql _),
     "sql_dedup_ngram" -> (dedupNgramSql _),
     "sql_pack_sequences" -> (packSequencesSql _),
-    "sql_dsir_select" -> (dsirSelectSql _)
+    "sql_dsir_select" -> (dsirSelectSql _),
+    "sql_quality_floor_by_lang" -> (qualityFloorByLangSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -137,6 +180,8 @@ object SqlSurfaceOps extends QueryPack {
 
     "sql_pack_sequences" -> TextOps.oracleSql("pack_sequences"),
 
-    "sql_dsir_select" -> TextOps.oracleSql("dsir_select")
+    "sql_dsir_select" -> TextOps.oracleSql("dsir_select"),
+
+    "sql_quality_floor_by_lang" -> TextOps.oracleSql("quality_floor_by_lang")
   )
 }
