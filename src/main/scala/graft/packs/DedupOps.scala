@@ -35,6 +35,23 @@ object DedupOps extends QueryPack {
     Dedup.duplicationBy(Tables.documents(spark, sfDir),
       "doc_id", "text", "source")
 
+  /** Near-dup drop attribution per source — [[dedupRateBySource]]'s
+    * sibling over the content-robust LSH pair source: which sources
+    * contribute NEAR-duplicate (not just byte-identical) mass. A doc
+    * counts as dropped when it is not its cluster's canonical (min
+    * id) — exactly `dedup_components_lsh`'s keep rule, so the audit
+    * can never disagree with the dedup it reports on. */
+  def neardupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
+      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+    docs.select(col("source"), col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_neardup_dropped"))
+  }
+
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.blockedNgramJaccard(Tables.documents(spark, sfDir), "doc_id", "text")
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
@@ -312,6 +329,7 @@ object DedupOps extends QueryPack {
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_rate_by_source" -> (dedupRateBySource _),
+    "neardup_rate_by_source" -> (neardupRateBySource _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_strip_spans" -> (dedupStripSpans _),
     "dedup_incremental_spans" -> (dedupIncrementalSpans _),
@@ -645,6 +663,18 @@ object DedupOps extends QueryPack {
         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dropped
         |FROM k JOIN f USING (text_hash) GROUP BY source""".stripMargin,
+
+    // the LSH-pair/components fragments shared with
+    // dedup_components_lsh, rolled up per source — same keep rule, so
+    // the audit cannot drift from the dedup it reports on
+    "neardup_rate_by_source" ->
+      s"""WITH RECURSIVE ${minhashMd5PairCtesFrom("documents")},
+         |${componentCtes("documents", Dedup.NgramThreshold)}
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN cc.v <> cc.cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_neardup_dropped
+         |FROM documents d JOIN cc ON d.doc_id = cc.v
+         |GROUP BY d.source""".stripMargin,
 
     "dedup_incremental" -> incrementalExactOracle,
 
