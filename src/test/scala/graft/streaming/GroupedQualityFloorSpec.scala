@@ -89,6 +89,25 @@ class GroupedQualityFloorSpec extends SparkSpec {
       Set(1L), "unseen group must have no floor (kept nothing)")
   }
 
+  test("histogram state is bounded by the value domain, never the stream length") {
+    val store = new GroupedQualityFloorStore(KeepFrac, "lang")
+    // 40 groups × 25 distinct scores; every merge re-sends the SAME
+    // value domain under a new batchId — mass doubles, rows must not
+    def wave() = (for (g <- 0 until 40; s <- 0 until 25)
+      yield (s"g$g", (s * 17).toLong)).toDF("lang", "quality_bp")
+    store.merge(wave(), batchId = 0L)
+    val rowsAfter1 = store.histogram(spark).count()
+    assert(rowsAfter1 == 40L * 25L, s"one row per (group, bp): $rowsAfter1")
+    store.merge(wave(), batchId = 1L)
+    store.merge(wave(), batchId = 2L)
+    val h = store.histogram(spark)
+    assert(h.count() == rowsAfter1,
+      "re-sent value domain must fold into existing rows, not append")
+    assert(h.agg(min(col("c")), max(col("c"))).as[(Long, Long)].head() ==
+      ((3L, 3L)), "every bucket carries the tripled mass")
+    assert(store.cutoffsBp.size == 40, "one cutoff per group")
+  }
+
   test("restart adopts the committed histogram: cutoffs, curated view, replay guard") {
     val dir = java.nio.file.Files.createTempDirectory("gqfloor-restart").toString
     val before = new GroupedQualityFloorStore(KeepFrac, "lang", dir)
