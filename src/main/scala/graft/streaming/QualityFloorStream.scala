@@ -167,10 +167,19 @@ final class GroupedQualityFloorStore(keepFrac: Double, val groupCol: String,
   @volatile private var publishedCutoffs: Map[String, Long] = Map.empty
   @volatile private var adoptionPending: Boolean = store.current.nonEmpty
 
+  // group keys are read GENERICALLY and carried by their string form:
+  // the batch qualityFloorByGroup is type-generic over the group
+  // column, so the streaming twin must not assume StringType (a typed
+  // getString here would compile for an int-keyed group and then throw
+  // ClassCastException at publish time). curated() matches on the same
+  // string form via an explicit cast, so a non-string group key round-
+  // trips consistently (distinct keys with equal string forms — not a
+  // thing for the primitive types a group key sensibly is — would
+  // collapse; documented constraint).
   private def cutoffsOf(spark: SparkSession): Map[String, Long] =
     TextAnalysis.cutoffsFromGroupedHistogram(histogram(spark), groupCol,
         keepFrac)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
 
   private def ensureAdopted(spark: SparkSession): Unit =
     if (adoptionPending) synchronized {
@@ -231,10 +240,15 @@ final class GroupedQualityFloorStore(keepFrac: Double, val groupCol: String,
     else {
       val spark = docs.sparkSession
       import spark.implicits._
-      val cdf = cs.toSeq.toDF(groupCol, "cutoff")
-      docs.join(broadcast(cdf), Seq(groupCol))
+      // match on the group key's STRING form explicitly (the cutoff map
+      // is string-keyed — see cutoffsOf); without the cast, Spark's
+      // implicit equi-join coercion between a non-string group column
+      // and the string cutoff key picks its own common type
+      val cdf = cs.toSeq.toDF("__group_key", "cutoff")
+      docs.join(broadcast(cdf),
+          docs(groupCol).cast("string") === cdf("__group_key"))
         .filter(col("quality_bp") >= col("cutoff"))
-        .drop("cutoff")
+        .drop("cutoff", "__group_key")
     }
   }
 }

@@ -43,8 +43,14 @@ object TopologyApps {
   }
 
   /** impressions + clicks topics → ±60 s left join → per-ad CTR updates
-    * → click-through-rate topic (CTR maintained via foreachBatch store,
-    * emitted as update records). */
+    * → click-through-rate topic. CTR is maintained via the foreachBatch
+    * store UNDER THE BATCH ID (an at-least-once replay after a broker/
+    * driver restart merges as a no-op — CtrStore's replay guard), and
+    * each batch emits ONLY its touched ads' update records, written
+    * distributed from the merged table (KTable changed-keys-only
+    * semantics; no driver collect, no full-table re-emit). The body is
+    * [[StreamingPipelines.ctrBatchUpdates]], spec'd broker-free in
+    * CtrStoreSpec. */
   object ClickThroughRateApp {
     def main(args: Array[String]): Unit = {
       val Array(bootstrap, checkpoint) = args.take(2)
@@ -66,12 +72,10 @@ object TopologyApps {
         joined.writeStream
           .outputMode("append")
           .option("checkpointLocation", checkpoint)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            store.merge(StreamingPipelines.ctrIncrements(batch))
-            val updates = store.snapshot().toSeq
-              .map { case (ad, (_, _, ctr)) => (ad, ctr.toString) }
-            batch.sparkSession.createDataFrame(updates)
-              .toDF("key", "value")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            StreamingPipelines.ctrBatchUpdates(store, batch, batchId)
+              .select(col("ad_id").as("key"),
+                col("ctr").cast("string").as("value"))
               .write.format("kafka")
               .option("kafka.bootstrap.servers", bootstrap)
               .option("topic", "click-through-rate")

@@ -23,7 +23,9 @@ class CodegenStrictSpec extends SparkSpec {
     "text_dup_chars", "ann_recall", "ann_recall_pq", "prune_prototypes",
     "prune_prototypes_store", "sql_dsir_select", "text_entropy",
     "multimodal_phash_dedup", "multimodal_audio_dedup", "dedup_soft_weights",
-    "ann_hard_negatives", "quality_floor_by_lang", "dedup_rate_by_source")
+    "ann_hard_negatives", "quality_floor_by_lang", "dedup_rate_by_source",
+    "neardup_rate_by_source", "pipeline_curate_bylang",
+    "sql_quality_floor_by_lang")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -67,6 +67,42 @@ class CtrStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ctrBatchUpdates: replay-guarded merge, touched-ads-only emission") {
+    // the extracted ClickThroughRateApp foreachBatch body — the one
+    // genuinely-runnable broker path, pinned broker-free through the
+    // seam function (round-9 finding: the app previously dropped the
+    // batchId and collect-emitted the WHOLE table per trigger)
+    val store = new CtrStore
+    def joinedBatch(rows: Seq[(String, String, Boolean)]) =
+      rows.toDF("impression_id", "ad_id", "was_clicked")
+
+    // batch 0 touches ad1+ad2
+    val up0 = StreamingPipelines.ctrBatchUpdates(store,
+      joinedBatch(Seq(("i1", "ad1", true), ("i2", "ad1", false),
+        ("i3", "ad2", false))), batchId = 0L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(up0.toSeq == Seq(("ad1", 1L, 1L, 1.0), ("ad2", 1L, 0L, 0.0)))
+
+    // batch 1 touches ONLY ad2 — ad1 must not re-emit, and ad2's
+    // update carries the MERGED totals, not the batch increment
+    val up1 = StreamingPipelines.ctrBatchUpdates(store,
+      joinedBatch(Seq(("i4", "ad2", true))), batchId = 1L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(up1.toSeq == Seq(("ad2", 1L, 1L, 1.0)),
+      s"emission must be the batch's touched ads only, got ${up1.toSeq}")
+
+    // at-least-once REPLAY of batch 1: the merge is a no-op (no double
+    // count) and the emission re-sends the already-merged values
+    val up1r = StreamingPipelines.ctrBatchUpdates(store,
+      joinedBatch(Seq(("i4", "ad2", true))), batchId = 1L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(up1r.toSeq == Seq(("ad2", 1L, 1L, 1.0)),
+      "replayed batch must re-emit merged values, not double-count")
+    assert(store.snapshot() == Map(
+      "ad1" -> ((1L, 1L, 1.0)), "ad2" -> ((1L, 1L, 1.0))),
+      "store after replay must equal store before replay")
+  }
+
   test("restart adopts the committed KTable: counts, snapshot, replay guard") {
     val dir = java.nio.file.Files.createTempDirectory("ctr-restart").toString
     val before = new CtrStore(dir)
