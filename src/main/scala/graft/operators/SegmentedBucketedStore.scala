@@ -67,6 +67,15 @@ private[graft] abstract class SegmentedBucketedStore(
   private def state: State =
     pointer.read().map(State.decode).getOrElse(State.Empty)
 
+  /** One pointer read, kept with its decoded state — the mutation paths
+    * publish via CAS FROM this observed payload when the pointer
+    * supports it, so a foreign publish (another driver racing this
+    * store) fails loudly instead of being silently clobbered. */
+  private def snapshot(): (Option[String], State) = {
+    val payload = pointer.read()
+    (payload, payload.map(State.decode).getOrElse(State.Empty))
+  }
+
   /** Current store table. Empty before the first merge. Single live
     * segment → bare bucketed scan (partitioning-reporting — the probe
     * plan); several → ONE multi-path parquet scan over the segment
@@ -119,19 +128,19 @@ private[graft] abstract class SegmentedBucketedStore(
   def merge(batch: DataFrame,
       batchId: Long = VersionedParquetStore.NoBatchId): Unit = synchronized {
     val spark = batch.sparkSession
-    val st = state
+    val (observed, st) = snapshot()
     if (batchId != VersionedParquetStore.NoBatchId && batchId <= st.lastBatch)
       return
     // first use of this store name in this warehouse: sweep segment
     // directories a dead JVM's in-memory pointer never retired (they
     // are invisible to reads — pointer-driven — but leak disk forever,
     // and saveAsTable refuses an existing unregistered location)
-    if (pointer.read().isEmpty) sweepOrphans(spark)
+    if (observed.isEmpty) sweepOrphans(spark)
     val k = st.nextSeg
     dropSegment(spark, k) // a crashed previous write's leftovers
     Writers.bucketedTable(normalize(batch), segTable(k), bucketCol, buckets,
       path = Some(segPath(spark, k).toString))
-    publish(st.copy(segs = st.segs :+ k, nextSeg = k + 1,
+    publish(observed, st.copy(segs = st.segs :+ k, nextSeg = k + 1,
       lastBatch = if (batchId != VersionedParquetStore.NoBatchId) batchId
         else st.lastBatch))
   }
@@ -144,8 +153,8 @@ private[graft] abstract class SegmentedBucketedStore(
     * dropped by the NEXT compaction, not this one. No-op at ≤ 1 live
     * segment. */
   def compact(spark: SparkSession): Unit = synchronized {
-    val st = state
-    if (st.segs.size > 1) rewriteTo(spark, st, table(spark))
+    val (observed, st) = snapshot()
+    if (st.segs.size > 1) rewriteTo(spark, observed, st, table(spark))
   }
 
   /** The ingest loops' periodic-compaction hook: compact once the live
@@ -171,23 +180,45 @@ private[graft] abstract class SegmentedBucketedStore(
     * it). */
   protected def replaceAllWith(spark: SparkSession,
       rows: DataFrame => DataFrame): Unit =
-    synchronized { rewriteTo(spark, state, rows(table(spark))) }
+    synchronized {
+      val (observed, st) = snapshot()
+      rewriteTo(spark, observed, st, rows(table(spark)))
+    }
 
   // one fresh segment from `rows`, previous grace dropped, live set
   // becomes the new grace — shared by compact and replaceAllWith.
   // `rows` may read the CURRENT segments (different tables than the
   // one being written, so the scan-while-write is safe).
-  private def rewriteTo(spark: SparkSession, st: State, rows: DataFrame): Unit = {
+  private def rewriteTo(spark: SparkSession, observed: Option[String],
+      st: State, rows: DataFrame): Unit = {
     st.segs.foreach(ensureRegistered(spark, _))
     val k = st.nextSeg
     dropSegment(spark, k)
     Writers.bucketedTable(normalize(rows), segTable(k), bucketCol, buckets,
       path = Some(segPath(spark, k).toString))
     st.grace.foreach(dropSegment(spark, _))
-    publish(State(List(k), k + 1, st.lastBatch, grace = st.segs))
+    publish(observed, State(List(k), k + 1, st.lastBatch, grace = st.segs))
   }
 
-  private def publish(st: State): Unit = pointer.write(st.encode)
+  /** Publish a new manifest. Through a [[graft.streaming.CasStorePointer]]
+    * the publish is CONDITIONAL on the payload observed at the top of
+    * the mutation: a foreign publish in between (a second driver
+    * sharing the store — the store's merge lock only serializes THIS
+    * JVM) fails loudly here instead of being silently clobbered, which
+    * would orphan the other driver's merged segments from the manifest.
+    * Single-driver deployments (the plain pointer) are unchanged. The
+    * thrown batch's checkpoint replay heals the interrupted merge:
+    * segments are invisible until published, so nothing is half-applied. */
+  private def publish(observed: Option[String], st: State): Unit =
+    pointer match {
+      case cas: graft.streaming.CasStorePointer =>
+        if (!cas.compareAndSwap(observed, st.encode))
+          throw new java.util.ConcurrentModificationException(
+            s"store '$name': pointer advanced concurrently with this " +
+              "mutation (another driver publishing to the same store?) — " +
+              "refusing to clobber the foreign manifest")
+      case p => p.write(st.encode)
+    }
 
   /** Live segment ids, ingest order — soak/compaction specs read it. */
   private[graft] def liveSegments: List[Int] = state.segs

@@ -24,14 +24,86 @@ class StorePointerSpec extends SparkSpec {
     assert(fp.read().contains("3;44;1,2;"))
   }
 
-  test("store behaves identically on both pointer impls") {
+  test("CAS file pointer: round-trip, stale expect fails, restart adoption") {
+    val dir = Files.createTempDirectory("graft-ptr-cas")
+    val p = new CasFilePointer(dir)
+    assert(p.read().isEmpty)
+    // initial publish must expect None
+    assert(!p.compareAndSwap(Some("ghost"), "a"))
+    assert(p.compareAndSwap(None, "a") && p.read().contains("a"))
+    // stale expect (None, or an old payload) must fail without moving
+    assert(!p.compareAndSwap(None, "b") && p.read().contains("a"))
+    assert(p.compareAndSwap(Some("a"), "b") && p.read().contains("b"))
+    assert(!p.compareAndSwap(Some("a"), "c") && p.read().contains("b"))
+    // unconditional write still lands (fresh generation)
+    p.write("c")
+    assert(p.read().contains("c"))
+    // generation files outlive the instance: restart adoption
+    assert(new CasFilePointer(dir).read().contains("c"))
+    // old generations are pruned — the directory stays bounded
+    (1 to 40).foreach(i => p.write(s"v$i"))
+    assert(Files.list(dir).count() <= 9, "generation files must be pruned")
+    assert(p.read().contains("v40"))
+  }
+
+  test("CAS contention: one publisher per observed state wins, no lost update") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    for (p <- Seq(new InMemoryCasPointer,
+        new CasFilePointer(Files.createTempDirectory("graft-ptr-race")))) {
+      // phase 1: N writers race a SINGLE CAS from the same observed
+      // state — exactly one must win
+      p.write("base")
+      val n = 8
+      val start = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(n)
+      val oneShot = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            start.countDown(); start.await()
+            p.compareAndSwap(Some("base"), s"w$i")
+          }
+        })
+      }
+      assert(oneShot.count(_.get()) == 1,
+        "exactly one same-expect publisher may win")
+      // phase 2: each writer appends its id via a CAS retry loop — the
+      // multi-driver publish protocol; every update must survive
+      val go = new CountDownLatch(1)
+      val loops = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            go.countDown(); go.await()
+            var done = false
+            while (!done) {
+              val cur = p.read()
+              done = p.compareAndSwap(cur, cur.getOrElse("") + s",$i")
+            }
+          }
+        })
+      }
+      loops.foreach(_.get())
+      pool.shutdown()
+      assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+      val fin = p.read().get
+      (1 to n).foreach(i => assert(fin.contains(s",$i"),
+        s"update $i lost from '$fin' — CAS retry loop must never drop a write"))
+    }
+  }
+
+  test("store behaves identically on all pointer impls (incl. CAS)") {
     val s = spark
     import s.implicits._
     val dir = Files.createTempDirectory("graft-ptr-band")
     val stores = Seq(
       new BandStore("graft_ptr_mem", buckets = 2),
       new BandStore("graft_ptr_file", buckets = 2,
-        pointer = new FilePointer(dir.resolve("band.ptr"))))
+        pointer = new FilePointer(dir.resolve("band.ptr"))),
+      // the CAS impls drive the store's conditional-publish path — the
+      // same merges/replays/compactions must behave identically
+      new BandStore("graft_ptr_casmem", buckets = 2,
+        pointer = new InMemoryCasPointer),
+      new BandStore("graft_ptr_casfile", buckets = 2,
+        pointer = new CasFilePointer(dir.resolve("band.cas"))))
     stores.foreach { st =>
       st.merge(Seq((1L, 0, "k1"), (2L, 0, "k2")).toDF("doc_id", "band", "band_key"),
         batchId = 0L)
