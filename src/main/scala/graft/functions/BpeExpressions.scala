@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native byte-pair-encoding application (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016 —
+  * the public BPE algorithm every production tokenizer descends from).
+  * Training lives in [[graft.operators.BpeTokenizer]]; these
+  * expressions APPLY a trained merge table scan-side, codegen'd, no
+  * shuffle, no row amplification — the token-denomination seam every
+  * token-budgeted operator (`token_count`, `pack_sequences`,
+  * `token_budget_sample`) can be parameterized on.
+  *
+  * Apply semantics (deterministic, oracle-mirrored): each whitespace
+  * word starts as its unicode-codepoint sequence; merges apply in
+  * TRAINED RANK ORDER, each rank replacing every adjacent occurrence
+  * of its pair left-to-right non-overlapping. Single-pass-in-rank-order
+  * equals the classic min-rank-first loop: a merge at rank r only
+  * creates tokens that participate in merges trained LATER (a pair
+  * involving token m_r cannot have been counted before m_r existed),
+  * and merging (x,y) never makes two pre-existing tokens newly
+  * adjacent.
+  *
+  * Execution encodes the token sequence as ONE string with every token
+  * wrapped in marker chars: `U+001E tok U+001F` per token,
+  * concatenated. Replacing `O·a·C·O·b·C` with `O·ab·C` then IS the
+  * rank's left-to-right merge pass — `java.lang.String.replace` and
+  * DuckDB `replace` both scan left-to-right non-overlapping, so the
+  * engine's fold and the oracle's recursive-CTE fold are the same
+  * computation character for character. The per-token BEGIN and END
+  * markers make the pattern boundary-exact: a match must consume whole
+  * token spans (a pattern starting mid-token would need `O` inside a
+  * token, and the markers are excluded from the alphabet), and two
+  * matches can never share a character, so "aaaa" under merge (a,a)
+  * gives [aa, aa] and "aaa" gives [aa, a] — the canonical greedy
+  * semantics. A naive single-separator encoding is NOT boundary-safe
+  * (pattern `b·SEP·c` matches across ["ab","cd"]); the double marker
+  * is what buys exactness.
+  *
+  * Words containing a marker char (U+001E/U+001F — impossible in any
+  * sane corpus, they are ASCII control codes) are passed through as a
+  * single opaque token rather than corrupting the encoding.
+  */
+final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
+
+  import BpeTable._
+
+  // Zipfian corpora re-tokenize the same words constantly: memoize
+  // word → token count/array per table instance (shared across the
+  // executor's codegen'd tasks referencing this table). Bounded: stop
+  // inserting past MemoCap — degrade to recompute, never grow.
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** One word's BPE tokens (codepoint split + rank-order merge fold). */
+  def tokenizeWord(word: String): Array[String] = {
+    val cached = memo.get(word)
+    if (cached != null) return cached
+    val out = computeWord(word)
+    if (memo.size < MemoCap) memo.put(word, out)
+    out
+  }
+
+  private def computeWord(word: String): Array[String] = {
+    if (word.indexOf(Open) >= 0 || word.indexOf(Close) >= 0)
+      return Array(word) // marker collision: opaque single token
+    val sb = new java.lang.StringBuilder(word.length * 3)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      sb.append(Open).appendCodePoint(cp).append(Close)
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    merges.foreach { case (a, b) =>
+      s = s.replace(s"$Open$a$Close$Open$b$Close", s"$Open$a$b$Close")
+    }
+    if (s.isEmpty) Array("") // empty word = one empty token (oracle twin)
+    else s.substring(1, s.length - 1).split(s"$Close$Open", -1)
+  }
+
+  /** All BPE tokens of a text (per whitespace word, concatenated). */
+  def tokens(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val parts = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    words.foreach { w =>
+      tokenizeWord(w).foreach(t => parts += UTF8String.fromString(t))
+    }
+    new GenericArrayData(parts.toArray)
+  }
+
+  /** Total BPE token count of a text — the budget denomination. */
+  def count(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var i = 0
+    while (i < words.length) { n += tokenizeWord(words(i)).length; i += 1 }
+    n
+  }
+
+  // value equality so expression trees comparing BpeTokens nodes
+  // (Catalyst dedups identical subexpressions) see the merge list, not
+  // the wrapper identity
+  override def hashCode(): Int = merges.hashCode()
+  override def equals(o: Any): Boolean = o match {
+    case t: BpeTable => t.merges == merges
+    case _ => false
+  }
+}
+
+object BpeTable {
+  /** Token BEGIN/END markers (ASCII record/unit separator — excluded
+    * from the token alphabet by construction). */
+  val Open = '\u001e'
+  val Close = '\u001f'
+  val MemoCap = 1 << 16
+}
+
+/** `array<string>` of the text's BPE tokens under a trained merge
+  * table. */
+case class BpeTokens(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    table.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.tokens($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
+object BpeTokens {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeTokens(bridge.expression(text), new BpeTable(merges)))
+}
+
+/** `bigint` BPE token count of the text — cheaper than materializing
+  * the token array when only the denomination is needed (the packing /
+  * budget-sampling operators). */
+case class BpeTokenCount(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bpe_count"
+
+  override def nullSafeEval(input: Any): Any =
+    table.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.count($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object BpeTokenCount {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeTokenCount(bridge.expression(text), new BpeTable(merges)))
+}

@@ -163,12 +163,32 @@ object TextAnalysis {
     packColumns(rows, idCol, budget, lit(0L), lit(0L))
   }
 
+  /** [[packSequences]] under an ALTERNATE token denomination: `countOf`
+    * maps the text column to its token count (canonically a trained
+    * BPE count, [[graft.functions.BpeTokenCount]] — sequence budgets
+    * are subword-denominated in real training pipelines, and a
+    * whitespace proxy skews pack layouts on real corpora). Plan shape
+    * is identical: the count is scan-side whatever the denomination. */
+  def packSequencesWith(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, budget: Int, countOf: Column => Column): DataFrame =
+    packColumns(
+      shardPackRowsCounted(docs, idCol, nShards, countOf(col(textCol))),
+      idCol, budget, lit(0L), lit(0L))
+
   /** The shared windowing body of [[packSequences]] and the streaming
     * pack-ingest loop: shard/order hashes, token counts, and the
     * per-shard rank (`bpos`) + running token sum (`bcum`) WITHIN
     * `docs`. A consumer adds its own base offsets. */
   private[graft] def shardPackRows(docs: DataFrame, idCol: String,
-      textCol: String, nShards: Int): DataFrame = {
+      textCol: String, nShards: Int): DataFrame =
+    shardPackRowsCounted(docs, idCol, nShards, size(tokens(col(textCol))))
+
+  /** [[shardPackRows]] over an arbitrary token-count expression — the
+    * ONE denomination seam (whitespace default; BPE via
+    * [[packSequencesWith]]), so the window/hash arithmetic exists
+    * exactly once. */
+  private[graft] def shardPackRowsCounted(docs: DataFrame, idCol: String,
+      nShards: Int, nTokens: Column): DataFrame = {
     val idStr = col(idCol).cast("string")
     val w = Window
       .partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
@@ -176,7 +196,7 @@ object TextAnalysis {
         pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
           .as("shard"),
         Dedup.md5h60(concat(lit("ord#"), idStr)).as("ord"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        nTokens.cast("long").as("n_tokens"))
       .withColumn("bpos", row_number().over(w).cast("long"))
       .withColumn("bcum", sum(col("n_tokens"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -329,7 +349,17 @@ object TextAnalysis {
     * exact integer mass before it. Identical output to the global
     * window at any scale. */
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, nBuckets: Int = 4096): DataFrame = {
+      budgetTokens: Long, nBuckets: Int = 4096): DataFrame =
+    tokenBudgetSampleWith(docs, idCol, textCol, budgetTokens, nBuckets,
+      t => size(tokens(t)))
+
+  /** [[tokenBudgetSample]] under an alternate token denomination
+    * (`countOf` — canonically a trained BPE count): the budget a real
+    * pipeline holds is subword-denominated. Identical scale-safe
+    * bucket decomposition; only the scan-side count expression moves. */
+  def tokenBudgetSampleWith(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, nBuckets: Int,
+      countOf: Column => Column): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
     require(nBuckets >= 1 && (1L << 60) % nBuckets == 0,
       s"nBuckets must divide 2^60, got $nBuckets")
@@ -340,7 +370,7 @@ object TextAnalysis {
     // keep/boundary branches read the checkpointed blocks instead of
     // re-scanning and re-hashing the text twice more
     val scored = docs.select(col(idCol), h.as("h"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+        countOf(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"h div ${bucketWidth}L"))
       .localCheckpoint(false)
     // ≤ nBuckets rows — the documented bounded driver collect

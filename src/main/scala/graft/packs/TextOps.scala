@@ -394,7 +394,58 @@ object TextOps extends QueryPack {
     store.select(docs, "doc_id", "text")
   }
 
+  /** BPE training bounds, shared with the generated oracles. maxWords
+    * covers this corpus's whole vocabulary (31 distinct words at the
+    * gate — production: thousands of heavy hitters); 48 merges leaves
+    * genuine subword structure live (more would collapse the tiny
+    * vocabulary to whole-word tokens and the BPE denomination would
+    * degenerate to whitespace). */
+  val MaxBpeWords = 1024
+  val NumBpeMerges = 48
+
+  /** BPE-denominated budget for token_budget_sample_bpe — cuts
+    * mid-corpus at the gate's sf0.01 BPE token mass, so the
+    * boundary-bucket machinery is exercised under the subword
+    * denomination too. */
+  val BpeSampleBudget = 30000L
+
+  private def bpeMerges(spark: SparkSession,
+      sfDir: String): Seq[(String, String)] =
+    graft.operators.BpeTokenizer.trainCached(
+      Tables.documents(spark, sfDir), sfDir, "text", MaxBpeWords, NumBpeMerges)
+
+  /** Whitespace vs corpus-trained-BPE token counts per doc — the
+    * denomination drift every token-budgeted operator inherits
+    * (BpeSpec pins the drift; the twins below consume the BPE side). */
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens_ws"),
+      graft.functions.BpeTokenCount(col("text"), bpeMerges(spark, sfDir))
+        .as("n_tokens_bpe"))
+  }
+
+  /** [[packSequences]] under the trained-BPE denomination — the layout
+    * a real pretraining pipeline cuts (budgets are subword tokens). */
+  def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    TextAnalysis.packSequencesWith(Tables.documents(spark, sfDir), "doc_id",
+      "text", NumShards, PackBudget,
+      t => graft.functions.BpeTokenCount(t, m))
+  }
+
+  /** [[tokenBudgetSample]] under the trained-BPE denomination. */
+  def tokenBudgetSampleBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    TextAnalysis.tokenBudgetSampleWith(Tables.documents(spark, sfDir),
+      "doc_id", "text", BpeSampleBudget, 4096,
+      t => graft.functions.BpeTokenCount(t, m))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count_bpe" -> (tokenCountBpe _),
+    "pack_sequences_bpe" -> (packSequencesBpe _),
+    "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "lang_id" -> (langId _),
@@ -446,11 +497,20 @@ object TextOps extends QueryPack {
     * string, so the hash/window arithmetic can't drift. */
   private[packs] def shardPackCtesFrom(rel: String, textCol: String,
       sName: String = "s", wName: String = "w"): String =
+    shardPackCtesCounted(rel,
+      s"CAST(len(string_split($textCol, ' ')) AS BIGINT)", sName, wName)
+
+  /** [[shardPackCtesFrom]] over an arbitrary n_tokens SQL expression —
+    * the oracle-side twin of the engine's token-denomination seam
+    * (`shardPackRowsCounted`): the BPE-denominated pack oracle swaps
+    * only the count, the hash/window arithmetic is this ONE string. */
+  private[packs] def shardPackCtesCounted(rel: String, nTokensSql: String,
+      sName: String = "s", wName: String = "w"): String =
     s"""$sName AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
        |    ('0x' || substr(md5('ord#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord,
-       |    CAST(len(string_split($textCol, ' ')) AS BIGINT) AS n_tokens
+       |    $nTokensSql AS n_tokens
        |  FROM $rel
        |), $wName AS (
        |  SELECT doc_id, shard, n_tokens,
@@ -1248,5 +1308,89 @@ object TextOps extends QueryPack {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM sampled""".stripMargin
     }
-  )
+  ) ++ bpeOracles
+
+  /** The trained BPE merge table replayed in DuckDB, ending in
+    * `bdn(doc_id, n_tokens_bpe)`: the merges are embedded as a ranked
+    * VALUES CTE (the IvfIndex centroid-embedding pattern — Verify's
+    * query pass has trained and cached them before oracleSql is
+    * dumped), each word is wrapped into the marker encoding
+    * (chr(30) tok chr(31) per codepoint) and a recursive CTE applies
+    * one merge rank per step via `replace` — DuckDB's left-to-right
+    * non-overlapping scan, the IDENTICAL fold the native expression
+    * runs (see [[graft.functions.BpeTable]] for why the double-marker
+    * encoding makes the pattern boundary-exact). Per-word token counts
+    * then weight back through the per-(doc, word) multiplicities. */
+  private def bpeCtes(merges: Seq[(String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val values = merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '${q(a)}', '${q(b)}')" }
+      .mkString(",\n    ")
+    s"""bm(mrank, a, b) AS (VALUES
+       |    $values
+       |), btok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), bdc AS (
+       |  SELECT doc_id, word, count(*)::BIGINT AS c FROM btok GROUP BY 1, 2
+       |), bw0 AS (
+       |  SELECT word, array_to_string(list_transform(generate_series(1, length(word)),
+       |    i -> chr(30) || substr(word, CAST(i AS INT), 1) || chr(31)), '') AS s
+       |  FROM (SELECT DISTINCT word FROM bdc)
+       |), br AS (
+       |  SELECT word, s, 0 AS rk FROM bw0
+       |  UNION ALL
+       |  SELECT br.word,
+       |    replace(br.s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+       |      chr(30) || m.a || m.b || chr(31)) AS s,
+       |    br.rk + 1 AS rk
+       |  FROM br JOIN bm m ON m.mrank = br.rk + 1
+       |), bwt AS (
+       |  SELECT word, CAST(len(string_split(CASE WHEN length(s) < 2 THEN ''
+       |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30))) AS BIGINT) AS n
+       |  FROM br WHERE rk = ${merges.size}
+       |), bdn AS (
+       |  SELECT doc_id, CAST(sum(c * n) AS BIGINT) AS n_tokens_bpe
+       |  FROM bdc JOIN bwt USING (word) GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  // generated from the exact merge table the engine trained (the
+  // ann_ivf pattern): available once the query pass has run — always
+  // true in Verify's dump order; untrained/ambiguous/empty → omitted,
+  // falling back to the rows-only check
+  private def bpeOracles: Map[String, String] =
+    graft.operators.BpeTokenizer.trainedSnapshot(MaxBpeWords, NumBpeMerges)
+      .filter(_.nonEmpty).toList.flatMap { merges =>
+        val ctes = bpeCtes(merges)
+        Seq(
+          "token_count_bpe" ->
+            s"""WITH RECURSIVE $ctes
+               |SELECT d.doc_id,
+               |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+               |  bdn.n_tokens_bpe
+               |FROM documents d JOIN bdn USING (doc_id)""".stripMargin,
+
+          // the whitespace pack oracle's EXACT hash/window tail over the
+          // BPE denomination — only the n_tokens source moves
+          "pack_sequences_bpe" ->
+            s"""WITH RECURSIVE $ctes,
+               |${shardPackCtesCounted("bdn", "n_tokens_bpe")}
+               |${packSelectFrom("w")}""".stripMargin,
+
+          // the naive global-order running sum under the BPE count —
+          // the decomposed Spark side must match it exactly
+          "token_budget_sample_bpe" ->
+            s"""WITH RECURSIVE $ctes,
+               |sb AS (
+               |  SELECT doc_id,
+               |    ('0x' || substr(md5('budget#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+               |    n_tokens_bpe AS n_tokens
+               |  FROM bdn
+               |)
+               |SELECT doc_id, n_tokens FROM (
+               |  SELECT doc_id, n_tokens,
+               |    sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+               |  FROM sb)
+               |WHERE cum <= $BpeSampleBudget""".stripMargin)
+      }.toMap
 }

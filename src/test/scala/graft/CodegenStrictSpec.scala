@@ -25,7 +25,8 @@ class CodegenStrictSpec extends SparkSpec {
     "multimodal_phash_dedup", "multimodal_audio_dedup", "dedup_soft_weights",
     "ann_hard_negatives", "quality_floor_by_lang", "dedup_rate_by_source",
     "neardup_rate_by_source", "pipeline_curate_bylang",
-    "sql_quality_floor_by_lang")
+    "sql_quality_floor_by_lang",
+    "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -390,4 +390,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_shingles"),
       s"expected the native shingle expression:\n$p")
   }
+
+  test("pack_sequences_bpe: native scan-side count, same one-exchange shape as the ws layout") {
+    val p = plan("pack_sequences_bpe")
+    // the BPE denomination must not change the pack plan: counting is a
+    // scan-side native expression (no explode, no per-token rows, no
+    // merge-table join — the table ships inside the expression), and
+    // the only exchange is the shard window's
+    assert(p.contains("graft_bpe_count"),
+      s"expected the native BPE count expression:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shard exchange, got $exchanges:\n$p")
+    assert(!p.contains("Generate"), s"BPE counting must not explode rows:\n$p")
+  }
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.{BpeTable, BpeTokenCount, BpeTokens}
+
+/** Corpus-trained BPE: the published training algorithm on the classic
+  * textbook corpus, the greedy apply semantics (incl. the boundary
+  * cases the marker encoding exists for), expression ≡ driver-side
+  * reference fold, and the whitespace-vs-BPE budget drift the
+  * denominated twins exist to expose. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("training follows the published algorithm on the textbook corpus") {
+    // Sennrich's canonical example family: 'low' x5, 'lower' x2,
+    // 'newest' x6, 'widest' x3. Highest pair is (e,s) 9 = newest+widest,
+    // then (es,t) 9, then (lo,w)... hand-checkable first merges.
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTokenizer.train(wc, numMerges = 4)
+    assert(merges.take(2) == Seq(("e", "s"), ("es", "t")),
+      s"first merges must be the (e,s),(es,t) of the textbook run, got $merges")
+    // 'lo' appears in low+lower = 7 times; after (e,s),(es,t) the next
+    // best is (l,o) 7 then (lo,w) 7 — count ties broken lexicographically
+    assert(merges(2) == (("l", "o")) && merges(3) == (("lo", "w")),
+      s"got $merges")
+  }
+
+  test("training stops when no pair repeats") {
+    assert(BpeTokenizer.train(Seq(("abc", 1L)), 10).isEmpty,
+      "every pair occurs once — nothing to merge")
+    assert(BpeTokenizer.train(Seq(("aa", 5L)), 10) == Seq(("a", "a")))
+  }
+
+  test("apply: greedy left-to-right semantics and boundary exactness") {
+    val t = new BpeTable(Seq(("a", "a")))
+    assert(t.tokenizeWord("aaa").toSeq == Seq("aa", "a"))
+    assert(t.tokenizeWord("aaaa").toSeq == Seq("aa", "aa"))
+    assert(t.tokenizeWord("aaaaa").toSeq == Seq("aa", "aa", "a"))
+    // boundary exactness: with merges (a,b),(c,d),(b,c) the word 'abcd'
+    // becomes [ab, cd] after ranks 1-2; rank 3's pair (b,c) must NOT
+    // fire across the [ab][cd] token boundary (the naive single-
+    // separator encoding would corrupt exactly this case)
+    val t2 = new BpeTable(Seq(("a", "b"), ("c", "d"), ("b", "c")))
+    assert(t2.tokenizeWord("abcd").toSeq == Seq("ab", "cd"))
+    // but a genuine adjacent (b,c) pair still merges
+    assert(t2.tokenizeWord("bc").toSeq == Seq("bc"))
+    // empty word = one empty token (the whitespace-split convention)
+    assert(t2.tokenizeWord("").toSeq == Seq(""))
+    // later merges consume earlier merges' tokens
+    val t3 = new BpeTable(Seq(("l", "o"), ("lo", "w")))
+    assert(t3.tokenizeWord("lower").toSeq == Seq("low", "e", "r"))
+  }
+
+  test("expression equals the driver-side fold over the corpus; count = |tokens|") {
+    val docs = Tables.documents(spark, sf)
+    val merges = BpeTokenizer.trainCached(docs, sf, "text",
+      graft.packs.TextOps.MaxBpeWords, graft.packs.TextOps.NumBpeMerges)
+    assert(merges.nonEmpty)
+    val table = new BpeTable(merges)
+    val got = docs.select(col("doc_id"), col("text"),
+        BpeTokens(col("text"), merges).as("toks"),
+        BpeTokenCount(col("text"), merges).as("n"))
+      .as[(Long, String, Seq[String], Long)].collect()
+    got.foreach { case (id, text, toks, n) =>
+      val expect = text.split(" ", -1).toSeq.flatMap(table.tokenizeWord(_).toSeq)
+      assert(toks == expect, s"doc $id: expression != reference fold")
+      assert(n == toks.size, s"doc $id: count != |tokens|")
+      // reassembling the word's tokens must reproduce the word (BPE
+      // merges never drop or reorder characters)
+      assert(toks.mkString("") == text.split(" ", -1).mkString(""),
+        s"doc $id: tokens must concatenate back to the text's words")
+    }
+  }
+
+  test("whitespace-vs-BPE budget drift: the denomination changes real layouts") {
+    val docs = Tables.documents(spark, sf)
+    val merges = BpeTokenizer.trainCached(docs, sf, "text",
+      graft.packs.TextOps.MaxBpeWords, graft.packs.TextOps.NumBpeMerges)
+    val counts = docs.select(
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        BpeTokenCount(col("text"), merges).as("bpe"))
+      .as[(Long, Long)].collect()
+    // BPE can only split words further: per-doc bpe >= ws, and the
+    // corpus must contain genuine subword splits (strict >) — if every
+    // word collapsed to one token the denomination is degenerate and
+    // the twins prove nothing
+    counts.foreach { case (ws, bpe) =>
+      assert(bpe >= ws, s"a word cannot tokenize to fewer than 1 token") }
+    assert(counts.exists { case (ws, bpe) => bpe > ws },
+      "corpus must exercise genuine subword structure under the trained table")
+    val wsTot = counts.map(_._1).sum
+    val bpeTot = counts.map(_._2).sum
+    info(s"corpus tokens: ws=$wsTot bpe=$bpeTot (x${bpeTot.toDouble / wsTot})")
+    // and the drift moves an actual layout: the packed sequence count
+    // differs between denominations for the same budget
+    val wsSeqs = TextAnalysis.packSequences(docs, "doc_id", "text",
+        graft.packs.TextOps.NumShards, graft.packs.TextOps.PackBudget)
+      .agg(max(col("seq_last"))).head().getLong(0)
+    val bpeSeqs = TextAnalysis.packSequencesWith(docs, "doc_id", "text",
+        graft.packs.TextOps.NumShards, graft.packs.TextOps.PackBudget,
+        t => BpeTokenCount(t, merges))
+      .agg(max(col("seq_last"))).head().getLong(0)
+    assert(bpeSeqs > wsSeqs,
+      s"BPE-denominated packing must cut more sequences (ws=$wsSeqs bpe=$bpeSeqs)")
+  }
+
+  test("determinism: retraining yields the identical merge table") {
+    val docs = Tables.documents(spark, sf)
+    val wc = BpeTokenizer.wordCounts(docs, "text", 512)
+    assert(BpeTokenizer.train(wc, 32) == BpeTokenizer.train(wc, 32))
+    assert(BpeTokenizer.wordCounts(docs.repartition(7), "text", 512) == wc,
+      "the heavy-hitter draw must be partitioning-independent")
+  }
+}
