@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain canonicalization — the normalization in front of every
+  * per-source operator ([[TextAnalysis.perSourceCap]],
+  * `dedup_rate_by_source`, per-domain mixture control): raw crawl URLs
+  * for one site differ by scheme, subdomain, port, path, query and
+  * case, so source-keyed caps and audits over raw URLs silently split
+  * a domain into many keys. Canonical key = the REGISTRABLE domain
+  * (eTLD+1): one label plus the longest matching public suffix
+  * ("a.b.example.co.uk" → "example.co.uk").
+  *
+  * Scale shape: everything is a scan-side string expression — host
+  * extraction is one RE2-compatible regex (identical in the DuckDB
+  * oracle), and the longest-suffix-first match folds the BOUNDED
+  * suffix table into a codegen'd CASE chain, so the corpus is never
+  * joined or shuffled for canonicalization. The table here is a
+  * representative subset; the full Mozilla Public Suffix List (~9k
+  * rules, public domain) plugs into the SAME seam — at that size the
+  * fold becomes a broadcast join on the host's candidate suffixes
+  * (explode the ≤ 4 label-tails, LEFT JOIN the broadcast list, keep
+  * the longest hit), still zero corpus shuffles. Wildcard/exception
+  * PSL rules (`*.ck`, `!www.ck`) live at that seam too.
+  */
+object UrlOps {
+
+  /** Bounded public-suffix table (subset; see scaladoc for the full-PSL
+    * seam). Multi-label suffixes MUST outrank their tails — ordering is
+    * by label count, then length ([[orderedSuffixes]]). */
+  val PublicSuffixes: Seq[String] = Seq(
+    "com", "org", "net", "io", "edu", "gov", "info", "dev", "app",
+    "de", "fr", "es", "it", "nl", "jp", "cn", "uk", "au", "br", "in",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com")
+
+  /** Longest-match-first evaluation order: more labels beat fewer
+    * ("co.uk" before "uk"), longer beats shorter within a label count.
+    * Deterministic final tie-break by the string itself. */
+  def orderedSuffixes: Seq[String] =
+    PublicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+
+  /** RE2-compatible (no lookaround — the DuckDB oracle runs the SAME
+    * pattern): scheme, optional userinfo, capture host, stop at
+    * port/path/query/fragment. */
+  val HostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+  /** Lowercased host of a URL; empty string when the URL has no
+    * scheme+authority shape (the regexp_extract no-match convention,
+    * identical in DuckDB). */
+  def host(url: Column): Column = lower(regexp_extract(url, HostPattern, 1))
+
+  private def escapeDots(s: String): String = s.replace(".", "\\.")
+
+  /** Registrable domain (eTLD+1) of a lowercased host: one label plus
+    * the longest matching public suffix. A host that IS a public
+    * suffix, or where the label before the suffix is empty, passes
+    * through unchanged; a host matching no suffix falls back to its
+    * last two labels (single-label hosts pass through). */
+  def etld1(host: Column): Column = {
+    val fallback = coalesce(
+      nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")), host)
+    orderedSuffixes.foldRight(fallback) { case (s, acc) =>
+      when(host === s, host)
+        .when(host.endsWith("." + s),
+          coalesce(nullif(
+            regexp_extract(host, "([^.]+\\." + escapeDots(s) + ")$", 1),
+            lit("")), host))
+        .otherwise(acc)
+    }
+  }
+
+  /** Canonicalize a URL column: (… , host, etld1) appended. */
+  def urlCanonicalize(docs: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val h = host(col(urlCol))
+    docs.select(col(idCol), col(urlCol),
+      h.as("host"), etld1(h).as("etld1"))
+  }
+
+  /** The DuckDB twin of [[etld1]], generated from the SAME ordered
+    * suffix table (one source of truth, zero drift) over a lowercased
+    * host SQL expression. */
+  def etld1Sql(hostSql: String): String = {
+    val cases = orderedSuffixes.map { s =>
+      val px = escapeDots(s)
+      s"""WHEN $hostSql = '$s' THEN $hostSql
+         |    WHEN $hostSql LIKE '%.$s' THEN coalesce(nullif(regexp_extract($hostSql, '([^.]+\\.$px)${"$"}', 1), ''), $hostSql)""".stripMargin
+    }.mkString("\n    ")
+    s"""CASE $cases
+       |    ELSE coalesce(nullif(regexp_extract($hostSql, '([^.]+\\.[^.]+)${"$"}', 1), ''), $hostSql) END""".stripMargin
+  }
+
+  /** The DuckDB twin of [[host]]. */
+  def hostSql(urlSql: String): String =
+    s"lower(regexp_extract($urlSql, '$HostPattern', 1))"
+}

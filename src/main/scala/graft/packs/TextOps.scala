@@ -442,7 +442,47 @@ object TextOps extends QueryPack {
       t => graft.functions.BpeTokenCount(t, m))
   }
 
+  /** Deterministic URL synthesis over (source, doc_id) — the
+    * syntheticAssets pattern (testdata has no URL column): every
+    * canonicalization case is live — subdomain prefixes, multi-label
+    * public suffixes (.co.uk, .github.io), ports, paths, query strings,
+    * and uppercase hosts. The SQL twin below is the same expression
+    * shape; both feed the SAME shared host/eTLD+1 logic
+    * ([[graft.operators.UrlOps]]). */
+  private def syntheticUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(lit("https://"),
+      when(d % 4 === 0, lit("www.")).when(d % 4 === 1, lit("m."))
+        .when(d % 4 === 2, lit("news.")).otherwise(lit("")),
+      when(d % 11 === 0, upper(col("source"))).otherwise(col("source")),
+      when(d % 3 === 0, lit(".com")).when(d % 3 === 1, lit(".co.uk"))
+        .otherwise(lit(".github.io")),
+      when(d % 7 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), d.cast("string"),
+      when(d % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+  }
+
+  // concat operators at line ENDS: a leading `||` would lose its first
+  // char to stripMargin's margin strip and turn into bitwise-or
+  private val syntheticUrlSql: String =
+    """'https://' ||
+      |  CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.' WHEN 2 THEN 'news.' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END ||
+      |  CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' ELSE '.github.io' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END ||
+      |  '/p/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END""".stripMargin
+
+  /** Host + registrable-domain (eTLD+1) canonicalization — the key
+    * normalization in front of every per-source/per-domain operator. */
+  def urlCanonicalize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.UrlOps.urlCanonicalize(
+      Tables.documents(spark, sfDir).select(col("doc_id"),
+        syntheticUrl.as("url")),
+      "doc_id", "url")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "url_canonicalize" -> (urlCanonicalize _),
     "token_count_bpe" -> (tokenCountBpe _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
@@ -697,6 +737,23 @@ object TextOps extends QueryPack {
   }
 
   override def oracleSql: Map[String, String] = Map(
+    // host regex and the longest-suffix-first eTLD+1 CASE chain are
+    // GENERATED from UrlOps' one suffix table — identical logic both
+    // engines, RE2-compatible patterns throughout
+    "url_canonicalize" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    $syntheticUrlSql AS url
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, url, ${UrlOps.hostSql("url")} AS host FROM u
+         |)
+         |SELECT doc_id, url, host,
+         |  ${UrlOps.etld1Sql("host")} AS etld1
+         |FROM h""".stripMargin
+    },
+
     "shard_assign" ->
       s"""WITH $shardPackCtes
          |SELECT doc_id, shard, pos FROM w""".stripMargin,

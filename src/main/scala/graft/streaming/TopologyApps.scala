@@ -52,15 +52,25 @@ object TopologyApps {
     * [[StreamingPipelines.ctrBatchUpdates]], spec'd broker-free in
     * CtrStoreSpec. */
   object ClickThroughRateApp {
+
+    /** args: bootstrap checkpoint [engine] — engine `store` (default,
+      * foreachBatch CtrStore) or `state` (the reference's
+      * chained-stateful topology on Spark's NATIVE arbitrary-state API:
+      * transformWithState [[AdCountsProcessor]] downstream of the
+      * join, update records straight from the state operator, no
+      * external store). StatefulCountsSpec's golden trace pins the two
+      * engines emitting identical per-ad counts on the same input. */
     def main(args: Array[String]): Unit = {
       val Array(bootstrap, checkpoint) = args.take(2)
+      val engine = args.lift(2).getOrElse("store")
       run { spark =>
         val imps = DelimitedCodec.decoded(
             KafkaIo.readDelimited(spark, bootstrap, "impressions"),
             "value", DelimitedCodec.impressionSchema)
           .select(col("impressionId").as("impression_id"),
             timestamp_millis(col("impressionTime")).as("imp_ts"),
-            col("adId").as("ad_id"))
+            col("adId").as("ad_id"),
+            col("userId").as("user_id"))
         val clks = DelimitedCodec.decoded(
             KafkaIo.readDelimited(spark, bootstrap, "clicks"),
             "value", DelimitedCodec.clickSchema)
@@ -68,20 +78,42 @@ object TopologyApps {
             timestamp_millis(col("clickTime")).as("clk_ts"),
             col("clickId").as("click_id"))
         val joined = StreamingPipelines.adJoinStream(imps, clks)
-        val store = new CtrStore
-        joined.writeStream
-          .outputMode("append")
-          .option("checkpointLocation", checkpoint)
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-            StreamingPipelines.ctrBatchUpdates(store, batch, batchId)
-              .select(col("ad_id").as("key"),
-                col("ctr").cast("string").as("value"))
-              .write.format("kafka")
+        engine match {
+          case "state" =>
+            // transformWithState requires the RocksDB provider
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+              "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+            import spark.implicits._
+            AdCountsProcessor.runningAdCounts(spark,
+                joined.select(col("impression_id").as("impressionId"),
+                  col("user_id").as("userId"),
+                  col("ad_id").as("adId"),
+                  col("was_clicked").as("wasClicked"))
+                  .as[graft.model.ImpressionAndClick])
+              .select(col("adId").as("key"), col("ctr").cast("string").as("value"))
+              .writeStream
+              .outputMode("update")
+              .option("checkpointLocation", checkpoint)
+              .format("kafka")
               .option("kafka.bootstrap.servers", bootstrap)
               .option("topic", "click-through-rate")
-              .save()
-          }
-          .start()
+              .start()
+          case _ =>
+            val store = new CtrStore
+            joined.writeStream
+              .outputMode("append")
+              .option("checkpointLocation", checkpoint)
+              .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+                StreamingPipelines.ctrBatchUpdates(store, batch, batchId)
+                  .select(col("ad_id").as("key"),
+                    col("ctr").cast("string").as("value"))
+                  .write.format("kafka")
+                  .option("kafka.bootstrap.servers", bootstrap)
+                  .option("topic", "click-through-rate")
+                  .save()
+              }
+              .start()
+        }
       }
     }
   }

@@ -26,7 +26,8 @@ class CodegenStrictSpec extends SparkSpec {
     "ann_hard_negatives", "quality_floor_by_lang", "dedup_rate_by_source",
     "neardup_rate_by_source", "pipeline_curate_bylang",
     "sql_quality_floor_by_lang",
-    "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe")
+    "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe",
+    "url_canonicalize")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Host extraction + eTLD+1 reduction edge cases — the longest-match
+  * ordering and pass-through rules the CASE-chain fold must honor. */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: (Long, String)*): Map[Long, (String, String)] =
+    UrlOps.urlCanonicalize(urls.toSeq.toDF("id", "url"), "id", "url")
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+
+  test("host extraction strips scheme, userinfo, port, path, query, case") {
+    val got = canon(
+      1L -> "https://WWW.Example.COM/a/b?q=1",
+      2L -> "http://user:pw@api.example.co.uk:8443/x",
+      3L -> "ftp://files.example.de",
+      4L -> "not a url at all")
+    assert(got(1L) == (("www.example.com", "example.com")))
+    assert(got(2L) == (("api.example.co.uk", "example.co.uk")))
+    assert(got(3L) == (("files.example.de", "example.de")))
+    assert(got(4L) == (("", "")), "non-URL input yields empty host/etld1")
+  }
+
+  test("longest suffix wins: co.uk beats uk, github.io beats io") {
+    val got = canon(
+      1L -> "https://a.b.example.co.uk/",
+      2L -> "https://deep.sub.project.github.io",
+      3L -> "https://plain.example.uk",
+      4L -> "https://x.example.io")
+    assert(got(1L)._2 == "example.co.uk")
+    assert(got(2L)._2 == "project.github.io")
+    assert(got(3L)._2 == "example.uk")
+    assert(got(4L)._2 == "example.io")
+  }
+
+  test("pass-through rules: bare suffix, single label, unknown TLD fallback") {
+    val got = canon(
+      1L -> "https://co.uk/path",         // host IS a public suffix
+      2L -> "https://localhost:9000/",    // single label, no suffix match
+      3L -> "https://a.b.example.zz",     // unknown TLD → last two labels
+      4L -> "https://intranet")
+    assert(got(1L)._2 == "co.uk")
+    assert(got(2L)._2 == "localhost")
+    assert(got(3L)._2 == "example.zz")
+    assert(got(4L)._2 == "intranet")
+  }
+
+  test("suffix ordering is longest-first regardless of declaration order") {
+    val o = UrlOps.orderedSuffixes
+    assert(o.indexOf("co.uk") < o.indexOf("uk"))
+    assert(o.indexOf("github.io") < o.indexOf("io"))
+    assert(o.indexOf("blogspot.com") < o.indexOf("com"))
+  }
+}
