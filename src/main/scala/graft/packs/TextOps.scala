@@ -481,8 +481,53 @@ object TextOps extends QueryPack {
         syntheticUrl.as("url")),
       "doc_id", "url")
 
+  /** Per-domain cap size — smaller than SourceCapK because eTLD+1
+    * collapses the synthetic subdomain/port/case variants, leaving
+    * ~8 docs per registrable domain at the gate; 5 keeps both branches
+    * live. */
+  val DomainCapK = 5
+
+  /** The canonicalization FEEDING the per-source machinery — the whole
+    * point of eTLD+1 (C4/RefinedWeb cap per registrable DOMAIN, not
+    * per raw URL): [[urlCanonicalize]]'s etld1 keys
+    * [[graft.operators.TextAnalysis.perSourceCap]], so `www.x.com`,
+    * `m.x.com:8443` and `X.com` count against ONE domain budget. */
+  def perDomainCap(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.perSourceCap(
+      graft.operators.UrlOps.urlCanonicalize(
+        Tables.documents(spark, sfDir).select(col("doc_id"),
+          syntheticUrl.as("url")),
+        "doc_id", "url"),
+      "etld1", "doc_id", DomainCapK)
+
+  private val bpeStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.BpeStore]()
+
+  /** Store-backed BPE counts: the word-count model is ingested in TWO
+    * batches (so the gate also proves count additivity — summed
+    * partials train the IDENTICAL merge table to one-shot training,
+    * hence the oracle is token_count_bpe's verbatim) and the merge
+    * table is derived from the persisted counts. */
+  def tokenCountBpeStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = bpeStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.BpeStore(
+        s"graft_bpe_store_${graft.QueryPack.storeSuffix(dir)}",
+        MaxBpeWords, NumBpeMerges)
+      s.ingest(docs.filter(col("doc_id") % 2 === 0), "text", batchId = 0L)
+      s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "text", batchId = 1L)
+      s
+    })
+    val m = store.merges(spark)
+    docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens_ws"),
+      graft.functions.BpeTokenCount(col("text"), m).as("n_tokens_bpe"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_canonicalize" -> (urlCanonicalize _),
+    "per_domain_cap" -> (perDomainCap _),
+    "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
@@ -752,6 +797,31 @@ object TextOps extends QueryPack {
          |SELECT doc_id, url, host,
          |  ${UrlOps.etld1Sql("host")} AS etld1
          |FROM h""".stripMargin
+    },
+
+    // same row_number-cap arithmetic as per_source_cap, keyed by the
+    // canonicalized registrable domain (the composition the
+    // canonicalization exists for)
+    "per_domain_cap" -> {
+      import graft.operators.UrlOps
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    $syntheticUrlSql AS url
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${UrlOps.hostSql("url")} AS host FROM u
+         |), e AS (
+         |  SELECT doc_id,
+         |    ${UrlOps.etld1Sql("host")} AS etld1
+         |  FROM h
+         |)
+         |SELECT doc_id, etld1, rk FROM (
+         |  SELECT doc_id, etld1, row_number() OVER (
+         |    PARTITION BY etld1
+         |    ORDER BY ('0x' || substr(md5(etld1 || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |             doc_id) AS rk
+         |  FROM e
+         |) WHERE rk <= $DomainCapK""".stripMargin
     },
 
     "shard_assign" ->
@@ -1419,13 +1489,20 @@ object TextOps extends QueryPack {
     graft.operators.BpeTokenizer.trainedSnapshot(MaxBpeWords, NumBpeMerges)
       .filter(_.nonEmpty).toList.flatMap { merges =>
         val ctes = bpeCtes(merges)
+        val tokenCountSql =
+          s"""WITH RECURSIVE $ctes
+             |SELECT d.doc_id,
+             |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+             |  bdn.n_tokens_bpe
+             |FROM documents d JOIN bdn USING (doc_id)""".stripMargin
         Seq(
-          "token_count_bpe" ->
-            s"""WITH RECURSIVE $ctes
-               |SELECT d.doc_id,
-               |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
-               |  bdn.n_tokens_bpe
-               |FROM documents d JOIN bdn USING (doc_id)""".stripMargin,
+          "token_count_bpe" -> tokenCountSql,
+
+          // the store only relocates where the word counts come from —
+          // summed batch partials train the identical merge table, so
+          // the oracle is the SAME string (the decontaminate_store
+          // equivalence argument)
+          "token_count_bpe_store" -> tokenCountSql,
 
           // the whitespace pack oracle's EXACT hash/window tail over the
           // BPE denomination — only the n_tokens source moves
