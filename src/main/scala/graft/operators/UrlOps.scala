@@ -80,6 +80,45 @@ object UrlOps {
       h.as("host"), etld1(h).as("etld1"))
   }
 
+  /** [[etld1]] over a suffix RELATION instead of the compiled-in list —
+    * the full-PSL seam AS CODE: a ~9k-rule table cannot become a CASE
+    * chain, so each of the host's last-1..maxLabels label tails
+    * (`substring_index(host, ".", -i)` — a scan-side expression, no
+    * explode) probes the BROADCAST suffix table through one left
+    * broadcast-hash join per label depth, and `coalesce` from the
+    * deepest tail down picks the longest match — exactly the fold's
+    * (label count desc) priority (two suffixes can't tie at one depth:
+    * a tail is a single string and the table is distinct). Zero
+    * shuffles, zero aggregations: the corpus flows through maxLabels
+    * broadcast joins and a scan-side projection. Pass-through rules
+    * (bare-suffix host, no-match fallback to the last two labels,
+    * degenerate empty label before the suffix) mirror [[etld1]] —
+    * `UrlOpsSpec` pins the two paths equal on the bounded list.
+    * Wildcard/exception PSL rules (`*.ck`, `!www.ck`) would add one
+    * more depth-(n+1) probe and an exception pre-check here. */
+  def etld1ViaTable(docs: DataFrame, hostCol: String, suffixes: DataFrame,
+      maxLabels: Int = 4): DataFrame = {
+    require(maxLabels >= 1, s"maxLabels must be >= 1, got $maxLabels")
+    val h = col(hostCol)
+    val joined = (1 to maxLabels).foldLeft(docs) { (acc, i) =>
+      acc.join(
+        broadcast(suffixes.select(col("suffix").as(s"__sfx$i"))),
+        substring_index(h, ".", -i) === col(s"__sfx$i"), "left")
+    }
+    val best = coalesce((maxLabels to 1 by -1).map(i => col(s"__sfx$i")): _*)
+    // strip ".suffix", take the last remaining label; an empty label
+    // (host ".co.uk" or "x..co.uk") passes the host through, matching
+    // the fold's [^.]+ requirement
+    val prefix = substring(h, lit(1), length(h) - length(best) - 1)
+    val lastLabel = substring_index(prefix, ".", -1)
+    joined.withColumn("etld1",
+        when(best.isNull, substring_index(h, ".", -2))
+          .when(best === h, h)
+          .when(lastLabel === "", h)
+          .otherwise(concat(lastLabel, lit("."), best)))
+      .drop((1 to maxLabels).map(i => s"__sfx$i"): _*)
+  }
+
   /** The DuckDB twin of [[etld1]], generated from the SAME ordered
     * suffix table (one source of truth, zero drift) over a lowercased
     * host SQL expression. */

@@ -434,6 +434,24 @@ object TextOps extends QueryPack {
       t => graft.functions.BpeTokenCount(t, m))
   }
 
+  /** Subword-vocabulary heavy hitters — [[vocabTopTerms]] over the
+    * trained BPE tokens instead of whitespace words: the
+    * tokenizer-quality signal (which subwords dominate, how much mass
+    * stays on single characters). Same plan discipline: one explode of
+    * the native token array → partially-aggregated groupBy(term) →
+    * TakeOrderedAndProject. */
+  def vocabTopSubwords(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.BpeTokens(col("text"), m)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"),
+        count_distinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("term").asc)
+      .limit(VocabTopN)
+  }
+
   /** [[tokenBudgetSample]] under the trained-BPE denomination. */
   def tokenBudgetSampleBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val m = bpeMerges(spark, sfDir)
@@ -529,6 +547,7 @@ object TextOps extends QueryPack {
     "per_domain_cap" -> (perDomainCap _),
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
+    "vocab_top_subwords" -> (vocabTopSubwords _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -1510,6 +1529,24 @@ object TextOps extends QueryPack {
             s"""WITH RECURSIVE $ctes,
                |${shardPackCtesCounted("bdn", "n_tokens_bpe")}
                |${packSelectFrom("w")}""".stripMargin,
+
+          // per-word token LISTS from the same recursive fold (the
+          // count CTE takes len() of exactly this split), weighted back
+          // through the per-(doc, word) multiplicities
+          "vocab_top_subwords" ->
+            s"""WITH RECURSIVE $ctes,
+               |wtok AS (
+               |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
+               |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS toks
+               |  FROM br WHERE rk = ${merges.size}
+               |), dtok2 AS (
+               |  SELECT bdc.doc_id, t.tok, bdc.c
+               |  FROM bdc JOIN wtok USING (word), unnest(wtok.toks) AS t(tok)
+               |)
+               |SELECT tok AS term, CAST(sum(c) AS BIGINT) AS occurrences,
+               |  count(DISTINCT doc_id)::BIGINT AS doc_freq
+               |FROM dtok2 GROUP BY tok
+               |ORDER BY occurrences DESC, term ASC LIMIT $VocabTopN""".stripMargin,
 
           // the naive global-order running sum under the BPE count —
           // the decomposed Spark side must match it exactly

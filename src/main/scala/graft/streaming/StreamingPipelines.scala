@@ -749,6 +749,28 @@ object StreamingPipelines {
     batch
   }
 
+  /** BPE tokenizer-model maintenance per micro-batch — the DSIR loop's
+    * shape over the OTHER additive trained artifact: each batch's
+    * partial word counts append to the persisted [[graft.operators.BpeStore]]
+    * (batchId replay-safe; a double-counted batch would bias the
+    * heavy-hitter draw and CHANGE the derived merges), compaction under
+    * the segment budget keeps the count table one row per word.
+    * Maintenance-only: the batch passes through for the caller's sink.
+    * Derivation (`store.merges`) runs at retokenization time, not per
+    * batch — a tokenizer model is refreshed per corpus snapshot, not
+    * per micro-batch (retokenizing the past under every intermediate
+    * model would make token counts time-dependent). */
+  def bpeIngestBatch(store: graft.operators.BpeStore, batch: DataFrame,
+      textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    if (!store.isReplay(batchId)) {
+      store.ingest(batch, textCol, batchId)
+      store.compactIfNeeded(batch.sparkSession, maxSegments)
+    }
+    batch
+  }
+
   def curateRelativeBatch(store: QualityFloorStore, batch: DataFrame,
       idCol: String, textCol: String, langCol: String,
       ratesBp: Map[String, Int], defaultBp: Int,

@@ -27,7 +27,8 @@ class CodegenStrictSpec extends SparkSpec {
     "neardup_rate_by_source", "pipeline_curate_bylang",
     "sql_quality_floor_by_lang",
     "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe",
-    "url_canonicalize", "per_domain_cap", "token_count_bpe_store")
+    "url_canonicalize", "per_domain_cap", "token_count_bpe_store",
+    "vocab_top_subwords")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -36,6 +36,27 @@ class BpeStoreSpec extends SparkSpec {
       "compacted table must hold one row per distinct word")
   }
 
+  test("streamed ingest loop: N batches ≡ one-shot, budgeted compaction, replay") {
+    val docs = Tables.documents(spark, sf)
+    val oneShot = BpeTokenizer.train(
+      BpeTokenizer.wordCounts(docs, "text", mw), nm)
+    val store = new BpeStore("graft_bpe_spec_loop", mw, nm, layoutBuckets = 4)
+    val batches = (0 until 4).map(r => docs.filter(col("doc_id") % 4 === r))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val out = graft.streaming.StreamingPipelines.bpeIngestBatch(
+        store, b, "text", batchId = i.toLong, maxSegments = 2)
+      assert(out.count() == b.count(), "maintenance-only: batch passes through")
+    }
+    assert(store.liveSegments.size <= 3,
+      s"segment budget not enforced: ${store.liveSegments}")
+    assert(store.merges(spark) == oneShot,
+      "streamed counts must derive the one-shot merge table")
+    // replay the last batch through the LOOP: guard short-circuits
+    graft.streaming.StreamingPipelines.bpeIngestBatch(
+      store, batches.last, "text", batchId = 3L, maxSegments = 2)
+    assert(store.merges(spark) == oneShot, "replayed batch biased the model")
+  }
+
   test("restart adoption re-derives the identical merges (file pointer)") {
     val docs = Tables.documents(spark, sf)
     val ptr = java.nio.file.Files.createTempDirectory("graft-bpe-ptr")

@@ -50,6 +50,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(got(4L)._2 == "intranet")
   }
 
+  test("broadcast-join path (full-PSL seam) ≡ CASE fold on every host shape") {
+    // every structural case: subdomain chains, multi-label suffixes,
+    // bare suffixes, unknown TLDs, single labels, empty/degenerate
+    // labels, case already lowered by host()
+    val hosts = Seq(
+      "www.example.com", "a.b.example.co.uk", "deep.sub.project.github.io",
+      "example.uk", "x.example.io", "co.uk", "com", "localhost",
+      "a.b.example.zz", "intranet", "", ".co.uk", "x..co.uk",
+      "api.example.com.au", "files.example.de", "blog.blogspot.com",
+      "x.herokuapp.com", "only.uk", "a.gov.uk").zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }
+    val df = hosts.toDF("id", "host")
+    val viaFold = df.select(col("id"), UrlOps.etld1(col("host")).as("e"))
+      .as[(Long, String)].collect().toMap
+    val sfx = UrlOps.PublicSuffixes.toDF("suffix")
+    val viaJoin = UrlOps.etld1ViaTable(df, "host", sfx)
+      .select(col("id"), col("etld1"))
+      .as[(Long, String)].collect().toMap
+    hosts.foreach { case (i, h) =>
+      assert(viaJoin(i) == viaFold(i),
+        s"host '$h': join path '${viaJoin(i)}' != fold path '${viaFold(i)}'")
+    }
+    // and the join path is broadcast-only: no shuffle over the corpus
+    val plan = UrlOps.etld1ViaTable(df, "host", sfx)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("Exchange hashpartitioning"),
+      s"suffix probing must never shuffle the corpus:\n$plan")
+  }
+
   test("suffix ordering is longest-first regardless of declaration order") {
     val o = UrlOps.orderedSuffixes
     assert(o.indexOf("co.uk") < o.indexOf("uk"))
