@@ -104,6 +104,24 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     n
   }
 
+  /** Longest word-prefix whose cumulative BPE token count stays within
+    * `maxTokens`, re-joined by single spaces — the subword-denominated
+    * context cap, cutting at word boundaries (a mid-word cut would
+    * change the remaining words' own tokenizations). A first word
+    * already over budget yields the empty string. */
+  def truncateWords(text: UTF8String, maxTokens: Long): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    var cum = 0L
+    var keep = 0
+    var stop = false
+    while (keep < words.length && !stop) {
+      val n = tokenizeWord(words(keep)).length
+      if (cum + n > maxTokens) stop = true
+      else { cum += n; keep += 1 }
+    }
+    UTF8String.fromString(words.take(keep).mkString(" "))
+  }
+
   // value equality so expression trees comparing BpeTokens nodes
   // (Catalyst dedups identical subexpressions) see the merge list, not
   // the wrapper identity
@@ -177,4 +195,37 @@ case class BpeTokenCount(child: Expression, table: BpeTable)
 object BpeTokenCount {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeTokenCount(bridge.expression(text), new BpeTable(merges)))
+}
+
+/** `string`: the text's longest word-prefix within a BPE token budget
+  * (see [[BpeTable.truncateWords]]) — callers branch on the total
+  * count to return the ORIGINAL string when nothing is cut, so the
+  * kept branch can never differ from the input by reassembly. */
+case class BpeTruncateWords(child: Expression, table: BpeTable,
+    maxTokens: Long) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bpe_truncate"
+
+  override def nullSafeEval(input: Any): Any =
+    table.truncateWords(input.asInstanceOf[UTF8String], maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $ref.truncateWords($t, ${maxTokens}L);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeTruncateWords = copy(child = newChild)
+}
+
+object BpeTruncateWords {
+  def apply(text: Column, merges: Seq[(String, String)],
+      maxTokens: Long): Column =
+    bridge.column(BpeTruncateWords(bridge.expression(text),
+      new BpeTable(merges), maxTokens))
 }

@@ -452,6 +452,27 @@ object TextOps extends QueryPack {
       .limit(VocabTopN)
   }
 
+  /** BPE-denominated context cap, shared with the generated oracle:
+    * ~median of the gate corpus's per-doc BPE counts (~125), so both
+    * branches stay live. */
+  val TruncateBpeMax = 128L
+
+  /** [[truncateTokens]] under the trained-BPE denomination — cut at
+    * WORD boundaries (a mid-word cut would change the remaining words'
+    * tokenizations), keep the longest word-prefix within the subword
+    * budget; untruncated docs return the ORIGINAL string. */
+  def truncateTokensBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+    val n = graft.functions.BpeTokenCount(col("text"), m)
+    docs.select(col("doc_id"),
+      when(n > TruncateBpeMax,
+        graft.functions.BpeTruncateWords(col("text"), m, TruncateBpeMax))
+        .otherwise(col("text")).as("text"),
+      n.as("n_tokens_bpe_orig"),
+      (n > TruncateBpeMax).as("truncated"))
+  }
+
   /** [[tokenBudgetSample]] under the trained-BPE denomination. */
   def tokenBudgetSampleBpe(spark: SparkSession, sfDir: String): DataFrame = {
     val m = bpeMerges(spark, sfDir)
@@ -548,6 +569,7 @@ object TextOps extends QueryPack {
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
+    "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -1529,6 +1551,39 @@ object TextOps extends QueryPack {
             s"""WITH RECURSIVE $ctes,
                |${shardPackCtesCounted("bdn", "n_tokens_bpe")}
                |${packSelectFrom("w")}""".stripMargin,
+
+          // word-boundary cap under the subword budget: per-position
+          // word counts from the shared fold, per-doc running sum, keep
+          // the maximal prefix; untruncated docs return the ORIGINAL
+          // string (the ws truncate's branch trick — reassembly can
+          // only touch genuinely cut docs, where prefix re-join by ' '
+          // is lossless on both engines)
+          "truncate_tokens_bpe" ->
+            s"""WITH RECURSIVE $ctes,
+               |tp AS (
+               |  SELECT doc_id, text, t[i] AS word, i AS ord
+               |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+               |        FROM documents),
+               |       unnest(range(1, len(t) + 1)) AS u(i)
+               |), tc AS (
+               |  SELECT tp.doc_id, tp.text, tp.word, tp.ord,
+               |    sum(bwt.n) OVER (PARTITION BY tp.doc_id ORDER BY tp.ord
+               |      ROWS UNBOUNDED PRECEDING) AS cum
+               |  FROM tp JOIN bwt USING (word)
+               |), tt AS (
+               |  SELECT doc_id,
+               |    coalesce(string_agg(word, ' ' ORDER BY ord)
+               |      FILTER (WHERE cum <= $TruncateBpeMax), '') AS text_trunc
+               |  FROM tc GROUP BY doc_id
+               |)
+               |SELECT d.doc_id,
+               |  CASE WHEN bdn.n_tokens_bpe > $TruncateBpeMax THEN tt.text_trunc
+               |       ELSE d.text END AS text,
+               |  bdn.n_tokens_bpe AS n_tokens_bpe_orig,
+               |  bdn.n_tokens_bpe > $TruncateBpeMax AS truncated
+               |FROM documents d
+               |JOIN bdn USING (doc_id)
+               |JOIN tt USING (doc_id)""".stripMargin,
 
           // per-word token LISTS from the same recursive fold (the
           // count CTE takes len() of exactly this split), weighted back

@@ -600,13 +600,20 @@ object StreamingPipelines {
     * regardless of stream length. Returns the batch's packed rows
     * (same schema as the batch operator) for the caller's sink. */
   def packIngestBatch(store: PackStore, batch: DataFrame, idCol: String,
-      textCol: String, batchId: Long): DataFrame = {
+      textCol: String, batchId: Long,
+      countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => size(graft.operators.TextAnalysis.tokens(t))): DataFrame = {
     import graft.operators.TextAnalysis
     require(batchId >= 0,
       s"packIngestBatch needs a real (monotonic, >= 0) batchId for its " +
         s"base-offset arithmetic, got $batchId")
     val spark = batch.sparkSession
-    val rows = TextAnalysis.shardPackRows(batch, idCol, textCol, store.nShards)
+    // countOf = the token-denomination seam (whitespace default; a
+    // trained BPE count via graft.functions.BpeTokenCount) — the
+    // stream twin inherits the batch operator's seam so the two
+    // denominations share ONE window/hash/fold body here too
+    val rows = TextAnalysis.shardPackRowsCounted(batch, idCol, store.nShards,
+      countOf(col(textCol)))
     // ≤ nShards rows — always broadcast, the corpus never re-shuffles
     // on shard for the join
     val withBase = rows
@@ -649,13 +656,17 @@ object StreamingPipelines {
     * the batch's packed rows (same schema as the batch operator, pads
     * included) for the caller's sink. */
   def packPaddedIngestBatch(store: PaddedPackStore, batch: DataFrame,
-      idCol: String, textCol: String, batchId: Long): DataFrame = {
+      idCol: String, textCol: String, batchId: Long,
+      countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        t => size(graft.operators.TextAnalysis.tokens(t))): DataFrame = {
     import graft.operators.TextAnalysis
     require(batchId >= 0,
       s"packPaddedIngestBatch needs a real (monotonic, >= 0) batchId for " +
         s"its resume arithmetic, got $batchId")
     val spark = batch.sparkSession
-    val rows = TextAnalysis.shardPackRows(batch, idCol, textCol, store.nShards)
+    // same token-denomination seam as packIngestBatch
+    val rows = TextAnalysis.shardPackRowsCounted(batch, idCol, store.nShards,
+      countOf(col(textCol)))
     // ≤ nShards resume rows — always broadcast; the broadcast hash join
     // streams the window output, so the fold still sees each shard as
     // one contiguous ordered run with no extra exchange

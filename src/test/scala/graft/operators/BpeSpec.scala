@@ -106,6 +106,21 @@ class BpeSpec extends SparkSpec {
       s"BPE-denominated packing must cut more sequences (ws=$wsSeqs bpe=$bpeSeqs)")
   }
 
+  test("truncateWords: word-boundary cap under the subword budget") {
+    val t = new BpeTable(Seq(("a", "a")))
+    def cut(text: String, max: Long): String =
+      t.truncateWords(org.apache.spark.unsafe.types.UTF8String
+        .fromString(text), max).toString
+    // "aaaa"→2 tokens, "aa"→1, "a"→1
+    assert(cut("aaaa aa a", 4) == "aaaa aa a")   // total 4 fits exactly
+    assert(cut("aaaa aa a", 3) == "aaaa aa")     // third word would overflow
+    assert(cut("aaaa aa a", 2) == "aaaa")
+    assert(cut("aaaa aa a", 1) == "")            // first word alone overflows
+    assert(cut("", 5) == "")                      // empty text: 1 empty token
+    // greedy prefix: a later small word never back-fills past an overflow
+    assert(cut("aaaa a aaaa a", 3) == "aaaa a")
+  }
+
   test("determinism: retraining yields the identical merge table") {
     val docs = Tables.documents(spark, sf)
     val wc = BpeTokenizer.wordCounts(docs, "text", 512)

@@ -95,6 +95,35 @@ class PackIngestSpec extends SparkSpec {
     assertSeamExact(e0 ++ e1 ++ e2 ++ e3)
   }
 
+  test("BPE-denominated ingest: same seam machinery under the subword count") {
+    // the countOf seam: the streaming twin inherits the batch
+    // operator's token-denomination parameter, so the BPE layout
+    // streams with the identical window/fold body — batch 0 must equal
+    // packSequencesWith on the same slice, and the concatenated stream
+    // keeps the seam-exact invariants under the subword counts
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val merges = graft.operators.BpeTokenizer.trainCached(docs, sf, "text",
+      graft.packs.TextOps.MaxBpeWords, graft.packs.TextOps.NumBpeMerges)
+    def bpe(t: org.apache.spark.sql.Column) =
+      graft.functions.BpeTokenCount(t, merges)
+    val store = new PackStore(NShards, Budget,
+      Files.createTempDirectory("graft-pack-bpe").toString)
+    def part(i: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === lit(i))
+    val e0 = collectPacked(StreamingPipelines.packIngestBatch(
+      store, part(0), "doc_id", "text", 0L, countOf = bpe))
+    val e1 = collectPacked(StreamingPipelines.packIngestBatch(
+      store, part(1), "doc_id", "text", 1L, countOf = bpe))
+    assertSeamExact(e0 ++ e1)
+    val batchForm = collectPacked(TextAnalysis.packSequencesWith(
+      part(0), "doc_id", "text", NShards, Budget, bpe))
+    assert(e0 == batchForm,
+      "batch 0 must equal packSequencesWith under the same BPE table")
+    // and the denomination is genuinely different from whitespace
+    val wsForm = collectPacked(
+      TextAnalysis.packSequences(part(0), "doc_id", "text", NShards, Budget))
+    assert(e0 != wsForm, "BPE counts must actually change the layout")
+  }
+
   test("merge refuses sentinel batch ids") {
     val store = new PackStore(2, 16)
     val contrib = Seq((0L, 1L, 5L)).toDF("shard", "n_docs", "n_tokens")
