@@ -442,6 +442,43 @@ object TextAnalysis {
       (n > maxTokens).as("truncated"))
   }
 
+  /** Fixed-window document chunking with overlap — the embedding-prep
+    * primitive (RAG / similarity indexing: a long document embeds as
+    * overlapping windows so no span is split from its context at every
+    * boundary): chunks of `chunkTokens` whitespace tokens starting
+    * every `chunkTokens - overlap` tokens, last chunk short, a doc at
+    * or under the window emitting exactly one chunk equal to itself
+    * (re-joining the FULL token list is the identity for single-space
+    * text; sub-window docs emit one chunk covering all tokens, so the
+    * branch never matters cross-engine — both engines slice the same
+    * list). Output: (doc_id, chunk_idx from 0, text, n_tokens).
+    *
+    * Scale shape: pure scan-side slice arithmetic with bounded,
+    * intentional row amplification (≈ n/stride rows per doc — the
+    * output IS the workload); no shuffle, no window, no join. Pairs
+    * with [[truncateTokens]] in front (cap pathological docs before
+    * amplifying) and an embedding stage behind. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // starts 1, 1+stride, … while a start still ADDS uncovered tokens
+    // (start <= n - overlap, floor 1): every token is covered,
+    // consecutive chunks share `overlap` tokens, the final chunk may be
+    // short, and no chunk is pure re-overlap of its predecessor
+    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    docs.select(col(idCol), toks.as("toks"), posexplode(starts))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("col"), lit(chunkTokens)), " ")
+          .as("text"),
+        least(lit(chunkTokens), size(col("toks")) - col("col") + 1)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Fingerprints: rolling content hash + md5. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(

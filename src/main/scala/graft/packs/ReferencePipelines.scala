@@ -48,10 +48,33 @@ object ReferencePipelines extends QueryPack {
       round(col("ctr_corrected"), 4).as("ctr_corrected"))
   }
 
+  /** avro_roundtrip — the reference's OTHER wire format (its ad streams
+    * are ksql-datagen Avro, impressions.avro / click.avro): impressions
+    * fixture → the reference's exact record schema (field names incl.
+    * the `impresssiontime` typo) → Avro binary → decode → back. The
+    * identity oracle proves the binary codec round-trips the stream —
+    * S5/S6's csv_roundtrip for the Avro wire. */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.AvroCodec
+    val wire = AdFixtures.impressions(spark, sfDir).select(
+      col("impression_time_ms").as("impresssiontime"),
+      col("impression_id").as("impressionid"),
+      col("user_id").as("userid"),
+      col("ad_id").as("adid"))
+    AvroCodec.decode(
+        AvroCodec.encode(wire, AvroCodec.ImpressionSchemaJson),
+        "value", AvroCodec.ImpressionSchemaJson)
+      .select(col("impresssiontime").as("impression_time_ms"),
+        col("impressionid").as("impression_id"),
+        col("userid").as("user_id"),
+        col("adid").as("ad_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "windowed_avg" -> (windowedAvg _),
     "ctr_join" -> (ctrJoin _),
-    "ctr" -> (ctr _)
+    "ctr" -> (ctr _),
+    "avro_roundtrip" -> (avroRoundtrip _)
   )
 
   // Shared oracle bodies — SqlSurfaceOps verifies the SQL-text twins of
@@ -116,6 +139,11 @@ object ReferencePipelines extends QueryPack {
       |      ELSE CAST(num_clicks AS DOUBLE) / num_impressions END, 4) AS ctr""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // identity oracle: the Avro encode→decode must reproduce the
+    // impressions fixture exactly
+    "avro_roundtrip" -> (AdFixtures.oracleCtes +
+      "\nSELECT impression_time_ms, impression_id, user_id, ad_id FROM imp"),
+
     "windowed_avg" -> windowedAvgOracle,
 
     "ctr_join" -> ctrJoinOracle,

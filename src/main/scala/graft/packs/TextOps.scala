@@ -452,6 +452,17 @@ object TextOps extends QueryPack {
       .limit(VocabTopN)
   }
 
+  /** Chunk window/overlap, shared with the generated oracle: the gate
+    * corpus's median doc (~56 tokens) yields 2-3 chunks, so overlap,
+    * short-final-chunk and single-chunk docs are all live. */
+  val ChunkTokens = 32
+  val ChunkOverlap = 8
+
+  /** Overlapping fixed-window chunking — the embedding-prep stage. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
+      "doc_id", "text", ChunkTokens, ChunkOverlap)
+
   /** BPE-denominated context cap, shared with the generated oracle:
     * ~median of the gate corpus's per-doc BPE counts (~125), so both
     * branches stay live. */
@@ -570,6 +581,7 @@ object TextOps extends QueryPack {
     "token_count_bpe" -> (tokenCountBpe _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
+    "chunk_documents" -> (chunkDocuments _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -863,6 +875,20 @@ object TextOps extends QueryPack {
          |             doc_id) AS rk
          |  FROM e
          |) WHERE rk <= $DomainCapK""".stripMargin
+    },
+
+    // same 1-based starts every stride tokens, inclusive-end list_slice
+    // clamped to the token count; chunk_idx recovers the ordinal from
+    // the start arithmetically
+    "chunk_documents" -> {
+      val stride = ChunkTokens - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST((s - 1) // $stride AS BIGINT) AS chunk_idx,
+         |  array_to_string(list_slice(tk, CAST(s AS INT),
+         |    CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT)), ' ') AS text,
+         |  CAST(least($ChunkTokens, len(tk) - s + 1) AS BIGINT) AS n_tokens
+         |FROM t, unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)""".stripMargin
     },
 
     "shard_assign" ->

@@ -28,7 +28,8 @@ class CodegenStrictSpec extends SparkSpec {
     "sql_quality_floor_by_lang",
     "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe",
     "url_canonicalize", "per_domain_cap", "token_count_bpe_store",
-    "vocab_top_subwords", "truncate_tokens_bpe")
+    "vocab_top_subwords", "truncate_tokens_bpe", "chunk_documents",
+    "avro_roundtrip")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
