@@ -1,0 +1,121 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Feature-hash text embedding — the public "hashing trick"
+  * (Weinberger et al., "Feature Hashing for Large Scale Multitask
+  * Learning", ICML 2009): each whitespace token hashes to one of `dim`
+  * buckets with a hash-derived ±1 sign, and the text's vector is the
+  * signed bucket counts. No vocabulary, no training, no lookup table —
+  * the standard deterministic text→vector bridge when no learned
+  * encoder is in the loop (and the drop-in SEAM where one goes: any
+  * model server produces the same `array<double>` column).
+  *
+  * Determinism & oracle parity: bucket and sign derive from the SAME
+  * md5h60 idiom the whole repo hashes with (first 15 hex chars of
+  * md5("emb#" + token) as a 60-bit long; bucket = h mod dim, sign from
+  * the next bit h div dim mod 2) — DuckDB recomputes it exactly, and
+  * because components are signed INTEGER counts, dot products are
+  * exact integers and cosine is a single IEEE expression both sides.
+  *
+  * Scale shape: one pass over the tokens per row, scan-side, codegen'd
+  * — no explode, no per-token rows, no shuffle (the explode → groupBy
+  * formulation would shuffle every token in the corpus). Token hashes
+  * memoized (bounded) — Zipfian corpora re-hash the same words
+  * constantly.
+  */
+final class HashEmbedder(val dim: Int) extends Serializable {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  @transient private lazy val digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val MemoCap = 1 << 16
+
+  /** md5h60 of a string — first 15 hex chars of the md5 digest as a
+    * (nonnegative, 60-bit) long; bit-identical to the Column idiom
+    * `conv(substring(md5(c), 1, 15), 16, 10)` and DuckDB's
+    * `('0x' || substr(md5(c), 1, 15))::BIGINT`. */
+  def md5h60(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    // 15 hex chars = 15 nibbles, high nibble of each byte first
+    var v = 0L
+    var i = 0
+    while (i < 15) {
+      val b = bytes(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+
+  private def tokenHash(t: String): Long = {
+    val cached = memo.get(t)
+    if (cached != null) return cached
+    val h = md5h60("emb#" + t)
+    if (memo.size < MemoCap) memo.put(t, h)
+    h
+  }
+
+  /** The signed-count vector of a text. */
+  def embed(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash(toks(i))
+      val b = (h % dim).toInt
+      acc(b) += (if ((h / dim) % 2 == 0) 1.0 else -1.0)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override def hashCode(): Int = dim
+  override def equals(o: Any): Boolean = o match {
+    case e: HashEmbedder => e.dim == dim
+    case _ => false
+  }
+}
+
+/** `array<double>` feature-hash embedding of a text column. */
+case class HashEmbed(child: Expression, embedder: HashEmbedder)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_hash_embed"
+
+  override def nullSafeEval(input: Any): Any =
+    embedder.embed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashEmbedder", embedder,
+      classOf[HashEmbedder].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.embed($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbed =
+    copy(child = newChild)
+}
+
+object HashEmbed {
+  def apply(text: Column, dim: Int): Column =
+    bridge.column(HashEmbed(bridge.expression(text), new HashEmbedder(dim)))
+}

@@ -463,6 +463,42 @@ object TextOps extends QueryPack {
     TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
       "doc_id", "text", ChunkTokens, ChunkOverlap)
 
+  /** Feature-hash embedding width + chunk-ANN k, shared with the
+    * generated oracles. */
+  val EmbedDim = 64
+  val ChunkAnnK = 5
+
+  /** Sparse view of the feature-hash text embedding — the text→vector
+    * bridge's own gate: every nonzero (bucket, signed count) component
+    * per doc, exactly the integers DuckDB recomputes from the shared
+    * md5h60 idiom. */
+  def embedTextComponents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashEmbed(col("text"), EmbedDim)))
+      .filter(col("col") =!= 0.0)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("val"))
+
+  /** The composed text-similarity pipeline: documents → overlapping
+    * chunks → feature-hash embeddings → brute cosine top-k (the
+    * bounded-heap ranking path) — similarity search over REAL text
+    * instead of the synthetic embeddings table; any learned encoder
+    * drops in at the HashEmbed seam. Query set = chunks of every 25th
+    * document, fixed small against the corpus. */
+  def chunkEmbedAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
+      .select(col("doc_id"),
+        (col("doc_id") * 100 + col("chunk_idx")).as("vec_id"), col("text"))
+    val vectors = chunks.select(col("doc_id"), col("vec_id"),
+      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    val queries = vectors.filter(col("doc_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    graft.operators.SimilaritySearch.bruteForceTopKHeap(
+      vectors.select(col("vec_id"), col("embedding")), queries, ChunkAnnK)
+  }
+
   /** BPE-denominated context cap, shared with the generated oracle:
     * ~median of the gate corpus's per-doc BPE counts (~125), so both
     * branches stay live. */
@@ -582,6 +618,8 @@ object TextOps extends QueryPack {
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "chunk_documents" -> (chunkDocuments _),
+    "embed_text_components" -> (embedTextComponents _),
+    "chunk_embed_ann" -> (chunkEmbedAnn _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -875,6 +913,74 @@ object TextOps extends QueryPack {
          |             doc_id) AS rk
          |  FROM e
          |) WHERE rk <= $DomainCapK""".stripMargin
+    },
+
+    // the shared md5h60 idiom per token: bucket = h mod dim, sign from
+    // the next bit — signed integer counts, exact cross-engine
+    "embed_text_components" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(h % $EmbedDim AS BIGINT) AS bucket,
+         |  CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS val
+         |FROM h GROUP BY 1, 2
+         |HAVING sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    // chunk tokens hashed straight off the slices (no text reassembly),
+    // bucket sums grid-filled to the dense vector, then the annBrute
+    // cosine/ranking shape: integer dots, sqrt-of-integer norms, the
+    // identical zero guard and (sim DESC, vec_id ASC) tie-break
+    "chunk_embed_ann" -> {
+      val stride = ChunkTokens - ChunkOverlap
+      s"""WITH ck AS (
+         |  SELECT doc_id, tk, s,
+         |    CAST(doc_id * 100 + (s - 1) // $stride AS BIGINT) AS vec_id
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
+         |), ct AS (
+         |  SELECT doc_id, vec_id,
+         |    unnest(list_slice(tk, CAST(s AS INT),
+         |      CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT))) AS t
+         |  FROM ck
+         |), hh AS (
+         |  SELECT doc_id, vec_id,
+         |    ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+         |  FROM ct
+         |), tb AS (
+         |  SELECT vec_id, h % $EmbedDim AS b,
+         |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+         |  FROM hh GROUP BY 1, 2
+         |), grid AS (
+         |  SELECT ids.vec_id, r.b
+         |  FROM (SELECT DISTINCT vec_id FROM tb) ids,
+         |       unnest(range(0, $EmbedDim)) AS r(b)
+         |), vec AS (
+         |  SELECT g.vec_id, list(coalesce(tb.v, 0) ORDER BY g.b) AS emb
+         |  FROM grid g LEFT JOIN tb ON tb.vec_id = g.vec_id AND tb.b = g.b
+         |  GROUP BY g.vec_id
+         |), vn AS (
+         |  SELECT vec_id, emb,
+         |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+         |  FROM vec
+         |), q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+         |  FROM vn WHERE (vec_id // 100) % 25 = 0
+         |), scored AS (
+         |  SELECT q.query_id, v.vec_id,
+         |    round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> q.q_emb[i] * v.emb[i])) / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM q, vn v WHERE v.vec_id <> q.query_id
+         |)
+         |SELECT query_id, vec_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, vec_id ASC) AS rk
+         |  FROM scored
+         |) WHERE rk <= $ChunkAnnK""".stripMargin
     },
 
     // same 1-based starts every stride tokens, inclusive-end list_slice

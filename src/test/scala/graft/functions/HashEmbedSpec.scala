@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** The feature-hash embedding: native md5h60 bit-identical to the
+  * Column idiom, the one-pass vector equal to the explode/groupBy
+  * construction, and the semantic sanity the hashing trick promises. */
+class HashEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native md5h60 == the Column md5h60 idiom") {
+    val e = new HashEmbedder(64)
+    val words = Seq("the", "cat", "", "中文", "a b", "emb#x")
+    val viaColumn = words.toDF("w")
+      .select(col("w"), graft.operators.Dedup.md5h60(concat(lit("emb#"), col("w"))))
+      .as[(String, Long)].collect().toMap
+    words.foreach { w =>
+      assert(e.md5h60("emb#" + w) == viaColumn(w),
+        s"'$w': native md5h60 diverges from the Column idiom")
+    }
+  }
+
+  test("one-pass vector == explode/groupBy construction over the corpus") {
+    val dim = 64
+    val docs = Tables.documents(spark, sf).limit(100)
+    val native = docs.select(col("doc_id"),
+        posexplode(HashEmbed(col("text"), dim)))
+      .filter(col("col") =!= 0.0)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("val"))
+    val refRows = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.md5h60(concat(lit("emb#"), col("t"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim.toLong)).as("bucket"),
+        when(pmod(expr(s"h div ${dim}L"), lit(2L)) === 0, 1.0)
+          .otherwise(-1.0).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("val"))
+      .filter(col("val") =!= 0.0)
+    val a = native.as[(Long, Long, Double)].collect().toSet
+    val b = refRows.as[(Long, Long, Double)].collect().toSet
+    assert(a == b, "native one-pass vector must equal the explode/groupBy form")
+  }
+
+  test("semantic sanity: identical texts identical vectors; self-similarity 1") {
+    val e = new HashEmbedder(32)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val v1 = e.embed(u("the cat sat on the mat"))
+    val v2 = e.embed(u("the cat sat on the mat"))
+    assert(v1.toDoubleArray().toSeq == v2.toDoubleArray().toSeq)
+    // disjoint token sets give (near-)orthogonal small-overlap vectors,
+    // shared tokens raise the dot — the property ANN over these relies on
+    val a = e.embed(u("alpha beta gamma")).toDoubleArray()
+    val b = e.embed(u("alpha beta gamma delta")).toDoubleArray()
+    val c = e.embed(u("zz qq ww")).toDoubleArray()
+    def dot(x: Array[Double], y: Array[Double]) =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    assert(dot(a, b) > dot(a, c),
+      "shared-token texts must score above disjoint ones")
+  }
+}
