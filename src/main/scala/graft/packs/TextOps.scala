@@ -499,6 +499,37 @@ object TextOps extends QueryPack {
       vectors.select(col("vec_id"), col("embedding")), queries, ChunkAnnK)
   }
 
+  /** Same-chunk cosine threshold for the text semantic near-dup rollup
+    * (shared with the oracle): near-identical chunks only — the tiny
+    * shared vocabulary makes unrelated chunks moderately similar, so
+    * the threshold sits well above that base. */
+  val TextNearDupThreshold = 0.95
+
+  /** Embedding-cosine near-dup over REAL text — the brief's missing
+    * variant done end-to-end: chunks → hash embeddings → exact cosine
+    * pairs ≥ threshold (the [[graft.operators.SimilaritySearch.cosineNearDupPairs]]
+    * verifier; at corpus scale the LSH/IVF blockers front it) → rolled
+    * up to DISTINCT-document pairs (same-doc chunk pairs excluded —
+    * overlapping chunks of one doc are trivially similar), with the
+    * matching chunk-pair count and max similarity as the evidence
+    * columns. */
+  def textSemanticNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
+      .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+        col("text"))
+    val vectors = chunks.select(col("vec_id"),
+      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    graft.operators.SimilaritySearch
+      .cosineNearDupPairs(vectors, TextNearDupThreshold)
+      .select(expr("vec_a div 100").as("doc_a"),
+        expr("vec_b div 100").as("doc_b"), col("sim"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** BPE-denominated context cap, shared with the generated oracle:
     * ~median of the gate corpus's per-doc BPE counts (~125), so both
     * branches stay live. */
@@ -620,6 +651,7 @@ object TextOps extends QueryPack {
     "chunk_documents" -> (chunkDocuments _),
     "embed_text_components" -> (embedTextComponents _),
     "chunk_embed_ann" -> (chunkEmbedAnn _),
+    "text_semantic_neardup" -> (textSemanticNearDup _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -872,7 +904,68 @@ object TextOps extends QueryPack {
        |)""".stripMargin
   }
 
+  /** Shared chunk→hash-embedding CTE chain ending in
+    * `vn(vec_id, emb, nrm)`: chunk tokens hashed straight off the
+    * slices, per-(chunk, bucket) signed sums grid-filled to the dense
+    * vector, sqrt-of-integer norms. ONE string for the chunk-ANN and
+    * the text semantic near-dup oracles — the two cannot drift. */
+  private lazy val chunkEmbedCtes: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""ck AS (
+       |  SELECT doc_id, tk, s,
+       |    CAST(doc_id * 100 + (s - 1) // $stride AS BIGINT) AS vec_id
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
+       |), ct AS (
+       |  SELECT doc_id, vec_id,
+       |    unnest(list_slice(tk, CAST(s AS INT),
+       |      CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT))) AS t
+       |  FROM ck
+       |), hh AS (
+       |  SELECT doc_id, vec_id,
+       |    ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+       |  FROM ct
+       |), tb AS (
+       |  SELECT vec_id, h % $EmbedDim AS b,
+       |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+       |  FROM hh GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT ids.vec_id, r.b
+       |  FROM (SELECT DISTINCT vec_id FROM tb) ids,
+       |       unnest(range(0, $EmbedDim)) AS r(b)
+       |), vec AS (
+       |  SELECT g.vec_id, list(coalesce(tb.v, 0) ORDER BY g.b) AS emb
+       |  FROM grid g LEFT JOIN tb ON tb.vec_id = g.vec_id AND tb.b = g.b
+       |  GROUP BY g.vec_id
+       |), vn AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+       |  FROM vec
+       |)""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
+    // the exact-cosine pair verifier over the shared chunk embeddings,
+    // rolled up to distinct-document pairs (vec_a < vec_b plus the
+    // cross-doc filter makes doc_a < doc_b); same round(4)-then-
+    // threshold arithmetic as the engine
+    "text_semantic_neardup" ->
+      s"""WITH $chunkEmbedCtes
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  max(sim) AS max_sim
+         |FROM (
+         |  SELECT a.vec_id // 100 AS doc_a, b.vec_id // 100 AS doc_b,
+         |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4) AS sim
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+         |  WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4)
+         |    >= $TextNearDupThreshold
+         |    AND a.vec_id // 100 <> b.vec_id // 100
+         |)
+         |GROUP BY doc_a, doc_b""".stripMargin,
     // host regex and the longest-suffix-first eTLD+1 CASE chain are
     // GENERATED from UrlOps' one suffix table — identical logic both
     // engines, RE2-compatible patterns throughout
@@ -934,39 +1027,8 @@ object TextOps extends QueryPack {
     // bucket sums grid-filled to the dense vector, then the annBrute
     // cosine/ranking shape: integer dots, sqrt-of-integer norms, the
     // identical zero guard and (sim DESC, vec_id ASC) tie-break
-    "chunk_embed_ann" -> {
-      val stride = ChunkTokens - ChunkOverlap
-      s"""WITH ck AS (
-         |  SELECT doc_id, tk, s,
-         |    CAST(doc_id * 100 + (s - 1) // $stride AS BIGINT) AS vec_id
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-         |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
-         |), ct AS (
-         |  SELECT doc_id, vec_id,
-         |    unnest(list_slice(tk, CAST(s AS INT),
-         |      CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT))) AS t
-         |  FROM ck
-         |), hh AS (
-         |  SELECT doc_id, vec_id,
-         |    ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
-         |  FROM ct
-         |), tb AS (
-         |  SELECT vec_id, h % $EmbedDim AS b,
-         |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
-         |  FROM hh GROUP BY 1, 2
-         |), grid AS (
-         |  SELECT ids.vec_id, r.b
-         |  FROM (SELECT DISTINCT vec_id FROM tb) ids,
-         |       unnest(range(0, $EmbedDim)) AS r(b)
-         |), vec AS (
-         |  SELECT g.vec_id, list(coalesce(tb.v, 0) ORDER BY g.b) AS emb
-         |  FROM grid g LEFT JOIN tb ON tb.vec_id = g.vec_id AND tb.b = g.b
-         |  GROUP BY g.vec_id
-         |), vn AS (
-         |  SELECT vec_id, emb,
-         |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
-         |  FROM vec
-         |), q AS (
+    "chunk_embed_ann" -> (
+      s"""WITH $chunkEmbedCtes, q AS (
          |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
          |  FROM vn WHERE (vec_id // 100) % 25 = 0
          |), scored AS (
@@ -981,7 +1043,7 @@ object TextOps extends QueryPack {
          |    ORDER BY sim DESC, vec_id ASC) AS rk
          |  FROM scored
          |) WHERE rk <= $ChunkAnnK""".stripMargin
-    },
+    ),
 
     // same 1-based starts every stride tokens, inclusive-end list_slice
     // clamped to the token count; chunk_idx recovers the ordinal from

@@ -29,7 +29,8 @@ class CodegenStrictSpec extends SparkSpec {
     "token_count_bpe", "pack_sequences_bpe", "token_budget_sample_bpe",
     "url_canonicalize", "per_domain_cap", "token_count_bpe_store",
     "vocab_top_subwords", "truncate_tokens_bpe", "chunk_documents",
-    "avro_roundtrip", "embed_text_components", "chunk_embed_ann")
+    "avro_roundtrip", "embed_text_components", "chunk_embed_ann",
+    "text_semantic_neardup")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
