@@ -420,7 +420,7 @@ object SimilarityOps extends QueryPack {
     * Elements are exponent-form literals (see sqlDouble), so DuckDB
     * materializes the bit-identical DOUBLE[] the engine's codegen uses
     * and the sign buckets match exactly. */
-  private def planesCte(planes: Array[Array[Array[Double]]]): String = {
+  private[packs] def planesCte(planes: Array[Array[Array[Double]]]): String = {
     val rows = for {
       t <- planes.indices
       p <- planes(t).indices
@@ -431,7 +431,7 @@ object SimilarityOps extends QueryPack {
   /** Bucket id per (vector, table): bit p set iff v·plane_p > 0 —
     * identical to HyperplaneBuckets.compute (same left-to-right dot,
     * same strict > 0). */
-  private val vbuckCte =
+  private[packs] val vbuckCte =
     """vbuck AS (
       |  SELECT vec_id, tbl,
       |         CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -888,31 +888,36 @@ object SimilarityOps extends QueryPack {
     * partial-agg + anti-join) keeps the two sides equivalent even on a
     * degenerate corpus. `extraPred` restricts the final pair set (the
     * incremental "touching the batch" filter). */
-  private def embNearDupPairsSql(extraPred: String): String = {
-    val keep =
-      s"""vkeep AS (
-         |  SELECT vb.vec_id, vb.tbl, vb.bucket FROM vbuck vb
-         |  JOIN (SELECT tbl, bucket FROM vbuck GROUP BY tbl, bucket
-         |        HAVING count(*) <= ${SimilaritySearch.EmbLshMaxBucketSize}) ok
-         |    USING (tbl, bucket)
-         |)""".stripMargin
-    keep + ",\n" +
-      s"""cand AS (
-         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM vkeep a JOIN vkeep b USING (tbl, bucket)
-         |  WHERE a.vec_id < b.vec_id
-         |)
-         |SELECT vec_a, vec_b, sim FROM (
-         |  SELECT c.vec_a, c.vec_b,
-         |         round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-         |           ELSE list_sum(list_transform(generate_series(1, 64),
-         |                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-         |                / (a.nrm * b.nrm) END, 4) AS sim
-         |  FROM cand c
-         |  JOIN v a ON a.vec_id = c.vec_a
-         |  JOIN v b ON b.vec_id = c.vec_b
-         |) s WHERE sim >= 0.4$extraPred""".stripMargin
-  }
+  /** The same chain as a composable CTE ending in
+    * `vpairs(vec_a, vec_b, sim)` — parameterized on the threshold so
+    * the text-chunk near-dup oracle (TextOps) composes the IDENTICAL
+    * bucketing/cap/verify fragment over its own `v`/`vbuck`. */
+  private[packs] def embNearDupPairsCtes(threshold: Double = 0.4): String =
+    s"""vkeep AS (
+       |  SELECT vb.vec_id, vb.tbl, vb.bucket FROM vbuck vb
+       |  JOIN (SELECT tbl, bucket FROM vbuck GROUP BY tbl, bucket
+       |        HAVING count(*) <= ${SimilaritySearch.EmbLshMaxBucketSize}) ok
+       |    USING (tbl, bucket)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM vkeep a JOIN vkeep b USING (tbl, bucket)
+       |  WHERE a.vec_id < b.vec_id
+       |), vpairs AS (
+       |  SELECT vec_a, vec_b, sim FROM (
+       |    SELECT c.vec_a, c.vec_b,
+       |           round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |             ELSE list_sum(list_transform(generate_series(1, 64),
+       |                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |                  / (a.nrm * b.nrm) END, 4) AS sim
+       |    FROM cand c
+       |    JOIN v a ON a.vec_id = c.vec_a
+       |    JOIN v b ON b.vec_id = c.vec_b
+       |  ) s WHERE sim >= $threshold
+       |)""".stripMargin
+
+  private def embNearDupPairsSql(extraPred: String): String =
+    embNearDupPairsCtes() +
+      s"\nSELECT vec_a, vec_b, sim FROM vpairs WHERE true$extraPred"
 
   private def embeddingNearDupLshOracle: String = {
     val planes = SimilaritySearch.hyperplanes(nTables = 8, nPlanes = 8,

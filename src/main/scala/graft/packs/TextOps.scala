@@ -530,6 +530,30 @@ object TextOps extends QueryPack {
         max(col("sim")).as("max_sim"))
   }
 
+  /** [[textSemanticNearDup]] through the LSH blocker — the SCALE path
+    * (the exact all-pairs verifier is inherently quadratic): hyperplane
+    * bucket candidates + capped buckets + exact-cosine verification
+    * ([[graft.operators.SimilaritySearch.lshNearDupPairs]] — the same
+    * machinery the synthetic-embeddings near-dup runs), rolled up to
+    * distinct-document pairs. Oracle composes the IDENTICAL generated
+    * plane/bucket/cap/verify fragments over the chunk embeddings. */
+  def textSemanticNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
+      .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+        col("text"))
+    val vectors = chunks.select(col("vec_id"),
+      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    graft.operators.SimilaritySearch
+      .lshNearDupPairs(vectors, TextNearDupThreshold)
+      .select(expr("vec_a div 100").as("doc_a"),
+        expr("vec_b div 100").as("doc_b"), col("sim"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** BPE-denominated context cap, shared with the generated oracle:
     * ~median of the gate corpus's per-doc BPE counts (~125), so both
     * branches stay live. */
@@ -652,6 +676,7 @@ object TextOps extends QueryPack {
     "embed_text_components" -> (embedTextComponents _),
     "chunk_embed_ann" -> (chunkEmbedAnn _),
     "text_semantic_neardup" -> (textSemanticNearDup _),
+    "text_semantic_neardup_lsh" -> (textSemanticNearDupLsh _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -966,6 +991,25 @@ object TextOps extends QueryPack {
          |    AND a.vec_id // 100 <> b.vec_id // 100
          |)
          |GROUP BY doc_a, doc_b""".stripMargin,
+    // the SAME generated plane/bucket/cap/verify fragments the
+    // synthetic-embeddings LSH oracle uses (SimilarityOps), composed
+    // over the chunk embeddings (emb components already DOUBLE — the
+    // fragment's casts are no-ops), then the distinct-doc rollup
+    "text_semantic_neardup_lsh" -> {
+      val planes = graft.operators.SimilaritySearch.hyperplanes(
+        nTables = 8, nPlanes = 8, dim = EmbedDim, seed = 42L)
+      s"""WITH $chunkEmbedCtes,
+         |v AS (SELECT vec_id, emb AS embedding, nrm FROM vn),
+         |${SimilarityOps.planesCte(planes)},
+         |${SimilarityOps.vbuckCte},
+         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold)}
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  max(sim) AS max_sim
+         |FROM (SELECT vec_a // 100 AS doc_a, vec_b // 100 AS doc_b, sim
+         |      FROM vpairs WHERE vec_a // 100 <> vec_b // 100)
+         |GROUP BY doc_a, doc_b""".stripMargin
+    },
+
     // host regex and the longest-suffix-first eTLD+1 CASE chain are
     // GENERATED from UrlOps' one suffix table — identical logic both
     // engines, RE2-compatible patterns throughout

@@ -108,6 +108,28 @@ class GroupedQualityFloorSpec extends SparkSpec {
     assert(store.cutoffsBp.size == 40, "one cutoff per group")
   }
 
+  test("non-string group key: the store matches the batch operator's generality") {
+    // the batch qualityFloorByGroup is type-generic over the group
+    // column; the streaming twin must be too (an earlier getString(0)
+    // compiled for an int-keyed group and threw ClassCastException at
+    // publish time). Int group key, full cycle: merge → cutoffs →
+    // curated == the batch floor on the same rows.
+    val store = new GroupedQualityFloorStore(KeepFrac, "bucket")
+    val docs = (1L to 40L).map(i => (i, i % 3, textOf(i)))
+      .toDF("doc_id", "bucket", "text")
+    val scored = docs.select(col("doc_id"), col("bucket"),
+      store.qualityBp(col("text")).as("quality_bp"))
+    store.merge(scored, batchId = 0L)
+    assert(store.cutoffsBp.size == 3, "one cutoff per int group")
+    val streamed = store.curated(scored)
+      .select("doc_id").as[Long].collect().toSet
+    val batch = TextAnalysis.qualityFloorByGroup(docs, "doc_id", "text",
+        "bucket", KeepFrac)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch,
+      "int-keyed streamed floor must equal the batch grouped floor")
+  }
+
   test("restart adopts the committed histogram: cutoffs, curated view, replay guard") {
     val dir = java.nio.file.Files.createTempDirectory("gqfloor-restart").toString
     val before = new GroupedQualityFloorStore(KeepFrac, "lang", dir)
