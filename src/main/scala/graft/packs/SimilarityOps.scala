@@ -892,11 +892,12 @@ object SimilarityOps extends QueryPack {
     * `vpairs(vec_a, vec_b, sim)` — parameterized on the threshold so
     * the text-chunk near-dup oracle (TextOps) composes the IDENTICAL
     * bucketing/cap/verify fragment over its own `v`/`vbuck`. */
-  private[packs] def embNearDupPairsCtes(threshold: Double = 0.4): String =
+  private[packs] def embNearDupPairsCtes(threshold: Double = 0.4,
+      maxBucketSize: Int = SimilaritySearch.EmbLshMaxBucketSize): String =
     s"""vkeep AS (
        |  SELECT vb.vec_id, vb.tbl, vb.bucket FROM vbuck vb
        |  JOIN (SELECT tbl, bucket FROM vbuck GROUP BY tbl, bucket
-       |        HAVING count(*) <= ${SimilaritySearch.EmbLshMaxBucketSize}) ok
+       |        HAVING count(*) <= $maxBucketSize) ok
        |    USING (tbl, bucket)
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -484,7 +484,7 @@ object TextOps extends QueryPack {
     * chunks → feature-hash embeddings → brute cosine top-k (the
     * bounded-heap ranking path) — similarity search over REAL text
     * instead of the synthetic embeddings table; any learned encoder
-    * drops in at the HashEmbed seam. Query set = chunks of every 25th
+    * drops in at the HashEmbed seam. Query set = chunks of every 100th
     * document, fixed small against the corpus. */
   def chunkEmbedAnn(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
@@ -493,7 +493,7 @@ object TextOps extends QueryPack {
         (col("doc_id") * 100 + col("chunk_idx")).as("vec_id"), col("text"))
     val vectors = chunks.select(col("doc_id"), col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
-    val queries = vectors.filter(col("doc_id") % 25 === 0)
+    val queries = vectors.filter(col("doc_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     graft.operators.SimilaritySearch.bruteForceTopKHeap(
       vectors.select(col("vec_id"), col("embedding")), queries, ChunkAnnK)
@@ -505,6 +505,24 @@ object TextOps extends QueryPack {
     * the threshold sits well above that base. */
   val TextNearDupThreshold = 0.95
 
+  /** The EXACT verifier form is registered over this doc subset
+    * (doc_id % mod == 0): exact all-pairs is inherently quadratic —
+    * it's the VERIFIER, gated at a bounded scale (sf0.1's full 13k
+    * chunks cost 85M scored pairs, measured 61 s warm — the blowup
+    * the LSH blocker exists to avoid); the full-corpus path is
+    * [[textSemanticNearDupLsh]]. Shared with the oracle. */
+  val TextNearDupSubsetMod = 4
+
+  /** Bucket cap for the text-chunk LSH blocker, shared with the
+    * oracle: a tiny-vocabulary corpus COLLAPSES hyperplane buckets
+    * (most chunk vectors share sign patterns — the degenerate case
+    * the cap machinery exists for); the default 1000-cap left capped
+    * buckets of 10⁶/2 candidate pairs each at sf0.1 (measured 11 s
+    * warm). Near-identical chunks still co-bucket under the tighter
+    * cap; recall on collapsed buckets is the documented tradeoff
+    * (route exact-dup families through hash dedup first). */
+  val TextLshMaxBucketSize = 250
+
   /** Embedding-cosine near-dup over REAL text — the brief's missing
     * variant done end-to-end: chunks → hash embeddings → exact cosine
     * pairs ≥ threshold (the [[graft.operators.SimilaritySearch.cosineNearDupPairs]]
@@ -514,7 +532,9 @@ object TextOps extends QueryPack {
     * matching chunk-pair count and max similarity as the evidence
     * columns. */
   def textSemanticNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
+    val chunks = TextAnalysis.chunkDocuments(
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") % TextNearDupSubsetMod === 0),
         "doc_id", "text", ChunkTokens, ChunkOverlap)
       .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
         col("text"))
@@ -545,7 +565,8 @@ object TextOps extends QueryPack {
     val vectors = chunks.select(col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     graft.operators.SimilaritySearch
-      .lshNearDupPairs(vectors, TextNearDupThreshold)
+      .lshNearDupPairs(vectors, TextNearDupThreshold,
+        maxBucketSize = TextLshMaxBucketSize)
       .select(expr("vec_a div 100").as("doc_a"),
         expr("vec_b div 100").as("doc_b"), col("sim"))
       .filter(col("doc_a") =!= col("doc_b"))
@@ -934,12 +955,16 @@ object TextOps extends QueryPack {
     * slices, per-(chunk, bucket) signed sums grid-filled to the dense
     * vector, sqrt-of-integer norms. ONE string for the chunk-ANN and
     * the text semantic near-dup oracles — the two cannot drift. */
-  private lazy val chunkEmbedCtes: String = {
+  private lazy val chunkEmbedCtes: String = chunkEmbedCtesFrom("documents")
+
+  /** [[chunkEmbedCtes]] over an arbitrary source relation — the exact
+    * verifier oracle runs over the registered doc SUBSET. */
+  private def chunkEmbedCtesFrom(rel: String): String = {
     val stride = ChunkTokens - ChunkOverlap
     s"""ck AS (
        |  SELECT doc_id, tk, s,
        |    CAST(doc_id * 100 + (s - 1) // $stride AS BIGINT) AS vec_id
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
        |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
        |), ct AS (
        |  SELECT doc_id, vec_id,
@@ -975,7 +1000,8 @@ object TextOps extends QueryPack {
     // cross-doc filter makes doc_a < doc_b); same round(4)-then-
     // threshold arithmetic as the engine
     "text_semantic_neardup" ->
-      s"""WITH $chunkEmbedCtes
+      s"""WITH ${chunkEmbedCtesFrom(
+        s"(SELECT * FROM documents WHERE doc_id % $TextNearDupSubsetMod = 0)")}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (
@@ -1002,7 +1028,7 @@ object TextOps extends QueryPack {
          |v AS (SELECT vec_id, emb AS embedding, nrm FROM vn),
          |${SimilarityOps.planesCte(planes)},
          |${SimilarityOps.vbuckCte},
-         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold)}
+         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold, TextLshMaxBucketSize)}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (SELECT vec_a // 100 AS doc_a, vec_b // 100 AS doc_b, sim
@@ -1074,7 +1100,7 @@ object TextOps extends QueryPack {
     "chunk_embed_ann" -> (
       s"""WITH $chunkEmbedCtes, q AS (
          |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
-         |  FROM vn WHERE (vec_id // 100) % 25 = 0
+         |  FROM vn WHERE (vec_id // 100) % 100 = 0
          |), scored AS (
          |  SELECT q.query_id, v.vec_id,
          |    round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
