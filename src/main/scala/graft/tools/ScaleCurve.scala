@@ -108,6 +108,22 @@ object ScaleCurve {
         SimilaritySearch.bruteForceTopKHeap(vecs, queries, k = 10))
       bench("ann_ivf", m,
         IvfIndex.topK(vecs, queries, centroids, k = 10, nprobe = 4))
+      // the text→vector→near-dup bridge: chunking and embedding are
+      // scan-side (all scales); the LSH pair path is measured to 10×
+      // only — its candidate volume on this salted corpus is bounded by
+      // the bucket caps, but 100× would mostly measure cap churn
+      val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8)
+        .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+          col("text"))
+      bench("chunk_documents", m, chunks)
+      bench("chunk_hash_embed", m, chunks.select(col("vec_id"),
+        graft.functions.HashEmbed(col("text"), 64).as("embedding")))
+      if (m <= 10)
+        bench("text_neardup_lsh", m,
+          SimilaritySearch.lshNearDupPairs(
+            chunks.select(col("vec_id"),
+              graft.functions.HashEmbed(col("text"), 64).as("embedding")),
+            threshold = 0.95, maxBucketSize = 250))
       docs.unpersist()
       vecs.unpersist()
     }
