@@ -68,12 +68,28 @@ private[graft] abstract class SegmentedBucketedStore(
     pointer.read().map(State.decode).getOrElse(State.Empty)
 
   /** One pointer read, kept with its decoded state — the mutation paths
-    * publish via CAS FROM this observed payload when the pointer
-    * supports it, so a foreign publish (another driver racing this
-    * store) fails loudly instead of being silently clobbered. */
+    * CLAIM their segment id from this observed payload and publish
+    * conditionally on it when the pointer supports CAS, so a foreign
+    * publish (another driver racing this store) is retried from the
+    * fresh state instead of being silently clobbered. */
   private def snapshot(): (Option[String], State) = {
     val payload = pointer.read()
     (payload, payload.map(State.decode).getOrElse(State.Empty))
+  }
+
+  /** [[table]] over an EXPLICIT segment list — the rewrite path folds
+    * exactly the segments it claimed (reading `state` again mid-fold
+    * could pick up a foreign merge whose segment the final conditional
+    * publish would then double-count after its own retry). */
+  private def tableOf(spark: SparkSession, segs: List[Int]): DataFrame = {
+    segs.foreach(ensureRegistered(spark, _))
+    segs match {
+      case Nil => emptyTable(spark)
+      case one :: Nil => spark.table(segTable(one))
+      case many =>
+        spark.read.schema(emptyTable(spark).schema)
+          .parquet(many.map(k => segPath(spark, k).toString): _*)
+    }
   }
 
   /** Current store table. Empty before the first merge. Single live
@@ -91,17 +107,7 @@ private[graft] abstract class SegmentedBucketedStore(
     * downstream operators insert their Exchange and stay correct;
     * that Exchange is exactly the probe cost [[compact]]'s cadence
     * bounds. */
-  def table(spark: SparkSession): DataFrame = {
-    val st = state
-    st.segs.foreach(ensureRegistered(spark, _))
-    st.segs match {
-      case Nil => emptyTable(spark)
-      case one :: Nil => spark.table(segTable(one))
-      case many =>
-        spark.read.schema(emptyTable(spark).schema)
-          .parquet(many.map(k => segPath(spark, k).toString): _*)
-    }
-  }
+  def table(spark: SparkSession): DataFrame = tableOf(spark, state.segs)
 
   /** True when `batchId` was already merged — [[merge]] would no-op.
     * Lets a foreachBatch body skip the batch-artifact computation (and
@@ -128,21 +134,55 @@ private[graft] abstract class SegmentedBucketedStore(
   def merge(batch: DataFrame,
       batchId: Long = VersionedParquetStore.NoBatchId): Unit = synchronized {
     val spark = batch.sparkSession
-    val (observed, st) = snapshot()
-    if (batchId != VersionedParquetStore.NoBatchId && batchId <= st.lastBatch)
-      return
-    // first use of this store name in this warehouse: sweep segment
-    // directories a dead JVM's in-memory pointer never retired (they
-    // are invisible to reads — pointer-driven — but leak disk forever,
-    // and saveAsTable refuses an existing unregistered location)
-    if (observed.isEmpty) sweepOrphans(spark)
-    val k = st.nextSeg
-    dropSegment(spark, k) // a crashed previous write's leftovers
+    // Phase 1 — CLAIM the segment id: bump nextSeg in the manifest
+    // BEFORE any file is written. Ids are handed out by the pointer
+    // itself, so no two writers (this JVM's lock only serializes THIS
+    // instance — a second driver races freely) can ever hold the same
+    // segment path: the pre-round-11 form picked k = nextSeg post-hoc,
+    // and a CAS loser's pre-write cleanup could delete the WINNER's
+    // already-published segment k files (ADVICE r10). A claim burned by
+    // a crash (claimed, never appended) is harmless: nextSeg is
+    // monotone, the id is simply never reissued.
+    var k = -1
+    var claimed: Option[State] = None
+    while (claimed.isEmpty) {
+      val (observed, st) = snapshot()
+      if (batchId != VersionedParquetStore.NoBatchId &&
+          batchId <= st.lastBatch)
+        return
+      // first use of this store name in this warehouse: sweep segment
+      // directories a dead JVM's in-memory pointer never retired (they
+      // are invisible to reads — pointer-driven — but leak disk forever,
+      // and saveAsTable refuses an existing unregistered location)
+      if (observed.isEmpty) sweepOrphans(spark)
+      k = st.nextSeg
+      val claim = st.copy(nextSeg = k + 1)
+      if (casOrWrite(observed, claim)) claimed = Some(claim)
+    }
+    dropSegment(spark, k) // a claim this instance crashed mid-write on
     Writers.bucketedTable(normalize(batch), segTable(k), bucketCol, buckets,
       path = Some(segPath(spark, k).toString))
-    publish(observed, st.copy(segs = st.segs :+ k, nextSeg = k + 1,
-      lastBatch = if (batchId != VersionedParquetStore.NoBatchId) batchId
-        else st.lastBatch))
+    // Phase 2 — APPEND the written segment. Our claimed id conflicts
+    // with nothing, so a foreign publish in between just means retrying
+    // the append over the fresh manifest: no merge is ever lost and no
+    // writer ever touches another's files.
+    var appended = false
+    while (!appended) {
+      val (observed, st) = snapshot()
+      if (batchId != VersionedParquetStore.NoBatchId &&
+          batchId <= st.lastBatch) {
+        // a foreign driver sharing the checkpoint applied this batch
+        // while we wrote — ours is the replay; retract it
+        dropSegment(spark, k)
+        return
+      }
+      appended = casOrWrite(observed, st.copy(segs = st.segs :+ k,
+        nextSeg = math.max(st.nextSeg, k + 1),
+        lastBatch =
+          if (batchId != VersionedParquetStore.NoBatchId)
+            math.max(st.lastBatch, batchId)
+          else st.lastBatch))
+    }
   }
 
   /** Fold all live segments into one — one bucketed rewrite of the
@@ -153,8 +193,8 @@ private[graft] abstract class SegmentedBucketedStore(
     * dropped by the NEXT compaction, not this one. No-op at ≤ 1 live
     * segment. */
   def compact(spark: SparkSession): Unit = synchronized {
-    val (observed, st) = snapshot()
-    if (st.segs.size > 1) rewriteTo(spark, observed, st, table(spark))
+    if (state.segs.size > 1)
+      rewriteTo(spark, identity, skipIfSingle = true)
   }
 
   /** The ingest loops' periodic-compaction hook: compact once the live
@@ -180,44 +220,59 @@ private[graft] abstract class SegmentedBucketedStore(
     * it). */
   protected def replaceAllWith(spark: SparkSession,
       rows: DataFrame => DataFrame): Unit =
-    synchronized {
-      val (observed, st) = snapshot()
-      rewriteTo(spark, observed, st, rows(table(spark)))
-    }
+    synchronized { rewriteTo(spark, rows, skipIfSingle = false) }
 
-  // one fresh segment from `rows`, previous grace dropped, live set
-  // becomes the new grace — shared by compact and replaceAllWith.
-  // `rows` may read the CURRENT segments (different tables than the
-  // one being written, so the scan-while-write is safe).
-  private def rewriteTo(spark: SparkSession, observed: Option[String],
-      st: State, rows: DataFrame): Unit = {
-    st.segs.foreach(ensureRegistered(spark, _))
-    val k = st.nextSeg
-    dropSegment(spark, k)
-    Writers.bucketedTable(normalize(rows), segTable(k), bucketCol, buckets,
-      path = Some(segPath(spark, k).toString))
-    st.grace.foreach(dropSegment(spark, _))
-    publish(observed, State(List(k), k + 1, st.lastBatch, grace = st.segs))
+  // One fresh segment from `rows(currentTable)`, previous grace
+  // dropped, live set becomes the new grace — shared by compact and
+  // replaceAllWith. Same claim-first discipline as merge: the fold
+  // segment id is claimed via the pointer before any file is written,
+  // then the fold reads EXACTLY the claimed manifest's segments
+  // (different tables than the one being written, so the
+  // scan-while-write is safe), and the final publish is CONDITIONAL on
+  // the claim payload — a foreign merge landing mid-fold would be
+  // absent from the fold, so its publish must force a retry over the
+  // fresh manifest (the fold segment is retracted first; it was never
+  // referenced). Old grace is dropped only AFTER a successful publish:
+  // dropping it up front (the pre-round-11 order) deleted files while
+  // the publish could still fail.
+  private def rewriteTo(spark: SparkSession, rows: DataFrame => DataFrame,
+      skipIfSingle: Boolean): Unit = {
+    var done = false
+    while (!done) {
+      var k = -1
+      var claimed: Option[State] = None
+      while (claimed.isEmpty) {
+        val (observed, st) = snapshot()
+        if (skipIfSingle && st.segs.size <= 1) return
+        k = st.nextSeg
+        val claim = st.copy(nextSeg = k + 1)
+        if (casOrWrite(observed, claim)) claimed = Some(claim)
+      }
+      val st = claimed.get
+      dropSegment(spark, k)
+      Writers.bucketedTable(normalize(rows(tableOf(spark, st.segs))),
+        segTable(k), bucketCol, buckets,
+        path = Some(segPath(spark, k).toString))
+      done = casOrWrite(Some(st.encode),
+        State(List(k), k + 1, st.lastBatch, grace = st.segs))
+      if (done) st.grace.foreach(dropSegment(spark, _))
+      else dropSegment(spark, k) // fold is stale — retract, refold fresh
+    }
   }
 
-  /** Publish a new manifest. Through a [[graft.streaming.CasStorePointer]]
-    * the publish is CONDITIONAL on the payload observed at the top of
-    * the mutation: a foreign publish in between (a second driver
-    * sharing the store — the store's merge lock only serializes THIS
-    * JVM) fails loudly here instead of being silently clobbered, which
-    * would orphan the other driver's merged segments from the manifest.
-    * Single-driver deployments (the plain pointer) are unchanged. The
-    * thrown batch's checkpoint replay heals the interrupted merge:
-    * segments are invisible until published, so nothing is half-applied. */
-  private def publish(observed: Option[String], st: State): Unit =
+  /** Publish a new manifest from an observed payload. Through a
+    * [[graft.streaming.CasStorePointer]] the publish is CONDITIONAL on
+    * `observed`: false = a foreign publish intervened (a second driver
+    * sharing the store — the store's lock only serializes THIS JVM) and
+    * the caller retries from the fresh payload, so no writer's merge is
+    * ever lost and no manifest is silently clobbered. A plain pointer
+    * is single-driver by contract ([[graft.streaming.StorePointer]]'s
+    * scaladoc) — its publish is unconditional and always succeeds. */
+  private def casOrWrite(observed: Option[String], st: State): Boolean =
     pointer match {
       case cas: graft.streaming.CasStorePointer =>
-        if (!cas.compareAndSwap(observed, st.encode))
-          throw new java.util.ConcurrentModificationException(
-            s"store '$name': pointer advanced concurrently with this " +
-              "mutation (another driver publishing to the same store?) — " +
-              "refusing to clobber the foreign manifest")
-      case p => p.write(st.encode)
+        cas.compareAndSwap(observed, st.encode)
+      case p => p.write(st.encode); true
     }
 
   /** Live segment ids, ingest order — soak/compaction specs read it. */

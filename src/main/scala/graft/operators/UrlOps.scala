@@ -111,8 +111,15 @@ object UrlOps {
     // the fold's [^.]+ requirement
     val prefix = substring(h, lit(1), length(h) - length(best) - 1)
     val lastLabel = substring_index(prefix, ".", -1)
+    // no-match fallback: the fold's EXACT regex, not substring_index —
+    // the -2 tail of a host with an empty label ("a..b" → ".b") is not
+    // a registrable domain, and the fold's ([^.]+\.[^.]+)$ rejects it
+    // (passes the host through); the two paths must agree on every
+    // degenerate host (ADVICE r10)
+    val noMatch = coalesce(
+      nullif(regexp_extract(h, "([^.]+\\.[^.]+)$", 1), lit("")), h)
     joined.withColumn("etld1",
-        when(best.isNull, substring_index(h, ".", -2))
+        when(best.isNull, noMatch)
           .when(best === h, h)
           .when(lastLabel === "", h)
           .otherwise(concat(lastLabel, lit("."), best)))

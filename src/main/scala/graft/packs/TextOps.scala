@@ -468,6 +468,17 @@ object TextOps extends QueryPack {
   val EmbedDim = 64
   val ChunkAnnK = 5
 
+  /** Chunk→vector id arithmetic: vec_id = doc_id * base + chunk_idx,
+    * shared with the generated oracles. The base bounds chunks per
+    * document — under the old base of 100 a doc with ≥ ~2,400
+    * whitespace tokens (ChunkTokens=32, overlap=8) silently collided
+    * into the next doc_id's vec space, misattributing the doc-pair
+    * rollups while evading the shared-arithmetic gates (ADVICE r10).
+    * 10⁶ pushes the collision point to a ~24M-token document (route
+    * anything near that through truncateTokens first); ids stay well
+    * inside Long for any realistic doc_id. */
+  val ChunkVecBase = 1000000L
+
   /** Sparse view of the feature-hash text embedding — the text→vector
     * bridge's own gate: every nonzero (bucket, signed count) component
     * per doc, exactly the integers DuckDB recomputes from the shared
@@ -490,7 +501,7 @@ object TextOps extends QueryPack {
     val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
         "doc_id", "text", ChunkTokens, ChunkOverlap)
       .select(col("doc_id"),
-        (col("doc_id") * 100 + col("chunk_idx")).as("vec_id"), col("text"))
+        (col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"), col("text"))
     val vectors = chunks.select(col("doc_id"), col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     val queries = vectors.filter(col("doc_id") % 100 === 0)
@@ -536,14 +547,14 @@ object TextOps extends QueryPack {
         Tables.documents(spark, sfDir)
           .filter(col("doc_id") % TextNearDupSubsetMod === 0),
         "doc_id", "text", ChunkTokens, ChunkOverlap)
-      .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+      .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
         col("text"))
     val vectors = chunks.select(col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     graft.operators.SimilaritySearch
       .cosineNearDupPairs(vectors, TextNearDupThreshold)
-      .select(expr("vec_a div 100").as("doc_a"),
-        expr("vec_b div 100").as("doc_b"), col("sim"))
+      .select(expr(s"vec_a div $ChunkVecBase").as("doc_a"),
+        expr(s"vec_b div $ChunkVecBase").as("doc_b"), col("sim"))
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_chunk_pairs"),
@@ -560,15 +571,15 @@ object TextOps extends QueryPack {
   def textSemanticNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = TextAnalysis.chunkDocuments(Tables.documents(spark, sfDir),
         "doc_id", "text", ChunkTokens, ChunkOverlap)
-      .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+      .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
         col("text"))
     val vectors = chunks.select(col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     graft.operators.SimilaritySearch
       .lshNearDupPairs(vectors, TextNearDupThreshold,
         maxBucketSize = TextLshMaxBucketSize)
-      .select(expr("vec_a div 100").as("doc_a"),
-        expr("vec_b div 100").as("doc_b"), col("sim"))
+      .select(expr(s"vec_a div $ChunkVecBase").as("doc_a"),
+        expr(s"vec_b div $ChunkVecBase").as("doc_b"), col("sim"))
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_chunk_pairs"),
@@ -963,7 +974,7 @@ object TextOps extends QueryPack {
     val stride = ChunkTokens - ChunkOverlap
     s"""ck AS (
        |  SELECT doc_id, tk, s,
-       |    CAST(doc_id * 100 + (s - 1) // $stride AS BIGINT) AS vec_id
+       |    CAST(doc_id * $ChunkVecBase + (s - 1) // $stride AS BIGINT) AS vec_id
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
        |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
        |), ct AS (
@@ -1005,7 +1016,7 @@ object TextOps extends QueryPack {
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (
-         |  SELECT a.vec_id // 100 AS doc_a, b.vec_id // 100 AS doc_b,
+         |  SELECT a.vec_id // $ChunkVecBase AS doc_a, b.vec_id // $ChunkVecBase AS doc_b,
          |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
          |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
          |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4) AS sim
@@ -1014,7 +1025,7 @@ object TextOps extends QueryPack {
          |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
          |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4)
          |    >= $TextNearDupThreshold
-         |    AND a.vec_id // 100 <> b.vec_id // 100
+         |    AND a.vec_id // $ChunkVecBase <> b.vec_id // $ChunkVecBase
          |)
          |GROUP BY doc_a, doc_b""".stripMargin,
     // the SAME generated plane/bucket/cap/verify fragments the
@@ -1031,8 +1042,8 @@ object TextOps extends QueryPack {
          |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold, TextLshMaxBucketSize)}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
-         |FROM (SELECT vec_a // 100 AS doc_a, vec_b // 100 AS doc_b, sim
-         |      FROM vpairs WHERE vec_a // 100 <> vec_b // 100)
+         |FROM (SELECT vec_a // $ChunkVecBase AS doc_a, vec_b // $ChunkVecBase AS doc_b, sim
+         |      FROM vpairs WHERE vec_a // $ChunkVecBase <> vec_b // $ChunkVecBase)
          |GROUP BY doc_a, doc_b""".stripMargin
     },
 
@@ -1100,7 +1111,7 @@ object TextOps extends QueryPack {
     "chunk_embed_ann" -> (
       s"""WITH $chunkEmbedCtes, q AS (
          |  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
-         |  FROM vn WHERE (vec_id // 100) % 100 = 0
+         |  FROM vn WHERE (vec_id // $ChunkVecBase) % 100 = 0
          |), scored AS (
          |  SELECT q.query_id, v.vec_id,
          |    round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0

@@ -113,11 +113,24 @@ final class CasFilePointer(dir: Path, keepGens: Int = 8)
 
   private def genPath(n: Long): Path = dir.resolve(f"gen-$n%020d")
 
-  private def payloadOf(n: Long): String =
-    new String(Files.readAllBytes(genPath(n)), StandardCharsets.UTF_8)
+  /** None when the generation vanished between the directory listing
+    * and the read — a concurrent publisher's [[prune]] deleted it (a
+    * reader lagging more than `keepGens` publishes). A benign race:
+    * callers re-list, they never see a torn payload. */
+  private def payloadOf(n: Long): Option[String] =
+    try Some(new String(Files.readAllBytes(genPath(n)),
+      StandardCharsets.UTF_8))
+    catch { case _: java.nio.file.NoSuchFileException => None }
 
-  override def read(): Option[String] =
-    generations().lastOption.map(payloadOf)
+  @annotation.tailrec
+  override final def read(): Option[String] =
+    generations().lastOption match {
+      case None => None
+      case Some(n) => payloadOf(n) match {
+        case Some(p) => Some(p)
+        case None => read() // pruned under us — re-list
+      }
+    }
 
   /** Claim generation `n` with `payload`; false iff another writer
     * already holds it. */
@@ -143,12 +156,17 @@ final class CasFilePointer(dir: Path, keepGens: Int = 8)
     }
   }
 
-  override def compareAndSwap(expect: Option[String], p: String): Boolean = {
-    val cur = generations().lastOption
-    val curPayload = cur.map(payloadOf)
-    if (curPayload != expect) false
-    else tryPublish(cur.getOrElse(-1L) + 1L, p)
-  }
+  override def compareAndSwap(expect: Option[String], p: String): Boolean =
+    generations().lastOption match {
+      case None => expect.isEmpty && tryPublish(0L, p)
+      case Some(n) => payloadOf(n) match {
+        // generation n pruned under us: newer generations exist (prune
+        // only runs behind a successful publish), so this observation
+        // is stale by definition — report failure, the caller re-reads
+        case None => false
+        case Some(cur) => expect.contains(cur) && tryPublish(n + 1L, p)
+      }
+    }
 }
 
 /** File-backed pointer: write-temp + atomic rename, the classic

@@ -113,7 +113,7 @@ object ScaleCurve {
       // only — its candidate volume on this salted corpus is bounded by
       // the bucket caps, but 100× would mostly measure cap churn
       val chunks = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8)
-        .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+        .select((col("doc_id") * graft.packs.TextOps.ChunkVecBase + col("chunk_idx")).as("vec_id"),
           col("text"))
       bench("chunk_documents", m, chunks)
       bench("chunk_hash_embed", m, chunks.select(col("vec_id"),

@@ -16,11 +16,11 @@ class TextNearDupSpec extends SparkSpec {
 
   private def chunkVectors(docs: DataFrame): DataFrame =
     TextAnalysis.chunkDocuments(docs, "doc_id", "text", 32, 8)
-      .select((col("doc_id") * 100 + col("chunk_idx")).as("vec_id"),
+      .select((col("doc_id") * graft.packs.TextOps.ChunkVecBase + col("chunk_idx")).as("vec_id"),
         HashEmbed(col("text"), 64).as("embedding"))
 
   private def docPairs(pairs: DataFrame): Set[(Long, Long)] =
-    pairs.select(expr("vec_a div 100").as("a"), expr("vec_b div 100").as("b"))
+    pairs.select(expr(s"vec_a div ${graft.packs.TextOps.ChunkVecBase}").as("a"), expr(s"vec_b div ${graft.packs.TextOps.ChunkVecBase}").as("b"))
       .filter(col("a") =!= col("b"))
       .as[(Long, Long)].collect().toSet
 

@@ -58,6 +58,9 @@ class UrlOpsSpec extends SparkSpec {
       "www.example.com", "a.b.example.co.uk", "deep.sub.project.github.io",
       "example.uk", "x.example.io", "co.uk", "com", "localhost",
       "a.b.example.zz", "intranet", "", ".co.uk", "x..co.uk",
+      // no-match FALLBACK degenerates (ADVICE r10): empty labels in the
+      // last-two-label tail must pass the host through on BOTH paths
+      "a..b", "a.b.", "..", ".zz", "x..zz",
       "api.example.com.au", "files.example.de", "blog.blogspot.com",
       "x.herokuapp.com", "only.uk", "a.gov.uk").zipWithIndex
       .map { case (h, i) => (i.toLong, h) }

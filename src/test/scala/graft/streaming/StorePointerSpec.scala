@@ -186,4 +186,80 @@ class StorePointerSpec extends SparkSpec {
     b.ingest(Seq((3L, near)).toDF("vec_id", "embedding"), batchId = 5L)
     assert(b.vectorRows(spark).count() == 3)
   }
+
+  test("two drivers on one CAS pointer: no merge lost, no segment clobbered") {
+    // the ADVICE r10 scenario: two store INSTANCES (two drivers — the
+    // merge lock only serializes one JVM) share a CAS pointer and merge
+    // concurrently. Ids are CLAIMED via the pointer before any file is
+    // written, so the writers can never pick the same segment path —
+    // under the old post-hoc id pick, the loser's pre-write cleanup
+    // could delete the winner's already-published segment files.
+    val s = spark
+    import s.implicits._
+    val ptr = new InMemoryCasPointer
+    val a = new BandStore("graft_cas_two_writers", buckets = 2, pointer = ptr)
+    val b = new BandStore("graft_cas_two_writers", buckets = 2, pointer = ptr)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val writers = Seq(a -> 0, b -> 1).map { case (st, base) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          go.countDown(); go.await()
+          (0 until 4).foreach { i =>
+            val id = (base * 100 + i).toLong
+            st.merge(Seq((id, 0, s"k$id")).toDF("doc_id", "band", "band_key"))
+          }
+        }
+      })
+    }
+    writers.foreach(_.get())
+    pool.shutdown()
+    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+    // every merge from BOTH writers landed, exactly once
+    val want = (0 until 4).flatMap(i => Seq(i.toLong, (100 + i).toLong)).toSet
+    val got = a.table(spark).select("doc_id").as[Long].collect()
+    assert(got.toSet == want, s"lost/foreign rows: got ${got.sorted.toSeq}")
+    assert(got.length == want.size, "a clobbered manifest would duplicate " +
+      "or drop segment rows")
+    assert(a.liveSegments.size == 8 && a.liveSegments.distinct.size == 8,
+      s"claimed segment ids must be unique: ${a.liveSegments}")
+    // compaction under the same two-instance setup stays consistent
+    a.compact(spark)
+    assert(b.table(spark).select("doc_id").as[Long].collect().toSet == want,
+      "the other instance must see the compacted corpus via the pointer")
+  }
+
+  test("CAS file pointer: reads race a pruning publisher without error") {
+    // keepGens=1 makes every publish prune all but the newest
+    // generation, so a reader's list-then-read window races deletion
+    // constantly — payloadOf must treat a vanished generation as a
+    // stale read and re-list, never surface NoSuchFileException
+    // (ADVICE r10).
+    val dir = Files.createTempDirectory("graft-ptr-prune-race")
+    val p = new CasFilePointer(dir, keepGens = 1)
+    p.write("v0")
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    @volatile var stop = false
+    val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = (1 to 2000).foreach(i => p.write(s"v$i"))
+    })
+    val reader = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = {
+        var n = 0
+        while (!stop) { assert(p.read().isDefined); n += 1 }
+        n
+      }
+    })
+    writer.get()
+    stop = true
+    assert(reader.get() > 0, "reader must have made progress")
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    assert(p.read().contains("v2000"))
+    // CAS from a pruned observation reports stale (false), not an error
+    assert(!p.compareAndSwap(Some("v0"), "late"))
+    assert(p.compareAndSwap(Some("v2000"), "final") && p.read().contains("final"))
+  }
 }
