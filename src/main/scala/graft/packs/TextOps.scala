@@ -516,13 +516,32 @@ object TextOps extends QueryPack {
     * the threshold sits well above that base. */
   val TextNearDupThreshold = 0.95
 
-  /** The EXACT verifier form is registered over this doc subset
-    * (doc_id % mod == 0): exact all-pairs is inherently quadratic —
-    * it's the VERIFIER, gated at a bounded scale (sf0.1's full 13k
-    * chunks cost 85M scored pairs, measured 61 s warm — the blowup
-    * the LSH blocker exists to avoid); the full-corpus path is
-    * [[textSemanticNearDupLsh]]. Shared with the oracle. */
-  val TextNearDupSubsetMod = 4
+  /** The EXACT verifier form is registered over a FIXED-N
+    * deterministic doc draw (md5-ordered limit — the
+    * [[graft.operators.IvfIndex]] trainSample pattern, hash-salted so
+    * it is not correlated with any other sampled query): exact
+    * all-pairs is inherently quadratic — it's the VERIFIER, and a
+    * fixed draw bounds its cost at EVERY corpus size, where the old
+    * doc_id % 4 gate was a fraction that kept quadratic growth (sf0.1's
+    * full 13k chunks cost 85M scored pairs, measured 61 s warm — the
+    * blowup the LSH blocker exists to avoid; VERDICT r10). The
+    * full-corpus paths are [[textSemanticNearDupLsh]] and the
+    * store-backed incremental probe. Shared with the oracle. */
+  val TextNearDupSampleN = 512
+
+  /** The shared draw: ORDER BY md5('tnd#' || doc_id), doc_id LIMIT N —
+    * a TakeOrderedAndProject (per-partition heaps, one scan, driver
+    * bytes bounded by N docs), identical string ordering in DuckDB. */
+  private def textNearDupSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .orderBy(md5(concat(lit("tnd#"), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .limit(TextNearDupSampleN)
+
+  private def textNearDupSampleSql: String =
+    s"""(SELECT * FROM documents
+       |  ORDER BY md5('tnd#' || CAST(doc_id AS VARCHAR)), doc_id
+       |  LIMIT $TextNearDupSampleN)""".stripMargin
 
   /** Bucket cap for the text-chunk LSH blocker, shared with the
     * oracle: a tiny-vocabulary corpus COLLAPSES hyperplane buckets
@@ -544,8 +563,7 @@ object TextOps extends QueryPack {
     * columns. */
   def textSemanticNearDup(spark: SparkSession, sfDir: String): DataFrame = {
     val chunks = TextAnalysis.chunkDocuments(
-        Tables.documents(spark, sfDir)
-          .filter(col("doc_id") % TextNearDupSubsetMod === 0),
+        textNearDupSample(spark, sfDir),
         "doc_id", "text", ChunkTokens, ChunkOverlap)
       .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
         col("text"))
@@ -1011,8 +1029,7 @@ object TextOps extends QueryPack {
     // cross-doc filter makes doc_a < doc_b); same round(4)-then-
     // threshold arithmetic as the engine
     "text_semantic_neardup" ->
-      s"""WITH ${chunkEmbedCtesFrom(
-        s"(SELECT * FROM documents WHERE doc_id % $TextNearDupSubsetMod = 0)")}
+      s"""WITH ${chunkEmbedCtesFrom(textNearDupSampleSql)}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (
