@@ -604,6 +604,51 @@ object TextOps extends QueryPack {
         max(col("sim")).as("max_sim"))
   }
 
+  /** Batch split for the store-backed incremental text near-dup probe,
+    * shared with the generated oracle (which filters the full chunk
+    * self-dedup pair set to pairs touching a batch DOC — the same
+    * equivalence every incremental probe gate relies on: chunking,
+    * hashing and bucketing are pure per-doc/per-chunk functions). */
+  val TextIncrementalBatchMod = 5
+
+  private val textEmbStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.EmbStore]()
+
+  /** Store-backed incremental TEXT near-dup: a batch of raw documents
+    * (doc_id % 5 = 0) is chunked + hash-embedded and probed against the
+    * seen corpus's PERSISTED chunk bucket rows and pre-normed vectors
+    * ([[graft.operators.EmbStore]] — zero chunk/hash/hyperplane/norm
+    * work over the seen side), then rolled up to distinct-document
+    * pairs. The 100 TB form of [[textSemanticNearDupLsh]]: the full
+    * self-join is replaced by batch-vs-store probes whose cost scales
+    * with the BATCH, not the corpus (the ScaleCurve 100× point runs
+    * through this path). The complete dedup-at-ingest loop is
+    * [[graft.streaming.StreamingPipelines.textNearDupIngestBatch]].
+    * EmbStore's LSH defaults (8×8 planes, seed 42, dim 64) are exactly
+    * the oracle's generated plane matrix. */
+  def textNearDupIncrementalStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def vecsOf(d: DataFrame): DataFrame =
+      TextAnalysis.chunkDocuments(d, "doc_id", "text", ChunkTokens, ChunkOverlap)
+        .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
+          graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    val batch = vecsOf(docs.filter(col("doc_id") % TextIncrementalBatchMod === 0))
+    val store = textEmbStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.EmbStore(
+        s"graft_textemb_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(vecsOf(docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0)))
+      s
+    })
+    store.probe(batch, TextNearDupThreshold,
+        maxBucketSize = TextLshMaxBucketSize)
+      .select(expr(s"vec_a div $ChunkVecBase").as("doc_a"),
+        expr(s"vec_b div $ChunkVecBase").as("doc_b"), col("sim"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** BPE-denominated context cap, shared with the generated oracle:
     * ~median of the gate corpus's per-doc BPE counts (~125), so both
     * branches stay live. */
@@ -727,6 +772,7 @@ object TextOps extends QueryPack {
     "chunk_embed_ann" -> (chunkEmbedAnn _),
     "text_semantic_neardup" -> (textSemanticNearDup _),
     "text_semantic_neardup_lsh" -> (textSemanticNearDupLsh _),
+    "text_neardup_incremental_store" -> (textNearDupIncrementalStore _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -1061,6 +1107,25 @@ object TextOps extends QueryPack {
          |  max(sim) AS max_sim
          |FROM (SELECT vec_a // $ChunkVecBase AS doc_a, vec_b // $ChunkVecBase AS doc_b, sim
          |      FROM vpairs WHERE vec_a // $ChunkVecBase <> vec_b // $ChunkVecBase)
+         |GROUP BY doc_a, doc_b""".stripMargin
+    },
+    // store probe ≡ full chunk self-dedup restricted to pairs touching
+    // a batch DOC — identical generated CTEs, one extra predicate (the
+    // embedding_neardup_incremental oracle pattern at doc granularity)
+    "text_neardup_incremental_store" -> {
+      val planes = graft.operators.SimilaritySearch.hyperplanes(
+        nTables = 8, nPlanes = 8, dim = EmbedDim, seed = 42L)
+      s"""WITH $chunkEmbedCtes,
+         |v AS (SELECT vec_id, emb AS embedding, nrm FROM vn),
+         |${SimilarityOps.planesCte(planes)},
+         |${SimilarityOps.vbuckCte},
+         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold, TextLshMaxBucketSize)}
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  max(sim) AS max_sim
+         |FROM (SELECT vec_a // $ChunkVecBase AS doc_a, vec_b // $ChunkVecBase AS doc_b, sim
+         |      FROM vpairs WHERE vec_a // $ChunkVecBase <> vec_b // $ChunkVecBase
+         |        AND ((vec_a // $ChunkVecBase) % $TextIncrementalBatchMod = 0
+         |          OR (vec_b // $ChunkVecBase) % $TextIncrementalBatchMod = 0))
          |GROUP BY doc_a, doc_b""".stripMargin
     },
 

@@ -535,6 +535,66 @@ object StreamingPipelines {
     checkpointed
   }
 
+  /** Chunk → hash-embed projection shared by the TEXT near-dup ingest
+    * loop's probe and ingest sides (one definition, the two can't
+    * drift): vec_id = doc_id * vecBase + chunk_idx (the
+    * [[graft.packs.TextOps.ChunkVecBase]] arithmetic). Scan-side
+    * throughout — no shuffle, no UDF. */
+  private def textChunkVectors(docs: DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, chunkOverlap: Int, vecBase: Long,
+      embedDim: Int): DataFrame =
+    graft.operators.TextAnalysis
+      .chunkDocuments(docs.select(col(idCol), col(textCol)), idCol, textCol,
+        chunkTokens, chunkOverlap)
+      .select((col(idCol) * vecBase + col("chunk_idx")).as("vec_id"),
+        graft.functions.HashEmbed(col("text"), embedDim).as("embedding"))
+
+  /** The TEXT-side twin of [[embNearDupIngestBatch]] — semantic
+    * near-dup dedup-at-ingest over raw documents, DOC granularity:
+    * (1) chunk the batch and hash-embed each chunk (any learned
+    * encoder drops in at that seam), (2) probe the persisted
+    * [[graft.operators.EmbStore]] for chunk pairs ≥ threshold against
+    * the accepted corpus (zero hyperplane/cast/norm work over the seen
+    * side), (3) roll chunk pairs up to DISTINCT-document pairs
+    * (same-doc overlapping chunks are trivially similar) and drop the
+    * batch member of each seen-pair and the later doc of each
+    * batch-internal pair — drops chain, (4) ingest the SURVIVING docs'
+    * chunk vectors under the batchId replay guard. Returns the
+    * surviving doc rows. Replay-exact by the same mechanism as the
+    * vector loop: the batch's own chunk ids are excluded from the seen
+    * view, so an at-least-once replay recomputes the identical drop
+    * set. Same id contract: doc ids unique ACROSS the stream, and
+    * bounded below vecBase chunks per doc. */
+  def textNearDupIngestBatch(store: graft.operators.EmbStore,
+      batch: DataFrame, idCol: String, textCol: String, threshold: Double,
+      chunkTokens: Int, chunkOverlap: Int, vecBase: Long, embedDim: Int,
+      maxBucketSize: Int =
+        graft.operators.SimilaritySearch.EmbLshMaxBucketSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    require(batch.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"textNearDupIngestBatch requires LONG doc ids, got " +
+        batch.schema(idCol).dataType.catalogString)
+    val vecs = textChunkVectors(batch, idCol, textCol, chunkTokens,
+      chunkOverlap, vecBase, embedDim)
+    val pairs = store.probe(vecs, threshold, maxBucketSize,
+      excludeBatchIds = true)
+    val docPairs = pairs
+      .select(expr(s"vec_a div $vecBase").as("doc_a"),
+        expr(s"vec_b div $vecBase").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val survivors = dropSurvivors(batch, docPairs, idCol, "doc_a", "doc_b")
+    if (store.isReplay(batchId)) return survivors
+    // eager checkpoint before ingest, same rationale as the vector loop
+    val checkpointed = survivors.localCheckpoint()
+    store.ingest(textChunkVectors(checkpointed, idCol, textCol, chunkTokens,
+      chunkOverlap, vecBase, embedDim), batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
+    checkpointed
+  }
+
   /** Token-level boilerplate removal at ingest: strip each arriving
     * batch of every >= k-token span already duplicated — against the
     * persisted gram corpus OR within the batch itself — then publish
