@@ -119,3 +119,90 @@ object HashEmbed {
   def apply(text: Column, dim: Int): Column =
     bridge.column(HashEmbed(bridge.expression(text), new HashEmbedder(dim)))
 }
+
+/** Character-n-gram feature-hash embedding — the same hashing trick
+  * over SLIDING CHARACTER WINDOWS of the raw text (spaces included)
+  * instead of whitespace tokens. A token-boundary shift ("quick brown"
+  * → "quickbrown") replaces whole tokens — the token embedding loses
+  * BOTH words — but only the ~n grams straddling the edit point
+  * change, so near-dup cosine survives splits/joins/typos: the
+  * standard character-n-gram feature-hashing robustness argument
+  * (same Weinberger et al. seam; n-gram features per CANINE/charCNN
+  * practice). Gram hash = md5h60("embn#" + gram) — a distinct salt
+  * from the token embedding, so the two feature spaces are
+  * uncorrelated. Texts shorter than n contribute their whole string
+  * as the single gram (the empty text hashes the empty gram — still a
+  * unit-norm-able vector, never all-zero).
+  *
+  * Same scale shape as [[HashEmbedder]]: one scan-side codegen'd pass,
+  * no explode, no shuffle; gram hashes memoized (char-n-gram spaces
+  * are Zipfian too). */
+final class NgramHashEmbedder(val dim: Int, val n: Int)
+    extends Serializable {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  private val hasher = new HashEmbedder(dim)
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val MemoCap = 1 << 16
+
+  private def gramHash(g: String): Long = {
+    val cached = memo.get(g)
+    if (cached != null) return cached
+    val h = hasher.md5h60("embn#" + g)
+    if (memo.size < MemoCap) memo.put(g, h)
+    h
+  }
+
+  /** The signed-count vector of a text's character n-grams. */
+  def embed(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val acc = new Array[Double](dim)
+    val count = math.max(s.length - n + 1, 1)
+    var i = 0
+    while (i < count) {
+      val h = gramHash(s.substring(i, math.min(i + n, s.length)))
+      val b = (h % dim).toInt
+      acc(b) += (if ((h / dim) % 2 == 0) 1.0 else -1.0)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override def hashCode(): Int = dim * 31 + n
+  override def equals(o: Any): Boolean = o match {
+    case e: NgramHashEmbedder => e.dim == dim && e.n == n
+    case _ => false
+  }
+}
+
+/** `array<double>` character-n-gram feature-hash embedding. */
+case class HashEmbedNgrams(child: Expression, embedder: NgramHashEmbedder)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_hash_embed_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    embedder.embed(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramHashEmbedder", embedder,
+      classOf[NgramHashEmbedder].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.embed($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedNgrams =
+    copy(child = newChild)
+}
+
+object HashEmbedNgrams {
+  def apply(text: Column, dim: Int, n: Int): Column =
+    bridge.column(HashEmbedNgrams(bridge.expression(text),
+      new NgramHashEmbedder(dim, n)))
+}

@@ -142,4 +142,149 @@ object UrlOps {
   /** The DuckDB twin of [[host]]. */
   def hostSql(urlSql: String): String =
     s"lower(regexp_extract($urlSql, '$HostPattern', 1))"
+
+  /** Registrable domain under the FULL Public Suffix List
+    * ([[Psl.rules]] — the bundled ~9.5k-rule Mozilla snapshot),
+    * wildcard and exception rules included: the production form of
+    * [[etld1ViaTable]]'s broadcast seam.
+    *
+    * Algorithm (publicsuffix.org): among matching rules the EXCEPTION
+    * prevails outright (its parent is the suffix, so the exception
+    * rule itself is the registrable tail); else the DEEPEST match —
+    * exact rules by tail equality at each label depth, wildcard rules
+    * where the tail one label shorter equals the stored parent and the
+    * consumed label is non-empty; else the implicit `*` default — the
+    * last two labels, via the same `([^.]+\.[^.]+)$` fallback every
+    * other path uses. Registrable = suffix + one non-empty label; a
+    * host that IS a suffix (or with a degenerate empty label) passes
+    * through, matching [[etld1]]'s conventions.
+    *
+    * Scale shape: per depth one LEFT BROADCAST-HASH join of a
+    * scan-side `substring_index` tail against the rule table — ~11
+    * tiny broadcast probes total (exact depths 1..5, wildcard 2..5,
+    * exception 2..3 in the current snapshot), zero corpus shuffles,
+    * zero explodes; the prevailing-rule fold is one codegen'd CASE
+    * cascade. The DuckDB twin ([[etld1PslOracleSql]]) is generated
+    * from the SAME parsed rules. */
+  def etld1Psl(docs: DataFrame, hostCol: String,
+      rules: Psl.Rules = Psl.rules): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val h = col(hostCol)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    def tail(i: Int): Column =
+      when(n >= i, substring_index(h, ".", -i))
+    // i-th label from the right (1-based), null when absent — only
+    // ever read under an n-depth guard on both engines
+    def lbl(i: Int): Column = try_element_at(labels, n - lit(i) + lit(1))
+
+    val exactDf = broadcast(rules.exact.toDF("__psl_sfx"))
+    val wildDf = broadcast(rules.wildcardParents.toDF("__psl_wp"))
+    val excDf = broadcast(rules.exceptions.toDF("__psl_xc"))
+
+    var joined = docs
+    for (i <- rules.exactDepths)
+      joined = joined.join(
+        exactDf.select(col("__psl_sfx").as(s"__psl_e$i")),
+        tail(i) === col(s"__psl_e$i"), "left")
+    for (i <- rules.wildcardDepths)
+      joined = joined.join(
+        wildDf.select(col("__psl_wp").as(s"__psl_w$i")),
+        tail(i - 1) === col(s"__psl_w$i"), "left")
+    for (i <- rules.exceptionDepths)
+      joined = joined.join(
+        excDf.select(col("__psl_xc").as(s"__psl_x$i")),
+        tail(i) === col(s"__psl_x$i"), "left")
+
+    def matched(i: Int): Column = {
+      val ex =
+        if (rules.exactDepths.contains(i)) col(s"__psl_e$i").isNotNull
+        else lit(false)
+      val wl =
+        if (rules.wildcardDepths.contains(i))
+          col(s"__psl_w$i").isNotNull && n >= i &&
+            coalesce(lbl(i), lit("")) =!= ""
+        else lit(false)
+      ex || wl
+    }
+    def regFor(i: Int): Column =
+      when(n > i && coalesce(lbl(i + 1), lit("")) =!= "",
+        substring_index(h, ".", -(i + 1))).otherwise(h)
+    val noMatch = coalesce(
+      nullif(regexp_extract(h, "([^.]+\\.[^.]+)$", 1), lit("")), h)
+
+    // ascending fold: each depth wraps the previous as its otherwise,
+    // so the DEEPEST match is tested first; exceptions wrap outermost
+    var res: Column = noMatch
+    for (i <- 1 to rules.maxDepth) res = when(matched(i), regFor(i))
+      .otherwise(res)
+    for (i <- rules.exceptionDepths)
+      res = when(col(s"__psl_x$i").isNotNull, tail(i)).otherwise(res)
+
+    val dropCols =
+      rules.exactDepths.map(i => s"__psl_e$i") ++
+        rules.wildcardDepths.map(i => s"__psl_w$i") ++
+        rules.exceptionDepths.map(i => s"__psl_x$i")
+    joined.withColumn("etld1", res).drop(dropCols: _*)
+  }
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The DuckDB twin of [[etld1Psl]], generated from the SAME parsed
+    * rule table (one source of truth, zero drift): the full rule set
+    * is embedded as a VALUES list (kind 0 exact / 1 wildcard parent /
+    * 2 exception — the trained-artifact-in-SQL pattern), tails come
+    * from list_slice over string_split, matches are EXISTS probes, and
+    * the prevailing-rule CASE mirrors the engine's fold order exactly
+    * (exceptions deepest-first, then match depths descending, then the
+    * shared regex fallback). `fromRelation` must expose
+    * (doc_id, url, host). */
+  def etld1PslOracleSql(fromRelation: String,
+      rules: Psl.Rules = Psl.rules): String = {
+    val values = (rules.exact.map(_ -> 0) ++
+        rules.wildcardParents.map(_ -> 1) ++
+        rules.exceptions.map(_ -> 2))
+      .map { case (r, k) => s"(${sqlQuote(r)}, $k)" }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n    ")
+    val d = rules.maxDepth
+    def t(i: Int) =
+      s"CASE WHEN n >= $i THEN array_to_string(list_slice(ls, n - $i + 1, n), '.') END"
+    val tails = (1 to (d + 1)).map(i => s"    ${t(i)} AS t$i").mkString(",\n")
+    def exists(kind: Int, tcol: String) =
+      s"EXISTS(SELECT 1 FROM psl_rules r WHERE r.kind = $kind AND r.rule = $tcol)"
+    val excCases = rules.exceptionDepths.reverse.map(i =>
+      s"    WHEN ${exists(2, s"t$i")} THEN t$i").mkString("\n")
+    val matchCases = (1 to d).reverse.map { i =>
+      val ex =
+        if (rules.exactDepths.contains(i)) Some(exists(0, s"t$i")) else None
+      val wl =
+        if (rules.wildcardDepths.contains(i))
+          Some(s"(n >= $i AND coalesce(ls[n - $i + 1], '') <> '' AND " +
+            exists(1, s"t${i - 1}") + ")")
+        else None
+      val cond = (ex ++ wl).mkString(" OR ")
+      s"""    WHEN $cond THEN
+         |      CASE WHEN n > $i AND coalesce(ls[n - $i], '') <> ''
+         |        THEN t${i + 1} ELSE host END""".stripMargin
+    }.mkString("\n")
+    s"""WITH psl_rules(rule, kind) AS (VALUES
+       |    $values
+       |), hx AS (
+       |  SELECT doc_id, url, host, string_split(host, '.') AS ls,
+       |         len(string_split(host, '.')) AS n
+       |  FROM $fromRelation
+       |), tl AS (
+       |  SELECT doc_id, url, host, ls, n,
+       |$tails
+       |  FROM hx
+       |)
+       |SELECT doc_id, url, host,
+       |  CASE
+       |$excCases
+       |$matchCases
+       |    ELSE coalesce(nullif(regexp_extract(host, '([^.]+\\.[^.]+)${"$"}', 1), ''), host)
+       |  END AS etld1
+       |FROM tl""".stripMargin
+  }
 }

@@ -491,6 +491,26 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("bucket"),
         col("col").as("val"))
 
+  /** Character-n-gram width for the boundary-shift-robust embedding
+    * variant, shared with the generated oracle. 3 keeps the gram space
+    * dense enough that a single-word edit moves few components. */
+  val NgramEmbedN = 3
+
+  /** Sparse view of the CHARACTER-n-gram feature-hash embedding
+    * ([[graft.functions.HashEmbedNgrams]]) — the token embedding's
+    * boundary-shift-robust sibling (HashEmbedNgramSpec plants a
+    * split/join paraphrase the token space misses): every nonzero
+    * (bucket, signed gram count) per doc, DuckDB recomputing the grams
+    * via substr windows and the shared md5h60 idiom. */
+  def embedTextNgramComponents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashEmbedNgrams(col("text"), EmbedDim,
+          NgramEmbedN)))
+      .filter(col("col") =!= 0.0)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("val"))
+
   /** The composed text-similarity pipeline: documents → overlapping
     * chunks → feature-hash embeddings → brute cosine top-k (the
     * bounded-heap ranking path) — similarity search over REAL text
@@ -717,6 +737,58 @@ object TextOps extends QueryPack {
         syntheticUrl.as("url")),
       "doc_id", "url")
 
+  /** URL synthesis exercising the FULL Public Suffix List paths the
+    * bounded table can't: wildcard rules (*.ck, *.kawasaki.jp),
+    * exception rules (!www.ck), a 5-label exact rule (the deepest in
+    * the snapshot), private-section rules (github.io) and an unlisted
+    * TLD (the implicit-* fallback) — every branch of the PSL algorithm
+    * is live at the gate, not just in the spec. */
+  private def syntheticPslUrl: org.apache.spark.sql.Column = {
+    val d = col("doc_id")
+    concat(lit("https://"),
+      when(d % 4 === 0, lit("www.")).when(d % 4 === 1, lit("m."))
+        .when(d % 4 === 2, lit("news.")).otherwise(lit("")),
+      when(d % 11 === 0, upper(col("source"))).otherwise(col("source")),
+      when(d % 8 === 0, lit(".com"))
+        .when(d % 8 === 1, lit(".co.uk"))
+        .when(d % 8 === 2, lit(".github.io"))
+        .when(d % 8 === 3, lit(".foo.ck"))
+        .when(d % 8 === 4, lit(".www.ck"))
+        .when(d % 8 === 5,
+          lit(".s3.dualstack.ap-northeast-1.amazonaws.com"))
+        .when(d % 8 === 6, lit(".zzinvalid"))
+        .otherwise(lit(".kawasaki.jp")),
+      when(d % 7 === 0, lit(":8443")).otherwise(lit("")),
+      lit("/p/"), d.cast("string"),
+      when(d % 5 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+  }
+
+  private val syntheticPslUrlSql: String =
+    """'https://' ||
+      |  CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'm.' WHEN 2 THEN 'news.' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END ||
+      |  CASE doc_id % 8 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' WHEN 2 THEN '.github.io'
+      |    WHEN 3 THEN '.foo.ck' WHEN 4 THEN '.www.ck'
+      |    WHEN 5 THEN '.s3.dualstack.ap-northeast-1.amazonaws.com'
+      |    WHEN 6 THEN '.zzinvalid' ELSE '.kawasaki.jp' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END ||
+      |  '/p/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed' ELSE '' END""".stripMargin
+
+  /** [[urlCanonicalize]] under the FULL bundled Public Suffix List —
+    * wildcard + exception semantics through
+    * [[graft.operators.UrlOps.etld1Psl]]'s broadcast seam; the oracle
+    * embeds the SAME parsed rule table in generated SQL. */
+  def urlCanonicalizePsl(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.UrlOps
+    val withHost = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), syntheticPslUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.host(col("url")).as("host"))
+    UrlOps.etld1Psl(withHost, "host")
+      .select(col("doc_id"), col("url"), col("host"), col("etld1"))
+  }
+
   /** Per-domain cap size — smaller than SourceCapK because eTLD+1
     * collapses the synthetic subdomain/port/case variants, leaving
     * ~8 docs per registrable domain at the gate; 5 keeps both branches
@@ -762,6 +834,7 @@ object TextOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "url_canonicalize" -> (urlCanonicalize _),
+    "url_canonicalize_psl" -> (urlCanonicalizePsl _),
     "per_domain_cap" -> (perDomainCap _),
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
@@ -769,6 +842,7 @@ object TextOps extends QueryPack {
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "chunk_documents" -> (chunkDocuments _),
     "embed_text_components" -> (embedTextComponents _),
+    "embed_text_ngram_components" -> (embedTextNgramComponents _),
     "chunk_embed_ann" -> (chunkEmbedAnn _),
     "text_semantic_neardup" -> (textSemanticNearDup _),
     "text_semantic_neardup_lsh" -> (textSemanticNearDupLsh _),
@@ -1146,6 +1220,18 @@ object TextOps extends QueryPack {
          |FROM h""".stripMargin
     },
 
+    // the FULL ~9.5k-rule PSL (wildcards + exceptions) embedded in the
+    // generated SQL as a VALUES table; EXISTS probes per label depth
+    // mirror the engine's broadcast joins, the prevailing-rule CASE
+    // mirrors its fold order — one parsed rule table feeds both
+    "url_canonicalize_psl" -> {
+      import graft.operators.UrlOps
+      UrlOps.etld1PslOracleSql(
+        s"""(SELECT doc_id, url, ${UrlOps.hostSql("url")} AS host
+           |   FROM (SELECT doc_id, $syntheticPslUrlSql AS url
+           |         FROM documents))""".stripMargin)
+    },
+
     // same row_number-cap arithmetic as per_source_cap, keyed by the
     // canonicalized registrable domain (the composition the
     // canonicalization exists for)
@@ -1180,6 +1266,25 @@ object TextOps extends QueryPack {
          |  SELECT doc_id,
          |    ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
          |  FROM tok
+         |)
+         |SELECT doc_id, CAST(h % $EmbedDim AS BIGINT) AS bucket,
+         |  CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS val
+         |FROM h GROUP BY 1, 2
+         |HAVING sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin,
+
+    // the same component gate over sliding CHARACTER windows: substr
+    // grams (short texts contribute their whole string once), the
+    // distinct 'embn#' salt, identical bucket/sign arithmetic
+    "embed_text_ngram_components" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    substr(text, CAST(i AS INT), $NgramEmbedN) AS gm
+         |  FROM documents,
+         |    unnest(range(1, greatest(len(text) - $NgramEmbedN + 1, 1) + 1)) AS u(i)
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5('embn#' || gm), 1, 15))::BIGINT AS h
+         |  FROM g
          |)
          |SELECT doc_id, CAST(h % $EmbedDim AS BIGINT) AS bucket,
          |  CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS val

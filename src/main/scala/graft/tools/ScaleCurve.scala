@@ -7,8 +7,8 @@ import graft.Tables
 import graft.operators.{BpeTokenizer, Dedup, IvfIndex, SimilaritySearch, TextAnalysis, UrlOps}
 
 /** Scale-curve evidence (usage: ScaleCurve [sfDir]) — times the
-  * flagship operators at 1x / 3x / 10x of the sf0.1 corpus and prints
-  * one JSON line per (query, scale) with the warm wall time, so
+  * flagship operators at 1× / 10× / 100× of the sf0.1 corpus and
+  * prints one JSON line per (query, scale) with the warm wall time, so
   * BASELINE.md can record MEASURED scaling ratios instead of arguing
   * 100 TB behavior purely from plan shapes.
   *
@@ -124,6 +124,38 @@ object ScaleCurve {
             chunks.select(col("vec_id"),
               graft.functions.HashEmbed(col("text"), 64).as("embedding")),
             threshold = 0.95, maxBucketSize = 250))
+      // the 100× text near-dup story is the STORE-BACKED probe, not the
+      // full self-join: the seen corpus's chunk buckets + pre-normed
+      // vectors are ingested ONCE (untimed — production amortizes the
+      // ingest across the stream) and each arriving batch pays only
+      // batch-sized hashing plus the capped bucket join against the
+      // persisted tables. Probe batch FIXED across scales (replica 0's
+      // every-101st doc, ids offset clear of every replica) — corpus
+      // growth at constant batch load, same regime as the ANN rows.
+      locally {
+        // 16 hyperplanes, not the gate default 8: the bucket space must
+        // scale with the corpus (8 planes = 256 sign buckets per table
+        // — saturated by ~1M chunks, every bucket over the 250 cap and
+        // recall collapses to zero, measured). 65k buckets keeps mean
+        // occupancy ~18 at 100× — exactly the production tuning knob
+        // the store exposes for this.
+        val store = new graft.operators.EmbStore(
+          s"graft_scale_textemb_$m", nPlanes = 16)
+        store.ingest(chunks.select(col("vec_id"),
+          graft.functions.HashEmbed(col("text"), 64).as("embedding")))
+        val probeBatch = TextAnalysis.chunkDocuments(
+            baseDocs.filter(col("doc_id") % 101 === 0)
+              .select((col("doc_id") + 1000000000000L).as("doc_id"),
+                col("text")),
+            "doc_id", "text", 32, 8)
+          .select((col("doc_id") * graft.packs.TextOps.ChunkVecBase +
+              col("chunk_idx")).as("vec_id"),
+            graft.functions.HashEmbed(col("text"), 64).as("embedding"))
+          .localCheckpoint(true)
+        bench("text_neardup_store_probe", m,
+          store.probe(probeBatch, threshold = 0.95, maxBucketSize = 250))
+        probeBatch.unpersist()
+      }
       docs.unpersist()
       vecs.unpersist()
     }

@@ -61,4 +61,73 @@ class HashEmbedSpec extends SparkSpec {
     assert(dot(a, b) > dot(a, c),
       "shared-token texts must score above disjoint ones")
   }
+
+  private def cos(x: Array[Double], y: Array[Double]): Double = {
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    dot(x, y) / math.sqrt(dot(x, x) * dot(y, y))
+  }
+
+  test("char-ngram variant: one-pass vector == substr-window construction") {
+    val dim = 64
+    val n = 3
+    val docs = Tables.documents(spark, sf).limit(100)
+    val native = docs.select(col("doc_id"),
+        posexplode(HashEmbedNgrams(col("text"), dim, n)))
+      .filter(col("col") =!= 0.0)
+      .select(col("doc_id"), col("pos").cast("long").as("bucket"),
+        col("col").as("val"))
+    val refRows = docs
+      .select(col("doc_id"), col("text"), explode(sequence(lit(1),
+          greatest(length(col("text")) - (n - 1), lit(1)))).as("i"))
+      .select(col("doc_id"),
+        expr(s"substring(text, i, $n)").as("g"))
+      .select(col("doc_id"),
+        graft.operators.Dedup.md5h60(concat(lit("embn#"), col("g"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(dim.toLong)).as("bucket"),
+        when(pmod(expr(s"h div ${dim}L"), lit(2L)) === 0, 1.0)
+          .otherwise(-1.0).as("s"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("s")).as("val"))
+      .filter(col("val") =!= 0.0)
+    val a = native.as[(Long, Long, Double)].collect().toSet
+    val b = refRows.as[(Long, Long, Double)].collect().toSet
+    assert(a == b, "native ngram vector must equal the substr-window form")
+  }
+
+  test("planted boundary-shift paraphrase: char-ngrams catch what tokens miss") {
+    // the same sentence with token boundaries SHIFTED (splits + joins):
+    // every touched word becomes an unseen token, so the token space
+    // treats them as edits of whole words — but only the few grams
+    // straddling each edit point change in the character space
+    val dim = 256
+    val orig = "the quick brown fox jumps over the lazy dog while the " +
+      "cold rain falls on the quiet empty street near the old stone " +
+      "bridge at night and nobody walks outside anymore these days " +
+      "because the wind keeps howling through the narrow alley"
+    val shifted = "the quickbrown fox jumps o ver the lazydog while the " +
+      "coldrain falls on the quietempty street near the oldstone " +
+      "bridge atnight and no body walksoutside anymore thesedays " +
+      "because the windkeeps howling through the narrowalley"
+    val tok = new HashEmbedder(dim)
+    val ng = new NgramHashEmbedder(dim, 3)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val tokSim = cos(tok.embed(u(orig)).toDoubleArray(),
+      tok.embed(u(shifted)).toDoubleArray())
+    val ngSim = cos(ng.embed(u(orig)).toDoubleArray(),
+      ng.embed(u(shifted)).toDoubleArray())
+    assert(ngSim > 0.9,
+      f"char-ngram similarity must survive boundary shifts: $ngSim%.3f")
+    assert(tokSim < 0.85,
+      f"token similarity must show the miss this variant exists for: $tokSim%.3f")
+    assert(ngSim - tokSim > 0.1,
+      f"ngram ($ngSim%.3f) must clearly beat token ($tokSim%.3f) on shifts")
+    // and an unrelated text stays far in BOTH spaces — the gram space
+    // doesn't flatten real distinctions
+    val other = "completely different subject matter entirely about " +
+      "spacecraft navigation systems and orbital mechanics textbooks"
+    val farSim = cos(ng.embed(u(orig)).toDoubleArray(),
+      ng.embed(u(other)).toDoubleArray())
+    assert(farSim < 0.5, f"unrelated texts must stay far: $farSim%.3f")
+  }
 }
