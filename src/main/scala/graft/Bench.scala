@@ -250,12 +250,17 @@ object Bench {
       s""""psi_mem_ms":${d(run0.mem, run1.mem)},"psi_cpu_ms":${d(run0.cpu, run1.cpu)},""" +
       s""""steal_jiffies":${d(run0.steal, run1.steal)},"disk_read_kb":${d(run0.rd, run1.rd) >> 10},""" +
       s""""code_cache_mb":$codeCacheUsedMb}"""
-    // per-pass per-query telemetry: the wander forensics channel
+    // Per-pass per-query telemetry (the wander forensics channel) goes
+    // to a SIDECAR file: at 146+ queries the passes blob alone is
+    // ~100 KB, and a driver artifact that keeps only a bounded tail of
+    // the run output truncated the main JSON mid-line (r10:
+    // "parsed": null). BENCH.json stays compact — totals, per-query
+    // cold + warm medians, run telemetry — and always parses.
     val passesJson = (Seq("cold" -> coldRuns) ++
       warmRuns.zipWithIndex.map { case (m, i) => s"warm${i + 1}" -> m })
       .map { case (p, m) => s"\"$p\":${runObj(m)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"passes":$passesJson,"failed":$failedJson,"sf":"$sfDirRaw"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDirRaw"}"""
     // Compact totals line: the driver's round artifact keeps only a
     // 2000-char tail of the run log, which lands INSIDE the big JSON
     // line and loses the totals (they print before the per-pass dump).
@@ -267,6 +272,9 @@ object Bench {
     // stdout carries sbt [info] prefixes and any log noise; the file is
     // the unambiguous machine-readable channel for the driver.
     Files.write(Paths.get("BENCH.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get("BENCH_PASSES.json"),
+      (s"""{"passes":$passesJson,"sf":"$sfDirRaw"}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
     println(summary)
     println(json)
     println(summary)
