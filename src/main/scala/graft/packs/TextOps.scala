@@ -624,6 +624,34 @@ object TextOps extends QueryPack {
         max(col("sim")).as("max_sim"))
   }
 
+  /** [[textSemanticNearDup]] in the CHARACTER-n-gram feature space
+    * ([[graft.functions.HashEmbedNgrams]]) — the boundary-shift-robust
+    * variant: a split/join paraphrase keeps ~all its grams, so pairs
+    * the token space drops below threshold survive here
+    * (HashEmbedSpec's planted pair: ngram 0.93 vs token 0.78). Same
+    * fixed-N verifier gate, same threshold (the corpus's base ngram
+    * similarity sits far below it), same doc-pair rollup; at corpus
+    * scale the LSH/store machinery fronts this embedding through the
+    * identical `embedding`-column seam. */
+  def textSemanticNearDupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(
+        textNearDupSample(spark, sfDir),
+        "doc_id", "text", ChunkTokens, ChunkOverlap)
+      .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
+        col("text"))
+    val vectors = chunks.select(col("vec_id"),
+      graft.functions.HashEmbedNgrams(col("text"), EmbedDim, NgramEmbedN)
+        .as("embedding"))
+    graft.operators.SimilaritySearch
+      .cosineNearDupPairs(vectors, TextNearDupThreshold)
+      .select(expr(s"vec_a div $ChunkVecBase").as("doc_a"),
+        expr(s"vec_b div $ChunkVecBase").as("doc_b"), col("sim"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max(col("sim")).as("max_sim"))
+  }
+
   /** Batch split for the store-backed incremental text near-dup probe,
     * shared with the generated oracle (which filters the full chunk
     * self-dedup pair set to pairs touching a batch DOC — the same
@@ -847,6 +875,7 @@ object TextOps extends QueryPack {
     "text_semantic_neardup" -> (textSemanticNearDup _),
     "text_semantic_neardup_lsh" -> (textSemanticNearDupLsh _),
     "text_neardup_incremental_store" -> (textNearDupIncrementalStore _),
+    "text_semantic_neardup_ngram" -> (textSemanticNearDupNgram _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -1143,6 +1172,47 @@ object TextOps extends QueryPack {
        |)""".stripMargin
   }
 
+  /** [[chunkEmbedCtesFrom]]'s CHARACTER-n-gram sibling: the chunk text
+    * is REASSEMBLED (the token form hashes straight off the slices;
+    * grams need the actual string), substr windows feed the shared
+    * md5h60 idiom under the 'embn#' salt, and the tail (bucket sums →
+    * grid fill → vn) is shape-identical. */
+  private def chunkNgramEmbedCtesFrom(rel: String): String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"""ck AS (
+       |  SELECT doc_id,
+       |    CAST(doc_id * $ChunkVecBase + (s - 1) // $stride AS BIGINT) AS vec_id,
+       |    array_to_string(list_slice(tk, CAST(s AS INT),
+       |      CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT)), ' ') AS ctext
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
+       |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
+       |), gg AS (
+       |  SELECT vec_id, substr(ctext, CAST(i AS INT), $NgramEmbedN) AS gm
+       |  FROM ck,
+       |    unnest(range(1, greatest(len(ctext) - $NgramEmbedN + 1, 1) + 1)) AS u(i)
+       |), hh AS (
+       |  SELECT vec_id,
+       |    ('0x' || substr(md5('embn#' || gm), 1, 15))::BIGINT AS h
+       |  FROM gg
+       |), tb AS (
+       |  SELECT vec_id, h % $EmbedDim AS b,
+       |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS v
+       |  FROM hh GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT ids.vec_id, r.b
+       |  FROM (SELECT DISTINCT vec_id FROM ck) ids,
+       |       unnest(range(0, $EmbedDim)) AS r(b)
+       |), vec AS (
+       |  SELECT g.vec_id, list(coalesce(tb.v, 0) ORDER BY g.b) AS emb
+       |  FROM grid g LEFT JOIN tb ON tb.vec_id = g.vec_id AND tb.b = g.b
+       |  GROUP BY g.vec_id
+       |), vn AS (
+       |  SELECT vec_id, emb,
+       |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+       |  FROM vec
+       |)""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     // the exact-cosine pair verifier over the shared chunk embeddings,
     // rolled up to distinct-document pairs (vec_a < vec_b plus the
@@ -1150,6 +1220,26 @@ object TextOps extends QueryPack {
     // threshold arithmetic as the engine
     "text_semantic_neardup" ->
       s"""WITH ${chunkEmbedCtesFrom(textNearDupSampleSql)}
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  max(sim) AS max_sim
+         |FROM (
+         |  SELECT a.vec_id // $ChunkVecBase AS doc_a, b.vec_id // $ChunkVecBase AS doc_b,
+         |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4) AS sim
+         |  FROM vn a JOIN vn b ON a.vec_id < b.vec_id
+         |  WHERE round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> a.emb[i] * b.emb[i])) / (a.nrm * b.nrm) END, 4)
+         |    >= $TextNearDupThreshold
+         |    AND a.vec_id // $ChunkVecBase <> b.vec_id // $ChunkVecBase
+         |)
+         |GROUP BY doc_a, doc_b""".stripMargin,
+    // the same verifier in the CHARACTER-n-gram feature space — only
+    // the embedding CTE chain differs (reassembled chunk text, substr
+    // windows, the 'embn#' salt); pair arithmetic and rollup identical
+    "text_semantic_neardup_ngram" ->
+      s"""WITH ${chunkNgramEmbedCtesFrom(textNearDupSampleSql)}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (
