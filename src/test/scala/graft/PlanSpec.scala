@@ -403,4 +403,40 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shard exchange, got $exchanges:\n$p")
     assert(!p.contains("Generate"), s"BPE counting must not explode rows:\n$p")
   }
+
+  test("text_semantic_neardup(+ngram): bounded draw is a top-N heap, never a global sort") {
+    for (name <- Seq("text_semantic_neardup", "text_semantic_neardup_ngram")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: the fixed-N doc draw must plan as per-partition heaps:\n$p")
+      assert(!p.contains("Sort [") ||
+        !p.contains("global=true"),
+        s"$name: the draw must never globally sort the corpus:\n$p")
+    }
+  }
+
+  test("url_canonicalize_psl: ~11 broadcast rule probes, zero corpus shuffles") {
+    val p = plan("url_canonicalize_psl")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast rule probes:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("Exchange hashpartitioning"),
+      s"PSL probing must never shuffle the corpus:\n$p")
+  }
+
+  test("text_neardup_incremental_store: zero chunk/hash/hyperplane work over the seen corpus") {
+    val p = plan("text_neardup_incremental_store")
+    // the seen side comes from the persisted parquet tables (zero
+    // hyperplane/hash/norm recompute over the corpus); the BATCH's
+    // bucket rows sit behind a lazy localCheckpoint (an RDD scan in
+    // the plan), so the only embed/plane expressions visible are the
+    // batch's verification projections — bounded and batch-sized
+    val embeds = "graft_hash_embed".r.findAllIn(p).length
+    val planes = "graft_hyperplane".r.findAllIn(p).length
+    assert(p.contains("parquet"), s"seen side must scan the store:\n$p")
+    assert(embeds <= 4 && planes <= 2,
+      s"seen-side recompute leaking in ($embeds embeds, $planes plane passes):\n$p")
+    assert(p.contains("graft_dot"),
+      s"verification must run the native pre-normed cosine:\n$p")
+  }
 }

@@ -196,38 +196,43 @@ class StorePointerSpec extends SparkSpec {
     // could delete the winner's already-published segment files.
     val s = spark
     import s.implicits._
-    val ptr = new InMemoryCasPointer
-    val a = new BandStore("graft_cas_two_writers", buckets = 2, pointer = ptr)
-    val b = new BandStore("graft_cas_two_writers", buckets = 2, pointer = ptr)
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
-    val pool = Executors.newFixedThreadPool(2)
-    val go = new CountDownLatch(1)
-    val writers = Seq(a -> 0, b -> 1).map { case (st, base) =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = {
-          go.countDown(); go.await()
-          (0 until 4).foreach { i =>
-            val id = (base * 100 + i).toLong
-            st.merge(Seq((id, 0, s"k$id")).toDF("doc_id", "band", "band_key"))
+    val cases = Seq[(String, CasStorePointer)](
+      "graft_cas_two_writers_mem" -> new InMemoryCasPointer,
+      "graft_cas_two_writers_file" -> new CasFilePointer(
+        Files.createTempDirectory("graft-cas-2w")))
+    for ((name, ptr) <- cases) {
+      val a = new BandStore(name, buckets = 2, pointer = ptr)
+      val b = new BandStore(name, buckets = 2, pointer = ptr)
+      val pool = Executors.newFixedThreadPool(2)
+      val go = new CountDownLatch(1)
+      val writers = Seq(a -> 0, b -> 1).map { case (st, base) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            go.countDown(); go.await()
+            (0 until 4).foreach { i =>
+              val id = (base * 100 + i).toLong
+              st.merge(Seq((id, 0, s"k$id")).toDF("doc_id", "band", "band_key"))
+            }
           }
-        }
-      })
+        })
+      }
+      writers.foreach(_.get())
+      pool.shutdown()
+      assert(pool.awaitTermination(60, TimeUnit.SECONDS))
+      // every merge from BOTH writers landed, exactly once
+      val want = (0 until 4).flatMap(i => Seq(i.toLong, (100 + i).toLong)).toSet
+      val got = a.table(spark).select("doc_id").as[Long].collect()
+      assert(got.toSet == want, s"$name: lost/foreign rows: ${got.sorted.toSeq}")
+      assert(got.length == want.size, s"$name: a clobbered manifest would " +
+        "duplicate or drop segment rows")
+      assert(a.liveSegments.size == 8 && a.liveSegments.distinct.size == 8,
+        s"$name: claimed segment ids must be unique: ${a.liveSegments}")
+      // compaction under the same two-instance setup stays consistent
+      a.compact(spark)
+      assert(b.table(spark).select("doc_id").as[Long].collect().toSet == want,
+        s"$name: the other instance must see the compacted corpus")
     }
-    writers.foreach(_.get())
-    pool.shutdown()
-    assert(pool.awaitTermination(60, TimeUnit.SECONDS))
-    // every merge from BOTH writers landed, exactly once
-    val want = (0 until 4).flatMap(i => Seq(i.toLong, (100 + i).toLong)).toSet
-    val got = a.table(spark).select("doc_id").as[Long].collect()
-    assert(got.toSet == want, s"lost/foreign rows: got ${got.sorted.toSeq}")
-    assert(got.length == want.size, "a clobbered manifest would duplicate " +
-      "or drop segment rows")
-    assert(a.liveSegments.size == 8 && a.liveSegments.distinct.size == 8,
-      s"claimed segment ids must be unique: ${a.liveSegments}")
-    // compaction under the same two-instance setup stays consistent
-    a.compact(spark)
-    assert(b.table(spark).select("doc_id").as[Long].collect().toSet == want,
-      "the other instance must see the compacted corpus via the pointer")
   }
 
   test("CAS file pointer: reads race a pruning publisher without error") {

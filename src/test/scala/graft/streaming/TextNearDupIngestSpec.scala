@@ -69,4 +69,32 @@ class TextNearDupIngestSpec extends SparkSpec {
     assert(stored == Set(10L, 12L, 21L)
       .flatMap(d => Set(d * Base, d * Base + 1)), s"got $stored")
   }
+
+  test("doc ingest loop drives from a real stream via foreachBatch") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new EmbStore("graft_textemb_ingest_stream", buckets = 2)
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = StreamingPipelines.textNearDupIngestBatch(store, batch,
+            "doc_id", "text", threshold = 0.9, chunkTokens = CT,
+            chunkOverlap = CO, vecBase = Base, embedDim = 64,
+            batchId = batchId)
+          .select("doc_id").as[Long].collect()
+        accepted.synchronized { accepted ++= out }
+        ()
+      }.start()
+    try {
+      in.addData(1L -> doc("alpha", "x"), 2L -> doc("beta", "x"))
+      q.processAllAvailable()
+      in.addData(3L -> doc("alpha", "y")) // near-dup of accepted 1 → dropped
+      q.processAllAvailable()
+      assert(accepted.synchronized(accepted.toSet) == Set(1L, 2L),
+        s"got ${accepted.synchronized(accepted.toSet)}")
+    } finally q.stop()
+  }
 }
