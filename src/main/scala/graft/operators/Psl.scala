@@ -70,8 +70,24 @@ object Psl {
         else if (rule != "*") exact += rule
       }
     }
-    val r = Rules(exact.result().distinct, wild.result().distinct,
-      exc.result().distinct)
+    // IDN rules (≈466 unicode entries in the snapshot) additionally
+    // get their PUNYCODE twin (RFC 3490 ToASCII via the JDK): real
+    // crawl hosts carry IDN labels in xn-- form, and a unicode-only
+    // rule would silently never match them. The unicode original stays
+    // too (a host column that was never punycoded still matches);
+    // rules the encoder rejects are kept as-is.
+    def withPunycode(rules: Vector[String]): IndexedSeq[String] =
+      rules.flatMap { r =>
+        if (r.forall(_ < 128)) Seq(r)
+        else
+          try {
+            val ascii = java.net.IDN.toASCII(r).toLowerCase(Locale.ROOT)
+            if (ascii != r) Seq(r, ascii) else Seq(r)
+          } catch { case _: IllegalArgumentException => Seq(r) }
+      }.distinct
+    val r = Rules(withPunycode(exact.result().distinct),
+      withPunycode(wild.result().distinct),
+      withPunycode(exc.result().distinct))
     require(r.exact.nonEmpty, "empty public suffix list")
     r
   }

@@ -26,6 +26,21 @@ class PslSpec extends SparkSpec {
     assert(r.maxDepth == 5, s"snapshot's deepest rule: ${r.maxDepth}")
     // the 5-label exact rule the depth machinery must reach
     assert(r.exact.contains("s3.dualstack.ap-northeast-1.amazonaws.com"))
+    // IDN rules carry their punycode twin (crawl hosts are xn-- form)
+    assert(r.exact.contains("公司.cn") &&
+      r.exact.contains(java.net.IDN.toASCII("公司.cn")),
+      "unicode rules must gain RFC 3490 ASCII twins")
+  }
+
+  test("punycoded crawl hosts match IDN rules") {
+    val cnCompany = java.net.IDN.toASCII("公司.cn") // xn--55qx5d.cn
+    val got = psl(s"example.$cnCompany", s"sub.example.$cnCompany",
+      "example.公司.cn")
+    assert(got(s"example.$cnCompany") == s"example.$cnCompany",
+      "suffix 公司.cn in xn-- form + one label")
+    assert(got(s"sub.example.$cnCompany") == s"example.$cnCompany")
+    assert(got("example.公司.cn") == "example.公司.cn",
+      "the unicode original still matches un-punycoded hosts")
   }
 
   private def psl(hosts: String*): Map[String, String] = {
