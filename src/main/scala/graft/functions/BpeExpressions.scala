@@ -104,6 +104,45 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     n
   }
 
+  /** Token → id under the VOCABULARY-FREE id scheme (the codepoint
+    * analog of GPT-2's byte-id base alphabet — ids are stable without
+    * shipping any vocab table): a single-codepoint token IS its code
+    * point; a merge product is [[BpeTable.IdBase]] + its 1-based rank
+    * (min rank when two merges collide on the same product string);
+    * the empty token (split artifacts of doubled/edge spaces) is 0;
+    * the marker-collision opaque token (multi-codepoint, not a
+    * product — adversarial input only) is -1. The OOV property spec
+    * proves these four cases are exhaustive. */
+  @transient private lazy val productIds:
+      java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    var i = 0
+    merges.foreach { case (a, b) =>
+      i += 1
+      m.putIfAbsent(a + b, java.lang.Long.valueOf(BpeTable.IdBase + i))
+    }
+    m
+  }
+
+  def tokenId(t: String): Long = {
+    if (t.isEmpty) return 0L
+    val pid = productIds.get(t)
+    if (pid != null) pid.longValue()
+    else if (t.codePointCount(0, t.length) == 1) t.codePointAt(0).toLong
+    else -1L
+  }
+
+  /** The text's BPE token-id sequence, word order then within-word
+    * merge order — what a training pipeline actually emits. */
+  def ids(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    words.foreach { w =>
+      tokenizeWord(w).foreach(t => out += tokenId(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Longest word-prefix whose cumulative BPE token count stays within
     * `maxTokens`, re-joined by single spaces — the subword-denominated
     * context cap, cutting at word boundaries (a mid-word cut would
@@ -138,6 +177,10 @@ object BpeTable {
   val Open = '\u001e'
   val Close = '\u001f'
   val MemoCap = 1 << 16
+  /** First merge-product id: one past the Unicode code point space, so
+    * single-codepoint ids (= the code point) and product ids (= base +
+    * rank) can never collide. */
+  val IdBase = 0x110000L
 }
 
 /** `array<string>` of the text's BPE tokens under a trained merge
@@ -228,4 +271,33 @@ object BpeTruncateWords {
       maxTokens: Long): Column =
     bridge.column(BpeTruncateWords(bridge.expression(text),
       new BpeTable(merges), maxTokens))
+}
+
+/** `array<long>`: the text's BPE token-ID sequence under the
+  * vocabulary-free id scheme (see [[BpeTable.tokenId]]) — the actual
+  * training-pipeline output denomination (id sequences, not strings). */
+case class BpeTokenIds(child: Expression, table: BpeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bpe_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    table.ids(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.ids($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIds =
+    copy(child = newChild)
+}
+
+object BpeTokenIds {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeTokenIds(bridge.expression(text), new BpeTable(merges)))
 }

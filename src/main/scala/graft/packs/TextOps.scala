@@ -425,6 +425,21 @@ object TextOps extends QueryPack {
         .as("n_tokens_bpe"))
   }
 
+  /** BPE token-ID sequences — the pipeline's ACTUAL output
+    * denomination (training emits id sequences, not token strings):
+    * (doc_id, pos, token_id) under the vocabulary-free id scheme
+    * ([[graft.functions.BpeTable]].tokenId — a single-codepoint token
+    * IS its code point, a merge product is IdBase + rank; no vocab
+    * table ships anywhere). BpeOovPropertySpec proves the scheme is
+    * total over arbitrary input. */
+  def bpeEncodeIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.BpeTokenIds(col("text"),
+          bpeMerges(spark, sfDir))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+
   /** [[packSequences]] under the trained-BPE denomination — the layout
     * a real pretraining pipeline cuts (budgets are subword tokens). */
   def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -866,6 +881,7 @@ object TextOps extends QueryPack {
     "per_domain_cap" -> (perDomainCap _),
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
+    "bpe_encode_ids" -> (bpeEncodeIds _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "chunk_documents" -> (chunkDocuments _),
@@ -2096,6 +2112,41 @@ object TextOps extends QueryPack {
           // the oracle is the SAME string (the decontaminate_store
           // equivalence argument)
           "token_count_bpe_store" -> tokenCountSql,
+
+          // id assignment mirrored: per-word token LISTS from the same
+          // recursive fold, positions via the per-doc prefix sum of
+          // word token counts (0-based, = posexplode), product ids via
+          // min-rank on the (a||b) string, single codepoints via
+          // unicode(), the empty split-artifact token 0
+          "bpe_encode_ids" ->
+            s"""WITH RECURSIVE $ctes,
+               |pm AS (
+               |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
+               |  FROM bm GROUP BY 1
+               |), btl AS (
+               |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
+               |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
+               |  FROM br WHERE rk = ${merges.size}
+               |), wocc AS (
+               |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+               |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               |       unnest(range(1, len(w) + 1)) AS u(i)
+               |), wpre AS (
+               |  SELECT wocc.doc_id, wocc.wi, wocc.word,
+               |    coalesce(sum(bwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+               |  FROM wocc JOIN bwt USING (word)
+               |), tk AS (
+               |  SELECT w.doc_id, w.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
+               |  FROM wpre w JOIN btl w2 USING (word),
+               |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+               |)
+               |SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS pos,
+               |  CAST(CASE WHEN tk.tok = '' THEN 0
+               |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
+               |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
+               |    ELSE -1 END AS BIGINT) AS token_id
+               |FROM tk LEFT JOIN pm ON pm.product = tk.tok""".stripMargin,
 
           // the whitespace pack oracle's EXACT hash/window tail over the
           // BPE denomination — only the n_tokens source moves

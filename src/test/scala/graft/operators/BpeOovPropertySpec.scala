@@ -100,6 +100,24 @@ class BpeOovPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(toks.takeRight(2) == Seq("п", "р"))
   }
 
+  test("property: token-id sequences decode back to the word (no vocab table)") {
+    // the vocabulary-free scheme is INVERTIBLE from the merge table
+    // alone: ids below IdBase are code points, ids above are 1-based
+    // merge ranks — so a stored id sequence reconstructs its tokens
+    // (and hence the word) with nothing but the trained merges
+    val products = table.merges.map { case (a, b) => a + b }
+    def decode(id: Long): String =
+      if (id == 0L) ""
+      else if (id < BpeTable.IdBase) new String(Character.toChars(id.toInt))
+      else products((id - BpeTable.IdBase - 1).toInt)
+    val genClean = genWord.map(_.filterNot(c =>
+      c == BpeTable.Open || c == BpeTable.Close))
+    check(Prop.forAll(genClean) { w =>
+      val ids = table.tokenizeWord(w).map(table.tokenId)
+      ids.forall(_ >= 0) && ids.map(decode).mkString == w
+    })
+  }
+
   test("the marker-collision opaque path is still budget-consistent") {
     val w = s"ab${BpeTable.Open}cd"
     assert(table.tokenizeWord(w).toSeq == Seq(w))
