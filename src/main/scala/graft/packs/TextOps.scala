@@ -851,6 +851,20 @@ object TextOps extends QueryPack {
         "doc_id", "url"),
       "etld1", "doc_id", DomainCapK)
 
+  /** [[perDomainCap]] keyed by the FULL-PSL registrable domain — the
+    * production composition: wildcard/exception suffixes (`a.foo.ck`,
+    * `www.ck`) collapse correctly into ONE domain budget where the
+    * bounded table would mis-key them. */
+  def perDomainCapPsl(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.UrlOps
+    val withHost = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), syntheticPslUrl.as("url"))
+      .select(col("doc_id"), UrlOps.host(col("url")).as("host"))
+    TextAnalysis.perSourceCap(
+      UrlOps.etld1Psl(withHost, "host").select(col("doc_id"), col("etld1")),
+      "etld1", "doc_id", DomainCapK)
+  }
+
   private val bpeStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.BpeStore]()
 
@@ -879,6 +893,7 @@ object TextOps extends QueryPack {
     "url_canonicalize" -> (urlCanonicalize _),
     "url_canonicalize_psl" -> (urlCanonicalizePsl _),
     "per_domain_cap" -> (perDomainCap _),
+    "per_domain_cap_psl" -> (perDomainCapPsl _),
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
@@ -1336,6 +1351,24 @@ object TextOps extends QueryPack {
         s"""(SELECT doc_id, url, ${UrlOps.hostSql("url")} AS host
            |   FROM (SELECT doc_id, $syntheticPslUrlSql AS url
            |         FROM documents))""".stripMargin)
+    },
+
+    // the cap window over the FULL-PSL registrable domain — the
+    // generated PSL query (rule VALUES + EXISTS probes) as a subquery
+    // feeding the identical row_number-cap arithmetic
+    "per_domain_cap_psl" -> {
+      import graft.operators.UrlOps
+      val psl = UrlOps.etld1PslOracleSql(
+        s"""(SELECT doc_id, url, ${UrlOps.hostSql("url")} AS host
+           |   FROM (SELECT doc_id, $syntheticPslUrlSql AS url
+           |         FROM documents))""".stripMargin)
+      s"""SELECT doc_id, etld1, rk FROM (
+         |  SELECT doc_id, etld1, row_number() OVER (
+         |    PARTITION BY etld1
+         |    ORDER BY ('0x' || substr(md5(etld1 || '#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |             doc_id) AS rk
+         |  FROM ($psl)
+         |) WHERE rk <= $DomainCapK""".stripMargin
     },
 
     // same row_number-cap arithmetic as per_source_cap, keyed by the

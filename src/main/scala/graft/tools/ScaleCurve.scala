@@ -104,6 +104,17 @@ object ScaleCurve {
         docs.select(col("doc_id"),
           concat(lit("https://www."), col("source"), lit(".co.uk/p/"),
             col("doc_id").cast("string")).as("url")), "doc_id", "url"))
+      // the FULL-PSL path: ~11 broadcast rule probes per row, including
+      // the wildcard branch — the 9.5k-rule table rides along broadcast,
+      // the corpus never shuffles
+      bench("url_canonicalize_psl", m, UrlOps.etld1Psl(
+        docs.select(col("doc_id"),
+          concat(lit("www."), col("source"),
+            when(col("doc_id") % 3 === 0, lit(".foo.ck"))
+              .when(col("doc_id") % 3 === 1, lit(".co.uk"))
+              .otherwise(lit(".com"))).as("host")), "host"))
+      bench("bpe_encode_ids", m, docs.select(col("doc_id"),
+        posexplode(graft.functions.BpeTokenIds(col("text"), merges))))
       bench("ann_brute_heap", m,
         SimilaritySearch.bruteForceTopKHeap(vecs, queries, k = 10))
       bench("ann_ivf", m,
