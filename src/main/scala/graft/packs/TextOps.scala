@@ -449,6 +449,33 @@ object TextOps extends QueryPack {
       t => graft.functions.BpeTokenCount(t, m))
   }
 
+  /** The MATERIALIZED training layout — [[packSequencesBpe]]'s per-doc
+    * placement composed with [[bpeEncodeIds]]'s id sequences: every
+    * token lands at its physical (shard, seq_id, seq_pos) slot, the
+    * rows a training reader consumes. The join is DOC-level — the
+    * shuffled payload is three longs per document (placement), never
+    * the tokens: ids explode AFTER the join, scan-side, so the token
+    * stream itself is never exchanged. doc_start = seq_first * budget
+    * + seq_offset reconstructs the shard-stream prefix sum exactly
+    * (integral arithmetic throughout — the 2^53 discipline). */
+  def packIdsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    val placed = TextAnalysis.packSequencesWith(
+        Tables.documents(spark, sfDir), "doc_id", "text", NumShards,
+        PackBudget, t => graft.functions.BpeTokenCount(t, m))
+      .select(col("doc_id"), col("shard"),
+        (col("seq_first") * PackBudget + col("seq_offset")).as("doc_start"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .join(placed, "doc_id")
+      .select(col("doc_id"), col("shard"), col("doc_start"),
+        posexplode(graft.functions.BpeTokenIds(col("text"), m)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"(doc_start + pos) div ${PackBudget}L").as("seq_id"),
+        pmod(col("doc_start") + col("pos"), lit(PackBudget.toLong))
+          .as("seq_pos"),
+        col("col").as("token_id"))
+  }
+
   /** Subword-vocabulary heavy hitters — [[vocabTopTerms]] over the
     * trained BPE tokens instead of whitespace words: the
     * tokenizer-quality signal (which subwords dominate, how much mass
@@ -897,6 +924,7 @@ object TextOps extends QueryPack {
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
+    "pack_ids_bpe" -> (packIdsBpe _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "chunk_documents" -> (chunkDocuments _),
@@ -2137,6 +2165,36 @@ object TextOps extends QueryPack {
              |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
              |  bdn.n_tokens_bpe
              |FROM documents d JOIN bdn USING (doc_id)""".stripMargin
+        // shared by the encode and pack-ids oracles: token lists per
+        // word from the recursive fold, per-doc 0-based positions via
+        // the word-count prefix sum, and the vocabulary-free id CASE
+        val encodeCtes =
+          s"""pm AS (
+             |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
+             |  FROM bm GROUP BY 1
+             |), btl AS (
+             |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
+             |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
+             |  FROM br WHERE rk = ${merges.size}
+             |), wocc AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |       unnest(range(1, len(w) + 1)) AS u(i)
+             |), wpre AS (
+             |  SELECT wocc.doc_id, wocc.wi, wocc.word,
+             |    coalesce(sum(bwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+             |  FROM wocc JOIN bwt USING (word)
+             |), tk AS (
+             |  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
+             |  FROM wpre w0 JOIN btl w2 USING (word),
+             |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+             |)""".stripMargin
+        val tokenIdCase =
+          s"""CAST(CASE WHEN tk.tok = '' THEN 0
+             |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
+             |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
+             |    ELSE -1 END AS BIGINT)""".stripMargin
         Seq(
           "token_count_bpe" -> tokenCountSql,
 
@@ -2153,33 +2211,29 @@ object TextOps extends QueryPack {
           // unicode(), the empty split-artifact token 0
           "bpe_encode_ids" ->
             s"""WITH RECURSIVE $ctes,
-               |pm AS (
-               |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
-               |  FROM bm GROUP BY 1
-               |), btl AS (
-               |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
-               |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
-               |  FROM br WHERE rk = ${merges.size}
-               |), wocc AS (
-               |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
-               |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-               |       unnest(range(1, len(w) + 1)) AS u(i)
-               |), wpre AS (
-               |  SELECT wocc.doc_id, wocc.wi, wocc.word,
-               |    coalesce(sum(bwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
-               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-               |  FROM wocc JOIN bwt USING (word)
-               |), tk AS (
-               |  SELECT w.doc_id, w.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
-               |  FROM wpre w JOIN btl w2 USING (word),
-               |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
-               |)
+               |$encodeCtes
                |SELECT tk.doc_id, CAST(tk.pos AS BIGINT) AS pos,
-               |  CAST(CASE WHEN tk.tok = '' THEN 0
-               |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
-               |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
-               |    ELSE -1 END AS BIGINT) AS token_id
+               |  $tokenIdCase AS token_id
                |FROM tk LEFT JOIN pm ON pm.product = tk.tok""".stripMargin,
+
+          // the materialized layout: the encode CTEs' (doc, pos, tok)
+          // joined with the pack CTEs' per-doc shard-stream start
+          // (cum - n_tokens = the engine's seq_first*B + seq_offset),
+          // integral // and % to the physical (shard, seq, slot)
+          "pack_ids_bpe" ->
+            s"""WITH RECURSIVE $ctes,
+               |$encodeCtes,
+               |${shardPackCtesCounted("bdn", "n_tokens_bpe")},
+               |ds AS (
+               |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM w
+               |)
+               |SELECT tk.doc_id, ds.shard,
+               |  CAST((ds.doc_start + tk.pos) // $PackBudget AS BIGINT) AS seq_id,
+               |  CAST((ds.doc_start + tk.pos) % $PackBudget AS BIGINT) AS seq_pos,
+               |  $tokenIdCase AS token_id
+               |FROM tk
+               |JOIN ds USING (doc_id)
+               |LEFT JOIN pm ON pm.product = tk.tok""".stripMargin,
 
           // the whitespace pack oracle's EXACT hash/window tail over the
           // BPE denomination — only the n_tokens source moves
