@@ -694,6 +694,24 @@ object TextOps extends QueryPack {
         max(col("sim")).as("max_sim"))
   }
 
+  /** LSH recall against the exact verifier on the shared fixed-N
+    * sample — the ann_recall pattern for the TEXT near-dup path: the
+    * capped-bucket blocker's documented miss rate becomes a MEASURED
+    * number both engines agree on (pairs found by the full-corpus LSH
+    * path, restricted to the sample by the rollup keys, over the exact
+    * pair set). One summary row: n_pairs, hits, recall. */
+  def textNearDupRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = textSemanticNearDup(spark, sfDir).select("doc_a", "doc_b")
+    val lsh = textSemanticNearDupLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("n_pairs"), col("hits"),
+        round(col("hits").cast("double") /
+          greatest(col("n_pairs"), lit(1L)), 4).as("recall"))
+  }
+
   /** Batch split for the store-backed incremental text near-dup probe,
     * shared with the generated oracle (which filters the full chunk
     * self-dedup pair set to pairs touching a batch DOC — the same
@@ -935,6 +953,7 @@ object TextOps extends QueryPack {
     "text_semantic_neardup_lsh" -> (textSemanticNearDupLsh _),
     "text_neardup_incremental_store" -> (textNearDupIncrementalStore _),
     "text_semantic_neardup_ngram" -> (textSemanticNearDupNgram _),
+    "text_neardup_recall" -> (textNearDupRecall _),
     "pack_sequences_bpe" -> (packSequencesBpe _),
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
@@ -1272,13 +1291,8 @@ object TextOps extends QueryPack {
        |)""".stripMargin
   }
 
-  override def oracleSql: Map[String, String] = Map(
-    // the exact-cosine pair verifier over the shared chunk embeddings,
-    // rolled up to distinct-document pairs (vec_a < vec_b plus the
-    // cross-doc filter makes doc_a < doc_b); same round(4)-then-
-    // threshold arithmetic as the engine
-    "text_semantic_neardup" ->
-      s"""WITH ${chunkEmbedCtesFrom(textNearDupSampleSql)}
+  private lazy val textNearDupExactOracleSql: String =
+    s"""WITH ${chunkEmbedCtesFrom(textNearDupSampleSql)}
          |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
          |  max(sim) AS max_sim
          |FROM (
@@ -1293,7 +1307,29 @@ object TextOps extends QueryPack {
          |    >= $TextNearDupThreshold
          |    AND a.vec_id // $ChunkVecBase <> b.vec_id // $ChunkVecBase
          |)
-         |GROUP BY doc_a, doc_b""".stripMargin,
+         |GROUP BY doc_a, doc_b""".stripMargin
+
+  private lazy val textNearDupLshOracleSql: String = {
+      val planes = graft.operators.SimilaritySearch.hyperplanes(
+        nTables = 8, nPlanes = 8, dim = EmbedDim, seed = 42L)
+      s"""WITH $chunkEmbedCtes,
+         |v AS (SELECT vec_id, emb AS embedding, nrm FROM vn),
+         |${SimilarityOps.planesCte(planes)},
+         |${SimilarityOps.vbuckCte},
+         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold, TextLshMaxBucketSize)}
+         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
+         |  max(sim) AS max_sim
+         |FROM (SELECT vec_a // $ChunkVecBase AS doc_a, vec_b // $ChunkVecBase AS doc_b, sim
+         |      FROM vpairs WHERE vec_a // $ChunkVecBase <> vec_b // $ChunkVecBase)
+         |GROUP BY doc_a, doc_b""".stripMargin
+  }
+
+  override def oracleSql: Map[String, String] = Map(
+    // the exact-cosine pair verifier over the shared chunk embeddings,
+    // rolled up to distinct-document pairs (vec_a < vec_b plus the
+    // cross-doc filter makes doc_a < doc_b); same round(4)-then-
+    // threshold arithmetic as the engine
+    "text_semantic_neardup" -> textNearDupExactOracleSql,
     // the same verifier in the CHARACTER-n-gram feature space — only
     // the embedding CTE chain differs (reassembled chunk text, substr
     // windows, the 'embn#' salt); pair arithmetic and rollup identical
@@ -1318,20 +1354,17 @@ object TextOps extends QueryPack {
     // synthetic-embeddings LSH oracle uses (SimilarityOps), composed
     // over the chunk embeddings (emb components already DOUBLE — the
     // fragment's casts are no-ops), then the distinct-doc rollup
-    "text_semantic_neardup_lsh" -> {
-      val planes = graft.operators.SimilaritySearch.hyperplanes(
-        nTables = 8, nPlanes = 8, dim = EmbedDim, seed = 42L)
-      s"""WITH $chunkEmbedCtes,
-         |v AS (SELECT vec_id, emb AS embedding, nrm FROM vn),
-         |${SimilarityOps.planesCte(planes)},
-         |${SimilarityOps.vbuckCte},
-         |${SimilarityOps.embNearDupPairsCtes(TextNearDupThreshold, TextLshMaxBucketSize)}
-         |SELECT doc_a, doc_b, count(*)::BIGINT AS n_chunk_pairs,
-         |  max(sim) AS max_sim
-         |FROM (SELECT vec_a // $ChunkVecBase AS doc_a, vec_b // $ChunkVecBase AS doc_b, sim
-         |      FROM vpairs WHERE vec_a // $ChunkVecBase <> vec_b // $ChunkVecBase)
-         |GROUP BY doc_a, doc_b""".stripMargin
-    },
+    "text_semantic_neardup_lsh" -> textNearDupLshOracleSql,
+    // both generated pair oracles as subqueries under the ann_recall
+    // join/count shape — recall measured, not asserted
+    "text_neardup_recall" ->
+      s"""WITH ex AS (SELECT doc_a, doc_b FROM ($textNearDupExactOracleSql)),
+         |lp AS (SELECT doc_a, doc_b, 1 AS hit FROM ($textNearDupLshOracleSql))
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |  CAST(coalesce(sum(lp.hit), 0) AS BIGINT) AS hits,
+         |  round(CAST(coalesce(sum(lp.hit), 0) AS DOUBLE)
+         |    / greatest(count(*), 1), 4) AS recall
+         |FROM ex LEFT JOIN lp USING (doc_a, doc_b)""".stripMargin,
     // store probe ≡ full chunk self-dedup restricted to pairs touching
     // a batch DOC — identical generated CTEs, one extra predicate (the
     // embedding_neardup_incremental oracle pattern at doc granularity)
