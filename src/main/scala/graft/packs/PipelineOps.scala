@@ -166,6 +166,42 @@ object PipelineOps extends QueryPack {
         keptWithText(Tables.documents(spark, sfDir)), "doc_id", "text"),
       "doc_id", "clean_text", TextOps.NumShards, TextOps.PackBudget)
 
+  /** [[pipelineCuratePack]] taken all the way to the PHYSICAL
+    * artifact: the curated, span-stripped corpus TOKENIZED under the
+    * corpus-trained BPE (trained on the RAW corpus — a production
+    * tokenizer pre-dates any one curation run) and materialized as
+    * (shard, seq_id, seq_pos, token_id) slots. Raw documents in,
+    * training shards out, every token's physical slot oracle-verified
+    * — the complete pipeline this engine exists for.
+    *
+    * Scale shape: [[curateStrip]]'s shape + the pack placement's one
+    * shard shuffle (3 longs per doc) + a scan-side id explode; the
+    * cleaned corpus is checkpointed ONCE so placement and emission
+    * don't re-run the curation stack twice, and the token stream
+    * itself is never exchanged (ids explode after the doc-level
+    * placement join). */
+  def pipelineCuratePackIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = TextOps.bpeMerges(spark, sfDir)
+    val cleaned = Dedup.stripDuplicateSpans(
+        keptWithText(Tables.documents(spark, sfDir)), "doc_id", "text")
+      .select(col("doc_id"), col("clean_text"))
+      .localCheckpoint(false)
+    val placed = TextAnalysis.packSequencesWith(cleaned, "doc_id",
+        "clean_text", TextOps.NumShards, TextOps.PackBudget,
+        t => graft.functions.BpeTokenCount(t, m))
+      .select(col("doc_id"), col("shard"),
+        (col("seq_first") * TextOps.PackBudget + col("seq_offset"))
+          .as("doc_start"))
+    cleaned.join(placed, "doc_id")
+      .select(col("doc_id"), col("shard"), col("doc_start"),
+        posexplode(graft.functions.BpeTokenIds(col("clean_text"), m)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"(doc_start + pos) div ${TextOps.PackBudget}L").as("seq_id"),
+        pmod(col("doc_start") + col("pos"),
+          lit(TextOps.PackBudget.toLong)).as("seq_pos"),
+        col("col").as("token_id"))
+  }
+
   /** The AUDIT view of the flagship pipeline — one verdict row per
     * input document: `keep`, `drop_quality`, `drop_mixture`, or
     * `drop_neardup` with `dup_of` naming the canonical (quality-argmax,
@@ -247,6 +283,7 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _),
       "pipeline_curate_pack" -> (pipelineCuratePack _),
+      "pipeline_curate_pack_ids" -> (pipelineCuratePackIds _),
       "pipeline_curate_audit" -> (pipelineCurateAudit _),
       "pipeline_curate_dsir" -> (pipelineCurateDsir _))
 
@@ -403,5 +440,50 @@ object PipelineOps extends QueryPack {
          |       ELSE 'keep' END AS verdict,
          |  l.dup_of
          |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin
-  )
+  ) ++ bpePipelineOracles
+
+  // generated from the engine's trained merge table (the TextOps
+  // bpeOracles gating): present once the query pass has run — always
+  // true in Verify's dump order
+  private def bpePipelineOracles: Map[String, String] =
+    graft.operators.BpeTokenizer
+      .trainedSnapshot(TextOps.MaxBpeWords, TextOps.NumBpeMerges)
+      .filter(_.nonEmpty).toList.flatMap { merges =>
+        Seq(
+          // the curate_pack oracle's cleaned CTE, then the SHARED BPE
+          // fragments retargeted at the cleaned text: word fold from
+          // the RAW corpus (plus the '' row — a fully-stripped doc's
+          // clean_text splits to one empty word), per-doc counts and
+          // token positions over the SURVIVORS, pack placement under
+          // the BPE denomination, the vocabulary-free id CASE
+          "pipeline_curate_pack_ids" ->
+            s"""WITH RECURSIVE $qualityKeepCtes,
+               |$keptCte,
+               |${DedupOps.spanMarkCtesFrom("kept", graft.operators.Dedup.DupSpanTokens)},
+               |cleaned AS (
+               |  SELECT m.doc_id,
+               |    coalesce(string_agg(m.tok, ' ' ORDER BY m.pos)
+               |      FILTER (WHERE m.dropped = 0), '') AS clean_text
+               |  FROM markedt m
+               |  GROUP BY m.doc_id
+               |),
+               |${TextOps.bpeCtes(merges)},
+               |${TextOps.bpeEncodeCtesFrom(merges.size, "cleaned", "clean_text")},
+               |cbdn AS (
+               |  SELECT doc_id, CAST(sum(bwt.n) AS BIGINT) AS n_tokens_bpe
+               |  FROM wocc JOIN bwt USING (word) GROUP BY doc_id
+               |),
+               |${TextOps.shardPackCtesCounted("cbdn", "n_tokens_bpe", "ps", "pw")},
+               |ds AS (
+               |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM pw
+               |)
+               |SELECT tk.doc_id, ds.shard,
+               |  CAST((ds.doc_start + tk.pos) // ${TextOps.PackBudget} AS BIGINT) AS seq_id,
+               |  CAST((ds.doc_start + tk.pos) % ${TextOps.PackBudget} AS BIGINT) AS seq_pos,
+               |  ${TextOps.bpeTokenIdCaseSql} AS token_id
+               |FROM tk
+               |JOIN ds USING (doc_id)
+               |LEFT JOIN pm ON pm.product = tk.tok""".stripMargin)
+      }.toMap
+
 }

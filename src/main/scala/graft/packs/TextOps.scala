@@ -409,7 +409,7 @@ object TextOps extends QueryPack {
     * denomination too. */
   val BpeSampleBudget = 30000L
 
-  private def bpeMerges(spark: SparkSession,
+  private[packs] def bpeMerges(spark: SparkSession,
       sfDir: String): Seq[(String, String)] =
     graft.operators.BpeTokenizer.trainCached(
       Tables.documents(spark, sfDir), sfDir, "text", MaxBpeWords, NumBpeMerges)
@@ -2151,7 +2151,43 @@ object TextOps extends QueryPack {
     * runs (see [[graft.functions.BpeTable]] for why the double-marker
     * encoding makes the pattern boundary-exact). Per-word token counts
     * then weight back through the per-(doc, word) multiplicities. */
-  private def bpeCtes(merges: Seq[(String, String)]): String = {
+  /** Token-sequence CTEs over an arbitrary (doc_id, <textCol>)
+    * relation, ending in `tk(doc_id, pos, tok)` (0-based positions =
+    * posexplode) plus `pm(product, prank)` — requires [[bpeCtes]]'s
+    * bm/br/bwt upstream. Shared by the encode, pack-ids and composed
+    * pipeline oracles. */
+  private[packs] def bpeEncodeCtesFrom(nMerges: Int, rel: String,
+      textCol: String): String =
+    s"""pm AS (
+       |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
+       |  FROM bm GROUP BY 1
+       |), btl AS (
+       |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
+       |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
+       |  FROM br WHERE rk = $nMerges
+       |), wocc AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+       |  FROM (SELECT doc_id, string_split($textCol, ' ') AS w FROM $rel),
+       |       unnest(range(1, len(w) + 1)) AS u(i)
+       |), wpre AS (
+       |  SELECT wocc.doc_id, wocc.wi, wocc.word,
+       |    coalesce(sum(bwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+       |  FROM wocc JOIN bwt USING (word)
+       |), tk AS (
+       |  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
+       |  FROM wpre w0 JOIN btl w2 USING (word),
+       |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+       |)""".stripMargin
+
+  /** The vocabulary-free token-id CASE over `tk` LEFT JOIN `pm`. */
+  private[packs] def bpeTokenIdCaseSql: String =
+    s"""CAST(CASE WHEN tk.tok = '' THEN 0
+       |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
+       |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
+       |    ELSE -1 END AS BIGINT)""".stripMargin
+
+  private[packs] def bpeCtes(merges: Seq[(String, String)]): String = {
     def q(s: String) = s.replace("'", "''")
     val values = merges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '${q(a)}', '${q(b)}')" }
@@ -2165,7 +2201,11 @@ object TextOps extends QueryPack {
        |), bw0 AS (
        |  SELECT word, array_to_string(list_transform(generate_series(1, length(word)),
        |    i -> chr(30) || substr(word, CAST(i AS INT), 1) || chr(31)), '') AS s
-       |  FROM (SELECT DISTINCT word FROM bdc)
+       |  -- the '' row: a COMPOSED oracle tokenizing REWRITTEN text
+       |  -- (span-stripped clean_text) meets the empty word even when
+       |  -- the raw corpus has none — it must resolve to one empty
+       |  -- token (n=1, id 0), exactly like the engine's split("")
+       |  FROM (SELECT DISTINCT word FROM bdc UNION SELECT '')
        |), br AS (
        |  SELECT word, s, 0 AS rk FROM bw0
        |  UNION ALL
@@ -2198,36 +2238,8 @@ object TextOps extends QueryPack {
              |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
              |  bdn.n_tokens_bpe
              |FROM documents d JOIN bdn USING (doc_id)""".stripMargin
-        // shared by the encode and pack-ids oracles: token lists per
-        // word from the recursive fold, per-doc 0-based positions via
-        // the word-count prefix sum, and the vocabulary-free id CASE
-        val encodeCtes =
-          s"""pm AS (
-             |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
-             |  FROM bm GROUP BY 1
-             |), btl AS (
-             |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
-             |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
-             |  FROM br WHERE rk = ${merges.size}
-             |), wocc AS (
-             |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-             |       unnest(range(1, len(w) + 1)) AS u(i)
-             |), wpre AS (
-             |  SELECT wocc.doc_id, wocc.wi, wocc.word,
-             |    coalesce(sum(bwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
-             |  FROM wocc JOIN bwt USING (word)
-             |), tk AS (
-             |  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
-             |  FROM wpre w0 JOIN btl w2 USING (word),
-             |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
-             |)""".stripMargin
-        val tokenIdCase =
-          s"""CAST(CASE WHEN tk.tok = '' THEN 0
-             |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
-             |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
-             |    ELSE -1 END AS BIGINT)""".stripMargin
+        val encodeCtes = bpeEncodeCtesFrom(merges.size, "documents", "text")
+        val tokenIdCase = bpeTokenIdCaseSql
         Seq(
           "token_count_bpe" -> tokenCountSql,
 
