@@ -14,6 +14,7 @@ object SparkEntry {
     graft.packs.DedupOps,
     graft.packs.SimilarityOps,
     graft.packs.TextOps,
+    graft.packs.ClassifierOps,
     graft.packs.SqlSurfaceOps,
     graft.packs.WindowOps,
     graft.packs.PipelineOps

@@ -1,0 +1,179 @@
+package graft.packs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryPack, Tables}
+import graft.operators.NbClassifier
+
+/** Trained-classifier queries over the `documents` table — the
+  * supervised quality model at the fastText seam
+  * ([[graft.operators.NbClassifier]]): heuristic-labeled Naive-Bayes
+  * training whose sufficient statistics are oracle-verified counts,
+  * one-pass scan-side inference whose weights embed in the generated
+  * oracle via the trained-snapshot pattern, and the persisted
+  * count-additive form ([[graft.operators.NbStore]]).
+  *
+  * Verification closes the whole loop cross-engine:
+  * `classifier_model` hash-matches the sufficient statistics (DuckDB
+  * recomputes labels + hashed-bucket counts from scratch);
+  * `modelOf` — the only step the oracle can't run — is a pure driver
+  * function of those verified counts, pinned by [[NbClassifierSpec]];
+  * `classifier_score` / `classifier_filter` hash-match inference with
+  * the trained weights embedded in the generated SQL; and
+  * `classifier_score_store` shares `classifier_score`'s oracle
+  * VERBATIM — count additivity means the two-batch store derives the
+  * identical model (the `token_count_bpe_store` equivalence argument).
+  */
+object ClassifierOps extends QueryPack {
+
+  import NbClassifier.{Dim, PosMin, NegMax, Scale}
+
+  /** The sufficient statistics as a relation — training's ONLY
+    * data-dependent step, fully recomputable by the oracle. */
+  def classifierModel(spark: SparkSession, sfDir: String): DataFrame =
+    NbClassifier.stats(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Per-document classifier score under the JVM-cached model trained
+    * on this corpus. */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
+    docs.select(col("doc_id"),
+      NbClassifier.scoreExpr(col("text"), m).as("clf_score"))
+  }
+
+  /** The classifier as a curation gate, audited per language: keep =
+    * positive log-odds (an EXACT integer comparison — the rounded
+    * score never decides), plus the exact-arithmetic mean score
+    * (integer sums unscaled in one division, the repo's
+    * re-aggregated-double rule). */
+  def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    docs.select(col("lang"), raw.as("raw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("raw") > 0, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        round(sum(col("raw")).cast("double") /
+          (count(lit(1)).cast("double") * lit(Scale.toDouble)), 4)
+          .as("avg_clf"))
+  }
+
+  private val nbStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.NbStore]()
+
+  /** Store-backed scoring: the sufficient statistics are ingested in
+    * TWO batches (so the gate also proves count additivity — summed
+    * partials derive the IDENTICAL model to one-shot training, hence
+    * the oracle is classifier_score's verbatim) and the model is
+    * derived from the persisted counts. */
+  def classifierScoreStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = nbStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.NbStore(
+        s"graft_nb_store_${QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        batchId = 0L)
+      s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        batchId = 1L)
+      s
+    })
+    val m = store.model(spark)
+    docs.select(col("doc_id"),
+      NbClassifier.scoreExpr(col("text"), m).as("clf_score"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_model" -> (classifierModel _),
+    "classifier_score" -> (classifierScore _),
+    "classifier_filter" -> (classifierFilter _),
+    "classifier_score_store" -> (classifierScoreStore _)
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** The shared per-token bucket CTE chain (the embed_text_components
+    * md5h60 idiom under the `clf#` salt). */
+  private def bucketCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+       |  FROM documents
+       |), hb AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5('clf#' || t), 1, 15))::BIGINT % $Dim AS bucket
+       |  FROM tok
+       |)""".stripMargin
+
+  // generated from the exact weights the engine trained (the
+  // BpeTokenizer.trainedSnapshot pattern): available once the query
+  // pass has run — always true in Verify's dump order;
+  // untrained/ambiguous/degenerate → omitted, falling back to the
+  // rows-only check
+  private def scoreOracles: Map[String, String] =
+    NbClassifier.trainedSnapshot(Dim)
+      .filter(_.nonDefault.nonEmpty).toList.flatMap { m =>
+        val values = m.nonDefault
+          .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+        // raw = bias + Σ bucket weights: exact BIGINT both engines
+        // (DuckDB sum(BIGINT) → HUGEINT, hence the cast); COALESCE
+        // fills the untouched-bucket default the trained array carries
+        val scored =
+          s"""WITH $bucketCtes,
+             |w(bucket, wt) AS (VALUES $values),
+             |s AS (
+             |  SELECT doc_id, min(lang) AS lang,
+             |    ${m.biasScaled} +
+             |      CAST(sum(COALESCE(w.wt, ${m.defaultScaled})) AS BIGINT) AS raw
+             |  FROM hb LEFT JOIN w USING (bucket) GROUP BY doc_id
+             |)""".stripMargin
+        val scoreSql =
+          s"""$scored
+             |SELECT doc_id, round(raw / 1000000.0, 4) AS clf_score
+             |FROM s""".stripMargin
+        Seq(
+          "classifier_score" -> scoreSql,
+
+          // the store only relocates where the counts come from —
+          // summed batch partials derive the identical model, so the
+          // oracle is the SAME string
+          "classifier_score_store" -> scoreSql,
+
+          "classifier_filter" ->
+            s"""$scored
+               |SELECT lang, count(*) AS n_docs,
+               |  CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               |    AS n_kept,
+               |  round(CAST(sum(raw) AS BIGINT) /
+               |    (count(*) * 1000000.0), 4) AS avg_clf
+               |FROM s GROUP BY lang""".stripMargin
+        )
+      }.toMap
+
+  override def oracleSql: Map[String, String] = Map(
+    // full from-scratch recompute: heuristic labels (the text_quality
+    // expression), hashed-bucket token counts per class, and the
+    // doc-count sentinel rows — training's entire data dependency
+    "classifier_model" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, ${TextOps.qualityExprSql} AS q FROM documents
+         |), lab AS (
+         |  SELECT text, CASE WHEN q >= $PosMin THEN 1 ELSE 0 END AS label
+         |  FROM q WHERE q >= $PosMin OR q <= $NegMax
+         |), tok AS (
+         |  SELECT label, unnest(string_split(text, ' ')) AS t FROM lab
+         |), b AS (
+         |  SELECT label,
+         |    ('0x' || substr(md5('clf#' || t), 1, 15))::BIGINT % $Dim AS bucket
+         |  FROM tok
+         |)
+         |SELECT CAST(label AS BIGINT) AS label, bucket, count(*) AS c
+         |FROM b GROUP BY 1, 2
+         |UNION ALL
+         |SELECT CAST(label AS BIGINT), ${NbClassifier.DocCountBucket},
+         |  count(*)
+         |FROM lab GROUP BY 1""".stripMargin
+  ) ++ scoreOracles
+}

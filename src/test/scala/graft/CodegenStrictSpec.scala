@@ -30,7 +30,9 @@ class CodegenStrictSpec extends SparkSpec {
     "url_canonicalize", "per_domain_cap", "token_count_bpe_store",
     "vocab_top_subwords", "truncate_tokens_bpe", "chunk_documents",
     "avro_roundtrip", "embed_text_components", "chunk_embed_ann",
-    "text_semantic_neardup", "text_semantic_neardup_lsh")
+    "text_semantic_neardup", "text_semantic_neardup_lsh",
+    "classifier_model", "classifier_score", "classifier_filter",
+    "classifier_score_store")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.NbClassifier.{Dim, DocCountBucket, Scale}
+
+/** The trained quality classifier: weight derivation pinned against
+  * the NB definition, native scorer value-equivalent to the Column
+  * formulation, the model actually separating planted fluent text from
+  * mash, and the persisted form deriving the identical model from any
+  * batch split (the additivity the shared store oracle leans on). */
+class NbClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val model = NbClassifier.trainCached(docs, sf, "doc_id", "text")
+
+  test("modelOf matches the Naive-Bayes definition on a hand-built table") {
+    val dim = 4
+    // class 1: 2 docs, tokens {b0: 4, b2: 1}; class 0: 3 docs, {b0: 1}
+    val rows = Seq((1L, DocCountBucket, 2L), (0L, DocCountBucket, 3L),
+      (1L, 0L, 4L), (0L, 0L, 1L), (1L, 2L, 1L))
+    val m = NbClassifier.modelOf(rows, dim)
+    val (tPos, tNeg) = (5L, 1L)
+    def w(p: Long, n: Long): Long =
+      Math.round(Scale * (Math.log((p + 1).toDouble / (tPos + dim)) -
+        Math.log((n + 1).toDouble / (tNeg + dim))))
+    assert(m.weights == Vector(w(4, 1), w(0, 0), w(1, 0), w(0, 0)))
+    assert(m.defaultScaled == w(0, 0))
+    assert(m.biasScaled == Math.round(Scale * Math.log(2.0 / 3.0)))
+    // both evidence-bearing buckets outscore the untouched default
+    // (4:1 pos:neg evidence beats 1:0 under +1 smoothing — the heavier
+    // positive mass dominates the single negative count)
+    assert(m.weights(0) > m.defaultScaled)
+    assert(m.weights(2) > m.defaultScaled)
+    assert(m.weights(0) > m.weights(2))
+    assert(m.nonDefault.map(_._1) == Seq(0, 2))
+  }
+
+  test("training requires both classes") {
+    val only = Seq((1L, DocCountBucket, 5L), (1L, 0L, 3L))
+    val e = intercept[IllegalArgumentException](NbClassifier.modelOf(only, 4))
+    assert(e.getMessage.contains("both classes"))
+  }
+
+  test("native NbScoreRaw == element_at Column formulation on corpus text") {
+    val weightsLit = typedlit(model.weights)
+    val columnIdiom = aggregate(
+      transform(TextAnalysis.tokens(col("text")),
+        t => element_at(weightsLit,
+          (pmod(Dedup.md5h60(concat(lit("clf#"), t)), lit(Dim.toLong)) + 1)
+            .cast("int"))),
+      lit(0L), (acc, v) => acc + v)
+    val out = docs.select(
+      graft.functions.NbScoreRaw(col("text"), model.scorer).as("native"),
+      columnIdiom.as("builtin")).as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, b) => assert(n == b) }
+  }
+
+  test("trained model separates its classes and rejects keyboard mash") {
+    // in-distribution: the model's mean score over its OWN positive
+    // class must exceed the negative class's — the minimum bar for
+    // having learned anything from the heuristic labels
+    val scored = docs.select(
+      NbClassifier.labelExpr(TextAnalysis.qualityExpr(col("text")))
+        .as("label"),
+      NbClassifier.scoreExpr(col("text"), model).as("s"))
+      .filter(col("label").isNotNull)
+      .groupBy(col("label")).agg(avg(col("s")).as("m"))
+      .as[(Int, Double)].collect().toMap
+    assert(scored(1) > scored(0),
+      s"pos-class mean ${scored(1)} !> neg-class mean ${scored(0)}")
+    // out-of-distribution mash: every token lands in untouched default
+    // buckets, whose weight is negative when positives carry the
+    // greater token mass — mash scores below any fluent corpus doc
+    val mash = "xkcd qwrtz zzzz jjkl pqpqpq vvvv mmnnbb xxyyzz qqq"
+    val mashScore = (model.biasScaled + model.scorer.scoreRaw(
+      org.apache.spark.unsafe.types.UTF8String.fromString(mash)))
+      .toDouble / Scale
+    assert(mashScore < 0, s"OOV mash should be rejected: $mashScore")
+    assert(mashScore < scored(0), s"mash $mashScore !< neg mean ${scored(0)}")
+  }
+
+  test("labeled doc counts drop exactly the ambiguous middle") {
+    val stats = NbClassifier.stats(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val q = docs.select(TextAnalysis.qualityExpr(col("text")).as("q"))
+    val nPos = q.filter(col("q") >= NbClassifier.PosMin).count()
+    val nNeg = q.filter(col("q") <= NbClassifier.NegMax).count()
+    assert(nPos > 0 && nNeg > 0, "corpus must populate both classes")
+    assert(stats.collect { case (1L, DocCountBucket, c) => c }.sum == nPos)
+    assert(stats.collect { case (0L, DocCountBucket, c) => c }.sum == nNeg)
+    // every non-sentinel bucket is in range
+    stats.foreach { case (l, b, c) =>
+      assert(l == 0L || l == 1L)
+      assert(b == DocCountBucket || (b >= 0 && b < Dim))
+      assert(c > 0)
+    }
+  }
+
+  test("two-batch store derives the identical model to one-shot training") {
+    val store = new NbStore(s"nb_spec_store_${System.nanoTime()}")
+    store.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      batchId = 0L)
+    store.ingest(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+      batchId = 1L)
+    assert(store.model(spark) == model)
+    // at-least-once replay of an already-merged batch is a no-op
+    store.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      batchId = 0L)
+    assert(store.model(spark) == model)
+    // compaction folds partials without changing the derived model
+    store.compact(spark)
+    assert(store.model(spark) == model)
+    assert(store.summedStats(spark).count() ==
+      store.table(spark).count(), "post-compact table is fully folded")
+  }
+}
