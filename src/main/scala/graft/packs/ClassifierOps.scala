@@ -86,11 +86,50 @@ object ClassifierOps extends QueryPack {
       NbClassifier.scoreExpr(col("text"), m).as("clf_score"))
   }
 
+  /** The classifier as a curation pipeline's FIRST gate — the
+    * composition real pipelines run (trained filter, then mixture,
+    * then dedup): positive log-odds keep → stratified mixture →
+    * MinHash-LSH near-dup clusters → per-cluster argmax keep on the
+    * CLASSIFIER score (where `pipeline_curate_quality` argmaxes the
+    * heuristic — the trained model now decides both admission and
+    * which near-dup copy is canonical). Output (doc_id, lang,
+    * clf_score). */
+  def pipelineCurateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    curateClassifier(docs,
+      NbClassifier.trainCached(docs, sfDir, "doc_id", "text"))
+  }
+
+  /** [[pipelineCurateClassifier]] over an arbitrary (doc_id, lang,
+    * text) corpus under a given model — specs drive it with planted
+    * corpora. */
+  def curateClassifier(docs: DataFrame,
+      m: NbClassifier.Model): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val kept = docs.select(col("doc_id"), col("lang"), col("text"),
+        NbClassifier.scoreExpr(col("text"), m).as("quality"),
+        raw.as("raw"))
+      .filter(col("raw") > 0).drop("raw")
+    val sampled = TextAnalysis.stratifiedSample(kept, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    val withScore = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(sampled.select(col("doc_id"), col("lang"), col("quality")),
+        "doc_id")
+    Dedup.keepByQuality(withScore, carryCols = Seq("lang"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("lang"), col("quality").as("clf_score"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_model" -> (classifierModel _),
     "classifier_score" -> (classifierScore _),
     "classifier_filter" -> (classifierFilter _),
-    "classifier_score_store" -> (classifierScoreStore _)
+    "classifier_score_store" -> (classifierScoreStore _),
+    "pipeline_curate_classifier" -> (pipelineCurateClassifier _)
   )
 
   // ---------------------------------------------------------------- oracles
@@ -148,7 +187,45 @@ object ClassifierOps extends QueryPack {
                |    AS n_kept,
                |  round(CAST(sum(raw) AS BIGINT) /
                |    (count(*) * 1000000.0), 4) AS avg_clf
-               |FROM s GROUP BY lang""".stripMargin
+               |FROM s GROUP BY lang""".stripMargin,
+
+          // the composed pipeline: the scored CTEs feed the SAME
+          // sample-gate / minhash-pair / component fragments the
+          // standalone oracles verify, then the j/b/k argmax tail of
+          // pipeline_curate_quality with the classifier score deciding
+          // the canonical (max rounded score, min-id tie-break — the
+          // keepByQuality struct-argmax)
+          "pipeline_curate_classifier" ->
+            s"""WITH RECURSIVE $bucketCtes,
+               |w(bucket, wt) AS (VALUES $values),
+               |s AS (
+               |  SELECT doc_id,
+               |    ${m.biasScaled} +
+               |      CAST(sum(COALESCE(w.wt, ${m.defaultScaled})) AS BIGINT)
+               |      AS raw
+               |  FROM hb LEFT JOIN w USING (bucket) GROUP BY doc_id
+               |), scored AS (
+               |  SELECT d.doc_id, d.lang, d.text, s.raw,
+               |    round(s.raw / 1000000.0, 4) AS clf
+               |  FROM documents d JOIN s USING (doc_id)
+               |), sampled AS (
+               |  SELECT * FROM scored
+               |  WHERE raw > 0 AND ${TextOps.sampleGateSql}
+               |),
+               |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+               |${DedupOps.componentCtes("sampled",
+                   graft.operators.Dedup.NgramThreshold)},
+               |j AS (SELECT cc.v AS doc_id, cc.cluster_id, s2.lang, s2.clf
+               |      FROM cc JOIN sampled s2 ON cc.v = s2.doc_id),
+               |b AS (SELECT cluster_id, max(clf) AS best
+               |      FROM j GROUP BY cluster_id),
+               |k AS (SELECT j.cluster_id, min(j.doc_id) AS best_id
+               |      FROM j JOIN b ON j.cluster_id = b.cluster_id
+               |        AND j.clf = b.best
+               |      GROUP BY j.cluster_id)
+               |SELECT j.doc_id, j.lang, j.clf AS clf_score
+               |FROM j JOIN k ON j.cluster_id = k.cluster_id
+               |WHERE j.doc_id = k.best_id""".stripMargin
         )
       }.toMap
 

@@ -894,4 +894,43 @@ object StreamingPipelines {
       batchId)
     TextAnalysis.stratifiedSample(scored, langCol, idCol, ratesBp, defaultBp)
   }
+
+  /** Online-classifier ingest — the streaming twin of the
+    * `classifier_score_store` ladder ([[graft.operators.NbStore]]):
+    * each batch FIRST merges its heuristic-labeled sufficient
+    * statistics into the persisted counts (additive, batchId replay
+    * guard), THEN scores its documents under the model derived from
+    * the post-merge counts. Update-then-predict is what makes replays
+    * exact: a re-delivered batch's merge no-ops, so it re-scores under
+    * the IDENTICAL model and emits the identical rows — score-then-
+    * update would re-score a replay under the post-batch model and
+    * silently drift the sink. The model keeps learning as the corpus
+    * streams in (labels are heuristic-derived — no annotation step
+    * gates the stream); early batches score under less-trained weights
+    * by design, and a sink wanting verdicts-as-of-now re-scores at
+    * read time with `store.model` (the quality-floor read-time
+    * re-judging pattern).
+    *
+    * Scale shape: the merge ships only the batch's ≤ 2·dim + 2 partial
+    * count rows; model derivation collects the bounded summed table
+    * once per batch; scoring is the scan-side one-pass native
+    * expression. Throws (loudly) while the cumulative counts still
+    * lack a class — a deployment warm-starts the store or buffers
+    * until both classes have arrived ([[NbIngestSpec]] pins the
+    * contract).
+    *
+    * Returns (idCol, clf_score, keep) — keep is the EXACT integer
+    * log-odds sign, never the rounded score. */
+  def classifierIngestBatch(store: graft.operators.NbStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    import graft.operators.NbClassifier
+    store.ingest(batch, idCol, textCol, batchId)
+    val m = store.model(batch.sparkSession)
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col(textCol), m.scorer)
+    batch.select(col(idCol),
+      NbClassifier.scoreExpr(col(textCol), m).as("clf_score"),
+      (raw > 0).as("keep"))
+  }
 }

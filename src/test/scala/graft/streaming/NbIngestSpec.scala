@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{NbClassifier, NbStore, TextAnalysis}
+
+/** The online-classifier ingest loop
+  * ([[StreamingPipelines.classifierIngestBatch]]): batches merge their
+  * sufficient statistics then score under the post-merge model —
+  * replays are exact, the model evolves across batches toward the
+  * one-shot model of the union, and a stream that has not yet seen
+  * both classes fails loudly. */
+class NbIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+    .select("doc_id", "lang", "text")
+
+  private def freshStore() =
+    new NbStore(s"nb_ingest_spec_${System.nanoTime()}")
+
+  test("update-then-predict: replayed batch re-emits identical scores") {
+    val store = freshStore()
+    val b0 = docs.filter(col("doc_id") < 250)
+    val out0 = StreamingPipelines
+      .classifierIngestBatch(store, b0, "doc_id", "text", batchId = 0L)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out0.nonEmpty)
+    val tableRows = store.table(spark).count()
+
+    // at-least-once redelivery: the merge no-ops, the derived model is
+    // identical, the emitted rows are identical
+    val replay = StreamingPipelines
+      .classifierIngestBatch(store, b0, "doc_id", "text", batchId = 0L)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(replay.toSeq == out0.toSeq, "replay drifted the scores")
+    assert(store.table(spark).count() == tableRows,
+      "replay must not grow the count table")
+  }
+
+  test("model evolves per batch and converges to one-shot on the union") {
+    val store = freshStore()
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250)
+    StreamingPipelines.classifierIngestBatch(store, b0, "doc_id", "text",
+      batchId = 0L).collect()
+    val m0 = store.model(spark)
+    StreamingPipelines.classifierIngestBatch(store, b1, "doc_id", "text",
+      batchId = 1L).collect()
+    val m1 = store.model(spark)
+    assert(m1 != m0, "second batch must move the model")
+    assert(m1 == NbClassifier.train(docs, "doc_id", "text"),
+      "streamed counts must derive the one-shot model of the union")
+  }
+
+  test("keep is the exact log-odds sign, consistent with the score") {
+    val store = freshStore()
+    val out = StreamingPipelines
+      .classifierIngestBatch(store, docs, "doc_id", "text", batchId = 0L)
+    val m = store.model(spark)
+    val recomputed = docs.select(col("doc_id"),
+      ((lit(m.biasScaled) +
+        graft.functions.NbScoreRaw(col("text"), m.scorer)) > 0).as("k"))
+    val joined = out.select(col("doc_id"), col("keep"))
+      .join(recomputed, "doc_id")
+      .filter(col("keep") =!= col("k")).count()
+    assert(joined == 0, "keep must equal the exact integer sign")
+    // and the rounded score never disagrees with keep by more than the
+    // rounding granule: keep=true implies score >= 0 (never negative)
+    assert(out.filter(col("keep") && col("clf_score") < 0).count() == 0)
+  }
+
+  test("a stream that has only seen one class fails loudly") {
+    val store = freshStore()
+    val onlyPos = docs
+      .filter(NbClassifier.labelExpr(
+        TextAnalysis.qualityExpr(col("text"))) === 1)
+    assert(onlyPos.count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      StreamingPipelines.classifierIngestBatch(store, onlyPos,
+        "doc_id", "text", batchId = 0L).collect()
+    }
+    assert(e.getMessage.contains("both classes"))
+  }
+}
