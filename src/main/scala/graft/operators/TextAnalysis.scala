@@ -107,6 +107,70 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), qualityExpr(col(textCol)).as("quality"))
 
+  // Gopher / MassiveWeb document-quality rule constants (Rae et al.,
+  // "Scaling Language Models: ... Gopher", 2021, §A1.1) — the published
+  // thresholds, verbatim.
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMaxBulletLineFrac = 0.9
+  val GopherMaxEllipsisLineFrac = 0.3
+  val GopherMinAlphaWordFrac = 0.8
+  val GopherMinStopwords = 2
+  /** The paper's fixed stop-word octet (distinct-presence count). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rule set — one boolean per published
+    * rule plus the conjunctive keep. All scan-side integer counting;
+    * the only doubles are single divisions of exact integers, so every
+    * threshold comparison is deterministic cross-engine. Rules whose
+    * trigger can't occur in a corpus (e.g. bullet lines in single-line
+    * text) still evaluate faithfully — the operator is the published
+    * filter, not a corpus-tuned subset. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val meanWordLen = aggregate(transform(toks, w => length(w)),
+      lit(0L), (acc, v) => acc + v).cast("double") / nWords.cast("double")
+    // "symbols": hash marks and ellipses, counted as occurrences
+    val nSymbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+      .cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long")
+    // distinct-presence count over the fixed octet (membership probe
+    // per stop word — the same shape both engines, so list-dedup
+    // semantics can never drift the compare)
+    val stopsPresent = size(filter(typedlit(gopherStops),
+      s => array_contains(toks, s)))
+    docs.select(col(idCol),
+      (nWords >= GopherMinWords && nWords <= GopherMaxWords).as("wc_ok"),
+      (meanWordLen >= GopherMinMeanWordLen &&
+        meanWordLen <= GopherMaxMeanWordLen).as("mwl_ok"),
+      (nSymbols.cast("double") / nWords.cast("double") <=
+        GopherMaxSymbolRatio).as("symbol_ok"),
+      (bulletLines.cast("double") / nLines.cast("double") <
+        GopherMaxBulletLineFrac).as("bullet_ok"),
+      (ellipsisLines.cast("double") / nLines.cast("double") <
+        GopherMaxEllipsisLineFrac).as("ellipsis_ok"),
+      (alphaWords.cast("double") / nWords.cast("double") >=
+        GopherMinAlphaWordFrac).as("alpha_ok"),
+      (stopsPresent >= GopherMinStopwords).as("stop_ok"))
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("symbol_ok") &&
+          col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+  }
+
   /** Token counting three ways: whitespace, word-regex, and a BPE-ish
     * chars/4 estimate (the standard budget heuristic). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -21,6 +21,9 @@ object TextOps extends QueryPack {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherRules(Tables.documents(spark, sfDir), "doc_id", "text")
+
   def langId(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -958,6 +961,7 @@ object TextOps extends QueryPack {
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
+    "gopher_rules" -> (gopherRules _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1586,6 +1590,54 @@ object TextOps extends QueryPack {
       s"""SELECT doc_id,
          |  $qualityExprSql AS quality
          |FROM documents""".stripMargin,
+
+    // the published Gopher thresholds verbatim; every ratio is one
+    // division of exact integer counts, and the stop-word count is a
+    // per-member membership probe in BOTH engines (list-dedup
+    // semantics can never drift the compare)
+    "gopher_rules" -> {
+      import graft.operators.TextAnalysis._
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    string_split(text, ' ') AS toks,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    len(toks) AS nw,
+         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+         |      / len(toks) AS mwl,
+         |    len(regexp_extract_all(text, '#')) +
+         |      len(regexp_extract_all(text, '\\.\\.\\.')) AS nsym,
+         |    len(lines) AS nl,
+         |    len(list_filter(lines, l -> starts_with(l, '•')
+         |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
+         |    len(list_filter(lines, l -> ends_with(l, '...')
+         |      OR ends_with(l, '…'))) AS el,
+         |    len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
+         |    len(list_filter([${gopherStops.map(s => s"'$s'").mkString(", ")}],
+         |      s -> list_contains(toks, s))) AS sp
+         |  FROM s
+         |)
+         |SELECT doc_id,
+         |  nw >= $GopherMinWords AND nw <= $GopherMaxWords AS wc_ok,
+         |  mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen
+         |    AS mwl_ok,
+         |  CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio AS symbol_ok,
+         |  CAST(bl AS DOUBLE) / nl < $GopherMaxBulletLineFrac AS bullet_ok,
+         |  CAST(el AS DOUBLE) / nl < $GopherMaxEllipsisLineFrac
+         |    AS ellipsis_ok,
+         |  CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac AS alpha_ok,
+         |  sp >= $GopherMinStopwords AS stop_ok,
+         |  (nw >= $GopherMinWords AND nw <= $GopherMaxWords)
+         |    AND (mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen)
+         |    AND CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+         |    AND CAST(bl AS DOUBLE) / nl < $GopherMaxBulletLineFrac
+         |    AND CAST(el AS DOUBLE) / nl < $GopherMaxEllipsisLineFrac
+         |    AND CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac
+         |    AND sp >= $GopherMinStopwords AS keep
+         |FROM m""".stripMargin
+    },
 
     "lang_id" ->
       """WITH s AS (

@@ -32,7 +32,8 @@ class CodegenStrictSpec extends SparkSpec {
     "avro_roundtrip", "embed_text_components", "chunk_embed_ann",
     "text_semantic_neardup", "text_semantic_neardup_lsh",
     "classifier_model", "classifier_score", "classifier_filter",
-    "classifier_score_store", "pipeline_curate_classifier")
+    "classifier_score_store", "pipeline_curate_classifier",
+    "gopher_rules")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
