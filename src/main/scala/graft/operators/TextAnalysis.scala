@@ -543,6 +543,33 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Per-chunk loss ranges for overlap-chunked training: the first
+    * `overlap` tokens of every NON-FIRST chunk are masked from the
+    * loss, so each corpus token contributes gradient exactly once (the
+    * standard sliding-window convention — the overlapping prefix is
+    * context, not target). Emits [[chunkDocuments]]' chunks with their
+    * UNMASKED token range in 1-based document coordinates:
+    * `[loss_from, loss_to]`; across a document's chunks the ranges
+    * partition `[1, n_doc_tokens]` exactly (spec-pinned). No-overlap
+    * chunking degenerates to loss_from = start. Pure scan-side
+    * arithmetic on top of the chunk starts — no shuffle, no join. */
+  def chunkLossMask(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    docs.select(col(idCol), n.as("n"), posexplode(starts))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        (col("col") + when(col("pos") > 0, lit(overlap)).otherwise(lit(0)))
+          .cast("long").as("loss_from"),
+        least(col("col") + chunkTokens - 1, col("n"))
+          .cast("long").as("loss_to"))
+  }
+
   /** Fingerprints: rolling content hash + md5. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
@@ -569,6 +596,40 @@ object TextAnalysis {
     val gate = pmod(graft.operators.Dedup.md5h60(
       concat(col(strataCol), lit("#"), col(idCol).cast("string"))), lit(10000L))
     docs.filter(gate < bp)
+  }
+
+  /** Per-source repeat-factor upsampling — the data-recipe knob where a
+    * mixture table assigns EPOCHS per corpus (high-quality sources see
+    * the optimizer several times per pass; the published LLaMA-1 recipe
+    * is the canonical example): a factor of 2.5 emits every doc twice
+    * plus a deterministic 50% of docs a third time. Factors in basis
+    * points (10000 = one epoch) so fractional epochs are integer
+    * arithmetic: copies = bp / 10000 + (md5-gate < bp % 10000), the
+    * same seedless md5 idiom as [[stratifiedSample]] (reproducible
+    * across engines/runs/partitionings; down-sampling below one epoch
+    * and factor-0 exclusion fall out of the same formula). Emits one
+    * row per (doc, copy), copy = 0..copies−1 — scan-side bounded row
+    * amplification, no shuffle, no RNG; the factor table is a bounded
+    * CASE chain (an open source set would ride a broadcast join at the
+    * same seam). Downstream, `copy` joins the shard/order hash salt so
+    * replicas spread independently ([[shardAssign]]'s contract). */
+  def repeatFactorSample(docs: DataFrame, idCol: String, sourceCol: String,
+      factorsBp: Map[String, Int], defaultBp: Int = 10000): DataFrame = {
+    require(factorsBp.values.forall(_ >= 0) && defaultBp >= 0,
+      "factors are basis points >= 0 (10000 = one epoch)")
+    val bp = factorsBp.foldLeft(lit(defaultBp)) { case (acc, (k, r)) =>
+      when(col(sourceCol) === k, lit(r)).otherwise(acc)
+    }
+    val gate = pmod(graft.operators.Dedup.md5h60(
+      concat(lit("rep#"), col(idCol).cast("string"))), lit(10000L))
+    val copies = floor(bp / lit(10000)).cast("int") +
+      when(gate < pmod(bp, lit(10000)), lit(1)).otherwise(lit(0))
+    docs.select(col(idCol), col(sourceCol), copies.as("copies"))
+      .filter(col("copies") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0), col("copies") - 1)).as("copy0"))
+      .select(col(idCol), col(sourceCol),
+        col("copy0").cast("long").as("copy"))
   }
 
   /** Temperature-based mixture resampling (the α = 0.5 source-rebalance

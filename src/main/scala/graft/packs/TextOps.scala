@@ -24,6 +24,21 @@ object TextOps extends QueryPack {
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Repeat-factor table for `repeat_factor_sample` — integer (3.0),
+    * fractional (2.5), sub-epoch (0.5) and excluded (0) factors all
+    * live at the gate; everything else defaults to one epoch. */
+  val RepeatFactorsBp: Map[String, Int] = Map(
+    "src0" -> 30000, "src1" -> 25000, "src2" -> 5000, "src3" -> 0)
+  val RepeatDefaultBp = 10000
+
+  def repeatFactorSample(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repeatFactorSample(Tables.documents(spark, sfDir),
+      "doc_id", "source", RepeatFactorsBp, RepeatDefaultBp)
+
+  def chunkLossMask(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.chunkLossMask(Tables.documents(spark, sfDir),
+      "doc_id", "text", ChunkTokens, ChunkOverlap)
+
   def langId(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -962,6 +977,8 @@ object TextOps extends QueryPack {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "gopher_rules" -> (gopherRules _),
+    "repeat_factor_sample" -> (repeatFactorSample _),
+    "chunk_loss_mask" -> (chunkLossMask _),
     "lang_id" -> (langId _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1529,6 +1546,42 @@ object TextOps extends QueryPack {
          |    CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT)), ' ') AS text,
          |  CAST(least($ChunkTokens, len(tk) - s + 1) AS BIGINT) AS n_tokens
          |FROM t, unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)""".stripMargin
+    },
+
+    // per-chunk unmasked ranges off the SAME start arithmetic as
+    // chunk_documents: loss_from shifts by the overlap on non-first
+    // chunks, loss_to is the clamped chunk end
+    "chunk_loss_mask" -> {
+      val stride = ChunkTokens - ChunkOverlap
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST((s - 1) // $stride AS BIGINT) AS chunk_idx,
+         |  CAST(s + CASE WHEN s > 1 THEN $ChunkOverlap ELSE 0 END AS BIGINT)
+         |    AS loss_from,
+         |  CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS BIGINT) AS loss_to
+         |FROM t, unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)""".stripMargin
+    },
+
+    // copies = bp/10000 epochs + the md5-gated fractional epoch — the
+    // stratifiedSample gate idiom under the rep# salt; per-copy rows
+    // via range() (empty for factor-0 sources)
+    "repeat_factor_sample" -> {
+      val cases = RepeatFactorsBp.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    CASE source $cases ELSE $RepeatDefaultBp END AS bp,
+         |    ('0x' || substr(md5('rep#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      % 10000 AS g
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, source,
+         |    bp // 10000 + CASE WHEN g < bp % 10000 THEN 1 ELSE 0 END AS copies
+         |  FROM f
+         |)
+         |SELECT c.doc_id, c.source, CAST(u.copy AS BIGINT) AS copy
+         |FROM c, unnest(range(0, c.copies)) AS u(copy)
+         |WHERE c.copies > 0""".stripMargin
     },
 
     "shard_assign" ->

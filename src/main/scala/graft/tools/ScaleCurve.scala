@@ -68,6 +68,11 @@ object ScaleCurve {
     val merges = BpeTokenizer.trainCached(baseDocs, sfDir, "text",
       graft.packs.TextOps.MaxBpeWords, graft.packs.TextOps.NumBpeMerges)
     val centroids = IvfIndex.trainCached(baseVecs, sfDir, nlist = 16)
+    // NB statistics collapse to ≤ 2·dim rows at ANY corpus size, so
+    // training is corpus-sublinear by the same argument as BPE/IVF —
+    // trained once on the base corpus, untimed
+    val nbModel = graft.operators.NbClassifier.trainCached(
+      baseDocs, sfDir, "doc_id", "text")
     val queries = baseVecs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
@@ -100,6 +105,14 @@ object ScaleCurve {
         TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
       bench("token_count_bpe", m, docs.select(col("doc_id"),
         graft.functions.BpeTokenCount(col("text"), merges).as("n")))
+      // trained-classifier inference: one-pass scan-side scoring, the
+      // model riding along as one dim-long array; the salted replicas
+      // are all-OOV for it — the open-vocabulary (memo-cold) regime
+      bench("classifier_score", m, docs.select(col("doc_id"),
+        graft.operators.NbClassifier.scoreExpr(col("text"), nbModel)
+          .as("clf_score")))
+      bench("gopher_rules", m,
+        TextAnalysis.gopherRules(docs, "doc_id", "text"))
       bench("url_canonicalize", m, UrlOps.urlCanonicalize(
         docs.select(col("doc_id"),
           concat(lit("https://www."), col("source"), lit(".co.uk/p/"),
