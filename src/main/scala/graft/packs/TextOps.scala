@@ -458,6 +458,26 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
 
+  /** Tokenizer fertility per language — BPE tokens per whitespace word
+    * (the standard tokenizer-evaluation metric: a fertility near 1
+    * means the vocabulary covers the language's words whole; high
+    * fertility means heavy subword splitting and a worse
+    * compute-per-content ratio). Exact integer sums scan-side, one
+    * rounded division per group. */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = bpeMerges(spark, sfDir)
+    docs.select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        graft.functions.BpeTokenCount(col("text"), m).as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens_bpe"),
+        round(sum(col("bpe")).cast("double") /
+          sum(col("ws")).cast("double"), 4).as("fertility"))
+  }
+
   /** [[packSequences]] under the trained-BPE denomination — the layout
     * a real pretraining pipeline cuts (budgets are subword tokens). */
   def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -960,6 +980,7 @@ object TextOps extends QueryPack {
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
+    "bpe_fertility" -> (bpeFertility _),
     "pack_ids_bpe" -> (packIdsBpe _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
@@ -2347,6 +2368,21 @@ object TextOps extends QueryPack {
         val tokenIdCase = bpeTokenIdCaseSql
         Seq(
           "token_count_bpe" -> tokenCountSql,
+
+          // tokenizer FERTILITY per language (tokens-per-word — the
+          // standard tokenizer-evaluation metric): exact integer sums
+          // off the same bdn CTE, one rounded division
+          "bpe_fertility" ->
+            s"""WITH RECURSIVE $ctes
+               |SELECT d.lang, count(*) AS n_docs,
+               |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |    AS n_words,
+               |  CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+               |  round(CAST(CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS DOUBLE)
+               |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |      AS DOUBLE), 4) AS fertility
+               |FROM documents d JOIN bdn USING (doc_id)
+               |GROUP BY 1""".stripMargin,
 
           // the store only relocates where the word counts come from —
           // summed batch partials train the identical merge table, so

@@ -33,7 +33,8 @@ class CodegenStrictSpec extends SparkSpec {
     "text_semantic_neardup", "text_semantic_neardup_lsh",
     "classifier_model", "classifier_score", "classifier_filter",
     "classifier_score_store", "pipeline_curate_classifier",
-    "gopher_rules", "repeat_factor_sample", "chunk_loss_mask")
+    "gopher_rules", "repeat_factor_sample", "chunk_loss_mask",
+    "bpe_fertility")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -128,4 +128,26 @@ class BpeSpec extends SparkSpec {
     assert(BpeTokenizer.wordCounts(docs.repartition(7), "text", 512) == wc,
       "the heavy-hitter draw must be partitioning-independent")
   }
+
+  test("fertility: >= 1 per language, group sums re-add to the corpus") {
+    val f = graft.packs.TextOps.bpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(f.nonEmpty)
+    // every word is at least one token, so fertility is bounded below
+    // by 1 — and bounded above by the per-word codepoint count, so a
+    // sane corpus sits well under 20
+    f.foreach { case (lang, n, words, toks, fert) =>
+      assert(n > 0 && words > 0)
+      assert(fert >= 1.0 && fert < 20.0, s"$lang fertility $fert")
+      // the emitted value is round(·, 4) of the exact ratio
+      assert(math.abs(fert - toks.toDouble / words) <= 5e-5)
+    }
+    val docs = Tables.documents(spark, sf)
+    val total = docs.select(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.size(TextAnalysis.tokens(
+        org.apache.spark.sql.functions.col("text"))).cast("long")))
+      .as[Long].head()
+    assert(f.map(_._3).sum == total, "per-language word sums cover the corpus")
+  }
 }
