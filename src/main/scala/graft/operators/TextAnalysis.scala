@@ -158,9 +158,11 @@ object TextAnalysis {
         meanWordLen <= GopherMaxMeanWordLen).as("mwl_ok"),
       (nSymbols.cast("double") / nWords.cast("double") <=
         GopherMaxSymbolRatio).as("symbol_ok"),
-      (bulletLines.cast("double") / nLines.cast("double") <
+      // the paper removes at "MORE THAN 90% / 30%" — the boundary doc
+      // is kept, hence <= (not <)
+      (bulletLines.cast("double") / nLines.cast("double") <=
         GopherMaxBulletLineFrac).as("bullet_ok"),
-      (ellipsisLines.cast("double") / nLines.cast("double") <
+      (ellipsisLines.cast("double") / nLines.cast("double") <=
         GopherMaxEllipsisLineFrac).as("ellipsis_ok"),
       (alphaWords.cast("double") / nWords.cast("double") >=
         GopherMinAlphaWordFrac).as("alpha_ok"),

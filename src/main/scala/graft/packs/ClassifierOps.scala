@@ -57,7 +57,11 @@ object ClassifierOps extends QueryPack {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("raw") > 0, lit(1L)).otherwise(lit(0L))).as("n_kept"),
-        round(sum(col("raw")).cast("double") /
+        // scaled scores are ~1e10 per doc, so a LongType sum would
+        // silently wrap around ~10^9 docs per group while DuckDB's
+        // HUGEINT would not — sum as exact DECIMAL in both engines and
+        // pay the one well-defined double conversion at the end
+        round(sum(col("raw").cast("decimal(30,0)")).cast("double") /
           (count(lit(1)).cast("double") * lit(Scale.toDouble)), 4)
           .as("avg_clf"))
   }
@@ -185,7 +189,7 @@ object ClassifierOps extends QueryPack {
                |SELECT lang, count(*) AS n_docs,
                |  CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT)
                |    AS n_kept,
-               |  round(CAST(sum(raw) AS BIGINT) /
+               |  round(CAST(sum(raw) AS DOUBLE) /
                |    (count(*) * 1000000.0), 4) AS avg_clf
                |FROM s GROUP BY lang""".stripMargin,
 

@@ -1698,16 +1698,16 @@ object TextOps extends QueryPack {
          |  mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen
          |    AS mwl_ok,
          |  CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio AS symbol_ok,
-         |  CAST(bl AS DOUBLE) / nl < $GopherMaxBulletLineFrac AS bullet_ok,
-         |  CAST(el AS DOUBLE) / nl < $GopherMaxEllipsisLineFrac
+         |  CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac AS bullet_ok,
+         |  CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
          |    AS ellipsis_ok,
          |  CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac AS alpha_ok,
          |  sp >= $GopherMinStopwords AS stop_ok,
          |  (nw >= $GopherMinWords AND nw <= $GopherMaxWords)
          |    AND (mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen)
          |    AND CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio
-         |    AND CAST(bl AS DOUBLE) / nl < $GopherMaxBulletLineFrac
-         |    AND CAST(el AS DOUBLE) / nl < $GopherMaxEllipsisLineFrac
+         |    AND CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac
+         |    AND CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
          |    AND CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac
          |    AND sp >= $GopherMinStopwords AS keep
          |FROM m""".stripMargin

@@ -25,17 +25,23 @@ class GopherRulesSpec extends SparkSpec {
       Seq.fill(58)("abcdefghijkl")).mkString(" "),
     // 10 '#' among 70 words: symbol ratio 10/70 > 0.1
     5L -> (clean + " " + Seq.fill(10)("#").mkString(" ")),
-    // 10 lines, 9 bulleted: 0.9 is NOT < 0.9
-    6L -> ((1 to 9).map(i => s"- ${clean}")
+    // 11 lines, 10 bulleted: 10/11 ≈ 0.909 > 0.9 (the paper removes
+    // at MORE THAN 90%; exactly 90% is kept — doc 11 below)
+    6L -> ((1 to 10).map(i => s"- ${clean}")
       :+ clean).mkString("\n"),
-    // 10 lines, 3 ending in ellipsis: 0.3 is NOT < 0.3
-    7L -> ((1 to 3).map(_ => s"$clean ...")
-      ++ (1 to 7).map(_ => clean)).mkString("\n"),
+    // 10 lines, 4 ending in ellipsis: 0.4 > 0.3
+    7L -> ((1 to 4).map(_ => s"$clean ...")
+      ++ (1 to 6).map(_ => clean)).mkString("\n"),
     // 13 numeric among 60 words: alpha fraction 47/60 < 0.8
     8L -> (Seq("the", "of") ++ (1 to 13).map(_.toString) ++
       (1 to 45).map(i => s"word$i")).mkString(" "),
     // only ONE stop-octet member present
-    9L -> (Seq("the") ++ (1 to 59).map(i => s"word$i")).mkString(" ")
+    9L -> (Seq("the") ++ (1 to 59).map(i => s"word$i")).mkString(" "),
+    // EXACTLY 90% bulleted / 30% ellipsis lines: the paper's "more
+    // than" keeps the boundary document
+    11L -> ((1 to 9).map(_ => s"- $clean") ++ Seq(clean)).mkString("\n"),
+    12L -> ((1 to 3).map(_ => s"$clean ...")
+      ++ (1 to 7).map(_ => clean)).mkString("\n")
   ).toDF("doc_id", "text")
 
   private lazy val out = TextAnalysis
@@ -64,6 +70,11 @@ class GopherRulesSpec extends SparkSpec {
     assert(out(5L)._2 && out(5L)._7, "symbol doc violates only symbols")
     assert(out(6L)._2 && out(6L)._5 && out(6L)._7)
     assert(out(7L)._4 && out(7L)._7)
+  }
+
+  test("boundary documents at exactly 90% / 30% are kept (MORE THAN removes)") {
+    assert(out(11L)._4 && out(11L)._8, "9 of 10 bulleted lines is kept")
+    assert(out(12L)._5 && out(12L)._8, "3 of 10 ellipsis lines is kept")
   }
 
   test("stop-word count is distinct presence, not occurrences") {
