@@ -362,6 +362,51 @@ object Multimodal {
     }
   }
 
+  /** Fixed output geometry for [[resizeImages]] — the bounded shape a
+    * downstream feature extractor wants regardless of source size. */
+  val ResizeOutW = 16; val ResizeOutH = 16
+
+  final case class ResizedImage(asset_id: Long, src_w: Int, src_h: Int,
+      out_w: Int, out_h: Int, pixel_hash: Long)
+
+  /** REAL nearest-neighbor resize over genuinely decoded pixels — the
+    * pixel half of the resize stage [[resizeMeta]] only plans: output
+    * pixel (x, y) samples source (x·srcW/outW, y·srcH/outH) — pure
+    * integer floors, the standard nearest-neighbor map, exactly
+    * reproducible cross-engine (bilinear would put an IEEE blend per
+    * pixel between the engines). The gate fingerprint is
+    * [[rollingFold]] over the RESIZED channel stream — the
+    * [[decodeImages]] gate shape at the new geometry, so the oracle
+    * hash-matches only if the real codec decode AND the sampling map
+    * both invert exactly; with out dims = source dims the map is the
+    * identity and the fold equals [[decodeImages]]' (spec-pinned).
+    *
+    * Scale shape: one mapPartitions at the decoder seam; output is
+    * 3·outW·outH ints per asset regardless of source size, so the
+    * stage BOUNDS per-row cost downstream — exactly why real
+    * pipelines resize before featurizing. */
+  def resizeImages(spark: SparkSession, assets: Dataset[MediaAsset],
+      outW: Int = ResizeOutW, outH: Int = ResizeOutH): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1, s"output dims must be >= 1: $outW x $outH")
+    assets.mapPartitions(_.map { a =>
+      val img = RealDecoder.readImage(a.bytes)
+      val w = img.getWidth; val h = img.getHeight
+      val it = new Iterator[Int] {
+        private var i = 0 // 3 channels per output pixel, row-major
+        private val n = outW * outH * 3
+        override def hasNext: Boolean = i < n
+        override def next(): Int = {
+          val p = i / 3; val c = i % 3
+          val rgb = img.getRGB((p % outW) * w / outW, (p / outW) * h / outH)
+          i += 1
+          (rgb >> (16 - 8 * c)) & 0xff
+        }
+      }
+      ResizedImage(a.asset_id, w, h, outW, outH, rollingFold(it))
+    })
+  }
+
   final case class ImageHash(asset_id: Long, width: Int, height: Int,
       hash_hi: Long, hash_lo: Long)
 

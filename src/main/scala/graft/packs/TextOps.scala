@@ -70,6 +70,13 @@ object TextOps extends QueryPack {
       .toDF()
   }
 
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.resizeImages(spark,
+        Multimodal.syntheticPngAssets(spark, Tables.documents(spark, sfDir)))
+      .toDF()
+  }
+
   /** Frame-sample plan + resize metadata for the video assets — the
     * declarative half of the multimodal pipeline (WHICH frames to pull
     * and WHAT size to decode to; the pixels happen at the decoder
@@ -1031,6 +1038,7 @@ object TextOps extends QueryPack {
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_resize" -> (multimodalResize _),
     "multimodal_frames_decode" -> (multimodalFramesDecode _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_dedup" -> (multimodalPhashDedup _),
@@ -2203,6 +2211,32 @@ object TextOps extends QueryPack {
          |SELECT asset_id, width, height,
          |  list_reduce(
          |    flatten(list_transform(generate_series(0, width * height - 1),
+         |      i -> [${ch(PngRMul)}, ${ch(PngGMul)}, ${ch(PngBMul)}])),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
+         |FROM dims""".stripMargin
+    },
+
+    // the decode fold THROUGH the nearest-neighbor index map: output
+    // pixel p samples source ((p%outW)·W//outW, (p//outW)·H//outH) —
+    // the oracle recomputes the resized channel stream from the
+    // synthesis formula, so the gate passes only if decode + sampling
+    // both invert exactly
+    "multimodal_resize" -> {
+      import Multimodal.{PngBMul, PngGMul, PngHBase, PngHMod, PngRMul,
+        PngWBase, PngWMod, ResizeOutH => OH, ResizeOutW => OW}
+      def ch(m: (Long, Long, Long)): String =
+        s"CAST((asset_id*${m._1} + (((i % $OW) * width) // $OW)*${m._2}" +
+          s" + (((i // $OW) * height) // $OH)*${m._3}) % 256 AS BIGINT)"
+      s"""WITH dims AS (
+         |  SELECT doc_id AS asset_id,
+         |         CAST($PngWBase + doc_id % $PngWMod AS INT) AS width,
+         |         CAST($PngHBase + doc_id % $PngHMod AS INT) AS height
+         |  FROM documents
+         |)
+         |SELECT asset_id, width AS src_w, height AS src_h,
+         |  CAST($OW AS INT) AS out_w, CAST($OH AS INT) AS out_h,
+         |  list_reduce(
+         |    flatten(list_transform(generate_series(0, ${OW * OH - 1}),
          |      i -> [${ch(PngRMul)}, ${ch(PngGMul)}, ${ch(PngBMul)}])),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM dims""".stripMargin

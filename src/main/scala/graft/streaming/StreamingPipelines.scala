@@ -933,4 +933,35 @@ object StreamingPipelines {
       NbClassifier.scoreExpr(col(textCol), m).as("clf_score"),
       (raw > 0).as("keep"))
   }
+
+  /** [[curateIngestBatch]] with the TRAINED-classifier admission gate
+    * in FRONT — the batch pipeline_curate_classifier ordering as a
+    * stream: the batch first teaches the online model (count merge
+    * under the replay guard — EVERY doc counts toward the statistics,
+    * admitted or not, the same every-doc-counts reasoning as the
+    * quality histogram), then only positive-log-odds docs proceed into
+    * the histogram/mixture/dedup stack. Update-then-gate keeps replays
+    * exact: a re-delivered batch's merge no-ops, so it re-filters
+    * under the identical model and the downstream stores see the
+    * identical survivor set. The gate is a scan-side filter (the
+    * post-merge model rides along as one dim-long array) — no join
+    * against the scored rows. */
+  def curateClassifierIngestBatch(nbStore: graft.operators.NbStore,
+      floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
+      bandStore: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    nbStore.ingest(batch, idCol, textCol, batchId)
+    val m = nbStore.model(batch.sparkSession)
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col(textCol), m.scorer)
+    curateIngestBatch(floorStore, exactStore, bandStore, seenDocs,
+      batch.filter(raw > 0), idCol, textCol, langCol, ratesBp, defaultBp,
+      threshold, maxBucketSize, batchId, maxSegments)
+  }
 }

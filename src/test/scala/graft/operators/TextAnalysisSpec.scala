@@ -302,6 +302,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("resizeImages: identity dims reproduce the decode fold; NN map exact") {
+    val docs = Seq((5L, "x"), (17L, "y"), (40L, "z")).toDF("doc_id", "text")
+    val assets = Multimodal.syntheticPngAssets(spark, docs)
+    // identity resize: out dims == each asset's own dims → the
+    // nearest-neighbor map is the identity and the fold must equal
+    // decodeImages' pixel_hash exactly
+    val decoded = Multimodal.decodeImages(spark, assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    decoded.foreach { case (id, d) =>
+      val one = assets.filter(_.asset_id == id)
+      val r = Multimodal.resizeImages(spark, one, d.width, d.height)
+        .collect().head
+      assert(r.pixel_hash == d.pixel_hash,
+        s"asset $id: identity resize must reproduce the decode fold")
+    }
+    // fixed-geometry resize: hash recomputed from the pixel formula
+    // THROUGH the index map, independent of ImageIO
+    val resized = Multimodal.resizeImages(spark, assets).collect()
+      .map(r => r.asset_id -> r).toMap
+    resized.foreach { case (id, r) =>
+      assert(r.out_w == Multimodal.ResizeOutW && r.out_h == Multimodal.ResizeOutH)
+      val (w, h) = (r.src_w.toLong, r.src_h.toLong)
+      var acc = -1L
+      for (y <- 0 until r.out_h; x <- 0 until r.out_w) {
+        val sx = x * w / r.out_w; val sy = y * h / r.out_h
+        for (c <- Seq((id * 31 + sx * 7 + sy * 13) % 256,
+          (id * 17 + sx * 3 + sy * 5) % 256,
+          (id * 29 + sx * 11 + sy * 3) % 256))
+          acc = if (acc < 0) c else (31 * acc + c) % 1000000007L
+      }
+      assert(r.pixel_hash == acc, s"asset $id: resize sampling drifted")
+    }
+  }
+
   test("real decode: RealDecoder features for PNG bytes; WAV PCM; video seam throws") {
     // image through the full MediaDecoder seam
     val docs = Seq((9L, "img")).toDF("doc_id", "text")

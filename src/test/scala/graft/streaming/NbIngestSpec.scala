@@ -71,6 +71,58 @@ class NbIngestSpec extends SparkSpec {
     assert(out.filter(col("keep") && col("clf_score") < 0).count() == 0)
   }
 
+  test("classifier-gated composed curate: gate-first, compositional, replay-exact") {
+    import graft.packs.TextOps
+    val nbStore = freshStore()
+    val floorStore = new QualityFloorStore(1.0)
+    val exactStore = new graft.operators.BloomStore(1000L)
+    val bandStore = new graft.operators.BandStore(
+      s"nb_curate_band_${System.nanoTime()}", buckets = 2)
+    val emptySeen = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    // corpus docs teach both classes; planted mash teaches (and then
+    // fails) the negative class — its tokens accumulate pure
+    // negative-class counts, so the gate rejects it on learned
+    // evidence, not just the unseen-bucket default
+    val mashIds = Set(900001L, 900002L)
+    val batch = docs.unionByName(Seq(
+      (900001L, "en", "zzqx wvvk jjmm ppqq zzqx wvvk"),
+      (900002L, "en", "qqqq zzzz xxxx qqqq zzzz xxxx"))
+      .toDF("doc_id", "lang", "text"))
+    val out = StreamingPipelines.curateClassifierIngestBatch(nbStore,
+        floorStore, exactStore, bandStore, emptySeen, batch,
+        "doc_id", "text", "lang", TextOps.SampleRatesBp,
+        TextOps.SampleDefaultBp, batchId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.intersect(mashIds).isEmpty,
+      "classifier must reject the mash before dedup ever sees it")
+
+    // compositional: identical to the plain composed loop run on the
+    // admitted subset with twin stores (the gate is a pure pre-filter)
+    val m = nbStore.model(spark)
+    val admitted = batch.filter((lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col("text"), m.scorer)) > 0)
+    val twin = StreamingPipelines.curateIngestBatch(
+        new QualityFloorStore(1.0), new graft.operators.BloomStore(1000L),
+        new graft.operators.BandStore(
+          s"nb_curate_band_twin_${System.nanoTime()}", buckets = 2),
+        emptySeen, admitted, "doc_id", "text", "lang",
+        TextOps.SampleRatesBp, TextOps.SampleDefaultBp, batchId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == twin)
+
+    // at-least-once replay: same survivors, no store growth
+    val tableRows = nbStore.table(spark).count()
+    val replay = StreamingPipelines.curateClassifierIngestBatch(nbStore,
+        floorStore, exactStore, bandStore, emptySeen, batch,
+        "doc_id", "text", "lang", TextOps.SampleRatesBp,
+        TextOps.SampleDefaultBp, batchId = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay == out)
+    assert(nbStore.table(spark).count() == tableRows)
+  }
+
   test("a stream that has only seen one class fails loudly") {
     val store = freshStore()
     val onlyPos = docs
