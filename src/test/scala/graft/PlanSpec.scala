@@ -439,4 +439,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"),
       s"verification must run the native pre-normed cosine:\n$p")
   }
+
+  test("classifier_score: shuffle-free one-pass native scan (the model rides along)") {
+    val p = plan("classifier_score")
+    assert(!p.contains("Exchange"), s"inference must not shuffle:\n$p")
+    assert(p.contains("graft_nb_score_raw"),
+      s"scoring must be the native expression:\n$p")
+    assert(p.contains("*(1) Project"),
+      s"the scoring projection must sit inside a whole-stage codegen span:\n$p")
+  }
+
+  test("classifier_model: statistics reduce via partial agg before ONE exchange") {
+    val p = plan("classifier_model")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"counts must combine map-side:\n$p")
+    // token counts + doc counts: each branch one hash exchange on its
+    // grouping key, nothing else — the corpus itself never shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <= 2 grouping exchanges, got $exchanges:\n$p")
+  }
+
+  test("gopher_rules / repeat_factor_sample / chunk_loss_mask: pure scan-side, no exchange") {
+    Seq("gopher_rules", "repeat_factor_sample", "chunk_loss_mask").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
 }
