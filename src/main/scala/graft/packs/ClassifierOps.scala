@@ -66,6 +66,31 @@ object ClassifierOps extends QueryPack {
           .as("avg_clf"))
   }
 
+  /** Measured label agreement per class — the training-accuracy audit
+    * a real pipeline tracks per corpus snapshot (a drop signals
+    * label/model drift; the ann_recall "measured, not argued"
+    * pattern). Decision = the EXACT integer log-odds sign; ambiguous
+    * middle docs are excluded, as in training. */
+  def classifierEval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val correct = when((col("raw") > 0) === (col("label") === 1), lit(1L))
+      .otherwise(lit(0L))
+    docs.select(
+        NbClassifier.labelExpr(TextAnalysis.qualityExpr(col("text")))
+          .as("label"), raw.as("raw"))
+      .filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"), sum(correct).as("n_correct"))
+      .select(col("label").cast("long").as("label"), col("n_docs"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_docs").cast("double"), 4).as("acc"))
+  }
+
   private val nbStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.NbStore]()
 
@@ -133,6 +158,7 @@ object ClassifierOps extends QueryPack {
     "classifier_score" -> (classifierScore _),
     "classifier_filter" -> (classifierFilter _),
     "classifier_score_store" -> (classifierScoreStore _),
+    "classifier_eval" -> (classifierEval _),
     "pipeline_curate_classifier" -> (pipelineCurateClassifier _)
   )
 
@@ -192,6 +218,30 @@ object ClassifierOps extends QueryPack {
                |  round(CAST(sum(raw) AS DOUBLE) /
                |    (count(*) * 1000000.0), 4) AS avg_clf
                |FROM s GROUP BY lang""".stripMargin,
+
+          // agreement audit: per-doc raw joined back to the recomputed
+          // heuristic labels; decision = exact integer sign, accuracy
+          // one division of exact counts
+          "classifier_eval" ->
+            s"""$scored,
+               |lab AS (
+               |  SELECT doc_id,
+               |    CASE WHEN q >= ${NbClassifier.PosMin} THEN 1 ELSE 0 END
+               |      AS label
+               |  FROM (SELECT doc_id, ${TextOps.qualityExprSql} AS q
+               |        FROM documents)
+               |  WHERE q >= ${NbClassifier.PosMin}
+               |     OR q <= ${NbClassifier.NegMax}
+               |)
+               |SELECT CAST(lab.label AS BIGINT) AS label,
+               |  count(*) AS n_docs,
+               |  CAST(sum(CASE WHEN (s.raw > 0) = (lab.label = 1)
+               |    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               |  round(CAST(sum(CASE WHEN (s.raw > 0) = (lab.label = 1)
+               |      THEN 1 ELSE 0 END) AS BIGINT)
+               |    / CAST(count(*) AS DOUBLE), 4) AS acc
+               |FROM lab JOIN s USING (doc_id)
+               |GROUP BY 1""".stripMargin,
 
           // the composed pipeline: the scored CTEs feed the SAME
           // sample-gate / minhash-pair / component fragments the

@@ -100,6 +100,24 @@ class NbClassifierSpec extends SparkSpec {
     }
   }
 
+  test("eval audit: counts cover exactly the labeled docs, accuracies in range") {
+    val eval = graft.packs.ClassifierOps.classifierEval(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(eval.keySet == Set(0L, 1L))
+    val stats = NbClassifier.stats(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Seq(0L, 1L).foreach { l =>
+      val (n, correct, acc) = eval(l)
+      assert(n == stats.collect {
+        case (`l`, NbClassifier.DocCountBucket, c) => c }.sum,
+        s"eval label $l must cover exactly the training docs")
+      assert(correct >= 0 && correct <= n)
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(acc - correct.toDouble / n) <= 5e-5)
+    }
+  }
+
   test("two-batch store derives the identical model to one-shot training") {
     val store = new NbStore(s"nb_spec_store_${System.nanoTime()}")
     store.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
