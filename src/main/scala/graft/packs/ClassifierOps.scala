@@ -91,6 +91,66 @@ object ClassifierOps extends QueryPack {
           col("n_docs").cast("double"), 4).as("acc"))
   }
 
+  /** Centi-score clamp bounds for [[classifierCutoff]]'s histogram —
+    * a bounded value domain (±20.00 in score units) like the
+    * quality-floor's basis-point histogram: the candidate-cutoff
+    * relation can never exceed 4001 rows however large the corpus. */
+  val CutoffClampC = 2000L
+
+  /** Operating-cutoff selection — the calibration step a trained
+    * filter actually ships with: over the labeled docs, pick the
+    * cutoff maximizing BALANCED accuracy (mean of recall and
+    * specificity — robust to the class imbalance the heuristic labels
+    * have), with keep = score > cutoff. The [[classifierEval]] audit
+    * at cutoff 0 shows why this exists (recall 1.0 / specificity ~0.2
+    * on this corpus — cutoff 0 is far from optimal when classes share
+    * vocabulary).
+    *
+    * Scale shape = the quality-floor design: scores quantize scan-side
+    * to a clamped centi-score grid, the histogram is ≤ 4001
+    * (label-count) rows, the confusion curve is ONE window over the
+    * histogram (never over the corpus), totals broadcast, and the
+    * argmax is a bounded sort. Determinism: ranking on the ROUNDED
+    * balanced accuracy with cutoff ASC ties (the tfidf
+    * round-before-rank idiom). */
+  def classifierCutoff(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
+    val raw = lit(m.biasScaled) +
+      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    // centi-score: floor(raw / 1e4) (raw is 1e6-scaled), clamped —
+    // floor-of-double-division, not integer division, so negative
+    // scores round toward -inf identically in both engines
+    val labeled = docs.select(
+        NbClassifier.labelExpr(TextAnalysis.qualityExpr(col("text")))
+          .cast("long").as("label"), raw.as("raw"))
+      .filter(col("label").isNotNull)
+      .select(col("label"),
+        greatest(lit(-CutoffClampC), least(lit(CutoffClampC),
+          floor(col("raw").cast("double") / lit(10000.0)).cast("long")))
+          .as("qc"))
+    val h = labeled.groupBy(col("qc"))
+      .agg(sum(col("label")).as("pos"),
+        sum(lit(1L) - col("label")).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qc").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = h.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    // keep = qc > cutoff: the strictly-above prefix of the desc-ordered
+    // histogram (window excludes the current row)
+    val curve = h.select(col("qc").as("cutoff_c"),
+        coalesce(sum(col("pos")).over(w), lit(0L)).as("tp"),
+        coalesce(sum(col("neg")).over(w), lit(0L)).as("fp"))
+      .crossJoin(broadcast(tot))
+      .select(col("cutoff_c"), col("tp"),
+        (col("n_neg") - col("fp")).as("tn"), col("n_pos"), col("n_neg"),
+        round((col("tp").cast("double") / col("n_pos").cast("double") +
+          (col("n_neg") - col("fp")).cast("double") /
+            col("n_neg").cast("double")) / 2, 4).as("bal_acc"))
+    curve.orderBy(col("bal_acc").desc, col("cutoff_c").asc).limit(1)
+  }
+
   private val nbStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.NbStore]()
 
@@ -159,6 +219,7 @@ object ClassifierOps extends QueryPack {
     "classifier_filter" -> (classifierFilter _),
     "classifier_score_store" -> (classifierScoreStore _),
     "classifier_eval" -> (classifierEval _),
+    "classifier_cutoff" -> (classifierCutoff _),
     "pipeline_curate_classifier" -> (pipelineCurateClassifier _)
   )
 
@@ -242,6 +303,56 @@ object ClassifierOps extends QueryPack {
                |    / CAST(count(*) AS DOUBLE), 4) AS acc
                |FROM lab JOIN s USING (doc_id)
                |GROUP BY 1""".stripMargin,
+
+          // cutoff tuning: the same scored+labels join quantized to the
+          // clamped centi grid, confusion curve via ONE window over the
+          // ≤4001-row histogram, argmax on the rounded balanced
+          // accuracy (cutoff ASC ties)
+          "classifier_cutoff" ->
+            s"""$scored,
+               |lab AS (
+               |  SELECT doc_id,
+               |    CASE WHEN q >= ${NbClassifier.PosMin} THEN 1 ELSE 0 END
+               |      AS label
+               |  FROM (SELECT doc_id, ${TextOps.qualityExprSql} AS q
+               |        FROM documents)
+               |  WHERE q >= ${NbClassifier.PosMin}
+               |     OR q <= ${NbClassifier.NegMax}
+               |),
+               |j AS (
+               |  SELECT lab.label,
+               |    greatest(-$CutoffClampC, least($CutoffClampC,
+               |      CAST(floor(s.raw / 10000.0) AS BIGINT))) AS qc
+               |  FROM lab JOIN s USING (doc_id)
+               |),
+               |h AS (
+               |  SELECT qc, CAST(sum(label) AS BIGINT) AS pos,
+               |    CAST(sum(1 - label) AS BIGINT) AS neg
+               |  FROM j GROUP BY qc
+               |),
+               |tot AS (
+               |  SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               |    CAST(sum(neg) AS BIGINT) AS n_neg
+               |  FROM h
+               |),
+               |curve AS (
+               |  SELECT h.qc AS cutoff_c,
+               |    CAST(COALESCE(sum(h.pos) OVER (ORDER BY h.qc DESC
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               |      AS BIGINT) AS tp,
+               |    CAST(COALESCE(sum(h.neg) OVER (ORDER BY h.qc DESC
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               |      AS BIGINT) AS fp
+               |  FROM h
+               |)
+               |SELECT c.cutoff_c, c.tp, (t.n_neg - c.fp) AS tn,
+               |  t.n_pos, t.n_neg,
+               |  round((c.tp / CAST(t.n_pos AS DOUBLE) +
+               |    (t.n_neg - c.fp) / CAST(t.n_neg AS DOUBLE)) / 2, 4)
+               |    AS bal_acc
+               |FROM curve c, tot t
+               |ORDER BY bal_acc DESC, cutoff_c ASC
+               |LIMIT 1""".stripMargin,
 
           // the composed pipeline: the scored CTEs feed the SAME
           // sample-gate / minhash-pair / component fragments the

@@ -118,6 +118,28 @@ class NbClassifierSpec extends SparkSpec {
     }
   }
 
+  test("cutoff tuning: never worse than cutoff 0, confusion internally consistent") {
+    val r = graft.packs.ClassifierOps.classifierCutoff(spark, sf)
+      .collect().head
+    val (cutoffC, tp, tn, nPos, nNeg, bal) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    assert(tp >= 0 && tp <= nPos && tn >= 0 && tn <= nNeg)
+    assert(math.abs(bal -
+      BigDecimal((tp.toDouble / nPos + tn.toDouble / nNeg) / 2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-12)
+    // balanced accuracy at the TUNED cutoff must dominate cutoff 0's
+    // (computed from the same model via the eval audit's counts)
+    val eval = graft.packs.ClassifierOps.classifierEval(spark, sf)
+      .collect().map(r2 => r2.getLong(0) -> (r2.getLong(1), r2.getLong(2)))
+      .toMap
+    val balAt0 = (eval(1L)._2.toDouble / eval(1L)._1 +
+      eval(0L)._2.toDouble / eval(0L)._1) / 2
+    assert(bal >= balAt0 - 1e-9,
+      s"tuned bal_acc $bal must not lose to cutoff 0's $balAt0")
+    assert(cutoffC >= -graft.packs.ClassifierOps.CutoffClampC &&
+      cutoffC <= graft.packs.ClassifierOps.CutoffClampC)
+  }
+
   test("two-batch store derives the identical model to one-shot training") {
     val store = new NbStore(s"nb_spec_store_${System.nanoTime()}")
     store.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
