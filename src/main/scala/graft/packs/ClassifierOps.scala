@@ -130,9 +130,14 @@ object ClassifierOps extends QueryPack {
         greatest(lit(-CutoffClampC), least(lit(CutoffClampC),
           floor(col("raw").cast("double") / lit(10000.0)).cast("long")))
           .as("qc"))
+    // materialize the ≤4001-row histogram ONCE: both the totals and
+    // the confusion curve consume it, and without the checkpoint each
+    // branch would re-scan and re-quantize the whole corpus (the
+    // curateAudit score-once argument, at histogram size)
     val h = labeled.groupBy(col("qc"))
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
+      .localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("qc").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -465,4 +465,17 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
     }
   }
+
+  test("classifier_cutoff: argmax is top-1, window runs over the bounded histogram only") {
+    val p = plan("classifier_cutoff")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the argmax must be top-1, never a global sort:\n$p")
+    // corpus reduces to the clamped histogram before any window: the
+    // quantize+label partial agg, the single-partition histogram
+    // window, and the 1-row totals broadcast are the only exchanges
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected bounded exchanges, got $exchanges:\n$p")
+    assert(p.contains("partial_count") || p.contains("Partial") ||
+      p.contains("partial_sum"), s"histogram must combine map-side:\n$p")
+  }
 }
