@@ -24,6 +24,9 @@ import graft.operators.NbClassifier
   * `classifier_score_store` shares `classifier_score`'s oracle
   * VERBATIM — count additivity means the two-batch store derives the
   * identical model (the `token_count_bpe_store` equivalence argument).
+  * `classifier_eval` and `classifier_cutoff` close the MLOps tail:
+  * measured per-class agreement, then the balanced-accuracy-optimal
+  * operating threshold — audit, calibrate, filter, all oracle-gated.
   */
 object ClassifierOps extends QueryPack {
 
