@@ -32,21 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * memoized (bounded) — Zipfian corpora re-hash the same words
   * constantly.
   */
-final class HashEmbedder(val dim: Int) extends Serializable {
-  require(dim >= 1, s"dim must be >= 1, got $dim")
+object HashEmbedder {
 
-  @transient private lazy val digest =
+  private val digest =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
-
-  @transient private lazy val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val MemoCap = 1 << 16
 
   /** md5h60 of a string — first 15 hex chars of the md5 digest as a
     * (nonnegative, 60-bit) long; bit-identical to the Column idiom
     * `conv(substring(md5(c), 1, 15), 16, 10)` and DuckDB's
-    * `('0x' || substr(md5(c), 1, 15))::BIGINT`. */
+    * `('0x' || substr(md5(c), 1, 15))::BIGINT`. The ONE JVM-side
+    * implementation of the repo's hashing idiom — every scorer/embedder
+    * calls through here, so the arithmetic can't fork. */
   def md5h60(s: String): Long = {
     val d = digest.get()
     d.reset()
@@ -62,6 +59,18 @@ final class HashEmbedder(val dim: Int) extends Serializable {
     }
     v
   }
+}
+
+final class HashEmbedder(val dim: Int) extends Serializable {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val MemoCap = 1 << 16
+
+  /** See [[HashEmbedder.md5h60]] (kept on the instance for existing
+    * call sites). */
+  def md5h60(s: String): Long = HashEmbedder.md5h60(s)
 
   private def tokenHash(t: String): Long = {
     val cached = memo.get(t)

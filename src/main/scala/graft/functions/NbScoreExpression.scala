@@ -39,8 +39,6 @@ final class NbScorer(val dim: Int, val weights: Array[Long])
   require(weights.length == dim,
     s"weights.length ${weights.length} != dim $dim")
 
-  @transient private lazy val hasher = new HashEmbedder(1)
-
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val MemoCap = 1 << 16
@@ -48,7 +46,7 @@ final class NbScorer(val dim: Int, val weights: Array[Long])
   private def tokenWeight(t: String): Long = {
     val cached = memo.get(t)
     if (cached != null) return cached
-    val w = weights((hasher.md5h60("clf#" + t) % dim).toInt)
+    val w = weights((HashEmbedder.md5h60("clf#" + t) % dim).toInt)
     if (memo.size < MemoCap) memo.put(t, w)
     w
   }

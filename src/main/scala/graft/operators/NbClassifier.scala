@@ -126,6 +126,13 @@ object NbClassifier {
     val pos = new Array[Long](dim)
     val neg = new Array[Long](dim)
     rows.foreach {
+      case (_, b, _) if b >= dim =>
+        // fail with the invariant named, not a bare AIOOBE — the
+        // classic cause is a store written under a larger dim reopened
+        // with a smaller one
+        throw new IllegalArgumentException(
+          s"sufficient-statistics bucket $b out of range for dim=$dim " +
+            "(store written under a different dim?)")
       case (1L, b, c) if b >= 0 => pos(b.toInt) += c
       case (0L, b, c) if b >= 0 => neg(b.toInt) += c
       case _ => ()

@@ -38,7 +38,12 @@ final class NbStore(name: String, val dim: Int = NbClassifier.Dim,
     val sch = batch.schema
     require(Seq("label", "bucket", "c").forall(sch.fieldNames.contains),
       s"NbStore stores (label, bucket, c), got ${sch.catalogString}")
-    batch.select(col("label"), col("bucket"), col("c"))
+    // explicit casts, not trust: an int-typed count from a literal-1
+    // batch would otherwise write int32 pages under the long-typed
+    // catalog table and fail far from the faulty merge
+    batch.select(col("label").cast("long").as("label"),
+      col("bucket").cast("long").as("bucket"),
+      col("c").cast("long").as("c"))
   }
 
   /** Publish an accepted batch's partial sufficient statistics under

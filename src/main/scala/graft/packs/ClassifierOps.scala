@@ -136,11 +136,14 @@ object ClassifierOps extends QueryPack {
     // materialize the ≤4001-row histogram ONCE: both the totals and
     // the confusion curve consume it, and without the checkpoint each
     // branch would re-scan and re-quantize the whole corpus (the
-    // curateAudit score-once argument, at histogram size)
+    // score-once argument, at histogram size). LAZY, per the
+    // query-path convention (SimilaritySearch/Dedup) — an eager
+    // checkpoint would run the corpus job at DataFrame-CONSTRUCTION
+    // time, making even a plan dump pay the scan
     val h = labeled.groupBy(col("qc"))
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("qc").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
