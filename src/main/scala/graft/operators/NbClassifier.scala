@@ -179,10 +179,16 @@ object NbClassifier {
     if (distinct.size == 1) Some(distinct.head) else None
   }
 
-  /** Rounded [−∞,∞) classifier score column: (bias + raw) unscaled in
-    * ONE division — the only floating-point operation in the whole
+  /** The UNROUNDED scaled log-odds — bias plus the token-weight sum,
+    * an exact BIGINT. Every keep gate compares THIS (never the rounded
+    * score); one definition so the batch queries and the stream loops
+    * cannot drift. */
+  def rawScoreExpr(text: Column, m: Model): Column =
+    lit(m.biasScaled) + graft.functions.NbScoreRaw(text, m.scorer)
+
+  /** Rounded [−∞,∞) classifier score column: [[rawScoreExpr]] unscaled
+    * in ONE division — the only floating-point operation in the whole
     * inference path. */
   def scoreExpr(text: Column, m: Model): Column =
-    round((lit(m.biasScaled) + graft.functions.NbScoreRaw(text, m.scorer))
-      .cast("double") / lit(Scale.toDouble), 4)
+    round(rawScoreExpr(text, m).cast("double") / lit(Scale.toDouble), 4)
 }

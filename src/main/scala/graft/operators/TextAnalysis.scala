@@ -134,11 +134,20 @@ object TextAnalysis {
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
-    val meanWordLen = aggregate(transform(toks, w => length(w)),
-      lit(0L), (acc, v) => acc + v).cast("double") / nWords.cast("double")
-    // "symbols": hash marks and ellipses, counted as occurrences
-    val nSymbols = (regexp_count(t, lit("#")) +
-      regexp_count(t, lit("\\.\\.\\."))).cast("long")
+    // Σ token lengths == length(text) − #spaces exactly (split on every
+    // single space: n delimiters ⇒ n+1 tokens, empty tokens length 0)
+    // — the codegen'd scalar identity, where an aggregate(transform(…))
+    // fold would materialize a per-token array per doc and run
+    // interpreted (the rollingFingerprint lesson)
+    val meanWordLen = (length(t) - regexp_count(t, lit(" ")))
+      .cast("double") / nWords.cast("double")
+    // the paper removes at ratio > 0.1 "for EITHER the hash symbol or
+    // the ellipsis" — two INDEPENDENT ratios, not one summed count
+    // (6 '#' + 6 '...' per 100 words is kept); both ellipsis spellings
+    // count, consistent with the line-end rule
+    val nHash = regexp_count(t, lit("#")).cast("long")
+    val nEllipsis = (regexp_count(t, lit("\\.\\.\\.")) +
+      regexp_count(t, lit("…"))).cast("long")
     val lines = split(t, "\n")
     val nLines = size(lines).cast("long")
     val bulletLines = size(filter(lines, l =>
@@ -156,8 +165,9 @@ object TextAnalysis {
       (nWords >= GopherMinWords && nWords <= GopherMaxWords).as("wc_ok"),
       (meanWordLen >= GopherMinMeanWordLen &&
         meanWordLen <= GopherMaxMeanWordLen).as("mwl_ok"),
-      (nSymbols.cast("double") / nWords.cast("double") <=
-        GopherMaxSymbolRatio).as("symbol_ok"),
+      (nHash.cast("double") / nWords.cast("double") <= GopherMaxSymbolRatio &&
+        nEllipsis.cast("double") / nWords.cast("double") <=
+          GopherMaxSymbolRatio).as("symbol_ok"),
       // the paper removes at "MORE THAN 90% / 30%" — the boundary doc
       // is kept, hence <= (not <)
       (bulletLines.cast("double") / nLines.cast("double") <=
@@ -524,19 +534,26 @@ object TextAnalysis {
     * output IS the workload); no shuffle, no window, no join. Pairs
     * with [[truncateTokens]] in front (cap pathological docs before
     * amplifying) and an embedding stage behind. */
-  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, overlap: Int): DataFrame = {
+  /** THE chunk-start rule — 1, 1+stride, … while a start still ADDS
+    * uncovered tokens (start <= n - overlap, floor 1): every token is
+    * covered, consecutive chunks share `overlap` tokens, the final
+    * chunk may be short, and no chunk is pure re-overlap of its
+    * predecessor. One definition: [[chunkDocuments]] and
+    * [[chunkLossMask]] both consume it, so the loss ranges can never
+    * desynchronize from the actual chunks. */
+  private def chunkStarts(n: Column, chunkTokens: Int,
+      overlap: Int): Column = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
     require(overlap >= 0 && overlap < chunkTokens,
       s"overlap must be in [0, chunkTokens), got $overlap")
-    val stride = chunkTokens - overlap
+    sequence(lit(1), greatest(n - overlap, lit(1)),
+      lit(chunkTokens - overlap))
+  }
+
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
     val toks = tokens(col(textCol))
-    val n = size(toks)
-    // starts 1, 1+stride, … while a start still ADDS uncovered tokens
-    // (start <= n - overlap, floor 1): every token is covered,
-    // consecutive chunks share `overlap` tokens, the final chunk may be
-    // short, and no chunk is pure re-overlap of its predecessor
-    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    val starts = chunkStarts(size(toks), chunkTokens, overlap)
     docs.select(col(idCol), toks.as("toks"), posexplode(starts))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         array_join(slice(col("toks"), col("col"), lit(chunkTokens)), " ")
@@ -557,13 +574,8 @@ object TextAnalysis {
     * arithmetic on top of the chunk starts — no shuffle, no join. */
   def chunkLossMask(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlap: Int): DataFrame = {
-    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
-    require(overlap >= 0 && overlap < chunkTokens,
-      s"overlap must be in [0, chunkTokens), got $overlap")
-    val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
-    val n = size(toks)
-    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    val n = size(tokens(col(textCol)))
+    val starts = chunkStarts(n, chunkTokens, overlap)
     docs.select(col(idCol), n.as("n"), posexplode(starts))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         (col("col") + when(col("pos") > 0, lit(overlap)).otherwise(lit(0)))

@@ -54,8 +54,7 @@ object ClassifierOps extends QueryPack {
   def classifierFilter(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val raw = NbClassifier.rawScoreExpr(col("text"), m)
     docs.select(col("lang"), raw.as("raw"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -78,8 +77,7 @@ object ClassifierOps extends QueryPack {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
     val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val raw = NbClassifier.rawScoreExpr(col("text"), m)
     val correct = when((col("raw") > 0) === (col("label") === 1), lit(1L))
       .otherwise(lit(0L))
     docs.select(
@@ -120,8 +118,7 @@ object ClassifierOps extends QueryPack {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
     val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val raw = NbClassifier.rawScoreExpr(col("text"), m)
     // centi-score: floor(raw / 1e4) (raw is 1e6-scaled), clamped —
     // floor-of-double-division, not integer division, so negative
     // scores round toward -inf identically in both engines
@@ -206,8 +203,7 @@ object ClassifierOps extends QueryPack {
   def curateClassifier(docs: DataFrame,
       m: NbClassifier.Model): DataFrame = {
     import graft.operators.{Dedup, TextAnalysis}
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col("text"), m.scorer)
+    val raw = NbClassifier.rawScoreExpr(col("text"), m)
     val kept = docs.select(col("doc_id"), col("lang"), col("text"),
         NbClassifier.scoreExpr(col("text"), m).as("quality"),
         raw.as("raw"))

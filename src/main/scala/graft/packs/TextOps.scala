@@ -1263,15 +1263,25 @@ object TextOps extends QueryPack {
     * the text semantic near-dup oracles — the two cannot drift. */
   private lazy val chunkEmbedCtes: String = chunkEmbedCtesFrom("documents")
 
+  /** THE chunk-start rule as its one SQL string (the
+    * TextAnalysis.chunkStarts twin): every chunk-shaped oracle unnests
+    * this, so the start arithmetic cannot fork between the chunk,
+    * loss-mask, and chunk-embed oracles. */
+  private def chunkStartsRangeSql: String = {
+    val stride = ChunkTokens - ChunkOverlap
+    s"unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)"
+  }
+
   /** [[chunkEmbedCtes]] over an arbitrary source relation — the exact
     * verifier oracle runs over the registered doc SUBSET. */
+
   private def chunkEmbedCtesFrom(rel: String): String = {
     val stride = ChunkTokens - ChunkOverlap
     s"""ck AS (
        |  SELECT doc_id, tk, s,
        |    CAST(doc_id * $ChunkVecBase + (s - 1) // $stride AS BIGINT) AS vec_id
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
-       |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
+       |       ${chunkStartsRangeSql}
        |), ct AS (
        |  SELECT doc_id, vec_id,
        |    unnest(list_slice(tk, CAST(s AS INT),
@@ -1313,7 +1323,7 @@ object TextOps extends QueryPack {
        |    array_to_string(list_slice(tk, CAST(s AS INT),
        |      CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT)), ' ') AS ctext
        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM $rel),
-       |       unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)
+       |       ${chunkStartsRangeSql}
        |), gg AS (
        |  SELECT vec_id, substr(ctext, CAST(i AS INT), $NgramEmbedN) AS gm
        |  FROM ck,
@@ -1574,7 +1584,7 @@ object TextOps extends QueryPack {
          |  array_to_string(list_slice(tk, CAST(s AS INT),
          |    CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS INT)), ' ') AS text,
          |  CAST(least($ChunkTokens, len(tk) - s + 1) AS BIGINT) AS n_tokens
-         |FROM t, unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)""".stripMargin
+         |FROM t, ${chunkStartsRangeSql}""".stripMargin
     },
 
     // per-chunk unmasked ranges off the SAME start arithmetic as
@@ -1588,7 +1598,7 @@ object TextOps extends QueryPack {
          |  CAST(s + CASE WHEN s > 1 THEN $ChunkOverlap ELSE 0 END AS BIGINT)
          |    AS loss_from,
          |  CAST(least(s + ${ChunkTokens - 1}, len(tk)) AS BIGINT) AS loss_to
-         |FROM t, unnest(range(1, greatest(len(tk) - $ChunkOverlap, 1) + 1, $stride)) AS u(s)""".stripMargin
+         |FROM t, ${chunkStartsRangeSql}""".stripMargin
     },
 
     // copies = bp/10000 epochs + the md5-gated fractional epoch — the
@@ -1687,10 +1697,11 @@ object TextOps extends QueryPack {
          |), m AS (
          |  SELECT doc_id,
          |    len(toks) AS nw,
-         |    CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+         |    CAST(length(text) - len(regexp_extract_all(text, ' ')) AS DOUBLE)
          |      / len(toks) AS mwl,
-         |    len(regexp_extract_all(text, '#')) +
-         |      len(regexp_extract_all(text, '\\.\\.\\.')) AS nsym,
+         |    len(regexp_extract_all(text, '#')) AS nhash,
+         |    len(regexp_extract_all(text, '\\.\\.\\.')) +
+         |      len(regexp_extract_all(text, '…')) AS nell,
          |    len(lines) AS nl,
          |    len(list_filter(lines, l -> starts_with(l, '•')
          |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
@@ -1705,7 +1716,9 @@ object TextOps extends QueryPack {
          |  nw >= $GopherMinWords AND nw <= $GopherMaxWords AS wc_ok,
          |  mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen
          |    AS mwl_ok,
-         |  CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio AS symbol_ok,
+         |  CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+         |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+         |    AS symbol_ok,
          |  CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac AS bullet_ok,
          |  CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
          |    AS ellipsis_ok,
@@ -1713,7 +1726,8 @@ object TextOps extends QueryPack {
          |  sp >= $GopherMinStopwords AS stop_ok,
          |  (nw >= $GopherMinWords AND nw <= $GopherMaxWords)
          |    AND (mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen)
-         |    AND CAST(nsym AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+         |    AND CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+         |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
          |    AND CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac
          |    AND CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
          |    AND CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac

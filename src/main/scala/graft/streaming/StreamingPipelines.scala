@@ -925,13 +925,16 @@ object StreamingPipelines {
       batch: DataFrame, idCol: String, textCol: String,
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
     import graft.operators.NbClassifier
-    store.ingest(batch, idCol, textCol, batchId)
-    val m = store.model(batch.sparkSession)
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col(textCol), m.scorer)
-    batch.select(col(idCol),
+    // checkpoint once: the ingest's count aggregation AND the caller's
+    // sink write both materialize the batch — without this a file
+    // source's batch is re-read and the regex-heavy labeling runs
+    // twice (the curateRelativeBatch discipline)
+    val b = batch.localCheckpoint()
+    store.ingest(b, idCol, textCol, batchId)
+    val m = store.model(b.sparkSession)
+    b.select(col(idCol),
       NbClassifier.scoreExpr(col(textCol), m).as("clf_score"),
-      (raw > 0).as("keep"))
+      (NbClassifier.rawScoreExpr(col(textCol), m) > 0).as("keep"))
   }
 
   /** [[curateIngestBatch]] with the TRAINED-classifier admission gate
@@ -956,12 +959,12 @@ object StreamingPipelines {
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
       batchId: Long = VersionedParquetStore.NoBatchId,
       maxSegments: Int = DefaultSegmentBudget): DataFrame = {
-    nbStore.ingest(batch, idCol, textCol, batchId)
-    val m = nbStore.model(batch.sparkSession)
-    val raw = lit(m.biasScaled) +
-      graft.functions.NbScoreRaw(col(textCol), m.scorer)
+    val b = batch.localCheckpoint() // same double-read argument as above
+    nbStore.ingest(b, idCol, textCol, batchId)
+    val m = nbStore.model(b.sparkSession)
     curateIngestBatch(floorStore, exactStore, bandStore, seenDocs,
-      batch.filter(raw > 0), idCol, textCol, langCol, ratesBp, defaultBp,
+      b.filter(graft.operators.NbClassifier.rawScoreExpr(col(textCol), m) > 0),
+      idCol, textCol, langCol, ratesBp, defaultBp,
       threshold, maxBucketSize, batchId, maxSegments)
   }
 }

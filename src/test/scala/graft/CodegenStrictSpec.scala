@@ -49,7 +49,15 @@ class CodegenStrictSpec extends SparkSpec {
   hotQueries.foreach { name =>
     test(s"$name executes with codegen fallback disabled") {
       strict {
-        assert(SparkEntry.queries(name)(spark, sf).count() > 0)
+        val df = SparkEntry.queries(name)(spark, sf)
+        // noop write, not count(): count() collapses to a zero-column
+        // aggregate and ColumnPruning REMOVES every top-level
+        // projection — a projection-only query (gopher_rules,
+        // chunk_loss_mask, …) would pass this gate without its rule
+        // expressions ever compiling (the repo's recorded bench
+        // gotcha, applied to the strict gate)
+        df.write.format("noop").mode("overwrite").save()
+        assert(df.count() > 0)
       }
     }
   }

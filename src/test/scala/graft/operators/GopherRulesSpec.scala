@@ -41,7 +41,12 @@ class GopherRulesSpec extends SparkSpec {
     // than" keeps the boundary document
     11L -> ((1 to 9).map(_ => s"- $clean") ++ Seq(clean)).mkString("\n"),
     12L -> ((1 to 3).map(_ => s"$clean ...")
-      ++ (1 to 7).map(_ => clean)).mkString("\n")
+      ++ (1 to 7).map(_ => clean)).mkString("\n"),
+    // 5 '#' AND 5 '...' in 70 words: EACH ratio is 0.071 <= 0.1, so
+    // the paper's "either" test keeps it — a summed-symbols variant
+    // would see 10/70 > 0.1 and wrongly reject
+    13L -> (Seq.fill(5)("...").mkString(" ") + " " +
+      Seq.fill(5)("#").mkString(" ") + " " + clean)
   ).toDF("doc_id", "text")
 
   private lazy val out = TextAnalysis
@@ -75,6 +80,11 @@ class GopherRulesSpec extends SparkSpec {
   test("boundary documents at exactly 90% / 30% are kept (MORE THAN removes)") {
     assert(out(11L)._4 && out(11L)._8, "9 of 10 bulleted lines is kept")
     assert(out(12L)._5 && out(12L)._8, "3 of 10 ellipsis lines is kept")
+  }
+
+  test("symbol rule tests EACH symbol's ratio independently, per the paper") {
+    assert(out(13L)._3 && out(13L)._8,
+      "0.071 hash + 0.071 ellipsis must pass the per-symbol 0.1 test")
   }
 
   test("stop-word count is distinct presence, not occurrences") {
