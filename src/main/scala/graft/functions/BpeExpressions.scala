@@ -109,7 +109,10 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     * shipping any vocab table): a single-codepoint token IS its code
     * point; a merge product is [[BpeTable.IdBase]] + its 1-based rank
     * (min rank when two merges collide on the same product string);
-    * the empty token (split artifacts of doubled/edge spaces) is 0;
+    * the empty token (split artifacts of doubled/edge spaces) is
+    * [[BpeTable.EmptyTokenId]] — the UNUSED slot between the codepoint
+    * range and the first (1-based) product, so it can never collide
+    * with a legal U+0000 codepoint token (0 is NUL, not empty);
     * the marker-collision opaque token (multi-codepoint, not a
     * product — adversarial input only) is -1. The OOV property spec
     * proves these four cases are exhaustive. */
@@ -125,7 +128,7 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   }
 
   def tokenId(t: String): Long = {
-    if (t.isEmpty) return 0L
+    if (t.isEmpty) return BpeTable.EmptyTokenId
     val pid = productIds.get(t)
     if (pid != null) pid.longValue()
     else if (t.codePointCount(0, t.length) == 1) t.codePointAt(0).toLong
@@ -181,6 +184,10 @@ object BpeTable {
     * single-codepoint ids (= the code point) and product ids (= base +
     * rank) can never collide. */
   val IdBase = 0x110000L
+  /** Empty-token sentinel: IdBase itself — above every code point
+    * (≤ 0x10FFFF) and below every product (IdBase + 1-based rank), so
+    * the id scheme stays injective even over NUL-bearing input. */
+  val EmptyTokenId = IdBase
 }
 
 /** `array<string>` of the text's BPE tokens under a trained merge

@@ -141,8 +141,12 @@ private[graft] abstract class SegmentedBucketedStore(
     // segment path: the pre-round-11 form picked k = nextSeg post-hoc,
     // and a CAS loser's pre-write cleanup could delete the WINNER's
     // already-published segment k files (ADVICE r10). A claim burned by
-    // a crash (claimed, never appended) is harmless: nextSeg is
-    // monotone, the id is simply never reissued.
+    // a crash (claimed, never appended) is CORRECTNESS-harmless —
+    // nextSeg is monotone, the id is never reissued — but any files
+    // the crash left under the claimed path do leak until an operator
+    // reclaims them (they cannot be auto-swept: a claimed-unpublished
+    // id is indistinguishable from another driver's IN-FLIGHT write;
+    // an age-gated admin sweep at the catalog seam is the remedy).
     var k = -1
     var claimed: Option[State] = None
     while (claimed.isEmpty) {
@@ -153,11 +157,27 @@ private[graft] abstract class SegmentedBucketedStore(
       // first use of this store name in this warehouse: sweep segment
       // directories a dead JVM's in-memory pointer never retired (they
       // are invisible to reads — pointer-driven — but leak disk forever,
-      // and saveAsTable refuses an existing unregistered location)
-      if (observed.isEmpty) sweepOrphans(spark)
-      k = st.nextSeg
+      // and saveAsTable refuses an existing unregistered location).
+      // RACE DISCIPLINE (two hazards, both real in the two-writer
+      // soak): (1) sweeping BEFORE the CAS can delete another driver's
+      // freshly claimed in-flight segment at cold start; (2) stale
+      // dirs carry ids 1..N that a FRESH manifest hands out
+      // immediately, so even a post-CAS sweep can delete a listed path
+      // a concurrent claimant has since re-claimed and is writing
+      // under. So: list candidates now, CLAIM PAST the largest stale
+      // id (listed paths become unreachable by every claimant — ids
+      // are handed out by the pointer, monotonically, starting above
+      // them), and sweep only AFTER our claim CAS against this exact
+      // empty payload succeeds (success certifies no concurrent claim
+      // existed between listing and CAS; claim-first means writers
+      // publish before touching files).
+      val orphans = if (observed.isEmpty) listOrphans(spark) else Nil
+      k = math.max(st.nextSeg, maxDirId(orphans) + 1)
       val claim = st.copy(nextSeg = k + 1)
-      if (casOrWrite(observed, claim)) claimed = Some(claim)
+      if (casOrWrite(observed, claim)) {
+        sweepOrphans(spark, orphans)
+        claimed = Some(claim)
+      }
     }
     dropSegment(spark, k) // a claim this instance crashed mid-write on
     Writers.bucketedTable(normalize(batch), segTable(k), bucketCol, buckets,
@@ -328,18 +348,36 @@ private[graft] abstract class SegmentedBucketedStore(
   // drop every warehouse directory named like one of this store's
   // segments (current `_s<k>` or the pre-segment `_v<k>` form) — called
   // only while the pointer is empty, so nothing live can match
-  private def sweepOrphans(spark: SparkSession): Unit = {
+  /** Orphan-candidate directories under the warehouse for this store
+    * name — the LISTING half of the cold-start sweep; deletion is
+    * deferred until after the first-claim CAS (see [[merge]]'s race
+    * discipline). */
+  private def listOrphans(spark: SparkSession): Seq[Path] = {
     val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(warehouse)) return
+    if (!fs.exists(warehouse)) return Nil
     val prefix = name.toLowerCase(java.util.Locale.ROOT)
     val orphan = s"^${java.util.regex.Pattern.quote(prefix)}_[sv]\\d+$$".r
-    fs.listStatus(warehouse).foreach { st =>
-      val dir = st.getPath.getName
-      if (st.isDirectory && orphan.findFirstIn(dir).isDefined) {
-        spark.sql(s"DROP TABLE IF EXISTS $dir")
-        fs.delete(st.getPath, true)
-      }
+    fs.listStatus(warehouse).toSeq.collect {
+      case st if st.isDirectory &&
+          orphan.findFirstIn(st.getPath.getName).isDefined => st.getPath
+    }
+  }
+
+  /** Largest numeric suffix among orphan-candidate dirs (0 when none)
+    * — the floor the first claim must clear so swept paths can never
+    * be re-claimed concurrently. */
+  private def maxDirId(paths: Seq[Path]): Int =
+    paths.map(_.getName.reverse.takeWhile(_.isDigit).reverse)
+      .filter(_.nonEmpty).map(_.toInt)
+      .foldLeft(0)(math.max)
+
+  private def sweepOrphans(spark: SparkSession, paths: Seq[Path]): Unit = {
+    if (paths.isEmpty) return
+    val fs = paths.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    paths.foreach { p =>
+      spark.sql(s"DROP TABLE IF EXISTS ${p.getName}")
+      fs.delete(p, true)
     }
   }
 }

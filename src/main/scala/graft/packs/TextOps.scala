@@ -2356,7 +2356,7 @@ object TextOps extends QueryPack {
 
   /** The vocabulary-free token-id CASE over `tk` LEFT JOIN `pm`. */
   private[packs] def bpeTokenIdCaseSql: String =
-    s"""CAST(CASE WHEN tk.tok = '' THEN 0
+    s"""CAST(CASE WHEN tk.tok = '' THEN ${graft.functions.BpeTable.EmptyTokenId}
        |    WHEN pm.prank IS NOT NULL THEN ${graft.functions.BpeTable.IdBase} + pm.prank
        |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
        |    ELSE -1 END AS BIGINT)""".stripMargin
@@ -2442,7 +2442,7 @@ object TextOps extends QueryPack {
           // recursive fold, positions via the per-doc prefix sum of
           // word token counts (0-based, = posexplode), product ids via
           // min-rank on the (a||b) string, single codepoints via
-          // unicode(), the empty split-artifact token 0
+          // unicode(), the empty split-artifact sentinel EmptyTokenId
           "bpe_encode_ids" ->
             s"""WITH RECURSIVE $ctes,
                |$encodeCtes

@@ -540,14 +540,31 @@ object StreamingPipelines {
     * drift): vec_id = doc_id * vecBase + chunk_idx (the
     * [[graft.packs.TextOps.ChunkVecBase]] arithmetic). Scan-side
     * throughout — no shuffle, no UDF. */
+  /** Chunk + embed with the doc id riding along (`__doc`) so one
+    * materialization serves BOTH the probe and the survivor-filtered
+    * ingest. The id range is guarded scan-side: vec_id = id·vecBase +
+    * chunk is only injective-and-roll-up-exact for 0 ≤ id <
+    * Long.MaxValue / vecBase — an xxhash64 surrogate id (negative for
+    * half its range, magnitude ~9e18) would silently overflow and
+    * attribute chunk pairs to the WRONG documents, so it fails loudly
+    * here instead (re-key with a nonnegative bounded surrogate). */
   private def textChunkVectors(docs: DataFrame, idCol: String,
       textCol: String, chunkTokens: Int, chunkOverlap: Int, vecBase: Long,
-      embedDim: Int): DataFrame =
+      embedDim: Int): DataFrame = {
+    val maxId = Long.MaxValue / vecBase
+    val guarded = when(col(idCol) < 0 || col(idCol) >= maxId,
+      raise_error(concat(
+        lit(s"textNearDupIngestBatch: doc id outside [0, $maxId) would " +
+          s"overflow vec_id = id * $vecBase + chunk: "),
+        col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(idCol))
     graft.operators.TextAnalysis
-      .chunkDocuments(docs.select(col(idCol), col(textCol)), idCol, textCol,
-        chunkTokens, chunkOverlap)
-      .select((col(idCol) * vecBase + col("chunk_idx")).as("vec_id"),
+      .chunkDocuments(docs.select(guarded.as(idCol), col(textCol)), idCol,
+        textCol, chunkTokens, chunkOverlap)
+      .select(col(idCol).as("__doc"),
+        (col(idCol) * vecBase + col("chunk_idx")).as("vec_id"),
         graft.functions.HashEmbed(col("text"), embedDim).as("embedding"))
+  }
 
   /** The TEXT-side twin of [[embNearDupIngestBatch]] — semantic
     * near-dup dedup-at-ingest over raw documents, DOC granularity:
@@ -576,9 +593,13 @@ object StreamingPipelines {
       org.apache.spark.sql.types.LongType,
       s"textNearDupIngestBatch requires LONG doc ids, got " +
         batch.schema(idCol).dataType.catalogString)
+    // ONE chunk+embed materialization: the probe and the
+    // survivor-filtered ingest both read these blocks — re-deriving
+    // the ingest rows from the survivors' text would re-run the
+    // dominant md5-per-token embedding over most of the batch
     val vecs = textChunkVectors(batch, idCol, textCol, chunkTokens,
-      chunkOverlap, vecBase, embedDim)
-    val pairs = store.probe(vecs, threshold, maxBucketSize,
+      chunkOverlap, vecBase, embedDim).localCheckpoint()
+    val pairs = store.probe(vecs.drop("__doc"), threshold, maxBucketSize,
       excludeBatchIds = true)
     val docPairs = pairs
       .select(expr(s"vec_a div $vecBase").as("doc_a"),
@@ -589,8 +610,11 @@ object StreamingPipelines {
     if (store.isReplay(batchId)) return survivors
     // eager checkpoint before ingest, same rationale as the vector loop
     val checkpointed = survivors.localCheckpoint()
-    store.ingest(textChunkVectors(checkpointed, idCol, textCol, chunkTokens,
-      chunkOverlap, vecBase, embedDim), batchId)
+    store.ingest(
+      vecs.join(broadcast(checkpointed.select(col(idCol).as("__doc"))),
+          Seq("__doc"), "left_semi")
+        .drop("__doc"),
+      batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
   }

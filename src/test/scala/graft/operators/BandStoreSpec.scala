@@ -73,9 +73,13 @@ class BandStoreSpec extends SparkSpec {
     store.merge(Seq((2L, 0, "k1")).toDF("doc_id", "band", "band_key"))
     assert(store.table(spark).count() == 3, "merge must union, not replace")
     // append-only: the second merge wrote ONLY the batch's rows — its
-    // segment holds 1 row, the first segment's 2 are untouched
-    assert(store.liveSegments == List(1, 2))
-    assert(spark.table("graft_band_store_versions_s2").count() == 1,
+    // segment holds 1 row, the first segment's 2 are untouched. Ids
+    // are OPAQUE and monotone, not pinned literals: a fresh store in a
+    // warehouse with same-name stale dirs claims PAST them by design
+    // (the cold-start sweep's reissued-id discipline)
+    val Seq(s1, s2) = store.liveSegments.map(_.toInt)
+    assert(s2 == s1 + 1, s"two consecutive claims, got $s1, $s2")
+    assert(spark.table(s"graft_band_store_versions_s$s2").count() == 1,
       "a merge must write the batch's rows only, never re-write the store")
     // a reader holding the pre-compaction manifest keeps its segments
     val preCompaction = store.table(spark)
@@ -88,7 +92,7 @@ class BandStoreSpec extends SparkSpec {
     // the NEXT compaction drops the grace segments
     store.merge(Seq((3L, 0, "k3")).toDF("doc_id", "band", "band_key"))
     store.compact(spark)
-    assert(!spark.catalog.tableExists("graft_band_store_versions_s1"),
+    assert(!spark.catalog.tableExists(s"graft_band_store_versions_s$s1"),
       "grace segments must be dropped by the following compaction")
     assert(store.table(spark).count() == 4)
   }

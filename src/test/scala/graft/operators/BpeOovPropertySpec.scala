@@ -107,9 +107,14 @@ class BpeOovPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     // (and hence the word) with nothing but the trained merges
     val products = table.merges.map { case (a, b) => a + b }
     def decode(id: Long): String =
-      if (id == 0L) ""
+      if (id == BpeTable.EmptyTokenId) ""
       else if (id < BpeTable.IdBase) new String(Character.toChars(id.toInt))
       else products((id - BpeTable.IdBase - 1).toInt)
+    // the sentinel is disjoint from a legal NUL codepoint token: a
+    // U+0000 word decodes to NUL, an empty split artifact to ""
+    assert(table.tokenId("\u0000") == 0L)
+    assert(table.tokenId("") == BpeTable.EmptyTokenId)
+    assert(decode(table.tokenId("\u0000")) == "\u0000")
     val genClean = genWord.map(_.filterNot(c =>
       c == BpeTable.Open || c == BpeTable.Close))
     check(Prop.forAll(genClean) { w =>
