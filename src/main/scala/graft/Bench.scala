@@ -4,8 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-/** Benchmark entry point. Prints ONE JSON line to stdout and writes it
-  * to BENCH.json (the driver's machine channel).
+/** Benchmark entry point. Prints ONE COMPACT totals JSON line to stdout
+  * (the driver keeps only a bounded tail of the run log — anything
+  * bigger truncates mid-object) and writes the full per-query record to
+  * BENCH.json + the per-pass telemetry to BENCH_PASSES.json (the
+  * machine channels).
   *
   * Timing protocol: one untimed warmup, one timed cold pass (carries
   * per-query plan/Janino/JIT compile cost; kept as `queries`/`total`
@@ -170,6 +173,9 @@ object Bench {
     // Untimed warmup: absorbs one-time session costs (BlockManager,
     // Janino/codegen framework, parquet reader init, JIT of shared infra).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // The timed set: every gated query plus the bench-only engine-hash
+    // twins (xxh64 LSH forms) — benchQueries ⊇ queries by construction.
+    val benchSet = SparkEntry.benchQueries
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val run0 = snap()
     def timed(pass: String, name: String,
@@ -196,7 +202,7 @@ object Bench {
         d(s0.mem, s1.mem), d(s0.cpu, s1.cpu), d(s0.steal, s1.steal),
         d(s0.rd, s1.rd) >> 10)
     }
-    val coldRuns = SparkEntry.queries.map { case (name, fn) => name -> timed("cold", name, fn) }
+    val coldRuns = benchSet.map { case (name, fn) => name -> timed("cold", name, fn) }
     // Untimed full-set JIT-drain pass between cold and warm: the cold
     // pass generates every query's codegen classes but C2 compiles them
     // asynchronously, so without this pass warm pass 1 pays the whole
@@ -214,7 +220,7 @@ object Bench {
       // the drain enters the warm passes un-drained, quietly
       // reintroducing the warm1 JIT skew this pass exists to remove —
       // that must be visible in the bench log, not swallowed.
-      val drainFailed = SparkEntry.queries.flatMap { case (name, fn) =>
+      val drainFailed = benchSet.flatMap { case (name, fn) =>
         try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable =>
           Some(s"$name (${e.getClass.getSimpleName})") }
@@ -229,11 +235,11 @@ object Bench {
     }
     // Three timed warm passes; per-query warmMedian is the reported number.
     val warmRuns = (1 to 3).map { i =>
-      SparkEntry.queries.map { case (name, fn) => name -> timed(s"warm$i", name, fn) }
+      benchSet.map { case (name, fn) => name -> timed(s"warm$i", name, fn) }
     }
     val cold = coldRuns.map { case (k, r) => k -> r.sec }
     val warmPasses = warmRuns.map(_.map { case (k, r) => k -> r.sec })
-    val warm = SparkEntry.queries.keys.map { name =>
+    val warm = benchSet.keys.map { name =>
       name -> warmMedian(warmPasses.map(_(name)))
     }.toMap
     val run1 = snap()
@@ -261,22 +267,18 @@ object Bench {
       .map { case (p, m) => s"\"$p\":${runObj(m)}" }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"failed":$failedJson,"sf":"$sfDirRaw"}"""
-    // Compact totals line: the driver's round artifact keeps only a
-    // 2000-char tail of the run log, which lands INSIDE the big JSON
-    // line and loses the totals (they print before the per-pass dump).
-    // Emitting the summary both BEFORE the full line (head readers) and
-    // AFTER it (the tail window always ends with it) makes the round
-    // totals recoverable from any truncation.
+    // stdout gets ONLY this compact totals line (r11 lesson: the driver
+    // keeps a bounded TAIL of the run log, and the full 167-entry
+    // per-query JSON printed to stdout got truncated mid-object →
+    // BENCH_r11.json "parsed": null). The complete per-query record
+    // lives in the BENCH.json / BENCH_PASSES.json files; the compact
+    // line is small enough to always land whole inside the tail window.
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"n_queries":${SparkEntry.queries.size},"failed":$failedJson,"sf":"$sfDirRaw"}"""
-    // stdout carries sbt [info] prefixes and any log noise; the file is
-    // the unambiguous machine-readable channel for the driver.
+      s"""{"metric":"total","value":$total,"unit":"sec","total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"n_queries":${benchSet.size},"failed":$failedJson,"sf":"$sfDirRaw"}"""
     Files.write(Paths.get("BENCH.json"), (json + "\n").getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get("BENCH_PASSES.json"),
       (s"""{"passes":$passesJson,"sf":"$sfDirRaw"}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
-    println(summary)
-    println(json)
     println(summary)
     spark.stop()
     cleanupStaging()

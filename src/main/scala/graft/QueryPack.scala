@@ -15,6 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
+
+  /** Bench-only twins: variants worth timing and plan-pinning but NOT
+    * DuckDB-verifiable (e.g. xxhash64-keyed LSH — the engine-native hash
+    * has no DuckDB twin). They run in `graft.Bench` and in the specs but
+    * are excluded from the Verify gate, which stays 100% oracle-backed;
+    * each twin must be value-gated by an oracle-verified sibling running
+    * the identical pipeline downstream of the hash. */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }
 
 object QueryPack {

@@ -27,8 +27,8 @@ object SparkEntry {
   /** Merge pack maps, refusing silent last-wins shadowing on duplicate
     * query names (a shadowed query would drop out of verification while
     * the gate stays green). */
-  private def merged[T](f: QueryPack => Map[String, T]): Map[String, T] = {
-    val all = packs.flatMap(p => f(p).toSeq)
+  private def merged[T](f: QueryPack => Seq[(String, T)]): Map[String, T] = {
+    val all = packs.flatMap(f)
     val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty, s"duplicate query names across packs: $dups")
     all.toMap
@@ -36,10 +36,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    merged(_.queries)
+    merged(_.queries.toSeq)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    merged(_.oracleSql)
+    merged(_.oracleSql.toSeq)
+
+  /** The benchmark set: every gated query PLUS the bench-only twins
+    * (engine-hash variants with no DuckDB oracle, value-gated by their
+    * oracle-verified siblings). `graft.Bench` times this superset so
+    * re-pointing a gated name at its oracle twin never silently drops
+    * the engine-native form from the performance record. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    merged(p => p.queries.toSeq ++ p.benchOnly.toSeq)
 }

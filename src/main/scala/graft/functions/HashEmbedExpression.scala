@@ -165,17 +165,29 @@ final class NgramHashEmbedder(val dim: Int, val n: Int)
     h
   }
 
-  /** The signed-count vector of a text's character n-grams. */
+  /** The signed-count vector of a text's character n-grams. Windows
+    * are cut over Unicode CODE POINTS, not UTF-16 units: the DuckDB
+    * oracle's len()/substr() count code points, and a UTF-16 window
+    * over supplementary-plane text (emoji, rare CJK) would both shift
+    * the gram stream and produce lone-surrogate grams that hash
+    * differently — breaking engine/oracle parity exactly on the
+    * corpora where the char-gram space matters most. For BMP-only text
+    * code-point and UTF-16 indices coincide, so this is behavior-
+    * preserving on the bench corpus. */
   def embed(text: UTF8String): ArrayData = {
     val s = text.toString
     val acc = new Array[Double](dim)
-    val count = math.max(s.length - n + 1, 1)
+    val cpCount = s.codePointCount(0, s.length)
+    val count = math.max(cpCount - n + 1, 1)
     var i = 0
+    var start = 0 // UTF-16 offset of code point i
     while (i < count) {
-      val h = gramHash(s.substring(i, math.min(i + n, s.length)))
+      val end = s.offsetByCodePoints(start, math.max(math.min(n, cpCount - i), 0))
+      val h = gramHash(s.substring(start, end))
       val b = (h % dim).toInt
       acc(b) += (if ((h / dim) % 2 == 0) 1.0 else -1.0)
       i += 1
+      if (i < count) start = s.offsetByCodePoints(start, 1)
     }
     new GenericArrayData(acc)
   }

@@ -749,9 +749,12 @@ object TextOps extends QueryPack {
     val exact = textSemanticNearDup(spark, sfDir).select("doc_a", "doc_b")
     val lsh = textSemanticNearDupLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).withColumn("hit", lit(1L))
+    // outer coalesce: sum over ZERO rows is NULL (count is 0), so an
+    // empty exact pair set would emit (0, NULL, NULL) while the oracle
+    // coalesces to (0, 0, 0.0) — degenerate-case cross-engine parity
     exact.join(lsh, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        coalesce(sum(coalesce(col("hit"), lit(0L))), lit(0L)).as("hits"))
       .select(col("n_pairs"), col("hits"),
         round(col("hits").cast("double") /
           greatest(col("n_pairs"), lit(1L)), 4).as("recall"))
@@ -2378,7 +2381,9 @@ object TextOps extends QueryPack {
        |  -- the '' row: a COMPOSED oracle tokenizing REWRITTEN text
        |  -- (span-stripped clean_text) meets the empty word even when
        |  -- the raw corpus has none — it must resolve to one empty
-       |  -- token (n=1, id 0), exactly like the engine's split("")
+       |  -- token (n=1, id = BpeTable.EmptyTokenId = IdBase, the
+       |  -- injective sentinel above every codepoint id; matches
+       |  -- BpeTable.tokenId and bpeTokenIdCaseSql), like split("")
        |  FROM (SELECT DISTINCT word FROM bdc UNION SELECT '')
        |), br AS (
        |  SELECT word, s, 0 AS rk FROM bw0

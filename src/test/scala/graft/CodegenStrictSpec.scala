@@ -16,6 +16,7 @@ class CodegenStrictSpec extends SparkSpec {
     "embedding_neardup_lsh", "embedding_neardup_incremental",
     "embedding_neardup_incremental_store",
     "dedup_minhash", "dedup_simhash",
+    "dedup_minhash_xxh64", "dedup_simhash_xxh64",
     "dedup_incremental_simhash", "dedup_incremental_minhash_store",
     "dedup_incremental_simhash_store",
     "unigram_logprob", "bigram_logprob", "pipeline_curate_quality",
@@ -49,7 +50,8 @@ class CodegenStrictSpec extends SparkSpec {
   hotQueries.foreach { name =>
     test(s"$name executes with codegen fallback disabled") {
       strict {
-        val df = SparkEntry.queries(name)(spark, sf)
+        // benchQueries ⊇ queries: includes the bench-only xxh64 twins
+        val df = SparkEntry.benchQueries(name)(spark, sf)
         // noop write, not count(): count() collapses to a zero-column
         // aggregate and ColumnPruning REMOVES every top-level
         // projection — a projection-only query (gopher_rules,

@@ -7,8 +7,10 @@ package graft
   * shuffle join or un-pushes a filter, these fail. */
 class PlanSpec extends SparkSpec {
 
+  // benchQueries ⊇ queries: the bench-only engine-hash twins
+  // (dedup_*_xxh64) carry the same scale pins as their gated siblings
   private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    SparkEntry.benchQueries(name)(spark, sf).queryExecution.executedPlan.toString
 
   test("q1_agg: filter pushed to parquet, columns pruned, partial agg") {
     val p = plan("q1_agg")
@@ -73,18 +75,20 @@ class PlanSpec extends SparkSpec {
       "cell assignment must be the native reference-object expression")
   }
 
-  test("dedup_minhash: bucket equi-join, never a cartesian/nested-loop pair join") {
-    val p = plan("dedup_minhash")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"LSH banding must make candidate generation an equi-join:\n$p")
-    // the bucket cap must be a partial-agg count + broadcast anti-join —
-    // a window count has no partial aggregation and AQE cannot split a
-    // window partition, so a degenerate boilerplate bucket would funnel
-    // ALL its rows into one task just to count-and-drop them
-    assert(!p.contains("windowspecdefinition"),
-      s"bucket cap must not ride a window count:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"oversized buckets must be dropped via an anti-join:\n$p")
+  test("dedup_minhash (md5 gate + xxh64 twin): bucket equi-join, never a cartesian/nested-loop pair join") {
+    Seq("dedup_minhash", "dedup_minhash_xxh64").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q LSH banding must make candidate generation an equi-join:\n$p")
+      // the bucket cap must be a partial-agg count + broadcast anti-join —
+      // a window count has no partial aggregation and AQE cannot split a
+      // window partition, so a degenerate boilerplate bucket would funnel
+      // ALL its rows into one task just to count-and-drop them
+      assert(!p.contains("windowspecdefinition"),
+        s"$q bucket cap must not ride a window count:\n$p")
+      assert(p.contains("LeftAnti"),
+        s"$q oversized buckets must be dropped via an anti-join:\n$p")
+    }
   }
 
   test("dedup_ngram_jaccard: block cap is partial-agg + anti-join, not a window count") {
@@ -159,14 +163,16 @@ class PlanSpec extends SparkSpec {
       s"maybe-set and confirmed-dup set must broadcast:\n$p")
   }
 
-  test("dedup_simhash_md5: band-bucket cap is partial-agg + anti-join, not a window count") {
-    val p = plan("dedup_simhash_md5")
-    assert(!p.contains("windowspecdefinition"),
-      s"simhash bucket cap must not ride a window count:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"oversized simhash band buckets must be dropped via an anti-join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"simhash banding must make candidate generation an equi-join:\n$p")
+  test("dedup_simhash (md5 gate + xxh64 twin): band-bucket cap is partial-agg + anti-join, not a window count") {
+    Seq("dedup_simhash", "dedup_simhash_xxh64").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"),
+        s"$q simhash bucket cap must not ride a window count:\n$p")
+      assert(p.contains("LeftAnti"),
+        s"$q oversized simhash band buckets must be dropped via an anti-join:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q simhash banding must make candidate generation an equi-join:\n$p")
+    }
   }
 
   test("embedding_neardup_lsh (+incremental): bucket cap is partial-agg + anti-join, not a window count") {

@@ -11,11 +11,19 @@ class QueryPackSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("every gated query is oracle-backed (zero rows-only gates)") {
+    // the Verify set is 100% DuckDB-verified; anything oracle-less
+    // belongs in a pack's benchOnly map, not in queries
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(weak.isEmpty, s"gated queries without an oracle: $weak")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  // benchQueries ⊇ queries: the bench-only twins must run too
+  SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001 with rows > 0") {
       val df = fn(spark, sf)
       assert(df.count() > 0)

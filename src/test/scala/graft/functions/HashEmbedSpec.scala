@@ -130,4 +130,30 @@ class HashEmbedSpec extends SparkSpec {
       ng.embed(u(other)).toDoubleArray())
     assert(farSim < 0.5, f"unrelated texts must stay far: $farSim%.3f")
   }
+
+  test("ngram windows are code-point windows (astral text, oracle parity)") {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString _
+    val ng = new NgramHashEmbedder(64, 2)
+    // 5 identical astral code points (each is a surrogate PAIR in
+    // UTF-16) → exactly 4 identical bigrams, so one bucket holds ±4.
+    // UTF-16-unit windowing would cut 9 windows of alternating lone
+    // surrogates — distinct grams, mass spread over several buckets —
+    // and diverge from the DuckDB oracle's len()/substr() code-point
+    // semantics on any supplementary-plane corpus.
+    val grin = "😀" // U+1F600
+    val v = ng.embed(u(grin * 5)).toDoubleArray()
+    assert(v.map(math.abs).sum == 4.0,
+      s"expected 4 code-point bigrams, got mass ${v.map(math.abs).sum}")
+    assert(v.count(_ != 0.0) == 1,
+      "identical grams must land in one bucket (no lone-surrogate grams)")
+    // mixed BMP/astral: "a😀b" has bigrams "a😀","😀b" — same vector as
+    // hashing those two grams via a BMP-free length-2 construction
+    val mixed = ng.embed(u(s"a${grin}b")).toDoubleArray()
+    assert(mixed.map(math.abs).sum == 2.0,
+      "a+astral+b must cut exactly 2 code-point bigrams")
+    // BMP-only text is untouched by the code-point fix: window count
+    // is still length - n + 1
+    val bmp = ng.embed(u("abcd")).toDoubleArray()
+    assert(bmp.map(math.abs).sum <= 3.0 && bmp.map(_.abs).sum >= 1.0)
+  }
 }
