@@ -135,6 +135,14 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     else -1L
   }
 
+  /** 1-based trained rank of a merge-product string (min rank when two
+    * merges collide on the same product), -1 when not a product — the
+    * id-scheme seam [[BpeByteTable]] re-denominates over byte ids. */
+  private[functions] def productRank(t: String): Long = {
+    val pid = productIds.get(t)
+    if (pid == null) -1L else pid.longValue() - BpeTable.IdBase
+  }
+
   /** The text's BPE token-id sequence, word order then within-word
     * merge order — what a training pipeline actually emits. */
   def ids(text: UTF8String): ArrayData = {
@@ -307,4 +315,182 @@ case class BpeTokenIds(child: Expression, table: BpeTable)
 object BpeTokenIds {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     bridge.column(BpeTokenIds(bridge.expression(text), new BpeTable(merges)))
+}
+
+/** GPT-2-style byte↔unicode bijection (Radford et al. 2019's public
+  * `bytes_to_unicode` construction, re-derived): every byte 0–255 maps
+  * to a printable code point — the 188 visually-printable latin-1 bytes
+  * (`!`–`~`, `¡`–`¬`, `®`–`ÿ`) map to THEMSELVES, the remaining 68
+  * (controls, space, DEL, soft hyphen…) map to U+0100+n in increasing
+  * byte order. A word's UTF-8 bytes become a plain character string, so
+  * the char-level merge machinery ([[BpeTable]]'s marker fold) and the
+  * DuckDB `replace`-fold oracle apply to BYTE symbols verbatim — and
+  * the base alphabet is CLOSED: emoji/CJK/arbitrary binary text
+  * decomposes into the same 256 symbols, so the id space never grows
+  * with the input (the property the codepoint scheme can't offer). */
+object ByteLevel {
+  private val b2c: Array[Int] = {
+    val printable = (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++
+      (0xAE to 0xFF)).toSet
+    val out = new Array[Int](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (printable(b)) out(b) = b
+      else { out(b) = 256 + n; n += 1 }
+      b += 1
+    }
+    out
+  }
+  private val c2b: Map[Int, Int] = (0 until 256).map(b => b2c(b) -> b).toMap
+
+  /** Mapped code point of byte `b` (0–255). */
+  def charOf(b: Int): Int = b2c(b)
+  /** Byte of a mapped code point, -1 if the code point is unmapped. */
+  def byteOf(cp: Int): Int = c2b.getOrElse(cp, -1)
+
+  /** The word's UTF-8 bytes as a mapped-char string (the byte-level
+    * base-alphabet symbol sequence). */
+  def encode(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.appendCodePoint(b2c(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[encode]] over any concatenation of mapped chars
+    * (e.g. a token or a whole tokenized word) — the round-trip proof
+    * seam. Throws on an unmapped code point (impossible for strings
+    * this module produced). */
+  def decode(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.codePointCount(0, s.length))
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val b = c2b.getOrElse(cp,
+        throw new IllegalArgumentException(f"unmapped code point U+$cp%04X"))
+      out(j) = b.toByte
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** First merge-product id AND the empty-token sentinel slot: ids
+    * 0–255 are the bytes themselves, 256 the empty split artifact,
+    * 256 + 1-based rank the products — injective by the same argument
+    * as the codepoint scheme, but CLOSED: max id = 256 + numMerges on
+    * ANY input. */
+  val IdBase = 256L
+  val EmptyTokenId: Long = IdBase
+}
+
+/** Byte-level BPE application: [[BpeTable]]'s fold over each word's
+  * [[ByteLevel]]-encoded UTF-8 byte symbols (merges must have been
+  * trained in the same encoding — [[graft.operators.BpeTokenizer]]
+  * `trainCachedBytes`). Token ids are byte-denominated: a
+  * single-symbol token IS its byte (0–255), a merge product is
+  * 256 + rank, the empty split artifact is 256 — so the id space is
+  * closed over arbitrary input with zero table growth (the GPT-2
+  * property). No marker-collision opaque path exists here: bytes 0x1E/
+  * 0x1F map ABOVE U+0100, so no input can inject the fold markers. */
+final class BpeByteTable(val merges: Seq[(String, String)])
+    extends Serializable {
+
+  private val inner = new BpeTable(merges)
+
+  // rank -> product string (decode seam); productRank on the inner
+  // table resolves collisions to min rank, so decode(id) re-encodes to
+  // the same id
+  @transient private lazy val products: Array[String] =
+    merges.map { case (a, b) => a + b }.toArray
+
+  def tokenizeWord(word: String): Array[String] =
+    inner.tokenizeWord(ByteLevel.encode(word))
+
+  def tokenId(t: String): Long = {
+    if (t.isEmpty) return ByteLevel.EmptyTokenId
+    val r = inner.productRank(t)
+    if (r > 0) ByteLevel.IdBase + r
+    else if (t.codePointCount(0, t.length) == 1)
+      ByteLevel.byteOf(t.codePointAt(0)).toLong
+    else -1L
+  }
+
+  /** The text's byte-level BPE token-id sequence (word order, then
+    * within-word merge order). */
+  def ids(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    words.foreach { w =>
+      tokenizeWord(w).foreach(t => out += tokenId(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Total byte-level BPE token count of a text. */
+  def count(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var i = 0
+    while (i < words.length) { n += tokenizeWord(words(i)).length; i += 1 }
+    n
+  }
+
+  /** One word back from its id sequence — the lossless-round-trip
+    * proof seam (BpeOovPropertySpec): byte ids emit their byte, the
+    * empty sentinel emits nothing, product ids emit their trained
+    * product's bytes. Throws on an id outside the closed space. */
+  def decodeWord(ids: Seq[Long]): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      if (id == ByteLevel.EmptyTokenId) ()
+      else if (id >= 0 && id < 256) buf.write(id.toInt)
+      else {
+        val rank = (id - ByteLevel.IdBase).toInt
+        require(rank >= 1 && rank <= products.length, s"id $id outside closed space")
+        buf.write(ByteLevel.decode(products(rank - 1)))
+      }
+    }
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  override def hashCode(): Int = merges.hashCode() * 31 + 1
+  override def equals(o: Any): Boolean = o match {
+    case t: BpeByteTable => t.merges == merges
+    case _ => false
+  }
+}
+
+/** `array<long>`: the text's BYTE-LEVEL BPE token-id sequence — the
+  * production id denomination (GPT-2 lineage): closed 256-byte base
+  * alphabet, ids never grow with exotic input. */
+case class BpeByteTokenIds(child: Expression, table: BpeByteTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_bpe_byte_ids"
+
+  override def nullSafeEval(input: Any): Any =
+    table.ids(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeByteTable", table,
+      classOf[BpeByteTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.ids($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeByteTokenIds =
+    copy(child = newChild)
+}
+
+object BpeByteTokenIds {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    bridge.column(BpeByteTokenIds(bridge.expression(text),
+      new BpeByteTable(merges)))
 }

@@ -137,4 +137,33 @@ object BpeTokenizer {
     }.toSeq.distinct
     if (distinct.size == 1) Some(distinct.head) else None
   }
+
+  // Byte-level twin caches: same contract, DISJOINT from the codepoint
+  // tables (the two alphabets must never cross-pollinate a snapshot).
+  private val trainedBytes =
+    new ConcurrentHashMap[(String, Int, Int), Seq[(String, String)]]()
+
+  /** BYTE-LEVEL training (GPT-2 lineage): each heavy-hitter word is
+    * re-expressed as its [[graft.functions.ByteLevel]]-mapped UTF-8
+    * byte symbols, then the IDENTICAL published merge loop runs — the
+    * base alphabet is the closed 256-byte set, so exotic input grows
+    * subword coverage, never the alphabet. Same bounded-collect scale
+    * shape as [[trainCached]]. */
+  def trainCachedBytes(docs: DataFrame, datasetKey: String, textCol: String,
+      maxWords: Int, numMerges: Int): Seq[(String, String)] =
+    trainedBytes.computeIfAbsent((datasetKey, maxWords, numMerges),
+      _ => train(
+        wordCounts(docs, textCol, maxWords).map { case (w, c) =>
+          (graft.functions.ByteLevel.encode(w), c)
+        }, numMerges))
+
+  /** [[trainedSnapshot]]'s byte-level twin. */
+  def trainedSnapshotBytes(maxWords: Int,
+      numMerges: Int): Option[Seq[(String, String)]] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = trainedBytes.asScala.collect {
+      case ((_, mw, nm), m) if mw == maxWords && nm == numMerges => m
+    }.toSeq.distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
 }

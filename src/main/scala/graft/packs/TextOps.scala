@@ -465,6 +465,27 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
 
+  private[packs] def bpeByteMerges(spark: SparkSession,
+      sfDir: String): Seq[(String, String)] =
+    graft.operators.BpeTokenizer.trainCachedBytes(
+      Tables.documents(spark, sfDir), sfDir, "text", MaxBpeWords, NumBpeMerges)
+
+  /** [[bpeEncodeIds]] under the BYTE-LEVEL base alphabet (GPT-2
+    * lineage, [[graft.functions.ByteLevel]]): words decompose into
+    * their UTF-8 bytes before merging, so the id space is CLOSED —
+    * 0–255 bytes, 256 the empty artifact, 256+rank the trained
+    * products; emoji/CJK-heavy corpora grow subword coverage, never
+    * the alphabet (the production norm the codepoint scheme
+    * approximates). Same plan shape: one scan-side codegen'd
+    * expression, posexplode, zero shuffle. */
+  def bpeEncodeIdsBytes(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.BpeByteTokenIds(col("text"),
+          bpeByteMerges(spark, sfDir))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * (the standard tokenizer-evaluation metric: a fertility near 1
     * means the vocabulary covers the language's words whole; high
@@ -990,6 +1011,7 @@ object TextOps extends QueryPack {
     "token_count_bpe_store" -> (tokenCountBpeStore _),
     "token_count_bpe" -> (tokenCountBpe _),
     "bpe_encode_ids" -> (bpeEncodeIds _),
+    "bpe_encode_ids_bytes" -> (bpeEncodeIdsBytes _),
     "bpe_fertility" -> (bpeFertility _),
     "pack_ids_bpe" -> (packIdsBpe _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
@@ -2315,7 +2337,7 @@ object TextOps extends QueryPack {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM sampled""".stripMargin
     }
-  ) ++ bpeOracles
+  ) ++ bpeOracles ++ bpeByteOracles
 
   /** The trained BPE merge table replayed in DuckDB, ending in
     * `bdn(doc_id, n_tokens_bpe)`: the merges are embedded as a ranked
@@ -2547,5 +2569,96 @@ object TextOps extends QueryPack {
                |    sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
                |  FROM sb)
                |WHERE cum <= $BpeSampleBudget""".stripMargin)
+      }.toMap
+
+  /** The GPT-2 byte↔char bijection as generated VALUES rows
+    * (hex pair, mapped char, byte value) — BOTH engines consume the
+    * single Scala-side [[graft.functions.ByteLevel]] table, so the
+    * mapping cannot drift between them. */
+  private def byteMapValuesSql: String =
+    (0 until 256).map { b =>
+      val ch = new String(Character.toChars(graft.functions.ByteLevel.charOf(b)))
+      f"('$b%02X', '${ch.replace("'", "''")}', $b%d)"
+    }.mkString(",\n    ")
+
+  /** Byte-level BPE oracle (trained-snapshot pattern, byte cache):
+    * DuckDB re-derives each word's mapped byte-symbol string from
+    * hex(encode(word)) through the SAME generated bijection table the
+    * engine used, then replays the trained merges through the IDENTICAL
+    * marker-fold recursive CTE as the codepoint oracle — so alphabet,
+    * merges, fold and id scheme are all one cross-engine value gate. */
+  private def bpeByteOracles: Map[String, String] =
+    graft.operators.BpeTokenizer.trainedSnapshotBytes(MaxBpeWords, NumBpeMerges)
+      .filter(_.nonEmpty).toList.flatMap { merges =>
+        def q(s: String) = s.replace("'", "''")
+        val values = merges.zipWithIndex
+          .map { case ((a, b), i) => s"(${i + 1}, '${q(a)}', '${q(b)}')" }
+          .mkString(",\n    ")
+        import graft.functions.ByteLevel.{EmptyTokenId, IdBase}
+        Seq(
+          // (doc, pos, token_id) under the closed byte-denominated id
+          // scheme: bytes are their own ids via the bijection table,
+          // '' is the sentinel, products are IdBase + min rank; the
+          // per-doc prefix-sum position arithmetic is the codepoint
+          // encode oracle's verbatim
+          "bpe_encode_ids_bytes" ->
+            s"""WITH RECURSIVE ybm(mrank, a, b) AS (VALUES
+               |    $values
+               |), ymap(hx, ch, bv) AS (VALUES
+               |    $byteMapValuesSql
+               |), ytok AS (
+               |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+               |), ywd AS (
+               |  SELECT DISTINCT word FROM ytok UNION SELECT ''
+               |), ybytes AS (
+               |  SELECT word, CAST(i AS BIGINT) AS i,
+               |    upper(substr(hex(encode(word)), CAST(2*i - 1 AS INT), 2)) AS hx
+               |  FROM ywd, unnest(range(1, octet_length(encode(word)) + 1)) AS u(i)
+               |), yenc AS (
+               |  SELECT w.word, coalesce(e.ew, '') AS ew
+               |  FROM ywd w LEFT JOIN (
+               |    SELECT word, string_agg(m.ch, '' ORDER BY i) AS ew
+               |    FROM ybytes JOIN ymap m USING (hx) GROUP BY word) e USING (word)
+               |), yw0 AS (
+               |  SELECT word, array_to_string(list_transform(generate_series(1, length(ew)),
+               |    i -> chr(30) || substr(ew, CAST(i AS INT), 1) || chr(31)), '') AS s
+               |  FROM yenc
+               |), yr AS (
+               |  SELECT word, s, 0 AS rk FROM yw0
+               |  UNION ALL
+               |  SELECT yr.word,
+               |    replace(yr.s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+               |      chr(30) || m.a || m.b || chr(31)) AS s,
+               |    yr.rk + 1 AS rk
+               |  FROM yr JOIN ybm m ON m.mrank = yr.rk + 1
+               |), ytl AS (
+               |  SELECT word, string_split(CASE WHEN length(s) < 2 THEN ''
+               |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30)) AS tl
+               |  FROM yr WHERE rk = ${merges.size}
+               |), ywt AS (
+               |  SELECT word, CAST(len(tl) AS BIGINT) AS n FROM ytl
+               |), ypm AS (
+               |  SELECT a || b AS product, CAST(min(mrank) AS BIGINT) AS prank
+               |  FROM ybm GROUP BY 1
+               |), ywocc AS (
+               |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+               |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+               |       unnest(range(1, len(w) + 1)) AS u(i)
+               |), ywpre AS (
+               |  SELECT ywocc.doc_id, ywocc.wi, ywocc.word,
+               |    coalesce(sum(ywt.n) OVER (PARTITION BY ywocc.doc_id ORDER BY ywocc.wi
+               |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+               |  FROM ywocc JOIN ywt USING (word)
+               |), ytk AS (
+               |  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS tok
+               |  FROM ywpre w0 JOIN ytl w2 USING (word),
+               |       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+               |)
+               |SELECT ytk.doc_id, CAST(ytk.pos AS BIGINT) AS pos,
+               |  CAST(CASE WHEN ytk.tok = '' THEN $EmptyTokenId
+               |       WHEN ypm.prank IS NOT NULL THEN $IdBase + ypm.prank
+               |       ELSE coalesce(ym.bv, -1) END AS BIGINT) AS token_id
+               |FROM ytk LEFT JOIN ypm ON ypm.product = ytk.tok
+               |LEFT JOIN ymap ym ON ym.ch = ytk.tok""".stripMargin)
       }.toMap
 }

@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode_ids(+_bytes): exchange-free scan-side tokenize + explode") {
+    // the id stream is emitted where the text is read — a shuffle here
+    // would exchange the TOKEN stream (corpus × fertility rows) instead
+    // of nothing; both denominations must keep the projection+Generate
+    // shape (the merge table rides inside the expression, broadcast by
+    // construction)
+    Seq("bpe_encode_ids", "bpe_encode_ids_bytes").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(p.contains("Generate"), s"$q must posexplode scan-side:\n$p")
+    }
+  }
+
   test("dedup_ngram_jaccard: block cap is partial-agg + anti-join, not a window count") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("windowspecdefinition"),

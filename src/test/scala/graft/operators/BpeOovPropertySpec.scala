@@ -2,7 +2,7 @@ package graft.operators
 
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.functions.BpeTable
+import graft.functions.{BpeByteTable, BpeTable, ByteLevel}
 
 /** BPE behavior OFF the training distribution (VERDICT r10 item 4):
   * the codepoint-level tokenizer has NO UNK path — an out-of-vocabulary
@@ -130,5 +130,92 @@ class BpeOovPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(s"$w the")
     assert(table.count(u) ==
       1 + table.tokenizeWord("the").length)
+  }
+
+  // ---- byte-level base alphabet (GPT-2 lineage) ------------------
+
+  // trained through the production byte path: the same words, merges
+  // now over mapped byte symbols
+  private val byteTable = new BpeByteTable(BpeTokenizer.train(
+    Seq(("the", 50L), ("then", 20L), ("than", 10L), ("they", 8L),
+      ("thin", 5L), ("tea", 4L)).map { case (w, c) =>
+        (ByteLevel.encode(w), c)
+      }, numMerges = 8))
+  private val byteUntrained = new BpeByteTable(Seq.empty)
+
+  /** Max legal byte-level id: the space is CLOSED at 256 + numMerges
+    * regardless of input — the property the codepoint scheme cannot
+    * offer (its single-codepoint ids grow with the input alphabet). */
+  private val byteMaxId = ByteLevel.IdBase + byteTable.merges.size
+
+  // words over the FULL unicode space including supplementary planes
+  // (emoji, CJK extension), NUL, and the fold markers — at the byte
+  // level none of these need an opaque/fallback path
+  private val genCp: Gen[Int] = Gen.frequency(
+    8 -> Gen.choose('a'.toInt, 'z'.toInt),
+    2 -> Gen.oneOf('é'.toInt, 'ß'.toInt, '中'.toInt, '文'.toInt),
+    2 -> Gen.oneOf(0x1F600, 0x1F680, 0x2070E), // astral: emoji + CJK-C
+    1 -> Gen.oneOf(0x0, 0x1E, 0x1F, 0x7F))
+  private val genByteWord: Gen[String] =
+    Gen.listOf(genCp).map(cps => cps.flatMap(Character.toChars(_)).mkString)
+
+  test("property: byte-level ids are CLOSED (≤ 256+merges) and decode back — any input") {
+    check(Prop.forAll(genByteWord) { w =>
+      val ids = byteTable.tokenizeWord(w).map(byteTable.tokenId).toSeq
+      // zero codepoint-table growth: every id is a byte, the sentinel,
+      // or a trained product — even for emoji/CJK/control input
+      ids.forall(id => id >= 0 && id <= byteMaxId) &&
+        byteTable.decodeWord(ids) == w
+    })
+  }
+
+  test("property: untrained byte table emits exactly the UTF-8 bytes") {
+    check(Prop.forAll(genByteWord) { w =>
+      val toks = byteUntrained.tokenizeWord(w)
+      val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (w.isEmpty) toks.sameElements(Array(""))
+      else toks.length == bytes.length &&
+        toks.zip(bytes).forall { case (t, b) =>
+          t.codePointCount(0, t.length) == 1 &&
+            ByteLevel.byteOf(t.codePointAt(0)) == (b & 0xFF)
+        }
+    })
+  }
+
+  test("byte level has NO opaque path: fold markers are just bytes") {
+    // 0x1E/0x1F map above U+0100 in the bijection, so no input can
+    // inject the markers — the codepoint scheme's -1 opaque token and
+    // its budget quirk don't exist here
+    val w = s"ab${BpeTable.Open}cd${BpeTable.Close}"
+    val ids = byteTable.tokenizeWord(w).map(byteTable.tokenId).toSeq
+    assert(ids.forall(id => id >= 0 && id <= byteMaxId))
+    assert(byteTable.decodeWord(ids) == w)
+  }
+
+  test("byte-level trained merges still fire (the 'the' chain)") {
+    // 'the' is pure ASCII: its mapped symbols are the letters
+    // themselves, so the byte-trained table merges it like the
+    // codepoint table does — subword behavior is preserved, only the
+    // base alphabet changed
+    val toks = byteTable.tokenizeWord("the")
+    assert(toks.length < 3, s"trained merges must fire: ${toks.toSeq}")
+    val ids = toks.map(byteTable.tokenId)
+    assert(ids.exists(_ > ByteLevel.IdBase), "a product id must appear")
+    // an emoji word degrades to its 4 UTF-8 bytes, ids all < 256
+    val emoji = byteUntrained.tokenizeWord("😀")
+    assert(emoji.length == 4)
+    assert(emoji.map(byteUntrained.tokenId).forall(id => id >= 0 && id < 256))
+  }
+
+  test("ByteLevel bijection: 256 distinct chars, printable bytes map to themselves") {
+    val cps = (0 until 256).map(ByteLevel.charOf)
+    assert(cps.distinct.size == 256)
+    (0 until 256).foreach { b =>
+      assert(ByteLevel.byteOf(ByteLevel.charOf(b)) == b)
+      val printable = (b >= 0x21 && b <= 0x7E) || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      if (printable) assert(ByteLevel.charOf(b) == b)
+      else assert(ByteLevel.charOf(b) >= 0x100)
+    }
   }
 }
