@@ -99,3 +99,91 @@ object NbScoreRaw {
   def apply(text: Column, scorer: NbScorer): Column =
     bridge.column(NbScoreRaw(bridge.expression(text), scorer))
 }
+
+/** fastText's ACTUAL feature space — hashed unigrams PLUS adjacent
+  * word-bigram features (Joulin et al. 2016 report the bigram bucket
+  * is where most of the quality signal lives): each token contributes
+  * its `clf#`-salted bucket weight and each adjacent pair its
+  * `clf2#`-salted bucket weight, all in ONE shared `dim`-bucket weight
+  * array (fastText's single hashing space — collisions are part of the
+  * model in training AND inference, so they cancel cross-engine).
+  * Same determinism/scale contract as [[NbScorer]]: exact BIGINT sum,
+  * one pass, scan-side, codegen'd, bounded memo per feature kind. */
+final class NbBigramScorer(val dim: Int, val weights: Array[Long])
+    extends Serializable {
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+  require(weights.length == dim,
+    s"weights.length ${weights.length} != dim $dim")
+
+  @transient private lazy val uniMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  @transient private lazy val biMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val MemoCap = 1 << 16
+
+  private def uniWeight(t: String): Long = {
+    val cached = uniMemo.get(t)
+    if (cached != null) return cached
+    val w = weights((HashEmbedder.md5h60("clf#" + t) % dim).toInt)
+    if (uniMemo.size < MemoCap) uniMemo.put(t, w)
+    w
+  }
+
+  private def biWeight(g: String): Long = {
+    val cached = biMemo.get(g)
+    if (cached != null) return cached
+    val w = weights((HashEmbedder.md5h60("clf2#" + g) % dim).toInt)
+    if (biMemo.size < MemoCap) biMemo.put(g, w)
+    w
+  }
+
+  /** Σ unigram bucket weights + Σ adjacent-bigram bucket weights. */
+  def scoreRaw(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc += uniWeight(toks(i))
+      if (i + 1 < toks.length) acc += biWeight(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    acc
+  }
+
+  override def hashCode(): Int =
+    31 * (31 * dim + java.util.Arrays.hashCode(weights)) + 2
+  override def equals(o: Any): Boolean = o match {
+    case e: NbBigramScorer =>
+      e.dim == dim && java.util.Arrays.equals(e.weights, weights)
+    case _ => false
+  }
+}
+
+/** BIGINT raw unigram+bigram classifier score (scaled log-odds sum,
+  * bias excluded — same caller contract as [[NbScoreRaw]]). */
+case class NbBigramScoreRaw(child: Expression, scorer: NbBigramScorer)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_nb_bigram_score_raw"
+
+  override def nullSafeEval(input: Any): Any =
+    scorer.scoreRaw(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbBigramScorer", scorer,
+      classOf[NbBigramScorer].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.scoreRaw($t);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NbBigramScoreRaw = copy(child = newChild)
+}
+
+object NbBigramScoreRaw {
+  def apply(text: Column, scorer: NbBigramScorer): Column =
+    bridge.column(NbBigramScoreRaw(bridge.expression(text), scorer))
+}

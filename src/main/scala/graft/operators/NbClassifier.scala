@@ -156,6 +156,50 @@ object NbClassifier {
       .collect().toSeq
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), dim)
 
+  /** Sufficient statistics over fastText's REAL feature space —
+    * hashed unigrams (`clf#` salt) PLUS adjacent word bigrams
+    * (`clf2#` salt) in the one shared `dim`-bucket space, so hash
+    * collisions are part of the model identically in training and
+    * inference. Same ≤ 2·dim + 2 bound (the bucket domain didn't
+    * grow), same scan-side shape, same additivity. */
+  def statsBigram(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim): DataFrame = {
+    val labeled = docs
+      .select(col(idCol), col(textCol).as("text"),
+        labelExpr(TextAnalysis.qualityExpr(col(textCol))).as("label"))
+      .filter(col("label").isNotNull)
+    val toks = TextAnalysis.tokens(col("text"))
+    def bucketOf(salt: String, feat: Column) =
+      pmod(Dedup.md5h60(concat(lit(salt), feat)), lit(dim.toLong))
+    // one combined bucket array per doc (unigrams then bigrams),
+    // exploded once — no second pass over the corpus for the bigrams
+    val uniBuckets = transform(toks, t => bucketOf("clf#", t))
+    val biBuckets = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => bucketOf("clf2#", concat(a, lit(" "), b))))
+      .otherwise(array().cast("array<bigint>"))
+    val tokenCounts = labeled
+      .select(col("label"),
+        explode(concat(uniBuckets, biBuckets)).as("bucket"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val docCounts = labeled.groupBy(col("label"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("label"), lit(DocCountBucket).as("bucket"), col("c"))
+    tokenCounts.unionByName(docCounts)
+      .select(col("label").cast("long").as("label"), col("bucket"),
+        col("c"))
+  }
+
+  /** One-shot bigram-feature training — [[modelOf]] is feature-space
+    * agnostic (pure counts in, weights out). */
+  def trainBigram(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int = Dim): Model =
+    modelOf(statsBigram(docs, idCol, textCol, dim)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), dim)
+
   // One trained model per (dataset, dim) per JVM — verify/bench execute
   // each registered query several times over an immutable dataset key
   // (the IvfIndex.trainCached contract, same caveats).
@@ -165,6 +209,24 @@ object NbClassifier {
       textCol: String, dim: Int = Dim): Model =
     trained.computeIfAbsent((datasetKey, dim),
       _ => train(docs, idCol, textCol, dim))
+
+  // bigram-feature twin cache — disjoint from the unigram one (the two
+  // feature spaces must never cross-pollinate a snapshot)
+  private val trainedBigram = new ConcurrentHashMap[(String, Int), Model]()
+
+  def trainCachedBigram(docs: DataFrame, datasetKey: String, idCol: String,
+      textCol: String, dim: Int = Dim): Model =
+    trainedBigram.computeIfAbsent((datasetKey, dim),
+      _ => trainBigram(docs, idCol, textCol, dim))
+
+  /** [[trainedSnapshot]]'s bigram-feature twin. */
+  def trainedSnapshotBigram(dim: Int): Option[Model] = {
+    import scala.jdk.CollectionConverters._
+    val distinct = trainedBigram.asScala.collect {
+      case ((_, d), m) if d == dim => m
+    }.toSeq.distinct
+    if (distinct.size == 1) Some(distinct.head) else None
+  }
 
   /** The single model trained for `dim` in this JVM, if unambiguous —
     * the oracle-generation hook ([[BpeTokenizer.trainedSnapshot]]
@@ -191,4 +253,15 @@ object NbClassifier {
     * inference path. */
   def scoreExpr(text: Column, m: Model): Column =
     round(rawScoreExpr(text, m).cast("double") / lit(Scale.toDouble), 4)
+
+  /** [[rawScoreExpr]] under the unigram+bigram feature space — the
+    * model must have been trained by [[trainCachedBigram]]. */
+  def rawScoreBigramExpr(text: Column, m: Model): Column =
+    lit(m.biasScaled) +
+      graft.functions.NbBigramScoreRaw(text,
+        new graft.functions.NbBigramScorer(m.dim, m.weights.toArray))
+
+  /** Rounded score under the bigram feature space. */
+  def scoreBigramExpr(text: Column, m: Model): Column =
+    round(rawScoreBigramExpr(text, m).cast("double") / lit(Scale.toDouble), 4)
 }

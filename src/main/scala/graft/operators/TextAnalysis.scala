@@ -123,6 +123,21 @@ object TextAnalysis {
   val gopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Per-language stop octets for [[gopherRulesByLang]] — the paper's
+    * English octet applied to a multilingual corpus silently fails
+    * every non-English doc's stop rule (zero hits ≠ low quality), so
+    * the production form keys the table on the doc's language: common
+    * function words per language (public frequency lists), 8 per
+    * language to keep the ≥2-present threshold's meaning. Unknown
+    * languages fall back to the English octet (the paper's behavior,
+    * documented rather than silent). */
+  val gopherStopsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> gopherStops,
+    "de" -> Seq("der", "die", "das", "und", "zu", "von", "mit", "ist"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "con", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "que", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "这", "不"))
+
   /** The Gopher document-quality rule set — one boolean per published
     * rule plus the conjunctive keep. All scan-side integer counting;
     * the only doubles are single divisions of exact integers, so every
@@ -130,7 +145,29 @@ object TextAnalysis {
     * trigger can't occur in a corpus (e.g. bullet lines in single-line
     * text) still evaluate faithfully — the operator is the published
     * filter, not a corpus-tuned subset. */
-  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    gopherRulesCore(docs, idCol, textCol, Seq.empty,
+      toks => size(filter(typedlit(gopherStops), s => array_contains(toks, s))))
+
+  /** [[gopherRules]] with the stop table keyed on the doc's language
+    * ([[gopherStopsByLang]]) — the SAME distinct-presence seam, the
+    * stop octet selected by a scan-side CASE chain (the UrlOps
+    * bounded-table idiom: five literal arrays ride inside the
+    * expression, nothing joins, nothing shuffles). Every other rule is
+    * byte-identical to the faithful form. */
+  def gopherRulesByLang(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame =
+    gopherRulesCore(docs, idCol, textCol, Seq(col(langCol)), { toks =>
+      def presentOf(stops: Seq[String]) =
+        size(filter(typedlit(stops), s => array_contains(toks, s)))
+      gopherStopsByLang.foldLeft(when(lit(false), lit(0))) {
+        case (acc, (lang, stops)) =>
+          acc.when(col(langCol) === lang, presentOf(stops))
+      }.otherwise(presentOf(gopherStops))
+    })
+
+  private def gopherRulesCore(docs: DataFrame, idCol: String, textCol: String,
+      extraCols: Seq[Column], stopsPresentOf: Column => Column): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
@@ -156,12 +193,11 @@ object TextAnalysis {
     val ellipsisLines = size(filter(lines, l =>
       l.endsWith("...") || l.endsWith("…"))).cast("long")
     val alphaWords = size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long")
-    // distinct-presence count over the fixed octet (membership probe
-    // per stop word — the same shape both engines, so list-dedup
+    // distinct-presence count over the caller's stop table (membership
+    // probe per stop word — the same shape both engines, so list-dedup
     // semantics can never drift the compare)
-    val stopsPresent = size(filter(typedlit(gopherStops),
-      s => array_contains(toks, s)))
-    docs.select(col(idCol),
+    val stopsPresent = stopsPresentOf(toks)
+    docs.select((col(idCol) +: extraCols) ++ Seq(
       (nWords >= GopherMinWords && nWords <= GopherMaxWords).as("wc_ok"),
       (meanWordLen >= GopherMinMeanWordLen &&
         meanWordLen <= GopherMaxMeanWordLen).as("mwl_ok"),
@@ -176,7 +212,7 @@ object TextAnalysis {
         GopherMaxEllipsisLineFrac).as("ellipsis_ok"),
       (alphaWords.cast("double") / nWords.cast("double") >=
         GopherMinAlphaWordFrac).as("alpha_ok"),
-      (stopsPresent >= GopherMinStopwords).as("stop_ok"))
+      (stopsPresent >= GopherMinStopwords).as("stop_ok")): _*)
       .withColumn("keep",
         col("wc_ok") && col("mwl_ok") && col("symbol_ok") &&
           col("bullet_ok") && col("ellipsis_ok") && col("alpha_ok") &&

@@ -24,6 +24,14 @@ object TextOps extends QueryPack {
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** [[gopherRules]] with the stop octet keyed on the doc's language —
+    * the multilingual-corpus form (the paper's English octet silently
+    * fails every non-English doc's stop rule; GopherRulesSpec plants a
+    * German doc that flips). Same scan-side zero-shuffle shape. */
+  def gopherRulesByLang(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherRulesByLang(Tables.documents(spark, sfDir),
+      "doc_id", "text", "lang")
+
   /** Repeat-factor table for `repeat_factor_sample` — integer (3.0),
     * fractional (2.5), sub-epoch (0.5) and excluded (0) factors all
     * live at the gate; everything else defaults to one epoch. */
@@ -1030,6 +1038,7 @@ object TextOps extends QueryPack {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "gopher_rules" -> (gopherRules _),
+    "gopher_rules_by_lang" -> (gopherRulesByLang _),
     "repeat_factor_sample" -> (repeatFactorSample _),
     "chunk_loss_mask" -> (chunkLossMask _),
     "lang_id" -> (langId _),
@@ -1409,6 +1418,61 @@ object TextOps extends QueryPack {
          |GROUP BY doc_a, doc_b""".stripMargin
   }
 
+  /** The Gopher rule oracle body, shared by the fixed-octet and
+    * per-language forms — `stopTableSql` is the stop-table expression
+    * (a literal list, or a CASE over lang-keyed literal lists); only
+    * the sp source differs, so the two gates can never drift on the
+    * other six rules. */
+  private def gopherOracleSql(stopTableSql: String,
+      withLang: Boolean): String = {
+    import graft.operators.TextAnalysis._
+    val langSel = if (withLang) " lang," else ""
+    s"""WITH s AS (
+       |  SELECT doc_id,$langSel text,
+       |    string_split(text, ' ') AS toks,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id,$langSel
+       |    len(toks) AS nw,
+       |    CAST(length(text) - len(regexp_extract_all(text, ' ')) AS DOUBLE)
+       |      / len(toks) AS mwl,
+       |    len(regexp_extract_all(text, '#')) AS nhash,
+       |    len(regexp_extract_all(text, '\\.\\.\\.')) +
+       |      len(regexp_extract_all(text, '…')) AS nell,
+       |    len(lines) AS nl,
+       |    len(list_filter(lines, l -> starts_with(l, '•')
+       |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
+       |    len(list_filter(lines, l -> ends_with(l, '...')
+       |      OR ends_with(l, '…'))) AS el,
+       |    len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
+       |    len(list_filter($stopTableSql,
+       |      s -> list_contains(toks, s))) AS sp
+       |  FROM s
+       |)
+       |SELECT doc_id,$langSel
+       |  nw >= $GopherMinWords AND nw <= $GopherMaxWords AS wc_ok,
+       |  mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen
+       |    AS mwl_ok,
+       |  CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+       |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+       |    AS symbol_ok,
+       |  CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac AS bullet_ok,
+       |  CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
+       |    AS ellipsis_ok,
+       |  CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac AS alpha_ok,
+       |  sp >= $GopherMinStopwords AS stop_ok,
+       |  (nw >= $GopherMinWords AND nw <= $GopherMaxWords)
+       |    AND (mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen)
+       |    AND CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+       |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
+       |    AND CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac
+       |    AND CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
+       |    AND CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac
+       |    AND sp >= $GopherMinStopwords AS keep
+       |FROM m""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     // the exact-cosine pair verifier over the shared chunk embeddings,
     // rolled up to distinct-document pairs (vec_a < vec_b plus the
@@ -1712,53 +1776,21 @@ object TextOps extends QueryPack {
     // division of exact integer counts, and the stop-word count is a
     // per-member membership probe in BOTH engines (list-dedup
     // semantics can never drift the compare)
-    "gopher_rules" -> {
-      import graft.operators.TextAnalysis._
-      s"""WITH s AS (
-         |  SELECT doc_id, text,
-         |    string_split(text, ' ') AS toks,
-         |    string_split(text, chr(10)) AS lines
-         |  FROM documents
-         |), m AS (
-         |  SELECT doc_id,
-         |    len(toks) AS nw,
-         |    CAST(length(text) - len(regexp_extract_all(text, ' ')) AS DOUBLE)
-         |      / len(toks) AS mwl,
-         |    len(regexp_extract_all(text, '#')) AS nhash,
-         |    len(regexp_extract_all(text, '\\.\\.\\.')) +
-         |      len(regexp_extract_all(text, '…')) AS nell,
-         |    len(lines) AS nl,
-         |    len(list_filter(lines, l -> starts_with(l, '•')
-         |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS bl,
-         |    len(list_filter(lines, l -> ends_with(l, '...')
-         |      OR ends_with(l, '…'))) AS el,
-         |    len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS aw,
-         |    len(list_filter([${gopherStops.map(s => s"'$s'").mkString(", ")}],
-         |      s -> list_contains(toks, s))) AS sp
-         |  FROM s
-         |)
-         |SELECT doc_id,
-         |  nw >= $GopherMinWords AND nw <= $GopherMaxWords AS wc_ok,
-         |  mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen
-         |    AS mwl_ok,
-         |  CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
-         |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
-         |    AS symbol_ok,
-         |  CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac AS bullet_ok,
-         |  CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
-         |    AS ellipsis_ok,
-         |  CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac AS alpha_ok,
-         |  sp >= $GopherMinStopwords AS stop_ok,
-         |  (nw >= $GopherMinWords AND nw <= $GopherMaxWords)
-         |    AND (mwl >= $GopherMinMeanWordLen AND mwl <= $GopherMaxMeanWordLen)
-         |    AND CAST(nhash AS DOUBLE) / nw <= $GopherMaxSymbolRatio
-         |    AND CAST(nell AS DOUBLE) / nw <= $GopherMaxSymbolRatio
-         |    AND CAST(bl AS DOUBLE) / nl <= $GopherMaxBulletLineFrac
-         |    AND CAST(el AS DOUBLE) / nl <= $GopherMaxEllipsisLineFrac
-         |    AND CAST(aw AS DOUBLE) / nw >= $GopherMinAlphaWordFrac
-         |    AND sp >= $GopherMinStopwords AS keep
-         |FROM m""".stripMargin
-    },
+    "gopher_rules" -> gopherOracleSql(
+      s"[${graft.operators.TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")}]",
+      withLang = false),
+
+    // the language-keyed stop table as a CASE over generated literal
+    // lists (shared Scala constants — the tables can't drift between
+    // engines); the ELSE branch is the paper's octet, the documented
+    // unknown-language fallback
+    "gopher_rules_by_lang" -> gopherOracleSql(
+      "CASE lang " + graft.operators.TextAnalysis.gopherStopsByLang.map {
+        case (l, stops) =>
+          s"WHEN '$l' THEN [${stops.map(s => s"'$s'").mkString(", ")}]"
+      }.mkString(" ") +
+        s" ELSE [${graft.operators.TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")}] END",
+      withLang = true),
 
     "lang_id" ->
       """WITH s AS (

@@ -36,7 +36,8 @@ class CodegenStrictSpec extends SparkSpec {
     "classifier_score_store", "pipeline_curate_classifier",
     "gopher_rules", "repeat_factor_sample", "chunk_loss_mask",
     "bpe_fertility", "multimodal_resize", "classifier_eval", "classifier_cutoff",
-    "bpe_encode_ids", "bpe_encode_ids_bytes")
+    "bpe_encode_ids", "bpe_encode_ids_bytes", "gopher_rules_by_lang",
+    "classifier_score_bigram", "classifier_eval_bigram")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

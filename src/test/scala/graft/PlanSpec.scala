@@ -468,6 +468,32 @@ class PlanSpec extends SparkSpec {
       s"the scoring projection must sit inside a whole-stage codegen span:\n$p")
   }
 
+  test("classifier_score_bigram: shuffle-free one-pass native scan") {
+    val p = plan("classifier_score_bigram")
+    assert(!p.contains("Exchange"), s"bigram inference must not shuffle:\n$p")
+    assert(p.contains("graft_nb_bigram_score_raw"),
+      s"scoring must be the native unigram+bigram expression:\n$p")
+  }
+
+  test("classifier_eval/cutoff/eval_bigram: ONE shared checkpointed scan, no re-scoring") {
+    // the curateAudit idiom at the eval seam: the (label, raw, raw_bi)
+    // corpus scan — regex-heavy labeling plus BOTH inference passes —
+    // runs once into a local checkpoint; every consumer's plan must
+    // read that RDD, never the parquet, the quality regexes, or the
+    // scoring expressions again
+    Seq("classifier_eval", "classifier_eval_bigram",
+        "classifier_cutoff").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q must consume the shared checkpoint:\n$p")
+      assert(!p.contains("graft_nb_score_raw") &&
+        !p.contains("graft_nb_bigram_score_raw"),
+        s"$q must not re-run inference:\n$p")
+      assert(!p.contains("regexp_"), s"$q must not re-run the label regexes:\n$p")
+      assert(!p.contains("FileScan"), s"$q must not re-scan the corpus:\n$p")
+    }
+  }
+
   test("classifier_model: statistics reduce via partial agg before ONE exchange") {
     val p = plan("classifier_model")
     assert(p.contains("partial_count") || p.contains("Partial"),

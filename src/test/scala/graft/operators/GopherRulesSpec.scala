@@ -95,4 +95,43 @@ class GopherRulesSpec extends SparkSpec {
       .select("stop_ok").as[Boolean].head()
     assert(!r)
   }
+
+  test("per-language stop table: a German doc the English octet fails FLIPS") {
+    // a perfectly ordinary German document: 60 words including the
+    // common function words 'der', 'und', 'die', 'ist' — under the
+    // paper's English octet it has ZERO stop hits and is silently
+    // rejected; under the language-keyed table it passes
+    val german = (Seq("der", "und", "die", "ist") ++
+      (1 to 56).map(i => s"wort$i")).mkString(" ")
+    val docs = Seq(
+      (1L, "de", german),
+      (2L, "en", clean),
+      // unknown language falls back to the English octet (documented)
+      (3L, "xx", clean)
+    ).toDF("doc_id", "lang", "text")
+    val faithful = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "stop_ok", "keep").as[(Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val byLang = TextAnalysis.gopherRulesByLang(docs, "doc_id", "text", "lang")
+      .select("doc_id", "stop_ok", "keep").as[(Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(faithful(1L) == ((false, false)),
+      "the English octet must silently fail the German doc")
+    assert(byLang(1L) == ((true, true)),
+      "the German stop table must flip it to kept")
+    // English and unknown-language docs behave identically in both forms
+    assert(byLang(2L) == faithful(2L) && byLang(2L) == ((true, true)))
+    assert(byLang(3L) == faithful(3L))
+  }
+
+  test("by-lang variant only changes the stop rule: other six rules byte-identical") {
+    val docs = corpus.withColumn("lang", lit("de"))
+    val a = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "wc_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok").collect().map(r => r.getLong(0) -> r.toSeq.tail)
+    val b = TextAnalysis.gopherRulesByLang(docs, "doc_id", "text", "lang")
+      .select("doc_id", "wc_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok").collect().map(r => r.getLong(0) -> r.toSeq.tail)
+    assert(a.toMap == b.toMap)
+  }
 }
