@@ -550,6 +550,60 @@ object TextOps extends QueryPack {
         col("col").as("token_id"))
   }
 
+  private val packIdStores = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.streaming.PackStore, DataFrame)]()
+
+  /** INCREMENTAL materialized id layout — the production append story
+    * for [[packIdsBpe]]: newly-curated documents extend an EXISTING
+    * shard layout without re-packing a single already-emitted token.
+    * The existing corpus (doc_id % mod ≠ 0) was ingested as batch 0
+    * and the new docs (doc_id % mod = 0) appended as batch 1 through
+    * [[graft.streaming.StreamingPipelines.packIngestBatch]] over a
+    * persisted [[graft.streaming.PackStore]] (per-shard totals, the
+    * versioned-parquet CAS machinery); each batch's ids explode AFTER
+    * its doc-level placement exactly like the one-shot form. The read
+    * composes the two durability stories a real sink has: batch 0's
+    * rows are its MATERIALIZED ingest-time emission (the already-
+    * written sink contents — never recomputed, that's the whole
+    * point), and batch 1 is re-read through the store's REPLAY seam
+    * (base offsets strictly before its id — the at-least-once path;
+    * only the LAST batch ever replays, older contributions are folded,
+    * matching the foreachBatch contract). Layout delta vs one-shot
+    * [[packIdsBpe]] is placement ONLY (arrival-major vs all-corpus
+    * hash order): per doc, shard / token count / id sequence are
+    * identical — PackIdsSpec pins that equivalence, the dense-slot
+    * invariants, and restart/replay exactness. */
+  def packIdsIncrementalStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.StreamingPipelines.packIngestBatch
+    val m = bpeMerges(spark, sfDir)
+    val countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => graft.functions.BpeTokenCount(t, m)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val seen = docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0)
+    val fresh = docs.filter(col("doc_id") % TextIncrementalBatchMod === 0)
+    val (store, sink0) = packIdStores.computeIfAbsent(sfDir, _ => {
+      val s = new graft.streaming.PackStore(NumShards, PackBudget)
+      // batch 0's emission is eagerly checkpointed inside the ingest
+      // body — holding the DataFrame IS holding the durable sink rows
+      val p0 = packIngestBatch(s, seen, "doc_id", "text", 0L, countOf)
+      packIngestBatch(s, fresh, "doc_id", "text", 1L, countOf)
+      (s, p0)
+    })
+    val placed = sink0
+      .unionByName(
+        packIngestBatch(store, fresh, "doc_id", "text", 1L, countOf))
+      .select(col("doc_id"), col("shard"),
+        (col("seq_first") * PackBudget + col("seq_offset")).as("doc_start"))
+    docs.join(placed, "doc_id")
+      .select(col("doc_id"), col("shard"), col("doc_start"),
+        posexplode(graft.functions.BpeTokenIds(col("text"), m)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"(doc_start + pos) div ${PackBudget}L").as("seq_id"),
+        pmod(col("doc_start") + col("pos"), lit(PackBudget.toLong))
+          .as("seq_pos"),
+        col("col").as("token_id"))
+  }
+
   /** Subword-vocabulary heavy hitters — [[vocabTopTerms]] over the
     * trained BPE tokens instead of whitespace words: the
     * tokenizer-quality signal (which subwords dominate, how much mass
@@ -1022,6 +1076,7 @@ object TextOps extends QueryPack {
     "bpe_encode_ids_bytes" -> (bpeEncodeIdsBytes _),
     "bpe_fertility" -> (bpeFertility _),
     "pack_ids_bpe" -> (packIdsBpe _),
+    "pack_ids_incremental_store" -> (packIdsIncrementalStore _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
     "truncate_tokens_bpe" -> (truncateTokensBpe _),
     "chunk_documents" -> (chunkDocuments _),
@@ -1098,8 +1153,14 @@ object TextOps extends QueryPack {
     * the oracle-side twin of the engine's token-denomination seam
     * (`shardPackRowsCounted`): the BPE-denominated pack oracle swaps
     * only the count, the hash/window arithmetic is this ONE string. */
+  /** `orderSql` is the within-shard stream order: the one-shot layout
+    * orders the whole corpus by the salted hash; the INCREMENTAL
+    * layout is batch-major (arrival order), hash-ordered within each
+    * batch — a leading batch-index term reproduces the sequential
+    * per-batch prefix sums exactly. */
   private[packs] def shardPackCtesCounted(rel: String, nTokensSql: String,
-      sName: String = "s", wName: String = "w"): String =
+      sName: String = "s", wName: String = "w",
+      orderSql: String = "ord, doc_id"): String =
     s"""$sName AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
@@ -1108,8 +1169,8 @@ object TextOps extends QueryPack {
        |  FROM $rel
        |), $wName AS (
        |  SELECT doc_id, shard, n_tokens,
-       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) AS pos,
-       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY $orderSql) AS BIGINT) AS pos,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY $orderSql ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM $sName
        |)""".stripMargin
 
@@ -2517,6 +2578,29 @@ object TextOps extends QueryPack {
             s"""WITH RECURSIVE $ctes,
                |$encodeCtes,
                |${shardPackCtesCounted("bdn", "n_tokens_bpe")},
+               |ds AS (
+               |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM w
+               |)
+               |SELECT tk.doc_id, ds.shard,
+               |  CAST((ds.doc_start + tk.pos) // $PackBudget AS BIGINT) AS seq_id,
+               |  CAST((ds.doc_start + tk.pos) % $PackBudget AS BIGINT) AS seq_pos,
+               |  $tokenIdCase AS token_id
+               |FROM tk
+               |JOIN ds USING (doc_id)
+               |LEFT JOIN pm ON pm.product = tk.tok""".stripMargin,
+
+          // the APPENDED layout: identical tail, but the within-shard
+          // stream order is batch-major — the seen corpus (batch 0)
+          // first, the appended batch after it, hash-ordered within
+          // each — which IS the two sequential store-based prefix sums
+          // the engine ran (batch 1's bases = batch 0's per-shard
+          // totals); the store/replay machinery must reproduce this
+          // exactly
+          "pack_ids_incremental_store" ->
+            s"""WITH RECURSIVE $ctes,
+               |$encodeCtes,
+               |${shardPackCtesCounted("bdn", "n_tokens_bpe", orderSql =
+                  s"(doc_id % $TextIncrementalBatchMod = 0), ord, doc_id")},
                |ds AS (
                |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM w
                |)

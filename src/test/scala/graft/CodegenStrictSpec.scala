@@ -37,7 +37,8 @@ class CodegenStrictSpec extends SparkSpec {
     "gopher_rules", "repeat_factor_sample", "chunk_loss_mask",
     "bpe_fertility", "multimodal_resize", "classifier_eval", "classifier_cutoff",
     "bpe_encode_ids", "bpe_encode_ids_bytes", "gopher_rules_by_lang",
-    "classifier_score_bigram", "classifier_eval_bigram")
+    "classifier_score_bigram", "classifier_eval_bigram",
+    "pack_ids_incremental_store")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

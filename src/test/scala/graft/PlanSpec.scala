@@ -91,6 +91,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pack_ids_incremental_store: durable prefix + broadcast bases + late explode") {
+    val p = plan("pack_ids_incremental_store")
+    assert(p.contains("ExistingRDD"),
+      s"batch 0's placement must come from its materialized emission, not a re-pack:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the <=nShards base-offset rows must broadcast:\n$p")
+    assert(p.contains("Generate"),
+      s"ids must posexplode AFTER the doc-level placement join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bpe_encode_ids(+_bytes): exchange-free scan-side tokenize + explode") {
     // the id stream is emitted where the text is read — a shuffle here
     // would exchange the TOKEN stream (corpus × fertility rows) instead
