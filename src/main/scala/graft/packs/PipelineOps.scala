@@ -180,10 +180,17 @@ object PipelineOps extends QueryPack {
     * don't re-run the curation stack twice, and the token stream
     * itself is never exchanged (ids explode after the doc-level
     * placement join). */
-  def pipelineCuratePackIds(spark: SparkSession, sfDir: String): DataFrame = {
-    val m = TextOps.bpeMerges(spark, sfDir)
+  def pipelineCuratePackIds(spark: SparkSession, sfDir: String): DataFrame =
+    curatePackIds(Tables.documents(spark, sfDir),
+      TextOps.bpeMerges(spark, sfDir))
+
+  /** [[pipelineCuratePackIds]] over an arbitrary corpus under a given
+    * trained merge table — the ScaleCurve drives it with replicated
+    * corpora and the base-trained merges. */
+  def curatePackIds(docs: DataFrame,
+      m: Seq[(String, String)]): DataFrame = {
     val cleaned = Dedup.stripDuplicateSpans(
-        keptWithText(Tables.documents(spark, sfDir)), "doc_id", "text")
+        keptWithText(docs), "doc_id", "text")
       .select(col("doc_id"), col("clean_text"))
       .localCheckpoint(false)
     val placed = TextAnalysis.packSequencesWith(cleaned, "doc_id",

@@ -47,6 +47,36 @@ object ScaleCurve {
         salted.as("text"), col("lang"), col("source"))
     }.reduce(_ unionByName _)
 
+  /** Replication for the CURATION-pipeline row: the `~k` salt of
+    * [[replicateDocs]] fails every replica at the quality gate (the
+    * tilde+digit suffix kills alphaRatio AND de-stopwords the text —
+    * measured: 0 of 5000 salted docs clear QualityMin), so the curve
+    * would time gate-dropping, not pipeline scaling. This salt
+    * preserves the quality signals — alphabetic suffix (alphaRatio
+    * intact), quality stop-words left UNSALTED (stopRatio intact),
+    * token count unchanged — while still making shingle spaces
+    * effectively disjoint across replicas (any trigram touching a
+    * salted token differs; all-stopword trigrams are rare), so the
+    * curated survivor mass and near-dup structure scale WITH the
+    * corpus instead of collapsing to replica 0's. */
+  private def replicateDocsCurated(docs: DataFrame, m: Int): DataFrame = {
+    val stops = TextAnalysis.stopEn
+    (0 until m).map { k =>
+      val salted =
+        if (k == 0) col("text")
+        else {
+          // replica index encoded in letters ('b'..): alpha-only suffix
+          val suffix = "x" + ('a' + (k % 26)).toChar.toString +
+            ('a' + (k / 26 % 26)).toChar.toString
+          array_join(transform(split(col("text"), " "),
+            t => when(t.isin(stops: _*), t)
+              .otherwise(concat(t, lit(suffix)))), " ")
+        }
+      docs.select((col("doc_id") + k * 100000000L).as("doc_id"),
+        salted.as("text"), col("lang"), col("source"))
+    }.reduce(_ unionByName _)
+  }
+
   private def replicateVecs(vecs: DataFrame, m: Int): DataFrame =
     (0 until m).map { k =>
       vecs.select((col("vec_id") + k * 100000000L).as("vec_id"),
@@ -179,6 +209,19 @@ object ScaleCurve {
         bench("text_neardup_store_probe", m,
           store.probe(probeBatch, threshold = 0.95, maxBucketSize = 250))
         probeBatch.unpersist()
+      }
+      // the flagship raw-docs→training-shards composition (curate →
+      // strip → BPE tokenize → physical shard slots) on the curated-
+      // structure-preserving replicas: survivor mass, near-dup
+      // clusters and the packed token stream all scale WITH the
+      // corpus; the trained merge table is the base-corpus one
+      // (trained once, serves many — the production split)
+      locally {
+        val curatedDocs = replicateDocsCurated(baseDocs, m)
+          .localCheckpoint(true)
+        bench("pipeline_curate_pack_ids", m,
+          graft.packs.PipelineOps.curatePackIds(curatedDocs, merges))
+        curatedDocs.unpersist()
       }
       docs.unpersist()
       vecs.unpersist()
