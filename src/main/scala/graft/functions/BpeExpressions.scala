@@ -96,13 +96,7 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
   }
 
   /** Total BPE token count of a text — the budget denomination. */
-  def count(text: UTF8String): Long = {
-    val words = text.toString.split(" ", -1)
-    var n = 0L
-    var i = 0
-    while (i < words.length) { n += tokenizeWord(words(i)).length; i += 1 }
-    n
-  }
+  def count(text: UTF8String): Long = BpeTable.countOf(text, tokenizeWord)
 
   /** Token → id under the VOCABULARY-FREE id scheme (the codepoint
     * analog of GPT-2's byte-id base alphabet — ids are stable without
@@ -145,14 +139,8 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
 
   /** The text's BPE token-id sequence, word order then within-word
     * merge order — what a training pipeline actually emits. */
-  def ids(text: UTF8String): ArrayData = {
-    val words = text.toString.split(" ", -1)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
-    words.foreach { w =>
-      tokenizeWord(w).foreach(t => out += tokenId(t))
-    }
-    new GenericArrayData(out.toArray)
-  }
+  def ids(text: UTF8String): ArrayData =
+    BpeTable.idsOf(text, tokenizeWord, tokenId)
 
   /** Longest word-prefix whose cumulative BPE token count stays within
     * `maxTokens`, re-joined by single spaces — the subword-denominated
@@ -183,6 +171,32 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
 }
 
 object BpeTable {
+  /** The ONE word-iteration body of every id emission: split on single
+    * spaces (n delimiters ⇒ n+1 words, empties included), tokenize
+    * each word, emit each token's id — shared by the codepoint and
+    * byte tables so the two denominations cannot drift on the
+    * text-level fold (their per-table tests would both stay green if a
+    * whitespace-handling change missed one copy). */
+  private[functions] def idsOf(text: UTF8String,
+      tokenize: String => Array[String], idOf: String => Long): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
+    words.foreach { w =>
+      tokenize(w).foreach(t => out += idOf(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** The count twin of [[idsOf]] — same split, same per-word fold. */
+  private[functions] def countOf(text: UTF8String,
+      tokenize: String => Array[String]): Long = {
+    val words = text.toString.split(" ", -1)
+    var n = 0L
+    var i = 0
+    while (i < words.length) { n += tokenize(words(i)).length; i += 1 }
+    n
+  }
+
   /** Token BEGIN/END markers (ASCII record/unit separator — excluded
     * from the token alphabet by construction). */
   val Open = '\u001e'
@@ -420,24 +434,12 @@ final class BpeByteTable(val merges: Seq[(String, String)])
   }
 
   /** The text's byte-level BPE token-id sequence (word order, then
-    * within-word merge order). */
-  def ids(text: UTF8String): ArrayData = {
-    val words = text.toString.split(" ", -1)
-    val out = new scala.collection.mutable.ArrayBuffer[Any](words.length * 2)
-    words.foreach { w =>
-      tokenizeWord(w).foreach(t => out += tokenId(t))
-    }
-    new GenericArrayData(out.toArray)
-  }
+    * within-word merge order) — the SHARED word fold ([[BpeTable.idsOf]]). */
+  def ids(text: UTF8String): ArrayData =
+    BpeTable.idsOf(text, tokenizeWord, tokenId)
 
   /** Total byte-level BPE token count of a text. */
-  def count(text: UTF8String): Long = {
-    val words = text.toString.split(" ", -1)
-    var n = 0L
-    var i = 0
-    while (i < words.length) { n += tokenizeWord(words(i)).length; i += 1 }
-    n
-  }
+  def count(text: UTF8String): Long = BpeTable.countOf(text, tokenizeWord)
 
   /** One word back from its id sequence — the lossless-round-trip
     * proof seam (BpeOovPropertySpec): byte ids emit their byte, the

@@ -43,7 +43,7 @@ final class NbScorer(val dim: Int, val weights: Array[Long])
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val MemoCap = 1 << 16
 
-  private def tokenWeight(t: String): Long = {
+  private[functions] def tokenWeight(t: String): Long = {
     val cached = memo.get(t)
     if (cached != null) return cached
     val w = weights((HashEmbedder.md5h60("clf#" + t) % dim).toInt)
@@ -115,19 +115,15 @@ final class NbBigramScorer(val dim: Int, val weights: Array[Long])
   require(weights.length == dim,
     s"weights.length ${weights.length} != dim $dim")
 
-  @transient private lazy val uniMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // the unigram half IS an NbScorer (one salt/bucket/memo
+  // implementation — the cross-engine gate depends on the two feature
+  // spaces staying bit-identical to training, so there is exactly one
+  // copy of that arithmetic to keep in sync)
+  private val uni = new NbScorer(dim, weights)
+
   @transient private lazy val biMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val MemoCap = 1 << 16
-
-  private def uniWeight(t: String): Long = {
-    val cached = uniMemo.get(t)
-    if (cached != null) return cached
-    val w = weights((HashEmbedder.md5h60("clf#" + t) % dim).toInt)
-    if (uniMemo.size < MemoCap) uniMemo.put(t, w)
-    w
-  }
 
   private def biWeight(g: String): Long = {
     val cached = biMemo.get(g)
@@ -143,7 +139,7 @@ final class NbBigramScorer(val dim: Int, val weights: Array[Long])
     var acc = 0L
     var i = 0
     while (i < toks.length) {
-      acc += uniWeight(toks(i))
+      acc += uni.tokenWeight(toks(i))
       if (i + 1 < toks.length) acc += biWeight(toks(i) + " " + toks(i + 1))
       i += 1
     }

@@ -551,7 +551,7 @@ object TextOps extends QueryPack {
   }
 
   private val packIdStores = new java.util.concurrent.ConcurrentHashMap[
-    String, (graft.streaming.PackStore, DataFrame)]()
+    String, (graft.streaming.PackStore, String)]()
 
   /** INCREMENTAL materialized id layout — the production append story
     * for [[packIdsBpe]]: newly-curated documents extend an EXISTING
@@ -581,15 +581,22 @@ object TextOps extends QueryPack {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val seen = docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0)
     val fresh = docs.filter(col("doc_id") % TextIncrementalBatchMod === 0)
-    val (store, sink0) = packIdStores.computeIfAbsent(sfDir, _ => {
+    val (store, sink0Path) = packIdStores.computeIfAbsent(sfDir, _ => {
       val s = new graft.streaming.PackStore(NumShards, PackBudget)
-      // batch 0's emission is eagerly checkpointed inside the ingest
-      // body — holding the DataFrame IS holding the durable sink rows
+      // batch 0's emission goes to a PARQUET sink — the durable write a
+      // real pipeline does per trigger, and (unlike holding the
+      // checkpointed DataFrame) valid across SparkSession swaps in this
+      // JVM. The ingest-time checkpoints pin O(batch-doc-count)
+      // placement rows (7 longs/doc) until JVM exit — bounded, the
+      // price of the merge deriving from the OUTPUT
       val p0 = packIngestBatch(s, seen, "doc_id", "text", 0L, countOf)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-packids-sink0").toString
+      p0.write.mode("overwrite").parquet(dir)
       packIngestBatch(s, fresh, "doc_id", "text", 1L, countOf)
-      (s, p0)
+      (s, dir)
     })
-    val placed = sink0
+    val placed = spark.read.parquet(sink0Path)
       .unionByName(
         packIngestBatch(store, fresh, "doc_id", "text", 1L, countOf))
       .select(col("doc_id"), col("shard"),

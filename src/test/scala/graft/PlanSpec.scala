@@ -93,8 +93,11 @@ class PlanSpec extends SparkSpec {
 
   test("pack_ids_incremental_store: durable prefix + broadcast bases + late explode") {
     val p = plan("pack_ids_incremental_store")
-    assert(p.contains("ExistingRDD"),
-      s"batch 0's placement must come from its materialized emission, not a re-pack:\n$p")
+    // the sink0 parquet is the only relation carrying seq_first in its
+    // read schema — batch 0's placement is READ back from the durable
+    // sink write, never re-packed
+    assert("ReadSchema:[^\\n]*seq_first".r.findFirstIn(p).isDefined,
+      s"batch 0's placement must come from its materialized sink parquet, not a re-pack:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"the <=nShards base-offset rows must broadcast:\n$p")
     assert(p.contains("Generate"),
