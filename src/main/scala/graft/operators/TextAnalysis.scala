@@ -138,6 +138,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "de", "que", "est", "dans"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "这", "不"))
 
+  /** Languages whose scripts are UNSEGMENTED (no spaces between
+    * words): a token-membership stop probe is a silent no-op there —
+    * "的" never appears as a standalone whitespace token inside
+    * running Chinese text — so these languages probe stop PRESENCE as
+    * a substring of the raw text instead (same distinct-presence
+    * count, different membership relation). */
+  val gopherSubstringLangs: Set[String] = Set("zh")
+
   /** The Gopher document-quality rule set — one boolean per published
     * rule plus the conjunctive keep. All scan-side integer counting;
     * the only doubles are single divisions of exact integers, so every
@@ -147,27 +155,35 @@ object TextAnalysis {
     * filter, not a corpus-tuned subset. */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     gopherRulesCore(docs, idCol, textCol, Seq.empty,
-      toks => size(filter(typedlit(gopherStops), s => array_contains(toks, s))))
+      (toks, _) => size(filter(typedlit(gopherStops),
+        s => array_contains(toks, s))))
 
   /** [[gopherRules]] with the stop table keyed on the doc's language
     * ([[gopherStopsByLang]]) — the SAME distinct-presence seam, the
     * stop octet selected by a scan-side CASE chain (the UrlOps
     * bounded-table idiom: five literal arrays ride inside the
-    * expression, nothing joins, nothing shuffles). Every other rule is
-    * byte-identical to the faithful form. */
+    * expression, nothing joins, nothing shuffles). Unsegmented scripts
+    * ([[gopherSubstringLangs]]) probe substring presence in the raw
+    * text — token membership is a silent no-op there. Every other rule
+    * is byte-identical to the faithful form. */
   def gopherRulesByLang(docs: DataFrame, idCol: String, textCol: String,
       langCol: String): DataFrame =
-    gopherRulesCore(docs, idCol, textCol, Seq(col(langCol)), { toks =>
-      def presentOf(stops: Seq[String]) =
-        size(filter(typedlit(stops), s => array_contains(toks, s)))
+    gopherRulesCore(docs, idCol, textCol, Seq(col(langCol)), { (toks, t) =>
+      def presentOf(lang: String, stops: Seq[String]) =
+        if (gopherSubstringLangs(lang))
+          size(filter(typedlit(stops), s => t.contains(s)))
+        else
+          size(filter(typedlit(stops), s => array_contains(toks, s)))
       gopherStopsByLang.foldLeft(when(lit(false), lit(0))) {
         case (acc, (lang, stops)) =>
-          acc.when(col(langCol) === lang, presentOf(stops))
-      }.otherwise(presentOf(gopherStops))
+          acc.when(col(langCol) === lang, presentOf(lang, stops))
+      }.otherwise(size(filter(typedlit(gopherStops),
+        s => array_contains(toks, s))))
     })
 
   private def gopherRulesCore(docs: DataFrame, idCol: String, textCol: String,
-      extraCols: Seq[Column], stopsPresentOf: Column => Column): DataFrame = {
+      extraCols: Seq[Column],
+      stopsPresentOf: (Column, Column) => Column): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
@@ -196,7 +212,7 @@ object TextAnalysis {
     // distinct-presence count over the caller's stop table (membership
     // probe per stop word — the same shape both engines, so list-dedup
     // semantics can never drift the compare)
-    val stopsPresent = stopsPresentOf(toks)
+    val stopsPresent = stopsPresentOf(toks, t)
     docs.select((col(idCol) +: extraCols) ++ Seq(
       (nWords >= GopherMinWords && nWords <= GopherMaxWords).as("wc_ok"),
       (meanWordLen >= GopherMinMeanWordLen &&
