@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNWRAPPED: by default sbt pipes the
+// child's stdout through its logger, prefixing every line with
+// "[info] " — which breaks machine parsing of Bench's single-line JSON
+// summary (the driver's BENCH_rN.json extraction saw "[info] {...}"
+// and recorded parsed: null two rounds running). StdoutOutput inherits
+// the parent streams, so the totals line lands bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
