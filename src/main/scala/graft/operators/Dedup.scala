@@ -238,9 +238,12 @@ object Dedup {
 
   // gaps-and-islands merge of duplicated window positions into maximal
   // spans — per-DOCUMENT window state, bounded by document length;
-  // shared by the full-corpus and incremental span detectors so their
-  // outputs can only differ in which positions are marked
-  private def mergeIslandSpans(marked: DataFrame, idCol: String,
+  // shared by the full-corpus and incremental span detectors (and the
+  // span-granular decontamination in TextAnalysis, which marks
+  // positions by benchmark-shingle membership instead of corpus
+  // duplication) so their outputs can only differ in which positions
+  // are marked
+  private[graft] def mergeIslandSpans(marked: DataFrame, idCol: String,
       k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))

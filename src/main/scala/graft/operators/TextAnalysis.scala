@@ -907,6 +907,48 @@ object TextAnalysis {
       .withColumn("flagged", col("overlap_shingles") >= minOverlap)
   }
 
+  /** SPAN-granular decontamination — where [[contamination]] flags a
+    * whole document by benchmark n-gram overlap, this reports the
+    * maximal contaminated token RANGES so the pipeline can strip the
+    * overlapping span and KEEP the document (the production policy: a
+    * 2000-token page quoting one benchmark question loses 10 tokens,
+    * not the page). Output: one row per maximal contaminated span,
+    * (doc_id, span_start token offset, span_tokens length) — the same
+    * contract as [[Dedup.duplicateSpans]], so [[Dedup.stripSpans]]
+    * composes directly on top.
+    *
+    * Scale shape: the doc side explodes POSITIONAL shingles (one scan,
+    * no distinct — positions matter here) and LEFT SEMI joins them
+    * against the benchmark shingle set (tiny vs the corpus — broadcast
+    * when it fits); hit positions then merge gaps-and-islands per
+    * document ([[Dedup.mergeIslandSpans]] — per-doc window state,
+    * bounded by document length, never corpus-wide). A mass-quoted
+    * benchmark line costs linear rows on one shingle key, membership
+    * not pairing. */
+  def contaminationSpansFrom(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    val docSh = docs
+      .select(col(idCol),
+        posexplode(graft.functions.WordShingles(col(textCol), shingleN)))
+      .select(col(idCol), col("pos"), col("col").as("s"))
+    val hits = docSh
+      .join(benchShingles.select(col("s")), Seq("s"), "left_semi")
+      .select(col(idCol), col("pos"))
+    graft.operators.Dedup.mergeIslandSpans(hits, idCol, shingleN)
+  }
+
+  /** [[contaminationSpansFrom]] with the benchmark shingle relation
+    * built inline from eval docs — the pairing twin of
+    * [[contamination]]'s inline form; the store-backed form plugs a
+    * persisted [[BenchmarkStore]] scan into the `From` seam. */
+  def contaminationSpans(docs: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val shingles = graft.functions.WordShingles(col(textCol), shingleN)
+    contaminationSpansFrom(docs,
+      bench.select(explode(array_distinct(shingles)).as("s")).distinct(),
+      idCol, textCol, shingleN)
+  }
+
   /** Per-source document cap — the C4/RefinedWeb-style per-domain
     * limit: keep at most `k` docs per source, chosen by a deterministic
     * md5-derived priority (uniform, partition-independent — no bias

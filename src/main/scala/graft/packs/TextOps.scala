@@ -326,6 +326,11 @@ object TextOps extends QueryPack {
   val ContamBenchRem = 7
   val ContamMinOverlap = 1
 
+  /** Word-shingle width of the decontamination probes (doc-level and
+    * span-level), shared with the generated oracles and with the
+    * persisted [[graft.operators.BenchmarkStore]]'s default n. */
+  val ContamShingleN = 3
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     TextAnalysis.contamination(
@@ -377,15 +382,58 @@ object TextOps extends QueryPack {
     * body both forms share). */
   def decontaminateStore(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val store = benchStores.computeIfAbsent(sfDir, dir => {
+    benchStore(docs, sfDir)
+      .overlaps(docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
+        "doc_id", "text", ContamMinOverlap)
+  }
+
+  // per-sfDir memoized benchmark store, ingested once from the held-out
+  // split — shared by the doc-flag probe and the span probe
+  private def benchStore(docs: DataFrame,
+      sfDir: String): graft.operators.BenchmarkStore =
+    benchStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.BenchmarkStore(
         s"graft_bench_store_${graft.QueryPack.storeSuffix(dir)}")
       s.ingest(docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
         "text")
       s
     })
-    store.overlaps(docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
-      "doc_id", "text", ContamMinOverlap)
+
+  /** SPAN-granular decontamination: the maximal contaminated token
+    * ranges of every training doc ([[graft.operators.TextAnalysis
+    * .contaminationSpansFrom]]) — [[decontaminate]] reports doc-level
+    * verdicts; this is the keep-the-document form real pipelines run. */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.contaminationSpans(
+      docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
+      docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
+      "doc_id", "text", ContamShingleN)
+  }
+
+  /** The REWRITE: training corpus with every contaminated span's
+    * tokens removed ([[graft.operators.Dedup.stripSpans]] over the
+    * span rows) — (doc_id, clean_text, n_dropped); uncontaminated docs
+    * pass through with n_dropped = 0. */
+  def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    val train = Tables.documents(spark0, sfDir)
+      .filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem)
+    graft.operators.Dedup.stripSpans(train,
+      decontaminateSpans(spark0, sfDir), "doc_id", "text")
+  }
+
+  /** Store-backed span decontamination: the persisted benchmark
+    * shingle set probed positionally — identical oracle to
+    * [[decontaminateSpans]] (the store only moves WHERE the bench
+    * shingles come from; hit marking and island merge are the same
+    * shared body both forms call). */
+  def decontaminateSpansStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = benchStore(docs, sfDir)
+    TextAnalysis.contaminationSpansFrom(
+      docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
+      store.table(spark), "doc_id", "text", store.shingleN)
   }
 
   def perSourceCap(spark: SparkSession, sfDir: String): DataFrame =
@@ -1127,6 +1175,9 @@ object TextOps extends QueryPack {
     "text_redact" -> (textRedact _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
+    "decontaminate_spans" -> (decontaminateSpans _),
+    "decontaminate_spans_store" -> (decontaminateSpansStore _),
+    "decontaminate_strip" -> (decontaminateStrip _),
     "truncate_tokens" -> (truncateTokens _),
     "split_assign" -> (splitAssign _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -1205,6 +1256,73 @@ object TextOps extends QueryPack {
        |SELECT d.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_shingles,
        |       coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
        |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin
+
+  /** Shared CTEs of the SPAN-granular decontamination oracles:
+    * positional train-side shingles, membership against the held-out
+    * split's distinct shingle set, and the IDENTICAL gaps-and-islands
+    * merge the substring-span oracle runs (windows ≤ n apart
+    * overlap-or-abut) — ends in cspans(doc_id, span_start,
+    * span_tokens). */
+  private def contamSpanCtes: String = {
+    val n = ContamShingleN
+    val win = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"""ctk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), cbench AS (
+       |  SELECT DISTINCT concat_ws(' ', $win) AS s
+       |  FROM ctk, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+       |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
+       |), cgr AS (
+       |  SELECT doc_id, i - 1 AS pos, concat_ws(' ', $win) AS s
+       |  FROM ctk, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+       |  WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+       |), cmk AS (
+       |  SELECT g.doc_id, g.pos FROM cgr g JOIN cbench USING (s)
+       |), cisl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > $n THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM cmk)
+       |), cspans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + $n - min(pos) AS span_tokens
+       |  FROM cisl GROUP BY doc_id, island
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of BOTH span-decontamination forms (inline and
+    * store-backed — the store only relocates the bench shingle build). */
+  private def decontaminateSpansOracle: String =
+    s"""WITH $contamSpanCtes
+       |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+       |       CAST(span_tokens AS BIGINT) AS span_tokens
+       |FROM cspans""".stripMargin
+
+  /** DuckDB twin of [[decontaminateStrip]]: the SAME span CTEs, then
+    * per-token covered-by-any-span verdicts and the order-preserving
+    * kept-token rebuild (the dedup_strip_spans tail shape). */
+  private def decontaminateStripOracle: String =
+    s"""WITH $contamSpanCtes,
+       |ctk2 AS (
+       |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+       |  FROM ctk, unnest(range(1, len(t) + 1)) AS u(i)
+       |  WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+       |), cmkt AS (
+       |  SELECT t2.doc_id, t2.pos, any_value(t2.tok) AS tok,
+       |    max(CASE WHEN s.span_start IS NOT NULL
+       |          AND t2.pos >= s.span_start
+       |          AND t2.pos < s.span_start + s.span_tokens
+       |        THEN 1 ELSE 0 END) AS dropped
+       |  FROM ctk2 t2 LEFT JOIN cspans s ON t2.doc_id = s.doc_id
+       |  GROUP BY t2.doc_id, t2.pos
+       |)
+       |SELECT doc_id,
+       |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+       |    FILTER (WHERE dropped = 0), '') AS clean_text,
+       |  CAST(sum(dropped) AS BIGINT) AS n_dropped
+       |FROM cmkt GROUP BY doc_id""".stripMargin
 
   /** The pack_sequences SELECT tail over a [[shardPackCtesFrom]] `w`
     * CTE — shared with the pipeline composition's oracle. */
@@ -1988,6 +2106,17 @@ object TextOps extends QueryPack {
     // the store only moves WHERE the bench shingles come from — the
     // probe is value-identical, so the oracle is the SAME string
     "decontaminate_store" -> decontaminateOracle,
+
+    // span-granular: maximal contaminated token ranges, recomputed from
+    // scratch (positional shingles → bench membership → island merge)
+    "decontaminate_spans" -> decontaminateSpansOracle,
+
+    // store-backed spans: same equivalence argument as
+    // decontaminate_store — identical oracle string
+    "decontaminate_spans_store" -> decontaminateSpansOracle,
+
+    // the rewrite: contaminated spans stripped, documents KEPT
+    "decontaminate_strip" -> decontaminateStripOracle,
 
     // the oracle is the NAIVE global-order running sum the Spark side
     // deliberately decomposes away (bucket partial-agg + bounded driver
