@@ -718,14 +718,29 @@ object TextAnalysis {
     * shape in the DuckDB oracle, and the final keep test is
     * integer-only (basis points). */
   def temperatureSample(docs: DataFrame, sourceCol: String, idCol: String,
-      targetRows: Long): DataFrame = {
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      targetRows: Long): DataFrame =
+    temperatureSampleMass(docs, sourceCol, idCol, lit(1L), targetRows)
+
+  /** [[temperatureSample]] over an arbitrary per-doc MASS column —
+    * the denomination seam: training mixtures are specified over TOKEN
+    * mass, not document counts (a source of few long documents and one
+    * of many snippets with equal doc counts are very different
+    * training weights), so the α=0.5 per-source weight becomes
+    * sqrt(Σ mass) while the keep gate stays per-document. mass =
+    * lit(1) recovers the doc-count form exactly (Σ1 = count). Scale
+    * shape unchanged: one partial-agg over the scan per source (the
+    * mass expression evaluates scan-side), a bounded per-source rate
+    * table broadcast back, filter scan-side; the decimal(30,15) sum of
+    * sqrt keeps the total order-independent cross-engine. */
+  def temperatureSampleMass(docs: DataFrame, sourceCol: String, idCol: String,
+      mass: Column, targetMass: Long): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(sum(mass).as("n_s"))
     val total = counts.agg(
       sum(sqrt(col("n_s")).cast("decimal(30,15)")).cast("double").as("sum_sqrt"))
     val rates = counts.crossJoin(broadcast(total))
       .select(col(sourceCol),
         least(lit(10000L),
-          floor((lit(10000.0) * lit(targetRows.toDouble)) /
+          floor((lit(10000.0) * lit(targetMass.toDouble)) /
             (col("sum_sqrt") * sqrt(col("n_s"))))).as("rate_bp"))
     val gate = pmod(graft.operators.Dedup.md5h60(
       concat(col(sourceCol), lit("#"), col(idCol).cast("string"))), lit(10000L))

@@ -251,6 +251,27 @@ object TextOps extends QueryPack {
         "source", "doc_id", TempSampleTarget)
       .select(col("doc_id"), col("source"), col("rate_bp"))
 
+  /** temperature_sample_tokens target, in BPE TOKENS — sized against
+    * the gate corpus's ~39k-token BPE mass so the per-source rates
+    * land mid-range (thinning live, keep-everything cap not
+    * saturated). */
+  val TempSampleTokenTarget = 12000L
+
+  /** The α=0.5 mixture specified over TOKEN MASS — training mixtures
+    * weight sources by how many tokens they contribute, not how many
+    * documents ([[graft.operators.TextAnalysis.temperatureSampleMass]]
+    * with the trained-BPE count as the mass column): a source of few
+    * long documents and one of many snippets now weight by what the
+    * model actually consumes. TempDivergenceSpec plants a corpus where
+    * the doc-share and token-share rate ORDERS invert. */
+  def temperatureSampleTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    TextAnalysis.temperatureSampleMass(Tables.documents(spark, sfDir),
+        "source", "doc_id",
+        graft.functions.BpeTokenCount(col("text"), m), TempSampleTokenTarget)
+      .select(col("doc_id"), col("source"), col("rate_bp"))
+  }
+
   /** quality_floor keep fraction (top 60% by score, boundary ties in). */
   val QualityFloorFrac = 0.6
 
@@ -1159,6 +1180,7 @@ object TextOps extends QueryPack {
     "pack_sequences" -> (packSequences _),
     "pack_sequences_padded" -> (packSequencesPadded _),
     "temperature_sample" -> (temperatureSample _),
+    "temperature_sample_tokens" -> (temperatureSampleTokens _),
     "quality_floor" -> (qualityFloor _),
     "quality_floor_by_lang" -> (qualityFloorByLang _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -2672,6 +2694,23 @@ object TextOps extends QueryPack {
         val tokenIdCase = bpeTokenIdCaseSql
         Seq(
           "token_count_bpe" -> tokenCountSql,
+
+          // the doc-count mixture oracle's EXACT rate/gate arithmetic
+          // with the per-source mass swapped to the trained-BPE token
+          // sums off bdn — only the n_s source moves
+          "temperature_sample_tokens" ->
+            s"""WITH RECURSIVE $ctes,
+               |c AS (SELECT d.source, CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_s
+               |      FROM documents d JOIN bdn USING (doc_id) GROUP BY 1),
+               |t AS (SELECT CAST(sum(CAST(sqrt(n_s) AS DECIMAL(30,15))) AS DOUBLE) AS sum_sqrt FROM c),
+               |r AS (SELECT source,
+               |        least(10000, CAST(floor((10000.0 * $TempSampleTokenTarget) /
+               |          (t.sum_sqrt * sqrt(n_s))) AS BIGINT)) AS rate_bp
+               |      FROM c, t)
+               |SELECT d.doc_id, d.source, r.rate_bp
+               |FROM documents d JOIN r USING (source)
+               |WHERE ('0x' || substr(md5(d.source || '#' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+               |      % 10000 < r.rate_bp""".stripMargin,
 
           // tokenizer FERTILITY per language (tokens-per-word — the
           // standard tokenizer-evaluation metric): exact integer sums
