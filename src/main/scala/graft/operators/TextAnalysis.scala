@@ -270,6 +270,51 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Seeded deterministic EPOCH SHUFFLE of the packed layout —
+    * training readers consume a fresh permutation of the packed
+    * sequences each epoch, and it must be reproducible (a resumed or
+    * re-run job re-derives the identical epoch order). For every
+    * epoch, each shard's occupied sequence ids (0 ..
+    * ceil(shard_tokens/budget)-1, exactly the seq_ids the materialized
+    * layout emits) are ranked by a salted md5 of
+    * (seed, epoch, shard, seq_id) — pure column arithmetic, no RNG
+    * state, cross-engine exact. Output: (epoch, shard, seq_id,
+    * seq_pos) where seq_pos is the sequence's position in that
+    * epoch's read order for its shard.
+    *
+    * Scale shape: the input is per-SHARD token totals (one partial agg
+    * over the scan — nShards rows), exploded to one row per SEQUENCE:
+    * the permutation table is budget× smaller than the token table and
+    * epochs× that. The only exchange is the per-(epoch, shard) ranking
+    * window — partitions bounded by sequences-per-shard, parallel
+    * across epochs × shards; the token payload itself never moves (a
+    * reader joins this table on (shard, seq_id) at consume time). */
+  def packEpochShuffleCounted(docs: DataFrame, idCol: String, nShards: Int,
+      budget: Int, epochs: Int, seed: Long, nTokens: Column): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val totals = docs.select(
+        pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
+          .as("shard"),
+        nTokens.cast("long").as("n_tokens"))
+      .groupBy(col("shard")).agg(sum(col("n_tokens")).as("total"))
+      .filter(col("total") > 0L)
+    val seqs = totals.select(col("shard"),
+      explode(sequence(lit(0L),
+        expr(s"(total - 1) div ${budget.toLong}L"))).as("seq_id"))
+    val withEpoch = seqs.select(
+      explode(sequence(lit(0L), lit((epochs - 1).toLong))).as("epoch"),
+      col("shard"), col("seq_id"))
+    val key = Dedup.md5h60(concat(lit(s"shuf$seed#"),
+      col("epoch").cast("string"), lit("#"),
+      col("shard").cast("string"), lit("#"),
+      col("seq_id").cast("string")))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(key.asc, col("seq_id").asc)
+    withEpoch
+      .withColumn("seq_pos", row_number().over(w).cast("long") - 1L)
+      .select(col("epoch"), col("shard"), col("seq_id"), col("seq_pos"))
+  }
+
   /** Concat-and-chunk sequence packing (the pretraining layout): each
     * shard's documents, taken in the [[shardAssign]] order, are
     * conceptually concatenated and cut into fixed `budget`-token

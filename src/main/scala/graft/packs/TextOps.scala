@@ -619,6 +619,25 @@ object TextOps extends QueryPack {
         col("col").as("token_id"))
   }
 
+  /** Epoch count / permutation seed for pack_ids_shuffled, shared with
+    * the generated oracle. Two epochs keep the disjointness property
+    * testable at the gate; the seed is part of the layout's identity
+    * (a training run resuming under a different seed would read a
+    * different order — PlanShuffleSpec pins seed determinism). */
+  val PackEpochs = 2
+  val PackShuffleSeed = 42L
+
+  /** Seeded deterministic epoch shuffle of the BPE-denominated packed
+    * layout ([[graft.operators.TextAnalysis.packEpochShuffleCounted]]):
+    * for each epoch, every occupied (shard, seq_id) of [[packIdsBpe]]'s
+    * layout gets its position in that epoch's read order. */
+  def packIdsShuffled(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    TextAnalysis.packEpochShuffleCounted(Tables.documents(spark, sfDir),
+      "doc_id", NumShards, PackBudget, PackEpochs, PackShuffleSeed,
+      graft.functions.BpeTokenCount(col("text"), m))
+  }
+
   private val packIdStores = new java.util.concurrent.ConcurrentHashMap[
     String, (graft.streaming.PackStore, String)]()
 
@@ -1178,6 +1197,7 @@ object TextOps extends QueryPack {
     "stratified_sample" -> (stratifiedSample _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
+    "pack_ids_shuffled" -> (packIdsShuffled _),
     "pack_sequences_padded" -> (packSequencesPadded _),
     "temperature_sample" -> (temperatureSample _),
     "temperature_sample_tokens" -> (temperatureSampleTokens _),
@@ -2786,6 +2806,30 @@ object TextOps extends QueryPack {
                |FROM tk
                |JOIN ds USING (doc_id)
                |LEFT JOIN pm ON pm.product = tk.tok""".stripMargin,
+
+          // the seeded epoch permutation: occupied seq ids from the
+          // SAME pack CTEs' per-shard token totals, ranked per
+          // (epoch, shard) by the salted md5h60 — integer-exact
+          "pack_ids_shuffled" ->
+            s"""WITH RECURSIVE $ctes,
+               |${shardPackCtesCounted("bdn", "n_tokens_bpe")},
+               |tot AS (SELECT shard, CAST(max(cum) AS BIGINT) AS total
+               |        FROM w GROUP BY shard),
+               |sq AS (
+               |  SELECT shard, i AS seq_id
+               |  FROM tot, unnest(range(0, (total - 1) // $PackBudget + 1)) AS u(i)
+               |  WHERE total > 0
+               |), es AS (
+               |  SELECT e, shard, seq_id
+               |  FROM sq, unnest(range(0, $PackEpochs)) AS ue(e)
+               |)
+               |SELECT CAST(e AS BIGINT) AS epoch, shard,
+               |  CAST(seq_id AS BIGINT) AS seq_id,
+               |  CAST(row_number() OVER (PARTITION BY e, shard ORDER BY
+               |    ('0x' || substr(md5('shuf$PackShuffleSeed#' || CAST(e AS VARCHAR) || '#' ||
+               |       CAST(shard AS VARCHAR) || '#' || CAST(seq_id AS VARCHAR)), 1, 15))::BIGINT,
+               |    seq_id) - 1 AS BIGINT) AS seq_pos
+               |FROM es""".stripMargin,
 
           // the whitespace pack oracle's EXACT hash/window tail over the
           // BPE denomination — only the n_tokens source moves
