@@ -284,6 +284,41 @@ object PipelineOps extends QueryPack {
       .select(col("doc_id"), col("lang"), col("quality"), col("weight"))
   }
 
+  /** The composed MULTIMODAL curation: caption+image pairs kept iff
+    * the image is not a near-duplicate AND the caption passes the
+    * quality gate — the two per-modality gates ([[graft.operators
+    * .Multimodal]] aHash hamming dedup, the shared caption quality
+    * expression) joined into the audit verdict a captioned-image
+    * training set is actually filtered by. Image dup policy is min-id
+    * canonical over the hamming pair graph: an asset is a duplicate
+    * iff it pairs with a LOWER asset id (pairs are emitted asset_a <
+    * asset_b, so "appears as asset_b" is the drop test).
+    *
+    * Scale shape: captions gate scan-side (one projection); image
+    * hashes decode ONCE behind a checkpoint (three pair-machinery
+    * consumers), pairs come from the capped banding join (never
+    * all-pairs), and the dup side reduces to DISTINCT dropped ids —
+    * two longs per duplicate — before touching the doc table. */
+  def pipelineCurateMultimodal(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val hashes = graft.operators.Multimodal.imageAHashes(spark,
+        graft.operators.Multimodal.syntheticPngAssets(spark, docs))
+      .toDF().localCheckpoint(false)
+    val dup = graft.operators.Multimodal.imageHammingPairs(hashes)
+      .select(col("asset_b").as("doc_id")).distinct()
+      .withColumn("img_dup", lit(true))
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    docs.select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("img_dup").isNull.as("img_keep"),
+        (col("quality") >= QualityMin).as("caption_pass"),
+        (col("img_dup").isNull && col("quality") >= QualityMin).as("keep"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
@@ -292,7 +327,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_pack" -> (pipelineCuratePack _),
       "pipeline_curate_pack_ids" -> (pipelineCuratePackIds _),
       "pipeline_curate_audit" -> (pipelineCurateAudit _),
-      "pipeline_curate_dsir" -> (pipelineCurateDsir _))
+      "pipeline_curate_dsir" -> (pipelineCurateDsir _),
+      "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -330,6 +366,23 @@ object PipelineOps extends QueryPack {
        |)""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
+    // the multimodal composition: the phash formula-recompute head and
+    // banding pair CTEs (the multimodal_phash_dedup oracle verbatim)
+    // plus the shared caption quality expression — keep is the AND of
+    // the two per-modality verdicts
+    "pipeline_curate_multimodal" ->
+      s"""${TextOps.phashCte}${TextOps.hammingPairsCtes},
+         |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+         |      FROM documents),
+         |dup AS (SELECT DISTINCT asset_b AS doc_id FROM mpairs)
+         |SELECT d.doc_id, d.lang, q.quality,
+         |  (dup.doc_id IS NULL) AS img_keep,
+         |  (q.quality >= $QualityMin) AS caption_pass,
+         |  ((dup.doc_id IS NULL) AND q.quality >= $QualityMin) AS keep
+         |FROM documents d
+         |JOIN q USING (doc_id)
+         |LEFT JOIN dup USING (doc_id)""".stripMargin,
+
     "pipeline_curate" ->
       s"""WITH RECURSIVE q AS (
          |  SELECT doc_id, lang, text,

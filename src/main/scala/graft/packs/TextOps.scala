@@ -1426,7 +1426,7 @@ object TextOps extends QueryPack {
   /** Shared aHash oracle head: pixels from the synthesis formula,
     * 8x8 integer-floor pooling, cross-multiplied above-mean bits,
     * 32-bit halves — ending in ah(asset_id, w, h, hash_hi, hash_lo). */
-  private val phashCte: String = {
+  private[packs] val phashCte: String = {
     import graft.operators.Multimodal._
     s"""WITH px AS (
        |  SELECT doc_id AS asset_id,
@@ -1463,7 +1463,11 @@ object TextOps extends QueryPack {
     * hash_hi, hash_lo, …)` CTE — one string for image AND audio (and,
     * with the touching-the-batch predicate, the store-backed
     * incremental form), so the dedup oracles cannot drift. */
-  private def hammingTailSqlWhere(extraPred: String): String =
+  /** The banding/cap/popcount CTE chain alone, ending in
+    * mpairs(asset_a, asset_b, dist) — the composed multimodal pipeline
+    * consumes the pair relation mid-query; the per-op dedup oracles
+    * select from it directly via [[hammingTailSqlWhere]]. */
+  private[packs] val hammingPairsCtes: String =
     s""",
        |bands AS (
        |  SELECT asset_id, hash_hi, hash_lo, b,
@@ -1477,16 +1481,22 @@ object TextOps extends QueryPack {
        |  SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b
        |  FROM bands x JOIN ok USING (b, bv) JOIN bands y USING (b, bv)
        |  WHERE x.asset_id < y.asset_id
-       |)
-       |SELECT c.asset_a, c.asset_b,
-       |  CAST(bit_count(xor(p.hash_hi, q.hash_hi))
-       |     + bit_count(xor(p.hash_lo, q.hash_lo)) AS BIGINT) AS dist
-       |FROM cand c
-       |JOIN ah p ON p.asset_id = c.asset_a
-       |JOIN ah q ON q.asset_id = c.asset_b
-       |WHERE bit_count(xor(p.hash_hi, q.hash_hi))
-       |    + bit_count(xor(p.hash_lo, q.hash_lo))
-       |    <= ${graft.operators.Multimodal.AHashMaxDist}$extraPred""".stripMargin
+       |), mpairs AS (
+       |  SELECT c.asset_a, c.asset_b,
+       |    CAST(bit_count(xor(p.hash_hi, q.hash_hi))
+       |       + bit_count(xor(p.hash_lo, q.hash_lo)) AS BIGINT) AS dist
+       |  FROM cand c
+       |  JOIN ah p ON p.asset_id = c.asset_a
+       |  JOIN ah q ON q.asset_id = c.asset_b
+       |  WHERE bit_count(xor(p.hash_hi, q.hash_hi))
+       |      + bit_count(xor(p.hash_lo, q.hash_lo))
+       |      <= ${graft.operators.Multimodal.AHashMaxDist}
+       |)""".stripMargin
+
+  private def hammingTailSqlWhere(extraPred: String): String =
+    s"""$hammingPairsCtes
+       |SELECT asset_a, asset_b, dist
+       |FROM mpairs WHERE TRUE$extraPred""".stripMargin
 
   private val hammingTailSql: String = hammingTailSqlWhere("")
 
@@ -2497,7 +2507,7 @@ object TextOps extends QueryPack {
     // restricted to pairs touching the batch — the established
     // incremental-oracle equivalence (banding is per-asset)
     "multimodal_phash_incremental_store" -> (phashCte + hammingTailSqlWhere(
-      s"\n  AND (c.asset_a % $MediaBatchMod = 0 OR c.asset_b % $MediaBatchMod = 0)")),
+      s"\n  AND (asset_a % $MediaBatchMod = 0 OR asset_b % $MediaBatchMod = 0)")),
 
     // audio: same formula-recompute gate (real javax.sound decode) and
     // the SAME banding/cap/popcount tail — machinery shared verbatim

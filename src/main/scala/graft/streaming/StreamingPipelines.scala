@@ -392,6 +392,60 @@ object StreamingPipelines {
     survivors.drop(textCol).join(cleaned, Seq(idCol))
   }
 
+  /** MULTIMODAL curation ingest — the streaming twin of the batch
+    * [[graft.packs.PipelineOps.pipelineCurateMultimodal]] composition:
+    * per arriving batch of caption+image docs, (1) caption quality
+    * gates scan-side (the shared expression), (2) the image near-dup
+    * gate probes the persisted [[graft.operators.MediaHashStore]] —
+    * an arriving asset is a duplicate iff it hamming-pairs with any
+    * SEEN asset (first arrival is canonical) or with a lower-id asset
+    * of its own batch (the batch form's min-id rule, batch-internal) —
+    * then (3) ALL the batch's hashes merge into the store
+    * (batchId-idempotent), duplicates included: a duplicate asset
+    * stays in the pair graph, exactly as in the one-shot form, so a
+    * later near-copy of a retired duplicate is still retired. When
+    * batches arrive in ascending id ranges the unioned outputs equal
+    * the batch pipeline row-for-row (MultimodalCurateStreamSpec pins
+    * it — the incremental-span equivalence argument; bucket caps are
+    * per-(band,value) counts and far from binding at gate scale).
+    * Returns the batch's rows with the batch form's audit columns.
+    *
+    * `batchHashes` is the batch's DECODED hash table (asset_id ==
+    * doc id) — decode is the caller's one expensive pass and is
+    * checkpointed here before the probe fans it out. */
+  def multimodalCurateIngestBatch(
+      mediaStore: graft.operators.MediaHashStore, batch: DataFrame,
+      batchHashes: DataFrame, idCol: String, textCol: String,
+      qualityMin: Double,
+      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+    val bh = batchHashes.localCheckpoint(false)
+    val pairs = mediaStore
+      .probe(bh, excludeBatchIds = mediaStore.isReplay(batchId))
+      .localCheckpoint(false)
+    val batchIds = bh.select(col("asset_id"))
+    // pair rows oriented around each BATCH asset: (aid, partner)
+    val touching = pairs
+      .select(col("asset_a").as("aid"), col("asset_b").as("partner"))
+      .union(pairs.select(col("asset_b").as("aid"), col("asset_a").as("partner")))
+      .join(batchIds.select(col("asset_id").as("aid")), Seq("aid"), "left_semi")
+    val dup = touching
+      .join(batchIds.select(col("asset_id").as("partner"))
+        .withColumn("partner_in_batch", lit(true)), Seq("partner"), "left")
+      .filter(col("partner_in_batch").isNull || col("partner") < col("aid"))
+      .select(col("aid").as(idCol)).distinct()
+      .withColumn("img_dup", lit(true))
+    mediaStore.ingest(bh, batchId)
+    val quality = graft.operators.TextAnalysis
+      .qualityScore(batch, idCol, textCol)
+    batch.select(col(idCol), col("lang"))
+      .join(quality, idCol)
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("lang"), col("quality"),
+        col("img_dup").isNull.as("img_keep"),
+        (col("quality") >= qualityMin).as("caption_pass"),
+        (col("img_dup").isNull && col("quality") >= qualityMin).as("keep"))
+  }
+
   /** foreachBatch body for the streaming ANN ingest side: assign the
     * arriving vectors to their IVF cells (one scan-side native-expression
     * pass — [[graft.operators.IvfIndex.index]]) and merge them into the
