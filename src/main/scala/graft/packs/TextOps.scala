@@ -563,6 +563,55 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
 
+  /** Unigram-LM vocabulary target (pieces incl. the single-char
+    * totality floor), shared with the generated oracle's VALUES table
+    * size. 64 over the 25-char gate corpus leaves ~39 learned
+    * multi-char pieces — real subword structure at gate scale. */
+  val UnigramVocabTarget = 64
+
+  private[packs] def unigramModel(spark: SparkSession,
+      sfDir: String): graft.operators.UnigramLmTokenizer.Model =
+    graft.operators.UnigramLmTokenizer.trainCached(
+      Tables.documents(spark, sfDir), sfDir, "text", MaxBpeWords,
+      UnigramVocabTarget)
+
+  /** Unigram-LM token-id sequences — [[bpeEncodeIds]]'s
+    * SentencePiece-lineage twin ([[graft.operators.UnigramLmTokenizer]]
+    * trains by hard EM over the same bounded word table; the
+    * [[graft.functions.UnigramTokenIds]] expression Viterbi-segments
+    * scan-side under integer micro-nat costs). Same plan shape: one
+    * codegen'd expression, posexplode, zero shuffle. */
+  def unigramLmEncodeIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.UnigramTokenIds(col("text"),
+          unigramModel(spark, sfDir).table)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+
+  /** The tokenizer-ablation row: BPE vs unigram-LM fertility per
+    * language over the SAME corpus — the comparison real tokenizer
+    * evaluations run (which scheme covers each language's words with
+    * fewer subwords). Exact integer sums scan-side for both
+    * denominations, two rounded divisions per group. */
+  def unigramFertilityVsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = bpeMerges(spark, sfDir)
+    val t = unigramModel(spark, sfDir).table
+    docs.select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        graft.functions.BpeTokenCount(col("text"), m).as("bpe"),
+        graft.functions.UnigramTokenCount(col("text"), t).as("uni"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens_bpe"),
+        sum(col("uni")).as("n_tokens_unigram"),
+        round(sum(col("bpe")).cast("double") /
+          sum(col("ws")).cast("double"), 4).as("fertility_bpe"),
+        round(sum(col("uni")).cast("double") /
+          sum(col("ws")).cast("double"), 4).as("fertility_unigram"))
+  }
+
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * (the standard tokenizer-evaluation metric: a fertility near 1
     * means the vocabulary covers the language's words whole; high
@@ -1220,6 +1269,8 @@ object TextOps extends QueryPack {
     "decontaminate_spans" -> (decontaminateSpans _),
     "decontaminate_spans_store" -> (decontaminateSpansStore _),
     "decontaminate_strip" -> (decontaminateStrip _),
+    "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
+    "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
     "truncate_tokens" -> (truncateTokens _),
     "split_assign" -> (splitAssign _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -2618,7 +2669,7 @@ object TextOps extends QueryPack {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM sampled""".stripMargin
     }
-  ) ++ bpeOracles ++ bpeByteOracles
+  ) ++ bpeOracles ++ bpeByteOracles ++ unigramOracles
 
   /** The trained BPE merge table replayed in DuckDB, ending in
     * `bdn(doc_id, n_tokens_bpe)`: the merges are embedded as a ranked
@@ -3005,5 +3056,156 @@ object TextOps extends QueryPack {
                |       ELSE coalesce(ym.bv, -1) END AS BIGINT) AS token_id
                |FROM ytk LEFT JOIN ypm ON ypm.product = ytk.tok
                |LEFT JOIN ymap ym ON ym.ch = ytk.tok""".stripMargin)
+      }.toMap
+
+  /** The trained unigram-LM model replayed in DuckDB: the piece table
+    * (piece, id, integer micro-nat cost, code-point length) embeds as
+    * a VALUES CTE, every distinct corpus word runs the IDENTICAL
+    * Viterbi DP — unrolled to the corpus's max word length, one
+    * generated CTE per position, candidates joined per piece length,
+    * min over the shared `(cost·(P+1)) + (P−len)` tie-break key — then
+    * a generated backtrack chain re-walks the best-predecessor
+    * pointers into ordered per-word piece-ID lists (`uids`), and the
+    * BPE oracles' per-doc prefix-sum expansion emits (doc_id, pos,
+    * token_id). Uncovered single chars enter the DP as UNK rows
+    * (anti-joined against the piece table) at the shared
+    * [[graft.functions.UnigramTable.UnkCostMicro]]; the empty word is
+    * the one manual `uids` row at the empty sentinel. Ends in
+    * `utk(doc_id, pos, token_id)` + `uwt(word, n)`. */
+  private def unigramCtes(m: graft.operators.UnigramLmTokenizer.Model): String = {
+    def q(s: String) = s.replace("'", "''")
+    val P = graft.operators.UnigramLmTokenizer.MaxPieceLen
+    val unkId = m.pieces.size
+    val emptyId = m.pieces.size + 1
+    val uc = graft.functions.UnigramTable.UnkCostMicro
+    val wl = m.maxWordLen
+    val values = m.pieces.zipWithIndex.map { case ((p, cost), i) =>
+      s"('${q(p)}', $i, $cost, ${p.codePointCount(0, p.length)})"
+    }.mkString(",\n    ")
+    val dpCtes = (1 to wl).map { k =>
+      val branches = (1 to math.min(P, k)).map { j =>
+        s"""    SELECT p.word, p.l, (p.cost + v.cost) * ${P + 1} + ${P - j} AS ck
+    FROM ud${k - j} p JOIN uv v
+      ON v.plen = $j AND v.piece = substr(p.word, ${k - j + 1}, $j)
+    WHERE p.l >= $k"""
+      }.mkString("\n    UNION ALL\n")
+      s"""ud$k AS MATERIALIZED (
+  SELECT word, l, $k AS pos,
+    CAST(min(ck) // ${P + 1} AS BIGINT) AS cost,
+    CAST($P - min(ck) % ${P + 1} AS BIGINT) AS bestj
+  FROM (
+$branches
+  ) GROUP BY word, l
+)"""
+    }.mkString(", ")
+    val dpUnion = (1 to wl).map(k => s"SELECT word, pos, cost, bestj FROM ud$k")
+      .mkString("\n  UNION ALL\n  ")
+    val pathCtes = (1 until wl).map { i =>
+      s"""up$i AS MATERIALIZED (
+  SELECT p.word, p.pos - d.bestj AS pos
+  FROM up${i - 1} p JOIN udp d ON d.word = p.word AND d.pos = p.pos
+  WHERE p.pos > 0
+)"""
+    }.mkString(", ")
+    val pathUnion = (0 until wl).map(i => s"SELECT word, pos FROM up$i")
+      .mkString("\n    UNION ALL\n    ")
+    s"""uvp(piece, pid, cost, plen) AS (VALUES
+    $values
+), uwords AS MATERIALIZED (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+), uwl AS MATERIALIZED (
+  SELECT word, length(word) AS l FROM uwords WHERE length(word) > 0
+), uuch AS (
+  SELECT DISTINCT substr(word, CAST(i AS INT), 1) AS piece
+  FROM uwl, unnest(range(1, l + 1)) AS u(i)
+), uunk AS (
+  SELECT piece, $unkId AS pid, $uc AS cost, 1 AS plen
+  FROM uuch WHERE piece NOT IN (SELECT piece FROM uvp)
+), uv AS MATERIALIZED (
+  SELECT piece, CAST(pid AS BIGINT) AS pid, CAST(cost AS BIGINT) AS cost,
+         CAST(plen AS BIGINT) AS plen
+  FROM uvp
+  UNION ALL
+  SELECT piece, CAST(pid AS BIGINT), CAST(cost AS BIGINT), CAST(plen AS BIGINT)
+  FROM uunk
+), ud0 AS MATERIALIZED (
+  SELECT word, l, 0 AS pos, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS bestj
+  FROM uwl
+), $dpCtes, udp AS MATERIALIZED (
+  $dpUnion
+), up0 AS MATERIALIZED (
+  SELECT word, CAST(l AS BIGINT) AS pos FROM uwl
+), $pathCtes, usteps AS (
+  SELECT p.word, p.pos - d.bestj AS pstart, d.bestj AS slen,
+    substr(p.word, CAST(p.pos - d.bestj + 1 AS INT), CAST(d.bestj AS INT)) AS piece
+  FROM (
+    $pathUnion
+  ) p
+  JOIN udp d ON d.word = p.word AND d.pos = p.pos
+  WHERE p.pos > 0
+), uids AS MATERIALIZED (
+  SELECT s.word, list(v.pid ORDER BY s.pstart) AS tl
+  FROM usteps s JOIN uv v ON v.plen = s.slen AND v.piece = s.piece
+  GROUP BY s.word
+  UNION ALL
+  SELECT '' AS word, [CAST($emptyId AS BIGINT)] AS tl
+), uwt AS MATERIALIZED (
+  SELECT word, CAST(len(tl) AS BIGINT) AS n FROM uids
+), uocc AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS u(i)
+), upre AS (
+  SELECT uocc.doc_id, uocc.wi, uocc.word,
+    coalesce(sum(uwt.n) OVER (PARTITION BY uocc.doc_id ORDER BY uocc.wi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM uocc JOIN uwt USING (word)
+), utk AS (
+  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS token_id
+  FROM upre w0 JOIN uids w2 USING (word),
+       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+)"""
+  }
+
+  // generated from the exact model the engine trained (the bpeOracles
+  // pattern) — available once the query pass has run; the fertility
+  // comparison additionally needs the BPE snapshot
+  private def unigramOracles: Map[String, String] =
+    graft.operators.UnigramLmTokenizer
+      .trainedSnapshot(MaxBpeWords, UnigramVocabTarget)
+      .filter(_.pieces.nonEmpty).toList.flatMap { model =>
+        val uCtes = unigramCtes(model)
+        val encode =
+          s"""WITH $uCtes
+             |SELECT utk.doc_id, CAST(utk.pos AS BIGINT) AS pos,
+             |  CAST(utk.token_id AS BIGINT) AS token_id
+             |FROM utk""".stripMargin
+        val compare = graft.operators.BpeTokenizer
+          .trainedSnapshot(MaxBpeWords, NumBpeMerges)
+          .filter(_.nonEmpty).map { merges =>
+            s"""WITH RECURSIVE ${bpeCtes(merges)},
+               |$uCtes,
+               |udn AS (
+               |  SELECT uocc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
+               |  FROM uocc JOIN uwt USING (word) GROUP BY doc_id
+               |)
+               |SELECT d.lang,
+               |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+               |  CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+               |  CAST(sum(udn.n_uni) AS BIGINT) AS n_tokens_unigram,
+               |  round(CAST(CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS DOUBLE)
+               |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |      AS DOUBLE), 4) AS fertility_bpe,
+               |  round(CAST(CAST(sum(udn.n_uni) AS BIGINT) AS DOUBLE)
+               |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |      AS DOUBLE), 4) AS fertility_unigram
+               |FROM documents d
+               |JOIN bdn USING (doc_id)
+               |JOIN udn USING (doc_id)
+               |GROUP BY 1""".stripMargin
+          }
+        Seq("unigram_lm_encode_ids" -> encode) ++
+          compare.map("unigram_fertility_vs_bpe" -> _)
       }.toMap
 }
