@@ -103,6 +103,19 @@ object ScaleCurve {
     // trained once on the base corpus, untimed
     val nbModel = graft.operators.NbClassifier.trainCached(
       baseDocs, sfDir, "doc_id", "text")
+    // unigram-LM model: bounded driver fit like BPE/IVF/NB — untimed
+    val uniModel = graft.operators.UnigramLmTokenizer.trainCached(
+      baseDocs, sfDir, "text", graft.packs.TextOps.MaxBpeWords,
+      graft.packs.TextOps.UnigramVocabTarget)
+    // decontamination bench side: the held-out split's distinct
+    // shingles are benchmark-sized (FIXED as the corpus grows — eval
+    // suites don't scale with training data), built once, untimed
+    val benchShingles = baseDocs
+      .filter(col("doc_id") % graft.packs.TextOps.ContamBenchMod ===
+        graft.packs.TextOps.ContamBenchRem)
+      .select(explode(array_distinct(graft.functions.WordShingles(
+        col("text"), graft.packs.TextOps.ContamShingleN))).as("s"))
+      .distinct().localCheckpoint(true)
     val queries = baseVecs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .localCheckpoint(true)
@@ -158,6 +171,17 @@ object ScaleCurve {
               .otherwise(lit(".com"))).as("host")), "host"))
       bench("bpe_encode_ids", m, docs.select(col("doc_id"),
         posexplode(graft.functions.BpeTokenIds(col("text"), merges))))
+      // Viterbi encode on the salted replicas: every salted word is
+      // OOV (memo-cold, UNK-heavy) — the open-vocabulary worst case
+      bench("unigram_encode_ids", m, docs.select(col("doc_id"),
+        posexplode(graft.functions.UnigramTokenIds(col("text"),
+          uniModel.table))))
+      // span decontamination: the corpus-side positional probe scales,
+      // the bench membership side is fixed — hit mass stays bounded by
+      // the benchmark (salted replicas share no shingle with it)
+      bench("decontaminate_spans", m,
+        TextAnalysis.contaminationSpansFrom(docs, benchShingles,
+          "doc_id", "text", graft.packs.TextOps.ContamShingleN))
       bench("ann_brute_heap", m,
         SimilaritySearch.bruteForceTopKHeap(vecs, queries, k = 10))
       bench("ann_ivf", m,

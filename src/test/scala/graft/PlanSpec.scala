@@ -138,8 +138,11 @@ class PlanSpec extends SparkSpec {
       s"rates must broadcast onto the corpus scan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus must not shuffle for the rate join:\n$p")
-    assert(p.contains("partial_count"),
-      s"per-source counts must partially aggregate map-side:\n$p")
+    // the doc-count form is mass = lit(1) through the shared mass body,
+    // so the per-source reduction plans as partial_sum(1) (r13); either
+    // spelling is the map-side partial aggregation under test
+    assert(p.contains("partial_count") || p.contains("partial_sum(1)"),
+      s"per-source mass must partially aggregate map-side:\n$p")
   }
 
   test("quality_floor: histogram partial-agg, cutoff broadcast, corpus never key-shuffled") {
@@ -536,5 +539,51 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected bounded exchanges, got $exchanges:\n$p")
     assert(p.contains("partial_count") || p.contains("Partial") ||
       p.contains("partial_sum"), s"histogram must combine map-side:\n$p")
+  }
+
+  test("decontaminate_spans(+store): bench membership is a semi-join, never a pair join") {
+    Seq("decontaminate_spans", "decontaminate_spans_store").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q bench probe must be LEFT SEMI:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never pair docs against bench rows:\n$p")
+      assert(p.contains("graft_shingles"),
+        s"$q must window with the native shingle expression:\n$p")
+    }
+  }
+
+  test("unigram_lm_encode_ids: one shuffle-free native-expression stage") {
+    val p = plan("unigram_lm_encode_ids")
+    assert(!p.contains("Exchange"),
+      s"Viterbi encode must be scan-side, zero shuffles:\n$p")
+    assert(p.contains("graft_unigram_ids"),
+      s"encode must be the native codegen'd expression:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"unused doc columns must be pruned:\n$p")
+  }
+
+  test("pack_ids_shuffled: permutation table derives from per-shard totals, never token rows") {
+    val p = plan("pack_ids_shuffled")
+    assert(!p.contains("posexplode") && !p.contains("graft_unigram_ids") &&
+      !p.contains("graft_bpe_ids"),
+      s"the shuffle must never materialize token rows:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-shard totals must combine map-side before the exchange:\n$p")
+  }
+
+  test("temperature_sample_tokens: bounded rate table broadcasts back onto the scan") {
+    val p = plan("temperature_sample_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast, never shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+  }
+
+  test("pipeline_curate_multimodal: capped banding pairs, no cartesian, caption gate scan-side") {
+    val p = plan("pipeline_curate_multimodal")
+    assert(!p.contains("CartesianProduct"),
+      s"image pairing must stay banded:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the bucket-cap / dup-id sides must broadcast:\n$p")
   }
 }
