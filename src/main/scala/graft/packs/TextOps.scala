@@ -437,11 +437,10 @@ object TextOps extends QueryPack {
     * span rows) — (doc_id, clean_text, n_dropped); uncontaminated docs
     * pass through with n_dropped = 0. */
   def decontaminateStrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark0 = spark
-    val train = Tables.documents(spark0, sfDir)
+    val train = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem)
     graft.operators.Dedup.stripSpans(train,
-      decontaminateSpans(spark0, sfDir), "doc_id", "text")
+      decontaminateSpans(spark, sfDir), "doc_id", "text")
   }
 
   /** Store-backed span decontamination: the persisted benchmark
@@ -685,6 +684,33 @@ object TextOps extends QueryPack {
     TextAnalysis.packEpochShuffleCounted(Tables.documents(spark, sfDir),
       "doc_id", NumShards, PackBudget, PackEpochs, PackShuffleSeed,
       graft.functions.BpeTokenCount(col("text"), m))
+  }
+
+  /** The materialized training layout under the UNIGRAM-LM
+    * denomination — [[packIdsBpe]] with both halves of the tokenizer
+    * seam swapped ([[graft.functions.UnigramTokenCount]] for
+    * placement, [[graft.functions.UnigramTokenIds]] for the id
+    * stream): the layout machinery is tokenizer-agnostic end-to-end,
+    * and the ablation between lineages extends to the physical
+    * (shard, seq_id, seq_pos) slots a training reader consumes. Same
+    * scale shape: doc-level placement join (3 longs/doc), ids explode
+    * scan-side AFTER the join. */
+  def packIdsUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = unigramModel(spark, sfDir).table
+    val placed = TextAnalysis.packSequencesWith(
+        Tables.documents(spark, sfDir), "doc_id", "text", NumShards,
+        PackBudget, c => graft.functions.UnigramTokenCount(c, t))
+      .select(col("doc_id"), col("shard"),
+        (col("seq_first") * PackBudget + col("seq_offset")).as("doc_start"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .join(placed, "doc_id")
+      .select(col("doc_id"), col("shard"), col("doc_start"),
+        posexplode(graft.functions.UnigramTokenIds(col("text"), t)))
+      .select(col("doc_id"), col("shard"),
+        expr(s"(doc_start + pos) div ${PackBudget}L").as("seq_id"),
+        pmod(col("doc_start") + col("pos"), lit(PackBudget.toLong))
+          .as("seq_pos"),
+        col("col").as("token_id"))
   }
 
   private val packIdStores = new java.util.concurrent.ConcurrentHashMap[
@@ -1271,6 +1297,7 @@ object TextOps extends QueryPack {
     "decontaminate_strip" -> (decontaminateStrip _),
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
     "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
+    "pack_ids_unigram" -> (packIdsUnigram _),
     "truncate_tokens" -> (truncateTokens _),
     "split_assign" -> (splitAssign _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -3205,7 +3232,27 @@ $branches
                |JOIN udn USING (doc_id)
                |GROUP BY 1""".stripMargin
           }
-        Seq("unigram_lm_encode_ids" -> encode) ++
+        // the layout oracle: per-doc unigram token counts (udn2) feed
+        // the SHARED pack CTEs' hash/window arithmetic, utk's (doc,
+        // pos, id) rows land at doc_start + pos — pack_ids_bpe's exact
+        // tail with only the denomination swapped
+        val packIds =
+          s"""WITH $uCtes,
+             |udn2 AS (
+             |  SELECT uocc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
+             |  FROM uocc JOIN uwt USING (word) GROUP BY doc_id
+             |),
+             |${shardPackCtesCounted("udn2", "n_uni")},
+             |ds AS (
+             |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM w
+             |)
+             |SELECT utk.doc_id, ds.shard,
+             |  CAST((ds.doc_start + utk.pos) // $PackBudget AS BIGINT) AS seq_id,
+             |  CAST((ds.doc_start + utk.pos) % $PackBudget AS BIGINT) AS seq_pos,
+             |  CAST(utk.token_id AS BIGINT) AS token_id
+             |FROM utk JOIN ds USING (doc_id)""".stripMargin
+        Seq("unigram_lm_encode_ids" -> encode,
+          "pack_ids_unigram" -> packIds) ++
           compare.map("unigram_fertility_vs_bpe" -> _)
       }.toMap
 }
