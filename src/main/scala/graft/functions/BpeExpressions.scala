@@ -197,6 +197,22 @@ object BpeTable {
     n
   }
 
+  /** The word → code-point-string split every tokenizer body windows
+    * over (= DuckDB character semantics — one element per code point,
+    * astral pairs intact): ONE copy shared by the BPE trainer, the
+    * unigram trainer's substring seeding and the unigram Viterbi DP,
+    * so the engines can never window differently. */
+  private[graft] def codePointStrings(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** Token BEGIN/END markers (ASCII record/unit separator — excluded
     * from the token alphabet by construction). */
   val Open = '\u001e'

@@ -70,13 +70,7 @@ final class UnigramTable(val pieces: Seq[(String, Long)],
     if (word.isEmpty) return Array("")
     // code point windows — DuckDB substr counts characters, so the two
     // engines window identically even over astral-plane input
-    val cps = new scala.collection.mutable.ArrayBuffer[String]()
-    var ci = 0
-    while (ci < word.length) {
-      val cp = word.codePointAt(ci)
-      cps += new String(Character.toChars(cp))
-      ci += Character.charCount(cp)
-    }
+    val cps = BpeTable.codePointStrings(word)
     val n = cps.length
     val p = maxPieceLen
     val cost = new Array[Long](n + 1)

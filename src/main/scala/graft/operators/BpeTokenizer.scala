@@ -55,16 +55,10 @@ object BpeTokenizer {
   def train(wordCounts: Seq[(String, Long)],
       numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
-    // words as mutable symbol sequences (codepoint split), with counts
+    // words as mutable symbol sequences (the ONE shared code-point
+    // split — graft.functions.BpeTable.codePointStrings), with counts
     var words: Vector[(Array[String], Long)] = wordCounts.map { case (w, c) =>
-      val syms = new scala.collection.mutable.ArrayBuffer[String]()
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        syms += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      (syms.toArray, c)
+      (graft.functions.BpeTable.codePointStrings(w), c)
     }.toVector
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rank = 0

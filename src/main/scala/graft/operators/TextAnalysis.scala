@@ -291,6 +291,10 @@ object TextAnalysis {
     * reader joins this table on (shard, seq_id) at consume time). */
   def packEpochShuffleCounted(docs: DataFrame, idCol: String, nShards: Int,
       budget: Int, epochs: Int, seed: Long, nTokens: Column): DataFrame = {
+    // sequence(0, epochs-1) DESCENDS for epochs <= 0 and would emit
+    // phantom epochs [0, -1]; budget <= 0 would be a confusing div-0
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    require(budget >= 1, s"budget must be >= 1, got $budget")
     val idStr = col(idCol).cast("string")
     val totals = docs.select(
         pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
@@ -779,7 +783,12 @@ object TextAnalysis {
     * sqrt keeps the total order-independent cross-engine. */
   def temperatureSampleMass(docs: DataFrame, sourceCol: String, idCol: String,
       mass: Column, targetMass: Long): DataFrame = {
+    // a zero-mass source contributes nothing to the mixture and keeps
+    // nothing (dropped by the inner rate join) — without the filter its
+    // zero denominator floors Infinity to the keep-everything cap in
+    // Spark and errors in a DuckDB twin of the same arithmetic
     val counts = docs.groupBy(col(sourceCol)).agg(sum(mass).as("n_s"))
+      .filter(col("n_s") > 0L)
     val total = counts.agg(
       sum(sqrt(col("n_s")).cast("decimal(30,15)")).cast("double").as("sum_sqrt"))
     val rates = counts.crossJoin(broadcast(total))

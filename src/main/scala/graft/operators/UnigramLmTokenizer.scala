@@ -55,16 +55,10 @@ object UnigramLmTokenizer {
     def table: UnigramTable = new UnigramTable(pieces, MaxPieceLen)
   }
 
-  private def codePoints(w: String): Array[String] = {
-    val out = new scala.collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < w.length) {
-      val cp = w.codePointAt(i)
-      out += new String(Character.toChars(cp))
-      i += Character.charCount(cp)
-    }
-    out.toArray
-  }
+  // the ONE shared code-point split (BpeTable.codePointStrings) — the
+  // trainer's substring windows must match the DP's and DuckDB's
+  private def codePoints(w: String): Array[String] =
+    graft.functions.BpeTable.codePointStrings(w)
 
   private def costsFrom(counts: collection.Map[String, Long],
       vocab: Seq[String]): Seq[(String, Long)] = {

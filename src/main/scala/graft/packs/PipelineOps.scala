@@ -309,15 +309,27 @@ object PipelineOps extends QueryPack {
     val dup = graft.operators.Multimodal.imageHammingPairs(hashes)
       .select(col("asset_b").as("doc_id")).distinct()
       .withColumn("img_dup", lit(true))
-    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    docs.select(col("doc_id"), col("lang"))
-      .join(quality, "doc_id")
-      .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("quality"),
-        col("img_dup").isNull.as("img_keep"),
-        (col("quality") >= QualityMin).as("caption_pass"),
-        (col("img_dup").isNull && col("quality") >= QualityMin).as("keep"))
+    multimodalVerdict(docs.select(col("doc_id"), col("lang")),
+      TextAnalysis.qualityScore(docs, "doc_id", "text"), dup,
+      "doc_id", QualityMin)
   }
+
+  /** The ONE audit projection of the multimodal curation verdict —
+    * shared by the batch composition above and the streaming ingest
+    * twin ([[graft.streaming.StreamingPipelines
+    * .multimodalCurateIngestBatch]]), so a keep-rule change cannot
+    * drift the two apart (the row-for-row parity
+    * MultimodalCurateStreamSpec pins). `docsIdLang` carries (idCol,
+    * lang); `dup` carries (idCol, img_dup=true) for dropped images. */
+  def multimodalVerdict(docsIdLang: DataFrame, quality: DataFrame,
+      dup: DataFrame, idCol: String, qualityMin: Double): DataFrame =
+    docsIdLang
+      .join(quality, idCol)
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol), col("lang"), col("quality"),
+        col("img_dup").isNull.as("img_keep"),
+        (col("quality") >= qualityMin).as("caption_pass"),
+        (col("img_dup").isNull && col("quality") >= qualityMin).as("keep"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),

@@ -413,8 +413,13 @@ object TextOps extends QueryPack {
   private def benchStore(docs: DataFrame,
       sfDir: String): graft.operators.BenchmarkStore =
     benchStores.computeIfAbsent(sfDir, dir => {
+      // shingleN passed EXPLICITLY: a ContamShingleN change must move
+      // the store's n with the inline probe and the generated oracles,
+      // not leave the store-backed twin silently diverging at the
+      // constructor default
       val s = new graft.operators.BenchmarkStore(
-        s"graft_bench_store_${graft.QueryPack.storeSuffix(dir)}")
+        s"graft_bench_store_${graft.QueryPack.storeSuffix(dir)}",
+        ContamShingleN)
       s.ingest(docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
         "text")
       s
@@ -3099,7 +3104,7 @@ object TextOps extends QueryPack {
     * [[graft.functions.UnigramTable.UnkCostMicro]]; the empty word is
     * the one manual `uids` row at the empty sentinel. Ends in
     * `utk(doc_id, pos, token_id)` + `uwt(word, n)`. */
-  private def unigramCtes(m: graft.operators.UnigramLmTokenizer.Model): String = {
+  private[packs] def unigramCtes(m: graft.operators.UnigramLmTokenizer.Model): String = {
     def q(s: String) = s.replace("'", "''")
     val P = graft.operators.UnigramLmTokenizer.MaxPieceLen
     val unkId = m.pieces.size
@@ -3127,13 +3132,16 @@ $branches
     }.mkString(", ")
     val dpUnion = (1 to wl).map(k => s"SELECT word, pos, cost, bestj FROM ud$k")
       .mkString("\n  UNION ALL\n  ")
+    // empty when wl == 1 (up0 alone backtracks a 1-char word) — the
+    // template below splices the trailing comma per fragment, so a
+    // single-char-max corpus still generates valid SQL
     val pathCtes = (1 until wl).map { i =>
       s"""up$i AS MATERIALIZED (
   SELECT p.word, p.pos - d.bestj AS pos
   FROM up${i - 1} p JOIN udp d ON d.word = p.word AND d.pos = p.pos
   WHERE p.pos > 0
-)"""
-    }.mkString(", ")
+), """
+    }.mkString
     val pathUnion = (0 until wl).map(i => s"SELECT word, pos FROM up$i")
       .mkString("\n    UNION ALL\n    ")
     s"""uvp(piece, pid, cost, plen) AS (VALUES
@@ -3163,7 +3171,7 @@ $branches
   $dpUnion
 ), up0 AS MATERIALIZED (
   SELECT word, CAST(l AS BIGINT) AS pos FROM uwl
-), $pathCtes, usteps AS (
+), ${pathCtes}usteps AS (
   SELECT p.word, p.pos - d.bestj AS pstart, d.bestj AS slen,
     substr(p.word, CAST(p.pos - d.bestj + 1 AS INT), CAST(d.bestj AS INT)) AS piece
   FROM (

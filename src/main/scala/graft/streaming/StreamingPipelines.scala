@@ -417,7 +417,8 @@ object StreamingPipelines {
       mediaStore: graft.operators.MediaHashStore, batch: DataFrame,
       batchHashes: DataFrame, idCol: String, textCol: String,
       qualityMin: Double,
-      batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      langCol: String = "lang"): DataFrame = {
     val bh = batchHashes.localCheckpoint(false)
     val pairs = mediaStore
       .probe(bh, excludeBatchIds = mediaStore.isReplay(batchId))
@@ -435,15 +436,11 @@ object StreamingPipelines {
       .select(col("aid").as(idCol)).distinct()
       .withColumn("img_dup", lit(true))
     mediaStore.ingest(bh, batchId)
-    val quality = graft.operators.TextAnalysis
-      .qualityScore(batch, idCol, textCol)
-    batch.select(col(idCol), col("lang"))
-      .join(quality, idCol)
-      .join(dup, Seq(idCol), "left")
-      .select(col(idCol), col("lang"), col("quality"),
-        col("img_dup").isNull.as("img_keep"),
-        (col("quality") >= qualityMin).as("caption_pass"),
-        (col("img_dup").isNull && col("quality") >= qualityMin).as("keep"))
+    // the SHARED audit projection — batch and stream cannot drift
+    graft.packs.PipelineOps.multimodalVerdict(
+      batch.select(col(idCol), col(langCol).as("lang")),
+      graft.operators.TextAnalysis.qualityScore(batch, idCol, textCol),
+      dup, idCol, qualityMin)
   }
 
   /** foreachBatch body for the streaming ANN ingest side: assign the

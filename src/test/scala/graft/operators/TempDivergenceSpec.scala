@@ -35,6 +35,18 @@ class TempDivergenceSpec extends SparkSpec {
       s"token-mass form should thin the long-doc source harder: $byTokens")
   }
 
+  test("a zero-mass source keeps nothing (no Infinity-floored cap rate)") {
+    val withEmpty = docs.union(Seq((200L, "C", "x"), (201L, "C", "y"))
+      .toDF("doc_id", "source", "text"))
+    val out = TextAnalysis.temperatureSampleMass(withEmpty, "source",
+      "doc_id", lit(0L), 100L)
+    assert(out.count() == 0L, "all-zero mass must keep nothing")
+    val mixed = TextAnalysis.temperatureSampleMass(withEmpty, "source",
+      "doc_id", when(col("source") === "C", 0L).otherwise(1L), 10L)
+    assert(!mixed.select("source").distinct().as[String].collect()
+      .contains("C"), "the zero-mass source must be dropped, not capped")
+  }
+
   test("mass = lit(1) reproduces the doc-count form exactly") {
     val a = TextAnalysis.temperatureSample(docs, "source", "doc_id", 10L)
       .select("doc_id", "source", "rate_bp")

@@ -46,6 +46,28 @@ class PackShuffleSpec extends SparkSpec {
       "epoch 0 and epoch 1 produced the same global permutation")
   }
 
+  test("epochs/budget preconditions refuse instead of emitting phantom epochs") {
+    val docs = graft.Tables.documents(spark, sf)
+    def mass = size(split(col("text"), " ")).cast("long")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.packEpochShuffleCounted(docs, "doc_id",
+        TextOps.NumShards, TextOps.PackBudget, 0, 1L, mass)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.packEpochShuffleCounted(docs, "doc_id",
+        TextOps.NumShards, 0, 1, 1L, mass)
+    }
+  }
+
+  test("the generated unigram oracle stays valid SQL at maxWordLen = 1") {
+    val sql = TextOps.unigramCtes(
+      graft.operators.UnigramLmTokenizer.Model(Seq(("a", 1L)), 1))
+    assert(!sql.contains(", ,") && !sql.contains(",,"),
+      s"wl=1 must not leave an empty path-CTE splice:\n$sql")
+    assert(sql.contains("up0") && !sql.contains("up1"),
+      "wl=1 backtracks from up0 alone")
+  }
+
   test("a different seed produces a different permutation") {
     val docs = graft.Tables.documents(spark, sf)
     def perm(seed: Long) = graft.operators.TextAnalysis
