@@ -147,18 +147,8 @@ final class BpeTable(val merges: Seq[(String, String)]) extends Serializable {
     * context cap, cutting at word boundaries (a mid-word cut would
     * change the remaining words' own tokenizations). A first word
     * already over budget yields the empty string. */
-  def truncateWords(text: UTF8String, maxTokens: Long): UTF8String = {
-    val words = text.toString.split(" ", -1)
-    var cum = 0L
-    var keep = 0
-    var stop = false
-    while (keep < words.length && !stop) {
-      val n = tokenizeWord(words(keep)).length
-      if (cum + n > maxTokens) stop = true
-      else { cum += n; keep += 1 }
-    }
-    UTF8String.fromString(words.take(keep).mkString(" "))
-  }
+  def truncateWords(text: UTF8String, maxTokens: Long): UTF8String =
+    BpeTable.truncateWordsOf(text, maxTokens, tokenizeWord)
 
   // value equality so expression trees comparing BpeTokens nodes
   // (Catalyst dedups identical subexpressions) see the merge list, not
@@ -185,6 +175,24 @@ object BpeTable {
       tokenize(w).foreach(t => out += idOf(t))
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** The truncate twin — same split, greedy longest word-prefix within
+    * `maxTokens` under the given per-word tokenize; shared by the BPE
+    * and unigram truncate expressions so the budget-cut semantics are
+    * one body. A first word already over budget yields "". */
+  private[functions] def truncateWordsOf(text: UTF8String, maxTokens: Long,
+      tokenize: String => Array[String]): UTF8String = {
+    val words = text.toString.split(" ", -1)
+    var cum = 0L
+    var keep = 0
+    var stop = false
+    while (keep < words.length && !stop) {
+      val n = tokenize(words(keep)).length
+      if (cum + n > maxTokens) stop = true
+      else { cum += n; keep += 1 }
+    }
+    UTF8String.fromString(words.take(keep).mkString(" "))
   }
 
   /** The count twin of [[idsOf]] — same split, same per-word fold. */

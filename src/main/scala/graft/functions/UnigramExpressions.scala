@@ -125,6 +125,11 @@ final class UnigramTable(val pieces: Seq[(String, Long)],
   /** Total unigram token count — the budget/fertility denomination. */
   def count(text: UTF8String): Long = BpeTable.countOf(text, tokenizeWord)
 
+  /** Longest word-prefix within a unigram token budget — the BPE
+    * tables' shared greedy body ([[BpeTable.truncateWordsOf]]). */
+  def truncateWords(text: UTF8String, maxTokens: Long): UTF8String =
+    BpeTable.truncateWordsOf(text, maxTokens, tokenizeWord)
+
   override def hashCode(): Int = (pieces, maxPieceLen).hashCode()
   override def equals(o: Any): Boolean = o match {
     case t: UnigramTable =>
@@ -195,4 +200,36 @@ case class UnigramTokenCount(child: Expression, table: UnigramTable)
 object UnigramTokenCount {
   def apply(text: Column, table: UnigramTable): Column =
     bridge.column(UnigramTokenCount(bridge.expression(text), table))
+}
+
+/** `string`: the text's longest word-prefix within a unigram token
+  * budget — callers branch on the total count to return the ORIGINAL
+  * string when nothing is cut (the BpeTruncateWords contract). */
+case class UnigramTruncateWords(child: Expression, table: UnigramTable,
+    maxTokens: Long) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_unigram_truncate"
+
+  override def nullSafeEval(input: Any): Any =
+    table.truncateWords(input.asInstanceOf[UTF8String], maxTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramTable].getName)
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = $ref.truncateWords($t, ${maxTokens}L);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramTruncateWords = copy(child = newChild)
+}
+
+object UnigramTruncateWords {
+  def apply(text: Column, table: UnigramTable, maxTokens: Long): Column =
+    bridge.column(UnigramTruncateWords(bridge.expression(text), table,
+      maxTokens))
 }

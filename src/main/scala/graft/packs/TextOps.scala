@@ -616,6 +616,60 @@ object TextOps extends QueryPack {
           sum(col("ws")).cast("double"), 4).as("fertility_unigram"))
   }
 
+  /** Unigram-denominated budget/cap constants, shared with the
+    * generated oracles — the gate corpus carries ~28k unigram ids
+    * total and ~58 per median doc, so both cut mid-corpus / mid-doc
+    * and exercise every branch. */
+  val UnigramSampleBudget = 15000L
+  val TruncateUnigramMax = 64L
+
+  /** [[tokenBudgetSample]] under the unigram-LM denomination — the
+    * same bucket-decomposed running-sum machinery, only the count
+    * expression moves (the tokenizer seam, third denomination). */
+  def tokenBudgetSampleUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = unigramModel(spark, sfDir).table
+    TextAnalysis.tokenBudgetSampleWith(Tables.documents(spark, sfDir),
+      "doc_id", "text", UnigramSampleBudget, 4096,
+      c => graft.functions.UnigramTokenCount(c, t))
+  }
+
+  /** [[truncateTokensBpe]]'s unigram twin: word-boundary context cap
+    * under the unigram budget (the shared greedy-prefix body —
+    * untruncated docs return the ORIGINAL string). */
+  def truncateTokensUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = unigramModel(spark, sfDir).table
+    val n = graft.functions.UnigramTokenCount(col("text"), t)
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      when(n > TruncateUnigramMax,
+        graft.functions.UnigramTruncateWords(col("text"), t,
+          TruncateUnigramMax))
+        .otherwise(col("text")).as("text"),
+      n.as("n_tokens_unigram_orig"),
+      (n > TruncateUnigramMax).as("truncated"))
+  }
+
+  /** [[unigramLmEncodeIds]] trained from the PERSISTED word counts
+    * ([[graft.operators.BpeStore]]'s summed model — word counts are
+    * the additive half for BOTH tokenizer lineages): the store's
+    * two-batch ingest sums to the identical heavy-hitter table, so
+    * EM trains the identical pieces and the oracle is the SAME string
+    * (the token_count_bpe_store equivalence argument, extended to the
+    * unigram trainer). */
+  def unigramEncodeIdsStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = bpeStoreOf(docs, sfDir)
+    val wc = store.model(spark)
+      .orderBy(col("c").desc, col("word").asc).limit(MaxBpeWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t = new graft.functions.UnigramTable(
+      graft.operators.UnigramLmTokenizer.train(wc, UnigramVocabTarget),
+      graft.operators.UnigramLmTokenizer.MaxPieceLen)
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.UnigramTokenIds(col("text"), t)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+  }
+
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * (the standard tokenizer-evaluation metric: a fertility near 1
     * means the vocabulary covers the language's words whole; high
@@ -1224,9 +1278,12 @@ object TextOps extends QueryPack {
     * partials train the IDENTICAL merge table to one-shot training,
     * hence the oracle is token_count_bpe's verbatim) and the merge
     * table is derived from the persisted counts. */
-  def tokenCountBpeStore(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val store = bpeStores.computeIfAbsent(sfDir, dir => {
+  // per-sfDir memoized word-count store, ingested once in TWO batches
+  // (so every consumer also proves segment-sum additivity) — shared by
+  // the BPE and unigram store-trained twins
+  private def bpeStoreOf(docs: DataFrame,
+      sfDir: String): graft.operators.BpeStore =
+    bpeStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.BpeStore(
         s"graft_bpe_store_${graft.QueryPack.storeSuffix(dir)}",
         MaxBpeWords, NumBpeMerges)
@@ -1234,7 +1291,10 @@ object TextOps extends QueryPack {
       s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "text", batchId = 1L)
       s
     })
-    val m = store.merges(spark)
+
+  def tokenCountBpeStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = bpeStoreOf(docs, sfDir).merges(spark)
     docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens_ws"),
       graft.functions.BpeTokenCount(col("text"), m).as("n_tokens_bpe"))
@@ -1301,8 +1361,11 @@ object TextOps extends QueryPack {
     "decontaminate_spans_store" -> (decontaminateSpansStore _),
     "decontaminate_strip" -> (decontaminateStrip _),
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
+    "unigram_lm_encode_ids_store" -> (unigramEncodeIdsStore _),
     "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
     "pack_ids_unigram" -> (packIdsUnigram _),
+    "token_budget_sample_unigram" -> (tokenBudgetSampleUnigram _),
+    "truncate_tokens_unigram" -> (truncateTokensUnigram _),
     "truncate_tokens" -> (truncateTokens _),
     "split_assign" -> (splitAssign _),
     "token_budget_sample" -> (tokenBudgetSample _),
@@ -3200,6 +3263,9 @@ $branches
   SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS token_id
   FROM upre w0 JOIN uids w2 USING (word),
        unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+), udn AS MATERIALIZED (
+  SELECT uocc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
+  FROM uocc JOIN uwt USING (word) GROUP BY doc_id
 )"""
   }
 
@@ -3220,11 +3286,7 @@ $branches
           .trainedSnapshot(MaxBpeWords, NumBpeMerges)
           .filter(_.nonEmpty).map { merges =>
             s"""WITH RECURSIVE ${bpeCtes(merges)},
-               |$uCtes,
-               |udn AS (
-               |  SELECT uocc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
-               |  FROM uocc JOIN uwt USING (word) GROUP BY doc_id
-               |)
+               |$uCtes
                |SELECT d.lang,
                |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
                |  CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
@@ -3246,11 +3308,7 @@ $branches
         // tail with only the denomination swapped
         val packIds =
           s"""WITH $uCtes,
-             |udn2 AS (
-             |  SELECT uocc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
-             |  FROM uocc JOIN uwt USING (word) GROUP BY doc_id
-             |),
-             |${shardPackCtesCounted("udn2", "n_uni")},
+             |${shardPackCtesCounted("udn", "n_uni")},
              |ds AS (
              |  SELECT doc_id, shard, cum - n_tokens AS doc_start FROM w
              |)
@@ -3259,8 +3317,59 @@ $branches
              |  CAST((ds.doc_start + utk.pos) % $PackBudget AS BIGINT) AS seq_pos,
              |  CAST(utk.token_id AS BIGINT) AS token_id
              |FROM utk JOIN ds USING (doc_id)""".stripMargin
+        // the budget sample: the bpe twin's EXACT global-order
+        // running-sum shape over the shared per-doc unigram counts
+        val budget =
+          s"""WITH $uCtes,
+             |sb AS (
+             |  SELECT doc_id,
+             |    ('0x' || substr(md5('budget#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+             |    n_uni AS n_tokens
+             |  FROM udn
+             |)
+             |SELECT doc_id, n_tokens FROM (
+             |  SELECT doc_id, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM sb)
+             |WHERE cum <= $UnigramSampleBudget""".stripMargin
+        // the context cap: per-word running sum off the shared uwt,
+        // keep the maximal prefix; untruncated docs return the
+        // ORIGINAL string (the bpe twin's branch trick)
+        val truncate =
+          s"""WITH $uCtes,
+             |tp AS (
+             |  SELECT doc_id, text, t[i] AS word, i AS ord
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t
+             |        FROM documents),
+             |       unnest(range(1, len(t) + 1)) AS u(i)
+             |), tc AS (
+             |  SELECT tp.doc_id, tp.text, tp.word, tp.ord,
+             |    sum(uwt.n) OVER (PARTITION BY tp.doc_id ORDER BY tp.ord
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM tp JOIN uwt USING (word)
+             |), tt AS (
+             |  SELECT doc_id,
+             |    coalesce(string_agg(word, ' ' ORDER BY ord)
+             |      FILTER (WHERE cum <= $TruncateUnigramMax), '') AS text_trunc
+             |  FROM tc GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CASE WHEN udn.n_uni > $TruncateUnigramMax THEN tt.text_trunc
+             |       ELSE d.text END AS text,
+             |  udn.n_uni AS n_tokens_unigram_orig,
+             |  udn.n_uni > $TruncateUnigramMax AS truncated
+             |FROM documents d
+             |JOIN udn USING (doc_id)
+             |JOIN tt USING (doc_id)""".stripMargin
         Seq("unigram_lm_encode_ids" -> encode,
-          "pack_ids_unigram" -> packIds) ++
+          // the store only relocates where the word counts come from —
+          // summed batch partials train the identical pieces, so the
+          // oracle is the SAME string (the token_count_bpe_store
+          // equivalence argument)
+          "unigram_lm_encode_ids_store" -> encode,
+          "pack_ids_unigram" -> packIds,
+          "token_budget_sample_unigram" -> budget,
+          "truncate_tokens_unigram" -> truncate) ++
           compare.map("unigram_fertility_vs_bpe" -> _)
       }.toMap
 }

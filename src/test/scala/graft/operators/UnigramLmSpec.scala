@@ -84,6 +84,24 @@ class UnigramLmSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(pieces == pieces.sorted, "artifact must be sorted by string (ids)")
   }
 
+  test("training is invariant under word-table permutation (the store argument)") {
+    val wc = Seq(("hello", 60L), ("help", 30L), ("hell", 20L), ("lop", 9L),
+      ("pool", 7L), ("loop", 5L))
+    assert(UnigramLmTokenizer.train(wc, 16) ==
+      UnigramLmTokenizer.train(wc.reverse, 16),
+      "summed counts arriving in any order must train identical pieces")
+  }
+
+  test("truncateWords keeps the longest word-prefix within the budget") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cut(s: String, n: Long) =
+      t.truncateWords(UTF8String.fromString(s), n).toString
+    // "ab" = 1 token, "ba" = 2, "c" = 1
+    assert(cut("ab ba c", 3L) == "ab ba")
+    assert(cut("ab ba c", 4L) == "ab ba c")
+    assert(cut("ba", 1L) == "", "a first word over budget yields empty")
+  }
+
   test("ids/count agree with the segmentation across whitespace folds") {
     import org.apache.spark.unsafe.types.UTF8String
     val s = "ab ba  cab"
