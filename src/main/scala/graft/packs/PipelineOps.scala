@@ -134,6 +134,38 @@ object PipelineOps extends QueryPack {
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
       .localCheckpoint(false)
 
+  /** The production stage ORDER the span-decontamination family
+    * completes: benchmark spans are stripped FIRST (an absolute
+    * property of (doc, eval suite) — quality must be scored on the
+    * text that actually ships, and a quoted benchmark answer must not
+    * buy a junk page through the gate), then the FULL curation body
+    * runs over the scrubbed corpus — quality ≥ QualityMin, stratified
+    * mixture, md5-twin LSH clustering, quality-argmax keep — the
+    * [[curateQuality]] composition verbatim via its corpus seam.
+    * Scale shape: the scrub is the span operator's own per-document
+    * shape; the scrubbed corpus is checkpointed once (the curate body
+    * scores, shingles and re-joins text several times). */
+  def pipelineCurateScrubbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val train = docs
+      .filter(col("doc_id") % TextOps.ContamBenchMod =!=
+        TextOps.ContamBenchRem)
+    val spans = TextAnalysis.contaminationSpans(train,
+      docs.filter(col("doc_id") % TextOps.ContamBenchMod ===
+        TextOps.ContamBenchRem),
+      "doc_id", "text", TextOps.ContamShingleN)
+    // a doc the scrub empties out was PURE benchmark content — it has
+    // nothing left to train on and nothing to score (the quality
+    // expression's char ratios are undefined over ""), so it drops
+    // here, before the gate; the oracle applies the identical predicate
+    val scrubbed = Dedup.stripSpans(train, spans, "doc_id", "text")
+      .filter(length(col("clean_text")) > 0)
+      .join(train.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+      .localCheckpoint(false)
+    curateQuality(scrubbed)
+  }
+
   /** [[pipelineCurateStrip]] over an arbitrary corpus (see
     * [[curateQuality]]). */
   def curateStrip(docs: DataFrame): DataFrame = {
@@ -340,18 +372,24 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_pack_ids" -> (pipelineCuratePackIds _),
       "pipeline_curate_audit" -> (pipelineCurateAudit _),
       "pipeline_curate_dsir" -> (pipelineCurateDsir _),
-      "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _))
+      "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _),
+      "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
     * keep (j/b/k) — pipeline_curate_quality selects the winners
     * directly, pipeline_curate_strip re-joins text and strips. ONE
     * string, so a keep-rule change can't drift the two apart. */
-  private val qualityKeepCtes: String =
+  private val qualityKeepCtes: String = qualityKeepCtesFrom("documents")
+
+  /** [[qualityKeepCtes]] over an arbitrary (doc_id, lang, text)
+    * relation — the scrubbed composition feeds the benchmark-stripped
+    * corpus through the IDENTICAL gate body. */
+  private def qualityKeepCtesFrom(src: String): String =
     s"""q AS (
        |  SELECT doc_id, lang, text,
        |  ${TextOps.qualityExprSql} AS quality
-       |  FROM documents
+       |  FROM $src
        |), sampled AS (
        |  SELECT * FROM q
        |  WHERE quality >= $QualityMin
@@ -446,6 +484,22 @@ object PipelineOps extends QueryPack {
     // the j/b/k tail mirrors DedupOps.keepQualityOracle over `sampled`
     "pipeline_curate_quality" ->
       s"""WITH RECURSIVE $qualityKeepCtes
+         |SELECT j.doc_id, j.lang, j.quality
+         |FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |WHERE j.doc_id = k.best_id""".stripMargin,
+
+    // the scrub-first composition: the decontaminate_strip fragment
+    // verbatim (TextOps.contamStripCtes), lang re-joined, then the
+    // IDENTICAL quality-keep body over the scrubbed relation — both
+    // halves are the same strings their per-operator oracles verify
+    "pipeline_curate_scrubbed" ->
+      s"""WITH RECURSIVE ${TextOps.contamStripCtes},
+         |scr AS (
+         |  SELECT c.doc_id, d.lang, c.clean_text AS text
+         |  FROM cstrip c JOIN documents d USING (doc_id)
+         |  WHERE length(c.clean_text) > 0
+         |),
+         |${qualityKeepCtesFrom("scr")}
          |SELECT j.doc_id, j.lang, j.quality
          |FROM j JOIN k ON j.cluster_id = k.cluster_id
          |WHERE j.doc_id = k.best_id""".stripMargin,

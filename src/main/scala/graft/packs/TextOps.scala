@@ -1488,11 +1488,13 @@ object TextOps extends QueryPack {
        |       CAST(span_tokens AS BIGINT) AS span_tokens
        |FROM cspans""".stripMargin
 
-  /** DuckDB twin of [[decontaminateStrip]]: the SAME span CTEs, then
-    * per-token covered-by-any-span verdicts and the order-preserving
-    * kept-token rebuild (the dedup_strip_spans tail shape). */
-  private def decontaminateStripOracle: String =
-    s"""WITH $contamSpanCtes,
+  /** The span CTEs + per-token verdicts + order-preserving rebuild,
+    * ending in cstrip(doc_id, clean_text, n_dropped) — shared by the
+    * decontaminate_strip oracle and the scrubbed pipeline composition
+    * (PipelineOps.pipeline_curate_scrubbed), so the scrub semantics
+    * exist once. */
+  private[packs] def contamStripCtes: String =
+    s"""$contamSpanCtes,
        |ctk2 AS (
        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
        |  FROM ctk, unnest(range(1, len(t) + 1)) AS u(i)
@@ -1505,12 +1507,20 @@ object TextOps extends QueryPack {
        |        THEN 1 ELSE 0 END) AS dropped
        |  FROM ctk2 t2 LEFT JOIN cspans s ON t2.doc_id = s.doc_id
        |  GROUP BY t2.doc_id, t2.pos
-       |)
-       |SELECT doc_id,
-       |  coalesce(string_agg(tok, ' ' ORDER BY pos)
-       |    FILTER (WHERE dropped = 0), '') AS clean_text,
-       |  CAST(sum(dropped) AS BIGINT) AS n_dropped
-       |FROM cmkt GROUP BY doc_id""".stripMargin
+       |), cstrip AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(tok, ' ' ORDER BY pos)
+       |      FILTER (WHERE dropped = 0), '') AS clean_text,
+       |    CAST(sum(dropped) AS BIGINT) AS n_dropped
+       |  FROM cmkt GROUP BY doc_id
+       |)""".stripMargin
+
+  /** DuckDB twin of [[decontaminateStrip]]: the SAME span CTEs, then
+    * per-token covered-by-any-span verdicts and the order-preserving
+    * kept-token rebuild (the dedup_strip_spans tail shape). */
+  private def decontaminateStripOracle: String =
+    s"""WITH $contamStripCtes
+       |SELECT doc_id, clean_text, n_dropped FROM cstrip""".stripMargin
 
   /** The pack_sequences SELECT tail over a [[shardPackCtesFrom]] `w`
     * CTE — shared with the pipeline composition's oracle. */

@@ -310,6 +310,26 @@ object StreamingPipelines {
     batch.join(broadcast(clean), Seq(idCol), "left_semi")
   }
 
+  /** SPAN-granular decontamination at ingest — the streaming form of
+    * the batch decontaminate_strip: every arriving doc is probed
+    * positionally against the persisted benchmark shingle set and its
+    * contaminated spans STRIPPED, the document kept (where
+    * [[decontaminateGateBatch]] drops the whole doc). Like the gate
+    * form, this is a PURE store read — the verdict is an absolute
+    * function of (doc, eval suite), so there is no batchId/replay
+    * seam and re-running is idempotent by construction; it composes
+    * as the FIRST stage of an ingest loop (scrub before scoring:
+    * quality must be judged on the text that ships, and downstream
+    * stores must never ingest benchmark content). Returns
+    * (idCol, clean_text, n_dropped). */
+  def decontaminateStripBatch(benchStore: graft.operators.BenchmarkStore,
+      batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.Dedup.stripSpans(batch,
+      graft.operators.TextAnalysis.contaminationSpansFrom(batch,
+        benchStore.table(batch.sparkSession), idCol, textCol,
+        benchStore.shingleN),
+      idCol, textCol)
+
   /** The COMPLETE streaming curation ingest — every gate of the batch
     * pipeline composed into ONE foreachBatch body over the three
     * persisted stores:

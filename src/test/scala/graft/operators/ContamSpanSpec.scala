@@ -74,6 +74,24 @@ class ContamSpanSpec extends SparkSpec {
     assert(got(4L) == ((pad("clean", 5), 0L)))
   }
 
+  test("streaming scrub stage == batch strip restricted to the batch") {
+    val docs = Seq(
+      (1L, s"${pad("a", 3)} $phrase ${pad("b", 2)}"),
+      (2L, s"$phrase ${pad("m", 10)} $phrase"),
+      (4L, pad("clean", 5))).toDF("doc_id", "text")
+    val store = new BenchmarkStore(s"contam_strip_stream_${System.nanoTime()}", N)
+    store.ingest(bench, "text")
+    def strip(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamingPipelines
+        .decontaminateStripBatch(store, df, "doc_id", "text")
+        .as[(Long, String, Long)].collect().toSet
+    val whole = strip(docs)
+    val batched = strip(docs.filter(col("doc_id") < 2L)) ++
+      strip(docs.filter(col("doc_id") >= 2L))
+    assert(batched == whole, "the scrub is per-document — any batch split agrees")
+    assert(whole.exists(_._3 > 0) && whole.exists(_._3 == 0))
+  }
+
   test("every doc with a span is flagged by the doc-level probe") {
     val docs = Seq(
       (1L, s"${pad("a", 10)} $phrase ${pad("b", 10)}"),
