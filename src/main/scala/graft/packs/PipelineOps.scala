@@ -346,6 +346,32 @@ object PipelineOps extends QueryPack {
       "doc_id", QualityMin)
   }
 
+  /** [[pipelineCurateMultimodal]] with the TEXT pipeline's canonical
+    * policy: connected components over the image hamming pair graph
+    * and one min-id canonical per COMPONENT ([[Dedup
+    * .nearDupClustersFromPairs]] — transitively closed), instead of
+    * the pairwise lower-id-neighbor rule. A chain a–b–c keeps exactly
+    * {a} here where the neighbor rule keeps {a, c} (b is nobody's
+    * lower neighbor twice) — the policy a dedup pass that must bound
+    * storage actually wants. Same audit projection; only the dup
+    * derivation moves. */
+  def pipelineCurateMultimodalCc(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val hashes = graft.operators.Multimodal.imageAHashes(spark,
+        graft.operators.Multimodal.syntheticPngAssets(spark, docs))
+      .toDF().localCheckpoint(false)
+    val pairs = graft.operators.Multimodal.imageHammingPairs(hashes)
+      .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
+    val dup = Dedup.nearDupClustersFromPairs(docs, "doc_id", pairs)
+      .filter(!col("keep")).select(col("doc_id"))
+      .withColumn("img_dup", lit(true))
+    multimodalVerdict(docs.select(col("doc_id"), col("lang")),
+      TextAnalysis.qualityScore(docs, "doc_id", "text"), dup,
+      "doc_id", QualityMin)
+  }
+
   /** The ONE audit projection of the multimodal curation verdict —
     * shared by the batch composition above and the streaming ingest
     * twin ([[graft.streaming.StreamingPipelines
@@ -373,6 +399,7 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_audit" -> (pipelineCurateAudit _),
       "pipeline_curate_dsir" -> (pipelineCurateDsir _),
       "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _),
+      "pipeline_curate_multimodal_cc" -> (pipelineCurateMultimodalCc _),
       "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
@@ -425,6 +452,27 @@ object PipelineOps extends QueryPack {
          |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
          |      FROM documents),
          |dup AS (SELECT DISTINCT asset_b AS doc_id FROM mpairs)
+         |SELECT d.doc_id, d.lang, q.quality,
+         |  (dup.doc_id IS NULL) AS img_keep,
+         |  (q.quality >= $QualityMin) AS caption_pass,
+         |  ((dup.doc_id IS NULL) AND q.quality >= $QualityMin) AS keep
+         |FROM documents d
+         |JOIN q USING (doc_id)
+         |LEFT JOIN dup USING (doc_id)""".stripMargin,
+
+    // the component-canonical policy twin: the SAME pair CTEs feed the
+    // recursive min-label components (the text clustering oracle's
+    // fragment over the image pair graph; jac = 1.0 literal ≥ 0.0 —
+    // the hamming verify already gated the pairs), keep = component
+    // canonical
+    "pipeline_curate_multimodal_cc" ->
+      s"""${TextOps.phashCte.replaceFirst("^WITH ", "WITH RECURSIVE ")}${TextOps.hammingPairsCtes},
+         |pairs AS (SELECT asset_a AS doc_a, asset_b AS doc_b, 1.0 AS jac
+         |          FROM mpairs),
+         |${DedupOps.componentCtes("documents", 0.0)},
+         |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+         |      FROM documents),
+         |dup AS (SELECT v AS doc_id FROM cc WHERE v <> cluster_id)
          |SELECT d.doc_id, d.lang, q.quality,
          |  (dup.doc_id IS NULL) AS img_keep,
          |  (q.quality >= $QualityMin) AS caption_pass,
