@@ -362,9 +362,20 @@ object PipelineOps extends QueryPack {
     val hashes = graft.operators.Multimodal.imageAHashes(spark,
         graft.operators.Multimodal.syntheticPngAssets(spark, docs))
       .toDF().localCheckpoint(false)
+    // pairs materialize once (the component loop re-reads them and the
+    // vertex draw below is a second consumer — without this each re-runs
+    // the banding join over the decoded hashes)
     val pairs = graft.operators.Multimodal.imageHammingPairs(hashes)
       .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
-    val dup = Dedup.nearDupClustersFromPairs(docs, "doc_id", pairs)
+      .localCheckpoint(false)
+    // the component loop seeds from PAIR VERTICES only, not the corpus:
+    // an asset in no pair is trivially its own canonical (v ==
+    // cluster_id in the corpus-seeded fixpoint) and can never enter the
+    // dup set — the loop's per-round jobs then run over the pair graph,
+    // which is orders of magnitude smaller than the corpus at scale
+    val verts = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val dup = Dedup.nearDupClustersFromPairs(verts, "doc_id", pairs)
       .filter(!col("keep")).select(col("doc_id"))
       .withColumn("img_dup", lit(true))
     multimodalVerdict(docs.select(col("doc_id"), col("lang")),
