@@ -130,6 +130,32 @@ final class UnigramTable(val pieces: Seq[(String, Long)],
   def truncateWords(text: UTF8String, maxTokens: Long): UTF8String =
     BpeTable.truncateWordsOf(text, maxTokens, tokenizeWord)
 
+  /** Total negative log-likelihood of the text under the unigram
+    * model, in integer micro-nats — the Viterbi-best segmentation's
+    * summed piece costs (the model doubles as the CCNet-style LM
+    * filter: the trained pieces ARE a unigram LM). UNK chars cost
+    * [[UnigramTable.UnkCostMicro]]; the empty split artifact carries
+    * no probability mass (cost 0). Exact integer sum, cross-engine. */
+  def totalCostMicro(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    var total = 0L
+    var i = 0
+    while (i < words.length) {
+      val pieces = tokenizeWord(words(i))
+      var j = 0
+      while (j < pieces.length) {
+        val p = pieces(j)
+        if (p.nonEmpty) {
+          val e = lookup.get(p)
+          total += (if (e != null) e._2 else UnigramTable.UnkCostMicro)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    total
+  }
+
   override def hashCode(): Int = (pieces, maxPieceLen).hashCode()
   override def equals(o: Any): Boolean = o match {
     case t: UnigramTable =>
@@ -232,4 +258,33 @@ object UnigramTruncateWords {
   def apply(text: Column, table: UnigramTable, maxTokens: Long): Column =
     bridge.column(UnigramTruncateWords(bridge.expression(text), table,
       maxTokens))
+}
+
+/** `bigint` total negative log-likelihood of the text under the
+  * trained unigram LM, in micro-nats. */
+case class UnigramLmCost(child: Expression, table: UnigramTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "graft_unigram_cost"
+
+  override def nullSafeEval(input: Any): Any =
+    table.totalCostMicro(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table,
+      classOf[UnigramTable].getName)
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $ref.totalCostMicro($t);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramLmCost = copy(child = newChild)
+}
+
+object UnigramLmCost {
+  def apply(text: Column, table: UnigramTable): Column =
+    bridge.column(UnigramLmCost(bridge.expression(text), table))
 }

@@ -593,6 +593,23 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token_id"))
 
+  /** Per-document negative log-likelihood under the trained unigram
+    * LM — the tokenizer's pieces ARE a unigram language model, so the
+    * trained artifact doubles as the CCNet-style LM quality filter
+    * with ZERO extra training: total Viterbi cost in exact integer
+    * micro-nats plus the per-token mean (the perplexity-proxy a
+    * filtering threshold actually binds on). Scan-side, one codegen'd
+    * expression, no shuffle. */
+  def unigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = unigramModel(spark, sfDir).table
+    val n = graft.functions.UnigramTokenCount(col("text"), t)
+    val c = graft.functions.UnigramLmCost(col("text"), t)
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      n.as("n_tokens_unigram"),
+      c.as("cost_micro"),
+      round(c.cast("double") / n.cast("double"), 4).as("mean_cost_micro"))
+  }
+
   /** The tokenizer-ablation row: BPE vs unigram-LM fertility per
     * language over the SAME corpus — the comparison real tokenizer
     * evaluations run (which scheme covers each language's words with
@@ -1362,6 +1379,7 @@ object TextOps extends QueryPack {
     "decontaminate_strip" -> (decontaminateStrip _),
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
     "unigram_lm_encode_ids_store" -> (unigramEncodeIdsStore _),
+    "unigram_lm_score" -> (unigramLmScore _),
     "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
     "pack_ids_unigram" -> (packIdsUnigram _),
     "token_budget_sample_unigram" -> (tokenBudgetSampleUnigram _),
@@ -3371,7 +3389,28 @@ $branches
              |FROM documents d
              |JOIN udn USING (doc_id)
              |JOIN tt USING (doc_id)""".stripMargin
+        // the LM score: per-word summed piece costs from the SAME
+        // backtrack steps (UNK rows already carry the shared constant;
+        // the empty artifact carries no mass), per-doc exact integer
+        // totals, one rounded division for the per-token mean
+        val lmScore =
+          s"""WITH $uCtes,
+             |uwc AS (
+             |  SELECT s.word, CAST(sum(v.cost) AS BIGINT) AS wcost
+             |  FROM usteps s JOIN uv v ON v.plen = s.slen AND v.piece = s.piece
+             |  GROUP BY s.word
+             |  UNION ALL SELECT '', CAST(0 AS BIGINT)
+             |), udc AS (
+             |  SELECT uocc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
+             |  FROM uocc JOIN uwc USING (word) GROUP BY doc_id
+             |)
+             |SELECT udc.doc_id, udn.n_uni AS n_tokens_unigram,
+             |  udc.cost_micro,
+             |  round(CAST(udc.cost_micro AS DOUBLE)
+             |    / CAST(udn.n_uni AS DOUBLE), 4) AS mean_cost_micro
+             |FROM udc JOIN udn USING (doc_id)""".stripMargin
         Seq("unigram_lm_encode_ids" -> encode,
+          "unigram_lm_score" -> lmScore,
           // the store only relocates where the word counts come from —
           // summed batch partials train the identical pieces, so the
           // oracle is the SAME string (the token_count_bpe_store

@@ -102,6 +102,16 @@ class UnigramLmSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(cut("ba", 1L) == "", "a first word over budget yields empty")
   }
 
+  test("LM cost = the Viterbi segmentation's summed piece costs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def cost(s: String) = t.totalCostMicro(UTF8String.fromString(s))
+    assert(cost("ab") == 1000000L, "the cheap piece's cost, not the singles'")
+    assert(cost("ba") == 6000000L)
+    assert(cost("a  b") == 6000000L, "empty split artifacts carry no mass")
+    assert(cost("Z") == graft.functions.UnigramTable.UnkCostMicro)
+    assert(cost("") == 0L)
+  }
+
   test("ids/count agree with the segmentation across whitespace folds") {
     import org.apache.spark.unsafe.types.UTF8String
     val s = "ab ba  cab"
