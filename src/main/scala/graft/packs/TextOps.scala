@@ -610,6 +610,38 @@ object TextOps extends QueryPack {
       round(c.cast("double") / n.cast("double"), 4).as("mean_cost_micro"))
   }
 
+  /** unigram_lm_floor keep fraction (the CCNet head/middle split —
+    * keep the best 60%), shared with the generated oracle. */
+  val UnigramLmKeepFrac = 0.6
+
+  /** CCNet's actual selection stage: keep the LOWEST-perplexity
+    * `UnigramLmKeepFrac` of the corpus under the trained unigram LM —
+    * the corpus-relative floor machinery ([[graft.operators
+    * .TextAnalysis.cutoffFromHistogram]]) reused verbatim by feeding
+    * it a NEGATED exact-integer key (mean cost in millinats via pure
+    * integer floor-division — no double rounding anywhere near the
+    * cutoff, so the keep set is value-exact cross-engine; ties at the
+    * boundary millinat included). Scale shape identical to
+    * quality_floor: scan-side scoring, a value-domain-bounded
+    * histogram (≤ ~25,000 millinat buckets), one tiny window, a 1-row
+    * cutoff broadcast back onto the scan. */
+  def unigramLmFloor(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = unigramModel(spark, sfDir).table
+    val q = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.UnigramLmCost(col("text"), t).as("cost_micro"),
+        graft.functions.UnigramTokenCount(col("text"), t).as("n_tok"))
+      .select(col("doc_id"),
+        expr("-(cost_micro div (n_tok * 1000L))")
+          .as("quality_bp"))
+    val hist = q.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val cutoff = TextAnalysis.cutoffFromHistogram(hist, UnigramLmKeepFrac)
+    q.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bp") >= col("cutoff"))
+      .select(col("doc_id"),
+        (-col("quality_bp")).cast("long").as("mean_cost_millinats"))
+  }
+
   /** The tokenizer-ablation row: BPE vs unigram-LM fertility per
     * language over the SAME corpus — the comparison real tokenizer
     * evaluations run (which scheme covers each language's words with
@@ -1380,6 +1412,7 @@ object TextOps extends QueryPack {
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
     "unigram_lm_encode_ids_store" -> (unigramEncodeIdsStore _),
     "unigram_lm_score" -> (unigramLmScore _),
+    "unigram_lm_floor" -> (unigramLmFloor _),
     "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
     "pack_ids_unigram" -> (packIdsUnigram _),
     "token_budget_sample_unigram" -> (tokenBudgetSampleUnigram _),
@@ -3389,13 +3422,12 @@ $branches
              |FROM documents d
              |JOIN udn USING (doc_id)
              |JOIN tt USING (doc_id)""".stripMargin
-        // the LM score: per-word summed piece costs from the SAME
-        // backtrack steps (UNK rows already carry the shared constant;
-        // the empty artifact carries no mass), per-doc exact integer
-        // totals, one rounded division for the per-token mean
-        val lmScore =
-          s"""WITH $uCtes,
-             |uwc AS (
+        // per-word summed piece costs from the SAME backtrack steps
+        // (UNK rows already carry the shared constant; the empty
+        // artifact carries no mass) → per-doc exact integer totals —
+        // shared by the LM score and the LM floor oracles
+        val lmCostCtes =
+          s"""uwc AS (
              |  SELECT s.word, CAST(sum(v.cost) AS BIGINT) AS wcost
              |  FROM usteps s JOIN uv v ON v.plen = s.slen AND v.piece = s.piece
              |  GROUP BY s.word
@@ -3403,14 +3435,39 @@ $branches
              |), udc AS (
              |  SELECT uocc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
              |  FROM uocc JOIN uwc USING (word) GROUP BY doc_id
-             |)
+             |)""".stripMargin
+        val lmScore =
+          s"""WITH $uCtes,
+             |$lmCostCtes
              |SELECT udc.doc_id, udn.n_uni AS n_tokens_unigram,
              |  udc.cost_micro,
              |  round(CAST(udc.cost_micro AS DOUBLE)
              |    / CAST(udn.n_uni AS DOUBLE), 4) AS mean_cost_micro
              |FROM udc JOIN udn USING (doc_id)""".stripMargin
+        // the quality_floor oracle's exact histogram/cumulative/cutoff
+        // tail over the NEGATED integer millinat key (pure integer
+        // floor division — both engines' // truncation == floor on the
+        // all-positive operands)
+        val lmFloor =
+          s"""WITH $uCtes,
+             |$lmCostCtes,
+             |kq AS (
+             |  SELECT udc.doc_id,
+             |    -(udc.cost_micro // (udn.n_uni * 1000)) AS quality_bp
+             |  FROM udc JOIN udn USING (doc_id)
+             |), h AS (SELECT quality_bp, count(*) AS c FROM kq GROUP BY quality_bp),
+             |nn AS (SELECT count(*) AS n FROM kq),
+             |cm AS (SELECT quality_bp,
+             |        sum(c) OVER (ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
+             |      FROM h),
+             |cut AS (SELECT max(quality_bp) AS cutoff FROM cm, nn
+             |        WHERE cum >= ceil(nn.n * $UnigramLmKeepFrac))
+             |SELECT kq.doc_id,
+             |  CAST(-kq.quality_bp AS BIGINT) AS mean_cost_millinats
+             |FROM kq, cut WHERE kq.quality_bp >= cut.cutoff""".stripMargin
         Seq("unigram_lm_encode_ids" -> encode,
           "unigram_lm_score" -> lmScore,
+          "unigram_lm_floor" -> lmFloor,
           // the store only relocates where the word counts come from —
           // summed batch partials train the identical pieces, so the
           // oracle is the SAME string (the token_count_bpe_store
