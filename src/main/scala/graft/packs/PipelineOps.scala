@@ -400,6 +400,42 @@ object PipelineOps extends QueryPack {
         (col("quality") >= qualityMin).as("caption_pass"),
         (col("img_dup").isNull && col("quality") >= qualityMin).as("keep"))
 
+  /** The CCNet pipeline end to end: LM-perplexity floor (keep the
+    * lowest-cost [[TextOps.UnigramLmKeepFrac]] under the TRAINED
+    * unigram LM — the tokenizer's pieces are the LM, zero extra
+    * training) → stratified language mixture → md5-twin LSH near-dup
+    * clustering → min-id canonical keep. The floor is the
+    * corpus-relative histogram machinery over the negated exact
+    * millinat key; everything downstream is [[pipelineCurate]]'s own
+    * composition. Scale shape: LM scoring is one codegen'd scan (the
+    * checkpoint feeds the histogram, the floor filter and the banding
+    * machinery — without it the Viterbi scoring runs once per
+    * consumer); the histogram is value-domain-bounded; only the
+    * floored mixture reaches the pair join. */
+  def pipelineCurateLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = TextOps.unigramModel(spark, sfDir).table
+    val scored = docs
+      .withColumn("cost_micro",
+        graft.functions.UnigramLmCost(col("text"), t))
+      .withColumn("n_tok",
+        graft.functions.UnigramTokenCount(col("text"), t))
+      .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
+      .localCheckpoint(false)
+    val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val cutoff = TextAnalysis.cutoffFromHistogram(hist,
+      TextOps.UnigramLmKeepFrac)
+    val floored = scored.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bp") >= col("cutoff"))
+    val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        (-col("quality_bp")).cast("long").as("mean_cost_millinats"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
@@ -411,7 +447,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_dsir" -> (pipelineCurateDsir _),
       "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _),
       "pipeline_curate_multimodal_cc" -> (pipelineCurateMultimodalCc _),
-      "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _))
+      "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _),
+      "pipeline_curate_lm" -> (pipelineCurateLm _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -625,7 +662,34 @@ object PipelineOps extends QueryPack {
          |       ELSE 'keep' END AS verdict,
          |  l.dup_of
          |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin
-  ) ++ bpePipelineOracles
+  ) ++ bpePipelineOracles ++ lmPipelineOracle
+
+  // generated from the exact unigram model the engine trained (the
+  // bpeOracles pattern): the floor fragments are the SAME strings the
+  // standalone unigram_lm_floor oracle verifies, the mixture gate and
+  // pair/component fragments the same strings pipeline_curate verifies
+  private def lmPipelineOracle: Map[String, String] =
+    graft.operators.UnigramLmTokenizer
+      .trainedSnapshot(TextOps.MaxBpeWords, TextOps.UnigramVocabTarget)
+      .filter(_.pieces.nonEmpty).toList.map { model =>
+        "pipeline_curate_lm" ->
+          s"""WITH RECURSIVE ${TextOps.unigramCtes(model)},
+             |${TextOps.lmCostCtes},
+             |${TextOps.lmFloorCtes},
+             |flo AS (
+             |  SELECT d.doc_id, d.lang, d.text, kq.quality_bp
+             |  FROM documents d JOIN kq USING (doc_id), cut
+             |  WHERE kq.quality_bp >= cut.cutoff
+             |), sampled AS (
+             |  SELECT * FROM flo WHERE ${TextOps.sampleGateSql}
+             |),
+             |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+             |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
+             |SELECT s.doc_id, s.lang,
+             |  CAST(-s.quality_bp AS BIGINT) AS mean_cost_millinats
+             |FROM sampled s JOIN cc ON s.doc_id = cc.v
+             |WHERE s.doc_id = cc.cluster_id""".stripMargin
+      }.toMap
 
   // generated from the engine's trained merge table (the TextOps
   // bpeOracles gating): present once the query pass has run — always

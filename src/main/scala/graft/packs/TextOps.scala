@@ -3330,6 +3330,39 @@ $branches
 )"""
   }
 
+  /** Per-word summed piece costs from the SAME backtrack steps the
+    * encode oracle walks (UNK rows already carry the shared constant;
+    * the empty artifact carries no mass) → per-doc exact integer
+    * totals, udc(doc_id, cost_micro) — shared by the LM score / floor
+    * oracles and the composed CCNet pipeline oracle. */
+  private[packs] val lmCostCtes: String =
+    s"""uwc AS (
+       |  SELECT s.word, CAST(sum(v.cost) AS BIGINT) AS wcost
+       |  FROM usteps s JOIN uv v ON v.plen = s.slen AND v.piece = s.piece
+       |  GROUP BY s.word
+       |  UNION ALL SELECT '', CAST(0 AS BIGINT)
+       |), udc AS (
+       |  SELECT uocc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
+       |  FROM uocc JOIN uwc USING (word) GROUP BY doc_id
+       |)""".stripMargin
+
+  /** The negated exact-integer millinat key + histogram/cumulative/
+    * cutoff tail — ends in kq(doc_id, quality_bp) and cut(cutoff);
+    * shared by the standalone LM floor oracle and the composed CCNet
+    * pipeline oracle. */
+  private[packs] val lmFloorCtes: String =
+    s"""kq AS (
+       |  SELECT udc.doc_id,
+       |    -(udc.cost_micro // (udn.n_uni * 1000)) AS quality_bp
+       |  FROM udc JOIN udn USING (doc_id)
+       |), lh AS (SELECT quality_bp, count(*) AS c FROM kq GROUP BY quality_bp),
+       |lnn AS (SELECT count(*) AS n FROM kq),
+       |lcm AS (SELECT quality_bp,
+       |        sum(c) OVER (ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM lh),
+       |cut AS (SELECT max(quality_bp) AS cutoff FROM lcm, lnn
+       |        WHERE cum >= ceil(lnn.n * $UnigramLmKeepFrac))""".stripMargin
+
   // generated from the exact model the engine trained (the bpeOracles
   // pattern) — available once the query pass has run; the fertility
   // comparison additionally needs the BPE snapshot
@@ -3422,20 +3455,6 @@ $branches
              |FROM documents d
              |JOIN udn USING (doc_id)
              |JOIN tt USING (doc_id)""".stripMargin
-        // per-word summed piece costs from the SAME backtrack steps
-        // (UNK rows already carry the shared constant; the empty
-        // artifact carries no mass) → per-doc exact integer totals —
-        // shared by the LM score and the LM floor oracles
-        val lmCostCtes =
-          s"""uwc AS (
-             |  SELECT s.word, CAST(sum(v.cost) AS BIGINT) AS wcost
-             |  FROM usteps s JOIN uv v ON v.plen = s.slen AND v.piece = s.piece
-             |  GROUP BY s.word
-             |  UNION ALL SELECT '', CAST(0 AS BIGINT)
-             |), udc AS (
-             |  SELECT uocc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
-             |  FROM uocc JOIN uwc USING (word) GROUP BY doc_id
-             |)""".stripMargin
         val lmScore =
           s"""WITH $uCtes,
              |$lmCostCtes
@@ -3451,17 +3470,7 @@ $branches
         val lmFloor =
           s"""WITH $uCtes,
              |$lmCostCtes,
-             |kq AS (
-             |  SELECT udc.doc_id,
-             |    -(udc.cost_micro // (udn.n_uni * 1000)) AS quality_bp
-             |  FROM udc JOIN udn USING (doc_id)
-             |), h AS (SELECT quality_bp, count(*) AS c FROM kq GROUP BY quality_bp),
-             |nn AS (SELECT count(*) AS n FROM kq),
-             |cm AS (SELECT quality_bp,
-             |        sum(c) OVER (ORDER BY quality_bp DESC ROWS UNBOUNDED PRECEDING) AS cum
-             |      FROM h),
-             |cut AS (SELECT max(quality_bp) AS cutoff FROM cm, nn
-             |        WHERE cum >= ceil(nn.n * $UnigramLmKeepFrac))
+             |$lmFloorCtes
              |SELECT kq.doc_id,
              |  CAST(-kq.quality_bp AS BIGINT) AS mean_cost_millinats
              |FROM kq, cut WHERE kq.quality_bp >= cut.cutoff""".stripMargin
