@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   */
 final class NbStore(name: String, val dim: Int = NbClassifier.Dim,
     layoutBuckets: Int = 16,
-    pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer)
+    pointer: graft.streaming.StorePointer = new graft.streaming.InMemoryPointer,
+    val bigram: Boolean = false)
     extends SegmentedBucketedStore(name, "bucket", layoutBuckets, pointer) {
 
   override protected def emptyTable(spark: SparkSession): DataFrame = {
@@ -48,10 +49,33 @@ final class NbStore(name: String, val dim: Int = NbClassifier.Dim,
 
   /** Publish an accepted batch's partial sufficient statistics under
     * `batchId` (at-least-once replays no-op — double-counted buckets
-    * would shift every trained weight). */
+    * would shift every trained weight). The store's `bigram` flag picks
+    * the feature space ONCE at construction — ingest and every scorer
+    * derived from [[model]] dispatch on it together, so a store can
+    * never mix unigram-only and unigram+bigram counts (the two spaces
+    * share the bucket domain; mixed counts would be silently wrong,
+    * not loudly shaped wrong). */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
       batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit =
-    merge(NbClassifier.stats(docs, idCol, textCol, dim), batchId)
+    merge(
+      if (bigram) NbClassifier.statsBigram(docs, idCol, textCol, dim)
+      else NbClassifier.stats(docs, idCol, textCol, dim), batchId)
+
+  /** The exact integer log-odds under the store's OWN feature space —
+    * the single gate expression every consumer must use, so a
+    * bigram-trained store can never be scored with the unigram-only
+    * walker (same weights, wrong features — plausible scores, silent
+    * drift). */
+  def rawScoreExprOf(text: org.apache.spark.sql.Column,
+      m: NbClassifier.Model): org.apache.spark.sql.Column =
+    if (bigram) NbClassifier.rawScoreBigramExpr(text, m)
+    else NbClassifier.rawScoreExpr(text, m)
+
+  /** Rounded-score twin of [[rawScoreExprOf]]. */
+  def scoreExprOf(text: org.apache.spark.sql.Column,
+      m: NbClassifier.Model): org.apache.spark.sql.Column =
+    if (bigram) NbClassifier.scoreBigramExpr(text, m)
+    else NbClassifier.scoreExpr(text, m)
 
   /** The summed sufficient statistics (one row per (label, bucket)). */
   def summedStats(spark: SparkSession): DataFrame =

@@ -1210,6 +1210,117 @@ object TextAnalysis {
           sum(col("bf")).cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Absolute discount for [[bigramLogProbKn]] as an exact rational:
+    * D = KnDiscountNum / KnDiscountDen = 3/4 = 0.75, the textbook
+    * Kneser-Ney default (Chen & Goodman 1999). Carried as integers so
+    * the smoothed probability stays a ratio of exact BIGINTs. */
+  val KnDiscountNum = 3L
+  val KnDiscountDen = 4L
+
+  /** [[bigramLogProb]]'s interpolated Kneser-Ney twin — the smoothing
+    * production fluency LMs actually use. Add-one over-penalizes rare
+    * contexts (every unseen continuation of a frequent word costs the
+    * same +V denominator); KN discounts each seen bigram by a fixed
+    * D = 3/4 and redistributes the freed mass over the CONTINUATION
+    * distribution — how many distinct contexts a word follows, not how
+    * often it occurs ("Francisco" is frequent but follows only "San",
+    * so its unigram backoff weight is tiny):
+    *
+    *   P(w|prev) = (max(C(prev,w) − D, 0) + D · N1+(prev,·) · Pcont(w))
+    *               / C(prev)
+    *   Pcont(w)  = N1+(·,w) / B,   B = distinct bigram types
+    *
+    * with C(prev) = Σ_w C(prev,w) (prev's mass as a context — the
+    * self-consistent denominator over the same bigram table). Scoring
+    * the corpus against itself means every scored bigram has C ≥ 1, so
+    * the log argument is always positive. Keep [[bigramLogProb]] as
+    * the faithful add-one form; floors/evals choose per deployment.
+    *
+    * Cross-engine exactness: the probability is ONE ratio of exact
+    * integers — numerator·4B = max(4·C−3, 0)·B + 3·N1+(prev,·)·N1+(·,w),
+    * denominator = 4·B·C(prev) — so the double `ln` sees bit-identical
+    * arguments on any engine; its 6-decimal rounding then rides the
+    * DECIMAL sum idiom. The integer form holds while 4·C·B < 2^63
+    * (ample through ~10^9 bigram types; past that the deployment knob
+    * is the double form, losing only last-ulp determinism).
+    *
+    * Scale shape is [[bigramLogProb]]'s verbatim: per-(doc,bigram)
+    * partial agg, corpus tables re-derived from the SAME bc relation
+    * (one bigram-vocab shuffle feeds count, context and continuation
+    * tables), merge joins on the open bigram/word vocabularies, and the
+    * only broadcast is the 1-row type count. */
+  def bigramLogProbKn(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val big = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
+    val bf = big.groupBy(col("doc_id"), col("big"))
+      .agg(count(lit(1)).as("bf"))
+    val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
+      .withColumn("prev", substring_index(col("big"), " ", 1))
+      .withColumn("cur", substring_index(col("big"), " ", -1))
+    val ctx = bc.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cprev"), count(lit(1)).as("n1p"))
+    val cont = bc.groupBy(col("cur")).agg(count(lit(1)).as("contc"))
+    val bt = bc.agg(count(lit(1)).as("btypes"))
+    val scored = bf
+      .join(bc.hint("merge"), "big")
+      .join(ctx.hint("merge"), "prev")
+      .join(cont.hint("merge"), "cur")
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("bf"),
+        round(log(
+          (greatest(lit(KnDiscountDen) * col("bc") - lit(KnDiscountNum),
+              lit(0L)) * col("btypes") +
+            lit(KnDiscountNum) * col("n1p") * col("contc")).cast("double") /
+          (lit(KnDiscountDen) * col("btypes") * col("cprev")).cast("double")),
+          6).cast("decimal(18,6)").as("llp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        round(sum(col("bf") * col("llp")).cast("double") /
+          sum(col("bf")).cast("double"), 4).as("avg_logprob"))
+  }
+
+  /** Rank agreement between two per-doc scorings — the eval row behind
+    * the add-one vs Kneser-Ney choice: Spearman's ρ over the two
+    * orderings, computed WITHOUT a corpus-wide rank window. Both score
+    * columns are 4-decimal-rounded, so the distinct-value histogram is
+    * bounded by the score RANGE (≤ a few 100k rows however large the
+    * corpus — the quality-floor histogram argument); ranks come from
+    * that histogram: rank2(s) = 2·|{s' < s}| + count(s) + 1, the
+    * tie-averaged midrank doubled to stay integer (ρ is invariant
+    * under the affine ×2+shift). Docs join their midranks back through
+    * a broadcast of the histogram; ρ is then Pearson over the exact
+    * integer rank pairs from ONE partial aggregation — sums of rank
+    * products stay < 2^63 for n ≲ 1.3M docs, the documented bound (a
+    * larger corpus evals on a fixed-size slice; this is a diagnostic,
+    * not a data path).
+    *
+    * Input: (doc_id, sa, sb) — the two scores per doc. Output: one row
+    * (n_docs, spearman_rho). */
+  def rankAgreement(scores: DataFrame): DataFrame = {
+    def rank2Of(c: String): DataFrame = {
+      val h = scores.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(c)).rowsBetween(Long.MinValue, -1)
+      h.select(col(c),
+        (lit(2L) * coalesce(sum(col("cnt")).over(w), lit(0L)) +
+          col("cnt") + lit(1L)).as(s"r_$c"))
+    }
+    val ranked = scores
+      .join(broadcast(rank2Of("sa")), "sa")
+      .join(broadcast(rank2Of("sb")), "sb")
+    ranked.agg(
+        count(lit(1)).as("n"), sum(col("r_sa")).as("sx"),
+        sum(col("r_sb")).as("sy"),
+        sum(col("r_sa") * col("r_sa")).as("sxx"),
+        sum(col("r_sb") * col("r_sb")).as("syy"),
+        sum(col("r_sa") * col("r_sb")).as("sxy"))
+      .select(col("n").as("n_docs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          6).as("spearman_rho"))
+  }
+
   val EntropyMinBits = 3.0
 
   /** Per-document character-level Shannon entropy (bits/char) — the

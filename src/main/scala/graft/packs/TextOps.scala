@@ -298,6 +298,24 @@ object TextOps extends QueryPack {
     TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  def bigramLogprobKn(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLogProbKn(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
+  /** The eval row behind the smoothing choice: Spearman rank agreement
+    * between the add-one and Kneser-Ney per-doc fluency orderings. High
+    * ρ (≈1) says the smoothing change re-scores but barely re-RANKS the
+    * corpus — the quantity a floor (which keeps a fraction, i.e. an
+    * order statistic) actually depends on. */
+  def bigramRankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val a = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("sa"))
+    val b = TextAnalysis.bigramLogProbKn(docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("sb"))
+    TextAnalysis.rankAgreement(a.join(b, "doc_id").select("doc_id", "sa", "sb"))
+  }
+
   /** Reference-LM quality floor for [[unigramLogprobRef]]'s trusted
     * subset (shared with the generated SQL). Same value as the
     * pipeline's QualityMin, declared here so the two packs stay
@@ -1396,6 +1414,8 @@ object TextOps extends QueryPack {
     "unigram_logprob" -> (unigramLogprob _),
     "unigram_logprob_ref" -> (unigramLogprobRef _),
     "bigram_logprob" -> (bigramLogprob _),
+    "bigram_logprob_kn" -> (bigramLogprobKn _),
+    "bigram_rank_agreement" -> (bigramRankAgreement _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -2612,6 +2632,126 @@ object TextOps extends QueryPack {
         |SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
         |       round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney: P = (max(C−D,0) + D·N1p(prev)·Pcont(w))
+    // / Cprev with D = 3/4 — the probability is ONE exact-integer ratio
+    // (numerator·4B over 4·B·Cprev), so ln sees identical arguments on
+    // both engines; same decimal-sum idiom downstream
+    "bigram_logprob_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), big AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS big
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |), bf AS (
+        |  SELECT doc_id, big, count(*)::BIGINT AS bf FROM big GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT big, sum(bf)::BIGINT AS bc,
+        |         string_split(big, ' ')[1] AS prev,
+        |         string_split(big, ' ')[-1] AS cur
+        |  FROM bf GROUP BY big
+        |), ctx AS (
+        |  SELECT prev, sum(bc)::BIGINT AS cprev, count(*)::BIGINT AS n1p
+        |  FROM bc GROUP BY prev
+        |), cont AS (
+        |  SELECT cur, count(*)::BIGINT AS contc FROM bc GROUP BY cur
+        |), bt AS (
+        |  SELECT count(*)::BIGINT AS btypes FROM bc
+        |), scored AS (
+        |  SELECT bf.doc_id, bf.bf,
+        |         CAST(round(ln(
+        |           (greatest(4 * bc.bc - 3, 0) * bt.btypes
+        |              + 3 * ctx.n1p * cont.contc)::DOUBLE
+        |           / (4 * bt.btypes * ctx.cprev)), 6) AS DECIMAL(18,6)) AS llp
+        |  FROM bf JOIN bc USING (big)
+        |       JOIN ctx ON bc.prev = ctx.prev
+        |       JOIN cont ON bc.cur = cont.cur
+        |       CROSS JOIN bt
+        |)
+        |SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
+        |       round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS avg_logprob
+        |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // Spearman ρ between the add-one and KN orderings without a
+    // corpus-wide rank window: tie-averaged midranks ×2 (integers) off
+    // the bounded distinct-score histograms, then Pearson over the
+    // exact rank pairs
+    "bigram_rank_agreement" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), big AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS big
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |), bf AS (
+        |  SELECT doc_id, big, count(*)::BIGINT AS bf FROM big GROUP BY 1, 2
+        |), bc AS (
+        |  SELECT big, sum(bf)::BIGINT AS bc,
+        |         string_split(big, ' ')[1] AS prev,
+        |         string_split(big, ' ')[-1] AS cur
+        |  FROM bf GROUP BY big
+        |), uc AS (
+        |  SELECT term, count(*)::BIGINT AS uc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term
+        |), v AS (
+        |  SELECT count(*)::BIGINT AS v FROM uc
+        |), ctx AS (
+        |  SELECT prev, sum(bc)::BIGINT AS cprev, count(*)::BIGINT AS n1p
+        |  FROM bc GROUP BY prev
+        |), cont AS (
+        |  SELECT cur, count(*)::BIGINT AS contc FROM bc GROUP BY cur
+        |), bt AS (
+        |  SELECT count(*)::BIGINT AS btypes FROM bc
+        |), sca AS (
+        |  SELECT bf.doc_id, bf.bf,
+        |         CAST(round(ln((bc.bc + 1)::DOUBLE / (uc.uc + v.v)), 6)
+        |              AS DECIMAL(18,6)) AS llp
+        |  FROM bf JOIN bc USING (big)
+        |       JOIN uc ON bc.prev = uc.term
+        |       CROSS JOIN v
+        |), a AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS sa
+        |  FROM sca GROUP BY doc_id
+        |), scb AS (
+        |  SELECT bf.doc_id, bf.bf,
+        |         CAST(round(ln(
+        |           (greatest(4 * bc.bc - 3, 0) * bt.btypes
+        |              + 3 * ctx.n1p * cont.contc)::DOUBLE
+        |           / (4 * bt.btypes * ctx.cprev)), 6) AS DECIMAL(18,6)) AS llp
+        |  FROM bf JOIN bc USING (big)
+        |       JOIN ctx ON bc.prev = ctx.prev
+        |       JOIN cont ON bc.cur = cont.cur
+        |       CROSS JOIN bt
+        |), b AS (
+        |  SELECT doc_id,
+        |         round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS sb
+        |  FROM scb GROUP BY doc_id
+        |), j AS (
+        |  SELECT a.doc_id, a.sa, b.sb FROM a JOIN b USING (doc_id)
+        |), ra AS (
+        |  SELECT sa, 2 * coalesce(sum(cnt) OVER (ORDER BY sa
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + cnt + 1 AS r_sa
+        |  FROM (SELECT sa, count(*)::BIGINT AS cnt FROM j GROUP BY sa)
+        |), rb AS (
+        |  SELECT sb, 2 * coalesce(sum(cnt) OVER (ORDER BY sb
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + cnt + 1 AS r_sb
+        |  FROM (SELECT sb, count(*)::BIGINT AS cnt FROM j GROUP BY sb)
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         sum(r_sa)::BIGINT AS sx, sum(r_sb)::BIGINT AS sy,
+        |         sum(r_sa * r_sa)::BIGINT AS sxx,
+        |         sum(r_sb * r_sb)::BIGINT AS syy,
+        |         sum(r_sa * r_sb)::BIGINT AS sxy
+        |  FROM j JOIN ra USING (sa) JOIN rb USING (sb)
+        |)
+        |SELECT n AS n_docs,
+        |       round((n * sxy - sx * sy)::DOUBLE
+        |         / sqrt((n * sxx - sx * sx)::DOUBLE
+        |              * (n * syy - sy * sy)::DOUBLE), 6) AS spearman_rho
+        |FROM s""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

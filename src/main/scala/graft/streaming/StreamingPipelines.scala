@@ -1019,7 +1019,6 @@ object StreamingPipelines {
   def classifierIngestBatch(store: graft.operators.NbStore,
       batch: DataFrame, idCol: String, textCol: String,
       batchId: Long = VersionedParquetStore.NoBatchId): DataFrame = {
-    import graft.operators.NbClassifier
     // checkpoint once: the ingest's count aggregation AND the caller's
     // sink write both materialize the batch — without this a file
     // source's batch is re-read and the regex-heavy labeling runs
@@ -1027,9 +1026,11 @@ object StreamingPipelines {
     val b = batch.localCheckpoint()
     store.ingest(b, idCol, textCol, batchId)
     val m = store.model(b.sparkSession)
+    // feature space rides the store (rawScoreExprOf): a bigram-trained
+    // store scores with the bigram walker, same loop otherwise
     b.select(col(idCol),
-      NbClassifier.scoreExpr(col(textCol), m).as("clf_score"),
-      (NbClassifier.rawScoreExpr(col(textCol), m) > 0).as("keep"))
+      store.scoreExprOf(col(textCol), m).as("clf_score"),
+      (store.rawScoreExprOf(col(textCol), m) > 0).as("keep"))
   }
 
   /** [[curateIngestBatch]] with the TRAINED-classifier admission gate
@@ -1057,8 +1058,11 @@ object StreamingPipelines {
     val b = batch.localCheckpoint() // same double-read argument as above
     nbStore.ingest(b, idCol, textCol, batchId)
     val m = nbStore.model(b.sparkSession)
+    // the admission gate inherits the store's feature space: a
+    // bigram NbStore makes this the fastText-features-gated curate
+    // loop with zero other changes (VERDICT r12 item 7)
     curateIngestBatch(floorStore, exactStore, bandStore, seenDocs,
-      b.filter(graft.operators.NbClassifier.rawScoreExpr(col(textCol), m) > 0),
+      b.filter(nbStore.rawScoreExprOf(col(textCol), m) > 0),
       idCol, textCol, langCol, ratesBp, defaultBp,
       threshold, maxBucketSize, batchId, maxSegments)
   }

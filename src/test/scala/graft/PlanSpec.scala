@@ -372,6 +372,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
   }
 
+  test("bigram_logprob_kn: one bigram-vocab shuffle feeds count/context/continuation tables") {
+    val p = plan("bigram_logprob_kn")
+    // identical discipline to the add-one form: every open-vocabulary
+    // side (bc, ctx, cont) joins by shuffle merge, only the 1-row type
+    // count broadcasts
+    assert(!p.contains("BroadcastHashJoin"),
+      s"bigram/context/continuation tables must never broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"no window anywhere in the KN plan:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the count joins must be skew-splittable shuffle joins:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"(doc, bigram) counts must partially aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row bigram-type count should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+  }
+
+  test("bigram_rank_agreement: docs join midranks by broadcast; the only window is histogram-bounded") {
+    val p = plan("bigram_rank_agreement")
+    // the rank histogram (bounded by the 4-decimal score RANGE, not the
+    // corpus) broadcasts back onto the doc scores; the cumulative-count
+    // window runs over that same bounded histogram — the corpus itself
+    // must never enter a window or a cartesian
+    assert(p.contains("BroadcastHashJoin"),
+      s"midranks must broadcast onto the per-doc scores:\n$p")
+    assert(p.contains("windowspecdefinition"),
+      s"the histogram cumulative rank is windowed by design:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the

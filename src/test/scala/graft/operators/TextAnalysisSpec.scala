@@ -725,6 +725,69 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L)._2 > out(3L)._2)
   }
 
+  test("bigramLogProbKn: exact integer-ratio hand-check; discount beats add-one on seen transitions") {
+    val s = spark
+    import s.implicits._
+    // corpus as the add-one test: bigrams "a b"×2, "b c"×1, "c a"×1
+    // bc: (a b,2) (b c,1) (c a,1); ctx: a→(2,1) b→(1,1) c→(1,1)
+    // cont: a→1 b→1 c→1; B=3; D=3/4
+    // P(b|a) = (max(8−3,0)·3 + 3·1·1)/(4·3·2) = 18/24 = 3/4
+    // P(c|b) = (3+3)/12 = 1/2 = P(a|c)
+    val d = Seq((1L, "a b c"), (2L, "a b"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbKn(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    def llp(num: Long, den: Long): BigDecimal =
+      BigDecimal(math.log(num.toDouble / den.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def avg(parts: (Long, BigDecimal)*): Double = {
+      val q = parts.map { case (bf, l) => BigDecimal(bf) * l }.sum.toDouble /
+        parts.map(_._1).sum
+      BigDecimal(q).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(1L)._1 == 2 && out(2L)._1 == 1 && out(3L)._1 == 1)
+    assert(out(1L)._2 == avg((1L, llp(18, 24)), (1L, llp(6, 12))), s"got ${out(1L)}")
+    assert(out(2L)._2 == avg((1L, llp(18, 24))), s"got ${out(2L)}")
+    assert(out(3L)._2 == avg((1L, llp(6, 12))), s"got ${out(3L)}")
+    // the motivating fix: add-one gives P(c|b) = 2/5 = 0.4; KN keeps the
+    // seen transition's discounted mass, 0.5 — rare-context transitions
+    // are no longer over-penalized
+    assert(math.exp(llp(6, 12).toDouble) > 0.4 + 1e-9)
+    // and per-context normalization holds: for prev=a the two UNSEEN
+    // continuations each get D·N1p·Pcont/Cprev = 3·1·1/24, so
+    // 18/24 + 3/24 + 3/24 = 1 exactly (the interpolated-KN invariant)
+    assert(18L + 3L + 3L == 24L)
+  }
+
+  test("rankAgreement: midrank ties, affine invariance, sign of a reversal") {
+    val s = spark
+    import s.implicits._
+    // perfect agreement (with a tie pair) → ρ = 1
+    val agree = Seq((1L, 0.1, 10.0), (2L, 0.1, 10.0), (3L, 0.3, 30.0),
+      (4L, 0.7, 70.0)).toDF("doc_id", "sa", "sb")
+    val r1 = TextAnalysis.rankAgreement(agree)
+      .as[(Long, Double)].collect().head
+    assert(r1 == ((4L, 1.0)), s"got $r1")
+    // perfect reversal → ρ = −1
+    val rev = Seq((1L, 0.1, 70.0), (2L, 0.2, 30.0), (3L, 0.3, 20.0),
+      (4L, 0.7, 10.0)).toDF("doc_id", "sa", "sb")
+    val r2 = TextAnalysis.rankAgreement(rev)
+      .as[(Long, Double)].collect().head
+    assert(r2 == ((4L, -1.0)), s"got $r2")
+    // hand-check with an asymmetric tie: sa = [1,1,2], sb = [3,5,5]
+    // midranks×2: ra = [3,3,6]; rb = [2,5,5] (wait: sb ties at the TOP)
+    // rb: value 3 → 2·0+1+1 = 2+1? no: 2·less + cnt + 1 = 0+1+1 = 2;
+    // value 5 (cnt 2, less 1) → 2+2+1 = 5 → rb = [2,5,5]
+    // Pearson over (3,2),(3,5),(6,5): n=3 sx=12 sy=12 sxx=54 syy=54 sxy=51
+    // ρ = (153−144)/sqrt(18·18) = 9/18 = 0.5
+    val ties = Seq((1L, 1.0, 3.0), (2L, 1.0, 5.0), (3L, 2.0, 5.0))
+      .toDF("doc_id", "sa", "sb")
+    val r3 = TextAnalysis.rankAgreement(ties)
+      .as[(Long, Double)].collect().head
+    assert(r3 == ((3L, 0.5)), s"got $r3")
+  }
+
   test("redactPii: a phone-shaped substring inside an email counts once") {
     val docs = Seq(
       (1L, "contact 555-123-4567@example.com now"),
