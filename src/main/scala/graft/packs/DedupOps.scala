@@ -330,6 +330,54 @@ object DedupOps extends QueryPack {
   def dedupStripSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.stripDuplicateSpans(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Paragraph-granular dedup verdicts (CCNet stage 1) over window
+    * units — one keeper per normalized unit key, lexicographic-min
+    * (doc_id, par_idx), computed by partial-agg argmin (never a per-key
+    * window). */
+  def paragraphDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Paragraphs.verdictsOfUnits(
+      graft.operators.Paragraphs.unitsByWindow(
+        Tables.documents(spark, sfDir), "doc_id", "text"))
+      .select(col("doc_id"), col("par_idx"), col("par_key"), col("keep"))
+
+  /** The transform twin: per-doc text reassembled from kept units —
+    * repeated boilerplate vanishes, host documents survive (contrast
+    * dedup_exact, which can only drop whole docs). */
+  def paragraphScrub(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Paragraphs.scrubByWindow(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Ordered two-batch split for the store-backed paragraph scrub: ids
+    * below the threshold are "already ingested". An ORDERED split (not
+    * the % mod routing above) because keep-first equivalence to the
+    * one-shot scrub needs batch order consistent with the
+    * lexicographic keep rule — see [[graft.operators.ParagraphStore]]'s
+    * equivalence contract. Constant across SFs (250 < every corpus's
+    * doc count). */
+  val ParagraphSplitId = 250L
+
+  private val paragraphStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.ParagraphStore]()
+
+  /** Store-backed incremental paragraph scrub: batch 0 scrubs
+    * self-contained, batch 1 probes batch 0's PERSISTED
+    * (doc_id, par_key) table instead of re-hashing the seen corpus —
+    * the 100 TB ingest form, under the IDENTICAL one-shot oracle (the
+    * ordered-split equivalence argument). */
+  def paragraphScrubStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batch0 = docs.filter(col("doc_id") < ParagraphSplitId)
+    val batch1 = docs.filter(col("doc_id") >= ParagraphSplitId)
+    val store = paragraphStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.ParagraphStore(
+        s"graft_par_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(batch0, "doc_id", "text")
+      s
+    })
+    graft.operators.Paragraphs.scrubByWindow(batch0, "doc_id", "text")
+      .unionByName(store.scrubProbe(batch1, "doc_id", "text"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -353,7 +401,10 @@ object DedupOps extends QueryPack {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "dedup_soft_weights" -> (dedupSoftWeights _),
-    "dedup_keep_quality" -> (dedupKeepQuality _)
+    "dedup_keep_quality" -> (dedupKeepQuality _),
+    "paragraph_dedup" -> (paragraphDedup _),
+    "paragraph_scrub" -> (paragraphScrub _),
+    "paragraph_scrub_store" -> (paragraphScrubStore _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -770,6 +821,59 @@ object DedupOps extends QueryPack {
           |       round(1::DOUBLE / s.n, 4) AS weight
           |FROM cc JOIN (SELECT cluster_id, count(*)::BIGINT AS n
           |              FROM cc GROUP BY cluster_id) s USING (cluster_id)""".stripMargin,
-    "dedup_keep_quality" -> keepQualityOracle
+    "dedup_keep_quality" -> keepQualityOracle,
+
+    "paragraph_dedup" ->
+      s"WITH $paragraphCtes\nSELECT doc_id, par_idx, par_key, keep FROM v",
+
+    "paragraph_scrub" -> paragraphScrubSql,
+
+    // IDENTICAL one-shot oracle: the ordered split (batch 0 = ids below
+    // the threshold) makes the store-probed union equal the one-shot
+    // scrub — see ParagraphStore's equivalence contract
+    "paragraph_scrub_store" -> paragraphScrubSql
   )
+
+  /** Shared CTE chain for the paragraph family: window units at
+    * [[graft.operators.Paragraphs.WindowTokens]], normalized md5h60
+    * keys (pattern literals shared with TextAnalysis.normalizeText),
+    * two-step lexicographic argmin (min doc, then min idx within it —
+    * equals Spark's min(struct)). */
+  private def paragraphCtes: String = {
+    val w = graft.operators.Paragraphs.WindowTokens
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |u AS (
+       |  SELECT doc_id, CAST((s - 1) // $w AS BIGINT) AS par_idx,
+       |    array_to_string(list_slice(tk, CAST(s AS INT),
+       |      CAST(least(s + ${w - 1}, len(tk)) AS INT)), ' ') AS par
+       |  FROM toks, unnest(range(1, greatest(len(tk), 1) + 1, $w)) AS u(s)
+       |), k AS (
+       |  SELECT doc_id, par_idx, par,
+       |    ('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(par),
+       |       '${graft.operators.TextAnalysis.NormPunctPattern}', ' ', 'g'),
+       |       '${graft.operators.TextAnalysis.NormSpacePattern}', ' ', 'g'))),
+       |       1, 15))::BIGINT AS par_key
+       |  FROM u
+       |), fd AS (SELECT par_key, min(doc_id) AS kd FROM k GROUP BY par_key),
+       |fp AS (SELECT k.par_key, fd.kd, min(k.par_idx) AS kp
+       |       FROM k JOIN fd ON k.par_key = fd.par_key AND k.doc_id = fd.kd
+       |       GROUP BY k.par_key, fd.kd),
+       |v AS (SELECT k.doc_id, k.par_idx, k.par, k.par_key,
+       |        (k.doc_id = fp.kd AND k.par_idx = fp.kp) AS keep
+       |      FROM k JOIN fp ON k.par_key = fp.par_key)""".stripMargin
+  }
+
+  private def paragraphScrubSql: String =
+    s"""WITH $paragraphCtes
+       |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+       |       coalesce(g.n_kept, 0) AS n_kept,
+       |       coalesce(g.n_dropped, 0) AS n_dropped
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN keep THEN par END, ' ' ORDER BY par_idx)
+       |      AS clean_text,
+       |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped
+       |  FROM v GROUP BY doc_id) g USING (doc_id)""".stripMargin
 }

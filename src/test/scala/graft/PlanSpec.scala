@@ -403,6 +403,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("paragraph_dedup: keeper argmin via partial agg + merge join — no per-key window") {
+    val p = plan("paragraph_dedup")
+    assert(!p.contains("windowspecdefinition"),
+      s"keep-first must be a partial-agg argmin, never a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"the (doc_id, par_idx) argmin must partially aggregate map-side:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"the open unit-key domain joins by shuffle merge, never broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("paragraph_scrub_store: batch probes the persisted key table; store side is a bare scan") {
+    val p = plan("paragraph_scrub_store")
+    assert(p.contains("graft_par_store_"),
+      s"the probe must scan the persisted (doc_id, par_key) segments:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the batch's bounded key set broadcasts against the store scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the
