@@ -683,6 +683,48 @@ object TextOps extends QueryPack {
           sum(col("ws")).cast("double"), 4).as("fertility_unigram"))
   }
 
+  private[packs] def wordpieceModel(spark: SparkSession,
+      sfDir: String): graft.operators.WordPieceTokenizer.Model =
+    graft.operators.WordPieceTokenizer.trainCached(
+      Tables.documents(spark, sfDir), sfDir, "text", MaxBpeWords,
+      NumBpeMerges)
+
+  /** WordPiece token-id sequences — the tokenizer seam's third trained
+    * LINEAGE (BPE folds merges, unigram Viterbi-scores, WordPiece
+    * greedy-longest-matches the likelihood-trained vocabulary;
+    * [[graft.operators.WordPieceTokenizer]]). Same merge budget as BPE
+    * so the fertility row compares like-for-like vocab growth. Same
+    * plan shape as bpe/unigram encode: one codegen'd expression,
+    * posexplode, zero shuffle. */
+  def wordpieceEncodeIds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.WordPieceTokenIds(col("text"),
+          wordpieceModel(spark, sfDir).table)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+
+  /** Per-language fertility ablation, WordPiece vs BPE at the SAME
+    * merge budget — [[unigramFertilityVsBpe]]'s shape with the third
+    * lineage in the comparison seat. */
+  def wordpieceFertilityVsBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = bpeMerges(spark, sfDir)
+    val t = wordpieceModel(spark, sfDir).table
+    docs.select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+        graft.functions.BpeTokenCount(col("text"), m).as("bpe"),
+        graft.functions.WordPieceTokenCount(col("text"), t).as("wp"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws")).as("n_words"),
+        sum(col("bpe")).as("n_tokens_bpe"),
+        sum(col("wp")).as("n_tokens_wordpiece"),
+        round(sum(col("bpe")).cast("double") /
+          sum(col("ws")).cast("double"), 4).as("fertility_bpe"),
+        round(sum(col("wp")).cast("double") /
+          sum(col("ws")).cast("double"), 4).as("fertility_wordpiece"))
+  }
+
   /** Unigram-denominated budget/cap constants, shared with the
     * generated oracles — the gate corpus carries ~28k unigram ids
     * total and ~58 per median doc, so both cut mid-corpus / mid-doc
@@ -1431,6 +1473,8 @@ object TextOps extends QueryPack {
     "decontaminate_strip" -> (decontaminateStrip _),
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
     "unigram_lm_encode_ids_store" -> (unigramEncodeIdsStore _),
+    "wordpiece_encode_ids" -> (wordpieceEncodeIds _),
+    "wordpiece_fertility_vs_bpe" -> (wordpieceFertilityVsBpe _),
     "unigram_lm_score" -> (unigramLmScore _),
     "unigram_lm_floor" -> (unigramLmFloor _),
     "unigram_fertility_vs_bpe" -> (unigramFertilityVsBpe _),
@@ -2965,7 +3009,7 @@ object TextOps extends QueryPack {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM sampled""".stripMargin
     }
-  ) ++ bpeOracles ++ bpeByteOracles ++ unigramOracles
+  ) ++ bpeOracles ++ bpeByteOracles ++ unigramOracles ++ wordpieceOracles
 
   /** The trained BPE merge table replayed in DuckDB, ending in
     * `bdn(doc_id, n_tokens_bpe)`: the merges are embedded as a ranked
@@ -3626,5 +3670,140 @@ $branches
           "token_budget_sample_unigram" -> budget,
           "truncate_tokens_unigram" -> truncate) ++
           compare.map("unigram_fertility_vs_bpe" -> _)
+      }.toMap
+
+  /** Generated WordPiece CTEs: the trained vocabulary as a VALUES
+    * table (content, id, content-length, continuation flag), a
+    * longest-match jump table per (word, position) — the greedy rule's
+    * argmax precomputed as max over per-length equi-join branches —
+    * then a position-chain walk whose depth is the corpus max word
+    * length; a word any visited position of which has no jump becomes
+    * ONE UNK token (the whole-word-UNK rule), and the per-word id
+    * lists expand to per-doc (pos, id) rows through the unigram
+    * oracle's occurrence/prefix tail, word-aligned with the Spark
+    * expression's shared bodies. */
+  private[packs] def wordpieceCtes(
+      m: graft.operators.WordPieceTokenizer.Model): String = {
+    def q(s: String) = s.replace("'", "''")
+    val unkId = m.pieces.size
+    val emptyId = m.pieces.size + 1
+    val wl = m.maxWordLen
+    val P = m.table.maxContentLen
+    val values = m.pieces.zipWithIndex.map { case (p, i) =>
+      val content = graft.functions.WordPieceTable.contentOf(p)
+      val cont = if (graft.functions.WordPieceTable.isCont(p)) 1 else 0
+      s"('${q(content)}', $i, " +
+        s"${content.codePointCount(0, content.length)}, $cont)"
+    }.mkString(",\n    ")
+    val jumpBranches = (1 to P).map { j =>
+      s"""    SELECT p.word, p.i AS pos, $j AS jlen
+    FROM wpos p JOIN wpv v
+      ON v.plen = $j AND v.cont = CASE WHEN p.i > 1 THEN 1 ELSE 0 END
+      AND v.mtext = substr(p.word, CAST(p.i AS INT), $j)
+    WHERE p.i + $j - 1 <= p.l"""
+    }.mkString("\n    UNION ALL\n")
+    // empty when wl == 1 (ws0 alone covers 1-char words) — trailing
+    // comma spliced per fragment, the unigram pathCtes trick
+    val walkCtes = (1 until wl).map { k =>
+      s"""ws$k AS MATERIALIZED (
+  SELECT s.word, s.l, s.pos + j.jlen AS pos
+  FROM ws${k - 1} s JOIN wjmp j ON j.word = s.word AND j.pos = s.pos
+  WHERE s.pos <= s.l
+), """
+    }.mkString
+    val walkUnion = (0 until wl).map(k => s"SELECT word, l, pos FROM ws$k")
+      .mkString("\n    UNION ALL\n    ")
+    s"""wpv(mtext, pid, plen, cont) AS (VALUES
+    $values
+), wwords AS MATERIALIZED (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+), wwl AS MATERIALIZED (
+  SELECT word, length(word) AS l FROM wwords WHERE length(word) > 0
+), wpos AS MATERIALIZED (
+  SELECT word, l, CAST(i AS BIGINT) AS i
+  FROM wwl, unnest(range(1, l + 1)) AS u(i)
+), wjmp AS MATERIALIZED (
+  SELECT word, pos, max(jlen) AS jlen FROM (
+$jumpBranches
+  ) GROUP BY word, pos
+), ws0 AS MATERIALIZED (
+  SELECT word, l, CAST(1 AS BIGINT) AS pos FROM wwl
+), ${walkCtes}wsall AS MATERIALIZED (
+  SELECT word, l, pos FROM (
+    $walkUnion
+  ) WHERE pos <= l
+), wunk AS MATERIALIZED (
+  SELECT DISTINCT s.word
+  FROM wsall s LEFT JOIN wjmp j ON j.word = s.word AND j.pos = s.pos
+  WHERE j.jlen IS NULL
+), wsteps AS (
+  SELECT s.word, s.pos, j.jlen,
+    substr(s.word, CAST(s.pos AS INT), CAST(j.jlen AS INT)) AS piece,
+    CASE WHEN s.pos > 1 THEN 1 ELSE 0 END AS cont
+  FROM wsall s JOIN wjmp j ON j.word = s.word AND j.pos = s.pos
+  WHERE s.word NOT IN (SELECT word FROM wunk)
+), wids AS MATERIALIZED (
+  SELECT s.word, list(CAST(v.pid AS BIGINT) ORDER BY s.pos) AS tl
+  FROM wsteps s JOIN wpv v
+    ON v.cont = s.cont AND v.plen = s.jlen AND v.mtext = s.piece
+  GROUP BY s.word
+  UNION ALL
+  SELECT word, [CAST($unkId AS BIGINT)] AS tl FROM wunk
+  UNION ALL
+  SELECT '' AS word, [CAST($emptyId AS BIGINT)] AS tl
+), wwt AS MATERIALIZED (
+  SELECT word, CAST(len(tl) AS BIGINT) AS n FROM wids
+), wocc AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       unnest(range(1, len(w) + 1)) AS u(i)
+), wpre AS (
+  SELECT wocc.doc_id, wocc.wi, wocc.word,
+    coalesce(sum(wwt.n) OVER (PARTITION BY wocc.doc_id ORDER BY wocc.wi
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM wocc JOIN wwt USING (word)
+), wtk AS (
+  SELECT w0.doc_id, w0.pre + j - 1 AS pos, w2.tl[CAST(j AS INT)] AS token_id
+  FROM wpre w0 JOIN wids w2 USING (word),
+       unnest(range(1, len(w2.tl) + 1)) AS uu(j)
+), wdn AS MATERIALIZED (
+  SELECT wocc.doc_id, CAST(sum(wwt.n) AS BIGINT) AS n_wp
+  FROM wocc JOIN wwt USING (word) GROUP BY doc_id
+)"""
+  }
+
+  private def wordpieceOracles: Map[String, String] =
+    graft.operators.WordPieceTokenizer
+      .trainedSnapshot(MaxBpeWords, NumBpeMerges)
+      .filter(_.pieces.nonEmpty).toList.flatMap { model =>
+        val wCtes = wordpieceCtes(model)
+        val encode =
+          s"""WITH $wCtes
+             |SELECT wtk.doc_id, CAST(wtk.pos AS BIGINT) AS pos,
+             |  CAST(wtk.token_id AS BIGINT) AS token_id
+             |FROM wtk""".stripMargin
+        val compare = graft.operators.BpeTokenizer
+          .trainedSnapshot(MaxBpeWords, NumBpeMerges)
+          .filter(_.nonEmpty).map { merges =>
+            s"""WITH RECURSIVE ${bpeCtes(merges)},
+               |$wCtes
+               |SELECT d.lang,
+               |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_words,
+               |  CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_tokens_bpe,
+               |  CAST(sum(wdn.n_wp) AS BIGINT) AS n_tokens_wordpiece,
+               |  round(CAST(CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS DOUBLE)
+               |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |      AS DOUBLE), 4) AS fertility_bpe,
+               |  round(CAST(CAST(sum(wdn.n_wp) AS BIGINT) AS DOUBLE)
+               |    / CAST(CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+               |      AS DOUBLE), 4) AS fertility_wordpiece
+               |FROM documents d
+               |JOIN bdn USING (doc_id)
+               |JOIN wdn USING (doc_id)
+               |GROUP BY 1""".stripMargin
+          }
+        Seq("wordpiece_encode_ids" -> encode) ++
+          compare.map("wordpiece_fertility_vs_bpe" -> _)
       }.toMap
 }

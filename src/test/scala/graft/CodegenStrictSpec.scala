@@ -38,7 +38,13 @@ class CodegenStrictSpec extends SparkSpec {
     "bpe_fertility", "multimodal_resize", "classifier_eval", "classifier_cutoff",
     "bpe_encode_ids", "bpe_encode_ids_bytes", "gopher_rules_by_lang",
     "classifier_score_bigram", "classifier_eval_bigram",
-    "pack_ids_incremental_store")
+    "pack_ids_incremental_store",
+    "unigram_lm_encode_ids", "unigram_lm_score", "unigram_lm_floor",
+    "pack_ids_unigram", "token_budget_sample_unigram",
+    "truncate_tokens_unigram",
+    "wordpiece_encode_ids", "wordpiece_fertility_vs_bpe",
+    "bigram_logprob_kn", "bigram_rank_agreement",
+    "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

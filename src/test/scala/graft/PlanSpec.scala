@@ -614,6 +614,16 @@ class PlanSpec extends SparkSpec {
       s"unused doc columns must be pruned:\n$p")
   }
 
+  test("wordpiece_encode_ids: one shuffle-free native-expression stage") {
+    val p = plan("wordpiece_encode_ids")
+    assert(!p.contains("Exchange"),
+      s"greedy longest-match encode must be scan-side, zero shuffles:\n$p")
+    assert(p.contains("graft_wordpiece_ids"),
+      s"encode must be the native codegen'd expression:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"unused doc columns must be pruned:\n$p")
+  }
+
   test("pack_ids_shuffled: permutation table derives from per-shard totals, never token rows") {
     val p = plan("pack_ids_shuffled")
     assert(!p.contains("posexplode") && !p.contains("graft_unigram_ids") &&
