@@ -236,6 +236,36 @@ object Dedup {
       .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
       .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
 
+  /** Per-document n-gram novelty — the memorization-risk datacard row:
+    * what fraction of a doc's k-gram TYPES appear in no other document.
+    * Low novelty = the doc is assembled from corpus-shared runs (high
+    * verbatim-memorization risk, near-dup escapee, or template text);
+    * [[duplicateSpans]] REPORTS the shared runs positionally, this
+    * scores their mass per doc in one number a floor can bind on.
+    * Sharing is cross-doc by DISTINCT-document count (a within-doc
+    * repeat is repetition, not memorization — [[TextAnalysis
+    * .gopherRepetition]]'s beat). Docs with fewer than k tokens have no
+    * grams and no row.
+    *
+    * Scale shape: gram explode is scan-side (the [[spanGrams]] shape);
+    * per-doc TYPE dedup is a partial-agg distinct; the docs-per-gram
+    * count partial-aggregates before one shuffle on the open gram
+    * domain and joins back by shuffle merge. The fraction is one
+    * division, rounded to 4. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = DupSpanTokens): DataFrame = {
+    val dg = spanGrams(docs, idCol, textCol, k)
+      .select(col(idCol), col("gram")).distinct()
+    val gd = dg.groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+    val shared = sum(when(col("nd") > 1, 1L).otherwise(0L))
+    dg.join(gd.hint("merge"), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_gram_types"),
+        shared.as("n_shared_types"),
+        round((count(lit(1)) - shared).cast("double") /
+          count(lit(1)).cast("double"), 4).as("novelty_frac"))
+  }
+
   // gaps-and-islands merge of duplicated window positions into maximal
   // spans — per-DOCUMENT window state, bounded by document length;
   // shared by the full-corpus and incremental span detectors (and the

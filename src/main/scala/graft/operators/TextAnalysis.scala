@@ -1321,6 +1321,50 @@ object TextAnalysis {
           6).as("spearman_rho"))
   }
 
+  /** Per-source token-distribution divergence from the corpus — the
+    * datacard diagnostic behind mixture design: KL(P_s ‖ P_corpus) over
+    * the word distribution, in nats. A source whose KL is near zero is
+    * corpus-typical (re-weighting it mostly re-weights everything); a
+    * high-KL source carries distinct mass the mixture can actually
+    * trade (the DSIR/importance-sampling literature's selection
+    * signal, aggregated to source granularity).
+    *
+    * Cross-engine exactness: each word's log-likelihood-ratio
+    * ln((c_sw·N) / (c_w·N_s)) sees ONE exact-integer ratio, is rounded
+    * to 6 decimals and carried as DECIMAL; the per-source sum weights
+    * it by the integer c_sw, so aggregation order cannot move it; the
+    * single division by N_s happens once at the end (round 4). Every
+    * scored word has c_sw ≥ 1 (a source is only scored on its own
+    * support), so KL is finite and — by Gibbs' inequality — ≥ 0, which
+    * the spec pins. Integer form holds while c_sw·N < 2^63.
+    *
+    * Scale shape: ONE (source, word) partial-agg shuffle feeds both
+    * the per-source table and (re-aggregated) the corpus table — the
+    * corpus counts join back by shuffle merge on the open vocabulary;
+    * the per-source totals (|sources| rows) and the 1-row corpus total
+    * broadcast. No windows, no driver-side data. */
+  def sourceKlDivergence(docs: DataFrame, textCol: String,
+      srcCol: String): DataFrame = {
+    val sw = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("csw"))
+    val cw = sw.groupBy(col("word")).agg(sum(col("csw")).as("cw"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("csw")).as("ns"))
+    val n = cw.agg(sum(col("cw")).as("n"))
+    sw.join(cw.hint("merge"), "word")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("csw"), col("ns"),
+        round(log((col("csw") * col("n")).cast("double") /
+          (col("cw") * col("ns")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llr"))
+      .groupBy(col("source"))
+      .agg(first(col("ns")).as("n_tokens"),
+        round(sum(col("csw") * col("llr")).cast("double") /
+          first(col("ns")).cast("double"), 4).as("kl_vs_corpus"))
+  }
+
   val EntropyMinBits = 3.0
 
   /** Per-document character-level Shannon entropy (bits/char) — the

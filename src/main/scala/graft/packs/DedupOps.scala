@@ -347,6 +347,12 @@ object DedupOps extends QueryPack {
     graft.operators.Paragraphs.scrubByWindow(
       Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Memorization-risk datacard row: per-doc fraction of k-gram types
+    * shared with no other document ([[graft.operators.Dedup.ngramNovelty]]
+    * at the shared span k). */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.ngramNovelty(Tables.documents(spark, sfDir), "doc_id", "text")
+
   /** Ordered two-batch split for the store-backed paragraph scrub: ids
     * below the threshold are "already ingested". An ORDERED split (not
     * the % mod routing above) because keep-first equivalence to the
@@ -404,7 +410,8 @@ object DedupOps extends QueryPack {
     "dedup_keep_quality" -> (dedupKeepQuality _),
     "paragraph_dedup" -> (paragraphDedup _),
     "paragraph_scrub" -> (paragraphScrub _),
-    "paragraph_scrub_store" -> (paragraphScrubStore _)
+    "paragraph_scrub_store" -> (paragraphScrubStore _),
+    "ngram_novelty" -> (ngramNovelty _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -831,7 +838,30 @@ object DedupOps extends QueryPack {
     // IDENTICAL one-shot oracle: the ordered split (batch 0 = ids below
     // the threshold) makes the store-probed union equal the one-shot
     // scrub — see ParagraphStore's equivalence contract
-    "paragraph_scrub_store" -> paragraphScrubSql
+    "paragraph_scrub_store" -> paragraphScrubSql,
+
+    // gram window shared with substringSpanCtesFrom; sharing is
+    // DISTINCT-doc count (within-doc repeats are repetition, not
+    // memorization)
+    "ngram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), grams AS (
+         |  SELECT doc_id,
+         |    md5(array_to_string(list_slice(t, i, i + ${Dedup.DupSpanTokens - 1}), ' ')) AS gram
+         |  FROM toks, unnest(range(1, len(t) - ${Dedup.DupSpanTokens} + 2)) AS u(i)
+         |  WHERE len(t) >= ${Dedup.DupSpanTokens}
+         |), dg AS (
+         |  SELECT DISTINCT doc_id, gram FROM grams
+         |), gd AS (
+         |  SELECT gram, count(*)::BIGINT AS nd FROM dg GROUP BY gram
+         |)
+         |SELECT dg.doc_id, count(*)::BIGINT AS n_gram_types,
+         |  CAST(sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_types,
+         |  round(CAST(count(*) - sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS novelty_frac
+         |FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id""".stripMargin
   )
 
   /** Shared CTE chain for the paragraph family: window units at

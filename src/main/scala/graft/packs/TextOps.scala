@@ -298,6 +298,12 @@ object TextOps extends QueryPack {
     TextAnalysis.bigramLogProb(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** Datacard diagnostic behind mixture design: per-source KL from the
+    * corpus word distribution ([[TextAnalysis.sourceKlDivergence]]). */
+  def sourceKl(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.sourceKlDivergence(Tables.documents(spark, sfDir),
+      "text", "source")
+
   def bigramLogprobKn(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigramLogProbKn(Tables.documents(spark, sfDir),
       "doc_id", "text")
@@ -1458,6 +1464,7 @@ object TextOps extends QueryPack {
     "bigram_logprob" -> (bigramLogprob _),
     "bigram_logprob_kn" -> (bigramLogprobKn _),
     "bigram_rank_agreement" -> (bigramRankAgreement _),
+    "source_kl" -> (sourceKl _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -2676,6 +2683,32 @@ object TextOps extends QueryPack {
         |SELECT doc_id, sum(bf)::BIGINT AS n_bigrams,
         |       round(CAST(sum(bf * llp) AS DOUBLE) / sum(bf), 4) AS avg_logprob
         |FROM scored GROUP BY doc_id""".stripMargin,
+
+    // each word's log-likelihood-ratio sees ONE exact-integer ratio,
+    // rounded to 6 and summed as DECIMAL weighted by integer counts —
+    // the unigram_logprob idiom at source granularity
+    "source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, word, count(*)::BIGINT AS csw
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), cw AS (
+        |  SELECT word, sum(csw)::BIGINT AS cw FROM sw GROUP BY word
+        |), ns AS (
+        |  SELECT source, sum(csw)::BIGINT AS ns FROM sw GROUP BY source
+        |), n AS (
+        |  SELECT sum(cw)::BIGINT AS n FROM cw
+        |), t AS (
+        |  SELECT sw.source, sw.csw, ns.ns,
+        |    CAST(round(ln((sw.csw * n.n)::DOUBLE / (cw.cw * ns.ns)), 6)
+        |         AS DECIMAL(18,6)) AS llr
+        |  FROM sw JOIN cw USING (word) JOIN ns USING (source) CROSS JOIN n
+        |)
+        |SELECT source, CAST(any_value(ns) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(csw * llr) AS DOUBLE) / any_value(ns), 4)
+        |    AS kl_vs_corpus
+        |FROM t GROUP BY source""".stripMargin,
 
     // interpolated Kneser-Ney: P = (max(C−D,0) + D·N1p(prev)·Pcont(w))
     // / Cprev with D = 3/4 — the probability is ONE exact-integer ratio

@@ -107,6 +107,10 @@ object ScaleCurve {
     val uniModel = graft.operators.UnigramLmTokenizer.trainCached(
       baseDocs, sfDir, "text", graft.packs.TextOps.MaxBpeWords,
       graft.packs.TextOps.UnigramVocabTarget)
+    // WordPiece vocabulary: same bounded driver fit — untimed
+    val wpModel = graft.operators.WordPieceTokenizer.trainCached(
+      baseDocs, sfDir, "text", graft.packs.TextOps.MaxBpeWords,
+      graft.packs.TextOps.NumBpeMerges)
     // decontamination bench side: the held-out split's distinct
     // shingles are benchmark-sized (FIXED as the corpus grows — eval
     // suites don't scale with training data), built once, untimed
@@ -176,6 +180,19 @@ object ScaleCurve {
       bench("unigram_encode_ids", m, docs.select(col("doc_id"),
         posexplode(graft.functions.UnigramTokenIds(col("text"),
           uniModel.table))))
+      // greedy longest-match encode on the salted replicas: the salt
+      // char is outside the trained alphabet, so every salted word is
+      // whole-word UNK — this times the scan + probe cascade floor;
+      // replica 0 carries the full-coverage path
+      bench("wordpiece_encode_ids", m, docs.select(col("doc_id"),
+        posexplode(graft.functions.WordPieceTokenIds(col("text"),
+          wpModel.table))))
+      // paragraph scrub: unit explode is scan-side; the keeper argmin
+      // shuffles the open key domain once — salted replicas' windows
+      // are key-disjoint across replicas, so dup structure (and output
+      // mass) scales linearly WITH the corpus
+      bench("paragraph_scrub", m,
+        graft.operators.Paragraphs.scrubByWindow(docs, "doc_id", "text"))
       // span decontamination: the corpus-side positional probe scales,
       // the bench membership side is fixed — hit mass stays bounded by
       // the benchmark (salted replicas share no shingle with it)

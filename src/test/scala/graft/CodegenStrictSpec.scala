@@ -44,7 +44,8 @@ class CodegenStrictSpec extends SparkSpec {
     "truncate_tokens_unigram",
     "wordpiece_encode_ids", "wordpiece_fertility_vs_bpe",
     "bigram_logprob_kn", "bigram_rank_agreement",
-    "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store")
+    "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store",
+    "source_kl", "ngram_novelty")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -423,6 +423,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("source_kl: open vocab by merge join, per-source totals broadcast, no window") {
+    val p = plan("source_kl")
+    assert(p.contains("SortMergeJoin"),
+      s"corpus word counts must join by shuffle merge:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the bounded per-source totals and the 1-row corpus total broadcast:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+  }
+
+  test("ngram_novelty: docs-per-gram via partial agg + merge join, no window") {
+    val p = plan("ngram_novelty")
+    assert(p.contains("SortMergeJoin"),
+      s"the open gram domain joins by shuffle merge:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"docs-per-gram must partially aggregate map-side:\n$p")
+    assert(!p.contains("windowspecdefinition"), s"no window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the

@@ -408,6 +408,35 @@ class DedupSpec extends SparkSpec {
       10L -> true, 11L -> false, 20L -> true), s"got $out")
   }
 
+  test("ngramNovelty: copied doc scores 0, fresh doc 1, within-doc repeats stay novel") {
+    val s = spark
+    import s.implicits._
+    val k = Dedup.DupSpanTokens
+    val run = (1 to k).map(i => s"dup$i").mkString(" ")
+    val fresh = (1 to k + 1).map(i => s"new$i").mkString(" ")
+    val docs = Seq(
+      (1L, run),              // the original
+      (2L, run),              // verbatim copy: every gram type shared
+      (3L, fresh),            // no gram shared with anyone
+      (4L, s"$run $run"))     // contains the shared run twice PLUS
+                              // bridge grams unique to it
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((1L, 1L, 0.0)), s"got ${out(1L)}")
+    assert(out(2L) == ((1L, 1L, 0.0)))
+    assert(out(3L) == ((2L, 0L, 1.0)), "fresh doc is fully novel")
+    // doc 4: k distinct gram types (the run — occurring twice but ONE
+    // type — plus k-1 bridge windows); only the run is cross-doc
+    // shared, so a doc REPEATING its own content does not lose
+    // novelty for the repetition
+    assert(out(4L)._1 == k.toLong && out(4L)._2 == 1L, s"got ${out(4L)}")
+    // a doc shorter than k emits no row
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.ngramNovelty(short, "doc_id", "text").count() == 0)
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)

@@ -788,6 +788,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3 == ((3L, 0.5)), s"got $r3")
   }
 
+  test("sourceKlDivergence: zero for a corpus-proportional source, positive otherwise (Gibbs)") {
+    val s = spark
+    import s.implicits._
+    // two sources with IDENTICAL word distributions -> both KL = 0
+    val same = Seq((1L, "a", "s1"), (2L, "a b", "s1"),
+      (3L, "a", "s2"), (4L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val klSame = TextAnalysis.sourceKlDivergence(same, "text", "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(klSame("s1") == 0.0 && klSame("s2") == 0.0, s"got $klSame")
+    // a divergent source scores > 0; n_tokens is the source's mass
+    val skew = Seq((1L, "a a a a", "bulk"), (2L, "z q", "odd"))
+      .toDF("doc_id", "text", "source")
+    val kl = TextAnalysis.sourceKlDivergence(skew, "text", "source")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(kl("bulk")._1 == 4L && kl("odd")._1 == 2L)
+    assert(kl("odd")._2 > 0.0 && kl("bulk")._2 > 0.0,
+      "divergent sources must carry positive KL")
+    // hand-check "odd": each word c=1 of ns=2, corpus c=1 of n=6:
+    // llr = ln(1*6 / (1*2)) = ln 3 per word -> KL = ln 3
+    val ln3 = BigDecimal(math.log(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(kl("odd")._2 ==
+      BigDecimal(ln3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("redactPii: a phone-shaped substring inside an email counts once") {
     val docs = Seq(
       (1L, "contact 555-123-4567@example.com now"),
