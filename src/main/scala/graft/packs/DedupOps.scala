@@ -869,7 +869,7 @@ object DedupOps extends QueryPack {
     * keys (pattern literals shared with TextAnalysis.normalizeText),
     * two-step lexicographic argmin (min doc, then min idx within it —
     * equals Spark's min(struct)). */
-  private def paragraphCtes: String = {
+  private[packs] def paragraphCtes: String = {
     val w = graft.operators.Paragraphs.WindowTokens
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |u AS (

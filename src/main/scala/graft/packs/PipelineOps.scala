@@ -436,6 +436,52 @@ object PipelineOps extends QueryPack {
         (-col("quality_bp")).cast("long").as("mean_cost_millinats"))
   }
 
+  /** The CCNet pipeline COMPLETE (Wenzek et al. 2020, all three
+    * stages in the published order): (1) paragraph-granular dedup —
+    * [[graft.operators.Paragraphs.scrubByWindow]], repeated units
+    * dropped corpus-wide, hosts reassembled, fully-deduplicated docs
+    * out; (2) LM perplexity floor over the SCRUBBED text (what
+    * survives stage 1 is what the LM should judge — scoring the raw
+    * text would let boilerplate mass distort a doc's fluency rank);
+    * (3) the language mixture + near-dup canonical keep, also over the
+    * scrubbed text. pipeline_curate_lm remains the scrub-free form;
+    * this row is the faithful end-to-end chain.
+    *
+    * Scale shape: the scrub's keeper argmin is the stage's one
+    * open-domain shuffle; the scrubbed relation is checkpointed ONCE
+    * and feeds the LM scan, the histogram, the mixture and the LSH
+    * pair path (the pipelineCurateLm checkpoint discipline); LM
+    * scoring stays one codegen'd scan. */
+  def pipelineCurateCcnet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = TextOps.unigramModel(spark, sfDir).table
+    val sc = graft.operators.Paragraphs.scrubByWindow(docs, "doc_id", "text")
+      .filter(length(col("clean_text")) > 0)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"),
+        col("n_dropped"))
+    val scored = sc
+      .withColumn("cost_micro",
+        graft.functions.UnigramLmCost(col("text"), t))
+      .withColumn("n_tok",
+        graft.functions.UnigramTokenCount(col("text"), t))
+      .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
+      .localCheckpoint(false)
+    val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val cutoff = TextAnalysis.cutoffFromHistogram(hist,
+      TextOps.UnigramLmKeepFrac)
+    val floored = scored.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bp") >= col("cutoff"))
+    val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select(col("doc_id"), col("lang"),
+        (-col("quality_bp")).cast("long").as("mean_cost_millinats"),
+        col("n_dropped").as("n_dropped_units"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
@@ -448,7 +494,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_multimodal" -> (pipelineCurateMultimodal _),
       "pipeline_curate_multimodal_cc" -> (pipelineCurateMultimodalCc _),
       "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _),
-      "pipeline_curate_lm" -> (pipelineCurateLm _))
+      "pipeline_curate_lm" -> (pipelineCurateLm _),
+      "pipeline_curate_ccnet" -> (pipelineCurateCcnet _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -671,8 +718,8 @@ object PipelineOps extends QueryPack {
   private def lmPipelineOracle: Map[String, String] =
     graft.operators.UnigramLmTokenizer
       .trainedSnapshot(TextOps.MaxBpeWords, TextOps.UnigramVocabTarget)
-      .filter(_.pieces.nonEmpty).toList.map { model =>
-        "pipeline_curate_lm" ->
+      .filter(_.pieces.nonEmpty).toList.flatMap { model =>
+        Seq("pipeline_curate_lm" ->
           s"""WITH RECURSIVE ${TextOps.unigramCtes(model)},
              |${TextOps.lmCostCtes},
              |${TextOps.lmFloorCtes},
@@ -688,7 +735,56 @@ object PipelineOps extends QueryPack {
              |SELECT s.doc_id, s.lang,
              |  CAST(-s.quality_bp AS BIGINT) AS mean_cost_millinats
              |FROM sampled s JOIN cc ON s.doc_id = cc.v
-             |WHERE s.doc_id = cc.cluster_id""".stripMargin
+             |WHERE s.doc_id = cc.cluster_id""".stripMargin,
+
+          // the COMPLETE chain: paragraph scrub (stage 1), then the LM
+          // floor / mixture / near-dup tail over the SCRUBBED text —
+          // scrubbed per-doc LM cost reuses the per-word tables (every
+          // scrubbed word is an original corpus token, so uwc/uwt
+          // cover it); the floor tail is the shared fragment
+          // re-targeted at the scrubbed relations
+          "pipeline_curate_ccnet" ->
+          s"""WITH RECURSIVE ${DedupOps.paragraphCtes},
+             |pg AS (
+             |  SELECT doc_id,
+             |    string_agg(CASE WHEN keep THEN par END, ' ' ORDER BY par_idx)
+             |      AS clean_text,
+             |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_dropped
+             |  FROM v GROUP BY doc_id
+             |), sc AS (
+             |  SELECT d.doc_id, d.lang, pg.clean_text AS text, pg.n_dropped
+             |  FROM documents d JOIN pg USING (doc_id)
+             |  WHERE pg.clean_text IS NOT NULL AND length(pg.clean_text) > 0
+             |),
+             |${TextOps.unigramCtes(model)},
+             |${TextOps.lmCostCtes},
+             |socc AS (
+             |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sc),
+             |       unnest(range(1, len(w) + 1)) AS u2(i)
+             |), sdc AS (
+             |  SELECT socc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
+             |  FROM socc JOIN uwc USING (word) GROUP BY doc_id
+             |), sdn AS (
+             |  SELECT socc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
+             |  FROM socc JOIN uwt USING (word) GROUP BY doc_id
+             |),
+             |${TextOps.lmFloorCtesFrom("sdc", "sdn", "n_uni")},
+             |flo AS (
+             |  SELECT sc.doc_id, sc.lang, sc.text, sc.n_dropped, kq.quality_bp
+             |  FROM sc JOIN kq USING (doc_id), cut
+             |  WHERE kq.quality_bp >= cut.cutoff
+             |), sampled AS (
+             |  SELECT * FROM flo WHERE ${TextOps.sampleGateSql}
+             |),
+             |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+             |${DedupOps.componentCtes("sampled", graft.operators.Dedup.NgramThreshold)}
+             |SELECT s.doc_id, s.lang,
+             |  CAST(-s.quality_bp AS BIGINT) AS mean_cost_millinats,
+             |  s.n_dropped AS n_dropped_units
+             |FROM sampled s JOIN cc ON s.doc_id = cc.v
+             |WHERE s.doc_id = cc.cluster_id""".stripMargin)
       }.toMap
 
   // generated from the engine's trained merge table (the TextOps

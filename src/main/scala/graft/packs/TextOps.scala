@@ -3567,11 +3567,12 @@ $branches
     * cutoff tail — ends in kq(doc_id, quality_bp) and cut(cutoff);
     * shared by the standalone LM floor oracle and the composed CCNet
     * pipeline oracle. */
-  private[packs] val lmFloorCtes: String =
+  private[packs] def lmFloorCtesFrom(costRel: String, cntRel: String,
+      cntCol: String): String =
     s"""kq AS (
-       |  SELECT udc.doc_id,
-       |    -(udc.cost_micro // (udn.n_uni * 1000)) AS quality_bp
-       |  FROM udc JOIN udn USING (doc_id)
+       |  SELECT $costRel.doc_id,
+       |    -($costRel.cost_micro // ($cntRel.$cntCol * 1000)) AS quality_bp
+       |  FROM $costRel JOIN $cntRel USING (doc_id)
        |), lh AS (SELECT quality_bp, count(*) AS c FROM kq GROUP BY quality_bp),
        |lnn AS (SELECT count(*) AS n FROM kq),
        |lcm AS (SELECT quality_bp,
@@ -3579,6 +3580,9 @@ $branches
        |      FROM lh),
        |cut AS (SELECT max(quality_bp) AS cutoff FROM lcm, lnn
        |        WHERE cum >= ceil(lnn.n * $UnigramLmKeepFrac))""".stripMargin
+
+  private[packs] val lmFloorCtes: String =
+    lmFloorCtesFrom("udc", "udn", "n_uni")
 
   // generated from the exact model the engine trained (the bpeOracles
   // pattern) — available once the query pass has run; the fertility

@@ -45,7 +45,9 @@ class CodegenStrictSpec extends SparkSpec {
     "wordpiece_encode_ids", "wordpiece_fertility_vs_bpe",
     "bigram_logprob_kn", "bigram_rank_agreement",
     "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store",
-    "source_kl", "ngram_novelty")
+    "source_kl", "ngram_novelty",
+    "pipeline_curate_lm", "pipeline_curate_scrubbed",
+    "pipeline_curate_ccnet")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
