@@ -785,6 +785,25 @@ object TextOps extends QueryPack {
         col("col").as("token_id"))
   }
 
+  /** [[wordpieceEncodeIds]] trained from the PERSISTED word counts —
+    * the [[unigramEncodeIdsStore]] argument verbatim: the store only
+    * relocates where the bounded word table comes from (summed batch
+    * partials == one-shot counts), so the trained vocabulary and the
+    * emitted ids are IDENTICAL and the oracle is shared. */
+  def wordpieceEncodeIdsStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = bpeStoreOf(docs, sfDir)
+    val wc = store.model(spark)
+      .orderBy(col("c").desc, col("word").asc).limit(MaxBpeWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val t = new graft.functions.WordPieceTable(
+      graft.operators.WordPieceTokenizer.train(wc, NumBpeMerges))
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.WordPieceTokenIds(col("text"), t)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token_id"))
+  }
+
   /** Tokenizer fertility per language — BPE tokens per whitespace word
     * (the standard tokenizer-evaluation metric: a fertility near 1
     * means the vocabulary covers the language's words whole; high
@@ -1481,6 +1500,7 @@ object TextOps extends QueryPack {
     "unigram_lm_encode_ids" -> (unigramLmEncodeIds _),
     "unigram_lm_encode_ids_store" -> (unigramEncodeIdsStore _),
     "wordpiece_encode_ids" -> (wordpieceEncodeIds _),
+    "wordpiece_encode_ids_store" -> (wordpieceEncodeIdsStore _),
     "wordpiece_fertility_vs_bpe" -> (wordpieceFertilityVsBpe _),
     "unigram_lm_score" -> (unigramLmScore _),
     "unigram_lm_floor" -> (unigramLmFloor _),
@@ -3840,7 +3860,12 @@ $jumpBranches
                |JOIN wdn USING (doc_id)
                |GROUP BY 1""".stripMargin
           }
-        Seq("wordpiece_encode_ids" -> encode) ++
+        // the store only relocates where the word counts come from —
+        // summed batch partials train the identical vocabulary, so the
+        // oracle is the SAME string (the unigram_lm_encode_ids_store
+        // equivalence argument)
+        Seq("wordpiece_encode_ids" -> encode,
+          "wordpiece_encode_ids_store" -> encode) ++
           compare.map("wordpiece_fertility_vs_bpe" -> _)
       }.toMap
 }

@@ -731,6 +731,38 @@ object StreamingPipelines {
     cleaned
   }
 
+  /** Paragraph-dedup scrub at ingest — CCNet stage 1 as a foreachBatch
+    * body: scrub the ARRIVING batch against the persisted seen-unit
+    * table plus itself ([[graft.operators.ParagraphStore.scrubProbe]]),
+    * then publish the batch's units. `excludeBatchIds` is always on
+    * (the [[spanIngestBatch]] replay argument verbatim): a first run is
+    * unaffected — the store carries no rows under these doc ids — and
+    * an at-least-once replay after the merge recomputes the identical
+    * scrub; the merge itself is batchId-idempotent. Feeding ordered
+    * batches makes the emitted stream equal the one-shot
+    * [[graft.operators.Paragraphs.scrubByWindow]] row-for-row
+    * ([[graft.operators.ParagraphStore]]'s equivalence contract). */
+  def paragraphIngestBatch(store: graft.operators.ParagraphStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"paragraphIngestBatch requires LONG doc ids (the ParagraphStore " +
+        s"schema), got ${batch.schema(idCol).dataType.catalogString} — map " +
+        "ids to a surrogate long (e.g. xxhash64) first")
+    val scrubbed0 = store.scrubProbe(batch, idCol, textCol,
+      excludeBatchIds = true)
+    // on a replay the merge below no-ops — return the LAZY rewrite
+    if (store.isReplay(batchId)) return scrubbed0
+    // eager checkpoint: the store ingest is an action over the batch's
+    // lineage and the caller's sink write would re-run the whole
+    // probe+rewrite — materialize once
+    val scrubbed = scrubbed0.localCheckpoint()
+    store.ingest(batch, idCol, textCol, batchId)
+    store.compactIfNeeded(batch.sparkSession, maxSegments)
+    scrubbed
+  }
+
   /** Training-output layout at ingest — the streaming twin of
     * [[graft.operators.TextAnalysis.packSequences]], as a foreachBatch
     * body: shard/order/rank the ARRIVING batch with the identical

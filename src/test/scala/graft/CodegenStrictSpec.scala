@@ -42,7 +42,8 @@ class CodegenStrictSpec extends SparkSpec {
     "unigram_lm_encode_ids", "unigram_lm_score", "unigram_lm_floor",
     "pack_ids_unigram", "token_budget_sample_unigram",
     "truncate_tokens_unigram",
-    "wordpiece_encode_ids", "wordpiece_fertility_vs_bpe",
+    "wordpiece_encode_ids", "wordpiece_encode_ids_store",
+    "wordpiece_fertility_vs_bpe",
     "bigram_logprob_kn", "bigram_rank_agreement",
     "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store",
     "source_kl", "ngram_novelty",

@@ -89,6 +89,35 @@ class ParagraphsSpec extends SparkSpec {
     assert(replay == out1, "replay with excludeBatchIds re-emits exactly")
   }
 
+  test("paragraphIngestBatch: ordered stream == one-shot; replay lazy and exact") {
+    import graft.streaming.StreamingPipelines
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val batch0 = docs.filter(col("doc_id") < 250L)
+    val batch1 = docs.filter(col("doc_id") >= 250L)
+    val store = new ParagraphStore(s"par_ingest_${System.nanoTime()}")
+
+    val out0 = StreamingPipelines
+      .paragraphIngestBatch(store, batch0, "doc_id", "text", batchId = 0L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val out1 = StreamingPipelines
+      .paragraphIngestBatch(store, batch1, "doc_id", "text", batchId = 1L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val oneShot = Paragraphs.scrubByWindow(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out0 ++ out1 == oneShot,
+      "ordered ingest batches must emit the one-shot scrub row-for-row")
+
+    // at-least-once replay of batch 1 AFTER its merge: identical rows,
+    // no store growth (excludeBatchIds restores the probe input)
+    val rows = store.table(spark).count()
+    val replay = StreamingPipelines
+      .paragraphIngestBatch(store, batch1, "doc_id", "text", batchId = 1L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(replay == out1)
+    assert(store.table(spark).count() == rows,
+      "replayed merge must not grow the store")
+  }
+
   test("window scrub preserves token order across kept windows") {
     // windows 0 and 2 unique, window 1 duplicated from another doc:
     // reassembly must stitch 0 then 2, never sort by content
