@@ -388,6 +388,22 @@ object TextOps extends QueryPack {
     graft.operators.TextAnalysis.packSequencesPadded(
       Tables.documents(spark, sfDir), "doc_id", "text", NumShards, PackBudget)
 
+  /** Per-shard layout efficiency over the padded pack — the capacity
+    * planner's row: doc/token mass, sequence count, interior padding,
+    * and the fill fraction (tail slack included via the n_seqs·budget
+    * denominator). One groupBy over the layout — the fold itself is
+    * not recomputed. */
+  def packStatsPadded(spark: SparkSession, sfDir: String): DataFrame =
+    packSequencesPadded(spark, sfDir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("seq_last")) + 1).as("n_seqs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("pad_before")).as("pad_interior"),
+        round(sum(col("n_tokens")).cast("double") /
+          ((max(col("seq_last")) + 1) * lit(PackBudget.toLong)).cast("double"),
+          4).as("fill_frac"))
+
   /** Token-budget sample target: sf0.01's documents carry ~28k tokens
     * total, so 10k cuts mid-corpus — the boundary-bucket machinery is
     * actually exercised at the gate. */
@@ -1473,6 +1489,7 @@ object TextOps extends QueryPack {
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
     "pack_sequences_padded" -> (packSequencesPadded _),
+    "pack_stats_padded" -> (packStatsPadded _),
     "temperature_sample" -> (temperatureSample _),
     "temperature_sample_tokens" -> (temperatureSampleTokens _),
     "quality_floor" -> (qualityFloor _),
@@ -1563,6 +1580,39 @@ object TextOps extends QueryPack {
        |)""".stripMargin
 
   private val shardPackCtes: String = shardPackCtesFrom("documents", "text")
+
+  /** The padded-pack recursive fold as a reusable CTE fragment — ONE
+    * copy of the whole-doc placement recurrence (start/pad/next
+    * arithmetic), consumed by the layout oracle (row emission) and the
+    * stats oracle (per-shard aggregation) so the two can never drift. */
+  private def paddedPackPCte: String =
+    s"""p AS (
+       |  SELECT shard, CAST(0 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
+       |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS seq_first,
+       |    CAST(NULL AS BIGINT) AS seq_last, CAST(NULL AS BIGINT) AS seq_offset,
+       |    CAST(NULL AS BIGINT) AS pad_before,
+       |    CAST(0 AS BIGINT) AS next_seq, CAST(0 AS BIGINT) AS next_off
+       |  FROM (SELECT DISTINCT shard FROM w)
+       |  UNION ALL
+       |  SELECT shard, pos, doc_id, n_tokens,
+       |    start_seq AS seq_first,
+       |    start_seq + (start_off + n_tokens - 1) // $PackBudget AS seq_last,
+       |    start_off AS seq_offset, pad AS pad_before,
+       |    CASE WHEN (start_off + n_tokens) % $PackBudget = 0
+       |         THEN start_seq + (start_off + n_tokens - 1) // $PackBudget + 1
+       |         ELSE start_seq + (start_off + n_tokens - 1) // $PackBudget END AS next_seq,
+       |    (start_off + n_tokens) % $PackBudget AS next_off
+       |  FROM (
+       |    SELECT w.shard, w.pos, w.doc_id, w.n_tokens,
+       |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+       |           THEN p.next_seq + 1 ELSE p.next_seq END AS start_seq,
+       |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+       |           THEN CAST(0 AS BIGINT) ELSE p.next_off END AS start_off,
+       |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
+       |           THEN $PackBudget - p.next_off ELSE CAST(0 AS BIGINT) END AS pad
+       |    FROM p JOIN w ON w.shard = p.shard AND w.pos = p.pos + 1
+       |  )
+       |)""".stripMargin
 
   /** DuckDB twin of BOTH decontamination forms (inline and
     * store-backed — the store only relocates the bench shingle build,
@@ -2262,36 +2312,25 @@ object TextOps extends QueryPack {
     // the same fold the Spark side runs in mapPartitions
     "pack_sequences_padded" ->
       s"""WITH RECURSIVE $shardPackCtes,
-         |p AS (
-         |  SELECT shard, CAST(0 AS BIGINT) AS pos, CAST(NULL AS BIGINT) AS doc_id,
-         |    CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS seq_first,
-         |    CAST(NULL AS BIGINT) AS seq_last, CAST(NULL AS BIGINT) AS seq_offset,
-         |    CAST(NULL AS BIGINT) AS pad_before,
-         |    CAST(0 AS BIGINT) AS next_seq, CAST(0 AS BIGINT) AS next_off
-         |  FROM (SELECT DISTINCT shard FROM w)
-         |  UNION ALL
-         |  SELECT shard, pos, doc_id, n_tokens,
-         |    start_seq AS seq_first,
-         |    start_seq + (start_off + n_tokens - 1) // $PackBudget AS seq_last,
-         |    start_off AS seq_offset, pad AS pad_before,
-         |    CASE WHEN (start_off + n_tokens) % $PackBudget = 0
-         |         THEN start_seq + (start_off + n_tokens - 1) // $PackBudget + 1
-         |         ELSE start_seq + (start_off + n_tokens - 1) // $PackBudget END AS next_seq,
-         |    (start_off + n_tokens) % $PackBudget AS next_off
-         |  FROM (
-         |    SELECT w.shard, w.pos, w.doc_id, w.n_tokens,
-         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
-         |           THEN p.next_seq + 1 ELSE p.next_seq END AS start_seq,
-         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
-         |           THEN CAST(0 AS BIGINT) ELSE p.next_off END AS start_off,
-         |      CASE WHEN p.next_off > 0 AND p.next_off + w.n_tokens > $PackBudget
-         |           THEN $PackBudget - p.next_off ELSE CAST(0 AS BIGINT) END AS pad
-         |    FROM p JOIN w ON w.shard = p.shard AND w.pos = p.pos + 1
-         |  )
-         |)
+         |$paddedPackPCte
          |SELECT doc_id, shard, pos, n_tokens, seq_first, seq_last, seq_offset,
          |  pad_before
          |FROM p WHERE doc_id IS NOT NULL""".stripMargin,
+
+    // per-shard layout efficiency off the SAME recursive fold: doc and
+    // token mass, sequence count, interior padding, and the fill
+    // fraction a capacity plan binds on (tail slack included via the
+    // n_seqs*budget denominator)
+    "pack_stats_padded" ->
+      s"""WITH RECURSIVE $shardPackCtes,
+         |$paddedPackPCte
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(pad_before) AS BIGINT) AS pad_interior,
+         |  round(CAST(sum(n_tokens) AS DOUBLE)
+         |    / ((max(seq_last) + 1) * $PackBudget), 4) AS fill_frac
+         |FROM p WHERE doc_id IS NOT NULL GROUP BY shard""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars,
