@@ -52,6 +52,24 @@ object ClassifierOps extends QueryPack {
       NbClassifier.scoreExpr(col("text"), m).as("clf_score"))
   }
 
+  /** Rank agreement between the labeling HEURISTIC and the trained
+    * classifier's ordering — the generalization eval: the classifier
+    * was trained on the heuristic's extremes (≥ PosMin / ≤ NegMax), so
+    * Spearman ρ over the WHOLE corpus measures how faithfully the
+    * learned scores interpolate the middle band the labels never saw.
+    * Both rank keys are exact integers (quality basis points; raw
+    * scaled log-odds), so the histogram-midrank machinery
+    * ([[graft.operators.TextAnalysis.rankAgreement]]) never touches a
+    * double until the final ρ. */
+  def classifierRankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val m = NbClassifier.trainCached(docs, sfDir, "doc_id", "text")
+    TextAnalysis.rankAgreement(docs.select(col("doc_id"),
+      TextAnalysis.qualityBp(col("text")).as("sa"),
+      NbClassifier.rawScoreExpr(col("text"), m).as("sb")))
+  }
+
   /** The classifier as a curation gate, audited per language: keep =
     * positive log-odds (an EXACT integer comparison — the rounded
     * score never decides), plus the exact-arithmetic mean score
@@ -276,6 +294,7 @@ object ClassifierOps extends QueryPack {
     "classifier_eval_bigram" -> (classifierEvalBigram _),
     "classifier_score_bigram" -> (classifierScoreBigram _),
     "classifier_cutoff" -> (classifierCutoff _),
+    "classifier_rank_agreement" -> (classifierRankAgreement _),
     "pipeline_curate_classifier" -> (pipelineCurateClassifier _)
   )
 
@@ -410,6 +429,22 @@ object ClassifierOps extends QueryPack {
           // one division of exact counts (tail shared with the bigram
           // audit — the two can't drift on anything but the score)
           "classifier_eval" -> (scored + evalTailSql),
+
+          // whole-corpus rank agreement vs the labeling heuristic:
+          // exact-integer rank keys (quality basis points / raw scaled
+          // log-odds) through the shared histogram-midrank Spearman
+          // tail
+          "classifier_rank_agreement" ->
+            s"""$scored,
+               |j AS (
+               |  SELECT q.doc_id, q.sa, s.raw AS sb
+               |  FROM (SELECT doc_id,
+               |          CAST(round((${TextOps.qualityExprSql}) * 10000)
+               |            AS BIGINT) AS sa
+               |        FROM documents) q
+               |  JOIN s USING (doc_id)
+               |),
+               |${TextOps.rankAgreementSqlTail}""".stripMargin,
 
           // cutoff tuning: the same scored+labels join quantized to the
           // clamped centi grid, confusion curve via ONE window over the

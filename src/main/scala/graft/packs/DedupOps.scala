@@ -347,6 +347,36 @@ object DedupOps extends QueryPack {
     graft.operators.Paragraphs.scrubByWindow(
       Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Jaccard sweep for the near-dup threshold ablation. 0.8 (the gate
+    * default) sits mid-sweep so both directions are exercised. */
+  val SweepThresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** The threshold-ablation row behind picking [[Dedup.NgramThreshold]]:
+    * verified pair count and distinct-duplicated-doc count at each
+    * sweep threshold, from ONE candidate generation + ONE exact-Jaccard
+    * verification pass (threshold 0 keeps every verified candidate;
+    * the 5-row threshold table broadcast-joins on `jac >= t`). The
+    * curve measures pairs AMONG LSH CANDIDATES at ≥ t — candidate
+    * recall is the banding's, tuned for the 0.8 regime (below it the
+    * curve is a lower bound, exactly what a production sweep over one
+    * candidate set reports); the oracle enumerates the identical
+    * candidates, so the gate is exact. */
+  def dedupThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val pairs = Dedup.minhashLshMd5(docs, "doc_id", "text", threshold = 0.0)
+    val th = SweepThresholds.toDF("threshold")
+    val tp = pairs.join(broadcast(th), col("jac") >= col("threshold"))
+    val np = tp.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val nd = tp.select(col("threshold"), col("doc_a").as("d"))
+      .union(tp.select(col("threshold"), col("doc_b").as("d"))).distinct()
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_dup_docs"))
+    th.join(np, Seq("threshold"), "left").join(nd, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
+  }
+
   /** Memorization-risk datacard row: per-doc fraction of k-gram types
     * shared with no other document ([[graft.operators.Dedup.ngramNovelty]]
     * at the shared span k). */
@@ -411,7 +441,8 @@ object DedupOps extends QueryPack {
     "paragraph_dedup" -> (paragraphDedup _),
     "paragraph_scrub" -> (paragraphScrub _),
     "paragraph_scrub_store" -> (paragraphScrubStore _),
-    "ngram_novelty" -> (ngramNovelty _)
+    "ngram_novelty" -> (ngramNovelty _),
+    "dedup_threshold_curve" -> (dedupThresholdCurve _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -861,7 +892,33 @@ object DedupOps extends QueryPack {
          |    AS n_shared_types,
          |  round(CAST(count(*) - sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END)
          |      AS DOUBLE) / count(*), 4) AS novelty_frac
-         |FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id""".stripMargin
+         |FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id""".stripMargin,
+
+    // the identical candidate set (the threshold-free pairs CTE), swept
+    // by the broadcast threshold table — rows emitted for EVERY sweep
+    // point, zero-filled where no candidate clears it
+    "dedup_threshold_curve" -> {
+      val values = SweepThresholds.map(t => s"($t)").mkString(", ")
+      s"""WITH ${minhashMd5PairCtesFrom("documents")},
+         |th(threshold) AS (VALUES $values),
+         |tp AS (
+         |  SELECT th.threshold, p.doc_a, p.doc_b
+         |  FROM pairs p JOIN th ON p.jac >= th.threshold
+         |), np AS (
+         |  SELECT threshold, count(*)::BIGINT AS n_pairs FROM tp GROUP BY 1
+         |), nd AS (
+         |  SELECT threshold, count(*)::BIGINT AS n_dup_docs FROM (
+         |    SELECT DISTINCT threshold, d FROM (
+         |      SELECT threshold, doc_a AS d FROM tp
+         |      UNION ALL SELECT threshold, doc_b FROM tp)
+         |  ) GROUP BY 1
+         |)
+         |SELECT th.threshold,
+         |  coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_dup_docs, 0) AS n_dup_docs
+         |FROM th LEFT JOIN np USING (threshold)
+         |        LEFT JOIN nd USING (threshold)""".stripMargin
+    }
   )
 
   /** Shared CTE chain for the paragraph family: window units at

@@ -1581,6 +1581,37 @@ object TextOps extends QueryPack {
 
   private val shardPackCtes: String = shardPackCtesFrom("documents", "text")
 
+  /** The histogram-midrank Spearman tail over a `j(doc_id, sa, sb)`
+    * CTE — [[graft.operators.TextAnalysis.rankAgreement]]'s SQL twin
+    * (tie-averaged midranks ×2 as exact integers off the bounded
+    * distinct-score histograms, Pearson over the rank pairs), shared
+    * by every rank-agreement oracle so the eval arithmetic exists
+    * once. */
+  private[packs] def rankAgreementSqlTail: String =
+    """ra AS (
+      |  SELECT sa, 2 * coalesce(sum(cnt) OVER (ORDER BY sa
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + cnt + 1 AS r_sa
+      |  FROM (SELECT sa, count(*)::BIGINT AS cnt FROM j GROUP BY sa)
+      |), rb AS (
+      |  SELECT sb, 2 * coalesce(sum(cnt) OVER (ORDER BY sb
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |         + cnt + 1 AS r_sb
+      |  FROM (SELECT sb, count(*)::BIGINT AS cnt FROM j GROUP BY sb)
+      |), st AS (
+      |  SELECT count(*)::BIGINT AS n,
+      |         sum(r_sa)::BIGINT AS sx, sum(r_sb)::BIGINT AS sy,
+      |         sum(r_sa * r_sa)::BIGINT AS sxx,
+      |         sum(r_sb * r_sb)::BIGINT AS syy,
+      |         sum(r_sa * r_sb)::BIGINT AS sxy
+      |  FROM j JOIN ra USING (sa) JOIN rb USING (sb)
+      |)
+      |SELECT n AS n_docs,
+      |       round((n * sxy - sx * sy)::DOUBLE
+      |         / sqrt((n * sxx - sx * sx)::DOUBLE
+      |              * (n * syy - sy * sy)::DOUBLE), 6) AS spearman_rho
+      |FROM st""".stripMargin
+
   /** The padded-pack recursive fold as a reusable CTE fragment — ONE
     * copy of the whole-doc placement recurrence (start/pad/next
     * arithmetic), consumed by the layout oracle (row emission) and the
@@ -2813,7 +2844,7 @@ object TextOps extends QueryPack {
     // the bounded distinct-score histograms, then Pearson over the
     // exact rank pairs
     "bigram_rank_agreement" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |), big AS (
         |  SELECT doc_id, concat_ws(' ', t[i], t[i+1]) AS big
@@ -2865,29 +2896,8 @@ object TextOps extends QueryPack {
         |  FROM scb GROUP BY doc_id
         |), j AS (
         |  SELECT a.doc_id, a.sa, b.sb FROM a JOIN b USING (doc_id)
-        |), ra AS (
-        |  SELECT sa, 2 * coalesce(sum(cnt) OVER (ORDER BY sa
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |         + cnt + 1 AS r_sa
-        |  FROM (SELECT sa, count(*)::BIGINT AS cnt FROM j GROUP BY sa)
-        |), rb AS (
-        |  SELECT sb, 2 * coalesce(sum(cnt) OVER (ORDER BY sb
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |         + cnt + 1 AS r_sb
-        |  FROM (SELECT sb, count(*)::BIGINT AS cnt FROM j GROUP BY sb)
-        |), s AS (
-        |  SELECT count(*)::BIGINT AS n,
-        |         sum(r_sa)::BIGINT AS sx, sum(r_sb)::BIGINT AS sy,
-        |         sum(r_sa * r_sa)::BIGINT AS sxx,
-        |         sum(r_sb * r_sb)::BIGINT AS syy,
-        |         sum(r_sa * r_sb)::BIGINT AS sxy
-        |  FROM j JOIN ra USING (sa) JOIN rb USING (sb)
-        |)
-        |SELECT n AS n_docs,
-        |       round((n * sxy - sx * sy)::DOUBLE
-        |         / sqrt((n * sxx - sx * sx)::DOUBLE
-        |              * (n * syy - sy * sy)::DOUBLE), 6) AS spearman_rho
-        |FROM s""".stripMargin,
+        |),
+        |$rankAgreementSqlTail""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -48,7 +48,8 @@ class CodegenStrictSpec extends SparkSpec {
     "paragraph_dedup", "paragraph_scrub", "paragraph_scrub_store",
     "source_kl", "ngram_novelty",
     "pipeline_curate_lm", "pipeline_curate_scrubbed",
-    "pipeline_curate_ccnet", "pack_stats_padded")
+    "pipeline_curate_ccnet", "pack_stats_padded",
+    "dedup_threshold_curve", "classifier_rank_agreement")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -437,6 +437,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramNovelty(short, "doc_id", "text").count() == 0)
   }
 
+  test("dedup_threshold_curve: monotone non-increasing, planted dups survive the top") {
+    val out = graft.packs.DedupOps
+      .dedupThresholdCurve(spark, sf)
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == graft.packs.DedupOps.SweepThresholds)
+    // pair and doc counts can only fall as the threshold rises
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2 && lo._3 >= hi._3,
+        s"curve must be non-increasing: $lo -> $hi")
+    }
+    // the planted ≥0.9 near-dups keep the top of the sweep non-empty
+    assert(out.last._2 > 0, "testdata's planted near-dups must clear 0.9")
+  }
+
   test("planted near-dups in testdata are found by minhash (recall vs blocked oracle)") {
     val d = graft.Tables.documents(spark, sf)
     val blocked = Dedup.blockedNgramJaccard(d, "doc_id", "text", threshold = 0.9)
