@@ -802,6 +802,43 @@ object TextAnalysis {
       .filter(gate < col("rate_bp"))
   }
 
+  /** The mixture-rate SOLVER — the inverse of the sampling gates: given
+    * target token SHARES per group (basis points — the DoReMi-style
+    * mixture weights a data recipe specifies), compute the per-group
+    * keep rates that ACHIEVE them at the maximum feasible corpus size.
+    * The binding group (the one whose share demands the most of its
+    * available mass) keeps everything; every other group downsamples to
+    * hold the ratio: T = min_s ⌊m_s·10⁴/t_s⌋ is the largest total mass
+    * all targets can be cut from, and rate_s = ⌊T·t_s/m_s⌋ ≤ 10⁴.
+    * Groups without a target (or with zero mass) are dropped — a recipe
+    * names its sources.
+    *
+    * All arithmetic is exact integer division (floor on positives ==
+    * `div`/`//` on both engines); overflow-safe while m_s·10⁴ < 2⁶³.
+    * Scale shape: ONE partial-agg mass pass; the solver runs over
+    * |groups| rows (broadcast); nothing corpus-sized past the scan.
+    * Output: (group, n_tokens, target_bp, rate_bp, expected_tokens). */
+  def mixtureRatesForTarget(docs: DataFrame, groupCol: String, mass: Column,
+      targetBp: Map[String, Int]): DataFrame = {
+    require(targetBp.nonEmpty &&
+      targetBp.values.forall(v => v > 0 && v <= 10000) &&
+      targetBp.values.sum <= 10000,
+      "targets are positive basis points summing to <= 10000")
+    val tgt = targetBp.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = docs.groupBy(col(groupCol)).agg(sum(mass).as("n_s"))
+      .filter(col("n_s") > 0L)
+      .withColumn("target_bp", tgt.cast("long"))
+      .filter(col("target_bp") > 0L)
+    val k = counts.agg(min(expr("n_s * 10000 div target_bp")).as("t_total"))
+    counts.crossJoin(broadcast(k))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(t_total * target_bp) div n_s")))
+      .select(col(groupCol), col("n_s").as("n_tokens"), col("target_bp"),
+        col("rate_bp"), expr("(n_s * rate_bp) div 10000").as("expected_tokens"))
+  }
+
   /** Corpus-RELATIVE quality floor: keep the top `keepFrac` of docs by
     * quality score, ties at the boundary value included (value-based,
     * so the keep set is deterministic and partition-independent).
@@ -1186,14 +1223,26 @@ object TextAnalysis {
     * large to broadcast), and the only broadcast is the 1-row vocab
     * size. Docs with fewer than 2 tokens have no transitions and no
     * row. */
-  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val big = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
-    val bf = big.groupBy(col("doc_id"), col("big"))
+  /** The per-(doc, bigram) count table both fluency scorings build on —
+    * exposed so an eval comparing the two ([[rankAgreement]]'s caller)
+    * can pay the bigram explode ONCE and checkpoint it. */
+  private[graft] def bigramBf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
+      .groupBy(col("doc_id"), col("big"))
       .agg(count(lit(1)).as("bf"))
+
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLogProbWithBf(bigramBf(docs, idCol, textCol),
+      docs.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("uc")))
+
+  /** [[bigramLogProb]]'s body over precomputed (doc_id, big, bf) and
+    * (term, uc) tables. */
+  private[graft] def bigramLogProbWithBf(bf: DataFrame,
+      uc: DataFrame): DataFrame = {
     val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
-    val uc = docs.select(explode(tokens(col(textCol))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
     val v = uc.agg(count(lit(1)).as("v"))
     val scored = bf
       .join(bc.hint("merge"), "big")
@@ -1249,11 +1298,12 @@ object TextAnalysis {
     * (one bigram-vocab shuffle feeds count, context and continuation
     * tables), merge joins on the open bigram/word vocabularies, and the
     * only broadcast is the 1-row type count. */
-  def bigramLogProbKn(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val big = docs.select(col(idCol).as("doc_id"),
-      explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
-    val bf = big.groupBy(col("doc_id"), col("big"))
-      .agg(count(lit(1)).as("bf"))
+  def bigramLogProbKn(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramLogProbKnWithBf(bigramBf(docs, idCol, textCol))
+
+  /** [[bigramLogProbKn]]'s body over a precomputed (doc_id, big, bf)
+    * table. */
+  private[graft] def bigramLogProbKnWithBf(bf: DataFrame): DataFrame = {
     val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
       .withColumn("prev", substring_index(col("big"), " ", 1))
       .withColumn("cur", substring_index(col("big"), " ", -1))

@@ -272,6 +272,24 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("source"), col("rate_bp"))
   }
 
+  /** DoReMi-style target token shares per language, in basis points —
+    * the recipe the mixture solver inverts into keep rates (shared
+    * verbatim with the generated oracle). en is deliberately UNDER its
+    * corpus share and zh over it, so the solve produces one binding
+    * group and real downsampling. */
+  val MixtureTargetBp: Map[String, Int] =
+    Map("en" -> 4000, "de" -> 2000, "fr" -> 2000, "es" -> 1000, "zh" -> 1000)
+
+  /** The mixture-rate solver under the trained-BPE token denomination
+    * ([[graft.operators.TextAnalysis.mixtureRatesForTarget]]): per-lang
+    * keep rates that achieve [[MixtureTargetBp]] at the maximum
+    * feasible corpus size. */
+  def mixtureRatesTarget(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = bpeMerges(spark, sfDir)
+    TextAnalysis.mixtureRatesForTarget(Tables.documents(spark, sfDir),
+      "lang", graft.functions.BpeTokenCount(col("text"), m), MixtureTargetBp)
+  }
+
   /** quality_floor keep fraction (top 60% by score, boundary ties in). */
   val QualityFloorFrac = 0.6
 
@@ -315,9 +333,16 @@ object TextOps extends QueryPack {
     * order statistic) actually depends on. */
   def bigramRankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val a = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+    // both scorings build on the SAME (doc, bigram) count table — pay
+    // the bigram explode once and checkpoint it (the shared-eval-scan
+    // discipline from the classifier family)
+    val bf = TextAnalysis.bigramBf(docs, "doc_id", "text")
+      .localCheckpoint(false)
+    val uc = docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val a = TextAnalysis.bigramLogProbWithBf(bf, uc)
       .select(col("doc_id"), col("avg_logprob").as("sa"))
-    val b = TextAnalysis.bigramLogProbKn(docs, "doc_id", "text")
+    val b = TextAnalysis.bigramLogProbKnWithBf(bf)
       .select(col("doc_id"), col("avg_logprob").as("sb"))
     TextAnalysis.rankAgreement(a.join(b, "doc_id").select("doc_id", "sa", "sb"))
   }
@@ -1492,6 +1517,7 @@ object TextOps extends QueryPack {
     "pack_stats_padded" -> (packStatsPadded _),
     "temperature_sample" -> (temperatureSample _),
     "temperature_sample_tokens" -> (temperatureSampleTokens _),
+    "mixture_rates_target" -> (mixtureRatesTarget _),
     "quality_floor" -> (qualityFloor _),
     "quality_floor_by_lang" -> (qualityFloorByLang _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -3215,8 +3241,29 @@ object TextOps extends QueryPack {
              |FROM documents d JOIN bdn USING (doc_id)""".stripMargin
         val encodeCtes = bpeEncodeCtesFrom(merges.size, "documents", "text")
         val tokenIdCase = bpeTokenIdCaseSql
+        val mixtureTargetCase = MixtureTargetBp.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
         Seq(
           "token_count_bpe" -> tokenCountSql,
+
+          // the solver: T = min_s floor(m_s*1e4/t_s), rate = floor(T*t/m)
+          // capped — exact integer division end to end (the Spark `div`
+          // == DuckDB `//` on positives)
+          "mixture_rates_target" ->
+            s"""WITH RECURSIVE $ctes,
+               |c AS (SELECT d.lang, CAST(sum(bdn.n_tokens_bpe) AS BIGINT) AS n_s
+               |      FROM documents d JOIN bdn USING (doc_id) GROUP BY 1),
+               |t2 AS (SELECT lang, n_s,
+               |         CAST(CASE lang $mixtureTargetCase ELSE 0 END AS BIGINT)
+               |           AS target_bp
+               |       FROM c WHERE n_s > 0),
+               |t3 AS (SELECT * FROM t2 WHERE target_bp > 0),
+               |k AS (SELECT min(n_s * 10000 // target_bp) AS t_total FROM t3)
+               |SELECT t3.lang, t3.n_s AS n_tokens, t3.target_bp,
+               |  least(10000, (k.t_total * t3.target_bp) // t3.n_s) AS rate_bp,
+               |  (t3.n_s * least(10000, (k.t_total * t3.target_bp) // t3.n_s))
+               |    // 10000 AS expected_tokens
+               |FROM t3, k""".stripMargin,
 
           // the doc-count mixture oracle's EXACT rate/gate arithmetic
           // with the per-source mass swapped to the trained-BPE token

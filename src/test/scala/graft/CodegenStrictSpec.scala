@@ -49,7 +49,8 @@ class CodegenStrictSpec extends SparkSpec {
     "source_kl", "ngram_novelty",
     "pipeline_curate_lm", "pipeline_curate_scrubbed",
     "pipeline_curate_ccnet", "pack_stats_padded",
-    "dedup_threshold_curve", "classifier_rank_agreement")
+    "dedup_threshold_curve", "classifier_rank_agreement",
+    "mixture_rates_target")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")

@@ -788,6 +788,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3 == ((3L, 0.5)), s"got $r3")
   }
 
+  test("mixtureRatesForTarget: binding group keeps all, ratios achieve the recipe, untargeted drop") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    // masses: en = 100 tokens, de = 50, xx = 7 (no target -> dropped)
+    val docs = Seq(
+      (1L, "en", words(60, "a")), (2L, "en", words(40, "b")),
+      (3L, "de", words(50, "c")), (4L, "xx", words(7, "d")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.mixtureRatesForTarget(docs, "lang",
+        size(TextAnalysis.tokens(col("text"))).cast("long"),
+        Map("en" -> 5000, "de" -> 5000))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // T = min(100*1e4/5000, 50*1e4/5000) = 100: de binds and keeps all,
+    // en halves, and the expected masses hit the 50/50 recipe exactly
+    assert(out.keySet == Set("en", "de"), s"untargeted group must drop: $out")
+    assert(out("de") == ((50L, 5000L, 10000L, 50L)), s"got ${out("de")}")
+    assert(out("en") == ((100L, 5000L, 5000L, 50L)), s"got ${out("en")}")
+  }
+
   test("sourceKlDivergence: zero for a corpus-proportional source, positive otherwise (Gibbs)") {
     val s = spark
     import s.implicits._
