@@ -76,8 +76,13 @@ object Paragraphs {
   /** Verdicts over a unit table (doc_id, par_idx, par): one keeper per
     * key — keep = (doc_id, par_idx) equals the key's lexicographic-min
     * occurrence. Carries the unit text through for [[scrubOfUnits]]. */
-  def verdictsOfUnits(units: DataFrame): DataFrame = {
-    val keyed = units.withColumn("par_key", parKey(col("par")))
+  def verdictsOfUnits(units: DataFrame): DataFrame =
+    verdictsOfKeyed(units.withColumn("par_key", parKey(col("par"))))
+
+  /** [[verdictsOfUnits]] over an ALREADY-KEYED unit table — the probe
+    * path keys once, checkpoints, and feeds both the store lookup and
+    * this argmin from the same materialization. */
+  private[operators] def verdictsOfKeyed(keyed: DataFrame): DataFrame = {
     val firsts = keyed.groupBy(col("par_key"))
       .agg(min(struct(col("doc_id"), col("par_idx"))).as("first"))
     keyed.join(firsts.hint("merge"), "par_key")
@@ -166,15 +171,21 @@ final class ParagraphStore(name: String, val w: Int = Paragraphs.WindowTokens,
   def scrubProbe(batch: DataFrame, idCol: String, textCol: String,
       excludeBatchIds: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
-    val units = Paragraphs.unitsByWindow(batch, idCol, textCol, w)
-    val local = Paragraphs.verdictsOfUnits(units)
+    // key the batch's units ONCE and checkpoint: the store lookup and
+    // the within-batch argmin both consume this table — without the
+    // checkpoint the explode+hash DAG executes twice per probe
+    val keyed = Paragraphs
+      .unitsByWindow(batch, idCol, textCol, w)
+      .withColumn("par_key", Paragraphs.parKey(col("par")))
+      .localCheckpoint(false)
+    val local = Paragraphs.verdictsOfKeyed(keyed)
     val seenSide =
       if (!excludeBatchIds) table(spark)
       else table(spark).join(
         broadcast(batch.select(col(idCol).cast("long").as("doc_id"))),
         Seq("doc_id"), "left_anti")
     val seenKeys = seenSide
-      .join(broadcast(local.select(col("par_key")).distinct()),
+      .join(broadcast(keyed.select(col("par_key")).distinct()),
         Seq("par_key"), "left_semi")
       .select(col("par_key")).distinct()
     val verdicts = local
