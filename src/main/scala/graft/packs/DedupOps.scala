@@ -89,6 +89,22 @@ object DedupOps extends QueryPack {
       Dedup.minhashLshMd5(docs, "doc_id", "text"))
   }
 
+  /** Cluster-size histogram over the LSH near-dup components — the
+    * dedup REPORT a capacity/savings review reads: how many clusters
+    * exist at each size and how many docs a canonical-keep policy
+    * frees (size − 1 per cluster). Bounded output (≤ distinct sizes);
+    * two partial aggs over the component labels. */
+  def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
+      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("n_docs_droppable"))
+  }
+
   /** Soft dedup over the LSH pair source: every doc kept at weight
     * 1/cluster_size ([[graft.operators.Dedup.softDedupWeights]]). */
   def dedupSoftWeights(spark: SparkSession, sfDir: String): DataFrame = {
@@ -442,7 +458,8 @@ object DedupOps extends QueryPack {
     "paragraph_scrub" -> (paragraphScrub _),
     "paragraph_scrub_store" -> (paragraphScrubStore _),
     "ngram_novelty" -> (ngramNovelty _),
-    "dedup_threshold_curve" -> (dedupThresholdCurve _)
+    "dedup_threshold_curve" -> (dedupThresholdCurve _),
+    "dedup_cluster_stats" -> (dedupClusterStats _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -893,6 +910,19 @@ object DedupOps extends QueryPack {
          |  round(CAST(count(*) - sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END)
          |      AS DOUBLE) / count(*), 4) AS novelty_frac
          |FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id""".stripMargin,
+
+    // size histogram over the SAME component labels as the cluster
+    // queries — the report shares their CTEs so it can't drift
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${minhashMd5PairCtesFrom("documents")},
+         |${componentCtes("documents", Dedup.NgramThreshold)},
+         |cs AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |  FROM cc GROUP BY 1
+         |)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_docs_droppable
+         |FROM cs GROUP BY 1""".stripMargin,
 
     // the identical candidate set (the threshold-free pairs CTE), swept
     // by the broadcast threshold table — rows emitted for EVERY sweep

@@ -452,9 +452,15 @@ object PipelineOps extends QueryPack {
     * and feeds the LM scan, the histogram, the mixture and the LSH
     * pair path (the pipelineCurateLm checkpoint discipline); LM
     * scoring stays one codegen'd scan. */
-  def pipelineCurateCcnet(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val t = TextOps.unigramModel(spark, sfDir).table
+  def pipelineCurateCcnet(spark: SparkSession, sfDir: String): DataFrame =
+    curateCcnet(Tables.documents(spark, sfDir),
+      TextOps.unigramModel(spark, sfDir).table)
+
+  /** The CCNet body over arbitrary (doc_id, lang, text) docs and a
+    * trained unigram table — the gate above binds the corpus tables;
+    * the scale-curve row feeds salted replicas through the SAME body. */
+  def curateCcnet(docs: DataFrame,
+      t: graft.functions.UnigramTable): DataFrame = {
     val sc = graft.operators.Paragraphs.scrubByWindow(docs, "doc_id", "text")
       .filter(length(col("clean_text")) > 0)
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")

@@ -87,6 +87,10 @@ object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional second arg: comma-separated row names — run only those
+    // (local iteration; a full run measures everything)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(',').toSet) else None
     val spark: SparkSession = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -129,6 +133,7 @@ object ScaleCurve {
     // (a scan-side expression benchmarked through count() measures
     // nothing); the noop writer computes every output column
     def bench(name: String, scale: Int, df: => DataFrame): Unit = {
+      if (!only.forall(_.contains(name))) return
       def run(): Unit =
         df.write.format("noop").mode("overwrite").save()
       run() // warm-up pass (JIT + AQE stats)
@@ -262,6 +267,15 @@ object ScaleCurve {
           .localCheckpoint(true)
         bench("pipeline_curate_pack_ids", m,
           graft.packs.PipelineOps.curatePackIds(curatedDocs, merges))
+        // the CCNet chain end to end (paragraph scrub → LM floor on the
+        // scrubbed text → mixture → near-dup keep) on the same curated
+        // replicas: the base-trained unigram LM segments salted words
+        // via their (in-alphabet) characters at high cost, but the
+        // floor is corpus-RELATIVE — it keeps the best 60% of WHATEVER
+        // arrives, so survivor mass scales with the corpus; the
+        // quality-preserving salt keeps near-dup structure per-replica
+        bench("pipeline_curate_ccnet", m,
+          graft.packs.PipelineOps.curateCcnet(curatedDocs, uniModel.table))
         curatedDocs.unpersist()
       }
       docs.unpersist()

@@ -69,6 +69,36 @@ class PackPaddedSpec extends SparkSpec {
     assert(long._6 - long._5 == 2L, "17 tokens over budget 8 spans 3 sequences")
   }
 
+  test("pack_stats_padded: capacity accounting closes against the layout") {
+    import org.apache.spark.sql.functions._
+    val stats = TextOps.packStatsPadded(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(stats.length == TextOps.NumShards)
+    stats.foreach { case (shard, nDocs, nSeqs, nTok, pad, fill) =>
+      assert(nDocs > 0 && nSeqs > 0 && nTok > 0, s"shard $shard empty")
+      // tokens + interior pad + tail slack = capacity, so tokens + pad
+      // can never exceed it, and fill is exactly tokens/capacity
+      assert(nTok + pad <= nSeqs * B,
+        s"shard $shard over capacity: $nTok + $pad > ${nSeqs * B}")
+      assert(fill ==
+        BigDecimal(nTok.toDouble / (nSeqs * B).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"shard $shard fill mismatch")
+      // the layout can't waste a whole trailing sequence: the last
+      // sequence holds at least one token
+      assert(nTok + pad > (nSeqs - 1) * B,
+        s"shard $shard has an all-pad trailing sequence")
+    }
+    // cross-check doc/token mass against the layout rows themselves
+    val layout = TextOps.packSequencesPadded(spark, sf)
+    val fromLayout = layout.groupBy(col("shard"))
+      .agg(count(lit(1)).as("d"), sum(col("n_tokens")).as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    stats.foreach { case (shard, nDocs, _, nTok, _, _) =>
+      assert(fromLayout(shard) == ((nDocs, nTok)), s"shard $shard mass drift")
+    }
+  }
+
   test("plan: the fold adds no exchange — one shard shuffle, one sort") {
     val p = TextAnalysis.packSequencesPadded(Tables.documents(spark, sf),
       "doc_id", "text", TextOps.NumShards, B)
