@@ -39,10 +39,18 @@ import graft.operators.TextAnalysis
   * exact batch semantics read through [[curated]]; pipelines that need
   * eager emission accept the lag.
   */
-final class QualityFloorStore(keepFrac: Double, dir: String) {
+final class QualityFloorStore(keepFrac: Double, dir: String,
+    keyBp: Column => Column = TextAnalysis.qualityBp) {
 
   def this(keepFrac: Double) =
     this(keepFrac, Files.createTempDirectory("graft-qfloor-store").toString)
+
+  /** A floor over a DIFFERENT integer quality key (e.g. the negated
+    * LM millinat cost — the CCNet floor) — the histogram/cutoff
+    * machinery is key-agnostic, only the scoring expression moves. */
+  def this(keepFrac: Double, keyBp: Column => Column) =
+    this(keepFrac,
+      Files.createTempDirectory("graft-qfloor-store").toString, keyBp)
 
   require(keepFrac > 0 && keepFrac <= 1,
     s"keepFrac must be in (0, 1], got $keepFrac")
@@ -74,9 +82,11 @@ final class QualityFloorStore(keepFrac: Double, dir: String) {
     case Some(d) => spark.read.parquet(d)
   }
 
-  /** The quality_bp column expression — the SAME expression the batch
-    * floor scores with, re-exported so stream wiring can't drift. */
-  def qualityBp(text: Column): Column = TextAnalysis.qualityBp(text)
+  /** The quality_bp column expression — the store's OWN key (the
+    * heuristic by default; whatever `keyBp` the constructor pinned
+    * otherwise), re-exported so stream wiring can't drift from the
+    * histogram it merges into. */
+  def qualityBp(text: Column): Column = keyBp(text)
 
   /** Merge one micro-batch's scored rows (any DataFrame with a
     * quality_bp column — [[qualityBp]] output) and publish the updated

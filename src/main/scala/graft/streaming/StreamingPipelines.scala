@@ -763,6 +763,52 @@ object StreamingPipelines {
     scrubbed
   }
 
+  /** The CCNet chain as a foreachBatch body — the streaming twin of
+    * [[graft.packs.PipelineOps.pipelineCurateCcnet]]'s stage order:
+    * paragraph scrub FIRST ([[paragraphIngestBatch]] — repeated units
+    * die against the persisted seen-unit table before anything scores
+    * them), then the corpus-relative LM floor / mixture / exact gate /
+    * near-dup drop over the SCRUBBED text ([[curateIngestBatch]],
+    * whose `floorStore` must carry the negated-millinat LM key — see
+    * [[ccnetFloorKey]]). Fully-scrubbed docs (empty clean text) exit
+    * before the floor so they can't drag the histogram. Every stage
+    * keeps its own replay discipline; the composition adds none.
+    * Returns the batch's survivors keyed by the SCRUBBED text. */
+  def ccnetIngestBatch(parStore: graft.operators.ParagraphStore,
+      floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
+      bandStore: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val scrubbed = paragraphIngestBatch(parStore, batch, idCol, textCol,
+        batchId, maxSegments)
+      .filter(length(col("clean_text")) > 0)
+      .join(batch.select(col(idCol), col(langCol)), idCol)
+      .select(col(idCol), col(langCol), col("clean_text").as(textCol))
+    curateIngestBatch(floorStore, exactStore, bandStore, seenDocs,
+      scrubbed, idCol, textCol, langCol, ratesBp, defaultBp,
+      threshold, maxBucketSize, batchId, maxSegments)
+  }
+
+  /** The CCNet floor key for [[ccnetIngestBatch]]'s `floorStore`: the
+    * NEGATED integer millinat mean LM cost — the exact key the batch
+    * pipeline floors on (pipeline_curate_lm / pipeline_curate_ccnet),
+    * as a pluggable [[QualityFloorStore]] scoring expression. */
+  def ccnetFloorKey(t: graft.functions.UnigramTable)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.bridge
+    text => {
+      val cost = graft.functions.UnigramLmCost(text, t)
+      val denom = graft.functions.UnigramTokenCount(text, t) * lit(1000L)
+      -bridge.column(org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(bridge.expression(cost), bridge.expression(denom)))
+    }
+  }
+
   /** Training-output layout at ingest — the streaming twin of
     * [[graft.operators.TextAnalysis.packSequences]], as a foreachBatch
     * body: shard/order/rank the ARRIVING batch with the identical
