@@ -71,6 +71,41 @@ object TextAnalysis {
       .otherwise(lit("es"))
   }
 
+  /** Minimum tokens before a head/tail language disagreement counts as
+    * mixed — below it one half is too short for the stopword vote to
+    * mean anything (a 1-token doc's empty tail votes the tie-break
+    * default, which is noise, not code-switching). */
+  val LangMixedMinTokens = 4
+
+  /** Mixed-language detection — the multilingual-contamination rule
+    * (crawl pipelines drop or split documents whose language DRIFTS:
+    * boilerplate in one language wrapping content in another defeats
+    * both per-language floors and the tokenizer's fertility
+    * assumptions). Cheap structural form: [[langId]] voted separately
+    * over the token head half and tail half; `mixed` = the votes
+    * disagree AND the doc carries at least [[LangMixedMinTokens]]
+    * tokens. Output (doc_id, lang_head, lang_tail, mixed).
+    *
+    * Scale shape: pure scan-side column arithmetic (two slices, two
+    * stopword votes), no shuffle, no join. Cross-engine: the halves
+    * split at ⌊(n+1)/2⌋ via integer truncation (Spark's double-divide
+    * cast and DuckDB's `//` agree on positives), and the vote is the
+    * shared [[langId]] CASE verbatim. */
+  def langMixed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val half = ((n + lit(1)) / lit(2)).cast("int")
+    val head = array_join(slice(toks, lit(1), half), " ")
+    val tail = array_join(slice(toks, half + lit(1), n), " ")
+    docs.select(col(idCol),
+        langId(head).as("lang_head"),
+        langId(tail).as("lang_tail"),
+        n.as("n"))
+      .select(col(idCol), col("lang_head"), col("lang_tail"),
+        (col("n") >= LangMixedMinTokens &&
+          col("lang_head") =!= col("lang_tail")).as("mixed"))
+  }
+
   /** Per-doc stats: counts and ratios from exact integer counts (all
     * derived doubles are deterministic single divisions). */
   def textStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

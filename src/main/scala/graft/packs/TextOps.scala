@@ -53,6 +53,12 @@ object TextOps extends QueryPack {
       TextAnalysis.langId(col("text")).as("predicted_lang"),
       col("lang").as("labeled_lang"))
 
+  /** Mixed-language (code-switching / wrapped-boilerplate) detection —
+    * [[TextAnalysis.langMixed]]: the language vote over head vs tail
+    * token halves. */
+  def langMixed(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langMixed(Tables.documents(spark, sfDir), "doc_id", "text")
+
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text")
 
@@ -1507,6 +1513,7 @@ object TextOps extends QueryPack {
     "repeat_factor_sample" -> (repeatFactorSample _),
     "chunk_loss_mask" -> (chunkLossMask _),
     "lang_id" -> (langId _),
+    "lang_mixed" -> (langMixed _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
@@ -1606,6 +1613,26 @@ object TextOps extends QueryPack {
        |)""".stripMargin
 
   private val shardPackCtes: String = shardPackCtesFrom("documents", "text")
+
+  /** The [[graft.operators.TextAnalysis.langId]] stopword-vote CASE
+    * over an arbitrary SQL string expression — stopword lists
+    * interpolated from the Scala Seqs so the two engines share
+    * literals; the CJK probe stays a plain (non-interpolated) fragment
+    * because `\x{...}` is not a valid Scala escape. */
+  private def langCaseSqlOver(e: String): String = {
+    import graft.operators.TextAnalysis.{stopEn, stopDe, stopFr, stopEs}
+    def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    def cnt(ws: Seq[String]) =
+      s"len(list_filter(string_split($e, ' '), t -> list_contains(${lst(ws)}, t)))"
+    val cjk =
+      """len(regexp_extract_all(EXPR, '[\x{4e00}-\x{9fff}]')) > 0"""
+        .replace("EXPR", e)
+    s"""CASE WHEN $cjk THEN 'zh'
+       |       WHEN ${cnt(stopEn)} >= greatest(${cnt(stopDe)}, ${cnt(stopFr)}, ${cnt(stopEs)}) THEN 'en'
+       |       WHEN ${cnt(stopDe)} >= greatest(${cnt(stopFr)}, ${cnt(stopEs)}) THEN 'de'
+       |       WHEN ${cnt(stopFr)} >= ${cnt(stopEs)} THEN 'fr'
+       |       ELSE 'es' END""".stripMargin
+  }
 
   /** The histogram-midrank Spearman tail over a `j(doc_id, sa, sb)`
     * CTE — [[graft.operators.TextAnalysis.rankAgreement]]'s SQL twin
@@ -2442,6 +2469,29 @@ object TextOps extends QueryPack {
         |       ELSE 'es' END AS predicted_lang,
         |  labeled_lang
         |FROM s""".stripMargin,
+
+    // the SAME stopword-vote CASE applied to the head and tail token
+    // halves (lists shared with TextAnalysis.stop*); halves split at
+    // (n+1)//2 — Spark's truncating cast and DuckDB's // agree
+    "lang_mixed" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    array_to_string(list_slice(toks, 1, (len(toks)+1)//2), ' ')
+         |      AS head,
+         |    array_to_string(list_slice(toks, (len(toks)+1)//2 + 1,
+         |      len(toks)), ' ') AS tail
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+         |        FROM documents)
+         |), sm AS (
+         |  SELECT doc_id, n,
+         |    ${langCaseSqlOver("head")} AS lang_head,
+         |    ${langCaseSqlOver("tail")} AS lang_tail
+         |  FROM h
+         |)
+         |SELECT doc_id, lang_head, lang_tail,
+         |  (n >= ${graft.operators.TextAnalysis.LangMixedMinTokens}
+         |    AND lang_head <> lang_tail) AS mixed
+         |FROM sm""".stripMargin,
 
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents

@@ -788,6 +788,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3 == ((3L, 0.5)), s"got $r3")
   }
 
+  test("langMixed: planted code-switching flags; short docs and pure docs don't") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // en stopwords head, de stopwords tail -> the drift the rule hunts
+      (1L, "the a of and to der die das und ist"),
+      // pure en
+      (2L, "the a of and to in is the a of"),
+      // 2 tokens whose halves would disagree: below the floor, not mixed
+      (3L, "der x"),
+      // zh anywhere dominates BOTH halves (cjk probe per half): not mixed
+      (4L, "一 一 一 一 一 一"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.langMixed(docs, "doc_id", "text")
+      .as[(Long, String, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (("en", "de", true)), s"got ${out(1L)}")
+    assert(out(2L) == (("en", "en", false)))
+    assert(!out(3L)._3, "below the token floor never flags")
+    assert(out(4L) == (("zh", "zh", false)))
+  }
+
   test("mixtureRatesForTarget: binding group keeps all, ratios achieve the recipe, untargeted drop") {
     val s = spark
     import s.implicits._
