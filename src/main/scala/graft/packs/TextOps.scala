@@ -59,6 +59,29 @@ object TextOps extends QueryPack {
   def langMixed(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.langMixed(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** The Dolma-attributes export: every SCAN-SIDE per-doc signal in
+    * ONE projection — the production shape for curation pipelines that
+    * materialize signals once and let downstream recipes mix them
+    * (Dolma's attribute files; each signal's standalone gate stays the
+    * oracle of record, this row pins that the bundle costs one scan
+    * and drifts from none of them). Signals needing aggregation
+    * (entropy, novelty, corpus-relative floors) deliberately stay out
+    * — an attributes SCAN must never shuffle. */
+  def docAttributes(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val toks = TextAnalysis.tokens(t)
+    Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.qualityExpr(t).as("quality"),
+      TextAnalysis.langId(t).as("predicted_lang"),
+      length(t).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      (length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+        length(t).cast("double")).as("punct_ratio"),
+      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+        length(t).cast("double")).as("digit_ratio"),
+      TextAnalysis.rollingFingerprint(t).as("rolling_fp"))
+  }
+
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.tokenCounts(Tables.documents(spark, sfDir), "doc_id", "text")
 
@@ -1514,6 +1537,7 @@ object TextOps extends QueryPack {
     "chunk_loss_mask" -> (chunkLossMask _),
     "lang_id" -> (langId _),
     "lang_mixed" -> (langMixed _),
+    "doc_attributes" -> (docAttributes _),
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
@@ -2492,6 +2516,27 @@ object TextOps extends QueryPack {
          |  (n >= ${graft.operators.TextAnalysis.LangMixedMinTokens}
          |    AND lang_head <> lang_tail) AS mixed
          |FROM sm""".stripMargin,
+
+    // the one-scan bundle: every fragment shared verbatim with its
+    // standalone oracle (quality / lang CASE / text_stats ratios /
+    // doc_fingerprint fold)
+    "doc_attributes" ->
+      s"""SELECT doc_id,
+         |  $qualityExprSql AS quality,
+         |  ${langCaseSqlOver("text")} AS predicted_lang,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_ratio,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS digit_ratio,
+         |  CASE WHEN length(a) = 0 THEN 0 ELSE
+         |    list_reduce(
+         |      list_transform(generate_series(1, length(a)),
+         |        i -> CAST(ascii(a[i]) AS BIGINT)),
+         |      (acc, c) -> (acc * 31 + c) % 1000000007) END AS rolling_fp
+         |FROM (SELECT doc_id, text, regexp_replace(text, '[^ -~]', '', 'g') AS a
+         |      FROM documents)""".stripMargin,
 
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents

@@ -443,6 +443,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("doc_attributes: the whole signal bundle is one shuffle-free pruned scan") {
+    val p = plan("doc_attributes")
+    assert(!p.contains("Exchange"),
+      s"an attributes export must never shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"unused doc columns must be pruned:\n$p")
+    assert(p.contains("graft_rolling_fp") || p.contains("RollingFp"),
+      s"the fingerprint must be the native expression:\n$p")
+  }
+
   test("minhash md5-twin LSH pairs: bucket equi-join, never a cartesian pair join") {
     // the pair source feeding dedup_components_lsh and pipeline_curate
     // (the components queries themselves run a driver-side loop, so the
