@@ -567,6 +567,34 @@ object TextOps extends QueryPack {
     TextAnalysis.gopherRepetition(Tables.documents(spark, sfDir),
       "doc_id", "text")
 
+  /** ALL the Gopher-family document gates ANDed into one verdict — the
+    * paper applies every rule, the standalone gates report them one
+    * family at a time: the heuristic octet (gopher_rules.keep), token
+    * repetition ratios, char-mass n-gram repetition and char entropy,
+    * joined doc-equi. The oracle embeds each family's FULL standalone
+    * oracle as a CTE body, so the composite can't drift from the gates
+    * it ANDs. */
+  def gopherVerdict(spark: SparkSession, sfDir: String): DataFrame =
+    gopherVerdictOf(Tables.documents(spark, sfDir))
+
+  /** [[gopherVerdict]]'s body over arbitrary (doc_id, text) docs — the
+    * spec plants pass/fail fixtures through the same composition. */
+  def gopherVerdictOf(docs: DataFrame): DataFrame = {
+    val gr = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select(col("doc_id"), (!col("keep")).as("flag_rules"))
+    val rp = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .select(col("doc_id"), col("flagged").as("flag_repetition"))
+    val dc = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .select(col("doc_id"), col("flagged").as("flag_dup_chars"))
+    val en = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("flagged").as("flag_entropy"))
+    gr.join(rp, "doc_id").join(dc, "doc_id").join(en, "doc_id")
+      .select(col("doc_id"), col("flag_rules"), col("flag_repetition"),
+        col("flag_dup_chars"), col("flag_entropy"),
+        (!col("flag_rules") && !col("flag_repetition") &&
+          !col("flag_dup_chars") && !col("flag_entropy")).as("keep"))
+  }
+
   /** DSIR selection with the English subset as the target domain —
     * any predicate over the corpus works; lang is the natural
     * stand-in for the paper's "formal text" target. */
@@ -1532,6 +1560,7 @@ object TextOps extends QueryPack {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "gopher_rules" -> (gopherRules _),
+    "gopher_verdict" -> (gopherVerdict _),
     "gopher_rules_by_lang" -> (gopherRulesByLang _),
     "repeat_factor_sample" -> (repeatFactorSample _),
     "chunk_loss_mask" -> (chunkLossMask _),
@@ -2167,7 +2196,25 @@ object TextOps extends QueryPack {
        |FROM m""".stripMargin
   }
 
-  override def oracleSql: Map[String, String] = Map(
+  override def oracleSql: Map[String, String] =
+    staticOracles + ("gopher_verdict" ->
+      // each family's FULL standalone oracle as a CTE body (DuckDB
+      // scopes a subquery-local WITH), so the composite verdict can't
+      // drift from the gates it ANDs
+      s"""WITH gr AS (${staticOracles("gopher_rules")}),
+         |rp AS (${staticOracles("text_repetition")}),
+         |dc AS (${staticOracles("text_dup_chars")}),
+         |en AS (${staticOracles("text_entropy")})
+         |SELECT gr.doc_id, (NOT gr.keep) AS flag_rules,
+         |  rp.flagged AS flag_repetition,
+         |  dc.flagged AS flag_dup_chars,
+         |  en.flagged AS flag_entropy,
+         |  (gr.keep AND NOT rp.flagged AND NOT dc.flagged
+         |    AND NOT en.flagged) AS keep
+         |FROM gr JOIN rp USING (doc_id) JOIN dc USING (doc_id)
+         |     JOIN en USING (doc_id)""".stripMargin)
+
+  private lazy val staticOracles: Map[String, String] = Map(
     // the exact-cosine pair verifier over the shared chunk embeddings,
     // rolled up to distinct-document pairs (vec_a < vec_b plus the
     // cross-doc filter makes doc_a < doc_b); same round(4)-then-

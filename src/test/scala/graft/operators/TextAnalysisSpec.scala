@@ -788,6 +788,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r3 == ((3L, 0.5)), s"got $r3")
   }
 
+  test("gopher_verdict: a clean doc keeps; a repetition-drowned doc flags exactly that family") {
+    val s = spark
+    import s.implicits._
+    // 60 varied English words with stopwords — passes all four families
+    val clean = (1 to 52).map(i => s"word$i").mkString(" ") +
+      " the a of and to in is the"
+    // the same doc drowned in one repeated token: the top-unigram
+    // repetition ratio flags it; the octet still passes (word count
+    // within range, stops present)
+    val repeaty = clean + " " + Seq.fill(80)("spam").mkString(" ")
+    val docs = Seq((1L, clean), (2L, repeaty)).toDF("doc_id", "text")
+    val out = graft.packs.TextOps.gopherVerdictOf(docs)
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(out(1L) == ((false, false, false, false, true)),
+      s"clean doc must keep: ${out(1L)}")
+    val (fRules, fRep, fDup, fEnt, keep) = out(2L)
+    assert(fRep, "the drowned doc must flag the repetition family")
+    assert(!keep, "any flag kills the verdict")
+    assert(!fRules, s"the octet itself still passes: ${out(2L)}")
+    val _ = (fDup, fEnt)
+  }
+
   test("langMixed: planted code-switching flags; short docs and pure docs don't") {
     val s = spark
     import s.implicits._
