@@ -577,11 +577,24 @@ object TextOps extends QueryPack {
   def gopherVerdict(spark: SparkSession, sfDir: String): DataFrame =
     gopherVerdictOf(Tables.documents(spark, sfDir))
 
+  /** [[gopherVerdict]] with the LANGUAGE-KEYED octet — the
+    * multilingual-corpus form (each language's own stop table; every
+    * other family is language-agnostic and shared verbatim). */
+  def gopherVerdictByLang(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    gopherVerdictFrom(docs,
+      TextAnalysis.gopherRulesByLang(docs, "doc_id", "text", "lang")
+        .select(col("doc_id"), (!col("keep")).as("flag_rules")))
+  }
+
   /** [[gopherVerdict]]'s body over arbitrary (doc_id, text) docs — the
     * spec plants pass/fail fixtures through the same composition. */
-  def gopherVerdictOf(docs: DataFrame): DataFrame = {
-    val gr = TextAnalysis.gopherRules(docs, "doc_id", "text")
-      .select(col("doc_id"), (!col("keep")).as("flag_rules"))
+  def gopherVerdictOf(docs: DataFrame): DataFrame =
+    gopherVerdictFrom(docs,
+      TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .select(col("doc_id"), (!col("keep")).as("flag_rules")))
+
+  private def gopherVerdictFrom(docs: DataFrame, gr: DataFrame): DataFrame = {
     val rp = TextAnalysis.repetitionStats(docs, "doc_id", "text")
       .select(col("doc_id"), col("flagged").as("flag_repetition"))
     val dc = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
@@ -1561,6 +1574,7 @@ object TextOps extends QueryPack {
     "text_quality" -> (textQuality _),
     "gopher_rules" -> (gopherRules _),
     "gopher_verdict" -> (gopherVerdict _),
+    "gopher_verdict_by_lang" -> (gopherVerdictByLang _),
     "gopher_rules_by_lang" -> (gopherRulesByLang _),
     "repeat_factor_sample" -> (repeatFactorSample _),
     "chunk_loss_mask" -> (chunkLossMask _),
@@ -2202,6 +2216,19 @@ object TextOps extends QueryPack {
       // scopes a subquery-local WITH), so the composite verdict can't
       // drift from the gates it ANDs
       s"""WITH gr AS (${staticOracles("gopher_rules")}),
+         |rp AS (${staticOracles("text_repetition")}),
+         |dc AS (${staticOracles("text_dup_chars")}),
+         |en AS (${staticOracles("text_entropy")})
+         |SELECT gr.doc_id, (NOT gr.keep) AS flag_rules,
+         |  rp.flagged AS flag_repetition,
+         |  dc.flagged AS flag_dup_chars,
+         |  en.flagged AS flag_entropy,
+         |  (gr.keep AND NOT rp.flagged AND NOT dc.flagged
+         |    AND NOT en.flagged) AS keep
+         |FROM gr JOIN rp USING (doc_id) JOIN dc USING (doc_id)
+         |     JOIN en USING (doc_id)""".stripMargin) +
+    ("gopher_verdict_by_lang" ->
+      s"""WITH gr AS (${staticOracles("gopher_rules_by_lang")}),
          |rp AS (${staticOracles("text_repetition")}),
          |dc AS (${staticOracles("text_dup_chars")}),
          |en AS (${staticOracles("text_entropy")})
