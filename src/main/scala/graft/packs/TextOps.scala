@@ -2210,8 +2210,14 @@ object TextOps extends QueryPack {
        |FROM m""".stripMargin
   }
 
+  // a DEF end to end: the snapshot-generated maps (bpe/unigram/
+  // wordpiece) must re-evaluate per call — Verify dumps oracleSql
+  // AFTER the query pass trains the snapshots, and an early caller
+  // (QueryPackSpec) must not freeze them empty. Only the literal
+  // fragments live in the lazy staticOracles val the composites quote.
   override def oracleSql: Map[String, String] =
-    staticOracles + ("gopher_verdict" ->
+    staticOracles ++ bpeOracles ++ bpeByteOracles ++ unigramOracles ++
+      wordpieceOracles + ("gopher_verdict" ->
       // each family's FULL standalone oracle as a CTE body (DuckDB
       // scopes a subquery-local WITH), so the composite verdict can't
       // drift from the gates it ANDs
@@ -3306,7 +3312,7 @@ object TextOps extends QueryPack {
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS pixel_hash
          |FROM sampled""".stripMargin
     }
-  ) ++ bpeOracles ++ bpeByteOracles ++ unigramOracles ++ wordpieceOracles
+  )
 
   /** The trained BPE merge table replayed in DuckDB, ending in
     * `bdn(doc_id, n_tokens_bpe)`: the merges are embedded as a ranked
