@@ -393,6 +393,24 @@ object DedupOps extends QueryPack {
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
   }
 
+  /** Per-source paragraph-boilerplate audit — [[paragraphDedup]]'s
+    * verdicts rolled up by source ([[dedupRateBySource]]'s shape at
+    * UNIT granularity): which sources ship repeated units, and how
+    * much of their unit mass the scrub reclaims. One broadcast join of
+    * the bounded (doc → source) map onto the verdicts, two partial
+    * aggs. */
+  def paragraphRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    graft.operators.Paragraphs.verdictsOfUnits(
+        graft.operators.Paragraphs.unitsByWindow(docs, "doc_id", "text"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped_units"),
+        round(sum(when(!col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("dropped_frac"))
+  }
+
   /** Memorization-risk datacard row: per-doc fraction of k-gram types
     * shared with no other document ([[graft.operators.Dedup.ngramNovelty]]
     * at the shared span k). */
@@ -459,7 +477,8 @@ object DedupOps extends QueryPack {
     "paragraph_scrub_store" -> (paragraphScrubStore _),
     "ngram_novelty" -> (ngramNovelty _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
-    "dedup_cluster_stats" -> (dedupClusterStats _)
+    "dedup_cluster_stats" -> (dedupClusterStats _),
+    "paragraph_rate_by_source" -> (paragraphRateBySource _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -910,6 +929,18 @@ object DedupOps extends QueryPack {
          |  round(CAST(count(*) - sum(CASE WHEN gd.nd > 1 THEN 1 ELSE 0 END)
          |      AS DOUBLE) / count(*), 4) AS novelty_frac
          |FROM dg JOIN gd USING (gram) GROUP BY dg.doc_id""".stripMargin,
+
+    // the verdict CTEs shared verbatim with paragraph_dedup, rolled up
+    // through the (doc -> source) map
+    "paragraph_rate_by_source" ->
+      s"""WITH $paragraphCtes
+         |SELECT d.source, count(*)::BIGINT AS n_units,
+         |  CAST(sum(CASE WHEN NOT v.keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped_units,
+         |  round(CAST(sum(CASE WHEN NOT v.keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS dropped_frac
+         |FROM v JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
 
     // size histogram over the SAME component labels as the cluster
     // queries — the report shares their CTEs so it can't drift

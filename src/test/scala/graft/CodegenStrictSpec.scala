@@ -50,7 +50,8 @@ class CodegenStrictSpec extends SparkSpec {
     "pipeline_curate_lm", "pipeline_curate_scrubbed",
     "pipeline_curate_ccnet", "pack_stats_padded",
     "dedup_threshold_curve", "classifier_rank_agreement",
-    "mixture_rates_target", "dedup_cluster_stats", "lang_mixed", "doc_attributes", "gopher_verdict", "gopher_verdict_by_lang")
+    "mixture_rates_target", "dedup_cluster_stats", "lang_mixed", "doc_attributes", "gopher_verdict", "gopher_verdict_by_lang",
+    "paragraph_rate_by_source")
 
   private def strict[T](body: => T): T = {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
