@@ -992,6 +992,17 @@ object Dedup {
     * near-cliques) a stderr warning is emitted and the partial labels
     * are returned: clusters may be split, never merged.
     *
+    * The fixpoint loop runs over the PAIR GRAPH only, never the corpus:
+    * labels seed from pair vertices ([[componentLabels]] — its only
+    * DataFrame input is the edge relation, so no corpus scan can reach
+    * a loop round by construction), and docs in no pair — the
+    * overwhelming majority of a deduplicated corpus — are unioned back
+    * as singleton rows (`cluster_id = doc_id`, `keep = true`) after the
+    * loop, which is exactly what the corpus-seeded fixpoint assigns
+    * them. At 100 TB the difference is decisive: each propagation round
+    * shuffles a |pair-vertices|-row label table (the dup-involved
+    * sliver) instead of a |corpus|-row one.
+    *
     * Caching contract: with `cacheResult = true` the returned result is
     * an eager `localCheckpoint` of the final label table (|docs| rows ×
     * 17 bytes) — lineage is truncated so consumers never replay the
@@ -999,8 +1010,8 @@ object Dedup {
     * session-lifetime CacheManager), and the ContextCleaner frees them
     * when the DataFrame becomes unreachable: repeated one-shot runs do
     * not accumulate cached tables. With `cacheResult = false` nothing
-    * is retained and a single downstream action recomputes the full
-    * loop once. */
+    * is retained and a downstream action recomputes the loop (the
+    * singleton anti-join and the loop output each carry its lineage). */
   def nearDupClustersFromPairs(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 30,
       cacheResult: Boolean = true): DataFrame = {
@@ -1019,13 +1030,43 @@ object Dedup {
       .join(docs.select(col(idCol).cast("long").as("dst")),
         Seq("dst"), "left_semi")
       .persist() // re-read every round: never recompute the pair join
+    val labels = componentLabels(edges, maxIters)
+    edges.unpersist() // vertex labels are materialized; edge cache done
+    val loopOut = labels.select(col("v").as("doc_id"),
+      col("lbl").as("cluster_id"), (col("v") === col("lbl")).as("keep"))
+    // Docs outside every pair: trivially their own canonical. One
+    // anti-join against the (small) vertex label table — the corpus
+    // never enters a propagation round.
+    val singles = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels.select(col("v").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(true).as("keep"))
+    val out = loopOut.union(singles)
+    val result = if (cacheResult) out.localCheckpoint(eager = true) else out
+    labels.unpersist() // CacheManager entry released either way
+    result
+  }
+
+  /** The min-label-propagation fixpoint over a symmetric, deduplicated,
+    * corpus-filtered `(src, dst)` edge relation. Deliberately takes
+    * ONLY the edge DataFrame — the corpus cannot be scanned inside the
+    * loop because the loop cannot see it (the structural form of the
+    * "no corpus shuffle per round" scale guarantee; DedupSpec pins the
+    * vertex-sized seed behaviorally). Labels seed from the edge
+    * vertices (`dst` is the post-semi-join endpoint, and the symmetric
+    * union puts every valid endpoint there; a `src` outside the vertex
+    * set has no label row and its edges propagate nothing — unknown-id
+    * pairs stay inert). Returns the persisted/checkpointed `(v, lbl)`
+    * fixpoint over exactly the pair vertices; the caller unpersists. */
+  private[graft] def componentLabels(edges: DataFrame,
+      maxIters: Int): DataFrame = {
     // Overflow-proof monotone scalar; NULL (empty input) reads as zero.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(
         org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)"))).head()
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
-    var labels = docs.select(col(idCol).cast("long").as("v"))
+    var labels = edges.select(col("dst").as("v")).distinct()
       .withColumn("lbl", col("v")).persist()
     var sum = labelSum(labels)
     var converged = false
@@ -1081,12 +1122,7 @@ object Dedup {
       System.err.println(s"[nearDupClusters] WARNING: not converged after " +
         s"$maxIters rounds — a >$maxIters-hop similarity chain exists; " +
         "clusters may be split (never merged). Raise maxIters.")
-    edges.unpersist() // final labels are materialized; edge cache done
-    val out = labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("v") === col("lbl")).as("keep"))
-    val result = if (cacheResult) out.localCheckpoint(eager = true) else out
-    labels.unpersist() // CacheManager entry released either way
-    result
+    labels
   }
 
   /** Canonical selection by QUALITY over near-dup clusters: instead of

@@ -368,11 +368,10 @@ object PipelineOps extends QueryPack {
     val pairs = graft.operators.Multimodal.imageHammingPairs(hashes)
       .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
       .localCheckpoint(false)
-    // the component loop seeds from PAIR VERTICES only, not the corpus:
-    // an asset in no pair is trivially its own canonical (v ==
-    // cluster_id in the corpus-seeded fixpoint) and can never enter the
-    // dup set — the loop's per-round jobs then run over the pair graph,
-    // which is orders of magnitude smaller than the corpus at scale
+    // r14: the component loop now vertex-seeds internally
+    // (Dedup.componentLabels), but passing the pair vertices as the
+    // corpus still skips the singleton anti-join entirely — an asset in
+    // no pair can never enter the dup set this consumer filters for
     val verts = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val dup = Dedup.nearDupClustersFromPairs(verts, "doc_id", pairs)

@@ -382,6 +382,32 @@ class DedupSpec extends SparkSpec {
     assert(out.select("my_id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("component loop is vertex-seeded: loop table sized by pairs, not corpus") {
+    // The scale pin for the r13→r14 fix: the fixpoint loop
+    // (componentLabels) takes ONLY the edge relation — structurally it
+    // cannot scan the corpus per round — and its label table must hold
+    // exactly the pair vertices. 5,000 docs, 4 of them in pairs: the
+    // loop runs over 4 rows; the 4,996 non-pair docs re-enter as
+    // singletons via ONE anti-join after the loop.
+    val d = (0L until 5000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((7L, 9L), (9L, 11L), (100L, 200L)).toDF("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".cast("long").as("src"), $"doc_b".cast("long").as("dst"))
+    val loopLabels = Dedup.componentLabels(edges, maxIters = 30)
+    assert(loopLabels.count() == 5L,
+      "loop label table must hold exactly the pair vertices {7,9,11,100,200}")
+    loopLabels.unpersist()
+    val out = Dedup.nearDupClustersFromPairs(d, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 5000, "every corpus doc keeps a row")
+    assert(out(7L) == (7L, true) && out(9L) == (7L, false) &&
+      out(11L) == (7L, false), s"chain 7-9-11 must fold to min 7: $out")
+    assert(out(100L) == (100L, true) && out(200L) == (100L, false))
+    assert(out(42L) == (42L, true) && out(4999L) == (4999L, true),
+      "non-pair docs are their own singletons")
+  }
+
   test("nearDupClustersFromPairs ignores pairs over ids outside docs (no phantoms)") {
     val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     // 999 is unknown; 1-999 and 999-2 must not create a phantom row,
