@@ -487,6 +487,61 @@ object PipelineOps extends QueryPack {
         col("n_dropped").as("n_dropped_units"))
   }
 
+  /** CCNet's published three-way output (Wenzek et al. 2020 §3: the
+    * corpus is split per LANGUAGE into head/middle/tail perplexity
+    * thirds, and downstream consumers pick buckets instead of a hard
+    * floor). Thirds of the SCRUBBED corpus (stage 1 first, like the
+    * full chain) by LM cost: two cutoffs from the SAME value-domain-
+    * bounded per-lang histogram the floor uses
+    * ([[TextAnalysis.cutoffsFromGroupedHistogram]] at 1/3 and 2/3) —
+    * head = best third (quality_bp ≥ head cutoff), tail = worst.
+    * Ties at a boundary fall into the better bucket, so the split is
+    * value-based and partition-independent like every floor here.
+    * Scale shape: one scrub shuffle, one codegen'd LM scan into a
+    * checkpoint, ONE (lang, bp) histogram partial-agg feeding both
+    * cutoff windows, two ≤|langs|-row broadcasts back onto the scan —
+    * the corpus is never key-shuffled. */
+  val CcnetHeadFrac: Double = 1.0 / 3
+  val CcnetMidFrac: Double = 2.0 / 3
+
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    ccnetBucketsBody(Tables.documents(spark, sfDir),
+      TextOps.unigramModel(spark, sfDir).table)
+
+  /** The bucket body over arbitrary (doc_id, lang, text) docs — the
+    * gate binds the corpus tables; the streaming twin feeds micro-batch
+    * snapshots through the SAME body. */
+  def ccnetBucketsBody(docs: DataFrame,
+      t: graft.functions.UnigramTable): DataFrame = {
+    val sc = graft.operators.Paragraphs.scrubByWindow(docs, "doc_id", "text")
+      .filter(length(col("clean_text")) > 0)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val scored = sc
+      .withColumn("cost_micro",
+        graft.functions.UnigramLmCost(col("text"), t))
+      .withColumn("n_tok",
+        graft.functions.UnigramTokenCount(col("text"), t))
+      .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
+      .localCheckpoint(false)
+    val hist = scored.groupBy(col("lang"), col("quality_bp"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // bounded; feeds BOTH cutoff windows
+    val headCut = TextAnalysis
+      .cutoffsFromGroupedHistogram(hist, "lang", CcnetHeadFrac)
+      .withColumnRenamed("cutoff", "head_cut")
+    val midCut = TextAnalysis
+      .cutoffsFromGroupedHistogram(hist, "lang", CcnetMidFrac)
+      .withColumnRenamed("cutoff", "mid_cut")
+    scored.join(broadcast(headCut), Seq("lang"))
+      .join(broadcast(midCut), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        (-col("quality_bp")).cast("long").as("mean_cost_millinats"),
+        when(col("quality_bp") >= col("head_cut"), lit("head"))
+          .when(col("quality_bp") >= col("mid_cut"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
@@ -500,7 +555,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_multimodal_cc" -> (pipelineCurateMultimodalCc _),
       "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _),
       "pipeline_curate_lm" -> (pipelineCurateLm _),
-      "pipeline_curate_ccnet" -> (pipelineCurateCcnet _))
+      "pipeline_curate_ccnet" -> (pipelineCurateCcnet _),
+      "ccnet_buckets" -> (ccnetBuckets _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -716,6 +772,42 @@ object PipelineOps extends QueryPack {
          |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin
   ) ++ bpePipelineOracles ++ lmPipelineOracle
 
+  /** Stage-1 scrub as CTEs — paragraph keep/drop (`v`), reassembly
+    * (`pg`), and the non-empty scrubbed relation `sc(doc_id, lang,
+    * text, n_dropped)`. ONE string shared by the composed CCNet oracle
+    * and the bucket oracle, so the scrub semantics cannot drift. */
+  private def ccnetScrubCtes: String =
+    s"""${DedupOps.paragraphCtes},
+       |pg AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN keep THEN par END, ' ' ORDER BY par_idx)
+       |      AS clean_text,
+       |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped
+       |  FROM v GROUP BY doc_id
+       |), sc AS (
+       |  SELECT d.doc_id, d.lang, pg.clean_text AS text, pg.n_dropped
+       |  FROM documents d JOIN pg USING (doc_id)
+       |  WHERE pg.clean_text IS NOT NULL AND length(pg.clean_text) > 0
+       |)""".stripMargin
+
+  /** Scrubbed-text LM cost re-using the per-word tables (every
+    * scrubbed word is an original corpus token, so uwc/uwt cover it):
+    * ends in sdc(doc_id, cost_micro) / sdn(doc_id, n_uni). Shared by
+    * the composed CCNet oracle and the bucket oracle. */
+  private def scrubbedLmCostCtes: String =
+    s"""socc AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sc),
+       |       unnest(range(1, len(w) + 1)) AS u2(i)
+       |), sdc AS (
+       |  SELECT socc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
+       |  FROM socc JOIN uwc USING (word) GROUP BY doc_id
+       |), sdn AS (
+       |  SELECT socc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
+       |  FROM socc JOIN uwt USING (word) GROUP BY doc_id
+       |)""".stripMargin
+
   // generated from the exact unigram model the engine trained (the
   // bpeOracles pattern): the floor fragments are the SAME strings the
   // standalone unigram_lm_floor oracle verifies, the mixture gate and
@@ -749,32 +841,10 @@ object PipelineOps extends QueryPack {
           // cover it); the floor tail is the shared fragment
           // re-targeted at the scrubbed relations
           "pipeline_curate_ccnet" ->
-          s"""WITH RECURSIVE ${DedupOps.paragraphCtes},
-             |pg AS (
-             |  SELECT doc_id,
-             |    string_agg(CASE WHEN keep THEN par END, ' ' ORDER BY par_idx)
-             |      AS clean_text,
-             |    CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
-             |      AS n_dropped
-             |  FROM v GROUP BY doc_id
-             |), sc AS (
-             |  SELECT d.doc_id, d.lang, pg.clean_text AS text, pg.n_dropped
-             |  FROM documents d JOIN pg USING (doc_id)
-             |  WHERE pg.clean_text IS NOT NULL AND length(pg.clean_text) > 0
-             |),
+          s"""WITH RECURSIVE $ccnetScrubCtes,
              |${TextOps.unigramCtes(model)},
              |${TextOps.lmCostCtes},
-             |socc AS (
-             |  SELECT doc_id, CAST(i AS BIGINT) AS wi, w[i] AS word
-             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sc),
-             |       unnest(range(1, len(w) + 1)) AS u2(i)
-             |), sdc AS (
-             |  SELECT socc.doc_id, CAST(sum(uwc.wcost) AS BIGINT) AS cost_micro
-             |  FROM socc JOIN uwc USING (word) GROUP BY doc_id
-             |), sdn AS (
-             |  SELECT socc.doc_id, CAST(sum(uwt.n) AS BIGINT) AS n_uni
-             |  FROM socc JOIN uwt USING (word) GROUP BY doc_id
-             |),
+             |$scrubbedLmCostCtes,
              |${TextOps.lmFloorCtesFrom("sdc", "sdn", "n_uni")},
              |flo AS (
              |  SELECT sc.doc_id, sc.lang, sc.text, sc.n_dropped, kq.quality_bp
@@ -789,7 +859,41 @@ object PipelineOps extends QueryPack {
              |  CAST(-s.quality_bp AS BIGINT) AS mean_cost_millinats,
              |  s.n_dropped AS n_dropped_units
              |FROM sampled s JOIN cc ON s.doc_id = cc.v
-             |WHERE s.doc_id = cc.cluster_id""".stripMargin)
+             |WHERE s.doc_id = cc.cluster_id""".stripMargin,
+
+          // per-lang thirds: same scrub + per-word cost fragments, one
+          // (lang, bp) histogram, TWO cumulative cutoffs (the CASE
+          // mirrors the engine's better-bucket tie rule)
+          "ccnet_buckets" ->
+          s"""WITH RECURSIVE $ccnetScrubCtes,
+             |${TextOps.unigramCtes(model)},
+             |${TextOps.lmCostCtes},
+             |$scrubbedLmCostCtes,
+             |kqb AS (
+             |  SELECT sc.doc_id, sc.lang,
+             |    -(sdc.cost_micro // (sdn.n_uni * 1000)) AS quality_bp
+             |  FROM sc JOIN sdc USING (doc_id) JOIN sdn USING (doc_id)
+             |), bh AS (SELECT lang, quality_bp, count(*) AS c
+             |          FROM kqb GROUP BY lang, quality_bp),
+             |bn AS (SELECT lang, sum(c) AS n FROM bh GROUP BY lang),
+             |bcum AS (SELECT lang, quality_bp,
+             |         sum(c) OVER (PARTITION BY lang ORDER BY quality_bp DESC
+             |                      ROWS UNBOUNDED PRECEDING) AS cum
+             |         FROM bh),
+             |hcut AS (SELECT bcum.lang, max(quality_bp) AS head_cut
+             |         FROM bcum JOIN bn USING (lang)
+             |         WHERE cum >= ceil(bn.n * $CcnetHeadFrac)
+             |         GROUP BY bcum.lang),
+             |mcut AS (SELECT bcum.lang, max(quality_bp) AS mid_cut
+             |         FROM bcum JOIN bn USING (lang)
+             |         WHERE cum >= ceil(bn.n * $CcnetMidFrac)
+             |         GROUP BY bcum.lang)
+             |SELECT kqb.doc_id, kqb.lang,
+             |  CAST(-kqb.quality_bp AS BIGINT) AS mean_cost_millinats,
+             |  CASE WHEN kqb.quality_bp >= hcut.head_cut THEN 'head'
+             |       WHEN kqb.quality_bp >= mcut.mid_cut THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM kqb JOIN hcut USING (lang) JOIN mcut USING (lang)""".stripMargin)
       }.toMap
 
   // generated from the engine's trained merge table (the TextOps

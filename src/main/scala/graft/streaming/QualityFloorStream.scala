@@ -262,3 +262,128 @@ final class GroupedQualityFloorStore(keepFrac: Double, val groupCol: String,
     }
   }
 }
+
+/** Streaming twin of the per-group BUCKET split (canonically CCNet's
+  * per-language head/middle/tail perplexity thirds —
+  * [[graft.packs.PipelineOps.ccnetBucketsBody]]): the same persisted
+  * (group, quality_bp, c) histogram as [[GroupedQualityFloorStore]],
+  * but the publish step recomputes ONE cutoff per `fracs` entry per
+  * group (all from the one histogram, the shared
+  * [[TextAnalysis.cutoffsFromGroupedHistogram]] arithmetic) and the
+  * read-time view assigns a LABEL instead of a keep verdict:
+  * `labels(i)` for the first cutoff the doc clears, `labels.last`
+  * otherwise — boundary ties fall into the better bucket, exactly the
+  * batch rule. `keyBp` is pluggable like the global store's (the CCNet
+  * wiring passes the negated-millinat LM key). State stays bounded by
+  * |groups| · value-domain rows; cutoff-lag semantics are the floor
+  * stores', per group — and because labels are assigned at READ time,
+  * a doc's bucket is retroactively corpus-relative: later mass can
+  * re-bucket earlier docs, exactly like the batch form re-run on the
+  * grown corpus. */
+final class GroupedBucketStore(fracs: Seq[Double], labels: Seq[String],
+    val groupCol: String, dir: String, keyBp: Column => Column) {
+
+  def this(fracs: Seq[Double], labels: Seq[String], groupCol: String,
+      keyBp: Column => Column) =
+    this(fracs, labels, groupCol,
+      Files.createTempDirectory("graft-gbucket-store").toString, keyBp)
+
+  require(fracs.nonEmpty && fracs == fracs.sorted &&
+    fracs.forall(f => f > 0 && f < 1),
+    s"fracs must be ascending in (0, 1), got $fracs")
+  require(labels.size == fracs.size + 1,
+    s"need one label per frac plus the remainder, got $labels")
+
+  private val store = new VersionedParquetStore(dir, adoptExisting = true)
+  // per-frac, group(string form, see GroupedQualityFloorStore) → cutoff
+  @volatile private var publishedCuts: Seq[Map[String, Long]] = Seq.empty
+  @volatile private var adoptionPending: Boolean = store.current.nonEmpty
+
+  private def cutsOf(spark: SparkSession): Seq[Map[String, Long]] = {
+    val h = histogram(spark).localCheckpoint() // bounded; feeds every frac
+    fracs.map(f =>
+      TextAnalysis.cutoffsFromGroupedHistogram(h, groupCol, f)
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap)
+  }
+
+  private def ensureAdopted(spark: SparkSession): Unit =
+    if (adoptionPending) synchronized {
+      if (adoptionPending) {
+        publishedCuts = cutsOf(spark)
+        adoptionPending = false
+      }
+    }
+
+  /** Current merged histogram: (group, quality_bp, c). */
+  def histogram(spark: SparkSession): DataFrame = store.current match {
+    case None =>
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF(groupCol, "quality_bp", "c")
+    case Some(d) => spark.read.parquet(d)
+  }
+
+  /** The pinned scoring expression — re-exported so wiring can't
+    * drift from the histogram it merges into. */
+  def qualityBp(text: Column): Column = keyBp(text)
+
+  /** Merge one micro-batch's scored rows (group column + quality_bp)
+    * and publish the updated per-group cutoff ladder. Synchronized
+    * end-to-end: histogram version and cutoffs advance together. */
+  def merge(batchScored: DataFrame,
+      batchId: Long = VersionedParquetStore.NoBatchId): Unit = synchronized {
+    val spark = batchScored.sparkSession
+    ensureAdopted(spark)
+    val batchHist = batchScored.select(col(groupCol), col("quality_bp"))
+      .groupBy(col(groupCol), col("quality_bp")).agg(count(lit(1)).as("c"))
+    val applied = store.publish(batchId) { nextDir =>
+      histogram(spark).unionByName(batchHist)
+        .groupBy(col(groupCol), col("quality_bp"))
+        .agg(sum(col("c")).cast("long").as("c"))
+        .write.mode(SaveMode.Overwrite).parquet(nextDir)
+    }
+    if (applied) publishedCuts = cutsOf(spark)
+  }
+
+  /** True when `batchId` was already merged. */
+  def isReplay(batchId: Long): Boolean = store.isReplay(batchId)
+
+  /** The published cutoff ladders, one map per frac; empty before the
+    * first non-empty merge. */
+  def cutsBp: Seq[Map[String, Long]] = {
+    if (adoptionPending) ensureAdopted(SparkSession.active)
+    publishedCuts
+  }
+
+  /** Read-time bucketed view of accumulated docs (group column +
+    * quality_bp): adds a `bucket` label column. Groups with no merged
+    * mass are dropped (no corpus, no split — the floor stores' rule);
+    * before any merge the view is empty. */
+  def bucketed(docs: DataFrame): DataFrame = {
+    ensureAdopted(docs.sparkSession)
+    val cuts = publishedCuts
+    if (cuts.isEmpty || cuts.head.isEmpty) docs.limit(0).withColumn("bucket", lit(""))
+    else {
+      val spark = docs.sparkSession
+      // every frac yields the same group set (cum always reaches n ≥
+      // ceil(n·frac)), so indexing the tail maps by head keys is total
+      val rows = cuts.head.keySet.toSeq.map { g =>
+        org.apache.spark.sql.Row.fromSeq(g +: cuts.map(_(g)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__group_key",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        fracs.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__cut_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+      val cdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val label = fracs.indices.foldRight(lit(labels.last): Column) {
+        (i, rest) => when(col("quality_bp") >= col(s"__cut_$i"),
+          lit(labels(i))).otherwise(rest)
+      }
+      docs.join(broadcast(cdf),
+          docs(groupCol).cast("string") === cdf("__group_key"))
+        .withColumn("bucket", label)
+        .drop("__group_key" +: fracs.indices.map(i => s"__cut_$i"): _*)
+    }
+  }
+}

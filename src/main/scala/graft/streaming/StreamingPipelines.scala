@@ -794,6 +794,50 @@ object StreamingPipelines {
       threshold, maxBucketSize, batchId, maxSegments)
   }
 
+  /** CCNet's head/middle/tail bucket split as a foreachBatch body —
+    * the streaming twin of
+    * [[graft.packs.PipelineOps.ccnetBucketsBody]]: paragraph scrub
+    * first ([[paragraphIngestBatch]], same stage order as
+    * [[ccnetIngestBatch]]), then the batch's scrubbed text is LM-scored
+    * with the store's pinned key and its per-(lang, quality_bp) mass
+    * merged into `bucketStore` (a [[GroupedBucketStore]] built by
+    * [[ccnetBucketStore]]). Bucket LABELS are read-time
+    * (`bucketStore.bucketed` over the accumulated scored rows) —
+    * retroactively corpus-relative like every floor here, so on a
+    * finalized horizon the labels equal the batch form's (spec-pinned).
+    * Replay discipline: the scrub store and the histogram merge are
+    * each batchId-idempotent; the returned scored rows are
+    * deterministic per batch. Returns the batch's (id, lang,
+    * quality_bp) scored rows for the caller's accumulation sink. */
+  def ccnetBucketsIngestBatch(parStore: graft.operators.ParagraphStore,
+      bucketStore: GroupedBucketStore, batch: DataFrame, idCol: String,
+      textCol: String, langCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val scrubbed = paragraphIngestBatch(parStore, batch, idCol, textCol,
+        batchId, maxSegments)
+      .filter(length(col("clean_text")) > 0)
+      .join(batch.select(col(idCol), col(langCol)), idCol)
+      .select(col(idCol), col(langCol), col("clean_text").as(textCol))
+    val scored = scrubbed
+      .select(col(idCol), col(langCol),
+        bucketStore.qualityBp(col(textCol)).as("quality_bp"))
+      .localCheckpoint() // scored once; feeds the merge AND the caller
+    bucketStore.merge(scored, batchId)
+    scored
+  }
+
+  /** The CCNet bucket store: per-LANGUAGE cutoff ladder at the batch
+    * pipeline's thirds ([[graft.packs.PipelineOps.CcnetHeadFrac]] /
+    * CcnetMidFrac — the same constants the oracle embeds), keyed by
+    * the negated-millinat LM cost ([[ccnetFloorKey]]). */
+  def ccnetBucketStore(langCol: String,
+      t: graft.functions.UnigramTable): GroupedBucketStore =
+    new GroupedBucketStore(
+      Seq(graft.packs.PipelineOps.CcnetHeadFrac,
+        graft.packs.PipelineOps.CcnetMidFrac),
+      Seq("head", "middle", "tail"), langCol, ccnetFloorKey(t))
+
   /** The CCNet floor key for [[ccnetIngestBatch]]'s `floorStore`: the
     * NEGATED integer millinat mean LM cost — the exact key the batch
     * pipeline floors on (pipeline_curate_lm / pipeline_curate_ccnet),
