@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4's line-level rule filters (Raffel et al. 2020 §2.2 — the other
+  * published heuristic family next to Gopher's doc-level rules, reused
+  * by FineWeb): per LINE, keep only lines that (1) end in a terminal
+  * punctuation mark, (2) carry at least [[MinWordsPerLine]] words,
+  * (3) do not mention "javascript"; per PAGE, drop documents whose
+  * kept-line count falls under [[MinKeptLines]], documents containing
+  * the phrase "lorem ipsum", and documents containing a curly brace.
+  * (C4's remaining page rules — the bad-words list and URL dedup —
+  * live in their own operators: the NB classifier / quality floors and
+  * the dedup family.)
+  *
+  * The LINE is a parameter, not an assumption — verdicts run over any
+  * [[Paragraphs]] unit table (structural delimiters in production;
+  * fixed token windows on the delimiter-free gate corpus, where the
+  * terminal-punctuation rule rejects every unit — the same
+  * corpus-fails-wholesale shape as the Gopher octet, pinned by the
+  * gate; specs plant punctuated fixtures to exercise keeps).
+  *
+  * Exactness discipline (the gopherRules pattern): every verdict is
+  * integer/string arithmetic the DuckDB oracle repeats verbatim —
+  * suffix probes, a whitespace word count, substring containment —
+  * and each rule's violation count is reported INDEPENDENTLY (a line
+  * can fail several rules; n_drop_* are per-rule audit signals, keep
+  * is the conjunction).
+  *
+  * Scale shape: line verdicts are a scan-side projection over the
+  * unit explode (bounded amplification, no shuffle); the per-doc
+  * rollup is one partial-agg groupBy; page flags ride the original
+  * scan. Nothing global, no windows, no driver state. */
+object C4Rules {
+
+  /** C4 keeps lines with >= 3 words. */
+  val MinWordsPerLine = 3
+  /** C4 discards pages with < 5 kept sentences/lines. */
+  val MinKeptLines = 5
+  /** Terminal punctuation: period, exclamation, question, end quote. */
+  val TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"", "'")
+  /** Line-level banned word (case-insensitive). */
+  val BannedLineWord = "javascript"
+  /** Page-level banned phrase (case-insensitive). */
+  val BannedPagePhrase = "lorem ipsum"
+  /** Page-level banned character. */
+  val BannedPageChar = "{"
+
+  /** True when the unit ends in a terminal punctuation mark. */
+  def endsTerminal(par: Column): Column =
+    TerminalPunct.map(p => par.endsWith(p)).reduce(_ || _)
+
+  /** Per-line verdicts over a (doc_id, par_idx, par) unit table:
+    * adds pass_punct / pass_words / pass_js and their conjunction
+    * `keep`. Word count is the whitespace split length — the same
+    * count the oracle's string_split takes. */
+  def lineVerdicts(units: DataFrame): DataFrame = units
+    .withColumn("pass_punct", endsTerminal(col("par")))
+    .withColumn("pass_words",
+      size(split(col("par"), " ")) >= MinWordsPerLine)
+    .withColumn("pass_js", !lower(col("par")).contains(BannedLineWord))
+    .withColumn("keep",
+      col("pass_punct") && col("pass_words") && col("pass_js"))
+
+  /** The full C4 filter: line verdicts rolled up per doc (cleaned
+    * text from kept lines in unit order, independent per-rule drop
+    * counts) plus the page-level flags and the page verdict. Every
+    * input doc emits a row — this is an audit projection, the caller
+    * filters on `doc_keep`. `sep` joins kept units (space for token
+    * windows, the structural delimiter in production). */
+  def c4LineFilter(docs: DataFrame, idCol: String, textCol: String,
+      units: DataFrame, sep: String = " "): DataFrame = {
+    val v = lineVerdicts(units)
+    val agg = v.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("par_idx"), col("par"))))),
+          x => x("par")), sep).as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("pass_punct"), 1L).otherwise(0L)).as("n_drop_punct"),
+        sum(when(!col("pass_words"), 1L).otherwise(0L)).as("n_drop_words"),
+        sum(when(!col("pass_js"), 1L).otherwise(0L)).as("n_drop_js"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        lower(col(textCol)).contains(BannedPagePhrase).as("has_lorem"),
+        col(textCol).contains(BannedPageChar).as("has_brace"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_drop_punct"), lit(0L)).as("n_drop_punct"),
+        coalesce(col("n_drop_words"), lit(0L)).as("n_drop_words"),
+        coalesce(col("n_drop_js"), lit(0L)).as("n_drop_js"),
+        col("has_lorem"), col("has_brace"),
+        (!col("has_lorem") && !col("has_brace") &&
+          coalesce(col("n_kept"), lit(0L)) >= MinKeptLines).as("doc_keep"))
+  }
+
+  /** The gated window-unit form (delimiter-free corpus). */
+  def c4LineFilterByWindow(docs: DataFrame, idCol: String,
+      textCol: String, w: Int = Paragraphs.WindowTokens): DataFrame =
+    c4LineFilter(docs, idCol, textCol,
+      Paragraphs.unitsByWindow(docs, idCol, textCol, w))
+}

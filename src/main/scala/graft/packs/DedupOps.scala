@@ -982,12 +982,12 @@ object DedupOps extends QueryPack {
     }
   )
 
-  /** Shared CTE chain for the paragraph family: window units at
-    * [[graft.operators.Paragraphs.WindowTokens]], normalized md5h60
-    * keys (pattern literals shared with TextAnalysis.normalizeText),
-    * two-step lexicographic argmin (min doc, then min idx within it —
-    * equals Spark's min(struct)). */
-  private[packs] def paragraphCtes: String = {
+  /** Window-unit CTEs alone — toks + u(doc_id, par_idx, par), the
+    * delimiter-free unit table (units at
+    * [[graft.operators.Paragraphs.WindowTokens]]) shared by the
+    * paragraph-dedup chain below and the C4 line-rule oracle
+    * (TextOps). */
+  private[packs] def windowUnitCtes: String = {
     val w = graft.operators.Paragraphs.WindowTokens
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |u AS (
@@ -995,7 +995,15 @@ object DedupOps extends QueryPack {
        |    array_to_string(list_slice(tk, CAST(s AS INT),
        |      CAST(least(s + ${w - 1}, len(tk)) AS INT)), ' ') AS par
        |  FROM toks, unnest(range(1, greatest(len(tk), 1) + 1, $w)) AS u(s)
-       |), k AS (
+       |)""".stripMargin
+  }
+
+  /** Shared CTE chain for the paragraph family: window units,
+    * normalized md5h60 keys (pattern literals shared with
+    * TextAnalysis.normalizeText), two-step lexicographic argmin (min
+    * doc, then min idx within it — equals Spark's min(struct)). */
+  private[packs] def paragraphCtes: String = {
+    s"""$windowUnitCtes, k AS (
        |  SELECT doc_id, par_idx, par,
        |    ('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(par),
        |       '${graft.operators.TextAnalysis.NormPunctPattern}', ' ', 'g'),

@@ -487,6 +487,41 @@ object PipelineOps extends QueryPack {
         col("n_dropped").as("n_dropped_units"))
   }
 
+  /** The C4-flavored curation audit (Raffel et al. 2020 composed with
+    * this pack's own gates): line rules first (the structural cleanup
+    * — [[graft.operators.C4Rules]] over window units at the gate),
+    * then C4's page rules, then the quality heuristic and the
+    * stratified mixture, reported as the FIRST gate that removed each
+    * doc (the pipeline_curate_audit verdict discipline — an audit
+    * projection, every doc keeps a row). The quality heuristic scores
+    * the ORIGINAL text: C4's line pass is structural cleanup, and on a
+    * line-rule-degenerate corpus scoring the cleaned text would divide
+    * by an empty string (the cross-engine NULL/NaN trap).
+    * Scale shape: everything here is scan-side (the unit explode, the
+    * rollup's one partial-agg groupBy, the hash mixture gate) — no
+    * pair joins, no windows, no driver state. */
+  def pipelineCurateC4(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.C4Rules
+    val docs = Tables.documents(spark, sfDir)
+    val lf = C4Rules.c4LineFilterByWindow(docs, "doc_id", "text")
+    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+    val mix = TextAnalysis.stratifiedSample(docs, "lang", "doc_id",
+        TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+      .select(col("doc_id"), lit(true).as("in_mix"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(lf.select(col("doc_id"), col("n_kept"), col("has_lorem"),
+        col("has_brace")), "doc_id")
+      .join(quality, "doc_id")
+      .join(mix, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_kept"),
+        when(col("n_kept") < C4Rules.MinKeptLines, lit("drop_lines"))
+          .when(col("has_lorem"), lit("drop_lorem"))
+          .when(col("has_brace"), lit("drop_brace"))
+          .when(col("quality") < QualityMin, lit("drop_quality"))
+          .when(col("in_mix").isNull, lit("drop_mixture"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   /** CCNet's published three-way output (Wenzek et al. 2020 §3: the
     * corpus is split per LANGUAGE into head/middle/tail perplexity
     * thirds, and downstream consumers pick buckets instead of a hard
@@ -556,7 +591,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_scrubbed" -> (pipelineCurateScrubbed _),
       "pipeline_curate_lm" -> (pipelineCurateLm _),
       "pipeline_curate_ccnet" -> (pipelineCurateCcnet _),
-      "ccnet_buckets" -> (ccnetBuckets _))
+      "ccnet_buckets" -> (ccnetBuckets _),
+      "pipeline_curate_c4" -> (pipelineCurateC4 _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -769,7 +805,28 @@ object PipelineOps extends QueryPack {
          |       WHEN l.dup_of IS NOT NULL THEN 'drop_neardup'
          |       ELSE 'keep' END AS verdict,
          |  l.dup_of
-         |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin
+         |FROM q LEFT JOIN lose l ON q.doc_id = l.lid""".stripMargin,
+
+    // C4 composed audit: the SHARED line-rule CTEs (c4_line_filter's
+    // strings verbatim), page flags off the raw scan, then the shared
+    // quality expression and mixture gate — verdict is the first
+    // failing gate in pipeline order
+    "pipeline_curate_c4" -> {
+      import graft.operators.C4Rules._
+      s"""WITH ${TextOps.c4LineCtes},
+         |q AS (SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+         |      FROM documents)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CASE WHEN coalesce(g.n_kept, 0) < $MinKeptLines THEN 'drop_lines'
+         |       WHEN contains(lower(d.text), '$BannedPagePhrase') THEN 'drop_lorem'
+         |       WHEN contains(d.text, '$BannedPageChar') THEN 'drop_brace'
+         |       WHEN q.quality < $QualityMin THEN 'drop_quality'
+         |       WHEN NOT (${TextOps.sampleGateSql}) THEN 'drop_mixture'
+         |       ELSE 'keep' END AS verdict
+         |FROM documents d JOIN q USING (doc_id)
+         |LEFT JOIN g USING (doc_id)""".stripMargin
+    }
   ) ++ bpePipelineOracles ++ lmPipelineOracle
 
   /** Stage-1 scrub as CTEs — paragraph keep/drop (`v`), reassembly

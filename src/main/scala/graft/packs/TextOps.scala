@@ -32,6 +32,12 @@ object TextOps extends QueryPack {
     TextAnalysis.gopherRulesByLang(Tables.documents(spark, sfDir),
       "doc_id", "text", "lang")
 
+  /** C4's line-level rule family over window units (the delimiter-free
+    * gate corpus form — [[graft.operators.C4Rules]]). */
+  def c4LineFilter(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.C4Rules.c4LineFilterByWindow(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
   /** Repeat-factor table for `repeat_factor_sample` — integer (3.0),
     * fractional (2.5), sub-epoch (0.5) and excluded (0) factors all
     * live at the gate; everything else defaults to one epoch. */
@@ -256,6 +262,39 @@ object TextOps extends QueryPack {
     TextAnalysis.stratifiedSample(Tables.documents(spark, sfDir),
         "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
       .select(col("doc_id"), col("lang"))
+
+  /** C4 line-rule CTEs over the shared window units: per-line verdicts
+    * (lv) and the per-doc rollup g(doc_id, clean_text, n_kept,
+    * n_drop_punct, n_drop_words, n_drop_js). ONE string shared by the
+    * c4_line_filter oracle and the composed pipeline_curate_c4 oracle
+    * (PipelineOps), so a rule change cannot drift the two. */
+  private[packs] def c4LineCtes: String = {
+    import graft.operators.C4Rules._
+    val punct = TerminalPunct
+      .map(p => s"ends_with(par, '${p.replace("'", "''")}')")
+      .mkString(" OR ")
+    s"""${DedupOps.windowUnitCtes},
+       |lv AS (
+       |  SELECT doc_id, par_idx, par,
+       |    ($punct) AS pass_punct,
+       |    (len(string_split(par, ' ')) >= $MinWordsPerLine) AS pass_words,
+       |    (NOT contains(lower(par), '$BannedLineWord')) AS pass_js
+       |  FROM u
+       |), g AS (
+       |  SELECT doc_id,
+       |    string_agg(CASE WHEN pass_punct AND pass_words AND pass_js
+       |      THEN par END, ' ' ORDER BY par_idx) AS clean_text,
+       |    CAST(sum(CASE WHEN pass_punct AND pass_words AND pass_js
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN NOT pass_punct THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_drop_punct,
+       |    CAST(sum(CASE WHEN NOT pass_words THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_drop_words,
+       |    CAST(sum(CASE WHEN NOT pass_js THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_drop_js
+       |  FROM lv GROUP BY doc_id
+       |)""".stripMargin
+  }
 
   /** Deterministic shard + within-shard order for training output —
     * [[graft.operators.TextAnalysis.shardAssign]]. */
@@ -1573,6 +1612,7 @@ object TextOps extends QueryPack {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "gopher_rules" -> (gopherRules _),
+    "c4_line_filter" -> (c4LineFilter _),
     "gopher_verdict" -> (gopherVerdict _),
     "gopher_verdict_by_lang" -> (gopherVerdictByLang _),
     "gopher_rules_by_lang" -> (gopherRulesByLang _),
@@ -2554,6 +2594,26 @@ object TextOps extends QueryPack {
       }.mkString(" ") +
         s" ELSE [${graft.operators.TextAnalysis.gopherStops.map(s => s"'$s'").mkString(", ")}] END",
       withLang = true),
+
+    // C4 line rules over the shared window-unit CTEs: per-line suffix/
+    // word-count/substring probes (all integer/string-exact), per-rule
+    // INDEPENDENT drop counts, page flags off the raw scan — the
+    // gopherRules exactness discipline at line granularity
+    "c4_line_filter" -> {
+      import graft.operators.C4Rules._
+      s"""WITH $c4LineCtes
+         |SELECT d.doc_id, coalesce(g.clean_text, '') AS clean_text,
+         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(g.n_drop_punct, 0) AS BIGINT) AS n_drop_punct,
+         |  CAST(coalesce(g.n_drop_words, 0) AS BIGINT) AS n_drop_words,
+         |  CAST(coalesce(g.n_drop_js, 0) AS BIGINT) AS n_drop_js,
+         |  contains(lower(d.text), '$BannedPagePhrase') AS has_lorem,
+         |  contains(d.text, '$BannedPageChar') AS has_brace,
+         |  (NOT contains(lower(d.text), '$BannedPagePhrase')
+         |    AND NOT contains(d.text, '$BannedPageChar')
+         |    AND coalesce(g.n_kept, 0) >= $MinKeptLines) AS doc_keep
+         |FROM documents d LEFT JOIN g USING (doc_id)""".stripMargin
+    },
 
     "lang_id" ->
       """WITH s AS (
