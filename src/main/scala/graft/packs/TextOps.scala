@@ -974,6 +974,41 @@ object TextOps extends QueryPack {
           sum(col("ws")).cast("double"), 4).as("fertility"))
   }
 
+  /** Merge budgets for the vocab-size ablation — prefixes of the ONE
+    * trained merge sequence (BPE's merge list is ordered by count, so
+    * budget k's table IS the first k merges of the full train; no
+    * retraining per point). */
+  val BpeCurveBudgets: Seq[Int] = Seq(12, 24, 36, NumBpeMerges)
+
+  /** Tokenizer vocab-budget ablation (the Sennrich-style merges-vs-
+    * fertility curve): corpus tokens-per-word at each merge budget, in
+    * ONE scan — each budget is a [[graft.functions.BpeTokenCount]]
+    * over the corresponding merge-list prefix riding the same
+    * projection, so the corpus is read once for the whole curve and
+    * the only post-scan work is a single partial-agg totals row
+    * unpivoted driver-free. Fertility is exact-integer totals with one
+    * final round(4) division (the oracle discipline); more merges can
+    * only merge more pairs, so tokens_per_word is non-increasing in
+    * budget (spec-pinned). */
+  def bpeVocabCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val m = bpeMerges(spark, sfDir)
+    val scanned = docs.select(
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ws") +:
+        BpeCurveBudgets.map(k =>
+          graft.functions.BpeTokenCount(col("text"), m.take(k))
+            .as(s"bpe_$k")): _*)
+    val agg = scanned.agg(sum(col("ws")).as("n_words"),
+      BpeCurveBudgets.map(k => sum(col(s"bpe_$k")).as(s"t_$k")): _*)
+    val stackExpr = s"stack(${BpeCurveBudgets.size}, " +
+      BpeCurveBudgets.map(k => s"CAST($k AS BIGINT), t_$k").mkString(", ") +
+      ") as (budget, n_tokens_bpe)"
+    agg.select(col("n_words"), expr(stackExpr))
+      .select(col("budget"), col("n_words"), col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") /
+          col("n_words").cast("double"), 4).as("tokens_per_word"))
+  }
+
   /** [[packSequences]] under the trained-BPE denomination — the layout
     * a real pretraining pipeline cuts (budgets are subword tokens). */
   def packSequencesBpe(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1594,6 +1629,7 @@ object TextOps extends QueryPack {
     "bpe_encode_ids" -> (bpeEncodeIds _),
     "bpe_encode_ids_bytes" -> (bpeEncodeIdsBytes _),
     "bpe_fertility" -> (bpeFertility _),
+    "bpe_vocab_curve" -> (bpeVocabCurve _),
     "pack_ids_bpe" -> (packIdsBpe _),
     "pack_ids_incremental_store" -> (packIdsIncrementalStore _),
     "vocab_top_subwords" -> (vocabTopSubwords _),
@@ -3421,18 +3457,23 @@ object TextOps extends QueryPack {
        |    WHEN length(tk.tok) = 1 THEN unicode(tk.tok)
        |    ELSE -1 END AS BIGINT)""".stripMargin
 
-  private[packs] def bpeCtes(merges: Seq[(String, String)]): String = {
+  /** `p` prefixes every CTE name (bm → ${p}bm …): the vocab-budget
+    * curve instantiates this fragment once per merge budget in ONE
+    * query, and unprefixed names would collide (the r13 blocker). The
+    * default "" keeps every existing oracle's strings byte-identical. */
+  private[packs] def bpeCtes(merges: Seq[(String, String)],
+      p: String = ""): String = {
     def q(s: String) = s.replace("'", "''")
     val values = merges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '${q(a)}', '${q(b)}')" }
       .mkString(",\n    ")
-    s"""bm(mrank, a, b) AS (VALUES
+    s"""${p}bm(mrank, a, b) AS (VALUES
        |    $values
-       |), btok AS (
+       |), ${p}btok AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
-       |), bdc AS (
-       |  SELECT doc_id, word, count(*)::BIGINT AS c FROM btok GROUP BY 1, 2
-       |), bw0 AS (
+       |), ${p}bdc AS (
+       |  SELECT doc_id, word, count(*)::BIGINT AS c FROM ${p}btok GROUP BY 1, 2
+       |), ${p}bw0 AS (
        |  SELECT word, array_to_string(list_transform(generate_series(1, length(word)),
        |    i -> chr(30) || substr(word, CAST(i AS INT), 1) || chr(31)), '') AS s
        |  -- the '' row: a COMPOSED oracle tokenizing REWRITTEN text
@@ -3441,22 +3482,22 @@ object TextOps extends QueryPack {
        |  -- token (n=1, id = BpeTable.EmptyTokenId = IdBase, the
        |  -- injective sentinel above every codepoint id; matches
        |  -- BpeTable.tokenId and bpeTokenIdCaseSql), like split("")
-       |  FROM (SELECT DISTINCT word FROM bdc UNION SELECT '')
-       |), br AS (
-       |  SELECT word, s, 0 AS rk FROM bw0
+       |  FROM (SELECT DISTINCT word FROM ${p}bdc UNION SELECT '')
+       |), ${p}br AS (
+       |  SELECT word, s, 0 AS rk FROM ${p}bw0
        |  UNION ALL
-       |  SELECT br.word,
-       |    replace(br.s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
+       |  SELECT ${p}br.word,
+       |    replace(${p}br.s, chr(30) || m.a || chr(31) || chr(30) || m.b || chr(31),
        |      chr(30) || m.a || m.b || chr(31)) AS s,
-       |    br.rk + 1 AS rk
-       |  FROM br JOIN bm m ON m.mrank = br.rk + 1
-       |), bwt AS (
+       |    ${p}br.rk + 1 AS rk
+       |  FROM ${p}br JOIN ${p}bm m ON m.mrank = ${p}br.rk + 1
+       |), ${p}bwt AS (
        |  SELECT word, CAST(len(string_split(CASE WHEN length(s) < 2 THEN ''
        |    ELSE substr(s, 2, length(s) - 2) END, chr(31) || chr(30))) AS BIGINT) AS n
-       |  FROM br WHERE rk = ${merges.size}
-       |), bdn AS (
+       |  FROM ${p}br WHERE rk = ${merges.size}
+       |), ${p}bdn AS (
        |  SELECT doc_id, CAST(sum(c * n) AS BIGINT) AS n_tokens_bpe
-       |  FROM bdc JOIN bwt USING (word) GROUP BY doc_id
+       |  FROM ${p}bdc JOIN ${p}bwt USING (word) GROUP BY doc_id
        |)""".stripMargin
   }
 
@@ -3480,6 +3521,25 @@ object TextOps extends QueryPack {
           .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
         Seq(
           "token_count_bpe" -> tokenCountSql,
+
+          // one prefixed bpeCtes instantiation per merge budget (the
+          // prefix kills the r13 CTE-name collisions); per-budget
+          // totals are exact integers, fertility one round(4) division
+          "bpe_vocab_curve" -> {
+            val pref = BpeCurveBudgets
+              .map(k => bpeCtes(merges.take(k), s"v${k}_"))
+            val rows = BpeCurveBudgets.map { k =>
+              s"""SELECT CAST($k AS BIGINT) AS budget,
+                 |  (SELECT CAST(sum(c) AS BIGINT) FROM v${k}_bdc) AS n_words,
+                 |  (SELECT CAST(sum(c * n) AS BIGINT)
+                 |   FROM v${k}_bdc JOIN v${k}_bwt USING (word)) AS n_tokens_bpe,
+                 |  round(CAST((SELECT sum(c * n)
+                 |      FROM v${k}_bdc JOIN v${k}_bwt USING (word)) AS DOUBLE) /
+                 |    (SELECT sum(c) FROM v${k}_bdc), 4) AS tokens_per_word""".stripMargin
+            }
+            s"""WITH RECURSIVE ${pref.mkString(",\n")}
+               |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+          },
 
           // the solver: T = min_s floor(m_s*1e4/t_s), rate = floor(T*t/m)
           // capped — exact integer division end to end (the Spark `div`

@@ -150,4 +150,28 @@ class BpeSpec extends SparkSpec {
       .as[Long].head()
     assert(f.map(_._3).sum == total, "per-language word sums cover the corpus")
   }
+
+  test("vocab curve: tokens/word non-increasing in merge budget, full budget = fertility base") {
+    val c = graft.packs.TextOps.bpeVocabCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(c.map(_._1).toSeq ==
+      graft.packs.TextOps.BpeCurveBudgets.map(_.toLong))
+    // one word total at every budget (same scan, same denominator)
+    assert(c.map(_._2).distinct.size == 1)
+    // more merges can only merge more adjacent pairs: token mass and
+    // fertility are non-increasing along the curve, strictly somewhere
+    // (48 trained merges cannot all be no-ops on their own train set)
+    c.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3, s"token mass must not grow: $a -> $b")
+      assert(b._4 <= a._4, s"fertility must not grow: $a -> $b")
+    }
+    assert(c.last._3 < c.head._3, "the full budget must beat the smallest")
+    // the full-budget point is exactly the corpus the fertility query
+    // measures: same trained table, same denomination
+    val full = graft.packs.TextOps.bpeFertility(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens_bpe"))
+      .as[Long].head()
+    assert(c.last._3 == full, "curve endpoint == bpe_fertility total")
+  }
 }
