@@ -122,9 +122,12 @@ final class WordPieceTable(val pieces: Seq[String]) extends Serializable {
 object WordPieceTable {
   /** Sentinel a [[WordPieceTable.tokenizeWord]] emits for an
     * uncoverable word: the empty-content continuation form, which
-    * training can never construct (every trained display piece carries
-    * at least one content code point after the optional marker) —
-    * collision-free by construction, for ANY corpus. */
+    * training can never construct — base symbols always carry content,
+    * and the trainer's injectivity guard
+    * (WordPieceTokenizer.train's candidate filter) refuses any initial
+    * merge whose display would start with "##" (the one path that
+    * could mint "##" or its ambiguous "##x" descendants on corpora
+    * with "#"-initial words) — collision-free for ANY corpus. */
   val UnkMarker: String = "##"
 
   /** `##`-stripped matchable content of a display piece. */

@@ -842,9 +842,13 @@ object TextAnalysis {
     * mixture weights a data recipe specifies), compute the per-group
     * keep rates that ACHIEVE them at the maximum feasible corpus size.
     * The binding group (the one whose share demands the most of its
-    * available mass) keeps everything; every other group downsamples to
-    * hold the ratio: T = min_s ⌊m_s·10⁴/t_s⌋ is the largest total mass
-    * all targets can be cut from, and rate_s = ⌊T·t_s/m_s⌋ ≤ 10⁴.
+    * available mass) keeps everything up to floor rounding — the
+    * double floor (T = min_s ⌊m_s·10⁴/t_s⌋, then rate_s = ⌊T·t_s/m_s⌋)
+    * can leave its rate_bp a hair under 10⁴ (e.g. m=7 tokens at target
+    * 3000 bp → 9857), so targets are achieved to within one token's
+    * rounding, never exactly pinned; every other group downsamples to
+    * hold the ratio: T is the largest total mass all targets can be
+    * cut from, and rate_s = ⌊T·t_s/m_s⌋ ≤ 10⁴.
     * Groups without a target (or with zero mass) are dropped — a recipe
     * names its sources.
     *

@@ -87,8 +87,22 @@ object WordPieceTokenizer {
           i += 1
         }
       }
+      // Display-form injectivity guard: an INITIAL merge whose display
+      // would start with "##" (head "#" absorbing a "#"-content
+      // continuation — words beginning "##", e.g. markdown headers) is
+      // excluded from the candidate set. Such a piece would be
+      // UNPARSEABLE: the "##" prefix convention would read it as a
+      // continuation (and "##" itself as empty-content — colliding
+      // with [[graft.functions.WordPieceTable.UnkMarker]]), so Spark's
+      // greedy matcher and the oracle's (content, cont) embedding
+      // would disagree on every id downstream. Excluding the seed
+      // inductively excludes the whole family ("##"+x, …); other
+      // candidate pairs still compete normally.
       val candidates = pairCounts.iterator.collect {
-        case (k @ (a, b), c) if c >= BpeTokenizer.MinPairCount =>
+        case (k @ (a, b), c) if c >= BpeTokenizer.MinPairCount &&
+            !(!a.startsWith("##") &&
+              (a + graft.functions.WordPieceTable.contentOf(b))
+                .startsWith("##")) =>
           (k, (c, symCounts(a), symCounts(b)))
       }.toSeq
       if (candidates.isEmpty) exhausted = true

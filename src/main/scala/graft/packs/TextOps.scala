@@ -81,10 +81,15 @@ object TextOps extends QueryPack {
       TextAnalysis.langId(t).as("predicted_lang"),
       length(t).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
-      (length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
-        length(t).cast("double")).as("punct_ratio"),
-      (length(regexp_replace(t, "[^0-9]", "")).cast("double") /
-        length(t).cast("double")).as("digit_ratio"),
+      // denominator guarded: on empty text Spark's Divide yields NULL
+      // but DuckDB (ieee_floating_point_ops) yields NaN — the explicit
+      // when/NULLIF pair pins both engines to NULL
+      when(length(t) > 0,
+        length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") /
+          length(t).cast("double")).as("punct_ratio"),
+      when(length(t) > 0,
+        length(regexp_replace(t, "[^0-9]", "")).cast("double") /
+          length(t).cast("double")).as("digit_ratio"),
       TextAnalysis.rollingFingerprint(t).as("rolling_fp"))
   }
 
@@ -2703,9 +2708,9 @@ object TextOps extends QueryPack {
          |  CAST(length(text) AS BIGINT) AS n_chars,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-         |    / length(text) AS punct_ratio,
+         |    / NULLIF(length(text), 0) AS punct_ratio,
          |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-         |    / length(text) AS digit_ratio,
+         |    / NULLIF(length(text), 0) AS digit_ratio,
          |  CASE WHEN length(a) = 0 THEN 0 ELSE
          |    list_reduce(
          |      list_transform(generate_series(1, length(a)),

@@ -77,4 +77,29 @@ class WordPieceSpec extends SparkSpec {
     val b = WordPieceTokenizer.train(wc.reverse, 8)
     assert(a == b, "word-table order must not change the vocabulary")
   }
+
+  test("injectivity guard: '##'-initial words can never mint the '##' display form") {
+    // markdown-header corpus: words starting "##". Ungated training
+    // would merge initial "#" with continuation "###" into display
+    // "##" — colliding with the UNK sentinel and parsing as a
+    // continuation cross-engine. The guard must refuse that merge (and
+    // its "##x" descendants) while still merging freely elsewhere.
+    val wc = Seq(("##one", 9L), ("##two", 8L), ("see", 7L))
+    val v = WordPieceTokenizer.train(wc, numMerges = 12)
+    assert(!v.contains(WordPieceTable.UnkMarker),
+      s"the UNK sentinel must stay unconstructible: $v")
+    // no INITIAL piece may display with the continuation prefix: every
+    // "##"-prefixed entry must carry non-empty content (else the
+    // (content, cont) embedding the oracle uses cannot represent it)
+    assert(v.forall(p => WordPieceTable.contentOf(p).nonEmpty),
+      s"empty-content display form trained: $v")
+    // the guard only constrains the '#' family — ordinary merges land
+    assert(v.contains("see"), s"unrelated merges must proceed: $v")
+    // ids stay total and engine-consistent on the planted corpus: the
+    // greedy matcher covers every word without touching the UNK id
+    val t = new WordPieceTable(v)
+    val ids = Seq("##one", "##two", "see").map(t.tokenizeWord)
+    assert(ids.forall(_.forall(_ != WordPieceTable.UnkMarker)),
+      s"planted words must stay coverable: $ids")
+  }
 }
