@@ -1010,6 +1010,90 @@ object TextAnalysis {
         regexp_count(emailRedacted, lit(PhonePattern))).cast("long").as("n_redacted"))
   }
 
+  // Broader PII patterns (r14) — same RE2-compatible discipline.
+  // Deliberately pattern-level cheap scrubs: the IP pattern matches any
+  // dotted quad (version strings included) and the card pattern any
+  // 16-digit run with uniform separators, no Luhn check — documented
+  // recall-over-precision, the production pipeline adds NER/Luhn at
+  // this same seam.
+  val IpPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val CardPattern = "[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{3,4}"
+  /** All four PII shapes as one token-anchored alternation — the span
+    * detector's per-token full-match probe. */
+  val PiiTokenPattern: String =
+    s"^(?:$EmailPattern|$PhonePattern|$IpPattern|$CardPattern)$$"
+
+  /** [[redactPii]] widened to the full pattern family, with PER-TYPE
+    * counts (the audit signal a privacy review reads). Replacement is
+    * sequential (email → phone → ip → card), each count taken over the
+    * previous step's output, so n_* sum to exactly the placeholders
+    * substituted — a phone-shaped run inside an email can't double
+    * count, and an already-redacted placeholder can't re-match. Still
+    * one scan-side projection: no shuffle, no row amplification. */
+  def redactPiiFull(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val r1 = regexp_replace(t, EmailPattern, "<EMAIL>")
+    val r2 = regexp_replace(r1, PhonePattern, "<PHONE>")
+    val r3 = regexp_replace(r2, IpPattern, "<IP>")
+    docs.select(col(idCol),
+      regexp_replace(r3, CardPattern, "<CARD>").as("redacted"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(r1, lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(r2, lit(IpPattern)).cast("long").as("n_ips"),
+      regexp_count(r3, lit(CardPattern)).cast("long").as("n_cards"))
+  }
+
+  /** Per-source redaction audit — the [[Dedup.duplicationBy]] rollup
+    * shape over [[redactPiiFull]]'s counts: which sources carry the
+    * PII mass (the signal that triggers a source-level review or
+    * drop). One scan + one partial-agg groupBy on the source key. */
+  def redactRateBySource(docs: DataFrame, idCol: String, textCol: String,
+      byCol: String): DataFrame =
+    redactPiiFull(docs.select(col(idCol), col(byCol), col(textCol)),
+        idCol, textCol)
+      .join(docs.select(col(idCol), col(byCol)), idCol)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum(col("n_ips")).as("n_ips"),
+        sum(col("n_cards")).as("n_cards"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") +
+          col("n_cards") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"))
+
+  /** SPAN-granular redaction — the symmetry closer: decontamination
+    * already has doc-level flags AND span-level scrub; redaction had
+    * only the in-place replace. Marks each whitespace TOKEN that
+    * full-matches a PII shape, then merges adjacent marks into maximal
+    * spans with the SAME gaps-and-islands body the substring/
+    * decontamination span detectors share ([[Dedup.mergeIslandSpans]],
+    * k = 1: abutting PII tokens are one span — an address block
+    * redacts as a unit). Output (id, span_start, span_tokens) feeds
+    * [[Dedup.stripSpans]] like every other span source.
+    * Scale shape: the mark is a scan-side filter over the token
+    * explode; the island merge windows per DOCUMENT (bounded by doc
+    * length, splittable by doc). Tokens with interior spaces (spaced
+    * card forms) are the replace path's job — the token detector's
+    * documented recall bound. */
+  def redactSpans(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val marked = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))))
+      .select(col(idCol), col("pos"), col("col").as("tok"))
+      .filter(col("tok").rlike(PiiTokenPattern))
+      .select(col(idCol), col("pos"))
+    Dedup.mergeIslandSpans(marked, idCol, 1)
+  }
+
+  /** The rewrite composition: strip every PII span's tokens
+    * ([[Dedup.stripSpans]] — the shared rebuild), keeping an audit
+    * count. Documents without PII pass through unchanged. */
+  def redactStripSpans(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    Dedup.stripSpans(docs, redactSpans(docs, idCol, textCol),
+      idCol, textCol)
+
   /** Benchmark decontamination — flag training docs sharing word
     * n-grams with a held-out evaluation set (the train/test-overlap
     * scrub every published pipeline runs): per doc, the count of

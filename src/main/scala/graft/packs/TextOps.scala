@@ -268,6 +268,59 @@ object TextOps extends QueryPack {
         "lang", "doc_id", SampleRatesBp, SampleDefaultBp)
       .select(col("doc_id"), col("lang"))
 
+  /** Sequential-redaction ladder CTEs — rsteps(doc_id, r3, n_emails,
+    * n_phones, n_ips, n_cards): each count over the previous step's
+    * replace output, the exact discipline of the Spark projection.
+    * Shared by text_redact_full and redact_rate_by_source. */
+  private[packs] def redactStepCtes: String = {
+    import graft.operators.TextAnalysis._
+    s"""rsteps AS (
+       |  SELECT doc_id, r3,
+       |    len(regexp_extract_all(text, '$EmailPattern'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(r1, '$PhonePattern'))::BIGINT AS n_phones,
+       |    len(regexp_extract_all(r2, '$IpPattern'))::BIGINT AS n_ips,
+       |    len(regexp_extract_all(r3, '$CardPattern'))::BIGINT AS n_cards
+       |  FROM (
+       |    SELECT doc_id, text, r1, r2,
+       |      regexp_replace(r2, '$IpPattern', '<IP>', 'g') AS r3
+       |    FROM (
+       |      SELECT doc_id, text, r1,
+       |        regexp_replace(r1, '$PhonePattern', '<PHONE>', 'g') AS r2
+       |      FROM (
+       |        SELECT doc_id, text,
+       |          regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g') AS r1
+       |        FROM documents)))
+       |)""".stripMargin
+  }
+
+  /** Token-island PII span CTEs — ptk (token arrays), pmk (marked
+    * positions: anchored full-match of the four-shape alternation),
+    * the shared gaps-and-islands merge, pspans(doc_id, span_start,
+    * span_tokens). Shared by redact_spans and redact_strip_spans. */
+  private[packs] def redactSpanCtes: String = {
+    import graft.operators.TextAnalysis._
+    // regexp_full_match anchors implicitly; strip the ^...$ wrapper
+    val pat = s"(?:$EmailPattern|$PhonePattern|$IpPattern|$CardPattern)"
+    s"""ptk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), pmk AS (
+       |  SELECT doc_id, i - 1 AS pos
+       |  FROM ptk, unnest(range(1, len(t) + 1)) AS u(i)
+       |  WHERE regexp_full_match(t[i], '$pat')
+       |), pisl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev IS NULL OR pos - prev > 1 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM pmk)
+       |), pspans AS (
+       |  SELECT doc_id, min(pos) AS span_start,
+       |         max(pos) + 1 - min(pos) AS span_tokens
+       |  FROM pisl GROUP BY doc_id, island
+       |)""".stripMargin
+  }
+
   /** C4 line-rule CTEs over the shared window units: per-line verdicts
     * (lv) and the per-doc rollup g(doc_id, clean_text, n_kept,
     * n_drop_punct, n_drop_words, n_drop_js). ONE string shared by the
@@ -452,6 +505,26 @@ object TextOps extends QueryPack {
 
   def textRedact(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.redactPii(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** The widened PII family with per-type counts. */
+  def textRedactFull(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.redactPiiFull(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
+  /** Per-source PII audit rollup. */
+  def redactRateBySource(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.redactRateBySource(Tables.documents(spark, sfDir),
+      "doc_id", "text", "source")
+
+  /** Span-granular PII detection (token islands). */
+  def redactSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.redactSpans(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
+  /** Span-granular PII strip (shared stripSpans rebuild). */
+  def redactStripSpans(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.redactStripSpans(Tables.documents(spark, sfDir),
+      "doc_id", "text")
 
   /** Encode every document as a JSON line and parse it back (FAILFAST):
     * the identity oracle proves the JSONL codec round-trips the corpus
@@ -1690,6 +1763,10 @@ object TextOps extends QueryPack {
     "text_dup_chars" -> (textDupChars _),
     "text_entropy" -> (textEntropy _),
     "text_redact" -> (textRedact _),
+    "text_redact_full" -> (textRedactFull _),
+    "redact_rate_by_source" -> (redactRateBySource _),
+    "redact_spans" -> (redactSpans _),
+    "redact_strip_spans" -> (redactStripSpans _),
     "decontaminate" -> (decontaminate _),
     "decontaminate_store" -> (decontaminateStore _),
     "decontaminate_spans" -> (decontaminateSpans _),
@@ -2816,6 +2893,52 @@ object TextOps extends QueryPack {
          |       '$PhonePattern')))::BIGINT AS n_redacted
          |FROM documents""".stripMargin
     },
+
+    // the widened family: identical sequential-replace discipline, each
+    // per-type count over the PREVIOUS step's output (the rCtes ladder)
+    "text_redact_full" -> s"""WITH $redactStepCtes
+         |SELECT doc_id,
+         |  regexp_replace(r3, '${graft.operators.TextAnalysis.CardPattern}',
+         |    '<CARD>', 'g') AS redacted,
+         |  n_emails, n_phones, n_ips, n_cards
+         |FROM rsteps""".stripMargin,
+
+    "redact_rate_by_source" -> s"""WITH $redactStepCtes
+         |SELECT d.source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+         |  CAST(sum(n_cards) AS BIGINT) AS n_cards,
+         |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips + n_cards > 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+         |FROM rsteps JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
+
+    // token-island PII spans: per-token anchored full-match, then the
+    // IDENTICAL gaps-and-islands merge every span oracle runs (k = 1)
+    "redact_spans" -> s"""WITH $redactSpanCtes
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |       CAST(span_tokens AS BIGINT) AS span_tokens
+         |FROM pspans""".stripMargin,
+
+    "redact_strip_spans" -> s"""WITH $redactSpanCtes,
+         |ptoks AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM ptk, unnest(range(1, len(t) + 1)) AS u(i)
+         |), pmark AS (
+         |  SELECT t2.doc_id, t2.pos, any_value(t2.tok) AS tok,
+         |    max(CASE WHEN s.span_start IS NOT NULL
+         |          AND t2.pos >= s.span_start
+         |          AND t2.pos < s.span_start + s.span_tokens
+         |        THEN 1 ELSE 0 END) AS dropped
+         |  FROM ptoks t2 LEFT JOIN pspans s ON t2.doc_id = s.doc_id
+         |  GROUP BY t2.doc_id, t2.pos
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(tok, ' ' ORDER BY pos)
+         |    FILTER (WHERE dropped = 0), '') AS clean_text,
+         |  CAST(sum(dropped) AS BIGINT) AS n_dropped
+         |FROM pmark GROUP BY doc_id""".stripMargin,
 
     // identity oracle: encode->decode must reproduce the table exactly
     "jsonl_roundtrip" ->

@@ -247,6 +247,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ("clean text with no personal data at all", 0L))
   }
 
+  test("pii full family: ip and card redacted, per-type counts independent") {
+    val docs = Seq(
+      (1L, "server 192.168.0.1 billed card 4111-1111-1111-1111 via a@b.io"),
+      (2L, "version 1.2.3 is fine but 10.0.0.255 leaks"),
+      (3L, "digits 4111111111111111 run together still redact"),
+      (4L, "clean text entirely")).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPiiFull(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "server <IP> billed card <CARD> via <EMAIL>")
+    assert((out(1L)._3, out(1L)._4, out(1L)._5, out(1L)._6) == ((1L, 0L, 1L, 1L)))
+    // the naive dotted-quad pattern matches "1.2.3"? no — four groups
+    // required; "10.0.0.255" matches (documented recall-over-precision)
+    assert(out(2L)._5 == 1L, s"one dotted quad expected: ${out(2L)}")
+    assert(out(3L)._6 == 1L && out(3L)._2.contains("<CARD>"))
+    assert(out(4L)._2 == "clean text entirely" &&
+      (out(4L)._3 | out(4L)._4 | out(4L)._5 | out(4L)._6) == 0L)
+  }
+
+  test("redact by source: rollup attributes pii mass to its source") {
+    val docs = Seq(
+      (1L, "mail a@b.io and c@d.io today", "web"),
+      (2L, "ip 8.8.8.8 noted", "web"),
+      (3L, "all clean here", "books"),
+      (4L, "also clean prose", "books")).toDF("doc_id", "text", "source")
+    val out = TextAnalysis
+      .redactRateBySource(docs, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("web") == (("web", 2L, 2L, 0L, 1L, 0L, 2L)), s"${out("web")}")
+    assert(out("books") == (("books", 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("redact spans: abutting pii tokens merge to one island; strip rebuilds") {
+    // tokens 2,3 are PII and adjacent → ONE span of 2; token 7 alone
+    val docs = Seq(
+      (1L, "send to a@b.io 10.0.0.1 right away or 555-123-4567 maybe"),
+      (2L, "wholly clean document")).toDF("doc_id", "text")
+    val spans = TextAnalysis.redactSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(spans == Seq((1L, 2L, 2L), (1L, 7L, 1L)), s"got $spans")
+    val stripped = TextAnalysis.redactStripSpans(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stripped(1L) == ("send to right away or maybe", 3L))
+    assert(stripped(2L) == ("wholly clean document", 0L))
+  }
+
   test("decontamination: benchmark-overlapping docs flagged with exact shingle counts") {
     val bench = Seq((100L, "the capital of france is paris obviously")).toDF("doc_id", "text")
     val docs = Seq(
