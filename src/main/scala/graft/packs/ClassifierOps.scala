@@ -386,6 +386,27 @@ object ClassifierOps extends QueryPack {
   // pass has run — always true in Verify's dump order;
   // untrained/ambiguous/degenerate → omitted, falling back to the
   // rows-only check
+  /** Full standalone SELECT of the EXACT-INTEGER raw scores —
+    * `(doc_id, raw)` — for composed oracles that gate on the integer
+    * sign (raw > 0), where the rounded clf_score would drift on
+    * 0 < raw < Scale/2·10⁻⁴. Nested as a subquery-scoped CTE body (the
+    * gopher_verdict pattern), so its internal names can't collide. */
+  private[packs] def rawScoreOracleSql: Option[String] =
+    NbClassifier.trainedSnapshot(Dim)
+      .filter(_.nonDefault.nonEmpty).map { m =>
+        val values = m.nonDefault
+          .map { case (b, w) => s"($b, $w)" }.mkString(", ")
+        s"""WITH $bucketCtes,
+           |w(bucket, wt) AS (VALUES $values),
+           |s AS (
+           |  SELECT doc_id,
+           |    ${m.biasScaled} +
+           |      CAST(sum(COALESCE(w.wt, ${m.defaultScaled})) AS BIGINT) AS raw
+           |  FROM hb LEFT JOIN w USING (bucket) GROUP BY doc_id
+           |)
+           |SELECT doc_id, raw FROM s""".stripMargin
+      }
+
   private def scoreOracles: Map[String, String] =
     NbClassifier.trainedSnapshot(Dim)
       .filter(_.nonDefault.nonEmpty).toList.flatMap { m =>

@@ -987,9 +987,11 @@ object DedupOps extends QueryPack {
     * [[graft.operators.Paragraphs.WindowTokens]]) shared by the
     * paragraph-dedup chain below and the C4 line-rule oracle
     * (TextOps). */
-  private[packs] def windowUnitCtes: String = {
+  private[packs] def windowUnitCtes: String = windowUnitCtesFrom("documents")
+
+  private[packs] def windowUnitCtesFrom(src: String): String = {
     val w = graft.operators.Paragraphs.WindowTokens
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        |u AS (
        |  SELECT doc_id, CAST((s - 1) // $w AS BIGINT) AS par_idx,
        |    array_to_string(list_slice(tk, CAST(s AS INT),
@@ -1002,8 +1004,10 @@ object DedupOps extends QueryPack {
     * normalized md5h60 keys (pattern literals shared with
     * TextAnalysis.normalizeText), two-step lexicographic argmin (min
     * doc, then min idx within it — equals Spark's min(struct)). */
-  private[packs] def paragraphCtes: String = {
-    s"""$windowUnitCtes, k AS (
+  private[packs] def paragraphCtes: String = paragraphCtesFrom("documents")
+
+  private[packs] def paragraphCtesFrom(src: String): String = {
+    s"""${windowUnitCtesFrom(src)}, k AS (
        |  SELECT doc_id, par_idx, par,
        |    ('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(par),
        |       '${graft.operators.TextAnalysis.NormPunctPattern}', ' ', 'g'),

@@ -577,6 +577,82 @@ object PipelineOps extends QueryPack {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** The MASTER composition — every curation family in one row, the
+    * flagship end-to-end pipeline: trained-classifier gate (exact
+    * integer sign) → paragraph scrub (CCNet stage 1, over classifier
+    * survivors — the keeper argmin's domain is the surviving corpus)
+    * → corpus-relative LM floor on the scrubbed text → stratified
+    * mixture → MinHash-LSH near-dup canonical keep; the composite
+    * Gopher verdict rides along as a reported flag (on this corpus the
+    * octet stops everything — gating on it would blank the downstream
+    * stages; a production recipe flips it into the keep chain with one
+    * `when`). Audit projection: every doc keeps a row, verdict = the
+    * FIRST gate that removed it (the pipeline_curate_audit
+    * discipline). Every fragment is the SHARED oracle string of its
+    * standalone gate.
+    * Scale shape: classifier + LM scoring are one codegen'd scan each
+    * (checkpointed once); the scrub's keeper argmin is the one
+    * open-domain shuffle; histogram/cutoff value-domain-bounded; only
+    * the floored mixture reaches the pair join; verdict assembly is
+    * doc-keyed marker joins. */
+  def pipelineCurateMaster(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    curateMaster(docs, TextOps.unigramModel(spark, sfDir).table,
+      graft.operators.NbClassifier.trainCached(docs, sfDir, "doc_id", "text"))
+  }
+
+  /** The master body over arbitrary (doc_id, lang, text) docs and
+    * trained models — the scale-curve row feeds salted replicas
+    * through the SAME body. */
+  def curateMaster(docs: DataFrame, t: graft.functions.UnigramTable,
+      nb: graft.operators.NbClassifier.Model): DataFrame = {
+    import graft.operators.{NbClassifier, Paragraphs}
+    val gopher = TextOps.gopherVerdictOf(docs)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val scored0 = docs
+      .withColumn("clf_raw", NbClassifier.rawScoreExpr(col("text"), nb))
+      .localCheckpoint(false) // one inference scan; spine + gate read it
+    val clfPass = scored0.filter(col("clf_raw") > 0)
+    val sc = Paragraphs.scrubByWindow(clfPass, "doc_id", "text")
+      .filter(length(col("clean_text")) > 0)
+      .join(clfPass.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
+    val scored = sc
+      .withColumn("cost_micro",
+        graft.functions.UnigramLmCost(col("text"), t))
+      .withColumn("n_tok",
+        graft.functions.UnigramTokenCount(col("text"), t))
+      .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
+      .localCheckpoint(false)
+    val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
+    val cutoff = TextAnalysis.cutoffFromHistogram(hist,
+      TextOps.UnigramLmKeepFrac)
+    val floored = scored.crossJoin(broadcast(cutoff))
+      .filter(col("quality_bp") >= col("cutoff"))
+    val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
+      TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+    val keepers = sampled.join(clusters.filter(col("keep")), "doc_id")
+      .select(col("doc_id"), lit(true).as("is_keeper"))
+    def mark(df: DataFrame, name: String) =
+      df.select(col("doc_id"), lit(true).as(name))
+    docs.select(col("doc_id"), col("lang"))
+      .join(gopher, "doc_id")
+      .join(scored0.select(col("doc_id"), col("clf_raw")), "doc_id")
+      .join(mark(sc, "in_scrub"), Seq("doc_id"), "left")
+      .join(mark(floored, "in_floor"), Seq("doc_id"), "left")
+      .join(mark(sampled, "in_mix"), Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("gopher_keep"),
+        when(col("clf_raw") <= 0, lit("drop_classifier"))
+          .when(col("in_scrub").isNull, lit("drop_scrubbed"))
+          .when(col("in_floor").isNull, lit("drop_floor"))
+          .when(col("in_mix").isNull, lit("drop_mixture"))
+          .when(col("is_keeper").isNull, lit("drop_neardup"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
@@ -592,7 +668,8 @@ object PipelineOps extends QueryPack {
       "pipeline_curate_lm" -> (pipelineCurateLm _),
       "pipeline_curate_ccnet" -> (pipelineCurateCcnet _),
       "ccnet_buckets" -> (ccnetBuckets _),
-      "pipeline_curate_c4" -> (pipelineCurateC4 _))
+      "pipeline_curate_c4" -> (pipelineCurateC4 _),
+      "pipeline_curate_master" -> (pipelineCurateMaster _))
 
   /** Shared CTE body of the quality-keep oracles: gates (q/sampled),
     * md5-twin LSH pairs, recursive components, and the quality-argmax
@@ -827,14 +904,65 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN q USING (doc_id)
          |LEFT JOIN g USING (doc_id)""".stripMargin
     }
-  ) ++ bpePipelineOracles ++ lmPipelineOracle
+  ) ++ bpePipelineOracles ++ lmPipelineOracle ++ masterOracle
+
+  /** The master oracle needs BOTH trained artifacts (unigram LM +
+    * NB classifier); the gopher and classifier gates nest as
+    * subquery-scoped full-oracle CTE bodies (the gopher_verdict
+    * pattern — internal names can't collide), everything else is the
+    * shared fragments retargeted along the survivor chain. */
+  private def masterOracle: Map[String, String] = (for {
+    model <- graft.operators.UnigramLmTokenizer
+      .trainedSnapshot(TextOps.MaxBpeWords, TextOps.UnigramVocabTarget)
+      .filter(_.pieces.nonEmpty)
+    rawSql <- ClassifierOps.rawScoreOracleSql
+  } yield "pipeline_curate_master" ->
+    s"""WITH RECURSIVE
+       |gv AS (${TextOps.oracleSql("gopher_verdict")}),
+       |cs AS ($rawSql),
+       |clf AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN cs ON cs.doc_id = d.doc_id
+       |  WHERE cs.raw > 0
+       |),
+       |${ccnetScrubCtesFrom("clf")},
+       |${TextOps.unigramCtes(model)},
+       |${TextOps.lmCostCtes},
+       |$scrubbedLmCostCtes,
+       |${TextOps.lmFloorCtesFrom("sdc", "sdn", "n_uni")},
+       |flo AS (
+       |  SELECT sc.doc_id, sc.lang, sc.text
+       |  FROM sc JOIN kq USING (doc_id), cut
+       |  WHERE kq.quality_bp >= cut.cutoff
+       |), sampled AS (
+       |  SELECT * FROM flo WHERE ${TextOps.sampleGateSql}
+       |),
+       |${DedupOps.minhashMd5PairCtesFrom("sampled")},
+       |${DedupOps.componentCtes("sampled", Dedup.NgramThreshold)},
+       |kp AS (SELECT v AS doc_id FROM cc WHERE v = cluster_id)
+       |SELECT d.doc_id, d.lang, gv.keep AS gopher_keep,
+       |  CASE WHEN cs.raw <= 0 THEN 'drop_classifier'
+       |       WHEN sc.doc_id IS NULL THEN 'drop_scrubbed'
+       |       WHEN flo.doc_id IS NULL THEN 'drop_floor'
+       |       WHEN smp.doc_id IS NULL THEN 'drop_mixture'
+       |       WHEN kp.doc_id IS NULL THEN 'drop_neardup'
+       |       ELSE 'keep' END AS verdict
+       |FROM documents d
+       |JOIN gv ON gv.doc_id = d.doc_id
+       |JOIN cs ON cs.doc_id = d.doc_id
+       |LEFT JOIN sc ON sc.doc_id = d.doc_id
+       |LEFT JOIN flo ON flo.doc_id = d.doc_id
+       |LEFT JOIN sampled smp ON smp.doc_id = d.doc_id
+       |LEFT JOIN kp ON kp.doc_id = d.doc_id""".stripMargin).toMap
 
   /** Stage-1 scrub as CTEs — paragraph keep/drop (`v`), reassembly
     * (`pg`), and the non-empty scrubbed relation `sc(doc_id, lang,
     * text, n_dropped)`. ONE string shared by the composed CCNet oracle
     * and the bucket oracle, so the scrub semantics cannot drift. */
-  private def ccnetScrubCtes: String =
-    s"""${DedupOps.paragraphCtes},
+  private def ccnetScrubCtes: String = ccnetScrubCtesFrom("documents")
+
+  private def ccnetScrubCtesFrom(src: String): String =
+    s"""${DedupOps.paragraphCtesFrom(src)},
        |pg AS (
        |  SELECT doc_id,
        |    string_agg(CASE WHEN keep THEN par END, ' ' ORDER BY par_idx)
@@ -844,7 +972,7 @@ object PipelineOps extends QueryPack {
        |  FROM v GROUP BY doc_id
        |), sc AS (
        |  SELECT d.doc_id, d.lang, pg.clean_text AS text, pg.n_dropped
-       |  FROM documents d JOIN pg USING (doc_id)
+       |  FROM $src d JOIN pg USING (doc_id)
        |  WHERE pg.clean_text IS NOT NULL AND length(pg.clean_text) > 0
        |)""".stripMargin
 

@@ -276,6 +276,14 @@ object ScaleCurve {
         // quality-preserving salt keeps near-dup structure per-replica
         bench("pipeline_curate_ccnet", m,
           graft.packs.PipelineOps.curateCcnet(curatedDocs, uniModel.table))
+        // the MASTER composition (classifier gate → scrub → LM floor →
+        // mixture → LSH keep, gopher verdict riding as a flag) on the
+        // same curated replicas — the flagship all-families row; both
+        // trained models are the base-corpus ones (train once, serve
+        // many)
+        bench("pipeline_curate_master", m,
+          graft.packs.PipelineOps.curateMaster(curatedDocs,
+            uniModel.table, nbModel))
         curatedDocs.unpersist()
       }
       docs.unpersist()
