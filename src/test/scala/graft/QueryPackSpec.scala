@@ -29,11 +29,25 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries whose gate output is LEGITIMATELY empty on the synthetic
+  // corpus: redact_spans reports PII token islands and the corpus
+  // carries no PII-shaped content at all (no digits, no '@') — zero
+  // spans IS the correct answer, value-pinned by the oracle's
+  // identical empty result. The plan must still execute cleanly.
+  private val emptyOk = Set("redact_spans")
+
   // benchQueries ⊇ queries: the bench-only twins must run too
   SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"query $name runs on sf0.001 with rows > 0") {
-      val df = fn(spark, sf)
-      assert(df.count() > 0)
-    }
+    if (emptyOk(name))
+      test(s"query $name runs on sf0.001 (empty gate output by design)") {
+        assert(fn(spark, sf).count() == 0,
+          s"$name is expected empty on the PII-free corpus; " +
+            "if PII was added to testdata, move it out of emptyOk")
+      }
+    else
+      test(s"query $name runs on sf0.001 with rows > 0") {
+        val df = fn(spark, sf)
+        assert(df.count() > 0)
+      }
   }
 }
