@@ -1211,23 +1211,19 @@ object TextAnalysis {
     * explode → partial-agg max-count pipelines joined back on doc id —
     * all counts exact integers, ratios single divisions. */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
-    def maxCount(exploded: DataFrame): DataFrame = exploded
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
-    val uni = maxCount(base.select(col("doc_id"), explode(tokens(col("text"))).as("t")))
-    val big = maxCount(base
+    // one-pass native per-doc counts (r14): the exploded (doc, token)
+    // / (doc, bigram) groupBys shuffled corpus-sized unit rows for a
+    // doc-LOCAL statistic — graft_rep_counts folds each document in
+    // the scan ([[graft.functions.GopherStats]]); the ratio arithmetic
+    // below is the identical expression tree, so the unchanged oracle
+    // still value-gates it
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.RepCounts(col(textCol)).as("st"))
       .select(col("doc_id"),
-        explode(graft.functions.WordShingles(col("text"), 2)).as("t")))
-    base
-      .join(uni.withColumnRenamed("mx", "mx_uni"), Seq("doc_id"), "left")
-      .join(big.withColumnRenamed("mx", "mx_big"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("mx_uni"), lit(0L)).cast("double") / col("n_tokens"), 4)
+        round(col("st")(0).cast("double") / col("st")(2), 4)
           .as("top_unigram_ratio"),
-        round(coalesce(col("mx_big"), lit(0L)).cast("double") /
-          greatest(lit(1L), col("n_tokens") - 1), 4).as("top_bigram_ratio"))
+        round(col("st")(1).cast("double") /
+          greatest(lit(1L), col("st")(2) - 1), 4).as("top_bigram_ratio"))
       .withColumn("flagged",
         col("top_unigram_ratio") > RepTopUnigramMax ||
           col("top_bigram_ratio") > RepTopBigramMax)
@@ -1555,20 +1551,21 @@ object TextAnalysis {
     * to 6 decimals and summed as DECIMAL (order-independent — the
     * [[unigramLogProb]] idiom), final entropy rounded to 4. */
   def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val chars = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), "")).as("ch"))
-      .filter(length(col("ch")) > 0)
-    val cc = chars.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("c"))
-    val n = cc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
-    cc.join(n, "doc_id")
-      .select(col("doc_id"), col("n"),
-        round(-(col("c").cast("double") / col("n")) *
-            log(2.0, col("c").cast("double") / col("n")), 6)
-          .cast("decimal(18,6)").as("term"))
-      .groupBy(col("doc_id"))
-      .agg(first(col("n")).as("n_chars"),
-        round(sum(col("term")).cast("double"), 4).as("entropy_bits"))
+    // one-pass native per-doc fold (r14): the exploded form shipped one
+    // row PER CHARACTER through two exchanges (~half a billion rows at
+    // the 100× curve point) for a doc-LOCAL statistic —
+    // graft_entropy_stats computes the frequency fold in the scan with
+    // each distinct character's term rounded to 6 decimals exactly as
+    // the old decimal(18,6) column (Spark Round semantics, exact
+    // micro-unit sum; [[graft.functions.GopherStats.entropyStats]]);
+    // the unchanged oracle still value-gates it. The n_chars > 0
+    // filter mirrors the exploded form's inner join dropping
+    // empty-text docs.
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.EntropyStats(col(textCol)).as("st"))
+      .filter(col("st")(0) > 0L)
+      .select(col("doc_id"), col("st")(0).as("n_chars"),
+        round(col("st")(1).cast("double") / lit(1e6), 4).as("entropy_bits"))
       .withColumn("flagged", col("entropy_bits") < EntropyMinBits)
   }
 
@@ -1597,40 +1594,21 @@ object TextAnalysis {
     * No windows, no broadcasts beyond Spark's own small-side picks. */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 6): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val toks = base.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val totals = base.select(col("doc_id"),
-      length(col("text")).cast("long").as("text_chars"))
-      .join(toks.groupBy(col("doc_id"))
-          .agg(sum(length(col("tok"))).cast("long").as("tok_chars")),
-        Seq("doc_id"), "left")
-    val topG = base.select(col("doc_id"),
-        explode(graft.functions.WordShingles(col("text"), topN)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c") * length(col("g"))).cast("long").as("top_mass"))
-    val g6 = base.select(col("doc_id"),
-      posexplode(graft.functions.WordShingles(col("text"), dupN))
-        .as(Seq("i", "g")))
-    val dupG = g6.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      .select(col("doc_id"), col("g"))
-    val covered = g6.join(dupG, Seq("doc_id", "g"), "left_semi")
+    // one-pass native per-doc fold (r14): the exploded gram/position
+    // row sets (four shuffles' worth) computed doc-LOCAL masses —
+    // graft_rep_mass folds top-gram mass, duplicated-gram coverage
+    // mass and token chars in the scan
+    // ([[graft.functions.GopherStats.repMass]]); the fraction
+    // arithmetic below is the identical expression tree, so the
+    // unchanged oracle still value-gates it
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("text_chars"),
+        graft.functions.RepMass(col(textCol), topN, dupN).as("st"))
       .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (dupN - 1))).as("pos"))
-      .distinct()
-      .join(toks, Seq("doc_id", "pos"))
-      .groupBy(col("doc_id"))
-      .agg(sum(length(col("tok"))).cast("long").as("dup_mass"))
-    totals
-      .join(topG, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        round(coalesce(col("top_mass"), lit(0L)).cast("double") /
+        round(col("st")(0).cast("double") /
           col("text_chars"), 4).as("top_ngram_char_frac"),
-        round(coalesce(col("dup_mass"), lit(0L)).cast("double") /
-          greatest(lit(1L), col("tok_chars")), 4).as("dup_ngram_char_frac"))
+        round(col("st")(1).cast("double") /
+          greatest(lit(1L), col("st")(2)), 4).as("dup_ngram_char_frac"))
       .withColumn("flagged",
         col("top_ngram_char_frac") > GopherTopNgramCharMax ||
           col("dup_ngram_char_frac") > GopherDupNgramCharMax)

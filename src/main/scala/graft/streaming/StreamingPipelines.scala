@@ -1167,6 +1167,40 @@ object StreamingPipelines {
     * identical survivor set. The gate is a scan-side filter (the
     * post-merge model rides along as one dim-long array) — no join
     * against the scored rows. */
+  /** The MASTER chain as a foreachBatch body — the streaming twin of
+    * [[graft.packs.PipelineOps.pipelineCurateMaster]]'s stage order:
+    * online-classifier admission gate FIRST (update-then-gate, the
+    * [[curateClassifierIngestBatch]] discipline — every doc teaches
+    * the model, only positive-log-odds docs proceed), then the CCNet
+    * chain over the admitted docs ([[ccnetIngestBatch]]: paragraph
+    * scrub → LM-keyed corpus-relative floor → mixture → exact gate →
+    * near-dup drop, each against its persisted store). The batch
+    * form's Gopher verdict is a read-time ATTRIBUTE, not a gate —
+    * a sink wanting it joins [[graft.packs.TextOps.gopherVerdictOf]]
+    * over the accumulated docs (stateless, pure function of text).
+    * Every stage keeps its own batchId replay discipline; the
+    * composition adds none. Returns the batch's survivors keyed by
+    * the SCRUBBED text. */
+  def masterIngestBatch(nbStore: graft.operators.NbStore,
+      parStore: graft.operators.ParagraphStore,
+      floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
+      bandStore: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val b = batch.localCheckpoint() // one read: ingest + gate + chain
+    nbStore.ingest(b, idCol, textCol, batchId)
+    val m = nbStore.model(b.sparkSession)
+    ccnetIngestBatch(parStore, floorStore, exactStore, bandStore,
+      seenDocs, b.filter(nbStore.rawScoreExprOf(col(textCol), m) > 0),
+      idCol, textCol, langCol, ratesBp, defaultBp,
+      threshold, maxBucketSize, batchId, maxSegments)
+  }
+
   def curateClassifierIngestBatch(nbStore: graft.operators.NbStore,
       floorStore: QualityFloorStore,
       exactStore: graft.operators.BloomStore,

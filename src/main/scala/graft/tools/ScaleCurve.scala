@@ -284,6 +284,10 @@ object ScaleCurve {
         bench("pipeline_curate_master", m,
           graft.packs.PipelineOps.curateMaster(curatedDocs,
             uniModel.table, nbModel))
+        // attribution row for the master's flag stage: the composite
+        // Gopher verdict alone (4 scan families over the replicas)
+        bench("gopher_verdict", m,
+          graft.packs.TextOps.gopherVerdictOf(curatedDocs))
         curatedDocs.unpersist()
       }
       docs.unpersist()

@@ -316,19 +316,6 @@ class PlanSpec extends SparkSpec {
       s"the 1-row totals cross join must broadcast:\n$p")
   }
 
-  test("text_dup_chars: doc-local semi-join membership, no corpus-global window") {
-    val p = plan("text_dup_chars")
-    // every stage keys on (doc_id, …): dup-gram detection must be the
-    // partial-agg + LEFT SEMI membership pattern, never a window count
-    assert(!p.contains("windowspecdefinition"),
-      s"no window anywhere in the repetition-fraction plan:\n$p")
-    assert(p.contains("LeftSemi"),
-      s"duplicated-gram membership must be a semi join:\n$p")
-    assert(p.contains("partial_count"),
-      s"(doc, gram) counts must partially aggregate map-side:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-  }
-
   test("prune_prototypes_store: scores the persisted assignments, no re-assignment") {
     val p = plan("prune_prototypes_store")
     // the probe form's reason to exist: the assignment argmin is paid
@@ -606,6 +593,19 @@ class PlanSpec extends SparkSpec {
     Seq("gopher_rules", "repeat_factor_sample", "chunk_loss_mask").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("repetition/dup_chars/entropy: one-pass native folds, zero exchanges") {
+    // the r14 rewrite: doc-local statistics must never explode unit
+    // rows into a shuffle — each family is one scan-side expression
+    Seq(("text_repetition", "graft_rep_counts"),
+        ("text_dup_chars", "graft_rep_mass"),
+        ("text_entropy", "graft_entropy_stats")).foreach { case (q, fn) =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      assert(p.contains(fn), s"$q must use the native fold $fn:\n$p")
+      assert(!p.contains("Generate"), s"$q must not explode unit rows:\n$p")
     }
   }
 
