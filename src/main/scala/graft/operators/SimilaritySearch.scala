@@ -561,4 +561,46 @@ object SimilaritySearch {
           col("nrm_a"), col("nrm_b")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Semantic (embedding-cosine) decontamination: a verdict per CORPUS
+    * vector against an entire held-out benchmark/eval set — the
+    * embedding analog of the n-gram [[TextAnalysis.contamination]]
+    * gate, catching paraphrased eval leakage that shares no literal
+    * shingle with the benchmark. Output per corpus vector: the number
+    * of eval vectors at or above `threshold` cosine, the best cosine
+    * seen (4 dp, the ranking evidence an audit reads), and the boolean
+    * verdict.
+    *
+    * Scale shape: benchmark suites are tiny (10³–10⁴ rows) next to a
+    * 100 TB corpus, so the EVAL side broadcasts pre-normed and the
+    * corpus scans ONCE — broadcast nested-loop scoring into a partial
+    * aggregate on the corpus id (map-side combine; |corpus| output
+    * rows, nothing corpus-sized shuffles). Exact by construction: a
+    * compliance gate should not carry an LSH recall asterisk, and at
+    * |eval| ≪ |corpus| the brute product is cheaper than bucketing. */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame,
+      threshold: Double): DataFrame =
+    semanticContaminationFrom(normalizedVectors(corpus),
+      normalizedVectors(eval), threshold)
+
+  /** [[semanticContamination]] over PRE-NORMED sides — the store-probe
+    * seam: `evalNormed` is (vec_id, emb, nrm) rows, either a fresh
+    * [[normalizedVectors]] projection or an [[EmbStore]]'s persisted
+    * vector table (zero re-cast/re-norm of the benchmark per run). */
+  def semanticContaminationFrom(corpusNormed: DataFrame,
+      evalNormed: DataFrame, threshold: Double): DataFrame = {
+    val ev = evalNormed.select(col("vec_id").as("eval_id"),
+      col("emb").as("e_emb"), col("nrm").as("e_nrm"))
+    corpusNormed.crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("emb"), col("e_emb")),
+          col("nrm"), col("e_nrm")), 4).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("sim") >= threshold, 1L).otherwise(0L))
+          .as("n_matches"),
+        max(col("sim")).as("max_sim"))
+      .select(col("vec_id"), col("n_matches"), col("max_sim"),
+        (col("n_matches") > 0L).as("contaminated"))
+  }
 }

@@ -142,6 +142,68 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), qualityExpr(col(textCol)).as("quality"))
 
+  /** Token-mass histogram over quality-score deciles — the datacard
+    * row quality-threshold decisions are made from: per decile bucket
+    * of [[qualityExpr]], the doc count, the token mass, and the
+    * bucket's share of corpus tokens in basis points (how many tokens
+    * a cutoff at each decile edge would keep/drop). Bucketing is
+    * integer — round(score·10⁴) then div 1000, capped at 9 — so the
+    * decile edge can never drift across engines on a float boundary.
+    *
+    * Scale shape: one scan-side score + token count into a partial
+    * aggregate on a ≤10-value key; the share divides by the corpus
+    * total via a broadcast single-row join. Nothing corpus-sized
+    * shuffles. */
+  def qualityTokenHistogram(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val bucketed = docs
+      .select(round(qualityExpr(t) * lit(10000.0), 0).cast("long").as("q_bp"),
+        size(tokens(t)).cast("long").as("n"))
+      .select(least(expr("q_bp div 1000"), lit(9L)).as("bucket"), col("n"))
+    val hist = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val total = hist.agg(sum(col("n_tokens")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000L) div total").as("share_bp"))
+  }
+
+  /** Curriculum layout: the [[shardAssign]] pack order STRATIFIED by a
+    * quality stage — training readers consume stage 0 (highest
+    * quality) to stage S in order, and within a (stage, shard) cell
+    * the documents appear in exactly the relative order [[shardAssign]]
+    * gives them (same "shard#"/"ord#" salts, so the curriculum is a
+    * stable stratification of the existing layout, not a new
+    * permutation). Stage cutoffs are basis-point thresholds on the
+    * integer-rounded [[qualityExpr]] score (descending: docs at or
+    * above `cutoffsBp(i)` land in stage i; the rest in stage
+    * `cutoffsBp.size`).
+    *
+    * Scale shape: scan-side score + stage CASE, then ONE ranking
+    * window partitioned by (stage, shard) — parallelism = stages ×
+    * shards, same bound as the pack layout's own window; the token
+    * payload never moves (a reader joins on doc_id at consume time). */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, cutoffsBp: Seq[Int]): DataFrame = {
+    require(cutoffsBp == cutoffsBp.sorted.reverse && cutoffsBp.nonEmpty,
+      s"cutoffsBp must be non-empty descending, got $cutoffsBp")
+    val idStr = col(idCol).cast("string")
+    val qBp = round(qualityExpr(col(textCol)) * lit(10000.0), 0).cast("long")
+    val stage = cutoffsBp.zipWithIndex.foldRight(
+      lit(cutoffsBp.size.toLong): Column) { case ((cut, i), rest) =>
+      when(qBp >= cut.toLong, i.toLong).otherwise(rest)
+    }
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("ord").asc, col(idCol).asc)
+    docs.select(col(idCol), stage.as("stage"),
+        pmod(Dedup.md5h60(concat(lit("shard#"), idStr)), lit(nShards.toLong))
+          .as("shard"),
+        Dedup.md5h60(concat(lit("ord#"), idStr)).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("stage"), col("shard"), col("pos"))
+  }
+
   // Gopher / MassiveWeb document-quality rule constants (Rae et al.,
   // "Scaling Language Models: ... Gopher", 2021, §A1.1) — the published
   // thresholds, verbatim.

@@ -348,6 +348,89 @@ object SimilarityOps extends QueryPack {
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
       threshold = 0.4)
 
+  /** Semantic decontamination split: vec_id % 20 == 7 plays the
+    * held-out benchmark embeddings (mirroring TextOps.ContamBenchMod/
+    * Rem for the n-gram gate), the rest the training corpus; cosine >=
+    * 0.4 is the leak verdict. 6 of 475 corpus vectors are contaminated
+    * at the sf0.01 gate — both verdict branches live. Constants shared
+    * with the generated oracle. */
+  val SemContamMod = 20
+  val SemContamRem = 7
+  val SemContamThreshold = 0.4
+
+  private def semContamSides(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    (vecs.filter(col("vec_id") % SemContamMod =!= SemContamRem),
+      vecs.filter(col("vec_id") % SemContamMod === SemContamRem))
+  }
+
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val (corpus, eval) = semContamSides(spark, sfDir)
+    SimilaritySearch.semanticContamination(corpus, eval, SemContamThreshold)
+  }
+
+  private val semContamStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.EmbStore]()
+
+  /** Store-backed semantic decontamination: the benchmark's PERSISTED
+    * pre-normed vectors ([[graft.operators.EmbStore]] vector table)
+    * broadcast into the probe instead of re-casting/re-norming the
+    * eval set per run — the ingest-loop form of
+    * [[decontaminateSemantic]], under the IDENTICAL oracle (the store
+    * only moves WHERE the eval vectors come from). */
+  def decontaminateSemanticStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val (corpus, eval) = semContamSides(spark, sfDir)
+    val store = semContamStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.EmbStore(
+        s"graft_semcontam_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(eval)
+      s
+    })
+    SimilaritySearch.semanticContaminationFrom(
+      SimilaritySearch.normalizedVectors(corpus),
+      store.vectorRows(spark).select("vec_id", "emb", "nrm"),
+      SemContamThreshold)
+  }
+
+  /** Matryoshka truncation budgets for [[annDimCurve]] — prefix
+    * lengths of the 64-dim embeddings; shared with the generated
+    * oracle. */
+  val AnnCurveDims = Seq(8, 16, 32, 64)
+
+  /** Dim-truncation recall curve (the Matryoshka ablation): recall@10
+    * of brute-force search over the first d dims against full-dim
+    * ground truth, one row per d — the table that prices a 2×/4×/8×
+    * memory-and-IO cut in retrieval quality (truncated prefixes are
+    * how MRL embeddings are actually served at scale).
+    *
+    * Scale shape: each truncation is the SAME broadcast-queries
+    * scoring pass as ann_brute over a d/64-sized projection (in
+    * production the candidate stage is the ANN index per dim); the
+    * recall join is |queries|·k·|dims| rows. */
+  def annDimCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val queries = queriesDf(spark, sfDir)
+    val gt = SimilaritySearch.bruteForceTopK(vecs, queries, k = 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val perDim = AnnCurveDims.map { d =>
+      val tv = vecs.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      val tq = queries.select(col("query_id"),
+        slice(col("q_emb"), 1, d).as("q_emb"))
+      SimilaritySearch.bruteForceTopK(tv, tq, k = 10)
+        .select(col("query_id"), col("vec_id"), lit(d.toLong).as("dim"))
+    }.reduce(_ unionByName _)
+    perDim.join(gt, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("dim"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .select(col("dim"), col("hits"), col("n_queries"),
+        round(col("hits").cast("double") /
+          (col("n_queries") * lit(10L)).cast("double"), 4).as("recall"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_brute" -> (annBrute _),
     "ann_brute_int8" -> (annBruteInt8 _),
@@ -373,7 +456,10 @@ object SimilarityOps extends QueryPack {
     "semantic_neardup" -> (semanticNearDup _),
     "semantic_dedup_keep" -> (semanticDedupKeep _),
     "semantic_dedup_keep_far" -> (semanticDedupKeepFar _),
-    "semantic_neardup_incremental_store" -> (semanticNearDupIncrementalStore _)
+    "semantic_neardup_incremental_store" -> (semanticNearDupIncrementalStore _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
+    "decontaminate_semantic_store" -> (decontaminateSemanticStore _),
+    "ann_dim_curve" -> (annDimCurve _)
   )
 
   private val normCte =
@@ -939,9 +1025,87 @@ object SimilarityOps extends QueryPack {
         s" OR vec_b % $EmbIncrementalBatchMod = 0)")
   }
 
+  /** DuckDB twin of [[decontaminateSemantic]]: the same eval-broadcast
+    * cross score (exact index-ordered double math, per-pair round-4)
+    * grouped to per-corpus-vector verdicts. Shared verbatim by the
+    * store form — the store only moves WHERE the eval vectors come
+    * from. */
+  private def decontaminateSemanticOracle: String = {
+    val thr = sqlDouble(SemContamThreshold)
+    normCte +
+      s""", dsc_ev AS (
+         |  SELECT vec_id, embedding, nrm FROM v
+         |  WHERE vec_id % $SemContamMod = $SemContamRem
+         |), dsc_co AS (
+         |  SELECT vec_id, embedding, nrm FROM v
+         |  WHERE vec_id % $SemContamMod <> $SemContamRem
+         |), dsc_s AS (
+         |  SELECT co.vec_id,
+         |         round(CASE WHEN ev.nrm * co.nrm = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                  i -> CAST(ev.embedding[i] AS DOUBLE) * CAST(co.embedding[i] AS DOUBLE)))
+         |                / (ev.nrm * co.nrm) END, 4) AS sim
+         |  FROM dsc_ev ev, dsc_co co
+         |)
+         |SELECT vec_id,
+         |  CAST(sum(CASE WHEN sim >= $thr THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+         |  max(sim) AS max_sim,
+         |  sum(CASE WHEN sim >= $thr THEN 1 ELSE 0 END) > 0 AS contaminated
+         |FROM dsc_s GROUP BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[annDimCurve]]: per truncation budget, the SAME
+    * prefix-normed brute ranking as the ann_brute oracle (CTE names
+    * prefixed per dim — the bpe_vocab_curve lesson), recall against
+    * the d=64 ranking as ground truth. */
+  private def annDimCurveOracle: String = {
+    val dimCtes = AnnCurveDims.map { d =>
+      s"""adc_v$d AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(generate_series(1, $d),
+         |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |), adc_q$d AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+         |  FROM adc_v$d WHERE vec_id % 100 = 0
+         |), adc_s$d AS (
+         |  SELECT q.query_id, v.vec_id,
+         |         round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |           ELSE list_sum(list_transform(generate_series(1, $d),
+         |                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+         |                / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM adc_q$d q, adc_v$d v WHERE v.vec_id <> q.query_id
+         |), adc_t$d AS (
+         |  SELECT CAST($d AS BIGINT) AS dim, query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |    FROM adc_s$d
+         |  ) WHERE rk <= 10
+         |)""".stripMargin
+    }.mkString(",\n")
+    val unionAll =
+      AnnCurveDims.map(d => s"SELECT * FROM adc_t$d").mkString(" UNION ALL ")
+    s"""WITH $dimCtes,
+       |adc_all AS ($unionAll),
+       |adc_gt AS (SELECT query_id, vec_id FROM adc_t64)
+       |SELECT a.dim,
+       |  CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(count(DISTINCT a.query_id) AS BIGINT) AS n_queries,
+       |  round(CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / (count(DISTINCT a.query_id) * 10), 4) AS recall
+       |FROM adc_all a LEFT JOIN adc_gt g
+       |  ON a.query_id = g.query_id AND a.vec_id = g.vec_id
+       |GROUP BY a.dim""".stripMargin
+  }
+
   override def oracleSql: Map[String, String] = Map(
     // same oracle for both — proves the heap aggregate's bit-identity
     "ann_topk_agg" -> annBruteOracle,
+    "decontaminate_semantic" -> decontaminateSemanticOracle,
+    // the store-backed probe must emit EXACTLY the same verdicts as
+    // the recompute form — identical oracle, zero drift allowed
+    "decontaminate_semantic_store" -> decontaminateSemanticOracle,
+    "ann_dim_curve" -> annDimCurveOracle,
 
     // label-filtered brute force: same double math, negatives only
     "ann_hard_negatives" ->

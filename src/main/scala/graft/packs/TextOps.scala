@@ -21,6 +21,21 @@ object TextOps extends QueryPack {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.qualityScore(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  def qualityTokenHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.qualityTokenHistogram(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Curriculum stage cutoffs (basis points on the integer-rounded
+    * quality score, descending): stage 0 at >= 5000, stage 1 at
+    * >= 4000, stage 2 below — all three stages are populated at the
+    * gate corpus (its score mass sits in the 0.30–0.65 band). Shared
+    * with the generated oracle. */
+  val CurriculumCutoffsBp = Seq(5000, 4000)
+
+  def curriculumOrder(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.curriculumOrder(Tables.documents(spark, sfDir),
+      "doc_id", "text", NumShards, CurriculumCutoffsBp)
+
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.gopherRules(Tables.documents(spark, sfDir), "doc_id", "text")
 
@@ -553,6 +568,24 @@ object TextOps extends QueryPack {
       docs.filter(col("doc_id") % ContamBenchMod =!= ContamBenchRem),
       docs.filter(col("doc_id") % ContamBenchMod === ContamBenchRem),
       "doc_id", "text", minOverlap = ContamMinOverlap)
+  }
+
+  /** Per-source contamination audit — the datacard rollup of
+    * [[decontaminate]]'s verdicts: docs screened, docs flagged, and
+    * the exact-integer flag rate in basis points per source (the
+    * table that names WHICH feed is leaking eval data). One id-keyed
+    * join + a |sources|-row partial agg on top of the gated verdicts
+    * — the [[graft.operators.Dedup.duplicationBy]] audit shape. */
+  def contaminationRateBySource(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    decontaminate(spark, sfDir)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        expr("(n_flagged * 10000L) div n_docs").as("rate_bp"))
   }
 
   def packSequencesPadded(spark: SparkSession, sfDir: String): DataFrame =
@@ -1725,6 +1758,8 @@ object TextOps extends QueryPack {
     "token_budget_sample_bpe" -> (tokenBudgetSampleBpe _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
+    "quality_token_histogram" -> (qualityTokenHistogram _),
+    "curriculum_order" -> (curriculumOrder _),
     "gopher_rules" -> (gopherRules _),
     "c4_line_filter" -> (c4LineFilter _),
     "gopher_verdict" -> (gopherVerdict _),
@@ -1768,6 +1803,7 @@ object TextOps extends QueryPack {
     "redact_spans" -> (redactSpans _),
     "redact_strip_spans" -> (redactStripSpans _),
     "decontaminate" -> (decontaminate _),
+    "contamination_rate_by_source" -> (contaminationRateBySource _),
     "decontaminate_store" -> (decontaminateStore _),
     "decontaminate_spans" -> (decontaminateSpans _),
     "decontaminate_spans_store" -> (decontaminateSpansStore _),
@@ -1926,8 +1962,12 @@ object TextOps extends QueryPack {
   /** DuckDB twin of BOTH decontamination forms (inline and
     * store-backed — the store only relocates the bench shingle build,
     * the probe is value-identical). */
-  private val decontaminateOracle: String =
-    s"""WITH sh AS (
+  /** Shared CTEs of the doc-level decontamination oracle — ends in
+    * d(doc_id, sh) and ov(doc_id, overlap); the per-source audit
+    * composes its rollup on the same fragment so the two can't
+    * drift. */
+  private val decontamCtes: String =
+    s"""sh AS (
        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -1941,10 +1981,27 @@ object TextOps extends QueryPack {
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
        |  JOIN bench ON x.s = bench.s
        |  GROUP BY x.doc_id
-       |)
+       |)""".stripMargin
+
+  private val decontaminateOracle: String =
+    s"""WITH $decontamCtes
        |SELECT d.doc_id, coalesce(ov.overlap, 0)::BIGINT AS overlap_shingles,
        |       coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
        |FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id""".stripMargin
+
+  /** The [[decontaminateOracle]] verdicts rolled up per source —
+    * exact-integer rate in basis points. */
+  private val contaminationRateBySourceOracle: String =
+    s"""WITH $decontamCtes, cv AS (
+       |  SELECT d.doc_id,
+       |    coalesce(ov.overlap, 0) >= $ContamMinOverlap AS flagged
+       |  FROM d LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |)
+       |SELECT doc.source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(CASE WHEN cv.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST((sum(CASE WHEN cv.flagged THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS rate_bp
+       |FROM cv JOIN documents doc ON cv.doc_id = doc.doc_id
+       |GROUP BY doc.source""".stripMargin
 
   /** Shared CTEs of the SPAN-granular decontamination oracles:
     * positional train-side shingles, membership against the held-out
@@ -2693,6 +2750,49 @@ object TextOps extends QueryPack {
          |  $qualityExprSql AS quality
          |FROM documents""".stripMargin,
 
+    // integer decile edges (round(q*1e4) // 1000, capped) so a float
+    // boundary can never drift the bucket; share divides exact BIGINTs
+    "quality_token_histogram" ->
+      s"""WITH qth_q AS (
+         |  SELECT $qualityExprSql AS q,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents
+         |), qth_b AS (
+         |  SELECT least(CAST(round(q * 10000, 0) AS BIGINT) // 1000, 9) AS bucket, n
+         |  FROM qth_q
+         |), qth_g AS (
+         |  SELECT bucket, count(*)::BIGINT AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS n_tokens
+         |  FROM qth_b GROUP BY bucket
+         |)
+         |SELECT bucket, n_docs, n_tokens,
+         |  CAST((n_tokens * 10000) // (SELECT sum(n_tokens) FROM qth_g) AS BIGINT)
+         |    AS share_bp
+         |FROM qth_g""".stripMargin,
+
+    // the shard_assign salts verbatim, stratified by the quality-stage
+    // CASE — within a (stage, shard) cell the relative order IS the
+    // pack order
+    "curriculum_order" -> {
+      val cases = CurriculumCutoffsBp.zipWithIndex
+        .map { case (cut, i) => s"WHEN q_bp >= $cut THEN $i" }.mkString(" ")
+      s"""WITH cur_q AS (
+         |  SELECT doc_id,
+         |    CAST(round(($qualityExprSql) * 10000, 0) AS BIGINT) AS q_bp
+         |  FROM documents
+         |), cur_s AS (
+         |  SELECT doc_id,
+         |    CAST(CASE $cases ELSE ${CurriculumCutoffsBp.size} END AS BIGINT) AS stage,
+         |    ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $NumShards AS shard,
+         |    ('0x' || substr(md5('ord#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS ord
+         |  FROM cur_q
+         |)
+         |SELECT doc_id, stage, shard,
+         |  CAST(row_number() OVER (PARTITION BY stage, shard
+         |    ORDER BY ord, doc_id) AS BIGINT) AS pos
+         |FROM cur_s""".stripMargin
+    },
+
     // the published Gopher thresholds verbatim; every ratio is one
     // division of exact integer counts, and the stop-word count is a
     // per-member membership probe in BOTH engines (list-dedup
@@ -2947,6 +3047,7 @@ object TextOps extends QueryPack {
     // distinct-shingle overlap counts vs the held-out split; docs with
     // no shingles or no overlap coalesce to 0 on both sides
     "decontaminate" -> decontaminateOracle,
+    "contamination_rate_by_source" -> contaminationRateBySourceOracle,
 
     // the store only moves WHERE the bench shingles come from — the
     // probe is value-identical, so the oracle is the SAME string

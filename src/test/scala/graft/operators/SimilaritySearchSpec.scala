@@ -207,4 +207,46 @@ class SimilaritySearchSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(probeCapped.isEmpty, s"got $probeCapped")
   }
+
+  test("semantic contamination: planted leak flagged, orthogonal clean, corpus covered") {
+    val base = Array.fill(64)(0.0f); base(0) = 1.0f
+    val ortho = Array.fill(64)(0.0f); ortho(1) = 1.0f
+    val near = Array.fill(64)(0.0f); near(0) = 0.9f; near(1) = 0.1f
+    val eval = Seq((100L, base.toSeq)).toDF("vec_id", "embedding")
+    val corpus = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch
+      .semanticContamination(corpus, eval, threshold = 0.9)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      "every corpus vector gets a verdict row")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 && byId(1L)._3 == 1.0 && byId(1L)._2 == 1L)
+    assert(byId(2L)._4, "0.994 cosine is a leak at 0.9")
+    assert(!byId(3L)._4 && byId(3L)._2 == 0L && byId(3L)._3 == 0.0)
+  }
+
+  test("semantic contamination: store-probed form == inline on real fixtures") {
+    val inline = graft.packs.SimilarityOps
+      .decontaminateSemantic(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val stored = graft.packs.SimilarityOps
+      .decontaminateSemanticStore(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(inline.nonEmpty && inline == stored)
+  }
+
+  test("dim curve: full-dim recall is exactly 1, all rows bounded") {
+    val out = graft.packs.SimilarityOps.annDimCurve(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq ==
+      graft.packs.SimilarityOps.AnnCurveDims.map(_.toLong))
+    out.foreach { case (_, hits, nq, recall) =>
+      assert(nq > 0L && hits >= 0L && hits <= nq * 10L)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    val full = out.last
+    assert(full._1 == 64L && full._4 == 1.0,
+      s"d=64 truncation is the identity, recall must be 1.0: $full")
+  }
 }
