@@ -1185,6 +1185,223 @@ object Dedup {
         (col(idCol) === col("best_id")).as("keep") +: carryCols.map(col): _*)
   }
 
+  /** Winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * "Winnowing: Local Algorithms for Document Fingerprinting"): grams
+    * of [[WinnowGramTokens]] tokens (the noise threshold — no match
+    * shorter than k tokens is ever detected) and windows of
+    * [[WinnowWindow]] consecutive gram hashes (guarantee threshold
+    * t = k + w − 1 = 7: every shared run of ≥ t tokens is GUARANTEED
+    * to share a selected fingerprint). Expected density of selected
+    * fingerprints is 2/(w+1) of the gram positions. Shared with the
+    * generated oracle SQL (DedupOps) so the engines can't drift. */
+  val WinnowGramTokens = 4
+  val WinnowWindow = 4
+
+  /** Minimum shared winnowing fingerprints for a [[winnowPairs]]
+    * candidate pair, and the hot-fingerprint cap (a fingerprint
+    * selected by more docs than this is boilerplate and generates no
+    * pairs — same documented recall knob as the LSH bucket cap). */
+  val WinnowMinShared = 3
+  val WinnowMaxDocsPerGram = 1000
+
+  /** Winnowing fingerprint selection: per document, slide a window of
+    * `w` consecutive k-gram hashes and select the window minimum,
+    * breaking ties by the RIGHTMOST position (the paper's rule — it
+    * makes selection deterministic and position-local). The distinct
+    * selected (pos, hash) rows are the document's fingerprint sketch:
+    * any two documents sharing a run of ≥ k+w−1 tokens share at least
+    * one selected fingerprint, at ~2/(w+1) the density of full
+    * k-gram shingling. Documents with fewer than w grams select the
+    * minimum over all their grams (one whole-doc window), so every
+    * doc with ≥ k tokens fingerprints.
+    *
+    * Scale shape: gram hashing is scan-side ([[spanGrams]]: native
+    * position-ordered windows, one md5 per gram); the window minimum
+    * is a per-DOCUMENT ordered frame (state bounded by w, partitions
+    * bounded by doc length — never corpus-wide); the rightmost-min
+    * selection joins window ends back to grams on (doc, pos-bucket)
+    * where a bucket is w positions wide, so each window end meets at
+    * most 2w gram rows — O(n·w) join work per doc, never the O(n²)
+    * doc-equi join the naive range join would do on a long document.
+    * The corpus is scanned twice (both join sides), the same
+    * trade documented on [[duplicateSpans]]. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow): DataFrame = {
+    val grams = spanGrams(docs, idCol, textCol, k)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    // window ends: every full-size window's last position, plus the
+    // doc's last gram when the doc is shorter than w (the frame then
+    // covers all of it — one whole-doc window)
+    val ends = grams
+      .withColumn("wmin", min(col("gram")).over(byDoc.rowsBetween(-(w - 1), 0)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("pos") >= w - 1 || col("pos") === col("n") - 1)
+      .select(col(idCol), col("pos").as("epos"), col("wmin"))
+    // rightmost-min selection: join ends to the gram rows of their own
+    // window. A window [epos−w+1, epos] spans at most two w-wide
+    // position buckets, so exploding each end into its ≤ 2 buckets
+    // keeps the join linear in doc length (a bucket holds ≤ w grams
+    // and ≤ w ends).
+    val endsB = ends.withColumn("bkt",
+      explode(array_distinct(array(
+        floor((col("epos") - lit(w - 1)).cast("double") / w).cast("long"),
+        floor(col("epos").cast("double") / w).cast("long")))))
+    val gramsB = grams
+      .withColumn("bkt", floor(col("pos").cast("double") / w).cast("long"))
+      .withColumnRenamed("pos", "gpos")
+    endsB.join(gramsB, Seq(idCol, "bkt"))
+      .filter(col("gpos").between(col("epos") - (w - 1), col("epos")) &&
+        col("gram") === col("wmin"))
+      .groupBy(col(idCol), col("epos"), col("wmin"))
+      .agg(max(col("gpos")).as("pos"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("wmin").as("gram"))
+      .distinct()
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints —
+    * the MOSS-style detector: documents sharing ≥ `minShared` selected
+    * fingerprint hashes, with the shared count as the match strength.
+    * Catches partial overlap (a long shared passage inside otherwise
+    * different documents) that whole-document Jaccard dilutes away,
+    * at 2/(w+1) the index size of full shingling.
+    *
+    * Scale shape: fingerprint TYPES per doc (distinct hashes) are a
+    * partial-agg distinct; hot fingerprints (boilerplate selected by
+    * > `maxDocsPerGram` docs) are dropped via the partial-agg count +
+    * broadcast anti-join discipline (never a window count), bounding
+    * the per-hash pairing quadratic exactly like the LSH bucket cap;
+    * the pair count is a partial-agg groupBy over (doc_a, doc_b). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow,
+      minShared: Int = WinnowMinShared,
+      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("gram")).distinct()
+      .localCheckpoint(false)
+    val hot = fp.groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocsPerGram)
+      .select(col("gram"))
+    val cold = fp.join(broadcast(hot), Seq("gram"), "left_anti")
+    val a = cold.select(col("gram"), col("doc_id").as("doc_a"))
+    val b = cold.select(col("gram"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Max normalized edit distance in basis points for
+    * [[editDistancePairs]] — 3000 = the pair survives if the cheaper
+    * of the two rewrite directions touches ≤ 30% of the longer text.
+    * Shared with the generated oracle SQL. */
+  val EditMaxRatioBp = 3000
+
+  /** Edit-distance-verified near-dup pairs — the character-level
+    * precision verifier the banding families lack: SimHash/MinHash
+    * verify with SET similarity (shingle Jaccard), which a heavy
+    * in-place token substitution cheats (sets shrink symmetrically),
+    * while normalized Levenshtein prices every insertion, deletion,
+    * AND substitution positionally. Candidates come from the capped
+    * md5-twin SimHash banding ([[simhashMd5Pairs]] — near-linear,
+    * never all-pairs); each candidate pair is verified with
+    * edit_ratio_bp = ⌊edit_dist · 10⁴ / max(len_a, len_b)⌋ ≤
+    * `maxRatioBp`, all integer arithmetic.
+    *
+    * ASCII scope: the verification corpus is restricted to printable-
+    * ASCII documents because edit-distance ENGINES disagree on the
+    * unit — Spark's levenshtein counts code points, DuckDB's counts
+    * bytes, and on multibyte text the two are different metrics (a
+    * CJK substitution is 1 vs 3). On ASCII they coincide exactly.
+    * Multibyte corpora go through the shingle/Jaccard verifiers,
+    * whose set semantics are encoding-agnostic.
+    *
+    * Scale shape: the candidate generation is the spec'd capped
+    * banding; texts join onto the BOUNDED candidate set only (never
+    * all-pairs), and the O(len²) distance runs once per candidate —
+    * the standard cost profile of a fuzzy-match verifier. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxRatioBp: Int = EditMaxRatioBp): DataFrame = {
+    val ascii = docs.filter(col(textCol).rlike("^[ -~]*$"))
+    val cands = simhashMd5Pairs(ascii, idCol, textCol)
+      .select(col("doc_a"), col("doc_b"))
+    val ta = ascii.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb = ascii.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")), lit(1))
+          .cast("long").as("max_len"))
+      .withColumn("edit_ratio_bp", expr("edit_dist * 10000 div max_len"))
+      .filter(col("edit_ratio_bp") <= maxRatioBp)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        col("edit_ratio_bp"))
+  }
+
+  /** Incremental [[winnowPairs]]: the shared-fingerprint pairs a NEW
+    * batch adds against an already-fingerprinted corpus, computed
+    * without re-winnowing the seen side — `seenFp` is the seen
+    * corpus's (doc_id, gram) selected-fingerprint types, in practice
+    * a persisted [[WinnowStore]] scan. Winnowing selection is
+    * doc-LOCAL (a doc's fingerprints never depend on other docs), so
+    * output == full-corpus [[winnowPairs]] restricted to pairs
+    * touching the batch, EXACTLY: the hot-fingerprint cap is counted
+    * over the full (batch ∪ seen) view, matching the self-form's
+    * corpus-wide count, and n_shared counts distinct shared hashes
+    * per canonicalized pair (a batch-internal pair reached from both
+    * endpoints collapses in the per-(pair, gram) distinct before the
+    * count).
+    *
+    * Scale shape: the batch is winnowed once (lazy checkpoint, three
+    * consumers); the seen side is scanned, never re-hashed; hot cap
+    * is the partial-agg count + broadcast anti-join discipline. */
+  def incrementalWinnowPairsFrom(batch: DataFrame, seenFp: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow,
+      minShared: Int = WinnowMinShared,
+      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame = {
+    val batchFp = winnowFingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("doc_id"), col("gram")).distinct()
+      .localCheckpoint(false)
+    val all = batchFp.union(seenFp.select(col("doc_id"), col("gram")))
+    val hot = all.groupBy(col("gram"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocsPerGram)
+      .select(col("gram"))
+    val a = batchFp.join(broadcast(hot), Seq("gram"), "left_anti")
+      .select(col("gram"), col("doc_id").as("probe_id"))
+    val b = all.join(broadcast(hot), Seq("gram"), "left_anti")
+      .select(col("gram"), col("doc_id").as("other_id"))
+    a.join(b, Seq("gram"))
+      .filter(col("probe_id") =!= col("other_id"))
+      .select(least(col("probe_id"), col("other_id")).as("doc_a"),
+        greatest(col("probe_id"), col("other_id")).as("doc_b"),
+        col("gram"))
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Convenience form of [[incrementalWinnowPairsFrom]] that winnows
+    * the seen side in place — the recompute baseline the persisted
+    * [[WinnowStore]] probe must match exactly (and the form a one-off
+    * backfill without a store would run). */
+  def incrementalWinnowPairs(batch: DataFrame, seen: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow,
+      minShared: Int = WinnowMinShared,
+      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame =
+    incrementalWinnowPairsFrom(batch,
+      winnowFingerprints(seen, idCol, textCol, k, w)
+        .select(col(idCol).as("doc_id"), col("gram")).distinct(),
+      idCol, textCol, k, w, minShared, maxDocsPerGram)
+
   def blockedNgramJaccard(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = NgramShingleN, prefixLen: Int = NgramPrefixLen,
       threshold: Double = NgramThreshold,

@@ -169,6 +169,101 @@ object TextAnalysis {
         expr("(n_tokens * 10000L) div total").as("share_bp"))
   }
 
+  /** Sample size per group for [[weightedSampleWor]] — shared with the
+    * generated oracle SQL. */
+  val WorSampleK = 20
+
+  /** EXACT weighted sampling WITHOUT replacement, top-k per group, by
+    * integer hash race (Efraimidis & Spirtakis 2006, in the Gumbel-
+    * trick formulation): doc i with integer weight w_i gets key_i =
+    * max over j ∈ [1, w_i] of U_ij, where U_ij is a 48-bit uniform
+    * hash of (doc_id, j); the k LARGEST keys per group are the sample.
+    * Correctness: with E_ij = −ln(U_ij) iid Exp(1), min_j E_ij ~
+    * Exp(w_i) exactly, and ranking by independent Exp(w_i) keys IS
+    * weighted sampling without replacement (P(i drawn first) =
+    * w_i / Σw); −ln is decreasing, so ranking by min of exponentials
+    * equals ranking DESCENDING by max of uniforms — all integer, no
+    * transcendentals, bit-identical across engines (the 48-bit grid
+    * only distorts at tie granularity, and ties break on doc_id).
+    * Weights here are the quality decile + 1 (∈ [1,10], the integer
+    * [[qualityExpr]] bucketing), so higher-quality docs are
+    * proportionally likelier to be drawn — the "sample a quality-
+    * leaning eval slice per source" curation op.
+    *
+    * Scale shape: the explode is bounded (≤ 10 rows per doc,
+    * scan-side hash each), the per-doc max is a partial agg, and the
+    * per-group top-k is the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]) — map-side combine reduces
+    * every partition to ≤ k rows per group before the shuffle; no
+    * ranking window ever sees a corpus-sized partition. The 48-bit
+    * keys are exact in the aggregate's double scores (< 2⁵³). */
+  def weightedSampleWor(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int = WorSampleK): DataFrame = {
+    val weighted = docs
+      .select(col(groupCol), col(idCol),
+        qualityBp(col(textCol)).as("q_bp"))
+      .select(col(groupCol), col(idCol),
+        (least(expr("q_bp div 1000"), lit(9L)) + 1L).as("w"))
+    val keyed = weighted
+      .select(col(groupCol), col(idCol),
+        explode(sequence(lit(1L), col("w"))).as("j"))
+      .select(col(groupCol), col(idCol),
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("#wor#"),
+          col("j").cast("string"))), 1, 12), 16, 10).cast("long").as("u"))
+      .groupBy(col(groupCol), col(idCol))
+      .agg(max(col("u")).as("key_u"))
+    keyed.groupBy(col(groupCol))
+      .agg(graft.functions.TopKByScore(col("key_u").cast("double"),
+        col(idCol), k).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(idCol), col("col.score").cast("long").as("key_u"))
+  }
+
+  /** Z-order (Morton) bit interleave of two 16-bit dimensions — built
+    * entirely from codegen'd integer built-ins (32 shift/mask terms
+    * summed over disjoint bits), no custom expression needed. Bit 2i
+    * of the result is bit i of `a`, bit 2i+1 is bit i of `b`, so a
+    * prefix of the z value constrains a prefix of BOTH dimensions —
+    * the property multi-dimensional data skipping rides. */
+  def zOrder16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Shard count exponent for [[layoutZorder]]: 2⁴ = 16 shards from
+    * the top 4 z bits. Shared with the generated oracle SQL. */
+  val ZShardBits = 4
+
+  /** Z-order layout assignment over (quality, length) — the
+    * multi-dimensional clustering pass a 100 TB corpus runs before
+    * writing so that BOTH quality-range and length-range readers skip
+    * files (a single-column sort clusters one dim and scatters the
+    * other; Morton order gives every dimension prefix locality).
+    * Output: per doc, the two clamped 16-bit dims, the interleaved z
+    * value, and the shard = top-[[ZShardBits]] z bits — fixing a
+    * shard fixes the top 2 bits of EACH dim, so within a shard each
+    * dimension's spread is ≤ 1/4 of its domain (the locality bound
+    * ZorderSpec pins). A production write follows with
+    * `repartitionByRange(shard).sortWithinPartitions(zval)` so
+    * parquet row-group min/max stats are tight on both dims.
+    *
+    * Scale shape: pure scan-side projection — integer shifts and
+    * masks inside whole-stage codegen, NO shuffle, no window, no agg;
+    * the assignment costs one corpus read. (The eventual re-layout
+    * write is the one unavoidable range shuffle; the ASSIGNMENT
+    * adds nothing to it.) */
+  def layoutZorder(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .select(col(idCol), qualityBp(t).as("q_bp"),
+        least(size(tokens(t)).cast("long"), lit(65535L)).as("n_tokens"))
+      .withColumn("zval", zOrder16(col("q_bp"), col("n_tokens")))
+      .withColumn("shard", shiftright(col("zval"), 32 - ZShardBits))
+  }
+
   /** Curriculum layout: the [[shardAssign]] pack order STRATIFIED by a
     * quality stage — training readers consume stage 0 (highest
     * quality) to stage S in order, and within a (stage, shard) cell

@@ -448,6 +448,60 @@ object DedupOps extends QueryPack {
       .unionByName(store.scrubProbe(batch1, "doc_id", "text"))
   }
 
+  /** Winnowing fingerprint sketch (Schleimer/Wilkerson/Aiken SIGMOD'03)
+    * of every document: the selected (pos, gram) rows — ~2/(w+1) the
+    * density of full k-gram shingling, with the ≥ k+w−1-token match
+    * guarantee. */
+  def fingerprintWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.winnowFingerprints(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** MOSS-style near-dup candidates from shared winnowing fingerprints:
+    * pairs sharing ≥ [[Dedup.WinnowMinShared]] selected hashes, hot
+    * (boilerplate) fingerprints capped out before pairing. */
+  def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Edit-distance-verified near-dups over the capped SimHash
+    * candidates, ASCII scope ([[Dedup.editDistancePairs]]) — the
+    * character-positional precision verifier. */
+  def dedupEditDistance(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Incremental winnow probe (recompute form): a NEW batch's shared-
+    * fingerprint pairs against the seen corpus — output ≡ full-corpus
+    * winnow pairs restricted to pairs touching the batch (selection is
+    * doc-local, the cap counts the full view). */
+  def dedupWinnowIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalWinnowPairs(
+      docs.filter(col("doc_id") % IncrementalBatchMod === 0),
+      docs.filter(col("doc_id") % IncrementalBatchMod =!= 0),
+      "doc_id", "text")
+  }
+
+  // One persisted winnow-fingerprint store per dataset per JVM — the
+  // same amortize-the-ingest-artifact convention as bandStores.
+  private val winnowStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.WinnowStore]()
+
+  /** Store-backed incremental winnow probe: the seen corpus's
+    * PERSISTED selected-fingerprint table is probed instead of
+    * re-winnowing the seen side — identical oracle to the recompute
+    * form, zero drift allowed. */
+  def dedupWinnowIncrementalStore(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % IncrementalBatchMod === 0)
+    val seen = docs.filter(col("doc_id") % IncrementalBatchMod =!= 0)
+    val store = winnowStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.WinnowStore(
+        s"graft_winnow_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(seen, "doc_id", "text")
+      s
+    })
+    store.probe(batch, "doc_id", "text")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -478,7 +532,12 @@ object DedupOps extends QueryPack {
     "ngram_novelty" -> (ngramNovelty _),
     "dedup_threshold_curve" -> (dedupThresholdCurve _),
     "dedup_cluster_stats" -> (dedupClusterStats _),
-    "paragraph_rate_by_source" -> (paragraphRateBySource _)
+    "paragraph_rate_by_source" -> (paragraphRateBySource _),
+    "fingerprint_winnow" -> (fingerprintWinnow _),
+    "dedup_winnow" -> (dedupWinnow _),
+    "dedup_winnow_incremental" -> (dedupWinnowIncremental _),
+    "dedup_winnow_incremental_store" -> (dedupWinnowIncrementalStore _),
+    "dedup_editdistance" -> (dedupEditDistance _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -614,6 +673,63 @@ object DedupOps extends QueryPack {
         |    FILTER (WHERE dropped = 0), '') AS clean_text,
         |  CAST(sum(dropped) AS BIGINT) AS n_dropped
         |FROM markedt GROUP BY doc_id""".stripMargin
+
+  /** Shared winnowing CTEs (DuckDB twin of
+    * [[graft.operators.Dedup.winnowFingerprints]]): identical grams
+    * (single-space split, k tokens, md5 of the space-joined window),
+    * identical per-doc w-frame minimum, identical rightmost-tie
+    * selection (the join back to gram rows of the window, max pos per
+    * window end), identical short-doc rule (one whole-doc window).
+    * The oracle joins ends→grams on the raw range predicate — at
+    * sf0.01 correctness scale the Spark side's bucketed form and this
+    * are the same relation. */
+  private[packs] def winnowFpCtesFrom(src: String, k: Int, w: Int): String =
+    s"""wtoks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+        |),
+        |wgrams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         md5(array_to_string(list_slice(t, i, i + $k - 1), ' ')) AS gram
+        |  FROM wtoks, unnest(range(1, len(t) - $k + 2)) AS u(i)
+        |  WHERE len(t) >= $k
+        |),
+        |wends AS (
+        |  SELECT doc_id, pos AS epos, wmin FROM (
+        |    SELECT doc_id, pos,
+        |      min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS wmin,
+        |      count(*) OVER (PARTITION BY doc_id) AS n
+        |    FROM wgrams)
+        |  WHERE pos >= ${w - 1} OR pos = n - 1
+        |),
+        |wfp AS (
+        |  SELECT DISTINCT doc_id, pos, gram FROM (
+        |    SELECT e.doc_id, e.epos, e.wmin AS gram, max(g.pos) AS pos
+        |    FROM wends e JOIN wgrams g
+        |      ON g.doc_id = e.doc_id
+        |     AND g.pos BETWEEN e.epos - ${w - 1} AND e.epos
+        |     AND g.gram = e.wmin
+        |    GROUP BY e.doc_id, e.epos, e.wmin)
+        |)""".stripMargin
+
+  /** The winnow CTEs extended through the MOSS pairing: fingerprint
+    * TYPES per doc, hot cap, canonicalized shared-hash count ≥ the
+    * floor — ends at `wpairs(doc_a, doc_b, n_shared)`, shared by the
+    * self, incremental, and store-probe gates so none can drift. */
+  private[packs] def winnowPairCtesFrom(src: String): String =
+    s"""${winnowFpCtesFrom(src, Dedup.WinnowGramTokens, Dedup.WinnowWindow)},
+        |wtypes AS (SELECT DISTINCT doc_id, gram FROM wfp),
+        |whot AS (SELECT gram FROM wtypes GROUP BY gram
+        |         HAVING count(*) > ${Dedup.WinnowMaxDocsPerGram}),
+        |wcold AS (SELECT doc_id, gram FROM wtypes
+        |          WHERE gram NOT IN (SELECT gram FROM whot)),
+        |wpairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         count(*)::BIGINT AS n_shared
+        |  FROM wcold a JOIN wcold b
+        |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= ${Dedup.WinnowMinShared})""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.nearDupClusters]]: true
     * connected components by recursive reachable-label enumeration —
@@ -866,6 +982,54 @@ object DedupOps extends QueryPack {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_substring_spans" -> substringSpansOracle,
+
+    // winnowing sketch: shared CTEs end at the selected-fingerprint
+    // relation, the query is just its projection
+    "fingerprint_winnow" ->
+      s"""WITH ${winnowFpCtesFrom("documents",
+             Dedup.WinnowGramTokens, Dedup.WinnowWindow)}
+          |SELECT doc_id, CAST(pos AS BIGINT) AS pos, gram FROM wfp""".stripMargin,
+
+    // MOSS-style pairing over the SAME selected-fingerprint relation:
+    // distinct hash types per doc, hot-hash cap, pair count ≥ floor
+    "dedup_winnow" ->
+      s"""WITH ${winnowPairCtesFrom("documents")}
+          |SELECT doc_a, doc_b, n_shared FROM wpairs""".stripMargin,
+
+    // incremental probe ≡ full self-pairing restricted to pairs
+    // touching the batch (winnow selection is doc-local; the hot cap
+    // counts the full view) — the SAME generated CTEs, one predicate;
+    // the store-backed probe shares it verbatim (zero-drift gate)
+    "dedup_winnow_incremental" ->
+      s"""WITH ${winnowPairCtesFrom("documents")}
+          |SELECT doc_a, doc_b, n_shared FROM wpairs
+          |WHERE doc_a % $IncrementalBatchMod = 0
+          |   OR doc_b % $IncrementalBatchMod = 0""".stripMargin,
+    "dedup_winnow_incremental_store" ->
+      s"""WITH ${winnowPairCtesFrom("documents")}
+          |SELECT doc_a, doc_b, n_shared FROM wpairs
+          |WHERE doc_a % $IncrementalBatchMod = 0
+          |   OR doc_b % $IncrementalBatchMod = 0""".stripMargin,
+
+    // the SAME generated simhash pair CTEs over the ASCII view (where
+    // byte- and codepoint-Levenshtein coincide), integer ratio math
+    "dedup_editdistance" ->
+      s"""WITH adocs AS (
+          |  SELECT * FROM documents WHERE regexp_matches(text, '^[ -~]*$$')
+          |), ${simhashMd5PairCtesFrom("adocs")},
+          |ed AS (
+          |  SELECT p.doc_a, p.doc_b,
+          |    levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+          |    greatest(length(da.text), length(db.text), 1)::BIGINT AS max_len
+          |  FROM pairs p
+          |  JOIN adocs da ON da.doc_id = p.doc_a
+          |  JOIN adocs db ON db.doc_id = p.doc_b
+          |  WHERE p.hamming <= ${Dedup.Md5SimhashMaxHamming}
+          |)
+          |SELECT doc_a, doc_b, edit_dist,
+          |  (edit_dist * 10000) // max_len AS edit_ratio_bp
+          |FROM ed
+          |WHERE (edit_dist * 10000) // max_len <= ${Dedup.EditMaxRatioBp}""".stripMargin,
     "dedup_strip_spans" -> stripSpansOracle,
     // the incremental forms must emit exactly the full-corpus spans
     // restricted to batch docs — the oracle IS that restriction; the

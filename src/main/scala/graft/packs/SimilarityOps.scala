@@ -253,6 +253,36 @@ object SimilarityOps extends QueryPack {
         round(col("hits").cast("double") / 10.0, 4).as("recall"))
   }
 
+  /** Ranking-quality metrics of the IVF probe against brute-force
+    * ground truth — MRR@10 (reciprocal rank of the first relevant
+    * result) and binary-relevance NDCG@10 per query, the two numbers a
+    * retrieval eval reports beyond recall (rank POSITION matters for
+    * RAG context windows: a relevant doc at rank 9 is worth less than
+    * at rank 1, which recall@k can't see). Relevance = membership in
+    * the exact top-10; IDCG is computed from the brute side's own
+    * ranks so short ground-truth lists stay normalized. Scale shape:
+    * both inputs are top-k OUTPUTS (|queries|·k rows), one equi-join,
+    * two partial aggs — the corpus never appears. */
+  def annRankMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("rk"))
+    val ivf = annIvf(spark, sfDir)
+      .select(col("query_id"), col("vec_id"), col("rk").as("irk"))
+    val idcg = brute.groupBy(col("query_id"))
+      .agg(sum(lit(1.0) / log2(col("rk") + 1)).as("idcg"))
+    val rel = brute.select(col("query_id"), col("vec_id"))
+      .join(ivf, Seq("query_id", "vec_id"))
+    val per = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(lit(1.0) / log2(col("irk") + 1)).as("dcg"),
+        min(col("irk")).as("min_rk"))
+    idcg.join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(lit(1.0) / col("min_rk"), lit(0.0)), 4).as("mrr"),
+        round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as("ndcg"))
+  }
+
   /** Prototypicality pruning over the embeddings table — keep the
     * hardest half of every IVF cell (see
     * [[SimilaritySearch.prototypePrune]]); same trained quantizer as
@@ -443,6 +473,7 @@ object SimilarityOps extends QueryPack {
     "ann_ivfpq_refine" -> (annIvfPqRefine _),
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_recall" -> (annRecall _),
+    "ann_rank_metrics" -> (annRankMetrics _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
@@ -1208,6 +1239,29 @@ SELECT b.query_id, count(i.vec_id)::BIGINT AS hits,
 FROM brute b LEFT JOIN ivf i
   ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY b.query_id""",
+        // MRR/NDCG: the same two nested oracles, per-query rank math
+        "ann_rank_metrics" -> s"""WITH brute AS (
+$annBruteOracle
+), ivf AS (
+$o
+), rel AS (
+  SELECT i.query_id, i.rk FROM ivf i JOIN brute b
+    ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+), idcg AS (
+  SELECT query_id,
+         sum(CAST(1.0 AS DOUBLE) / log2(rk + 1)) AS idcg
+  FROM brute GROUP BY query_id
+), per AS (
+  SELECT query_id, count(*)::BIGINT AS n_hits,
+         sum(CAST(1.0 AS DOUBLE) / log2(rk + 1)) AS dcg,
+         min(rk) AS min_rk
+  FROM rel GROUP BY query_id
+)
+SELECT g.query_id,
+  coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+  round(coalesce(CAST(1.0 AS DOUBLE) / p.min_rk, 0.0), 4) AS mrr,
+  round(coalesce(p.dcg / g.idcg, 0.0), 4) AS ndcg
+FROM idcg g LEFT JOIN per p USING (query_id)""",
         // SemDeDup rides the same trained matrix; the store probe's
         // oracle is the self-dedup SQL plus the touching-batch filter
         "semantic_neardup" -> semanticNearDupOracle(c),

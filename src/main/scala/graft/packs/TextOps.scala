@@ -387,6 +387,22 @@ object TextOps extends QueryPack {
     * the keep-everything cap. */
   val TempSampleTarget = 150L
 
+  /** Exact weighted sampling without replacement per source
+    * ([[TextAnalysis.weightedSampleWor]]): quality-decile weights, the
+    * integer hash-race keys, bounded-heap top-k — no window, no
+    * transcendentals. */
+  def weightedSampleWorQ(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.weightedSampleWor(Tables.documents(spark, sfDir),
+      "doc_id", "text", "source")
+
+  /** Z-order (Morton) layout assignment over (quality, length)
+    * ([[TextAnalysis.layoutZorder]]): shuffle-free scan-side
+    * projection; shard = top z bits, giving BOTH dims prefix
+    * locality within every shard. */
+  def layoutZorder(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.layoutZorder(Tables.documents(spark, sfDir),
+      "doc_id", "text")
+
   def temperatureSample(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.temperatureSample(Tables.documents(spark, sfDir),
         "source", "doc_id", TempSampleTarget)
@@ -1773,6 +1789,8 @@ object TextOps extends QueryPack {
     "token_count" -> (tokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "stratified_sample" -> (stratifiedSample _),
+    "weighted_sample_wor" -> (weightedSampleWorQ _),
+    "layout_zorder" -> (layoutZorder _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2899,6 +2917,52 @@ object TextOps extends QueryPack {
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sampleGateSql""".stripMargin,
+
+    // Morton interleave as pure integer arithmetic: bit 2i = dim-a
+    // bit i, bit 2i+1 = dim-b bit i, summed over disjoint bits (≡ OR);
+    // shard = top-4 z bits — identical shifts both engines
+    "layout_zorder" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    CAST(round(($qualityExprSql) * 10000) AS BIGINT) AS q_bp,
+         |    least(len(string_split(text, ' ')), 65535)::BIGINT AS n_tokens
+         |  FROM documents
+         |), z AS (
+         |  SELECT doc_id, q_bp, n_tokens,
+         |    CAST(list_sum(list_transform(generate_series(0, 15),
+         |      i -> (((q_bp >> i) & 1) << (2*i))
+         |         + (((n_tokens >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+         |  FROM dims
+         |)
+         |SELECT doc_id, q_bp, n_tokens, zval,
+         |  CAST(zval >> ${32 - TextAnalysis.ZShardBits} AS BIGINT) AS shard
+         |FROM z""".stripMargin,
+
+    // exact weighted WOR: integer quality-decile weights (the shared
+    // quality_bp bucketing), key = max of w 48-bit uniform hashes per
+    // doc (integer throughout — see the operator scaladoc for the
+    // exponential-race equivalence), top-k per source ranked by
+    // (key DESC, doc_id ASC) — the same total order as TopKByScore
+    "weighted_sample_wor" ->
+      s"""WITH wdocs AS (
+         |  SELECT source, doc_id,
+         |    least(CAST(round(($qualityExprSql) * 10000) AS BIGINT) // 1000, 9)
+         |      + 1 AS w
+         |  FROM documents
+         |), keys AS (
+         |  SELECT source, doc_id,
+         |    max(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#wor#'
+         |      || CAST(j AS VARCHAR)), 1, 12))::BIGINT) AS key_u
+         |  FROM wdocs, unnest(range(1, w + 1)) AS u(j)
+         |  GROUP BY source, doc_id
+         |), ranked AS (
+         |  SELECT source, doc_id, key_u,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY key_u DESC, doc_id ASC) AS rk
+         |  FROM keys
+         |)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, key_u
+         |FROM ranked WHERE rk <= ${TextAnalysis.WorSampleK}""".stripMargin,
 
     // Σ sqrt(n) summed as exact DECIMAL(30,15) in BOTH engines (order-
     // independent where a double sum is not); the rate arithmetic is the

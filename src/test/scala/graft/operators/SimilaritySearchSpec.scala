@@ -249,4 +249,27 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(full._1 == 64L && full._4 == 1.0,
       s"d=64 truncation is the identity, recall must be 1.0: $full")
   }
+
+  test("rank metrics: bounded, consistent with recall, perfect when IVF == brute") {
+    val metrics = graft.packs.SimilarityOps.annRankMetrics(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(metrics.nonEmpty)
+    metrics.foreach { case (q, hits, mrr, ndcg) =>
+      assert(hits >= 0L && hits <= 10L, s"query $q: hits $hits")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"query $q: mrr $mrr")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"query $q: ndcg $ndcg")
+      // binary-relevance facts: no hits ⇔ both metrics zero; a full
+      // intersection can only score ndcg 1.0 if the ORDER matches too,
+      // but mrr = 1.0 requires the rank-1 result to be relevant
+      if (hits == 0L) assert(mrr == 0.0 && ndcg == 0.0)
+      if (ndcg == 1.0) assert(hits == 10L && mrr == 1.0)
+    }
+    // n_hits must agree with ann_recall's hits per query (same inputs,
+    // same relevance rule — only the rank math differs)
+    val recall = graft.packs.SimilarityOps.annRecall(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    metrics.foreach { case (q, hits, _, _) =>
+      assert(recall(q) == hits, s"query $q: recall hits ${recall(q)} != $hits")
+    }
+  }
 }
