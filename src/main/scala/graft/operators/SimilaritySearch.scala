@@ -132,6 +132,81 @@ object SimilaritySearch {
     heapTopK(scored, k)
   }
 
+  /** MMR relevance/diversity trade-off λ and selection depth — shared
+    * with the generated oracle SQL (λ and 1−λ cross the engine
+    * boundary via the exact-double literal discipline, sqlDouble). */
+  val MmrLambda = 0.7
+  val MmrSelectK = 5
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): greedily select `selectK` results from each query's
+    * shortlist, each pick maximizing λ·sim(q,d) − (1−λ)·max_{s∈Sel}
+    * sim(d,s) — the diversity-aware final stage a RAG retriever runs
+    * so the context window isn't k copies of the same passage.
+    * `shortlist`: (query_id, vec_id, sim) — any top-k output (brute
+    * or ANN); `vectors` supplies embeddings for the candidate-pair
+    * similarities. Ties break on smaller vec_id; scores are rounded
+    * to 4 BEFORE each argmax so the greedy path is identical across
+    * engines.
+    *
+    * Scale shape: everything is shortlist-sized — the pair-sim
+    * relation is |q|·k² rows (k a small constant; the corpus never
+    * appears), each greedy round is one bounded join + partial-agg
+    * max(struct) per query (no window anywhere), and `selectK` is a
+    * compile-time-constant loop of such rounds with the selection
+    * checkpointed per round so plan depth stays flat. */
+  def mmrRerank(shortlist: DataFrame, vectors: DataFrame,
+      selectK: Int = MmrSelectK, lambda: Double = MmrLambda): DataFrame = {
+    val sl = shortlist.select(col("query_id"), col("vec_id"), col("sim"))
+      .localCheckpoint(false)
+    val v = vectors.select(col("vec_id"),
+      VectorOps.toDoubleVec(col("embedding")).as("emb"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val a = sl.select(col("query_id"), col("vec_id")).join(v, "vec_id")
+      .select(col("query_id"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = sl.select(col("query_id"), col("vec_id")).join(v, "vec_id")
+      .select(col("query_id"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    val pair = a.join(b, Seq("query_id"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("query_id"), col("vec_a"), col("vec_b"),
+        round(VectorOps.cosinePrenormed(
+          VectorOps.dotPrecast(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")), 4).as("psim"))
+      .localCheckpoint(false)
+    val lam = lit(lambda)
+    val om = lit(1.0 - lambda) // the exact double Spark computes; the
+                               // oracle embeds the same bits (sqlDouble)
+    // argmax by (score, then smaller vec_id) as a partial-agg
+    // max(struct) — the keepByQuality idiom, never a window
+    def pickBest(scored: DataFrame, rk: Int): DataFrame =
+      scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score").as("s"),
+          bitwise_not(col("vec_id")).as("inv"))).as("b"))
+        .select(col("query_id"), bitwise_not(col("b.inv")).as("vec_id"),
+          col("b.s").as("score"), lit(rk.toLong).as("rk"))
+    var sel = pickBest(
+      sl.select(col("query_id"), col("vec_id"),
+        round(lam * col("sim"), 4).as("score")), 1)
+      .localCheckpoint(false)
+    for (r <- 2 to selectK) {
+      val remaining = sl.join(sel.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val scored = remaining
+        .join(pair.withColumnRenamed("vec_a", "vec_id"),
+          Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("vec_b")),
+          Seq("query_id", "vec_b"))
+        .groupBy(col("query_id"), col("vec_id"), col("sim"))
+        .agg(max(col("psim")).as("msel"))
+        .select(col("query_id"), col("vec_id"),
+          round(lam * col("sim") - om * col("msel"), 4).as("score"))
+      sel = sel.unionByName(pickBest(scored, r)).localCheckpoint(false)
+    }
+    sel.select(col("query_id"), col("rk"), col("vec_id"), col("score"))
+  }
+
   /** Final ranking for every candidate-generation path: top-k per query
     * via the bounded-heap aggregate ([[graft.functions.TopKByScore]]),
     * NOT a per-query row_number window — the heap partially combines

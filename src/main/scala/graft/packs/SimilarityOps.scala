@@ -283,6 +283,13 @@ object SimilarityOps extends QueryPack {
         round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as("ndcg"))
   }
 
+  /** MMR-diversified retrieval: the brute top-10 shortlist re-ranked
+    * by Maximal Marginal Relevance ([[SimilaritySearch.mmrRerank]]) —
+    * the RAG final stage that trades pure relevance for coverage. */
+  def annMmr(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.mmrRerank(annBrute(spark, sfDir),
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+
   /** Prototypicality pruning over the embeddings table — keep the
     * hardest half of every IVF cell (see
     * [[SimilaritySearch.prototypePrune]]); same trained quantizer as
@@ -474,6 +481,7 @@ object SimilarityOps extends QueryPack {
     "ivf_cell_stats" -> (ivfCellStats _),
     "ann_recall" -> (annRecall _),
     "ann_rank_metrics" -> (annRankMetrics _),
+    "ann_mmr" -> (annMmr _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
@@ -518,6 +526,67 @@ object SimilarityOps extends QueryPack {
       |    ORDER BY sim DESC, vec_id ASC) AS rk
       |  FROM scored
       |) WHERE rk <= 10""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.SimilaritySearch.mmrRerank]] over
+    * the brute shortlist: the SAME greedy rounds unrolled as CTEs —
+    * per round, the not-yet-selected shortlist scored by λ·sim −
+    * (1−λ)·max pair-sim to the selection, argmax by (round-4 score
+    * DESC, vec_id ASC), the identical total order as the Spark side's
+    * max(struct). λ and 1−λ cross as exact-double literals
+    * ([[sqlDouble]] — 1−λ is embedded as the exact double Spark
+    * computes, not the decimal 0.3). */
+  private def mmrOracle: String = {
+    import graft.operators.SimilaritySearch.{MmrLambda, MmrSelectK}
+    val lam = sqlDouble(MmrLambda)
+    val om = sqlDouble(1.0 - MmrLambda)
+    val nsub =
+      """(SELECT vec_id, embedding,
+        |      sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |    FROM embeddings)""".stripMargin
+    val rounds = (2 to MmrSelectK).map { r =>
+      val prev = r - 1
+      s"""sel$r AS (
+         |  SELECT query_id, vec_id, score, CAST($r AS BIGINT) AS rk FROM (
+         |    SELECT query_id, vec_id, score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, vec_id ASC) AS rn
+         |    FROM (
+         |      SELECT s.query_id, s.vec_id,
+         |        round($lam * s.sim - $om * max(p.psim), 4) AS score
+         |      FROM shortlist s
+         |      JOIN mpair p ON p.query_id = s.query_id AND p.vec_a = s.vec_id
+         |      JOIN seln$prev sl ON sl.query_id = p.query_id AND sl.vec_id = p.vec_b
+         |      WHERE NOT EXISTS (SELECT 1 FROM seln$prev e
+         |                        WHERE e.query_id = s.query_id AND e.vec_id = s.vec_id)
+         |      GROUP BY s.query_id, s.vec_id, s.sim))
+         |  WHERE rn = 1),
+         |seln$r AS (SELECT * FROM seln$prev UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH shortlist AS (
+       |$annBruteOracle
+       |), mpair AS (
+       |  SELECT s1.query_id, s1.vec_id AS vec_a, s2.vec_id AS vec_b,
+       |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(generate_series(1, 64),
+       |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |           / (a.nrm * b.nrm) END, 4) AS psim
+       |  FROM shortlist s1
+       |  JOIN shortlist s2 ON s1.query_id = s2.query_id AND s1.vec_id <> s2.vec_id
+       |  JOIN $nsub a ON a.vec_id = s1.vec_id
+       |  JOIN $nsub b ON b.vec_id = s2.vec_id
+       |),
+       |sel1 AS (
+       |  SELECT query_id, vec_id, score, CAST(1 AS BIGINT) AS rk FROM (
+       |    SELECT query_id, vec_id, round($lam * sim, 4) AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY round($lam * sim, 4) DESC, vec_id ASC) AS rn
+       |    FROM shortlist)
+       |  WHERE rn = 1),
+       |seln1 AS (SELECT * FROM sel1),
+       |$rounds
+       |SELECT query_id, rk, vec_id, score FROM seln$MmrSelectK""".stripMargin
+  }
 
   /** A Scala double as a DuckDB literal that parses DIRECTLY as DOUBLE.
     * Plain decimal literals type as DECIMAL(p,s) and the DECIMAL→DOUBLE
@@ -1200,6 +1269,7 @@ object SimilarityOps extends QueryPack {
         |) WHERE rk <= 10""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ann_hamming" -> annHammingOracle,
+    "ann_mmr" -> mmrOracle,
     "embedding_neardup_lsh" -> embeddingNearDupLshOracle,
     "embedding_neardup_incremental" -> embeddingNearDupIncrementalOracle,
     // the store-backed probe must emit EXACTLY the same pair set as the

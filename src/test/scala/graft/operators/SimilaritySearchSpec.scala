@@ -3,6 +3,7 @@ package graft.operators
 import scala.util.Random
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class SimilaritySearchSpec extends SparkSpec {
   import spark.implicits._
@@ -270,6 +271,44 @@ class SimilaritySearchSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
     metrics.foreach { case (q, hits, _, _) =>
       assert(recall(q) == hits, s"query $q: recall hits ${recall(q)} != $hits")
+    }
+  }
+
+  test("MMR: first pick is the relevance top-1; a diverse result beats a duplicate") {
+    // query BETWEEN two clusters: vectors 1 and 2 are near-identical
+    // (cluster A, the more relevant), vector 3 sits in cluster B. Pure
+    // relevance ranks (1, 2, 3): sim(2) ≈ 0.92 > sim(3) ≈ 0.86. But 2
+    // is redundant with the already-picked one (psim ≈ 1.0) while 3 is
+    // not (psim = 0.6): the redundant cluster-A twin scores ≈ 0.34 vs
+    // ≈ 0.42 for 3 — the diverse pick must take rank 2
+    def vec(x: Double, y: Double): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x.toFloat; a(1) = y.toFloat
+      a.toSeq
+    }
+    val vectors = Seq(
+      (1L, vec(1.0, 0.0)), (2L, vec(0.999, 0.04)), (3L, vec(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, vec(0.92, 0.39))).toDF("query_id", "q_emb")
+    val shortlist = SimilaritySearch.bruteForceTopK(vectors, queries, 3)
+    val mmr = SimilaritySearch.mmrRerank(shortlist, vectors, selectK = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(mmr.map(r => (r._2, r._3)).toSeq == Seq((1L, 2L), (2L, 3L), (3L, 1L)),
+      s"expected picks (2, 3, 1), got ${mmr.toSeq}")
+
+    // real corpus: exactly selectK distinct picks per query, ranks 1..k,
+    // rank-1 == the brute top-1
+    val brute = graft.packs.SimilarityOps.annBrute(spark, sf)
+    val top1 = brute.filter(col("rk") === 1L)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toMap
+    val out = graft.packs.SimilarityOps.annMmr(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == SimilaritySearch.MmrSelectK)
+      assert(rows.map(_._2).sorted.toSeq ==
+        (1L to SimilaritySearch.MmrSelectK.toLong).toSeq)
+      assert(rows.map(_._3).distinct.length == rows.length)
+      assert(rows.minBy(_._2)._3 == top1(q), s"query $q rank-1 drifted")
     }
   }
 }
