@@ -461,6 +461,17 @@ object DedupOps extends QueryPack {
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Connected components over the WINNOW pair source — clustering
+    * composed with the partial-overlap detector: docs sharing a long
+    * passage cluster together even when whole-document Jaccard is
+    * diluted (the LSH families' blind spot, winnowing's beat). Same
+    * vertex-seeded label loop as every other component query. */
+  def dedupComponentsWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.nearDupClustersFromPairs(docs, "doc_id",
+      Dedup.winnowPairs(docs, "doc_id", "text"))
+  }
+
   /** Edit-distance-verified near-dups over the capped SimHash
     * candidates, ASCII scope ([[Dedup.editDistancePairs]]) — the
     * character-positional precision verifier. */
@@ -537,7 +548,8 @@ object DedupOps extends QueryPack {
     "dedup_winnow" -> (dedupWinnow _),
     "dedup_winnow_incremental" -> (dedupWinnowIncremental _),
     "dedup_winnow_incremental_store" -> (dedupWinnowIncrementalStore _),
-    "dedup_editdistance" -> (dedupEditDistance _)
+    "dedup_editdistance" -> (dedupEditDistance _),
+    "dedup_components_winnow" -> (dedupComponentsWinnow _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -1010,6 +1022,19 @@ object DedupOps extends QueryPack {
           |SELECT doc_a, doc_b, n_shared FROM wpairs
           |WHERE doc_a % $IncrementalBatchMod = 0
           |   OR doc_b % $IncrementalBatchMod = 0""".stripMargin,
+
+    // components over the winnow pair relation: the SAME generated
+    // winnow CTEs feeding the shared recursive-components CTEs (the
+    // componentCtes contract expects a `pairs(doc_a, doc_b, jac)`
+    // relation — wpairs is pre-filtered, so every pair qualifies at
+    // threshold 1.0 with jac = n_shared)
+    "dedup_components_winnow" ->
+      s"""WITH RECURSIVE ${winnowPairCtesFrom("documents")},
+          |pairs AS (SELECT doc_a, doc_b, CAST(n_shared AS DOUBLE) AS jac
+          |          FROM wpairs),
+          |${componentCtes("documents", 1.0)}
+          |SELECT v AS doc_id, cluster_id, (v = cluster_id) AS keep
+          |FROM cc""".stripMargin,
 
     // the SAME generated simhash pair CTEs over the ASCII view (where
     // byte- and codepoint-Levenshtein coincide), integer ratio math

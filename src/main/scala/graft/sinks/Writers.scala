@@ -91,6 +91,28 @@ object Writers {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Z-ordered corpus layout: documents written sorted by the Morton
+    * z value within shard directories ([[graft.operators.TextAnalysis
+    * .layoutZorder]] assigns `shard` = top z bits and `zval`), so
+    * parquet row-group min/max statistics are TIGHT on BOTH clustered
+    * dimensions — a reader filtering on a quality range OR a length
+    * range skips most row groups, where a single-column sort clusters
+    * one dim and scatters the other. Same order-survival mechanics as
+    * [[trainingShards]]: one task per shard (hash partitioning never
+    * splits a key), within-partition sort prefixed by the partition
+    * column, so rows land in each shard file in z order. This is the
+    * one unavoidable range shuffle of a re-layout; the assignment
+    * itself was scan-side. */
+  def zorderedShards(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    graft.operators.TextAnalysis.layoutZorder(docs, idCol, textCol)
+      .join(docs, Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("zval"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+
   /** ORC variant of [[partitionedParquet]] for pipelines standardized
     * on ORC (Spark's reader/writer are native and columnar either way;
     * predicate pushdown and column pruning work identically — pinned in

@@ -198,6 +198,44 @@ object ScaleCurve {
       // mass) scales linearly WITH the corpus
       bench("paragraph_scrub", m,
         graft.operators.Paragraphs.scrubByWindow(docs, "doc_id", "text"))
+      // winnowing: gram hash is scan-side, the window minimum is
+      // per-DOC ordered frames, the rightmost-tie join is bucketed
+      // (≤ 2w rows meet each window end) — everything doc-bounded, so
+      // the sketch should scale linearly with the corpus
+      bench("fingerprint_winnow", m,
+        Dedup.winnowFingerprints(docs, "doc_id", "text"))
+      // MOSS pairing over the sketch: salted replicas' gram spaces are
+      // disjoint, so shared-fingerprint structure stays per-replica and
+      // pair output scales linearly; the hot cap bounds any degenerate
+      bench("dedup_winnow", m, Dedup.winnowPairs(docs, "doc_id", "text"))
+      // the 100× winnow story: a FIXED batch probed against the
+      // PERSISTED fingerprint sketch (ingested once, untimed) — probe
+      // cost = batch winnowing + the capped candidate join against a
+      // pre-bucketed store scan; the sketch is ~2/(w+1) the size of
+      // the gram table the span store keeps for the same corpus
+      locally {
+        val store = new graft.operators.WinnowStore(s"graft_scale_winnow_$m")
+        store.ingest(docs, "doc_id", "text")
+        val probeBatch = baseDocs.filter(col("doc_id") % 101 === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
+          .localCheckpoint(true)
+        bench("winnow_store_probe", m,
+          store.probe(probeBatch, "doc_id", "text"))
+        probeBatch.unpersist()
+      }
+      // edit-distance verification of the capped simhash candidates:
+      // candidate volume is per-replica (disjoint shingles), the
+      // O(len²) distance runs once per candidate — linear in pairs
+      bench("dedup_editdistance", m,
+        Dedup.editDistancePairs(docs, "doc_id", "text"))
+      // z-order assignment: pure scan-side integer projection — the
+      // flattest row on the curve by construction
+      bench("layout_zorder", m,
+        TextAnalysis.layoutZorder(docs, "doc_id", "text"))
+      // weighted WOR: bounded explode (≤ 10 hashes/doc), per-doc max
+      // partial agg, bounded-heap top-k per source — no window, linear
+      bench("weighted_sample_wor", m,
+        TextAnalysis.weightedSampleWor(docs, "doc_id", "text", "source"))
       // span decontamination: the corpus-side positional probe scales,
       // the bench membership side is fixed — hit mass stays bounded by
       // the benchmark (salted replicas share no shingle with it)

@@ -59,6 +59,32 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("zorderedShards: every written file bounds BOTH dims (data-skipping locality)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder-spec").toString
+    graft.sinks.Writers.zorderedShards(
+      graft.Tables.documents(spark, sf), "doc_id", "text", dir)
+    val back = spark.read.parquet(dir)
+      .select(col("q_bp"), col("n_tokens"),
+        org.apache.spark.sql.functions.input_file_name().as("f"))
+      .as[(Long, Long, String)].collect()
+    assert(back.nonEmpty)
+    back.groupBy(_._3).foreach { case (f, rows) =>
+      val qs = rows.map(_._1); val ns = rows.map(_._2)
+      assert(qs.max - qs.min < (1L << 14),
+        s"file $f: quality spread ${qs.max - qs.min} — a reader filtering " +
+          "a quality range could not skip it")
+      assert(ns.max - ns.min < (1L << 14),
+        s"file $f: length spread ${ns.max - ns.min}")
+    }
+    // the layout carries the full document row (text joined back), and
+    // shard is a real partition column a reader prunes on
+    val pruned = spark.read.parquet(dir).filter(col("shard") === 10L)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(shard"),
+      "shard must be a prunable partition column")
+  }
+
   test("plan: the assignment is a pure scan-side projection — no exchange, no window") {
     val p = TextAnalysis.layoutZorder(
       graft.Tables.documents(spark, sf), "doc_id", "text")
