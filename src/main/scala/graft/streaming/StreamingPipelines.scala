@@ -243,6 +243,36 @@ object StreamingPipelines {
     survivors
   }
 
+  /** Winnow dedup-at-ingest — the [[nearDupIngestBatch]] loop over the
+    * PARTIAL-OVERLAP detector: (1) probe the batch's selected
+    * fingerprints against the persisted sketch
+    * ([[graft.operators.WinnowStore.probe]], excludeBatchIds so
+    * replays see the original probe input), (2) drop by the shared ONE
+    * drop policy (corpus endpoint is the accepted canonical;
+    * batch-internal pairs keep the earlier id), (3) merge the
+    * SURVIVORS' fingerprints under the batchId (replay = no-op).
+    * Winnowing needs no verification-join corpus side — a shared
+    * selected fingerprint IS a shared k-gram, so the probe is
+    * self-contained against the store. Same unique-id contract as
+    * [[nearDupIngestBatch]]. */
+  def winnowIngestBatch(store: graft.operators.WinnowStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"winnowIngestBatch requires LONG doc ids (the WinnowStore schema), " +
+        s"got ${batch.schema(idCol).dataType.catalogString} — map ids to " +
+        "a surrogate long (e.g. xxhash64) first")
+    val pairs = store.probe(batch, idCol, textCol, excludeBatchIds = true)
+    val survivors0 = dropSurvivors(batch, pairs, idCol, "doc_a", "doc_b")
+    if (store.isReplay(batchId)) return survivors0
+    val survivors = survivors0.localCheckpoint()
+    store.ingest(survivors, idCol, textCol, batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    survivors
+  }
+
   /** The ONE drop policy of the store-backed ingest loops (text and
     * vector — a divergence here would silently split their dedup
     * semantics): the batch endpoint of a (seen, new) pair drops (the
