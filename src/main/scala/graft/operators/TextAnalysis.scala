@@ -1853,6 +1853,68 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** BM25 parameters (Robertson/Spärck Jones; the k1/b defaults every
+    * lexical engine ships) and the result depth — shared with the
+    * generated oracle SQL. The derived constants (k1+1, 1−b) are
+    * computed ONCE here in Scala and cross the engine boundary as
+    * exact-double literals, so neither engine re-derives them. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+
+  /** BM25 keyword search — the LEXICAL retrieval twin of the ANN
+    * family (a RAG stack runs both and fuses): per (query, doc),
+    * Σ_{t∈Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|D|/avgdl)), with
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)). Each idf is rounded to 6
+    * (the llr discipline — a 1-ulp ln() difference between engines
+    * can never flip a ranking), the summed score to 4, and ranking
+    * breaks ties on doc_id.
+    *
+    * Scale shape: the posting restriction happens FIRST — tokens
+    * semi-join the tiny broadcast query-term set before any
+    * aggregation, so tf/df exist only for query terms (df is a
+    * partial agg on ≤ |Q| keys, broadcast back). Doc lengths join on
+    * doc_id only for docs that matched. avgdl is a 1-row broadcast.
+    * The per-query ranking is the bounded-heap aggregate — map-side
+    * combine, no window. Nothing vocabulary-sized shuffles.
+    * `queryTerms`: (query_id, term), one row per query term. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: DataFrame, k: Int = Bm25TopK): DataFrame = {
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queryTerms.select(col("term")).distinct()
+    val tf = tok.join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val contrib = queryTerms.join(tf, Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        (round(log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6) *
+          (col("tf") * lit(k1p1)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(oneMinusB) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("c"))
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("c")), 4).as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("score"), col("doc_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Top-k TF-IDF terms per document (keyword extraction / doc
     * signatures): tf = in-doc term count, idf = ln((N+1)/(df+1)) + 1,
     * ranked on (round(score, 4) DESC, term ASC) — ranking on the

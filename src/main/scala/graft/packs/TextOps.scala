@@ -395,6 +395,26 @@ object TextOps extends QueryPack {
     TextAnalysis.weightedSampleWor(Tables.documents(spark, sfDir),
       "doc_id", "text", "source")
 
+  /** The fixed BM25 keyword query set (the ANN fixed-query-set
+    * convention: retrieval quality is monitored against a constant
+    * workload) — terms drawn from the corpus vocabulary; shared with
+    * the generated oracle VALUES list. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "hash", 1L -> "join",
+    2L -> "vector", 2L -> "scan",
+    3L -> "slow", 3L -> "query", 3L -> "filter",
+    4L -> "customer", 4L -> "order",
+    5L -> "stream", 5L -> "window")
+
+  /** BM25 lexical search over the documents table
+    * ([[TextAnalysis.bm25Search]]) — the keyword twin of the ANN
+    * retrieval family. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bm25Search(Tables.documents(spark, sfDir),
+      "doc_id", "text", Bm25Queries.toDF("query_id", "term"))
+  }
+
   /** Z-order (Morton) layout assignment over (quality, length)
     * ([[TextAnalysis.layoutZorder]]): shuffle-free scan-side
     * projection; shard = top z bits, giving BOTH dims prefix
@@ -1791,6 +1811,7 @@ object TextOps extends QueryPack {
     "stratified_sample" -> (stratifiedSample _),
     "weighted_sample_wor" -> (weightedSampleWorQ _),
     "layout_zorder" -> (layoutZorder _),
+    "bm25_search" -> (bm25Search _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2917,6 +2938,45 @@ object TextOps extends QueryPack {
     "stratified_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $sampleGateSql""".stripMargin,
+
+    // BM25: the SAME query VALUES, idf rounded to 6 (the llr ln
+    // discipline), score to 4, identical parenthesization throughout;
+    // k1+1 and 1−b cross as the exact doubles Scala computed
+    "bm25_search" -> {
+      val vals = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val k1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1)
+      val b = SimilarityOps.sqlDouble(TextAnalysis.Bm25B)
+      val k1p1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1 + 1.0)
+      val omb = SimilarityOps.sqlDouble(1.0 - TextAnalysis.Bm25B)
+      s"""WITH qt(query_id, term) AS (VALUES $vals),
+         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |         FROM documents),
+         |bdl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+         |        FROM documents),
+         |bst AS (SELECT count(*)::BIGINT AS n_docs,
+         |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |        FROM bdl),
+         |btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok
+         |        WHERE term IN (SELECT DISTINCT term FROM qt)
+         |        GROUP BY doc_id, term),
+         |bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+         |bc AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    round(ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
+         |      * (t.tf * $k1p1)
+         |      / (t.tf + $k1 * ($omb + $b * l.dl / s.avgdl)) AS c
+         |  FROM qt q JOIN btf t USING (term) JOIN bdf d USING (term)
+         |  JOIN bdl l ON l.doc_id = t.doc_id, bst s
+         |),
+         |bsc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+         |        FROM bc GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS rk
+         |  FROM bsc)
+         |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
+    },
 
     // Morton interleave as pure integer arithmetic: bit 2i = dim-a
     // bit i, bit 2i+1 = dim-b bit i, summed over disjoint bits (≡ OR);
