@@ -415,6 +415,57 @@ object TextOps extends QueryPack {
       "doc_id", "text", Bm25Queries.toDF("query_id", "term"))
   }
 
+  /** RRF constant (Cormack/Clarke/Buettcher's 60 — the value every
+    * hybrid-search stack ships) and the dense-path query-id offset
+    * (keeps keyword-query ids clear of the doc-id space inside the
+    * brute ranking; both shared with the generated oracle). */
+  val RrfK = 60
+  val HybridQidOffset = 1000000L
+
+  /** One query text per BM25 query (terms joined in registration
+    * order) — the dense path embeds exactly this string. */
+  lazy val HybridQueryTexts: Seq[(Long, String)] = Bm25Queries
+    .groupBy(_._1).view.mapValues(_.map(_._2).mkString(" "))
+    .toSeq.sortBy(_._1)
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion: the BM25 lexical
+    * ranking and a dense ranking (doc [[graft.functions.HashEmbed]]
+    * vectors vs the embedded query text, brute cosine top-10) fused
+    * by score = Σ_sys 1/(RrfK + rank_sys) — the production RAG
+    * pattern (lexical catches exact terms, dense catches paraphrase;
+    * RRF needs no score calibration between the two). All integer
+    * ranks, exact 1/(60+rk) divisions, round-4 sum, ties on doc_id.
+    *
+    * Scale shape: both input rankings are top-k OUTPUTS (|q|·k rows);
+    * the fusion is one union + partial agg + heap top-k. The dense
+    * path here is the oracle-able brute baseline — production drops
+    * an ANN shortlist in at the same seam. */
+  def hybridSearchRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val lex = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Bm25Queries.toDF("query_id", "term"))
+    val docVecs = docs.select(col("doc_id").as("vec_id"),
+      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    val qVecs = HybridQueryTexts.toDF("qid", "qtext")
+      .select((col("qid") + HybridQidOffset).as("query_id"),
+        graft.functions.HashEmbed(col("qtext"), EmbedDim).as("q_emb"))
+    val dense = graft.operators.SimilaritySearch
+      .bruteForceTopKHeap(docVecs, qVecs, k = TextAnalysis.Bm25TopK)
+      .select((col("query_id") - HybridQidOffset).as("query_id"),
+        col("vec_id").as("doc_id"), col("rk"))
+    val fused = lex.select(col("query_id"), col("doc_id"), col("rk"))
+      .unionByName(dense)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(RrfK) + col("rk"))), 4).as("rrf"))
+    fused.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore(col("rrf"), col("doc_id"),
+        TextAnalysis.Bm25TopK).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("rrf"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Z-order (Morton) layout assignment over (quality, length)
     * ([[TextAnalysis.layoutZorder]]): shuffle-free scan-side
     * projection; shard = top z bits, giving BOTH dims prefix
@@ -1812,6 +1863,7 @@ object TextOps extends QueryPack {
     "weighted_sample_wor" -> (weightedSampleWorQ _),
     "layout_zorder" -> (layoutZorder _),
     "bm25_search" -> (bm25Search _),
+    "hybrid_search_rrf" -> (hybridSearchRrf _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2464,6 +2516,47 @@ object TextOps extends QueryPack {
        |FROM m""".stripMargin
   }
 
+  /** DuckDB twin of [[TextAnalysis.bm25Search]] over the shared query
+    * VALUES: idf rounded to 6 (the llr ln discipline), score to 4,
+    * identical parenthesization throughout; k1, b and the Scala-derived
+    * constants (k1+1, 1−b) cross as exact-double literals. Nested
+    * verbatim as the lexical side of the hybrid_search_rrf oracle. */
+  private lazy val bm25OracleSql: String = {
+    val vals = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val k1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1)
+    val b = SimilarityOps.sqlDouble(TextAnalysis.Bm25B)
+    val k1p1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1 + 1.0)
+    val omb = SimilarityOps.sqlDouble(1.0 - TextAnalysis.Bm25B)
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+       |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |         FROM documents),
+       |bdl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
+       |        FROM documents),
+       |bst AS (SELECT count(*)::BIGINT AS n_docs,
+       |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |        FROM bdl),
+       |btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok
+       |        WHERE term IN (SELECT DISTINCT term FROM qt)
+       |        GROUP BY doc_id, term),
+       |bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
+       |bc AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    round(ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
+       |      * (t.tf * $k1p1)
+       |      / (t.tf + $k1 * ($omb + $b * l.dl / s.avgdl)) AS c
+       |  FROM qt q JOIN btf t USING (term) JOIN bdf d USING (term)
+       |  JOIN bdl l ON l.doc_id = t.doc_id, bst s
+       |),
+       |bsc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+       |        FROM bc GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM bsc)
+       |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
+  }
+
   // a DEF end to end: the snapshot-generated maps (bpe/unigram/
   // wordpiece) must re-evaluate per call — Verify dumps oracleSql
   // AFTER the query pass trains the snapshots, and an early caller
@@ -2942,39 +3035,71 @@ object TextOps extends QueryPack {
     // BM25: the SAME query VALUES, idf rounded to 6 (the llr ln
     // discipline), score to 4, identical parenthesization throughout;
     // k1+1 and 1−b cross as the exact doubles Scala computed
-    "bm25_search" -> {
-      val vals = Bm25Queries
-        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      val k1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1)
-      val b = SimilarityOps.sqlDouble(TextAnalysis.Bm25B)
-      val k1p1 = SimilarityOps.sqlDouble(TextAnalysis.Bm25K1 + 1.0)
-      val omb = SimilarityOps.sqlDouble(1.0 - TextAnalysis.Bm25B)
-      s"""WITH qt(query_id, term) AS (VALUES $vals),
-         |btok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |         FROM documents),
-         |bdl AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl
-         |        FROM documents),
-         |bst AS (SELECT count(*)::BIGINT AS n_docs,
-         |               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-         |        FROM bdl),
-         |btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok
-         |        WHERE term IN (SELECT DISTINCT term FROM qt)
-         |        GROUP BY doc_id, term),
-         |bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),
-         |bc AS (
-         |  SELECT q.query_id, t.doc_id,
-         |    round(ln(1e0 + (s.n_docs - d.df + 0.5e0) / (d.df + 0.5e0)), 6)
-         |      * (t.tf * $k1p1)
-         |      / (t.tf + $k1 * ($omb + $b * l.dl / s.avgdl)) AS c
-         |  FROM qt q JOIN btf t USING (term) JOIN bdf d USING (term)
-         |  JOIN bdl l ON l.doc_id = t.doc_id, bst s
-         |),
-         |bsc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
-         |        FROM bc GROUP BY query_id, doc_id)
-         |SELECT query_id, doc_id, score, rk FROM (
+    "bm25_search" -> bm25OracleSql,
+
+    // hybrid RRF: the bm25 oracle nested verbatim as the lexical side,
+    // the dense side re-deriving doc/query HashEmbed vectors with the
+    // SAME salt/bucket/sign arithmetic as every embed_text oracle,
+    // fusion = exact 1/(60+rk) sums rounded to 4
+    "hybrid_search_rrf" -> {
+      val qvals = HybridQueryTexts
+        .map { case (q, t) => s"(${q + HybridQidOffset}, '$t')" }
+        .mkString(", ")
+      s"""WITH lex AS (
+         |$bm25OracleSql
+         |), hqt(query_id, qtext) AS (VALUES $qvals),
+         |hdt AS (
+         |  SELECT doc_id AS vid, unnest(string_split(text, ' ')) AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT query_id AS vid, unnest(string_split(qtext, ' ')) AS t
+         |  FROM hqt
+         |), hh AS (
+         |  SELECT vid, ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+         |  FROM hdt
+         |), htb AS (
+         |  SELECT vid, h % $EmbedDim AS b,
+         |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS DOUBLE) AS v
+         |  FROM hh GROUP BY 1, 2
+         |), hgrid AS (
+         |  SELECT ids.vid, r.b
+         |  FROM (SELECT DISTINCT vid FROM htb) ids,
+         |       unnest(range(0, $EmbedDim)) AS r(b)
+         |), hvn AS (
+         |  SELECT g.vid, list(coalesce(htb.v, 0) ORDER BY g.b) AS emb,
+         |    sqrt(list_sum(list_transform(
+         |      list(coalesce(htb.v, 0) ORDER BY g.b), x -> x * x))) AS nrm
+         |  FROM hgrid g LEFT JOIN htb ON htb.vid = g.vid AND htb.b = g.b
+         |  GROUP BY g.vid
+         |), hscored AS (
+         |  SELECT q.vid AS query_id, v.vid AS vec_id,
+         |    round(CASE WHEN q.nrm * v.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> q.emb[i] * v.emb[i])) / (q.nrm * v.nrm) END, 4) AS sim
+         |  FROM (SELECT * FROM hvn WHERE vid >= $HybridQidOffset) q,
+         |       (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v
+         |  WHERE v.vid <> q.vid
+         |), hdense AS (
+         |  SELECT query_id - $HybridQidOffset AS query_id, vec_id AS doc_id, rk
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |    FROM hscored)
+         |  WHERE rk <= ${TextAnalysis.Bm25TopK}
+         |), hall AS (
+         |  SELECT query_id, doc_id, rk FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rk FROM hdense
+         |), hfused AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(1e0 / ($RrfK + rk)), 4) AS rrf
+         |  FROM hall GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, rrf, rk FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score DESC, doc_id ASC) AS rk
-         |  FROM bsc)
+         |    ORDER BY rrf DESC, doc_id ASC) AS rk
+         |  FROM hfused)
          |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
     },
 

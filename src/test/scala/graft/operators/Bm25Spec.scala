@@ -65,6 +65,36 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("hybrid RRF: bounds, rank discipline, both-systems docs dominate singletons") {
+    val out = graft.packs.TextOps.hybridSearchRrf(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.nonEmpty)
+    val maxSingle = 1.0 / (graft.packs.TextOps.RrfK + 1)      // best one-system score
+    val maxFused = 2.0 / (graft.packs.TextOps.RrfK + 1)       // rank 1 in BOTH
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= TextAnalysis.Bm25TopK)
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1L to rows.length).toSeq)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 >= b._3, s"query $q: fused rank order violates score order")
+      }
+      // scores are round-4, so the ceilings get half-ulp-of-round-4 slack
+      rows.foreach { case (_, _, s, _) =>
+        assert(s > 0.0 && s <= maxFused + 5e-5)
+      }
+      // any doc scoring above the one-system ceiling must be in BOTH
+      // top-10s — cross-check against the lexical side
+      val lexTop = graft.packs.TextOps.bm25Search(spark, sf)
+        .filter(col("query_id") === q).select(col("doc_id"))
+        .as[Long].collect().toSet
+      rows.filter(_._3 > maxSingle + 5e-5).foreach { case (_, d, _, _) =>
+        assert(lexTop.contains(d),
+          s"query $q: doc $d fused above the single-system ceiling " +
+            "but is not in the BM25 top-10")
+      }
+    }
+  }
+
   test("plan: posting restriction first, heap top-k, no vocabulary broadcast of df onto tf") {
     val p = graft.packs.TextOps.bm25Search(spark, sf)
       .queryExecution.executedPlan.toString
