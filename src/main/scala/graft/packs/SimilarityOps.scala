@@ -283,6 +283,52 @@ object SimilarityOps extends QueryPack {
         round(coalesce(col("dcg") / col("idcg"), lit(0.0)), 4).as("ndcg"))
   }
 
+  /** PCA component count — shared with the generated oracle and the
+    * recall monitor (compare against ann_dim_curve's d=8 truncation
+    * row: same budget, trained vs arbitrary subspace). */
+  val PcaK = 8
+
+  private def pcaModelFor(spark: SparkSession, sfDir: String) =
+    graft.operators.Pca.trainCached(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"),
+      sfDir, PcaK)
+
+  /** PCA projection of every embedding onto the trained top-[[PcaK]]
+    * components ([[graft.operators.Pca]]): (vec_id, comp, val) —
+    * the compressed-representation table a whitening/compression
+    * pipeline materializes. Scan-side native projection, no shuffle. */
+  def embeddingPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    graft.operators.Pca.project(vectors, pcaModelFor(spark, sfDir))
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("comp"),
+        col("col").as("val"))
+  }
+
+  /** Recall@10 of brute search in the PCA-[[PcaK]] space against the
+    * full-dimension ground truth — the trained counterpart of
+    * ann_dim_curve's d=8 prefix-truncation row: both spend an 8-double
+    * budget per vector; PCA keeps the variance-optimal subspace,
+    * truncation an arbitrary one. Same |queries|·k join shape as
+    * [[annRecall]]. */
+  def annPcaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val vectors = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val pv = graft.operators.Pca.project(vectors, pcaModelFor(spark, sfDir))
+      .select(col("vec_id"), col("proj").as("embedding"))
+    val pq = pv.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val approx = SimilaritySearch.bruteForceTopKHeap(pv, pq, k = 10)
+      .select(col("query_id"), col("vec_id")).withColumn("hit", lit(1L))
+    annBrute(spark, sfDir).select(col("query_id"), col("vec_id"))
+      .join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits").cast("double") / 10.0, 4).as("recall"))
+  }
+
   /** MMR-diversified retrieval: the brute top-10 shortlist re-ranked
     * by Maximal Marginal Relevance ([[SimilaritySearch.mmrRerank]]) —
     * the RAG final stage that trades pure relevance for coverage. */
@@ -482,6 +528,8 @@ object SimilarityOps extends QueryPack {
     "ann_recall" -> (annRecall _),
     "ann_rank_metrics" -> (annRankMetrics _),
     "ann_mmr" -> (annMmr _),
+    "embedding_pca" -> (embeddingPca _),
+    "ann_pca_recall" -> (annPcaRecall _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
@@ -1373,5 +1421,66 @@ GROUP BY b.query_id""",
           .toList.map { cb =>
             "ann_ivfpq_res" -> annIvfPqResOracle(c, cb, k = 10, nprobe = 4)
           }
+    } ++ graft.operators.Pca.trainedSnapshot(PcaK).toList.flatMap { m =>
+      // the trained (mean, W) embedded as exact-double list literals —
+      // the centroid-snapshot pattern; projection accumulates in the
+      // same coordinate order as the native expression
+      val meanList = "[" + m.mean.map(sqlDouble).mkString(", ") + "]"
+      val wVals = m.components.zipWithIndex.map { case (row, j) =>
+        s"(${j + 1}, [" + row.map(sqlDouble).mkString(", ") + "])"
+      }.mkString(",\n    ")
+      val projCtes =
+        s"""pw(j, w) AS (VALUES
+           |    $wVals),
+           |pm(m) AS (VALUES ($meanList)),
+           |pproj AS (
+           |  SELECT e.vec_id, p.j,
+           |    round(list_sum(list_transform(generate_series(1, 64),
+           |      i -> (CAST(e.embedding[i] AS DOUBLE) - pm.m[i]) * p.w[i])), 6)
+           |      AS val
+           |  FROM embeddings e, pw p, pm
+           |)""".stripMargin
+      Seq(
+        "embedding_pca" ->
+          s"""WITH $projCtes
+             |SELECT vec_id, CAST(j - 1 AS BIGINT) AS comp, val
+             |FROM pproj""".stripMargin,
+        // recall: brute ground truth nested, the PCA-space brute
+        // ranking re-derived from the same projection CTEs (norms,
+        // zero-guard, round-4 sims, (sim DESC, vec_id ASC) ties)
+        "ann_pca_recall" -> s"""WITH brute AS (
+$annBruteOracle
+), $projCtes,
+pvec AS (
+  SELECT vec_id, list(val ORDER BY j) AS emb FROM pproj GROUP BY vec_id
+),
+pvn AS (
+  SELECT vec_id, emb,
+    sqrt(list_sum(list_transform(emb, x -> x * x))) AS nrm
+  FROM pvec
+),
+pq AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm
+  FROM pvn WHERE vec_id % 100 = 0
+),
+pscored AS (
+  SELECT q.query_id, v.vec_id,
+    round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+      ELSE list_sum(list_transform(generate_series(1, $PcaK),
+             i -> q.q_emb[i] * v.emb[i])) / (q.q_nrm * v.nrm) END, 4) AS sim
+  FROM pq q, pvn v WHERE v.vec_id <> q.query_id
+),
+papprox AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY sim DESC, vec_id ASC) AS rk
+    FROM pscored
+  ) WHERE rk <= 10
+)
+SELECT b.query_id, count(p.vec_id)::BIGINT AS hits,
+       round(count(p.vec_id) / 10.0, 4) AS recall
+FROM brute b LEFT JOIN papprox p
+  ON p.query_id = b.query_id AND p.vec_id = b.vec_id
+GROUP BY b.query_id""")
     }
 }
