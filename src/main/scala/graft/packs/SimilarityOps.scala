@@ -336,6 +336,14 @@ object SimilarityOps extends QueryPack {
     SimilaritySearch.mmrRerank(annBrute(spark, sfDir),
       Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
 
+  /** The production-path MMR twin: the nprobe-bounded IVF shortlist
+    * re-ranked by the same greedy MMR — the seam a serving stack uses
+    * (ANN candidates in, diversified context out). Identical fusion
+    * machinery; only the shortlist source differs. */
+  def annMmrIvf(spark: SparkSession, sfDir: String): DataFrame =
+    SimilaritySearch.mmrRerank(annIvf(spark, sfDir),
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+
   /** Prototypicality pruning over the embeddings table — keep the
     * hardest half of every IVF cell (see
     * [[SimilaritySearch.prototypePrune]]); same trained quantizer as
@@ -530,6 +538,7 @@ object SimilarityOps extends QueryPack {
     "ann_mmr" -> (annMmr _),
     "embedding_pca" -> (embeddingPca _),
     "ann_pca_recall" -> (annPcaRecall _),
+    "ann_mmr_ivf" -> (annMmrIvf _),
     "ann_hard_negatives" -> (annHardNegatives _),
     "ann_recall_pq" -> (annRecallPq _),
     "prune_prototypes" -> (prunePrototypes _),
@@ -583,7 +592,12 @@ object SimilarityOps extends QueryPack {
     * max(struct). λ and 1−λ cross as exact-double literals
     * ([[sqlDouble]] — 1−λ is embedded as the exact double Spark
     * computes, not the decimal 0.3). */
-  private def mmrOracle: String = {
+  private def mmrOracle: String = mmrOracleOver(annBruteOracle)
+
+  /** The MMR rounds over an arbitrary shortlist oracle — shared by the
+    * brute-shortlist gate and the IVF-shortlist production twin, so
+    * the greedy machinery cannot fork between them. */
+  private def mmrOracleOver(shortlistSql: String): String = {
     import graft.operators.SimilaritySearch.{MmrLambda, MmrSelectK}
     val lam = sqlDouble(MmrLambda)
     val om = sqlDouble(1.0 - MmrLambda)
@@ -612,7 +626,7 @@ object SimilarityOps extends QueryPack {
          |seln$r AS (SELECT * FROM seln$prev UNION ALL SELECT * FROM sel$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH shortlist AS (
-       |$annBruteOracle
+       |$shortlistSql
        |), mpair AS (
        |  SELECT s1.query_id, s1.vec_id AS vec_a, s2.vec_id AS vec_b,
        |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
@@ -1357,6 +1371,9 @@ SELECT b.query_id, count(i.vec_id)::BIGINT AS hits,
 FROM brute b LEFT JOIN ivf i
   ON i.query_id = b.query_id AND i.vec_id = b.vec_id
 GROUP BY b.query_id""",
+        // the production MMR twin: the SAME greedy rounds over the
+        // IVF shortlist oracle
+        "ann_mmr_ivf" -> mmrOracleOver(o),
         // MRR/NDCG: the same two nested oracles, per-query rank math
         "ann_rank_metrics" -> s"""WITH brute AS (
 $annBruteOracle
