@@ -1880,22 +1880,36 @@ object TextAnalysis {
     * `queryTerms`: (query_id, term), one row per query term. */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: DataFrame, k: Int = Bm25TopK): DataFrame = {
-    val k1p1 = Bm25K1 + 1.0
-    val oneMinusB = 1.0 - Bm25B
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol).as("doc_id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
-    val st = dl.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = queryTerms.select(col("term")).distinct()
     val tf = tok.join(broadcast(qterms), Seq("term"), "left_semi")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    bm25FromPostings(tf.join(dl, Seq("doc_id")), dl, queryTerms, k)
+  }
+
+  /** The BM25 scoring tail over a POSTING relation
+    * (doc_id, term, tf, dl) restricted (or restrictable) to the query
+    * terms, with `docLens` = one (doc_id, dl) row per corpus doc (the
+    * N/avgdl source — it must cover docs with NO query-term match,
+    * which the postings can't). Shared verbatim by the inline
+    * [[bm25Search]] and the persisted [[LexStore]] probe, so the two
+    * forms cannot drift — same oracle, zero tolerance. */
+  private[graft] def bm25FromPostings(postings: DataFrame, docLens: DataFrame,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val st = docLens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queryTerms.select(col("term")).distinct()
+    val tf = postings.join(broadcast(qterms), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib = queryTerms.join(tf, Seq("term"))
       .join(broadcast(df), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
       .select(col("query_id"), col("doc_id"),
         (round(log(lit(1.0) +

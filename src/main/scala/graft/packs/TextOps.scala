@@ -415,6 +415,26 @@ object TextOps extends QueryPack {
       "doc_id", "text", Bm25Queries.toDF("query_id", "term"))
   }
 
+  // one persisted posting table per dataset per JVM — the BandStore
+  // amortization convention
+  private val lexStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.LexStore]()
+
+  /** Store-backed BM25: the same scoring over the PERSISTED posting
+    * table ([[graft.operators.LexStore]]) — zero corpus
+    * re-tokenization at query time, identical oracle to bm25_search
+    * (the scoring tail is shared code; zero drift allowed). */
+  def bm25SearchStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val store = lexStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.LexStore(
+        s"graft_lex_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(Tables.documents(spark, dir), "doc_id", "text")
+      s
+    })
+    store.bm25(Bm25Queries.toDF("query_id", "term"))
+  }
+
   /** RRF constant (Cormack/Clarke/Buettcher's 60 — the value every
     * hybrid-search stack ships) and the dense-path query-id offset
     * (keeps keyword-query ids clear of the doc-id space inside the
@@ -1863,6 +1883,7 @@ object TextOps extends QueryPack {
     "weighted_sample_wor" -> (weightedSampleWorQ _),
     "layout_zorder" -> (layoutZorder _),
     "bm25_search" -> (bm25Search _),
+    "bm25_search_store" -> (bm25SearchStore _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
@@ -3036,6 +3057,9 @@ object TextOps extends QueryPack {
     // discipline), score to 4, identical parenthesization throughout;
     // k1+1 and 1−b cross as the exact doubles Scala computed
     "bm25_search" -> bm25OracleSql,
+    // the store-backed probe must return EXACTLY the inline ranking —
+    // identical oracle, zero drift allowed
+    "bm25_search_store" -> bm25OracleSql,
 
     // hybrid RRF: the bm25 oracle nested verbatim as the lexical side,
     // the dense side re-deriving doc/query HashEmbed vectors with the

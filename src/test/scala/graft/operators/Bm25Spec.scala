@@ -95,6 +95,18 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("store probe == inline ranking; no tokenization above the posting scan") {
+    val inline = graft.packs.TextOps.bm25Search(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val stored = graft.packs.TextOps.bm25SearchStore(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(inline.nonEmpty && inline.toSeq == stored.toSeq)
+    val p = graft.packs.TextOps.bm25SearchStore(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("split("),
+      s"the store probe must never re-tokenize the corpus:\n$p")
+  }
+
   test("plan: posting restriction first, heap top-k, no vocabulary broadcast of df onto tf") {
     val p = graft.packs.TextOps.bm25Search(spark, sf)
       .queryExecution.executedPlan.toString
