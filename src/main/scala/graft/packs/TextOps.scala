@@ -415,6 +415,58 @@ object TextOps extends QueryPack {
       "doc_id", "text", Bm25Queries.toDF("query_id", "term"))
   }
 
+  /** Per-source distinct-vocabulary datacard row: the exact count
+    * (cross-engine verified) plus the single-pass HLL estimate's
+    * within-10% CLAIM as a boolean (the approx_distinct gate
+    * discipline — the raw estimate is engine-specific, the claim is
+    * not). At corpus scale the exact column is the one you stop
+    * computing and the sketch is the product; the gate keeps both
+    * honest at verification scale. */
+  def vocabBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    tok.groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("exact_terms"),
+        hll_sketch_estimate(hll_sketch_agg(col("term"))).as("est"))
+      .select(col("source"), col("exact_terms"),
+        (abs(col("est") - col("exact_terms")).cast("double") /
+          col("exact_terms").cast("double") <= 0.1)
+          .as("sketch_within_10pct"))
+  }
+
+  // one persisted sketch store per dataset per JVM — ingested in TWO
+  // batches deliberately, so the gated read exercises the hll_union
+  // merge path, not a single-pass sketch
+  private val hllStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.HllStore]()
+
+  /** Store-backed form: the corpus estimate from the UNION of two
+    * per-batch persisted sketches ([[graft.operators.HllStore]]) —
+    * the mergeable-sketch ingest shape; exact column and claim
+    * identical to [[vocabBySource]] (HLL union over same-lgK sketches
+    * is lossless), so the oracle is the same SQL — zero drift. */
+  def vocabBySourceStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = hllStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.HllStore(
+        s"graft_hll_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(col("doc_id") % 2 === 0), "source", "text", 1L)
+      s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "source", "text", 2L)
+      s
+    })
+    val exact = docs
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("exact_terms"))
+    exact.join(store.estimates(spark), Seq("source"))
+      .select(col("source"), col("exact_terms"),
+        (abs(col("est_terms") - col("exact_terms")).cast("double") /
+          col("exact_terms").cast("double") <= 0.1)
+          .as("sketch_within_10pct"))
+  }
+
   // one persisted posting table per dataset per JVM — the BandStore
   // amortization convention
   private val lexStores = new java.util.concurrent.ConcurrentHashMap[
@@ -1884,6 +1936,8 @@ object TextOps extends QueryPack {
     "layout_zorder" -> (layoutZorder _),
     "bm25_search" -> (bm25Search _),
     "bm25_search_store" -> (bm25SearchStore _),
+    "vocab_by_source" -> (vocabBySource _),
+    "vocab_by_source_store" -> (vocabBySourceStore _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
@@ -2537,6 +2591,16 @@ object TextOps extends QueryPack {
        |FROM m""".stripMargin
   }
 
+  /** DuckDB twin of [[vocabBySource]] AND its store form: the exact
+    * per-source distinct-token count, with the sketch claims as TRUE
+    * literals (the approx_distinct gate discipline). */
+  private lazy val vocabBySourceOracle: String =
+    """SELECT source, count(DISTINCT term)::BIGINT AS exact_terms,
+      |       TRUE AS sketch_within_10pct
+      |FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY source""".stripMargin
+
   /** DuckDB twin of [[TextAnalysis.bm25Search]] over the shared query
     * VALUES: idf rounded to 6 (the llr ln discipline), score to 4,
     * identical parenthesization throughout; k1, b and the Scala-derived
@@ -3060,6 +3124,13 @@ object TextOps extends QueryPack {
     // the store-backed probe must return EXACTLY the inline ranking —
     // identical oracle, zero drift allowed
     "bm25_search_store" -> bm25OracleSql,
+
+    // exact side cross-engine-verified; the TRUE literal encodes the
+    // sketch-accuracy claim (the approx_distinct discipline); the
+    // store form shares it verbatim — HLL union is lossless, so the
+    // merged estimate must satisfy the same claim
+    "vocab_by_source" -> vocabBySourceOracle,
+    "vocab_by_source_store" -> vocabBySourceOracle,
 
     // hybrid RRF: the bm25 oracle nested verbatim as the lexical side,
     // the dense side re-deriving doc/query HashEmbed vectors with the
