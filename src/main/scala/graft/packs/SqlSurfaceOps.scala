@@ -153,6 +153,47 @@ object SqlSurfaceOps extends QueryPack {
          |WHERE q.quality_bp >= cut.cutoff""".stripMargin)
   }
 
+  /** BM25 as pure Spark SQL text — the declarative twin of
+    * [[graft.operators.TextAnalysis.bm25Search]]: same query VALUES,
+    * same round-6 idf / round-4 score, the same parenthesization; the
+    * Scala-derived constants interpolate via toString (shortest-repr
+    * round-trip, so the parsed doubles are bit-identical to the
+    * DataFrame twin's lits). Same oracle string as bm25_search. */
+  def bm25SearchSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25TopK}
+    val vals = TextOps.Bm25Queries
+      .map { case (q, t) => s"(${q}L, '$t')" }.mkString(", ")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH qt AS (SELECT * FROM VALUES $vals AS qt(query_id, term)),
+         |tok AS (SELECT doc_id, explode(split(text, ' ')) AS term
+         |        FROM documents),
+         |dl AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |st AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(1) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(1) AS BIGINT) AS df
+         |       FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    round(ln(1.0D + (s.n_docs - d.df + 0.5D) / (d.df + 0.5D)), 6)
+         |      * (t.tf * ${Bm25K1 + 1.0}D)
+         |      / (t.tf + ${Bm25K1}D * (${1.0 - Bm25B}D + ${Bm25B}D * l.dl / s.avgdl)) AS c
+         |  FROM qt q JOIN tf t USING (term) JOIN df d USING (term)
+         |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st s
+         |),
+         |sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+         |       FROM c GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, score, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM sc)
+         |WHERE rk <= $Bm25TopK""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
@@ -160,7 +201,8 @@ object SqlSurfaceOps extends QueryPack {
     "sql_dedup_ngram" -> (dedupNgramSql _),
     "sql_pack_sequences" -> (packSequencesSql _),
     "sql_dsir_select" -> (dsirSelectSql _),
-    "sql_quality_floor_by_lang" -> (qualityFloorByLangSql _)
+    "sql_quality_floor_by_lang" -> (qualityFloorByLangSql _),
+    "sql_bm25_search" -> (bm25SearchSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -177,6 +219,8 @@ object SqlSurfaceOps extends QueryPack {
          |FROM counts""".stripMargin),
 
     "sql_dedup_ngram" -> DedupOps.ngramJaccardOracle,
+
+    "sql_bm25_search" -> TextOps.bm25OracleForSqlTwin,
 
     "sql_pack_sequences" -> TextOps.oracleSql("pack_sequences"),
 

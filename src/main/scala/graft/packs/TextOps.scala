@@ -2601,6 +2601,11 @@ object TextOps extends QueryPack {
       |      FROM documents)
       |GROUP BY source""".stripMargin
 
+  /** The bm25 oracle shared with the SQL-surface twin
+    * (SqlSurfaceOps.sql_bm25_search) — one string, three gates
+    * (DataFrame, store probe, SQL text). */
+  private[packs] def bm25OracleForSqlTwin: String = bm25OracleSql
+
   /** DuckDB twin of [[TextAnalysis.bm25Search]] over the shared query
     * VALUES: idf rounded to 6 (the llr ln discipline), score to 4,
     * identical parenthesization throughout; k1, b and the Scala-derived
