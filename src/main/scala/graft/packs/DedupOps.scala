@@ -461,6 +461,30 @@ object DedupOps extends QueryPack {
   def dedupWinnow(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(spark, sfDir), "doc_id", "text")
 
+  /** Cross-detector agreement datacard: every near-dup pair any of the
+    * three content-robust detectors (MinHash-LSH, SimHash, winnowing)
+    * emits, bucketed by WHICH combination found it — the method-
+    * comparison row a dedup-policy review reads (a pair only winnowing
+    * sees is a partial overlap; only simhash, a token-multiset
+    * rewrite; all three, a safe drop). Bounded output (≤ 7 combos).
+    * Scale shape: three spec'd capped pair pipelines, one union, two
+    * partial aggs on pair keys. */
+  def dedupAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tagged = Seq(
+      Dedup.minhashLshMd5(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit("minhash").as("m")),
+      Dedup.simhashMd5Pairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit("simhash").as("m")),
+      Dedup.winnowPairs(docs, "doc_id", "text")
+        .select(col("doc_a"), col("doc_b"), lit("winnow").as("m"))
+    ).reduce(_ unionByName _)
+    tagged.groupBy(col("doc_a"), col("doc_b"))
+      .agg(concat_ws("+", sort_array(collect_set(col("m")))).as("methods"))
+      .groupBy(col("methods"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Connected components over the WINNOW pair source — clustering
     * composed with the partial-overlap detector: docs sharing a long
     * passage cluster together even when whole-document Jaccard is
@@ -549,7 +573,8 @@ object DedupOps extends QueryPack {
     "dedup_winnow_incremental" -> (dedupWinnowIncremental _),
     "dedup_winnow_incremental_store" -> (dedupWinnowIncrementalStore _),
     "dedup_editdistance" -> (dedupEditDistance _),
-    "dedup_components_winnow" -> (dedupComponentsWinnow _)
+    "dedup_components_winnow" -> (dedupComponentsWinnow _),
+    "dedup_agreement" -> (dedupAgreement _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -1022,6 +1047,32 @@ object DedupOps extends QueryPack {
           |SELECT doc_a, doc_b, n_shared FROM wpairs
           |WHERE doc_a % $IncrementalBatchMod = 0
           |   OR doc_b % $IncrementalBatchMod = 0""".stripMargin,
+
+    // cross-detector agreement: each detector's FULL standalone oracle
+    // nested as a CTE body (the gopher_verdict composition pattern —
+    // DuckDB scopes subquery-local WITHs), so the combo counts can't
+    // drift from the three gates they bucket
+    "dedup_agreement" ->
+      s"""WITH mh AS (
+          |$minhashMd5Oracle
+          |), sh AS (
+          |$simhashMd5Oracle
+          |), wn AS (
+          |WITH ${winnowPairCtesFrom("documents")}
+          |SELECT doc_a, doc_b FROM wpairs
+          |), tagged AS (
+          |  SELECT doc_a, doc_b, 'minhash' AS m FROM mh
+          |  UNION ALL
+          |  SELECT doc_a, doc_b, 'simhash' AS m FROM sh
+          |  UNION ALL
+          |  SELECT doc_a, doc_b, 'winnow' AS m FROM wn
+          |), combo AS (
+          |  SELECT doc_a, doc_b,
+          |    string_agg(m, '+' ORDER BY m) AS methods
+          |  FROM tagged GROUP BY doc_a, doc_b
+          |)
+          |SELECT methods, count(*)::BIGINT AS n_pairs
+          |FROM combo GROUP BY methods""".stripMargin,
 
     // components over the winnow pair relation: the SAME generated
     // winnow CTEs feeding the shared recursive-components CTEs (the
