@@ -1227,39 +1227,48 @@ object Dedup {
     * trade documented on [[duplicateSpans]]. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = WinnowGramTokens, w: Int = WinnowWindow): DataFrame = {
-    val grams = spanGrams(docs, idCol, textCol, k)
+    // Selection as ONE per-doc window pass — no join, no distinct,
+    // one exchange. Position p is selected iff SOME window end
+    // e ∈ [p, p+w−1] makes p its rightmost minimum:
+    //   - e is a valid end (e ≥ w−1 for full windows; e = n−1 is the
+    //     whole-doc window of a short doc),
+    //   - nothing in (p, e] is ≤ h[p]   (a right-side tie outranks p:
+    //     rightmost wins — so STRICT >),
+    //   - nothing in [max(0, e−w+1), p) is < h[p]  (left-side ties
+    //     don't — so ≥).
+    // Both conditions read BOUNDED frames (≤ w−1 rows either side),
+    // so the whole decision is 2(w−1) frame minima + a static
+    // disjunction over the w end offsets, all inside one WindowExec
+    // group per doc. (A first implementation materialized window ends
+    // and joined them back to their gram rows position-bucketed —
+    // same output, proven by the unchanged oracle gate, but 4
+    // exchanges and a distinct against this form's one.)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
-    // window ends: every full-size window's last position, plus the
-    // doc's last gram when the doc is shorter than w (the frame then
-    // covers all of it — one whole-doc window)
-    val ends = grams
-      .withColumn("wmin", min(col("gram")).over(byDoc.rowsBetween(-(w - 1), 0)))
+    var df = spanGrams(docs, idCol, textCol, k)
       .withColumn("n", count(lit(1)).over(whole))
-      .filter(col("pos") >= w - 1 || col("pos") === col("n") - 1)
-      .select(col(idCol), col("pos").as("epos"), col("wmin"))
-    // rightmost-min selection: join ends to the gram rows of their own
-    // window. A window [epos−w+1, epos] spans at most two w-wide
-    // position buckets, so exploding each end into its ≤ 2 buckets
-    // keeps the join linear in doc length (a bucket holds ≤ w grams
-    // and ≤ w ends).
-    val endsB = ends.withColumn("bkt",
-      explode(array_distinct(array(
-        floor((col("epos") - lit(w - 1)).cast("double") / w).cast("long"),
-        floor(col("epos").cast("double") / w).cast("long")))))
-    val gramsB = grams
-      .withColumn("bkt", floor(col("pos").cast("double") / w).cast("long"))
-      .withColumnRenamed("pos", "gpos")
-    endsB.join(gramsB, Seq(idCol, "bkt"))
-      .filter(col("gpos").between(col("epos") - (w - 1), col("epos")) &&
-        col("gram") === col("wmin"))
-      .groupBy(col(idCol), col("epos"), col("wmin"))
-      .agg(max(col("gpos")).as("pos"))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        col("wmin").as("gram"))
-      .distinct()
+    for (j <- 1 until w) {
+      df = df
+        .withColumn(s"fwd$j", min(col("gram")).over(byDoc.rowsBetween(1, j)))
+        .withColumn(s"bwd$j", min(col("gram")).over(byDoc.rowsBetween(-j, -1)))
+    }
+    val selected = (0 until w).map { d =>
+      val e = col("pos") + d
+      val endOk = e <= col("n") - 1 &&
+        (e >= w - 1 || e === col("n") - 1)
+      val rightOk =
+        if (d == 0) lit(true) else col(s"fwd$d") > col("gram")
+      // how many window members sit LEFT of p: min(p, w−1−d)
+      val lCnt = least(lit(w - 1 - d), col("pos"))
+      val leftOk = (lCnt === 0) +: (1 until w).map { j =>
+        lCnt === j && col(s"bwd$j") >= col("gram")
+      } reduce (_ || _)
+      endOk && rightOk && leftOk
+    }.reduce(_ || _)
+    df.filter(selected)
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("gram"))
   }
 
   /** Near-dup candidate pairs from shared winnowing fingerprints —

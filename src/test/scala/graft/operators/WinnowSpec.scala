@@ -169,8 +169,12 @@ class WinnowSpec extends SparkSpec {
       .r.findAllMatchIn(fpPlan).map(_.group(1)).toSeq
     assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")),
       s"windows must partition by doc_id, got $specs in:\n$fpPlan")
-    assert(!fpPlan.contains("CartesianProduct") &&
-      !fpPlan.contains("BroadcastNestedLoopJoin"),
-      s"rightmost-min selection must stay equi-join:\n$fpPlan")
+    // the bounded-frame selection is ONE per-doc window pass: a single
+    // exchange, no join, no distinct — the shape the 2(w−1)-frame
+    // rewrite exists for
+    assert("Exchange".r.findAllIn(fpPlan).length == 1,
+      s"fingerprint selection must cost exactly one exchange:\n$fpPlan")
+    assert(!fpPlan.contains("Join") && !fpPlan.contains("HashAggregate"),
+      s"fingerprint selection must be join- and agg-free:\n$fpPlan")
   }
 }
