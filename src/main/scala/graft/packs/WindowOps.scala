@@ -37,6 +37,78 @@ object WindowOps extends QueryPack {
   def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
     sessionAggOn(Tables.events(spark, sfDir))
 
+  /** thread_turn_pairs — adjacent (prompt, response) turn pairs within
+    * each assembled thread: the SFT-pair extraction step of a
+    * conversational pipeline (every consecutive turn pair becomes a
+    * candidate training example, positioned within its thread). Same
+    * sessionize as [[assembleThreads]]; the pairing is one lead() over
+    * the per-(user, session) ordered window. */
+  def threadTurnPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessioned = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= GapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+    val bySess = Window.partitionBy(col("user_id"), col("sess"))
+      .orderBy(col("ts"), col("event_id"))
+    sessioned
+      .withColumn("thread_key",
+        min(col("event_id")).over(Window.partitionBy(col("user_id"), col("sess"))))
+      .withColumn("pos", row_number().over(bySess).cast("long"))
+      .withColumn("response", lead(col("turn"), 1).over(bySess))
+      .filter(col("response").isNotNull)
+      .select(col("user_id"), col("thread_key"), col("pos"),
+        col("turn").as("prompt"), col("response"))
+  }
+
+  /** assemble_threads — the chat-log → training-example preprocessing
+    * shape: per user, events sessionized on the same 2 h gap rule and
+    * SERIALIZED in event order into one thread string (role@payload
+    * turns — here event_type@k), keyed by the session's min event id.
+    * This is the assembly step every conversational-data pipeline runs
+    * before the document-level curation ops take over (the thread
+    * string IS the document downstream).
+    *
+    * Scale shape: sessionize is the per-USER ordered window (state
+    * bounded by a user's history, the session_agg discipline);
+    * serialization is a partial-agg collect per (user, session) —
+    * bounded by session length — sorted in-memory per group and
+    * joined to one string. Deterministic order: (ts, event_id) breaks
+    * timestamp ties identically in both engines. */
+  def assembleThreads(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= GapMs * 1000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(min(col("event_id")).as("thread_key"),
+        count(lit(1)).as("n_turns"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+          col("turn").as("s")))), x => x.getField("s"))).as("thread"))
+      .select(col("user_id"), col("thread_key"), col("n_turns"),
+        col("thread"))
+  }
+
   /** Shared sliding-window body — same single-implementation pattern as
     * [[sessionAggOn]]. */
   def slidingWindowOn(events: DataFrame): DataFrame =
@@ -91,6 +163,8 @@ object WindowOps extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "session_agg" -> (sessionAgg _),
+    "assemble_threads" -> (assembleThreads _),
+    "thread_turn_pairs" -> (threadTurnPairs _),
     "sliding_window" -> (slidingWindow _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _)
@@ -119,6 +193,56 @@ object WindowOps extends QueryPack {
          |       count(*) AS n_events,
          |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
          |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // same gaps-and-islands sessionize with the (ts, event_id) total
+    // order; the thread is an ORDER BY string_agg — Spark's sorted
+    // collect_list twin
+    "assemble_threads" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         json_extract_string(props, '$$.k') AS k,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapMs * 1000} THEN 1
+         |              ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |)
+         |SELECT user_id, min(event_id) AS thread_key,
+         |       count(*)::BIGINT AS n_turns,
+         |       string_agg(event_type || '@' || k, ' '
+         |         ORDER BY ts, event_id) AS thread
+         |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // the SAME session CTEs; pairing = lead()/row_number() over the
+    // per-(user, session) total order
+    "thread_turn_pairs" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         json_extract_string(props, '$$.k') AS k,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapMs * 1000} THEN 1
+         |              ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |), t AS (
+         |  SELECT user_id, sess, ts, event_id,
+         |         event_type || '@' || k AS turn,
+         |         min(event_id) OVER (PARTITION BY user_id, sess) AS thread_key,
+         |         CAST(row_number() OVER ws AS BIGINT) AS pos,
+         |         lead(event_type || '@' || k) OVER ws AS response
+         |  FROM s
+         |  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+         |)
+         |SELECT user_id, thread_key, pos, turn AS prompt, response
+         |FROM t WHERE response IS NOT NULL""".stripMargin,
 
     "sliding_window" ->
       """WITH b AS (
