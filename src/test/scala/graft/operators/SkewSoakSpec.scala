@@ -326,4 +326,44 @@ class SkewSoakSpec extends SparkSpec {
       s"no task may read the whole degenerate fingerprint bucket: max=$maxRead")
     info(f"production simhash cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
   }
+
+  test("production winnow hot-fingerprint cap: skew bounded under a mass-shared run") {
+    // 12000 docs all carrying the SAME 30-token boilerplate run: every
+    // selected fingerprint of the run is shared by 12000 docs — 12x
+    // over WinnowMaxDocsPerGram — and must be capped out via the
+    // partial-agg + broadcast-anti path, never paired and never
+    // funneled into one task. A planted pair sharing a DIFFERENT long
+    // run (well under the cap) must still be found.
+    val s = spark
+    import s.implicits._
+    val hotRun = (1 to 30).map(i => s"wsk$i").mkString(" ")
+    val coldRun = (1 to 30).map(i => s"wpl$i").mkString(" ")
+    val boiler = s.range(0, Boiler).select(col("id").as("doc_id"),
+      concat(lit(hotRun), lit(" "), md5(col("id").cast("string")), lit(" "),
+        md5((col("id") + 1).cast("string"))).as("text"))
+    val clean = s.range(100000, 100000L + CleanN).select(col("id").as("doc_id"),
+      concat_ws(" ", md5(col("id").cast("string")),
+        md5((col("id") * 7 + 1).cast("string")),
+        md5((col("id") * 13 + 2).cast("string")),
+        md5((col("id") * 31 + 3).cast("string"))).as("text"))
+    val planted = Seq(
+      (900001L, s"pa pb pc $coldRun pd"),
+      (900002L, s"$coldRun qa qb qc")).toDF("doc_id", "text")
+    val (rows, worst, maxRead) = measureSkew {
+      Dedup.winnowPairs(boiler.union(clean).union(planted),
+        "doc_id", "text").collect()
+    }
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((900001L, 900002L)),
+      "the planted cold-run pair must survive the hot cap")
+    assert(!pairs.exists(p => p._1 < Boiler && p._2 < Boiler),
+      "hot fingerprints must be capped out, not paired")
+    assert(worst <= 4.0,
+      f"winnow hot cap must keep stages balanced, saw worst max/mean = $worst%.1f")
+    // no absolute maxRead bound here: the per-DOC window stage
+    // legitimately carries the corpus's ~400k gram rows uniformly
+    // (~12k/task at 32 partitions) — the skew RATIO is the funnel
+    // detector; a window-count-style cap would have shown ~32x
+    info(f"production winnow cap: worst stage skew $worst%.1fx, max task read $maxRead%,d records")
+  }
 }
