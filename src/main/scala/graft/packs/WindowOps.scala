@@ -37,6 +37,16 @@ object WindowOps extends QueryPack {
   def sessionAgg(spark: SparkSession, sfDir: String): DataFrame =
     sessionAggOn(Tables.events(spark, sfDir))
 
+  /** thread_dedup — exact dedup over the ASSEMBLED thread strings
+    * (keyed by thread_key): identical event sequences across users are
+    * the behavioral-duplicate signal (bots, scripted sessions,
+    * replayed logs) that conversational pipelines drop before
+    * training. Pure composition: [[assembleThreads]] feeding
+    * [[graft.operators.Dedup.exact]] — the thread IS the document. */
+  def threadDedup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Dedup.exact(
+      assembleThreads(spark, sfDir), "thread_key", "thread")
+
   /** thread_turn_pairs — adjacent (prompt, response) turn pairs within
     * each assembled thread: the SFT-pair extraction step of a
     * conversational pipeline (every consecutive turn pair becomes a
@@ -165,6 +175,7 @@ object WindowOps extends QueryPack {
     "session_agg" -> (sessionAgg _),
     "assemble_threads" -> (assembleThreads _),
     "thread_turn_pairs" -> (threadTurnPairs _),
+    "thread_dedup" -> (threadDedup _),
     "sliding_window" -> (slidingWindow _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _)
@@ -216,6 +227,32 @@ object WindowOps extends QueryPack {
          |       string_agg(event_type || '@' || k, ' '
          |         ORDER BY ts, event_id) AS thread
          |FROM s GROUP BY user_id, sess""".stripMargin,
+
+    // the SAME assembled-thread relation, md5-keyed exact-dedup tail
+    // (the Dedup.exact shape: min-key canonical + copy count)
+    "thread_dedup" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         json_extract_string(props, '$$.k') AS k,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapMs * 1000} THEN 1
+         |              ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |), th AS (
+         |  SELECT min(event_id) AS thread_key,
+         |         string_agg(event_type || '@' || k, ' '
+         |           ORDER BY ts, event_id) AS thread
+         |  FROM s GROUP BY user_id, sess
+         |)
+         |SELECT md5(thread) AS text_hash,
+         |       min(thread_key) AS keep_id,
+         |       count(*)::BIGINT AS n_copies
+         |FROM th GROUP BY md5(thread)""".stripMargin,
 
     // the SAME session CTEs; pairing = lead()/row_number() over the
     // per-(user, session) total order

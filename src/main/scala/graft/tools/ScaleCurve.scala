@@ -223,6 +223,26 @@ object ScaleCurve {
           store.probe(probeBatch, "doc_id", "text"))
         probeBatch.unpersist()
       }
+      // BM25 at a fixed query workload over the growing corpus: the
+      // posting restriction keeps everything downstream of the
+      // tokenize+semi-join scan bounded by matches (the salted
+      // replicas' tokens never match the base query terms — N/avgdl
+      // grow, df and the match set stay base-sized: the honest
+      // fixed-queries regime)
+      locally {
+        import spark.implicits._
+        val qt = graft.packs.TextOps.Bm25Queries.toDF("query_id", "term")
+          .localCheckpoint(true)
+        bench("bm25_search", m,
+          TextAnalysis.bm25Search(docs, "doc_id", "text", qt))
+        // the serving form: the SAME ranking from the PERSISTED posting
+        // table (ingested once, untimed) — query-time work is the
+        // pruned posting scan + |Q|-key aggs, zero re-tokenization
+        val store = new graft.operators.LexStore(s"graft_scale_lex_$m")
+        store.ingest(docs, "doc_id", "text")
+        bench("bm25_store_probe", m, store.bm25(qt))
+        qt.unpersist()
+      }
       // edit-distance verification of the capped simhash candidates:
       // candidate volume is per-replica (disjoint shingles), the
       // O(len²) distance runs once per candidate — linear in pairs
