@@ -47,6 +47,22 @@ object WindowOps extends QueryPack {
     graft.operators.Dedup.exact(
       assembleThreads(spark, sfDir), "thread_key", "thread")
 
+  /** pipeline_curate_threads — the conversational pipeline end to end:
+    * assemble threads → drop behavioral duplicates (keep the canonical
+    * min-key thread of each identical event sequence) → extract the
+    * SURVIVING threads' SFT turn pairs. The document pipelines'
+    * composition discipline applied to conversational data: every
+    * stage is a gated piece ([[assembleThreads]], [[threadDedup]]'s
+    * keep rule, [[threadTurnPairs]]), glued by one semi-join. */
+  def pipelineCurateThreads(spark: SparkSession, sfDir: String): DataFrame = {
+    val keepers = threadDedup(spark, sfDir)
+      .select(col("keep_id").as("thread_key"))
+    threadTurnPairs(spark, sfDir)
+      .join(keepers, Seq("thread_key"), "left_semi")
+      .select(col("user_id"), col("thread_key"), col("pos"),
+        col("prompt"), col("response"))
+  }
+
   /** thread_turn_pairs — adjacent (prompt, response) turn pairs within
     * each assembled thread: the SFT-pair extraction step of a
     * conversational pipeline (every consecutive turn pair becomes a
@@ -176,6 +192,7 @@ object WindowOps extends QueryPack {
     "assemble_threads" -> (assembleThreads _),
     "thread_turn_pairs" -> (threadTurnPairs _),
     "thread_dedup" -> (threadDedup _),
+    "pipeline_curate_threads" -> (pipelineCurateThreads _),
     "sliding_window" -> (slidingWindow _),
     "asof_join" -> (asofJoin _),
     "range_join" -> (rangeJoin _)
@@ -253,6 +270,45 @@ object WindowOps extends QueryPack {
          |       min(thread_key) AS keep_id,
          |       count(*)::BIGINT AS n_copies
          |FROM th GROUP BY md5(thread)""".stripMargin,
+
+    // the composed conversational pipeline: the thread_dedup CTEs
+    // (verbatim — session, assembly, md5 keep rule) plus the
+    // thread_turn_pairs pairing CTE, glued by one join on the
+    // surviving canonical keys
+    "pipeline_curate_threads" ->
+      s"""WITH o AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         json_extract_string(props, '$$.k') AS k,
+         |         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) >= ${GapMs * 1000} THEN 1
+         |              ELSE 0 END AS brk
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), s AS (
+         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM o
+         |), th AS (
+         |  SELECT min(event_id) AS thread_key,
+         |         string_agg(event_type || '@' || k, ' '
+         |           ORDER BY ts, event_id) AS thread
+         |  FROM s GROUP BY user_id, sess
+         |), keep AS (
+         |  SELECT min(thread_key) AS thread_key
+         |  FROM th GROUP BY md5(thread)
+         |), t AS (
+         |  SELECT user_id, sess, ts, event_id,
+         |         event_type || '@' || k AS turn,
+         |         min(event_id) OVER (PARTITION BY user_id, sess) AS thread_key,
+         |         CAST(row_number() OVER ws AS BIGINT) AS pos,
+         |         lead(event_type || '@' || k) OVER ws AS response
+         |  FROM s
+         |  WINDOW ws AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+         |)
+         |SELECT t.user_id, t.thread_key, t.pos,
+         |       t.turn AS prompt, t.response
+         |FROM t JOIN keep USING (thread_key)
+         |WHERE t.response IS NOT NULL""".stripMargin,
 
     // the SAME session CTEs; pairing = lead()/row_number() over the
     // per-(user, session) total order
