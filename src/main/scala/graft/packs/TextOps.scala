@@ -415,6 +415,64 @@ object TextOps extends QueryPack {
       "doc_id", "text", Bm25Queries.toDF("query_id", "term"))
   }
 
+  /** Count-Min parameters — eps·total is the probabilistic
+    * overestimate bound, seed fixes the hash family so merge ==
+    * single-pass exactly. Shared with CmsSpec. */
+  val CmsEps = 0.001
+  val CmsConf = 0.99
+  val CmsSeed = 42
+  val TermTopK = 20
+
+  private def termFreqTopkOver(spark: SparkSession, sfDir: String,
+      sketchOf: DataFrame => org.apache.spark.util.sketch.CountMinSketch): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val top = tok.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term").asc)
+      .limit(TermTopK)
+    val total = tok.count()
+    val cms = sketchOf(tok)
+    val slack = math.ceil(CmsEps * total).toLong
+    val rows = top.collect().map { r =>
+      val term = r.getString(0); val exact = r.getLong(1)
+      val est = cms.estimateCount(term)
+      (term, exact, est >= exact, est <= exact + slack)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("term", "exact_n", "est_ge_exact", "est_within_bound")
+  }
+
+  /** Heavy-hitter terms datacard: the exact top-[[TermTopK]] corpus
+    * terms (cross-engine verified, (count DESC, term ASC) boundary
+    * order — planned as TakeOrderedAndProject, per-partition heaps)
+    * with the Count-Min frequency sketch's two claims hashed as
+    * booleans: est ≥ exact (a DETERMINISTIC CMS property — the sketch
+    * never undercounts) and est ≤ exact + ⌈eps·N⌉ (the probabilistic
+    * bound at confidence 1−δ). The approx_distinct/HLL gate
+    * discipline, completing the mergeable-sketch triad: Bloom =
+    * membership, HLL = cardinality, CMS = frequency. */
+  def termFreqTopk(spark: SparkSession, sfDir: String): DataFrame =
+    termFreqTopkOver(spark, sfDir,
+      _.stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed))
+
+  /** The mergeable form: TWO per-batch sketches (doc_id parity split)
+    * merged — CMS merge is counter-matrix addition, so with a shared
+    * seed the merged sketch is BIT-identical to the single-pass one
+    * (CmsSpec pins it); identical oracle, zero drift. At ingest scale
+    * each accepted batch contributes its own small sketch and the
+    * union answers corpus-level frequency queries without re-scans. */
+  def termFreqTopkMerged(spark: SparkSession, sfDir: String): DataFrame =
+    termFreqTopkOver(spark, sfDir, { tok =>
+      val a = tok.filter(col("doc_id") % 2 === 0)
+        .stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+      val b = tok.filter(col("doc_id") % 2 =!= 0)
+        .stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+      a.mergeInPlace(b)
+      a
+    })
+
   /** Per-source distinct-vocabulary datacard row: the exact count
     * (cross-engine verified) plus the single-pass HLL estimate's
     * within-10% CLAIM as a boolean (the approx_distinct gate
@@ -1938,6 +1996,8 @@ object TextOps extends QueryPack {
     "bm25_search_store" -> (bm25SearchStore _),
     "vocab_by_source" -> (vocabBySource _),
     "vocab_by_source_store" -> (vocabBySourceStore _),
+    "term_freq_topk" -> (termFreqTopk _),
+    "term_freq_topk_merged" -> (termFreqTopkMerged _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
@@ -2591,6 +2651,16 @@ object TextOps extends QueryPack {
        |FROM m""".stripMargin
   }
 
+  /** DuckDB twin of both term_freq_topk forms: exact heavy hitters +
+    * TRUE claim literals. */
+  private lazy val termFreqTopkOracle: String =
+    s"""SELECT term, count(*)::BIGINT AS exact_n,
+       |       TRUE AS est_ge_exact, TRUE AS est_within_bound
+       |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       |GROUP BY term
+       |ORDER BY exact_n DESC, term ASC
+       |LIMIT $TermTopK""".stripMargin
+
   /** DuckDB twin of [[vocabBySource]] AND its store form: the exact
     * per-source distinct-token count, with the sketch claims as TRUE
     * literals (the approx_distinct gate discipline). */
@@ -3136,6 +3206,13 @@ object TextOps extends QueryPack {
     // merged estimate must satisfy the same claim
     "vocab_by_source" -> vocabBySourceOracle,
     "vocab_by_source_store" -> vocabBySourceOracle,
+
+    // heavy hitters: exact top-k cross-engine-verified, the CMS claims
+    // as TRUE literals (never-undercount is deterministic; the eps
+    // bound probabilistic at conf 0.99); the merged form shares it —
+    // CMS merge is counter addition, bit-identical to single-pass
+    "term_freq_topk" -> termFreqTopkOracle,
+    "term_freq_topk_merged" -> termFreqTopkOracle,
 
     // hybrid RRF: the bm25 oracle nested verbatim as the lexical side,
     // the dense side re-deriving doc/query HashEmbed vectors with the

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-Min frequency sketches (TextOps.term_freq_topk family): the
+  * never-undercount property, the lossless-merge property (counter
+  * addition at a shared seed == single pass, bit-exact), and the gated
+  * eps bound with margin. */
+class CmsSpec extends SparkSpec {
+  import graft.packs.TextOps.{CmsConf, CmsEps, CmsSeed}
+
+  test("merge of batch sketches == single-pass sketch; never undercounts; bound holds") {
+    val tok = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val single = tok.stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+    val a = tok.filter(col("doc_id") % 2 === 0)
+      .stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+    val b = tok.filter(col("doc_id") % 2 =!= 0)
+      .stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+    a.mergeInPlace(b)
+    val exact = tok.groupBy(col("term")).count()
+      .as[(String, Long)](org.apache.spark.sql.Encoders.product[(String, Long)])
+      .collect()
+    val total = exact.map(_._2).sum
+    val slack = math.ceil(CmsEps * total).toLong
+    exact.foreach { case (t, n) =>
+      val e1 = single.estimateCount(t)
+      val e2 = a.estimateCount(t)
+      assert(e1 == e2, s"merge must equal single pass for '$t': $e1 vs $e2")
+      assert(e1 >= n, s"CMS undercounted '$t': $e1 < $n")
+      assert(e1 <= n + slack, s"'$t' overestimate past eps bound: $e1 > $n + $slack")
+    }
+  }
+}
