@@ -1226,7 +1226,25 @@ object Dedup {
     * The corpus is scanned twice (both join sides), the same
     * trade documented on [[duplicateSpans]]. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = WinnowGramTokens, w: Int = WinnowWindow): DataFrame = {
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow): DataFrame =
+    winnowSelect(spanGrams(docs, idCol, textCol, k), idCol, w)
+
+  /** Production-hash twin of [[winnowFingerprints]]: xxhash64 grams
+    * (one 64-bit hash per window instead of an md5 digest — the hash
+    * a production run would use; md5 exists for the cross-engine
+    * gate). Selection semantics are identical — the window minimum
+    * just orders longs instead of hex strings, so the two families
+    * select their own (equally valid) winnowing sketches. */
+  def winnowFingerprintsXxh64(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = WinnowGramTokens,
+      w: Int = WinnowWindow): DataFrame =
+    winnowSelect(
+      docs.select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
+        .select(col(idCol), col("pos"), xxhash64(col("col")).as("gram")),
+      idCol, w)
+
+  private[operators] def winnowSelect(grams: DataFrame, idCol: String,
+      w: Int): DataFrame = {
     // Selection as ONE per-doc window pass — no join, no distinct,
     // one exchange. Position p is selected iff SOME window end
     // e ∈ [p, p+w−1] makes p its rightmost minimum:
@@ -1247,8 +1265,7 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("pos"))
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
-    var df = spanGrams(docs, idCol, textCol, k)
-      .withColumn("n", count(lit(1)).over(whole))
+    var df = grams.withColumn("n", count(lit(1)).over(whole))
     for (j <- 1 until w) {
       df = df
         .withColumn(s"fwd$j", min(col("gram")).over(byDoc.rowsBetween(1, j)))
@@ -1287,8 +1304,24 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = WinnowGramTokens, w: Int = WinnowWindow,
       minShared: Int = WinnowMinShared,
-      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame = {
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame =
+    winnowPairsFromFp(winnowFingerprints(docs, idCol, textCol, k, w),
+      idCol, minShared, maxDocsPerGram)
+
+  /** Production-hash twin of [[winnowPairs]] — identical pairing tail
+    * over the xxhash64-selected sketch; value-gated by the md5 twin's
+    * oracle (the pipeline downstream of the hash is shared code) and
+    * WinnowSpec's planted pair. */
+  def winnowPairsXxh64(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow,
+      minShared: Int = WinnowMinShared,
+      maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame =
+    winnowPairsFromFp(winnowFingerprintsXxh64(docs, idCol, textCol, k, w),
+      idCol, minShared, maxDocsPerGram)
+
+  private def winnowPairsFromFp(fps: DataFrame, idCol: String,
+      minShared: Int, maxDocsPerGram: Int): DataFrame = {
+    val fp = fps
       .select(col(idCol).as("doc_id"), col("gram")).distinct()
       .localCheckpoint(false)
     val hot = fp.groupBy(col("gram"))

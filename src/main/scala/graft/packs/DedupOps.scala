@@ -583,7 +583,9 @@ object DedupOps extends QueryPack {
     * use — md5 exists for the cross-engine gate, not for speed. */
   override def benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_xxh64" -> (dedupMinhash _),
-    "dedup_simhash_xxh64" -> (dedupSimhash _)
+    "dedup_simhash_xxh64" -> (dedupSimhash _),
+    "dedup_winnow_xxh64" -> ((s: SparkSession, dir: String) =>
+      Dedup.winnowPairsXxh64(Tables.documents(s, dir), "doc_id", "text"))
   )
 
   /** Shared CTEs: blocked shingle pairs with exact Jaccard over `src`

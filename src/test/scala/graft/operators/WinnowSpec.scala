@@ -117,6 +117,34 @@ class WinnowSpec extends SparkSpec {
     assert(capped.count() == 0, "hot fingerprints must be capped out")
   }
 
+  test("xxhash64 production twin: same planted pair, same guarantees, own sketch") {
+    // the two hash families order grams differently and so select
+    // DIFFERENT (equally valid) winnowing sketches — the value gate is
+    // the planted long-overlap pair plus the coverage guarantee, the
+    // same discipline as the minhash/simhash xxh64 twins
+    val run = (1 to 30).map(i => s"xh$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"a1 a2 a3 $run a4",
+      2L -> s"$run b1 b2 b3 b4",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsXxh64(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"xxh64 twin must find the planted pair, got ${pairs.toSeq}")
+    // coverage holds for the long-hash sketch too: every full window
+    // of w grams in a real doc contains a selected position
+    val text = (1 to 40).map(i => s"xt$i").mkString(" ")
+    val sel = Dedup.winnowFingerprintsXxh64(
+      Seq(10L -> text).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(_._2).toSet
+    val nGrams = 40 - K + 1
+    ((W - 1) until nGrams).foreach { e =>
+      assert(sel.exists(p => p >= e - W + 1 && p <= e),
+        s"window ending at $e has no xxh64 fingerprint")
+    }
+  }
+
   test("incremental probe == full-corpus pairs restricted to the batch (real corpus)") {
     val docs = graft.Tables.documents(spark, sf)
     val mod = graft.packs.DedupOps.IncrementalBatchMod
