@@ -44,8 +44,11 @@ object WindowOps extends QueryPack {
     * training. Pure composition: [[assembleThreads]] feeding
     * [[graft.operators.Dedup.exact]] — the thread IS the document. */
   def threadDedup(spark: SparkSession, sfDir: String): DataFrame =
+    threadDedupOn(Tables.events(spark, sfDir))
+
+  def threadDedupOn(events: DataFrame): DataFrame =
     graft.operators.Dedup.exact(
-      assembleThreads(spark, sfDir), "thread_key", "thread")
+      assembleThreadsOn(events), "thread_key", "thread")
 
   /** pipeline_curate_threads — the conversational pipeline end to end:
     * assemble threads → drop behavioral duplicates (keep the canonical
@@ -54,10 +57,13 @@ object WindowOps extends QueryPack {
     * composition discipline applied to conversational data: every
     * stage is a gated piece ([[assembleThreads]], [[threadDedup]]'s
     * keep rule, [[threadTurnPairs]]), glued by one semi-join. */
-  def pipelineCurateThreads(spark: SparkSession, sfDir: String): DataFrame = {
-    val keepers = threadDedup(spark, sfDir)
+  def pipelineCurateThreads(spark: SparkSession, sfDir: String): DataFrame =
+    pipelineCurateThreadsOn(Tables.events(spark, sfDir))
+
+  def pipelineCurateThreadsOn(events: DataFrame): DataFrame = {
+    val keepers = threadDedupOn(events)
       .select(col("keep_id").as("thread_key"))
-    threadTurnPairs(spark, sfDir)
+    threadTurnPairsOn(events)
       .join(keepers, Seq("thread_key"), "left_semi")
       .select(col("user_id"), col("thread_key"), col("pos"),
         col("prompt"), col("response"))
@@ -69,21 +75,12 @@ object WindowOps extends QueryPack {
     * candidate training example, positioned within its thread). Same
     * sessionize as [[assembleThreads]]; the pairing is one lead() over
     * the per-(user, session) ordered window. */
-  def threadTurnPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def threadTurnPairs(spark: SparkSession, sfDir: String): DataFrame =
+    threadTurnPairsOn(Tables.events(spark, sfDir))
+
+  def threadTurnPairsOn(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val sessioned = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        get_json_object(col("props"), "$.k").as("k"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("brk",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") >= GapMs * 1000L, 1L)
-          .otherwise(0L))
-      .withColumn("sess", sum(col("brk")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+    val sessioned = sessionedTurns(events)
     val bySess = Window.partitionBy(col("user_id"), col("sess"))
       .orderBy(col("ts"), col("event_id"))
     sessioned
@@ -110,11 +107,18 @@ object WindowOps extends QueryPack {
     * bounded by session length — sorted in-memory per group and
     * joined to one string. Deterministic order: (ts, event_id) breaks
     * timestamp ties identically in both engines. */
-  def assembleThreads(spark: SparkSession, sfDir: String): DataFrame = {
+  def assembleThreads(spark: SparkSession, sfDir: String): DataFrame =
+    assembleThreadsOn(Tables.events(spark, sfDir))
+
+  /** The shared sessionized-turn head of every thread op: the 2 h gap
+    * rule over the (ts, event_id) total order, plus the serialized
+    * turn column — ONE implementation, so the assembly, dedup, pair,
+    * and composed forms cannot drift. */
+  private def sessionedTurns(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         get_json_object(col("props"), "$.k").as("k"))
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
@@ -125,6 +129,10 @@ object WindowOps extends QueryPack {
       .withColumn("sess", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+  }
+
+  def assembleThreadsOn(events: DataFrame): DataFrame = {
+    sessionedTurns(events)
       .groupBy(col("user_id"), col("sess"))
       .agg(min(col("event_id")).as("thread_key"),
         count(lit(1)).as("n_turns"),

@@ -77,6 +77,19 @@ object ScaleCurve {
     }.reduce(_ unionByName _)
   }
 
+  /** Events replication for the conversational rows: event ids AND
+    * user ids offset per replica — user spaces are disjoint, so
+    * session structure (and behavioral-duplicate structure) stays
+    * per-replica and thread counts scale WITH the event log. */
+  private def replicateEvents(events: DataFrame, m: Int): DataFrame =
+    (0 until m).map { k =>
+      events.select(
+        (col("event_id") + k * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + k * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
   private def replicateVecs(vecs: DataFrame, m: Int): DataFrame =
     (0 until m).map { k =>
       vecs.select((col("vec_id") + k * 100000000L).as("vec_id"),
@@ -347,6 +360,21 @@ object ScaleCurve {
         bench("gopher_verdict", m,
           graft.packs.TextOps.gopherVerdictOf(curatedDocs))
         curatedDocs.unpersist()
+      }
+      // the conversational family over the replicated event log:
+      // per-user windows (state bounded by a user's history, users
+      // disjoint per replica), thread dedup on md5 of the serialized
+      // threads, the composed pipeline = both plus one semi-join
+      locally {
+        val events = replicateEvents(Tables.events(spark, sfDir), m)
+          .localCheckpoint(true)
+        bench("assemble_threads", m,
+          graft.packs.WindowOps.assembleThreadsOn(events))
+        bench("thread_dedup", m,
+          graft.packs.WindowOps.threadDedupOn(events))
+        bench("pipeline_curate_threads", m,
+          graft.packs.WindowOps.pipelineCurateThreadsOn(events))
+        events.unpersist()
       }
       docs.unpersist()
       vecs.unpersist()
