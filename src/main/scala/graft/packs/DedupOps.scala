@@ -485,6 +485,31 @@ object DedupOps extends QueryPack {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Cross-split leakage audit — the eval-hygiene datacard row: every
+    * near-dup pair (the content-robust md5-twin LSH source) bucketed
+    * by WHICH split pair its endpoints land in, canonicalized
+    * lexicographically. Off-diagonal rows (train↔valid, train↔test,
+    * valid↔test) are LEAKAGE: a near-duplicate of a training document
+    * sitting in an eval split inflates eval scores — the failure mode
+    * split-then-dedup pipelines exist to prevent (dedup-then-split is
+    * the fix; this row measures how much a given ordering leaked).
+    * Bounded ≤ 6-row output; one id-keyed join per endpoint + a
+    * partial agg over the pair set. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val splits = graft.operators.TextAnalysis.splitAssign(docs, "doc_id",
+      TextOps.SplitTrainBp, TextOps.SplitValidBp)
+    Dedup.minhashLshMd5(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .groupBy(least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Connected components over the WINNOW pair source — clustering
     * composed with the partial-overlap detector: docs sharing a long
     * passage cluster together even when whole-document Jaccard is
@@ -574,7 +599,8 @@ object DedupOps extends QueryPack {
     "dedup_winnow_incremental_store" -> (dedupWinnowIncrementalStore _),
     "dedup_editdistance" -> (dedupEditDistance _),
     "dedup_components_winnow" -> (dedupComponentsWinnow _),
-    "dedup_agreement" -> (dedupAgreement _)
+    "dedup_agreement" -> (dedupAgreement _),
+    "split_leakage" -> (splitLeakage _)
   )
 
   /** Engine-native xxhash64 LSH forms: identical pipeline to the gated
@@ -1049,6 +1075,30 @@ object DedupOps extends QueryPack {
           |SELECT doc_a, doc_b, n_shared FROM wpairs
           |WHERE doc_a % $IncrementalBatchMod = 0
           |   OR doc_b % $IncrementalBatchMod = 0""".stripMargin,
+
+    // cross-split leakage: the SAME generated minhash pair CTEs joined
+    // to the split_assign hash rule (shared basis-point constants),
+    // split pairs canonicalized lexicographically — least/greatest on
+    // VARCHAR are identical in both engines
+    "split_leakage" ->
+      s"""WITH ${minhashMd5PairCtesFrom("documents")},
+          |sp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN h < ${TextOps.SplitTrainBp} THEN 'train'
+          |         WHEN h < ${TextOps.SplitTrainBp + TextOps.SplitValidBp} THEN 'valid'
+          |         ELSE 'test' END AS split
+          |  FROM (SELECT doc_id,
+          |          ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS h
+          |        FROM documents)
+          |)
+          |SELECT least(sa.split, sb.split) AS split_lo,
+          |       greatest(sa.split, sb.split) AS split_hi,
+          |       count(*)::BIGINT AS n_pairs
+          |FROM (SELECT doc_a, doc_b FROM pairs
+          |      WHERE jac >= ${Dedup.NgramThreshold}) p
+          |JOIN sp sa ON sa.doc_id = p.doc_a
+          |JOIN sp sb ON sb.doc_id = p.doc_b
+          |GROUP BY least(sa.split, sb.split), greatest(sa.split, sb.split)""".stripMargin,
 
     // cross-detector agreement: each detector's FULL standalone oracle
     // nested as a CTE body (the gopher_verdict composition pattern —
