@@ -964,7 +964,7 @@ object Dedup {
     nearDupClustersFromPairs(docs, idCol,
       blockedNgramJaccard(docs, idCol, textCol, threshold = threshold)
         .select(col("doc_a"), col("doc_b")),
-      maxIters, cacheResult)
+      maxIters, cacheResult, trustedPairs = true)
 
   /** Connected components over an arbitrary `(doc_a, doc_b)` candidate
     * pair DataFrame — the pair source is a parameter so the clustering
@@ -1014,21 +1014,56 @@ object Dedup {
     * singleton anti-join and the loop output each carry its lineage). */
   def nearDupClustersFromPairs(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int = 30,
-      cacheResult: Boolean = true): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b"))
-    // Edges whose target is not a seed vertex are dropped up front
-    // (one semi-join BEFORE the loop, not one per round): a
+      cacheResult: Boolean = true, trustedPairs: Boolean = false): DataFrame = {
+    val p0 = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    // Pairs over unknown ids are dropped ENTIRELY up front (both
+    // endpoints semi-joined BEFORE the loop, never per round): a
     // caller-supplied pair source referencing ids outside `docs` would
     // otherwise inject phantom doc_id rows into the output via the
-    // label union. Contract: pairs over unknown ids are ignored — two
-    // docs connected only THROUGH an unknown id do not merge.
+    // label union. Filtering both endpoints (r15; r14 filtered only
+    // `dst`) is semantically identical — a phantom-src edge has no
+    // label row and propagates nothing, forever — but it removes the
+    // dead edges from every round's shuffle AND establishes the
+    // invariant [[componentLabels]]'s fused seed needs: every `src` is
+    // a valid vertex. Contract unchanged: two docs connected only
+    // THROUGH an unknown id do not merge.
+    //
+    // `trustedPairs = true` skips the filter for pair sources derived
+    // from `docs` itself (every internal caller: the LSH/winnow/simhash
+    // banders, semantic cell pairs, image hamming pairs — all generate
+    // endpoints by projecting the same corpus). The two semi-joins are
+    // pure fixed cost there; at gate scale they were a measurable slice
+    // of the r14 components-family regression.
+    val p = if (trustedPairs) p0 else {
+      // The corpus is touched exactly ONCE (as in r14): the pair
+      // VERTEX set — pair-sized, tiny next to the corpus — is
+      // validated in one semi-join, and the two per-endpoint filters
+      // then run against that small valid-id table, never the corpus.
+      // Two direct per-endpoint corpus semi-joins would shuffle the
+      // corpus twice (measured +45% on ComponentAb at 4M docs).
+      // Both small intermediates are lazily checkpointed: Catalyst has
+      // no cross-join common-subtree elimination, so an uncached
+      // `validIds` consumed by two semi-joins would RE-RUN the corpus
+      // pass per consumer, and an external caller's pair source would
+      // re-execute once per appearance (it appears four times here).
+      val pc = p0.localCheckpoint(eager = false)
+      val ids = docs.select(col(idCol).cast("long").as("id"))
+      val validIds = pc.select(col("doc_a").as("id"))
+        .union(pc.select(col("doc_b").as("id"))).distinct()
+        .join(ids, Seq("id"), "left_semi")
+        .localCheckpoint(eager = false)
+      pc.join(validIds.toDF("doc_a"), Seq("doc_a"), "left_semi")
+        .join(validIds.toDF("doc_b"), Seq("doc_b"), "left_semi")
+        // USING joins move their key to column 0, leaving (doc_b,
+        // doc_a) — re-fix the order or the POSITIONAL union below
+        // would collapse the symmetric reversal into the original
+        .select(col("doc_a"), col("doc_b"))
+    }
     val edges = p
       .union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
-      .select(col("doc_a").cast("long").as("src"),
-        col("doc_b").cast("long").as("dst"))
-      .join(docs.select(col(idCol).cast("long").as("dst")),
-        Seq("dst"), "left_semi")
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .persist() // re-read every round: never recompute the pair join
     val labels = componentLabels(edges, maxIters)
     edges.unpersist() // vertex labels are materialized; edge cache done
@@ -1066,11 +1101,23 @@ object Dedup {
         org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)"))).head()
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
-    var labels = edges.select(col("dst").as("v")).distinct()
-      .withColumn("lbl", col("v")).persist()
+    // Fused seed (r15): the seed labels (`lbl = v` over distinct `dst`)
+    // followed by round 1's propagate-and-min fold algebraically
+    // collapse to `edges.groupBy(dst).agg(least(dst, min(src)))` — one
+    // shuffle where r14 spent a distinct, a convergence job, a join and
+    // a groupBy. Exact BECAUSE every `src` is a vertex whose seed label
+    // is itself ([[nearDupClustersFromPairs]] filters BOTH pair
+    // endpoints now; the old single-endpoint filter would have let
+    // phantom `src` ids into the min). labelSum materializes the
+    // persist in the same job, so the whole first effective round —
+    // convergence scalar included — is ONE Spark job.
+    var labels = edges.groupBy(col("dst").as("v"))
+      .agg(min(col("src")).as("ms"))
+      .select(col("v"), least(col("v"), col("ms")).as("lbl"))
+      .persist()
     var sum = labelSum(labels)
     var converged = false
-    var it = 0
+    var it = 1 // the fused seed IS effective round 1
     while (!converged && it < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
@@ -1100,16 +1147,19 @@ object Dedup {
       // LOGICAL plan, so a persisted jump loop grows the plan
       // 2^rounds — by round ~13 the analyzer/explain machinery alone
       // runs for minutes on a plan with millions of nodes (persist
-      // caches data, never lineage). The eager checkpoint truncates
-      // each jump round to a LogicalRDD leaf; plain rounds grow the
-      // plan linearly, which 30 rounds tolerate.
+      // caches data, never lineage). The checkpoint truncates each
+      // jump round to a LogicalRDD leaf; plain rounds grow the plan
+      // linearly, which 30 rounds tolerate. LAZY checkpoint (r15):
+      // the labelSum action right below materializes the checkpoint
+      // blocks in the same job that computes the convergence scalar —
+      // one job per jump round where eager-then-sum was two.
       val next =
         if (it < 2) merged
         else merged.as("a")
           .join(merged.select(col("v").as("lv"), col("lbl").as("llbl")),
             col("lbl") === col("lv"))
           .select(col("v"), least(col("lbl"), col("llbl")).as("lbl"))
-          .localCheckpoint(true)
+          .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels.unpersist()
       if (next ne merged) merged.unpersist()

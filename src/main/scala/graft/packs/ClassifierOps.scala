@@ -276,7 +276,8 @@ object ClassifierOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(kept, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     val withScore = clusters.select(col("doc_id"), col("cluster_id"))
       .join(sampled.select(col("doc_id"), col("lang"), col("quality")),
         "doc_id")

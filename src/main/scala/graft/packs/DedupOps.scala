@@ -49,7 +49,8 @@ object DedupOps extends QueryPack {
   def neardupRateBySource(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
-      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+      Dedup.minhashLshMd5(docs, "doc_id", "text"),
+      trustedPairs = true)
     docs.select(col("source"), col("doc_id"))
       .join(clusters.select(col("doc_id"), col("keep")), Seq("doc_id"))
       .groupBy(col("source"))
@@ -86,7 +87,8 @@ object DedupOps extends QueryPack {
   def dedupComponentsLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     Dedup.nearDupClustersFromPairs(docs, "doc_id",
-      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+      Dedup.minhashLshMd5(docs, "doc_id", "text"),
+      trustedPairs = true)
   }
 
   /** Cluster-size histogram over the LSH near-dup components — the
@@ -97,7 +99,8 @@ object DedupOps extends QueryPack {
   def dedupClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
-      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+      Dedup.minhashLshMd5(docs, "doc_id", "text"),
+      trustedPairs = true)
     clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -121,7 +124,8 @@ object DedupOps extends QueryPack {
   def dedupKeepQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val clusters = Dedup.nearDupClustersFromPairs(docs, "doc_id",
-      Dedup.minhashLshMd5(docs, "doc_id", "text"))
+      Dedup.minhashLshMd5(docs, "doc_id", "text"),
+      trustedPairs = true)
     val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
       .join(docs.select(col("doc_id"),
         graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality")),
@@ -518,7 +522,8 @@ object DedupOps extends QueryPack {
   def dedupComponentsWinnow(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     Dedup.nearDupClustersFromPairs(docs, "doc_id",
-      Dedup.winnowPairs(docs, "doc_id", "text"))
+      Dedup.winnowPairs(docs, "doc_id", "text"),
+      trustedPairs = true)
   }
 
   /** Edit-distance-verified near-dups over the capped SimHash

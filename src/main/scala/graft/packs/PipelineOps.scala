@@ -38,7 +38,8 @@ object PipelineOps extends QueryPack {
     // misses near-dups whose openings differ — exactly the shuffled/
     // boilerplate corpora a curation pipeline exists for.
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality"))
   }
@@ -73,7 +74,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality_bp"))
   }
@@ -97,7 +99,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
       .join(sampled.select(col("doc_id"), col("lang"), col("quality")), "doc_id")
     // lang rides through the argmax join (carryCols) — a join back to
@@ -272,7 +275,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     val withQuality = clusters.select(col("doc_id"), col("cluster_id"))
       .join(sampled.select(col("doc_id"), col("quality")), "doc_id")
     val verdicts = Dedup.keepByQuality(withQuality)
@@ -374,7 +378,8 @@ object PipelineOps extends QueryPack {
     // no pair can never enter the dup set this consumer filters for
     val verts = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val dup = Dedup.nearDupClustersFromPairs(verts, "doc_id", pairs)
+    val dup = Dedup.nearDupClustersFromPairs(verts, "doc_id", pairs,
+      trustedPairs = true)
       .filter(!col("keep")).select(col("doc_id"))
       .withColumn("img_dup", lit(true))
     multimodalVerdict(docs.select(col("doc_id"), col("lang")),
@@ -429,7 +434,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), col("lang"),
         (-col("quality_bp")).cast("long").as("mean_cost_millinats"))
@@ -480,7 +486,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), col("lang"),
         (-col("quality_bp")).cast("long").as("mean_cost_millinats"),
@@ -632,7 +639,8 @@ object PipelineOps extends QueryPack {
     val sampled = TextAnalysis.stratifiedSample(floored, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
-      Dedup.minhashLshMd5(sampled, "doc_id", "text"))
+      Dedup.minhashLshMd5(sampled, "doc_id", "text"),
+      trustedPairs = true)
     val keepers = sampled.join(clusters.filter(col("keep")), "doc_id")
       .select(col("doc_id"), lit(true).as("is_keeper"))
     def mark(df: DataFrame, name: String) =
