@@ -303,6 +303,48 @@ object RelationalOps extends QueryPack {
           .as("p95_cents"),
         count(lit(1)).as("n"))
 
+  /** percentiles_approx — the SCALE-SAFE quantile twin of
+    * [[percentiles]]. The exact `percentile` aggregate buffers every
+    * value of a group in one aggregation state, so at 100 TB a hot
+    * segment's buffer is corpus-sized — the same single-buffer failure
+    * mode the corpus-relative floor docs call out. `approx_percentile`
+    * (Greenwald–Khanna style QuantileSummaries) holds O(accuracy)
+    * state per group, merges associatively (map-side partial agg
+    * applies), and guarantees rank error ≤ 1/accuracy — the form a
+    * 1000-executor job actually runs.
+    *
+    * Gate discipline = [[approxDistinct]]'s: the raw sketch values are
+    * engine-specific (DuckDB's approx quantile is a different sketch)
+    * so they cannot be hash-compared; instead the EXACT quantiles are
+    * cross-verified against DuckDB and the sketch's accuracy claim is
+    * hashed as bound booleans the oracle expects TRUE. The bound is a
+    * RANK window, the sketch's actual contract: the approx p50 must lie
+    * within the exact [p49, p51] value range (±1% rank — 100× looser
+    * than the configured 1/10000 guarantee, so the gate is not flaky,
+    * but an off-by-a-percentile regression still breaks the hash). */
+  def percentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT), array(0.5D, 0.95D), 10000)")
+          .as("ap"),
+        expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
+          .as("ex"),
+        count(lit(1)).as("n"))
+      .select(
+        col("c_mktsegment"),
+        round(col("ex").getItem(1), 2).as("p50_cents"),
+        round(col("ex").getItem(4), 2).as("p95_cents"),
+        (col("ap").getItem(0) >= floor(col("ex").getItem(0)) &&
+          col("ap").getItem(0) <= ceil(col("ex").getItem(2)))
+          .as("p50_within_rank_1pct"),
+        (col("ap").getItem(1) >= floor(col("ex").getItem(3)) &&
+          col("ap").getItem(1) <= ceil(col("ex").getItem(5)))
+          .as("p95_within_rank_1pct"),
+        col("n"))
+
   /** csv_roundtrip — S5/S6 codec parity: encode events to delimited
     * strings, FAILFAST-decode back; roundtrip must be the identity. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -339,6 +381,7 @@ object RelationalOps extends QueryPack {
     "window_running" -> (windowRunning _),
     "skew_agg" -> (skewAgg _),
     "percentiles" -> (percentiles _),
+    "percentiles_approx" -> (percentilesApprox _),
     "csv_roundtrip" -> (csvRoundtrip _)
   )
 
@@ -511,6 +554,19 @@ object RelationalOps extends QueryPack {
       """SELECT c_mktsegment,
         |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 2) AS p50_cents,
         |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95), 2) AS p95_cents,
+        |       count(*) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // exact side cross-engine-verified; the TRUE literals encode the
+    // sketch's rank-error claim — an approx_percentile regression past
+    // ±1% rank breaks the hash (the approx_distinct discipline)
+    "percentiles_approx" ->
+      """SELECT c_mktsegment,
+        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 2) AS p50_cents,
+        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95), 2) AS p95_cents,
+        |       TRUE AS p50_within_rank_1pct,
+        |       TRUE AS p95_within_rank_1pct,
         |       count(*) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
