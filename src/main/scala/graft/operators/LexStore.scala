@@ -38,11 +38,18 @@ final class LexStore(name: String, buckets: Int = 32,
   }
 
   /** Publish an ACCEPTED batch's postings: per distinct (doc, term),
-    * the term frequency and the doc length. */
+    * the term frequency and the doc length. `explode_outer`, not
+    * `explode`: a NULL-text doc has zero tokens and a plain explode
+    * would drop its rows entirely, silently removing the doc from the
+    * probe's N/avgdl (which the inline [[TextAnalysis.bm25Search]]
+    * derives from EVERY doc row). The outer explode keeps one
+    * (doc_id, NULL-term) sentinel posting — NULL never equals a query
+    * term so it can't score, but it carries the doc's `dl` into
+    * [[bm25]]'s docLens, keeping store == inline on such corpora. */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
       batchId: Long = graft.streaming.VersionedParquetStore.NoBatchId): Unit = {
     val tok = docs.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      explode_outer(TextAnalysis.tokens(col(textCol))).as("term"))
     val dl = docs.select(col(idCol).as("doc_id"),
       size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
     merge(tok.groupBy(col("doc_id"), col("term"))

@@ -273,6 +273,35 @@ object StreamingPipelines {
     survivors
   }
 
+  /** BM25 index-at-ingest — the posting-store loop ([[graft.operators
+    * .LexStore]]): tokenize ONLY the arriving batch and merge its
+    * (doc_id, term, tf, dl) postings as one segment under the batchId
+    * (at-least-once replay = no-op via the store's replay guard —
+    * checked FIRST, so a replayed trigger pays zero tokenization).
+    * Serving stays [[graft.operators.LexStore.bm25]]: query-time work
+    * is posting-sized, and cross-batch df/N/avgdl are exact because the
+    * probe reads the UNION of segments, never per-segment scores —
+    * bm25(store after batches 1..n) ≡ inline bm25Search over the
+    * concatenated corpus (LexIngestSpec pins it). Unlike the dedup
+    * loops this is an INDEXING loop: nothing drops, the batch passes
+    * through unchanged for downstream stages. Same unique-id contract
+    * as [[nearDupIngestBatch]] — a doc re-sent under a new batchId
+    * appends duplicate postings (upsert is the catalog seam's job). */
+  def lexIngestBatch(store: graft.operators.LexStore, batch: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"lexIngestBatch requires LONG doc ids (the LexStore schema), got " +
+        s"${batch.schema(idCol).dataType.catalogString} — map ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+    if (store.isReplay(batchId)) return batch
+    store.ingest(batch, idCol, textCol, batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    batch
+  }
+
   /** The ONE drop policy of the store-backed ingest loops (text and
     * vector — a divergence here would silently split their dedup
     * semantics): the batch endpoint of a (seen, new) pair drops (the
