@@ -232,10 +232,19 @@ object SimilaritySearch {
     * ≤ k pairs before the shuffle (|queries|·k rows exchanged instead of
     * every scored candidate). Output is bit-identical to
     * bruteForceTopK — same total order, same rounding. */
-  def bruteForceTopKHeap(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val v = vectors.select(col("vec_id"),
-      VectorOps.toDoubleVec(col("embedding")).as("v_emb"),
-      VectorOps.norm(col("embedding")).as("v_nrm"))
+  def bruteForceTopKHeap(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bruteForceTopKHeapPrenormed(normalizedVectors(vectors), queries, k)
+
+  /** [[bruteForceTopKHeap]] over ALREADY cast-and-normed corpus rows
+    * (`(vec_id, emb, nrm)` — [[normalizedVectors]]'s schema, which is
+    * also [[EmbStore]]'s persisted vector table): the store-backed
+    * serving path scores stored vectors directly, zero per-query
+    * re-cast/re-norm, and shares this exact scoring with the inline
+    * form so the two can never drift. */
+  def bruteForceTopKHeapPrenormed(normed: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val v = normed.select(col("vec_id"),
+      col("emb").as("v_emb"), col("nrm").as("v_nrm"))
     val q = queries.select(col("query_id"),
       VectorOps.toDoubleVec(col("q_emb")).as("qd_emb"),
       VectorOps.norm(col("q_emb")).as("q_nrm"))
@@ -539,7 +548,8 @@ object SimilaritySearch {
         maxCellSize)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val clusters = Dedup.nearDupClustersFromPairs(
-      vectors.select(col("vec_id").as("doc_id")), "doc_id", pairs)
+      vectors.select(col("vec_id").as("doc_id")), "doc_id", pairs,
+      trustedPairs = true)
     val indexed = IvfIndex.index(vectors, centroids)
     val cv = CentroidVec(col("cell"), centroids)
     val withDist = clusters.select(col("doc_id"), col("cluster_id"))

@@ -473,6 +473,31 @@ object TextOps extends QueryPack {
       a
     })
 
+  // one persisted CMS store per dataset per JVM — ingested in TWO
+  // batches deliberately, so the gated read exercises the stored-fold
+  // merge path (counter addition), not a single-pass sketch
+  private val cmsStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.CmsStore]()
+
+  /** Store-backed heavy hitters: [[termFreqTopk]]'s claims answered
+    * from the PERSISTED sketch segments ([[graft.operators.CmsStore]])
+    * — two batch sketches folded by counter addition, which with a
+    * shared seed is BIT-identical to the single-pass sketch (CmsSpec),
+    * so the oracle is the same SQL — zero drift. Completes the
+    * sketch-store triad: BloomStore (membership), HllStore
+    * (cardinality), CmsStore (frequency). */
+  def termFreqTopkStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = cmsStores.computeIfAbsent(sfDir, dir => {
+      val docs = Tables.documents(spark, dir)
+      val s = new graft.operators.CmsStore(
+        s"graft_cms_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(col("doc_id") % 2 === 0), "text", 1L)
+      s.ingest(docs.filter(col("doc_id") % 2 =!= 0), "text", 2L)
+      s
+    })
+    termFreqTopkOver(spark, sfDir, _ => store.sketch(spark))
+  }
+
   /** Per-source distinct-vocabulary datacard row: the exact count
     * (cross-engine verified) plus the single-pass HLL estimate's
     * within-10% CLAIM as a boolean (the approx_distinct gate
@@ -575,13 +600,42 @@ object TextOps extends QueryPack {
     val docs = Tables.documents(spark, sfDir)
     val lex = TextAnalysis.bm25Search(docs, "doc_id", "text",
       Bm25Queries.toDF("query_id", "term"))
-    val docVecs = docs.select(col("doc_id").as("vec_id"),
+    val docVecs = docs.select(hybridCheckedDocId(col("doc_id")).as("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
-    val qVecs = HybridQueryTexts.toDF("qid", "qtext")
+    val dense = graft.operators.SimilaritySearch
+      .bruteForceTopKHeap(docVecs, hybridQueryVecs(spark),
+        k = TextAnalysis.Bm25TopK)
+    rrfFuse(lex, dense)
+  }
+
+  /** The doc-id side of the dense ranking, GUARDED: the offset scheme
+    * (query ids live at doc_id + [[HybridQidOffset]]) silently
+    * misclassifies docs as queries if any doc_id reaches the offset —
+    * both in the self-exclusion filter here and in the generated
+    * oracle's `vid >= offset` split. The guard is IN-PLAN
+    * (`raise_error` branch on the id expression itself, so Catalyst
+    * cannot prune it and no extra driver-side scan job runs): a
+    * violating corpus fails loudly instead of diverging quietly. */
+  private def hybridCheckedDocId(id: org.apache.spark.sql.Column) =
+    when(id >= lit(HybridQidOffset),
+      raise_error(concat(lit("hybrid RRF requires doc_id < "),
+        lit(HybridQidOffset.toString), lit(" (id-offset scheme), got "),
+        id.cast("string"))))
+      .otherwise(id)
+
+  private def hybridQueryVecs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    HybridQueryTexts.toDF("qid", "qtext")
       .select((col("qid") + HybridQidOffset).as("query_id"),
         graft.functions.HashEmbed(col("qtext"), EmbedDim).as("q_emb"))
-    val dense = graft.operators.SimilaritySearch
-      .bruteForceTopKHeap(docVecs, qVecs, k = TextAnalysis.Bm25TopK)
+  }
+
+  /** The RRF fusion tail shared VERBATIM by the inline and
+    * store-backed hybrid forms (zero drift): un-offset the dense
+    * ranking, union the two top-k relations, score = round-4
+    * Σ 1/(60+rk), heap top-k with doc_id ties. */
+  private def rrfFuse(lex: DataFrame, denseRaw: DataFrame): DataFrame = {
+    val dense = denseRaw
       .select((col("query_id") - HybridQidOffset).as("query_id"),
         col("vec_id").as("doc_id"), col("rk"))
     val fused = lex.select(col("query_id"), col("doc_id"), col("rk"))
@@ -594,6 +648,42 @@ object TextOps extends QueryPack {
       .select(col("query_id"), posexplode(col("topk")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         col("col.score").as("rrf"), (col("pos") + 1).cast("long").as("rk"))
+  }
+
+  private val hybridEmbStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.EmbStore]()
+
+  /** Store-backed hybrid retrieval — the actual SERVING composition: a
+    * keyword probe of the persisted posting table
+    * ([[graft.operators.LexStore]] — zero corpus re-tokenization, the
+    * same store `bm25_search_store` gates) fused with a dense ranking
+    * scored over the persisted pre-normed vector table
+    * ([[graft.operators.EmbStore]] — zero re-embedding/re-norm;
+    * [[graft.operators.SimilaritySearch.bruteForceTopKHeapPrenormed]]
+    * shares the inline scoring verbatim). Identical oracle to
+    * [[hybridSearchRrf]]: the stores only move WHERE the postings and
+    * vectors come from, never what they contain. */
+  def hybridSearchRrfStore(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lexStore = lexStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.LexStore(
+        s"graft_lex_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(Tables.documents(spark, dir), "doc_id", "text")
+      s
+    })
+    val lex = lexStore.bm25(Bm25Queries.toDF("query_id", "term"))
+    val embStore = hybridEmbStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.EmbStore(
+        s"graft_hybrid_emb_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(Tables.documents(spark, dir)
+        .select(hybridCheckedDocId(col("doc_id")).as("vec_id"),
+          graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding")))
+      s
+    })
+    val dense = graft.operators.SimilaritySearch.bruteForceTopKHeapPrenormed(
+      embStore.vectorRows(spark).select("vec_id", "emb", "nrm"),
+      hybridQueryVecs(spark), k = TextAnalysis.Bm25TopK)
+    rrfFuse(lex, dense)
   }
 
   /** Z-order (Morton) layout assignment over (quality, length)
@@ -1998,7 +2088,9 @@ object TextOps extends QueryPack {
     "vocab_by_source_store" -> (vocabBySourceStore _),
     "term_freq_topk" -> (termFreqTopk _),
     "term_freq_topk_merged" -> (termFreqTopkMerged _),
+    "term_freq_topk_store" -> (termFreqTopkStore _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
+    "hybrid_search_rrf_store" -> (hybridSearchRrfStore _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2681,6 +2773,71 @@ object TextOps extends QueryPack {
     * identical parenthesization throughout; k1, b and the Scala-derived
     * constants (k1+1, 1−b) cross as exact-double literals. Nested
     * verbatim as the lexical side of the hybrid_search_rrf oracle. */
+  /** The hybrid RRF oracle, shared by the inline form and the
+    * store-backed serving twin (identical by construction: the stores
+    * only move WHERE the postings and vectors come from). */
+  private lazy val hybridRrfOracleSql: String = {
+      val qvals = HybridQueryTexts
+        .map { case (q, t) => s"(${q + HybridQidOffset}, '$t')" }
+        .mkString(", ")
+      s"""WITH lex AS (
+         |$bm25OracleSql
+         |), hqt(query_id, qtext) AS (VALUES $qvals),
+         |hdt AS (
+         |  SELECT doc_id AS vid, unnest(string_split(text, ' ')) AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT query_id AS vid, unnest(string_split(qtext, ' ')) AS t
+         |  FROM hqt
+         |), hh AS (
+         |  SELECT vid, ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+         |  FROM hdt
+         |), htb AS (
+         |  SELECT vid, h % $EmbedDim AS b,
+         |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS DOUBLE) AS v
+         |  FROM hh GROUP BY 1, 2
+         |), hgrid AS (
+         |  SELECT ids.vid, r.b
+         |  FROM (SELECT DISTINCT vid FROM htb) ids,
+         |       unnest(range(0, $EmbedDim)) AS r(b)
+         |), hvn AS (
+         |  SELECT g.vid, list(coalesce(htb.v, 0) ORDER BY g.b) AS emb,
+         |    sqrt(list_sum(list_transform(
+         |      list(coalesce(htb.v, 0) ORDER BY g.b), x -> x * x))) AS nrm
+         |  FROM hgrid g LEFT JOIN htb ON htb.vid = g.vid AND htb.b = g.b
+         |  GROUP BY g.vid
+         |), hscored AS (
+         |  SELECT q.vid AS query_id, v.vid AS vec_id,
+         |    round(CASE WHEN q.nrm * v.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> q.emb[i] * v.emb[i])) / (q.nrm * v.nrm) END, 4) AS sim
+         |  FROM (SELECT * FROM hvn WHERE vid >= $HybridQidOffset) q,
+         |       (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v
+         |  WHERE v.vid <> q.vid
+         |), hdense AS (
+         |  SELECT query_id - $HybridQidOffset AS query_id, vec_id AS doc_id, rk
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS rk
+         |    FROM hscored)
+         |  WHERE rk <= ${TextAnalysis.Bm25TopK}
+         |), hall AS (
+         |  SELECT query_id, doc_id, rk FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, rk FROM hdense
+         |), hfused AS (
+         |  SELECT query_id, doc_id,
+         |    round(sum(1e0 / ($RrfK + rk)), 4) AS rrf
+         |  FROM hall GROUP BY query_id, doc_id
+         |)
+         |SELECT query_id, doc_id, rrf, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS rk
+         |  FROM hfused)
+         |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
+    }
+
   private lazy val bm25OracleSql: String = {
     val vals = Bm25Queries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -3213,72 +3370,14 @@ object TextOps extends QueryPack {
     // CMS merge is counter addition, bit-identical to single-pass
     "term_freq_topk" -> termFreqTopkOracle,
     "term_freq_topk_merged" -> termFreqTopkOracle,
+    "term_freq_topk_store" -> termFreqTopkOracle,
 
     // hybrid RRF: the bm25 oracle nested verbatim as the lexical side,
     // the dense side re-deriving doc/query HashEmbed vectors with the
     // SAME salt/bucket/sign arithmetic as every embed_text oracle,
     // fusion = exact 1/(60+rk) sums rounded to 4
-    "hybrid_search_rrf" -> {
-      val qvals = HybridQueryTexts
-        .map { case (q, t) => s"(${q + HybridQidOffset}, '$t')" }
-        .mkString(", ")
-      s"""WITH lex AS (
-         |$bm25OracleSql
-         |), hqt(query_id, qtext) AS (VALUES $qvals),
-         |hdt AS (
-         |  SELECT doc_id AS vid, unnest(string_split(text, ' ')) AS t
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT query_id AS vid, unnest(string_split(qtext, ' ')) AS t
-         |  FROM hqt
-         |), hh AS (
-         |  SELECT vid, ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
-         |  FROM hdt
-         |), htb AS (
-         |  SELECT vid, h % $EmbedDim AS b,
-         |    CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0 THEN 1 ELSE -1 END)
-         |      AS DOUBLE) AS v
-         |  FROM hh GROUP BY 1, 2
-         |), hgrid AS (
-         |  SELECT ids.vid, r.b
-         |  FROM (SELECT DISTINCT vid FROM htb) ids,
-         |       unnest(range(0, $EmbedDim)) AS r(b)
-         |), hvn AS (
-         |  SELECT g.vid, list(coalesce(htb.v, 0) ORDER BY g.b) AS emb,
-         |    sqrt(list_sum(list_transform(
-         |      list(coalesce(htb.v, 0) ORDER BY g.b), x -> x * x))) AS nrm
-         |  FROM hgrid g LEFT JOIN htb ON htb.vid = g.vid AND htb.b = g.b
-         |  GROUP BY g.vid
-         |), hscored AS (
-         |  SELECT q.vid AS query_id, v.vid AS vec_id,
-         |    round(CASE WHEN q.nrm * v.nrm = 0 THEN 0.0
-         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
-         |             i -> q.emb[i] * v.emb[i])) / (q.nrm * v.nrm) END, 4) AS sim
-         |  FROM (SELECT * FROM hvn WHERE vid >= $HybridQidOffset) q,
-         |       (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v
-         |  WHERE v.vid <> q.vid
-         |), hdense AS (
-         |  SELECT query_id - $HybridQidOffset AS query_id, vec_id AS doc_id, rk
-         |  FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, vec_id ASC) AS rk
-         |    FROM hscored)
-         |  WHERE rk <= ${TextAnalysis.Bm25TopK}
-         |), hall AS (
-         |  SELECT query_id, doc_id, rk FROM lex
-         |  UNION ALL
-         |  SELECT query_id, doc_id, rk FROM hdense
-         |), hfused AS (
-         |  SELECT query_id, doc_id,
-         |    round(sum(1e0 / ($RrfK + rk)), 4) AS rrf
-         |  FROM hall GROUP BY query_id, doc_id
-         |)
-         |SELECT query_id, doc_id, rrf, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf DESC, doc_id ASC) AS rk
-         |  FROM hfused)
-         |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
-    },
+    "hybrid_search_rrf" -> hybridRrfOracleSql,
+    "hybrid_search_rrf_store" -> hybridRrfOracleSql,
 
     // Morton interleave as pure integer arithmetic: bit 2i = dim-a
     // bit i, bit 2i+1 = dim-b bit i, summed over disjoint bits (≡ OR);

@@ -33,4 +33,35 @@ class CmsSpec extends SparkSpec {
       assert(e1 <= n + slack, s"'$t' overestimate past eps bound: $e1 > $n + $slack")
     }
   }
+
+  test("CmsStore: stored-segment fold == single-pass sketch, replay no-op, compaction safe") {
+    val docs = graft.Tables.documents(spark, sf)
+    val tok = docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val single = tok.stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+    val store = new CmsStore("graft_cms_spec")
+    store.ingest(docs.filter(col("doc_id") % 2 === 0), "text", 1L)
+    store.ingest(docs.filter(col("doc_id") % 2 =!= 0), "text", 2L)
+    val probe = Seq("the", "spark", "data", "xyzzy-not-a-term")
+    val folded = store.sketch(spark)
+    probe.foreach { t =>
+      assert(folded.estimateCount(t) == single.estimateCount(t),
+        s"stored fold must be bit-identical to single pass for '$t'")
+    }
+    // at-least-once replay: no double-count
+    store.ingest(docs.filter(col("doc_id") % 2 =!= 0), "text", 2L)
+    probe.foreach { t =>
+      assert(store.sketch(spark).estimateCount(t) == single.estimateCount(t),
+        s"replayed batch must not double counts for '$t'")
+    }
+    // serialization roundtrip is exact (the segment is parquet bytes)
+    val rt = CmsStore.fromBytes(CmsStore.toBytes(single))
+    probe.foreach(t => assert(rt.estimateCount(t) == single.estimateCount(t)))
+    // compaction folds segments without changing estimates
+    store.compactIfNeeded(spark, maxSegments = 1)
+    assert(store.liveSegments.size <= 1, s"budget: ${store.liveSegments}")
+    probe.foreach { t =>
+      assert(store.sketch(spark).estimateCount(t) == single.estimateCount(t),
+        s"compaction must not change counts for '$t'")
+    }
+  }
 }
