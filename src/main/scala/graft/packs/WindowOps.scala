@@ -110,6 +110,15 @@ object WindowOps extends QueryPack {
   def assembleThreads(spark: SparkSession, sfDir: String): DataFrame =
     assembleThreadsOn(Tables.events(spark, sfDir))
 
+  /** The serialized-turn PROJECTION shared by the batch sessionize and
+    * the streaming session_window twin ([[graft.streaming
+    * .ThreadStreams]]): one definition of what a "turn" is. */
+  private[graft] def turnRows(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("k"))
+      .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+
   /** The shared sessionized-turn head of every thread op: the 2 h gap
     * rule over the (ts, event_id) total order, plus the serialized
     * turn column — ONE implementation, so the assembly, dedup, pair,
@@ -118,9 +127,7 @@ object WindowOps extends QueryPack {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        get_json_object(col("props"), "$.k").as("k"))
+    turnRows(events)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("brk",
         when(col("prev_us").isNull ||
@@ -128,20 +135,53 @@ object WindowOps extends QueryPack {
           .otherwise(0L))
       .withColumn("sess", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("turn", concat(col("event_type"), lit("@"), col("k")))
+  }
+
+  /** The thread-assembly AGGREGATION exprs, shared verbatim by the
+    * batch groupBy(user, sess) and the streaming
+    * groupBy(session_window, user) — the [[sessionAggOn]] discipline
+    * applied to assembly: the two forms differ only in HOW the session
+    * key is derived (window-function gaps-and-islands vs merging
+    * session_window state), which the 2 h gap rule makes equivalent
+    * (same-session iff consecutive gap < 2 h; ThreadStreamSpec pins
+    * parity). `turns` rides along sorted so the pair extraction can
+    * share one definition too. */
+  private[graft] def threadAggExprs: Seq[org.apache.spark.sql.Column] = {
+    val sortedTurns = transform(array_sort(collect_list(struct(
+      unix_micros(col("ts")).as("t"), col("event_id").as("i"),
+      col("turn").as("s")))), x => x.getField("s"))
+    Seq(
+      min(col("event_id")).as("thread_key"),
+      count(lit(1)).as("n_turns"),
+      concat_ws(" ", sortedTurns).as("thread"),
+      sortedTurns.as("turns"))
   }
 
   def assembleThreadsOn(events: DataFrame): DataFrame = {
+    val exprs = threadAggExprs
     sessionedTurns(events)
       .groupBy(col("user_id"), col("sess"))
-      .agg(min(col("event_id")).as("thread_key"),
-        count(lit(1)).as("n_turns"),
-        concat_ws(" ", transform(array_sort(collect_list(struct(
-          unix_micros(col("ts")).as("t"), col("event_id").as("i"),
-          col("turn").as("s")))), x => x.getField("s"))).as("thread"))
+      .agg(exprs.head, exprs.tail: _*)
       .select(col("user_id"), col("thread_key"), col("n_turns"),
         col("thread"))
   }
+
+  /** Turn-pair extraction from an assembled thread's sorted `turns`
+    * array ([[threadAggExprs]]'s fourth column) — the streaming twin's
+    * pair form: consecutive (prompt, response) with 1-based pos,
+    * exactly [[threadTurnPairsOn]]'s output (which derives the same
+    * pairs via lead() over the per-session window — ThreadStreamSpec
+    * pins the two equal). Stateless on top of the assembly agg, so it
+    * composes onto an Append-mode streaming aggregation. */
+  private[graft] def pairsFromTurns(threads: DataFrame): DataFrame =
+    threads
+      .select(col("user_id"), col("thread_key"),
+        posexplode(expr(
+          "transform(slice(turns, 1, greatest(size(turns) - 1, 0)), " +
+            "(t, i) -> named_struct('prompt', t, 'response', turns[i + 1]))")))
+      .select(col("user_id"), col("thread_key"),
+        (col("pos") + 1).cast("long").as("pos"),
+        col("col.prompt").as("prompt"), col("col.response").as("response"))
 
   /** Shared sliding-window body — same single-implementation pattern as
     * [[sessionAggOn]]. */
