@@ -80,13 +80,17 @@ object ScaleCurve {
   /** Events replication for the conversational rows: event ids AND
     * user ids offset per replica — user spaces are disjoint, so
     * session structure (and behavioral-duplicate structure) stays
-    * per-replica and thread counts scale WITH the event log. */
+    * per-replica and thread counts scale WITH the event log. Both ids
+    * use the SAME 1e8 offset (ADVICE r14): a smaller user offset would
+    * collide replica user spaces once base user ids reach it, silently
+    * merging sessions across replicas and changing the rows' work
+    * shape. */
   private def replicateEvents(events: DataFrame, m: Int): DataFrame =
     (0 until m).map { k =>
       events.select(
         (col("event_id") + k * 100000000L).as("event_id"),
         col("ts"),
-        (col("user_id") + k * 10000000L).as("user_id"),
+        (col("user_id") + k * 100000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
