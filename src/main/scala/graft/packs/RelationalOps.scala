@@ -319,16 +319,26 @@ object RelationalOps extends QueryPack {
     * cross-verified against DuckDB and the sketch's accuracy claim is
     * hashed as bound booleans the oracle expects TRUE. The bound is a
     * RANK window, the sketch's actual contract: the approx p50 must lie
-    * within the exact [p49, p51] value range (±1% rank — 100× looser
-    * than the configured 1/10000 guarantee, so the gate is not flaky,
-    * but an off-by-a-percentile regression still breaks the hash). */
+    * within the exact [p49, p51] value range (±1% rank — 10× looser
+    * than the configured guarantee, so the gate is not flaky, but an
+    * off-by-a-percentile regression still breaks the hash). */
+  /** Sketch accuracy: rank error ≤ 1/accuracy = 0.1% — 10× inside the
+    * gate's ±1% claim window, and an order of magnitude cheaper per
+    * inserted value than Spark's 10000 default (ScaleCurve measured the
+    * default's per-value cost exceeding the EXACT aggregate's plain
+    * buffer appends up to ~10M rows/group; the sketch's win is bounded
+    * state, so buy only the accuracy the claim needs). Shared with the
+    * ScaleCurve percentile rows. */
+  val ApproxPctAccuracy = 1000
+
   def percentilesApprox(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .join(broadcast(Tables.customer(spark, sfDir)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT), array(0.5D, 0.95D), 10000)")
+        expr("approx_percentile(CAST(round(o_totalprice * 100) AS BIGINT), " +
+          s"array(0.5D, 0.95D), $ApproxPctAccuracy)")
           .as("ap"),
         expr("percentile(CAST(round(o_totalprice * 100) AS BIGINT), array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D))")
           .as("ex"),

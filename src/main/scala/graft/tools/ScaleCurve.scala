@@ -378,6 +378,18 @@ object ScaleCurve {
           graft.packs.WindowOps.threadDedupOn(events))
         bench("pipeline_curate_threads", m,
           graft.packs.WindowOps.pipelineCurateThreadsOn(events))
+        // exact vs sketch quantiles over the growing log — the r15
+        // percentiles_approx story measured: the exact aggregate
+        // buffers EVERY group value (state linear in the corpus), the
+        // GK summary holds O(accuracy) per group with map-side combine.
+        // Same grouping, same cents scaling as the gated pair.
+        val cents = events.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        bench("percentiles_exact", m, cents.groupBy(col("event_type"))
+          .agg(expr("percentile(cents, array(0.5D, 0.95D))").as("p")))
+        bench("percentiles_approx", m, cents.groupBy(col("event_type"))
+          .agg(expr("approx_percentile(cents, array(0.5D, 0.95D), " +
+            s"${graft.packs.RelationalOps.ApproxPctAccuracy})").as("p")))
         events.unpersist()
       }
       docs.unpersist()

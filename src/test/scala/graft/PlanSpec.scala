@@ -677,4 +677,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"the bucket-cap / dup-id sides must broadcast:\n$p")
   }
+
+  test("hybrid_search_rrf_store: serves from both stores — no re-tokenize, no re-embed") {
+    val p = plan("hybrid_search_rrf_store")
+    // the serving twin's reason to exist: tokenization is paid at
+    // posting ingest and embedding at vector ingest — neither may
+    // appear above the store scans. The corpus's only embed is the 5
+    // query texts' (a literal local relation, not a scan consumer).
+    assert(!p.contains("split("),
+      s"the lexical side must probe persisted postings, never re-tokenize:\n$p")
+    assert(p.contains("graft_lex_store_"),
+      s"the lexical side must scan the posting segments:\n$p")
+    assert(p.contains("graft_hybrid_emb_store_"),
+      s"the dense side must scan the persisted pre-normed vectors:\n$p")
+    // corpus-side doc vectors come from the store: the embed expression
+    // may appear exactly once (the broadcast query-side literals)
+    val embeds = "graft_hash_embed".r.findAllIn(p).size
+    assert(embeds <= 1,
+      s"doc vectors must not be re-embedded above the store scan ($embeds sites):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("graft_topk"), s"fusion ranking stays the heap aggregate:\n$p")
+  }
 }
