@@ -302,6 +302,26 @@ object StreamingPipelines {
     batch
   }
 
+  /** Count-Min index-at-ingest — [[lexIngestBatch]]'s sibling over the
+    * frequency-sketch store ([[graft.operators.CmsStore]]): one
+    * distributed sketch aggregate over the arriving batch's tokens,
+    * one stored row under the batchId (replay checked first — a
+    * replayed trigger pays zero tokenization). The read side folds the
+    * stored sketches by counter addition, bit-identical to a
+    * single-pass sketch (CmsSpec), so corpus-level heavy-hitter
+    * queries never re-scan a batch. Indexing loop: the batch passes
+    * through unchanged. */
+  def cmsIngestBatch(store: graft.operators.CmsStore, batch: DataFrame,
+      textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    if (store.isReplay(batchId)) return batch
+    store.ingest(batch, textCol, batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    batch
+  }
+
   /** The ONE drop policy of the store-backed ingest loops (text and
     * vector — a divergence here would silently split their dedup
     * semantics): the batch endpoint of a (seen, new) pair drops (the

@@ -64,4 +64,32 @@ class CmsSpec extends SparkSpec {
         s"compaction must not change counts for '$t'")
     }
   }
+
+  test("cmsIngestBatch drives from a real stream via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = new CmsStore("graft_cms_ingest_stream")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = in.toDF.toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.streaming.StreamingPipelines.cmsIngestBatch(store, batch,
+          "text", batchId = batchId)
+        ()
+      }.start()
+    val b0 = Seq((1L, "spark spark shuffle"), (2L, "catalyst plans"))
+    val b1 = Seq((3L, "spark catalyst"))
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      val single = (b0 ++ b1).toDF("doc_id", "text")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .stat.countMinSketch("term", CmsEps, CmsConf, CmsSeed)
+      Seq("spark", "catalyst", "shuffle", "plans").foreach { t =>
+        assert(store.sketch(spark).estimateCount(t) == single.estimateCount(t),
+          s"streamed store must fold to the single-pass sketch for '$t'")
+      }
+    } finally q.stop()
+  }
 }
