@@ -82,4 +82,38 @@ class PropertySpec extends SparkSpec {
       }
     }, n = 8)
   }
+
+  test("property: component labels == driver union-find on random graphs (fused-seed loop)") {
+    // the r15 rewrite's exactness pin: random pair sets (including
+    // pairs over ids OUTSIDE the corpus, self-loops, duplicates,
+    // chains and hubs) must produce exactly the component-minimum
+    // clustering a classic union-find computes — with unknown-id pairs
+    // ignored entirely (no phantoms, no merging THROUGH an unknown id)
+    val genPairs = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0L, 40L)
+      b <- Gen.chooseNum(0L, 40L)
+    } yield (a, b))
+    check(Prop.forAll(genPairs) { pairs =>
+      val corpus = 0L until 30L // ids 31..40 are unknown
+      val docs = corpus.map(i => (i, s"d$i")).toDF("doc_id", "text")
+      val out = graft.operators.Dedup
+        .nearDupClustersFromPairs(docs, "doc_id", pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // driver union-find over VALID pairs only
+      val parent = scala.collection.mutable.Map(corpus.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.filter { case (a, b) => a < 30 && b < 30 }
+        .foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      val expect = corpus.map(i => i -> find(i)).toMap
+      out.keySet == corpus.toSet &&
+        corpus.forall { i =>
+          out(i) == ((expect(i), expect(i) == i))
+        }
+    }, n = 8)
+  }
 }
