@@ -1035,25 +1035,29 @@ object Dedup {
     // endpoints by projecting the same corpus). The two semi-joins are
     // pure fixed cost there; at gate scale they were a measurable slice
     // of the r14 components-family regression.
-    val p = if (trustedPairs) p0 else {
+    // The symmetric union's two branches are two COPIES of the pair
+    // source's plan (no cross-branch CSE in Catalyst; ReuseExchange
+    // only dedupes up to the last exchange), so an expensive source —
+    // the LSH banding + verification join — would execute twice while
+    // `edges` materializes. One lazy checkpoint makes the union read
+    // computed rows in both branches.
+    val pSrc = p0.localCheckpoint(eager = false)
+    val p = if (trustedPairs) pSrc else {
       // The corpus is touched exactly ONCE (as in r14): the pair
       // VERTEX set — pair-sized, tiny next to the corpus — is
       // validated in one semi-join, and the two per-endpoint filters
       // then run against that small valid-id table, never the corpus.
       // Two direct per-endpoint corpus semi-joins would shuffle the
       // corpus twice (measured +45% on ComponentAb at 4M docs).
-      // Both small intermediates are lazily checkpointed: Catalyst has
-      // no cross-join common-subtree elimination, so an uncached
-      // `validIds` consumed by two semi-joins would RE-RUN the corpus
-      // pass per consumer, and an external caller's pair source would
-      // re-execute once per appearance (it appears four times here).
-      val pc = p0.localCheckpoint(eager = false)
+      // `validIds` is lazily checkpointed for the same reason: an
+      // uncached copy consumed by two semi-joins would RE-RUN the
+      // corpus pass per consumer.
       val ids = docs.select(col(idCol).cast("long").as("id"))
-      val validIds = pc.select(col("doc_a").as("id"))
-        .union(pc.select(col("doc_b").as("id"))).distinct()
+      val validIds = pSrc.select(col("doc_a").as("id"))
+        .union(pSrc.select(col("doc_b").as("id"))).distinct()
         .join(ids, Seq("id"), "left_semi")
         .localCheckpoint(eager = false)
-      pc.join(validIds.toDF("doc_a"), Seq("doc_a"), "left_semi")
+      pSrc.join(validIds.toDF("doc_a"), Seq("doc_a"), "left_semi")
         .join(validIds.toDF("doc_b"), Seq("doc_b"), "left_semi")
         // USING joins move their key to column 0, leaving (doc_b,
         // doc_a) — re-fix the order or the POSITIONAL union below
