@@ -384,7 +384,12 @@ object DedupOps extends QueryPack {
   def dedupThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // ONE candidate+verify pass literally: the final plan consumes the
+    // pair relation three times (n_pairs agg + both sides of the dup-doc
+    // union) and Catalyst has no cross-branch CSE — uncheckpointed, the
+    // whole LSH banding pipeline would execute 3× per run
     val pairs = Dedup.minhashLshMd5(docs, "doc_id", "text", threshold = 0.0)
+      .localCheckpoint(false)
     val th = SweepThresholds.toDF("threshold")
     val tp = pairs.join(broadcast(th), col("jac") >= col("threshold"))
     val np = tp.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
