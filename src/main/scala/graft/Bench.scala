@@ -273,8 +273,19 @@ object Bench {
     // from degraded ones instead of inferring it from medians.
     // Thresholds: a clean run's whole-run JIT is < ~60 s and steal is
     // ~0; 120 s / 5k jiffies is comfortably past either noise floor.
-    val degraded = d(run0.jit, run1.jit) > 120000L ||
-      d(run0.steal, run1.steal) > 5000L
+    // Tri-state (r16): d() returns -1 when a telemetry counter is
+    // unavailable on the host (no JIT MXBean / no /proc/stat steal
+    // column), and -1 never exceeds a threshold — so a plain boolean
+    // would read `false` on an UNMEASURABLE host, indistinguishable
+    // from a verified-clean one. Emit "unknown" when either counter
+    // that the verdict depends on could not be read (unless the other
+    // one already proves degradation).
+    val jitMs = d(run0.jit, run1.jit)
+    val stealJ = d(run0.steal, run1.steal)
+    val degraded: String =
+      if (jitMs > 120000L || stealJ > 5000L) "true"
+      else if (jitMs < 0 || stealJ < 0) "\"unknown\""
+      else "false"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(cold)},"queries_warm":${obj(warm)},"total_warm":$totalWarm,"warm_pass_totals":[${passTotals.mkString(",")}],"telemetry":$telemetry,"degraded_host":$degraded,"failed":$failedJson,"sf":"$sfDirRaw"}"""
     // stdout gets ONLY this compact totals line (r11 lesson: the driver

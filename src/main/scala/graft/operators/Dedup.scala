@@ -1035,6 +1035,17 @@ object Dedup {
     // endpoints by projecting the same corpus). The two semi-joins are
     // pure fixed cost there; at gate scale they were a measurable slice
     // of the r14 components-family regression.
+    //
+    // MISUSE HAZARD (sharper since the r15 fused seed): with the filter
+    // skipped, a phantom id is no longer inert. Under the old
+    // seed-then-propagate loop an unknown `src` had no label row and
+    // propagated NOTHING; the fused seed folds raw `src` values into
+    // `min(src)` directly, so a phantom src (a) can become the emitted
+    // cluster_id of valid docs — two valid docs connected only THROUGH
+    // an unknown id now MERGE, and (b) a phantom `dst` emits a label
+    // row for a doc_id outside the corpus. Pass trustedPairs = true
+    // ONLY for pair relations whose both endpoints are projections of
+    // `docs(idCol)` itself, never for caller-supplied pair tables.
     // The symmetric union's two branches are two COPIES of the pair
     // source's plan (no cross-branch CSE in Catalyst; ReuseExchange
     // only dedupes up to the last exchange), so an expensive source —
@@ -1042,6 +1053,7 @@ object Dedup {
     // `edges` materializes. One lazy checkpoint makes the union read
     // computed rows in both branches.
     val pSrc = p0.localCheckpoint(eager = false)
+    var validIdsRef: Option[DataFrame] = None
     val p = if (trustedPairs) pSrc else {
       // The corpus is touched exactly ONCE (as in r14): the pair
       // VERTEX set — pair-sized, tiny next to the corpus — is
@@ -1057,6 +1069,7 @@ object Dedup {
         .union(pSrc.select(col("doc_b").as("id"))).distinct()
         .join(ids, Seq("id"), "left_semi")
         .localCheckpoint(eager = false)
+      validIdsRef = Some(validIds)
       pSrc.join(validIds.toDF("doc_a"), Seq("doc_a"), "left_semi")
         .join(validIds.toDF("doc_b"), Seq("doc_b"), "left_semi")
         // USING joins move their key to column 0, leaving (doc_b,
@@ -1081,7 +1094,22 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         lit(true).as("keep"))
     val out = loopOut.union(singles)
-    val result = if (cacheResult) out.localCheckpoint(eager = true) else out
+    val result = if (cacheResult) {
+      val r = out.localCheckpoint(eager = true)
+      // The eager checkpoint severed the pair lineage — release the
+      // pair-sized pSrc/validIds checkpoint blocks NOW instead of
+      // leaving them for the ContextCleaner: a bench JVM running 250+
+      // queries would otherwise accumulate them until a GC cycle
+      // happens to collect the unreachable Dataset references.
+      pSrc.unpersist()
+      validIdsRef.foreach(_.unpersist())
+      r
+    } else out
+    // With cacheResult = false the returned plan still depends on the
+    // pSrc/validIds checkpoint blocks (localCheckpoint truncates
+    // lineage, so evicted blocks are NOT recomputable) — there the
+    // ContextCleaner frees them once the consumer's action has run and
+    // the references drop.
     labels.unpersist() // CacheManager entry released either way
     result
   }
@@ -1099,6 +1127,14 @@ object Dedup {
     * fixpoint over exactly the pair vertices; the caller unpersists. */
   private[graft] def componentLabels(edges: DataFrame,
       maxIters: Int): DataFrame = {
+    // maxIters COUNTS the fused seed (it starts at 1): maxIters = 1
+    // would return round-1 labels with the while-loop — and therefore
+    // the convergence check — never running at all, then print the
+    // not-converged warning even for graphs already at fixpoint.
+    // Require at least one checked round instead of guessing.
+    require(maxIters >= 2, s"maxIters must be >= 2 (got $maxIters): " +
+      "the fused seed is effective round 1, so at least one more round " +
+      "is needed to observe convergence")
     // Overflow-proof monotone scalar; NULL (empty input) reads as zero.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(
