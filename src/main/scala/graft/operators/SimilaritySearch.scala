@@ -156,12 +156,20 @@ object SimilaritySearch {
     * compile-time-constant loop of such rounds with the selection
     * checkpointed per round so plan depth stays flat. */
   def mmrRerank(shortlist: DataFrame, vectors: DataFrame,
+      selectK: Int = MmrSelectK, lambda: Double = MmrLambda): DataFrame =
+    mmrRerankPrenormed(shortlist, normalizedVectors(vectors), selectK, lambda)
+
+  /** [[mmrRerank]] over ALREADY cast-and-normed candidate vectors
+    * (`(vec_id, emb, nrm)` — [[normalizedVectors]]'s schema, which is
+    * also [[EmbStore]]'s persisted vector table): the store-backed
+    * serving path re-ranks straight off stored rows — zero
+    * re-embed/re-cast/re-norm — and shares the greedy machinery with
+    * the inline form verbatim, so the two can never drift. */
+  def mmrRerankPrenormed(shortlist: DataFrame, normed: DataFrame,
       selectK: Int = MmrSelectK, lambda: Double = MmrLambda): DataFrame = {
     val sl = shortlist.select(col("query_id"), col("vec_id"), col("sim"))
       .localCheckpoint(false)
-    val v = vectors.select(col("vec_id"),
-      VectorOps.toDoubleVec(col("embedding")).as("emb"),
-      VectorOps.norm(col("embedding")).as("nrm"))
+    val v = normed.select(col("vec_id"), col("emb"), col("nrm"))
     val a = sl.select(col("query_id"), col("vec_id")).join(v, "vec_id")
       .select(col("query_id"), col("vec_id").as("vec_a"),
         col("emb").as("emb_a"), col("nrm").as("nrm_a"))
@@ -178,15 +186,7 @@ object SimilaritySearch {
     val lam = lit(lambda)
     val om = lit(1.0 - lambda) // the exact double Spark computes; the
                                // oracle embeds the same bits (sqlDouble)
-    // argmax by (score, then smaller vec_id) as a partial-agg
-    // max(struct) — the keepByQuality idiom, never a window
-    def pickBest(scored: DataFrame, rk: Int): DataFrame =
-      scored.groupBy(col("query_id"))
-        .agg(max(struct(col("score").as("s"),
-          bitwise_not(col("vec_id")).as("inv"))).as("b"))
-        .select(col("query_id"), bitwise_not(col("b.inv")).as("vec_id"),
-          col("b.s").as("score"), lit(rk.toLong).as("rk"))
-    var sel = pickBest(
+    var sel = mmrPickBest(
       sl.select(col("query_id"), col("vec_id"),
         round(lam * col("sim"), 4).as("score")), 1)
       .localCheckpoint(false)
@@ -202,10 +202,24 @@ object SimilaritySearch {
         .agg(max(col("psim")).as("msel"))
         .select(col("query_id"), col("vec_id"),
           round(lam * col("sim") - om * col("msel"), 4).as("score"))
-      sel = sel.unionByName(pickBest(scored, r)).localCheckpoint(false)
+      sel = sel.unionByName(mmrPickBest(scored, r)).localCheckpoint(false)
     }
     sel.select(col("query_id"), col("rk"), col("vec_id"), col("score"))
   }
+
+  /** One greedy MMR selection: argmax by (score, then smaller vec_id)
+    * as a partial-agg max(struct) — the keepByQuality idiom, never a
+    * window (a hot query's whole shortlist in one window task would be
+    * the WindowExec hazard class, pointless when a heap-free max
+    * combines map-side). private[graft]: the plan pin asserts the
+    * idiom here, because the per-round checkpoints hide it from the
+    * composed query's final plan string. */
+  private[graft] def mmrPickBest(scored: DataFrame, rk: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(max(struct(col("score").as("s"),
+        bitwise_not(col("vec_id")).as("inv"))).as("b"))
+      .select(col("query_id"), bitwise_not(col("b.inv")).as("vec_id"),
+        col("b.s").as("score"), lit(rk.toLong).as("rk"))
 
   /** Final ranking for every candidate-generation path: top-k per query
     * via the bounded-heap aggregate ([[graft.functions.TopKByScore]]),

@@ -355,6 +355,47 @@ object RelationalOps extends QueryPack {
           .as("p95_within_rank_1pct"),
         col("n"))
 
+  // one persisted quantile store per dataset per JVM — ingested in TWO
+  // batches deliberately (orderkey parity split), so the gated read
+  // exercises the stored-fold merge path (histogram counter addition),
+  // not a single-pass aggregate
+  private val quantileStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.QuantileStore]()
+
+  /** percentiles_store — [[percentiles]] answered from the PERSISTED
+    * per-group cents-histogram segments
+    * ([[graft.operators.QuantileStore]]): two batch histograms folded
+    * by counter addition, then the exact frequency-weighted
+    * `percentile` — Spark's Percentile buffers a value→count map
+    * internally, so the fold replays the inline aggregate's exact
+    * final computation and the oracle is the same SQL, zero drift.
+    * Completes the sketch-store family's quantile leg (Bloom =
+    * membership, HLL = cardinality, CMS = frequency, this = rank) with
+    * an EXACT mergeable form: histogram state is bounded by the value
+    * domain, the merge is addition, and a continuously-ingested corpus
+    * answers running p50/p95 without ever re-scanning a batch. */
+  def percentilesStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = quantileStores.computeIfAbsent(sfDir, dir => {
+      val rows = Tables.orders(spark, dir)
+        .join(broadcast(Tables.customer(spark, dir)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), cents(col("o_totalprice")).as("cents"),
+          col("o_orderkey"))
+      val s = new graft.operators.QuantileStore(
+        s"graft_quantile_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(rows.filter(col("o_orderkey") % 2 === 0),
+        "c_mktsegment", col("cents"), batchId = 1L)
+      s.ingest(rows.filter(col("o_orderkey") % 2 =!= 0),
+        "c_mktsegment", col("cents"), batchId = 2L)
+      s
+    })
+    store.quantiles(spark, Seq(0.5, 0.95))
+      .select(col("g").as("c_mktsegment"),
+        round(col("qs").getItem(0), 2).as("p50_cents"),
+        round(col("qs").getItem(1), 2).as("p95_cents"),
+        col("n"))
+  }
+
   /** csv_roundtrip — S5/S6 codec parity: encode events to delimited
     * strings, FAILFAST-decode back; roundtrip must be the identity. */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
@@ -392,8 +433,20 @@ object RelationalOps extends QueryPack {
     "skew_agg" -> (skewAgg _),
     "percentiles" -> (percentiles _),
     "percentiles_approx" -> (percentilesApprox _),
+    "percentiles_store" -> (percentilesStore _),
     "csv_roundtrip" -> (csvRoundtrip _)
   )
+
+  /** One oracle string for the inline exact quantiles AND the
+    * store-fold form (identical by construction — see
+    * [[percentilesStore]]). */
+  private lazy val percentilesOracle: String =
+    """SELECT c_mktsegment,
+      |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 2) AS p50_cents,
+      |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95), 2) AS p95_cents,
+      |       count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
 
   override def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -560,13 +613,12 @@ object RelationalOps extends QueryPack {
         |       count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 
-    "percentiles" ->
-      """SELECT c_mktsegment,
-        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.5), 2) AS p50_cents,
-        |       round(quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 0.95), 2) AS p95_cents,
-        |       count(*) AS n
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin,
+    "percentiles" -> percentilesOracle,
+
+    // store fold is histogram counter addition == single pass; the
+    // frequency-weighted percentile replays the inline aggregate's
+    // exact computation — same oracle string, zero drift
+    "percentiles_store" -> percentilesOracle,
 
     // exact side cross-engine-verified; the TRUE literals encode the
     // sketch's rank-error claim — an approx_percentile regression past

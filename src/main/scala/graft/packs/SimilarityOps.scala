@@ -595,17 +595,25 @@ object SimilarityOps extends QueryPack {
   private def mmrOracle: String = mmrOracleOver(annBruteOracle)
 
   /** The MMR rounds over an arbitrary shortlist oracle — shared by the
-    * brute-shortlist gate and the IVF-shortlist production twin, so
-    * the greedy machinery cannot fork between them. */
-  private def mmrOracleOver(shortlistSql: String): String = {
+    * brute-shortlist gate, the IVF-shortlist production twin, AND the
+    * hybrid-RRF serving composition (TextOps), so the greedy machinery
+    * cannot fork between them. `vectorsSql` supplies the candidate
+    * vectors as a parenthesized subquery yielding
+    * (vec_id, embedding DOUBLE[], nrm) — default: the embeddings
+    * table; the hybrid form passes its HashEmbed derivation.
+    * `outIdCol` renames the selected id in the final projection (the
+    * hybrid surface speaks doc_id). */
+  private[packs] def mmrOracleOver(shortlistSql: String,
+      vectorsSql: String = null, dim: Int = 64,
+      outIdCol: String = "vec_id"): String = {
     import graft.operators.SimilaritySearch.{MmrLambda, MmrSelectK}
     val lam = sqlDouble(MmrLambda)
     val om = sqlDouble(1.0 - MmrLambda)
-    val nsub =
-      """(SELECT vec_id, embedding,
-        |      sqrt(list_sum(list_transform(generate_series(1, 64),
+    val nsub = Option(vectorsSql).getOrElse(
+      s"""(SELECT vec_id, embedding,
+        |      sqrt(list_sum(list_transform(generate_series(1, $dim),
         |        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
-        |    FROM embeddings)""".stripMargin
+        |    FROM embeddings)""".stripMargin)
     val rounds = (2 to MmrSelectK).map { r =>
       val prev = r - 1
       s"""sel$r AS (
@@ -630,7 +638,7 @@ object SimilarityOps extends QueryPack {
        |), mpair AS (
        |  SELECT s1.query_id, s1.vec_id AS vec_a, s2.vec_id AS vec_b,
        |    round(CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
-       |      ELSE list_sum(list_transform(generate_series(1, 64),
+       |      ELSE list_sum(list_transform(generate_series(1, $dim),
        |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
        |           / (a.nrm * b.nrm) END, 4) AS psim
        |  FROM shortlist s1
@@ -647,7 +655,7 @@ object SimilarityOps extends QueryPack {
        |  WHERE rn = 1),
        |seln1 AS (SELECT * FROM sel1),
        |$rounds
-       |SELECT query_id, rk, vec_id, score FROM seln$MmrSelectK""".stripMargin
+       |SELECT query_id, rk, vec_id AS $outIdCol, score FROM seln$MmrSelectK""".stripMargin
   }
 
   /** A Scala double as a DuckDB literal that parses DIRECTLY as DOUBLE.

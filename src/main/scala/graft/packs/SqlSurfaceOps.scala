@@ -194,6 +194,132 @@ object SqlSurfaceOps extends QueryPack {
          |WHERE rk <= $Bm25TopK""".stripMargin)
   }
 
+  /** Scale-safe grouped quantiles as pure SQL text — the declarative
+    * twin of [[RelationalOps.percentilesApprox]]: the same
+    * approx_percentile sketch call, the same exact-side rank window
+    * ([p49, p51] / [p94, p96]) the claim booleans are checked against,
+    * the same accuracy constant. Same oracle string as the DataFrame
+    * twin (exact side cross-engine verified, claims as TRUE literals). */
+  def percentilesApproxSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val acc = RelationalOps.ApproxPctAccuracy
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    spark.sql(
+      s"""WITH j AS (
+         |  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |), a AS (
+         |  SELECT c_mktsegment,
+         |    approx_percentile(cents, array(0.5D, 0.95D), $acc) AS ap,
+         |    percentile(cents, array(0.49D, 0.5D, 0.51D, 0.94D, 0.95D, 0.96D)) AS ex,
+         |    count(1) AS n
+         |  FROM j GROUP BY c_mktsegment
+         |)
+         |SELECT c_mktsegment,
+         |  round(ex[1], 2) AS p50_cents,
+         |  round(ex[4], 2) AS p95_cents,
+         |  (ap[0] >= floor(ex[0]) AND ap[0] <= ceil(ex[2])) AS p50_within_rank_1pct,
+         |  (ap[1] >= floor(ex[3]) AND ap[1] <= ceil(ex[5])) AS p95_within_rank_1pct,
+         |  n
+         |FROM a""".stripMargin)
+  }
+
+  /** Hybrid RRF retrieval as pure SQL text — the declarative twin of
+    * [[TextOps.hybridSearchRrf]]: the bm25 lexical side spelled as in
+    * [[bm25SearchSql]], the dense side's HashEmbed vectors derived in
+    * builtin functions (the md5h60 idiom over 'emb#'-salted terms —
+    * bucket = h % dim, sign = (h div dim) % 2, the exact arithmetic
+    * the native expression and the generated oracle share), cosine
+    * over the SPARSE bucket join (products of exact-integer component
+    * sums — order-independent; zero-overlap pairs kept via the
+    * query×doc cross so a 0.0 similarity still outranks a negative
+    * one), and the exact 1/(60+rk) fusion tail. Same oracle string as
+    * both DataFrame forms. */
+  def hybridSearchRrfSql(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis.{Bm25B, Bm25K1, Bm25TopK}
+    import TextOps.{EmbedDim, HybridQidOffset, RrfK}
+    val vals = TextOps.Bm25Queries
+      .map { case (q, t) => s"(${q}L, '$t')" }.mkString(", ")
+    val hq = TextOps.HybridQueryTexts
+      .map { case (q, t) => s"(${q + HybridQidOffset}L, '$t')" }.mkString(", ")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH qt AS (SELECT * FROM VALUES $vals AS qt(query_id, term)),
+         |tok AS (SELECT doc_id, explode(split(text, ' ')) AS term
+         |        FROM documents),
+         |dl AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
+         |       FROM documents),
+         |st AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(1) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(1) AS BIGINT) AS df
+         |       FROM tf GROUP BY term),
+         |c AS (
+         |  SELECT q.query_id, t.doc_id,
+         |    round(ln(1.0D + (s.n_docs - d.df + 0.5D) / (d.df + 0.5D)), 6)
+         |      * (t.tf * ${Bm25K1 + 1.0}D)
+         |      / (t.tf + ${Bm25K1}D * (${1.0 - Bm25B}D + ${Bm25B}D * l.dl / s.avgdl)) AS c
+         |  FROM qt q JOIN tf t USING (term) JOIN df d USING (term)
+         |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st s
+         |),
+         |sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
+         |       FROM c GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id, doc_id, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM sc) WHERE rk <= $Bm25TopK),
+         |hqt AS (SELECT * FROM VALUES $hq AS hqt(query_id, qtext)),
+         |hdt AS (SELECT doc_id AS vid, explode(split(text, ' ')) AS t
+         |        FROM documents
+         |        UNION ALL
+         |        SELECT query_id AS vid, explode(split(qtext, ' ')) AS t
+         |        FROM hqt),
+         |hh AS (SELECT vid,
+         |         CAST(conv(substring(md5(concat('emb#', t)), 1, 15), 16, 10) AS BIGINT) AS h
+         |       FROM hdt),
+         |htb AS (SELECT vid, pmod(h, $EmbedDim) AS b,
+         |          CAST(sum(CASE WHEN pmod(h div $EmbedDim, 2) = 0
+         |                        THEN 1 ELSE -1 END) AS DOUBLE) AS v
+         |        FROM hh GROUP BY 1, 2),
+         |hn AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM htb GROUP BY vid),
+         |hdot AS (SELECT q.vid AS qvid, d.vid AS dvid, sum(q.v * d.v) AS dot
+         |         FROM (SELECT * FROM htb WHERE vid >= ${HybridQidOffset}L) q
+         |         JOIN (SELECT * FROM htb WHERE vid < ${HybridQidOffset}L) d
+         |           ON q.b = d.b
+         |         GROUP BY 1, 2),
+         |hpairs AS (SELECT q.vid AS qvid, d.vid AS dvid
+         |           FROM (SELECT DISTINCT vid FROM htb
+         |                 WHERE vid >= ${HybridQidOffset}L) q
+         |           CROSS JOIN (SELECT DISTINCT vid FROM htb
+         |                       WHERE vid < ${HybridQidOffset}L) d),
+         |hscored AS (
+         |  SELECT p.qvid AS query_id, p.dvid AS vec_id,
+         |    round(CASE WHEN qn.nrm * dn.nrm = 0D THEN 0D
+         |          ELSE coalesce(h.dot, 0D) / (qn.nrm * dn.nrm) END, 4) AS sim
+         |  FROM hpairs p
+         |  LEFT JOIN hdot h ON h.qvid = p.qvid AND h.dvid = p.dvid
+         |  JOIN hn qn ON qn.vid = p.qvid
+         |  JOIN hn dn ON dn.vid = p.dvid),
+         |hdense AS (
+         |  SELECT query_id - ${HybridQidOffset}L AS query_id,
+         |         vec_id AS doc_id, rk FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rk
+         |    FROM hscored) WHERE rk <= $Bm25TopK),
+         |hall AS (SELECT query_id, doc_id, rk FROM lex
+         |         UNION ALL
+         |         SELECT query_id, doc_id, rk FROM hdense),
+         |hfused AS (SELECT query_id, doc_id,
+         |             round(sum(1.0D / ($RrfK + rk)), 4) AS rrf
+         |           FROM hall GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf, rk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM hfused) WHERE rk <= $Bm25TopK""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
@@ -202,7 +328,9 @@ object SqlSurfaceOps extends QueryPack {
     "sql_pack_sequences" -> (packSequencesSql _),
     "sql_dsir_select" -> (dsirSelectSql _),
     "sql_quality_floor_by_lang" -> (qualityFloorByLangSql _),
-    "sql_bm25_search" -> (bm25SearchSql _)
+    "sql_bm25_search" -> (bm25SearchSql _),
+    "sql_percentiles_approx" -> (percentilesApproxSql _),
+    "sql_hybrid_search_rrf" -> (hybridSearchRrfSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -226,6 +354,10 @@ object SqlSurfaceOps extends QueryPack {
 
     "sql_dsir_select" -> TextOps.oracleSql("dsir_select"),
 
-    "sql_quality_floor_by_lang" -> TextOps.oracleSql("quality_floor_by_lang")
+    "sql_quality_floor_by_lang" -> TextOps.oracleSql("quality_floor_by_lang"),
+
+    "sql_percentiles_approx" -> RelationalOps.oracleSql("percentiles_approx"),
+
+    "sql_hybrid_search_rrf" -> TextOps.oracleSql("hybrid_search_rrf")
   )
 }

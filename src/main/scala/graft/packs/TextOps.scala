@@ -686,6 +686,38 @@ object TextOps extends QueryPack {
     rrfFuse(lex, dense)
   }
 
+  /** The FULL serving stack in one query — MMR diversification over
+    * the store-backed hybrid shortlist: posting-store keyword probe +
+    * pre-normed dense scoring fused by RRF
+    * ([[hybridSearchRrfStore]] — that query's exact output is this
+    * one's shortlist), then the greedy λ-relevance/diversity re-rank
+    * ([[graft.operators.SimilaritySearch.mmrRerankPrenormed]]) with
+    * the candidate pair-similarities scored off the SAME persisted
+    * pre-normed vector table — zero re-embed/re-norm anywhere in the
+    * plan (PlanSpec pins it). Everything past the two store probes is
+    * shortlist-sized: the RRF relation is |q|·2k rows, the MMR pair
+    * table |q|·k², the greedy rounds a compile-time constant. */
+  /** The serving twin's persisted vector store (spec access: the MMR
+    * plan pin inspects the pre-checkpoint pair inputs, which the lazy
+    * checkpoints hide from the final plan string). Materializes the
+    * stores on first use, exactly like the gated queries. */
+  private[graft] def hybridEmbStore(spark: SparkSession,
+      sfDir: String): graft.operators.EmbStore = {
+    hybridSearchRrfStore(spark, sfDir) // populates both store caches
+    hybridEmbStores.get(sfDir)
+  }
+
+  def hybridSearchRrfStoreMmr(spark: SparkSession, sfDir: String): DataFrame = {
+    val fused = hybridSearchRrfStore(spark, sfDir) // materializes both stores
+    val shortlist = fused.select(col("query_id"),
+      col("doc_id").as("vec_id"), col("rrf").as("sim"))
+    val normed = hybridEmbStores.get(sfDir).vectorRows(spark)
+      .select("vec_id", "emb", "nrm")
+    graft.operators.SimilaritySearch.mmrRerankPrenormed(shortlist, normed)
+      .select(col("query_id"), col("rk"), col("vec_id").as("doc_id"),
+        col("score"))
+  }
+
   /** Z-order (Morton) layout assignment over (quality, length)
     * ([[TextAnalysis.layoutZorder]]): shuffle-free scan-side
     * projection; shard = top z bits, giving BOTH dims prefix
@@ -2091,6 +2123,7 @@ object TextOps extends QueryPack {
     "term_freq_topk_store" -> (termFreqTopkStore _),
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "hybrid_search_rrf_store" -> (hybridSearchRrfStore _),
+    "hybrid_search_rrf_store_mmr" -> (hybridSearchRrfStoreMmr _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2838,6 +2871,39 @@ object TextOps extends QueryPack {
          |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
     }
 
+  /** DuckDB twin of the full serving stack: the hybrid RRF oracle
+    * nested verbatim as the MMR shortlist, the greedy rounds via the
+    * SHARED [[SimilarityOps.mmrOracleOver]] machinery (zero fork from
+    * the ann_mmr gates), and the candidate pair-similarities over the
+    * SAME HashEmbed doc-vector derivation the dense side uses. */
+  private lazy val hybridRrfStoreMmrOracleSql: String = {
+    val docVecs =
+      s"""(SELECT vid AS vec_id, emb AS embedding, nrm FROM (
+         |  WITH mdt AS (SELECT doc_id AS vid,
+         |                      unnest(string_split(text, ' ')) AS t
+         |               FROM documents),
+         |  mhh AS (SELECT vid,
+         |            ('0x' || substr(md5('emb#' || t), 1, 15))::BIGINT AS h
+         |          FROM mdt),
+         |  mtb AS (SELECT vid, h % $EmbedDim AS b,
+         |            CAST(sum(CASE WHEN (h // $EmbedDim) % 2 = 0
+         |                          THEN 1 ELSE -1 END) AS DOUBLE) AS v
+         |          FROM mhh GROUP BY 1, 2),
+         |  mgrid AS (SELECT ids.vid, r.b
+         |            FROM (SELECT DISTINCT vid FROM mtb) ids,
+         |                 unnest(range(0, $EmbedDim)) AS r(b)),
+         |  mvn AS (SELECT g.vid, list(coalesce(mtb.v, 0) ORDER BY g.b) AS emb,
+         |            sqrt(list_sum(list_transform(
+         |              list(coalesce(mtb.v, 0) ORDER BY g.b), x -> x * x))) AS nrm
+         |          FROM mgrid g LEFT JOIN mtb
+         |            ON mtb.vid = g.vid AND mtb.b = g.b
+         |          GROUP BY g.vid)
+         |  SELECT vid, emb, nrm FROM mvn))""".stripMargin
+    SimilarityOps.mmrOracleOver(
+      s"SELECT query_id, doc_id AS vec_id, rrf AS sim FROM (\n$hybridRrfOracleSql\n)",
+      vectorsSql = docVecs, dim = EmbedDim, outIdCol = "doc_id")
+  }
+
   private lazy val bm25OracleSql: String = {
     val vals = Bm25Queries
       .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
@@ -3378,6 +3444,10 @@ object TextOps extends QueryPack {
     // fusion = exact 1/(60+rk) sums rounded to 4
     "hybrid_search_rrf" -> hybridRrfOracleSql,
     "hybrid_search_rrf_store" -> hybridRrfOracleSql,
+
+    // the serving composition: hybrid oracle nested as the MMR
+    // shortlist, shared greedy rounds, HashEmbed pair-sims
+    "hybrid_search_rrf_store_mmr" -> hybridRrfStoreMmrOracleSql,
 
     // Morton interleave as pure integer arithmetic: bit 2i = dim-a
     // bit i, bit 2i+1 = dim-b bit i, summed over disjoint bits (≡ OR);

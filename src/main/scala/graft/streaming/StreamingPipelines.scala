@@ -322,6 +322,29 @@ object StreamingPipelines {
     batch
   }
 
+  /** Quantile-state-at-ingest — [[cmsIngestBatch]]'s sibling over the
+    * per-group value-histogram store
+    * ([[graft.operators.QuantileStore]]): one map-side-combining
+    * partial agg of the arriving batch to its (group, value, count)
+    * sliver, one stored segment under the batchId (replay checked
+    * first — a replayed trigger pays zero aggregation). The read side
+    * folds segments by counter addition and answers EXACT per-group
+    * interpolated quantiles (frequency-weighted `percentile`), equal
+    * to the batch aggregate over the concatenated corpus
+    * (QuantileStoreSpec pins stream == batch per horizon). Indexing
+    * loop: the batch passes through unchanged. */
+  def quantileIngestBatch(store: graft.operators.QuantileStore,
+      batch: DataFrame, groupCol: String,
+      value: org.apache.spark.sql.Column,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    if (store.isReplay(batchId)) return batch
+    store.ingest(batch, groupCol, value, batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    batch
+  }
+
   /** The ONE drop policy of the store-backed ingest loops (text and
     * vector — a divergence here would silently split their dedup
     * semantics): the batch endpoint of a (seen, new) pair drops (the

@@ -698,4 +698,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     assert(p.contains("graft_topk"), s"fusion ranking stays the heap aggregate:\n$p")
   }
+
+  test("hybrid_search_rrf_store_mmr: greedy tail over checkpointed shortlists; pair sims from stored vectors") {
+    // the greedy rounds read CHECKPOINTED shortlist-sized relations, so
+    // the final plan is the MMR tail alone: every selection round must
+    // be a partial-agg argmax (max(struct)), never a window, with no
+    // cartesian and no embed anywhere above the checkpoints
+    val p = plan("hybrid_search_rrf_store_mmr")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the greedy tail:\n$p")
+    assert(!p.contains("Window"), s"argmax must stay a partial agg, never a window:\n$p")
+    assert(!p.contains("graft_hash_embed"), s"no re-embed above the checkpoints:\n$p")
+    // the greedy argmax idiom, pinned on the shared pick primitive
+    // every round calls — the per-round checkpoints hide the rounds
+    // themselves from the composed query's final plan string
+    import org.apache.spark.sql.functions.col
+    val scored = spark.range(4).select(
+      (col("id") % 2).as("query_id"), col("id").as("vec_id"),
+      col("id").cast("double").as("score"))
+    val pick = graft.operators.SimilaritySearch.mmrPickBest(scored, 1)
+      .queryExecution.executedPlan.toString
+    assert(pick.contains("partial_max"),
+      s"greedy argmax must combine map-side (max(struct) partial agg):\n$pick")
+    assert(!pick.contains("Window"),
+      s"greedy argmax must never be a window:\n$pick")
+    // the checkpoint-hidden inputs, pinned at their own seams: the pair
+    // similarities score the PERSISTED pre-normed vector table (zero
+    // re-embed/re-norm), and the shortlist is the store-probing hybrid
+    // plan already pinned above
+    val normed = graft.packs.TextOps.hybridEmbStore(spark, sf)
+      .vectorRows(spark).select("vec_id", "emb", "nrm")
+    val np = normed.queryExecution.executedPlan.toString
+    assert(np.contains("graft_hybrid_emb_store_"),
+      s"pair sims must read the persisted vector segments:\n$np")
+    assert(!np.contains("graft_hash_embed") && !np.contains("split("),
+      s"stored vectors must not be recomputed from text:\n$np")
+  }
 }

@@ -29,6 +29,20 @@ class QueryPackSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("store and SQL-surface twins share their oracle strings verbatim") {
+    // a twin re-expresses WHERE the data comes from (a store) or HOW
+    // the plan is declared (SQL text) — never WHAT is computed, so its
+    // oracle must be the SAME string object-for-object; a forked copy
+    // could drift silently on the next edit
+    val o = SparkEntry.oracleSql
+    assert(o("percentiles_store") == o("percentiles"))
+    assert(o("hybrid_search_rrf_store") == o("hybrid_search_rrf"))
+    assert(o("sql_hybrid_search_rrf") == o("hybrid_search_rrf"))
+    assert(o("sql_percentiles_approx") == o("percentiles_approx"))
+    assert(o("sql_bm25_search") == o("bm25_search"))
+    assert(o("term_freq_topk_store") == o("term_freq_topk"))
+  }
+
   // Queries whose gate output is LEGITIMATELY empty on the synthetic
   // corpus: redact_spans reports PII token islands and the corpus
   // carries no PII-shaped content at all (no digits, no '@') — zero
