@@ -384,12 +384,22 @@ object DedupOps extends QueryPack {
   def dedupThresholdCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
-    // ONE candidate+verify pass literally: the final plan consumes the
-    // pair relation three times (n_pairs agg + both sides of the dup-doc
-    // union) and Catalyst has no cross-branch CSE — uncheckpointed, the
-    // whole LSH banding pipeline would execute 3× per run
+    // The final plan consumes the pair relation three times (n_pairs
+    // agg + both sides of the dup-doc union) and Catalyst has no
+    // cross-branch CSE, so the banding pipeline executes 3× per run —
+    // and that is the FASTER shape here, measured, not assumed: a
+    // localCheckpoint(false) on `pairs` was tried (r15) and reverted
+    // (r16) after an interleaved same-host A/B showed the triple
+    // recompute at 0.9–1.1 s warm vs 2.1–2.5 s checkpointed (sf0.1,
+    // medians of iters 2–5, two rounds each side; no ReusedExchange in
+    // either plan — PlanProbe). The banding subtree is scan-parallel
+    // and each branch AQE-optimizes independently; the checkpoint's
+    // materialization barrier + block re-reads cost more than the
+    // redundant work it saves. Contrast nearDupClustersFromPairs,
+    // where the SAME idiom wins: there the duplicated subtree feeds a
+    // persist() materialization inside an iterative loop, not three
+    // one-shot aggregates.
     val pairs = Dedup.minhashLshMd5(docs, "doc_id", "text", threshold = 0.0)
-      .localCheckpoint(false)
     val th = SweepThresholds.toDF("threshold")
     val tp = pairs.join(broadcast(th), col("jac") >= col("threshold"))
     val np = tp.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
