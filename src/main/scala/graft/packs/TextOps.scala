@@ -671,7 +671,6 @@ object TextOps extends QueryPack {
       s.ingest(Tables.documents(spark, dir), "doc_id", "text")
       s
     })
-    val lex = lexStore.bm25(Bm25Queries.toDF("query_id", "term"))
     val embStore = hybridEmbStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.EmbStore(
         s"graft_hybrid_emb_store_${graft.QueryPack.storeSuffix(dir)}")
@@ -680,6 +679,21 @@ object TextOps extends QueryPack {
           graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding")))
       s
     })
+    hybridStoreProbe(spark, lexStore, embStore)
+  }
+
+  /** The store-probing hybrid serving plan over EXPLICIT stores — ONE
+    * plan shared by the gated twin above and the ScaleCurve row, so
+    * the 1×/10×/100× scale claim times exactly the served query.
+    * Lexical side: posting-pruned probe (work scales with MATCHING
+    * postings, never the store); dense side: pre-normed brute scoring
+    * (the corpus-linear baseline an IVF shortlist replaces at the same
+    * seam); fusion: the shared RRF tail. */
+  private[graft] def hybridStoreProbe(spark: SparkSession,
+      lexStore: graft.operators.LexStore,
+      embStore: graft.operators.EmbStore): DataFrame = {
+    import spark.implicits._
+    val lex = lexStore.bm25(Bm25Queries.toDF("query_id", "term"))
     val dense = graft.operators.SimilaritySearch.bruteForceTopKHeapPrenormed(
       embStore.vectorRows(spark).select("vec_id", "emb", "nrm"),
       hybridQueryVecs(spark), k = TextAnalysis.Bm25TopK)

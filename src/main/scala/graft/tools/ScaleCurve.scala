@@ -376,6 +376,11 @@ object ScaleCurve {
           graft.packs.WindowOps.assembleThreadsOn(events))
         bench("thread_dedup", m,
           graft.packs.WindowOps.threadDedupOn(events))
+        // the SFT extraction stage: stateless pairing over the
+        // assembled turn arrays — per-user work, users disjoint per
+        // replica, so pair mass scales with the log
+        bench("thread_turn_pairs", m,
+          graft.packs.WindowOps.threadTurnPairsOn(events))
         bench("pipeline_curate_threads", m,
           graft.packs.WindowOps.pipelineCurateThreadsOn(events))
         // exact vs sketch quantiles over the growing log — the r15
@@ -391,6 +396,31 @@ object ScaleCurve {
           .agg(expr("approx_percentile(cents, array(0.5D, 0.95D), " +
             s"${graft.packs.RelationalOps.ApproxPctAccuracy})").as("p")))
         events.unpersist()
+      }
+      // the hybrid SERVING probe at a grown store: ingest is the
+      // train-once/serve-many side (untimed — one corpus pass per
+      // store, exactly like the BPE/IVF fits above); the timed path is
+      // the served query over the persisted segments: posting-pruned
+      // keyword probe (bounded by MATCHING postings — the salted
+      // replicas share no tokens with the fixed query set, so lexical
+      // work stays replica-0-sized while the store grows 100×) fused
+      // with pre-normed brute dense scoring (corpus-linear by design —
+      // the baseline an IVF shortlist replaces at this seam). Ids here
+      // exceed the gate twin's query-id offset scheme (replica offsets
+      // are 1e8); the curve ingests raw ids — timing-isomorphic, and
+      // the id discipline is the GATE's concern, enforced there by the
+      // in-plan raise_error.
+      // ingest guarded by the row filter: a targeted run of OTHER rows
+      // must not pay the 100× store build
+      if (only.forall(_.contains("hybrid_search_rrf_store_probe"))) locally {
+        val lexStore = new graft.operators.LexStore(s"graft_curve_lex_$m")
+        lexStore.ingest(docs, "doc_id", "text")
+        val embStore = new graft.operators.EmbStore(s"graft_curve_emb_$m")
+        embStore.ingest(docs.select(col("doc_id").as("vec_id"),
+          graft.functions.HashEmbed(col("text"),
+            graft.packs.TextOps.EmbedDim).as("embedding")))
+        bench("hybrid_search_rrf_store_probe", m,
+          graft.packs.TextOps.hybridStoreProbe(spark, lexStore, embStore))
       }
       docs.unpersist()
       vecs.unpersist()
