@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * (3) do not mention "javascript"; per PAGE, drop documents whose
   * kept-line count falls under [[MinKeptLines]], documents containing
   * the phrase "lorem ipsum", and documents containing a curly brace.
-  * (C4's remaining page rules — the bad-words list and URL dedup —
-  * live in their own operators: the NB classifier / quality floors and
-  * the dedup family.)
+  * (C4's remaining page rules live in their own operators: the
+  * bad-words list is [[Blocklist]] — the list-based page filter
+  * itself, generalized to multiword phrases — next to the NB
+  * classifier / quality floors; URL dedup is the dedup family.)
   *
   * The LINE is a parameter, not an assumption — verdicts run over any
   * [[Paragraphs]] unit table (structural delimiters in production;

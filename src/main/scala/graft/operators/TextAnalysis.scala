@@ -1691,6 +1691,93 @@ object TextAnalysis {
           first(col("ns")).cast("double"), 4).as("kl_vs_corpus"))
   }
 
+  /** (word, n) token histogram of a corpus — the shared head of the
+    * drift family (and exactly the fold a [[LexStore]]'s persisted
+    * postings replay: sum(tf) group by term). */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Ingest-time distribution-drift monitor: per-group Jensen-Shannon
+    * divergence (nats) between an arriving batch's token distribution
+    * P and the accumulated corpus's Q — the data-quality tripwire a
+    * production pipeline alarms on (a scraper gone wrong, a source
+    * switching language, template spam flooding one shard). JS rather
+    * than KL because drift must be FINITE when the batch carries novel
+    * vocabulary (KL(P‖Q) is +∞ on any word with q=0; JS is bounded by
+    * ln 2) and symmetric enough to compare across batches.
+    *
+    * Inputs are (grp, word, n) histograms. Per word, with per-group
+    * totals NB/NS: P/M = 2·b·NS / (b·NS + s·NB) and Q/M symmetric —
+    * ONE ratio per side, rounded to 6 decimals as DECIMAL (the
+    * [[sourceKlDivergence]] llr discipline), weighted by the INTEGER
+    * count, divided once by the total at the end (round 4). The log
+    * arguments multiply as doubles (NOT integer-first like the KL
+    * twin: b·NS overflows int64 at 100 TB token counts; both engines
+    * evaluate the identical double expression). Zero-count sides are
+    * skipped exactly (0·log-term contributes 0 to its sum). Groups
+    * present on only one side are dropped — drift against an empty
+    * distribution is undefined; the caller's seen side defines the
+    * monitored universe.
+    *
+    * Scale shape: one full-outer shuffle merge on (grp, word) — both
+    * sides pre-aggregated map-side; per-group totals broadcast; one
+    * partial-agg rollup. No windows, no driver-side data. The merged
+    * histogram is consumed TWICE (totals, then terms) — it checkpoints
+    * lazily so the corpus-side work (at scale, a posting fold over the
+    * whole store) runs once, not per consumer; the materialized rows
+    * are vocabulary-sized, the cheap thing to hold. */
+  def jsDriftGrouped(batchCounts: DataFrame,
+      seenCounts: DataFrame): DataFrame = {
+    val j = batchCounts.select(col("grp"), col("word"), col("n").as("b"))
+      .join(seenCounts.select(col("grp"), col("word"), col("n").as("s")),
+        Seq("grp", "word"), "full_outer")
+      .na.fill(0L, Seq("b", "s"))
+      .localCheckpoint(false)
+    val tot = j.groupBy(col("grp"))
+      .agg(sum(col("b")).as("nb"), sum(col("s")).as("ns"))
+      .filter(col("nb") > 0 && col("ns") > 0)
+    val den = col("b").cast("double") * col("ns").cast("double") +
+      col("s").cast("double") * col("nb").cast("double")
+    j.join(broadcast(tot), Seq("grp"))
+      .select(col("grp"), col("b"), col("s"), col("nb"), col("ns"),
+        when(col("b") > 0, round(log(
+            col("b").cast("double") * col("ns").cast("double") * 2d / den),
+          6).cast("decimal(18,6)")).as("lp"),
+        when(col("s") > 0, round(log(
+            col("s").cast("double") * col("nb").cast("double") * 2d / den),
+          6).cast("decimal(18,6)")).as("lq"))
+      .groupBy(col("grp"))
+      .agg(first(col("nb")).as("n_batch_tokens"),
+        first(col("ns")).as("n_seen_tokens"),
+        round((sum(col("b") * col("lp")).cast("double") /
+            first(col("nb")).cast("double") +
+          sum(col("s") * col("lq")).cast("double") /
+            first(col("ns")).cast("double")) / 2d, 4).as("js_nats"))
+  }
+
+  /** Per-source drift of a batch against the seen corpus — the
+    * monitoring datacard: one row per source present on both sides. */
+  def jsDriftBySource(batch: DataFrame, seen: DataFrame,
+      srcCol: String, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(col(srcCol).as("grp"), explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
+    jsDriftGrouped(counts(batch), counts(seen))
+      .withColumnRenamed("grp", "source")
+  }
+
+  /** Whole-corpus drift of a batch against a seen-side (word, n)
+    * histogram — the store-probing seam: the seen histogram can come
+    * from [[wordCounts]] (recompute) or from a [[LexStore]]'s persisted
+    * postings folded by counter addition (probe), bit-identically. */
+  def jsDriftVsCorpus(batch: DataFrame, textCol: String,
+      seenCounts: DataFrame): DataFrame =
+    jsDriftGrouped(
+      wordCounts(batch, textCol).withColumn("grp", lit(0)),
+      seenCounts.withColumn("grp", lit(0)))
+      .drop("grp")
+
   val EntropyMinBits = 3.0
 
   /** Per-document character-level Shannon entropy (bits/char) — the

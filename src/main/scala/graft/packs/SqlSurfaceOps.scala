@@ -320,6 +320,90 @@ object SqlSurfaceOps extends QueryPack {
          |  FROM hfused) WHERE rk <= $Bm25TopK""".stripMargin)
   }
 
+  /** C4's banned-words page rule as pure SQL text — the declarative
+    * twin of [[TextOps.blocklistTag]]: per distinct phrase length one
+    * gram block (transform(sequence) over the token split, builtin
+    * functions only), the dictionary as an inline VALUES relation.
+    * Same oracle string as the DataFrame twin — both sides AND this
+    * SQL are generated from the one phrase list. */
+  def blocklistTagSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val phrases = graft.operators.Blocklist.DefaultPhrases
+    val dictRows = phrases
+      .map(p => s"('$p', ${p.split(" ").length})").mkString(", ")
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val gramBlocks = lens.map { k =>
+      s"""  SELECT doc_id, $k AS k,
+         |    explode(transform(sequence(1, size(t) - $k + 1),
+         |      i -> array_join(slice(t, i, $k), ' '))) AS gram
+         |  FROM toks WHERE size(t) >= $k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH dict AS (SELECT * FROM VALUES $dictRows AS d(term, k)),
+         |toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         |grams AS (
+         |$gramBlocks
+         |), hits AS (
+         |  SELECT g.doc_id, d.term, count(1) AS hits
+         |  FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
+         |  GROUP BY 1, 2
+         |), perdoc AS (
+         |  SELECT doc_id,
+         |    array_join(array_sort(collect_list(term)), ',') AS terms_csv,
+         |    sum(hits) AS n_hits
+         |  FROM hits GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(p.terms_csv, '') AS terms_csv,
+         |       coalesce(p.n_hits, 0L) AS n_hits,
+         |       coalesce(p.n_hits, 0L) = 0 AS keep
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin)
+  }
+
+  /** The JS drift monitor as pure SQL text — the declarative twin of
+    * [[TextOps.driftVsCorpus]]: the same double-first log-ratio terms,
+    * round-6 DECIMAL carry, integer-count weighting and single final
+    * division. Same oracle string as both DataFrame forms. */
+  def driftVsCorpusSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = TextOps.TextIncrementalBatchMod
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH bw AS (
+         |  SELECT word, count(1) AS b
+         |  FROM (SELECT explode(split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id % $mod = 0)
+         |  GROUP BY word
+         |), sw AS (
+         |  SELECT word, count(1) AS s
+         |  FROM (SELECT explode(split(text, ' ')) AS word
+         |        FROM documents WHERE doc_id % $mod != 0)
+         |  GROUP BY word
+         |), j AS (
+         |  SELECT coalesce(b, 0L) AS b, coalesce(s, 0L) AS s
+         |  FROM bw FULL OUTER JOIN sw USING (word)
+         |), tot AS (
+         |  SELECT sum(b) AS nb, sum(s) AS ns FROM j
+         |), t AS (
+         |  SELECT b, s, nb, ns,
+         |    CASE WHEN b > 0 THEN CAST(round(ln(
+         |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
+         |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+         |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) END AS lp,
+         |    CASE WHEN s > 0 THEN CAST(round(ln(
+         |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
+         |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+         |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) END AS lq
+         |  FROM j CROSS JOIN tot
+         |)
+         |SELECT any_value(nb) AS n_batch_tokens,
+         |  any_value(ns) AS n_seen_tokens,
+         |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
+         |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
+         |    AS js_nats
+         |FROM t""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
@@ -330,7 +414,9 @@ object SqlSurfaceOps extends QueryPack {
     "sql_quality_floor_by_lang" -> (qualityFloorByLangSql _),
     "sql_bm25_search" -> (bm25SearchSql _),
     "sql_percentiles_approx" -> (percentilesApproxSql _),
-    "sql_hybrid_search_rrf" -> (hybridSearchRrfSql _)
+    "sql_hybrid_search_rrf" -> (hybridSearchRrfSql _),
+    "sql_blocklist_tag" -> (blocklistTagSql _),
+    "sql_drift_vs_corpus" -> (driftVsCorpusSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -358,6 +444,10 @@ object SqlSurfaceOps extends QueryPack {
 
     "sql_percentiles_approx" -> RelationalOps.oracleSql("percentiles_approx"),
 
-    "sql_hybrid_search_rrf" -> TextOps.oracleSql("hybrid_search_rrf")
+    "sql_hybrid_search_rrf" -> TextOps.oracleSql("hybrid_search_rrf"),
+
+    "sql_blocklist_tag" -> TextOps.oracleSql("blocklist_tag"),
+
+    "sql_drift_vs_corpus" -> TextOps.oracleSql("drift_vs_corpus")
   )
 }

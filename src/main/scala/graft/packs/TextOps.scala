@@ -816,6 +816,81 @@ object TextOps extends QueryPack {
     TextAnalysis.sourceKlDivergence(Tables.documents(spark, sfDir),
       "text", "source")
 
+  /** Blocklist tagging, detail rows ([[graft.operators.Blocklist
+    * .phraseHits]]): one row per doc × matched dictionary phrase with
+    * the exact occurrence count — the generalized C4 banned-words scan
+    * as a broadcast-dictionary k-gram join. */
+  def blocklistHits(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Blocklist.phraseHits(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Blocklist page verdict ([[graft.operators.Blocklist.tagVerdict]]):
+    * every doc with its matched phrases (sorted CSV), total hits, and
+    * C4's keep-if-clean page semantics. */
+  def blocklistTag(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Blocklist.tagVerdict(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
+  /** Ingest-time drift monitor, per source: Jensen-Shannon divergence
+    * between the arriving batch's token distribution and the seen
+    * corpus's ([[TextAnalysis.jsDriftBySource]]) — the data-quality
+    * tripwire for a scraper regression or a source flipping language.
+    *
+    * The batch predicate strides WITHIN sources: the synthetic corpus
+    * round-robins sources over doc_id (source = f(doc_id mod 20)), so
+    * the plain mod-[[TextIncrementalBatchMod]] split would put every
+    * source entirely on one side and the per-source monitor would have
+    * nothing to compare. (doc_id div 20) is the doc's row index within
+    * its source; mod-5 of THAT splits every source 5:20. */
+  def driftBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inSrcIdx = expr("doc_id div 20") % TextIncrementalBatchMod
+    TextAnalysis.jsDriftBySource(
+      docs.filter(inSrcIdx === 0),
+      docs.filter(inSrcIdx =!= 0),
+      "source", "text")
+  }
+
+  /** Whole-corpus drift of the batch vs the seen corpus — recompute
+    * form (the seen histogram re-tokenized per run). */
+  def driftVsCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.jsDriftVsCorpus(
+      docs.filter(col("doc_id") % TextIncrementalBatchMod === 0), "text",
+      TextAnalysis.wordCounts(
+        docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0), "text"))
+  }
+
+  private val driftLexStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.LexStore]()
+
+  /** Store-probing drift twin: the seen-side histogram folded from a
+    * [[graft.operators.LexStore]]'s PERSISTED postings (sum(tf) group
+    * by term — counter addition over the index the pipeline already
+    * maintains for search), zero seen-side re-tokenization; the
+    * NULL-term sentinel postings of empty docs carry no tokens and are
+    * excluded exactly as the recompute side's explode drops them.
+    * Identical oracle to [[driftVsCorpus]] — the divergence tail is
+    * shared code ([[TextAnalysis.jsDriftVsCorpus]]). */
+  def driftVsCorpusStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val store = driftLexStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.LexStore(
+        s"graft_drift_lex_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0),
+        "doc_id", "text")
+      s
+    })
+    val seenCounts = store.table(spark)
+      .filter(col("term").isNotNull)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("n"))
+      .select(col("term").as("word"), col("n"))
+    TextAnalysis.jsDriftVsCorpus(
+      docs.filter(col("doc_id") % TextIncrementalBatchMod === 0), "text",
+      seenCounts)
+  }
+
   def bigramLogprobKn(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigramLogProbKn(Tables.documents(spark, sfDir),
       "doc_id", "text")
@@ -2155,6 +2230,11 @@ object TextOps extends QueryPack {
     "bigram_logprob_kn" -> (bigramLogprobKn _),
     "bigram_rank_agreement" -> (bigramRankAgreement _),
     "source_kl" -> (sourceKl _),
+    "blocklist_hits" -> (blocklistHits _),
+    "blocklist_tag" -> (blocklistTag _),
+    "drift_by_source" -> (driftBySource _),
+    "drift_vs_corpus" -> (driftVsCorpus _),
+    "drift_vs_corpus_store" -> (driftVsCorpusStore _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -2953,6 +3033,67 @@ object TextOps extends QueryPack {
        |  FROM bsc)
        |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
   }
+
+  /** Blocklist oracle CTEs, generated from [[graft.operators.Blocklist
+    * .DefaultPhrases]] — the dictionary VALUES plus one gram block per
+    * DISTINCT phrase length (the proven constant-k list_slice/range
+    * idiom, unioned — mirroring the Scala plan's per-length scans). */
+  private lazy val blocklistCtes: String = {
+    val phrases = graft.operators.Blocklist.DefaultPhrases
+    val dictRows = phrases
+      .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val gramBlocks = lens.map { k =>
+      s"""  SELECT doc_id, $k AS k,
+         |         array_to_string(list_slice(t, i, i + $k - 1), ' ') AS gram
+         |  FROM toks, unnest(range(1, len(t) - $k + 2)) AS u(i)""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH dict(term, k) AS (VALUES $dictRows),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |$gramBlocks
+       |)""".stripMargin
+  }
+
+  /** Whole-corpus JS-drift oracle — ONE string registered for both the
+    * recompute and the store-probing form (seen side folded from
+    * persisted postings; the Spark divergence tail is shared code). */
+  private lazy val driftVsCorpusOracle: String =
+    s"""WITH bw AS (
+      |  SELECT word, count(*)::BIGINT AS b
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents WHERE doc_id % $TextIncrementalBatchMod = 0)
+      |  GROUP BY 1
+      |), sw AS (
+      |  SELECT word, count(*)::BIGINT AS s
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |        FROM documents WHERE doc_id % $TextIncrementalBatchMod <> 0)
+      |  GROUP BY 1
+      |), j AS (
+      |  SELECT word, coalesce(b, 0) AS b, coalesce(s, 0) AS s
+      |  FROM bw FULL OUTER JOIN sw USING (word)
+      |), tot AS (
+      |  SELECT sum(b)::BIGINT AS nb, sum(s)::BIGINT AS ns FROM j
+      |), t AS (
+      |  SELECT b, s, nb, ns,
+      |    CASE WHEN b > 0 THEN CAST(round(ln(
+      |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
+      |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+      |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) END AS lp,
+      |    CASE WHEN s > 0 THEN CAST(round(ln(
+      |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
+      |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+      |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) END AS lq
+      |  FROM j CROSS JOIN tot
+      |)
+      |SELECT any_value(nb)::BIGINT AS n_batch_tokens,
+      |  any_value(ns)::BIGINT AS n_seen_tokens,
+      |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
+      |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
+      |    AS js_nats
+      |FROM t""".stripMargin
 
   // a DEF end to end: the snapshot-generated maps (bpe/unigram/
   // wordpiece) must re-evaluate per call — Verify dumps oracleSql
@@ -3934,6 +4075,83 @@ object TextOps extends QueryPack {
         |  round(CAST(sum(csw * llr) AS DOUBLE) / any_value(ns), 4)
         |    AS kl_vs_corpus
         |FROM t GROUP BY source""".stripMargin,
+
+    // the dictionary VALUES and the per-length gram blocks are
+    // generated from Blocklist.DefaultPhrases — the two sides share
+    // one phrase list by construction
+    "blocklist_hits" -> (blocklistCtes +
+      """
+        |SELECT g.doc_id, d.term, count(*)::BIGINT AS hits
+        |FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
+        |GROUP BY 1, 2""".stripMargin),
+
+    "blocklist_tag" -> (blocklistCtes +
+      """, hits AS (
+        |  SELECT g.doc_id, d.term, count(*)::BIGINT AS hits
+        |  FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
+        |  GROUP BY 1, 2
+        |), perdoc AS (
+        |  SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms_csv,
+        |         sum(hits)::BIGINT AS n_hits
+        |  FROM hits GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(p.terms_csv, '') AS terms_csv,
+        |       coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+        |       coalesce(p.n_hits, 0) = 0 AS keep
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin),
+
+    // JS drift: per word ONE double ratio per side (double-first
+    // multiplies — integer products overflow int64 at corpus scale),
+    // round-6 decimal terms weighted by integer counts, one division
+    // at the end — the source_kl discipline with JS's two-sided sum
+    "drift_by_source" ->
+      s"""WITH bw AS (
+        |  SELECT source AS grp, word, count(*)::BIGINT AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents
+        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod = 0)
+        |  GROUP BY 1, 2
+        |), sw AS (
+        |  SELECT source AS grp, word, count(*)::BIGINT AS s
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents
+        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod <> 0)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(bw.grp, sw.grp) AS grp,
+        |         coalesce(bw.word, sw.word) AS word,
+        |         coalesce(b, 0) AS b, coalesce(s, 0) AS s
+        |  FROM bw FULL OUTER JOIN sw ON bw.grp = sw.grp AND bw.word = sw.word
+        |), tot AS (
+        |  SELECT grp, sum(b)::BIGINT AS nb, sum(s)::BIGINT AS ns
+        |  FROM j GROUP BY 1 HAVING sum(b) > 0 AND sum(s) > 0
+        |), t AS (
+        |  SELECT j.grp, b, s, nb, ns,
+        |    CASE WHEN b > 0 THEN CAST(round(ln(
+        |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
+        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) END AS lp,
+        |    CASE WHEN s > 0 THEN CAST(round(ln(
+        |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
+        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) END AS lq
+        |  FROM j JOIN tot USING (grp)
+        |)
+        |SELECT grp AS source,
+        |  any_value(nb)::BIGINT AS n_batch_tokens,
+        |  any_value(ns)::BIGINT AS n_seen_tokens,
+        |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
+        |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
+        |    AS js_nats
+        |FROM t GROUP BY grp""".stripMargin,
+
+    // shared verbatim by the store-probing twin (the seen histogram
+    // folds from persisted postings; the divergence tail is one code
+    // path) — zero oracle drift allowed between the two forms
+    "drift_vs_corpus" -> driftVsCorpusOracle,
+    "drift_vs_corpus_store" -> driftVsCorpusOracle,
 
     // interpolated Kneser-Ney: P = (max(C−D,0) + D·N1p(prev)·Pcont(w))
     // / Cprev with D = 3/4 — the probability is ONE exact-integer ratio

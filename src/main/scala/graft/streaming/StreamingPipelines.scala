@@ -273,6 +273,49 @@ object StreamingPipelines {
     survivors
   }
 
+  /** SimHash dedup-at-ingest — the [[nearDupIngestBatch]] loop over the
+    * WHOLE-DOC fingerprint detector ([[graft.operators.SimhashStore]]):
+    * (1) fingerprint ONLY the arriving batch and probe its 15-bit bands
+    * against the persisted banded table (the fingerprint rides in the
+    * band rows, so the hamming verification needs no corpus join at
+    * all — like winnowing, the probe is self-contained against the
+    * store), (2) drop by the shared ONE drop policy (corpus endpoint
+    * is the accepted canonical; batch-internal pairs keep the earlier
+    * id), (3) merge the SURVIVORS' band rows under the batchId
+    * (at-least-once replay = no-op). The seen view excludes the
+    * batch's own ids, so a replayed trigger — survivors' bands already
+    * merged — sees the original run's exact probe input and computes
+    * the same drop set. Same unique-id contract as
+    * [[nearDupIngestBatch]]: replace-on-id is the catalog seam's job.
+    *
+    * Uses the md5-twin hash family ([[graft.operators.Dedup
+    * .incrementalSimhashMd5FromStore]]) so the loop's drop decisions
+    * stay on the cross-engine-gated pipeline (the xxhash64 production
+    * family differs only in the hash, pinned by DedupSpec). */
+  def simhashIngestBatch(store: graft.operators.SimhashStore,
+      batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = graft.operators.Dedup.Md5SimhashMaxHamming,
+      maxBucketSize: Int = graft.operators.Dedup.SimhashMaxBucketSize,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"simhashIngestBatch requires LONG doc ids (the SimhashStore " +
+        s"schema), got ${batch.schema(idCol).dataType.catalogString} — " +
+        "map ids to a surrogate long (e.g. xxhash64) first")
+    val seenView = store.table(spark).join(
+      broadcast(batch.select(col(idCol).as("doc_id"))), Seq("doc_id"), "left_anti")
+    val pairs = Dedup.incrementalSimhashMd5FromStore(batch, seenView,
+      idCol, textCol, maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+    val survivors0 = dropSurvivors(batch, pairs, idCol, "doc_a", "doc_b")
+    if (store.isReplay(batchId)) return survivors0
+    val survivors = survivors0.localCheckpoint()
+    store.merge(Dedup.md5SimhashBands(survivors, idCol, textCol), batchId)
+    store.compactIfNeeded(spark, maxSegments)
+    survivors
+  }
+
   /** BM25 index-at-ingest — the posting-store loop ([[graft.operators
     * .LexStore]]): tokenize ONLY the arriving batch and merge its
     * (doc_id, term, tf, dl) postings as one segment under the batchId
@@ -300,6 +343,51 @@ object StreamingPipelines {
     store.ingest(batch, idCol, textCol, batchId)
     store.compactIfNeeded(spark, maxSegments)
     batch
+  }
+
+  /** Drift-monitor-at-ingest — the data-quality tripwire in front of
+    * (or beside) any curate loop: (1) score the arriving batch's
+    * Jensen-Shannon drift against the ACCUMULATED corpus distribution
+    * folded from the [[graft.operators.LexStore]]'s persisted postings
+    * (sum(tf) by term — the index the pipeline already maintains for
+    * search doubles as the monitoring baseline, zero extra state),
+    * then (2) index the batch under the batchId. Returns the one-row
+    * drift record (n_batch_tokens, n_seen_tokens, js_nats) for the
+    * caller's alarm sink — an empty frame on the FIRST batch (no
+    * baseline yet: drift against an empty distribution is undefined).
+    * Replay semantics are telemetry-grade, not exactly-once: a
+    * replayed trigger's MERGE is a no-op (the store's replay guard),
+    * but its drift row scores against a baseline that already contains
+    * the batch's own postings, so it reads lower than the original
+    * run's — the caller's alarm sink must tolerate at-least-once rows,
+    * which every monitoring stack already does. Scale: the probe is
+    * one posting fold + the batch's token histogram; the merge is
+    * [[lexIngestBatch]]'s. */
+  def driftMonitorBatch(store: graft.operators.LexStore, batch: DataFrame,
+      idCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    require(batch.schema(idCol).dataType == org.apache.spark.sql.types.LongType,
+      s"driftMonitorBatch requires LONG doc ids (the LexStore schema), got " +
+        s"${batch.schema(idCol).dataType.catalogString} — map ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+    val seenCounts = store.table(spark)
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+      .select(col("term").as("word"), col("n"))
+    // materialize the drift row BEFORE the merge mutates the store
+    // view the probe reads (the lazy frame would otherwise score the
+    // batch against a baseline that already contains it)
+    val drift = graft.operators.TextAnalysis
+      .jsDriftVsCorpus(batch, textCol, seenCounts)
+      .localCheckpoint()
+    if (!store.isReplay(batchId)) {
+      store.ingest(batch, idCol, textCol, batchId)
+      store.compactIfNeeded(spark, maxSegments)
+    }
+    drift
   }
 
   /** Count-Min index-at-ingest — [[lexIngestBatch]]'s sibling over the

@@ -279,6 +279,38 @@ object ScaleCurve {
       bench("decontaminate_spans", m,
         TextAnalysis.contaminationSpansFrom(docs, benchShingles,
           "doc_id", "text", graft.packs.TextOps.ContamShingleN))
+      // blocklist tagging: scan-side k-gram enumeration × broadcast
+      // dictionary — the salted replicas never match (their tokens
+      // carry the ~k suffix), so hit mass stays replica-0-sized while
+      // the scan grows; the row times the scan, which is the claim
+      bench("blocklist_tag", m,
+        graft.operators.Blocklist.tagVerdict(docs, "doc_id", "text"))
+      // drift, recompute form: both sides tokenize + one (word)-keyed
+      // full-outer merge — vocabulary grows with the corpus (disjoint
+      // per-replica token spaces), exactly the open-vocabulary regime
+      // the histogram shuffle must survive
+      bench("drift_vs_corpus", m,
+        TextAnalysis.jsDriftVsCorpus(
+          docs.filter(col("doc_id") % 5 === 0), "text",
+          TextAnalysis.wordCounts(
+            docs.filter(col("doc_id") % 5 =!= 0), "text")))
+      // drift, store-probe form: the baseline folds from persisted
+      // postings (sum(tf) by term — corpus-linear by design: a monitor
+      // reads its whole baseline), the batch side tokenizes only
+      // itself. Ingest is untimed train-once cost, guarded so targeted
+      // runs of other rows never pay the 100x store build.
+      if (only.forall(_.contains("drift_store_probe"))) locally {
+        val store = new graft.operators.LexStore(s"graft_curve_drift_$m")
+        store.ingest(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text")
+        val seenCounts = store.table(spark)
+          .filter(col("term").isNotNull)
+          .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+          .select(col("term").as("word"), col("n"))
+        bench("drift_store_probe", m,
+          TextAnalysis.jsDriftVsCorpus(
+            docs.filter(col("doc_id") % 5 === 0), "text", seenCounts))
+      }
       bench("ann_brute_heap", m,
         SimilaritySearch.bruteForceTopKHeap(vecs, queries, k = 10))
       bench("ann_ivf", m,

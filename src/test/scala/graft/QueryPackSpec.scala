@@ -41,6 +41,9 @@ class QueryPackSpec extends SparkSpec {
     assert(o("sql_percentiles_approx") == o("percentiles_approx"))
     assert(o("sql_bm25_search") == o("bm25_search"))
     assert(o("term_freq_topk_store") == o("term_freq_topk"))
+    assert(o("drift_vs_corpus_store") == o("drift_vs_corpus"))
+    assert(o("sql_drift_vs_corpus") == o("drift_vs_corpus"))
+    assert(o("sql_blocklist_tag") == o("blocklist_tag"))
   }
 
   // Queries whose gate output is LEGITIMATELY empty on the synthetic

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The broadcast-dictionary phrase tagger — the generalized C4
+  * banned-words scan: multiword matching, overlapping-occurrence
+  * counting, short/empty-doc safety, C4 page semantics, and the plan
+  * shape (dictionary broadcast, corpus never in a cartesian). */
+class BlocklistSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val phrases =
+    Seq("slow", "big query", "table table table", "never present")
+
+  private def docs = Seq(
+    (1L, "a big query ran slow on the big query path"), // 2× "big query", 1× "slow"
+    (2L, "table table table table"), // 2 OVERLAPPING trigram positions
+    (3L, "clean document with none of the listed phrases"),
+    (4L, "big"), // shorter than the 2-gram — no match, no gram
+    (5L, ""), // empty text: single empty token, no match
+    (6L, "slow") // exactly one token, matches the 1-word phrase
+  ).toDF("doc_id", "text")
+
+  test("phrase hits: multiword + overlapping occurrences, exact counts") {
+    val got = Blocklist.phraseHits(docs, "doc_id", "text", phrases)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "big query", 2L),
+      (1L, "slow", 1L),
+      (2L, "table table table", 2L),
+      (6L, "slow", 1L)), s"got $got")
+  }
+
+  test("tag verdict: every doc emits, sorted CSV, C4 keep semantics") {
+    val got = Blocklist.tagVerdict(docs, "doc_id", "text", phrases)
+      .as[(Long, String, Long, Boolean)].collect().toMap3
+    assert(got(1L) == ("big query,slow", 3L, false))
+    assert(got(2L) == ("table table table", 2L, false))
+    assert(got(3L) == ("", 0L, true))
+    assert(got(4L) == ("", 0L, true))
+    assert(got(5L) == ("", 0L, true))
+    assert(got(6L) == ("slow", 1L, false))
+  }
+
+  private implicit class Tup4Ops(rows: Array[(Long, String, Long, Boolean)]) {
+    def toMap3: Map[Long, (String, Long, Boolean)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("plan: dictionary broadcasts; no cartesian product") {
+    val p = Blocklist.phraseHits(docs, "doc_id", "text", phrases)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dictionary side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join may appear:\n$p")
+  }
+
+  test("malformed phrases fail loudly") {
+    intercept[IllegalArgumentException] {
+      Blocklist.phraseHits(docs, "doc_id", "text", Seq(" padded "))
+    }
+    intercept[IllegalArgumentException] {
+      Blocklist.phraseHits(docs, "doc_id", "text", Seq("double  space"))
+    }
+    intercept[IllegalArgumentException] {
+      Blocklist.phraseHits(docs, "doc_id", "text", Seq.empty)
+    }
+  }
+
+  test("null text contributes no grams and keeps") {
+    val withNull = Seq((7L, null.asInstanceOf[String]), (8L, "slow ride"))
+      .toDF("doc_id", "text")
+    val got = Blocklist.tagVerdict(withNull, "doc_id", "text", phrases)
+      .as[(Long, String, Long, Boolean)].collect().toMap3
+    assert(got(7L) == ("", 0L, true))
+    assert(got(8L) == ("slow", 1L, false))
+  }
+}
