@@ -1727,7 +1727,10 @@ object TextAnalysis {
     * lazily so the corpus-side work (at scale, a posting fold over the
     * whole store) runs once, not per consumer; the materialized rows
     * are vocabulary-sized, the cheap thing to hold. */
-  def jsDriftGrouped(batchCounts: DataFrame,
+  /** The per-word term table behind the drift family — (grp, word, b,
+    * s, nb, ns, lp, lq) with the round-6 decimal log-ratio sides; the
+    * rollup sums it into JS, the datacard ranks it. */
+  private def jsDriftTermTable(batchCounts: DataFrame,
       seenCounts: DataFrame): DataFrame = {
     val j = batchCounts.select(col("grp"), col("word"), col("n").as("b"))
       .join(seenCounts.select(col("grp"), col("word"), col("n").as("s")),
@@ -1740,13 +1743,19 @@ object TextAnalysis {
     val den = col("b").cast("double") * col("ns").cast("double") +
       col("s").cast("double") * col("nb").cast("double")
     j.join(broadcast(tot), Seq("grp"))
-      .select(col("grp"), col("b"), col("s"), col("nb"), col("ns"),
+      .select(col("grp"), col("word"), col("b"), col("s"),
+        col("nb"), col("ns"),
         when(col("b") > 0, round(log(
             col("b").cast("double") * col("ns").cast("double") * 2d / den),
           6).cast("decimal(18,6)")).as("lp"),
         when(col("s") > 0, round(log(
             col("s").cast("double") * col("nb").cast("double") * 2d / den),
           6).cast("decimal(18,6)")).as("lq"))
+  }
+
+  def jsDriftGrouped(batchCounts: DataFrame,
+      seenCounts: DataFrame): DataFrame =
+    jsDriftTermTable(batchCounts, seenCounts)
       .groupBy(col("grp"))
       .agg(first(col("nb")).as("n_batch_tokens"),
         first(col("ns")).as("n_seen_tokens"),
@@ -1754,6 +1763,32 @@ object TextAnalysis {
             first(col("nb")).cast("double") +
           sum(col("s") * col("lq")).cast("double") /
             first(col("ns")).cast("double")) / 2d, 4).as("js_nats"))
+
+  /** Words driving the drift — the top-[[DriftTopTermsK]] JS
+    * contributions (b·lp/NB + s·lq/NS, nats): the alarm's WHY
+    * attached to its WHAT ("js_nats spiked" → "these template tokens
+    * flooded in"). Deterministic cross-engine: contributions derive
+    * from round-6 decimal sides and integer counts through identical
+    * IEEE double steps on both engines; the global top-k plans as
+    * per-partition heaps (TakeOrderedAndProject), ties broken
+    * (contribution DESC, word ASC). */
+  val DriftTopTermsK = 25
+
+  def jsDriftTopTerms(batch: DataFrame, textCol: String,
+      seenCounts: DataFrame, k: Int = DriftTopTermsK): DataFrame = {
+    val contrib =
+      coalesce((col("b") * col("lp")).cast("double") /
+        col("nb").cast("double"), lit(0d)) +
+      coalesce((col("s") * col("lq")).cast("double") /
+        col("ns").cast("double"), lit(0d))
+    jsDriftTermTable(
+        wordCounts(batch, textCol).withColumn("grp", lit(0)),
+        seenCounts.withColumn("grp", lit(0)))
+      .select(col("word"), col("b").as("n_batch"), col("s").as("n_seen"),
+        contrib.as("c0"), round(contrib, 6).as("contrib_nats"))
+      .orderBy(col("c0").desc, col("word").asc)
+      .limit(k)
+      .drop("c0")
   }
 
   /** Per-source drift of a batch against the seen corpus — the

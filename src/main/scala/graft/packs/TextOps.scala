@@ -861,6 +861,17 @@ object TextOps extends QueryPack {
         docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0), "text"))
   }
 
+  /** Drift datacard detail ([[TextAnalysis.jsDriftTopTerms]]): the
+    * top-25 words by JS contribution — the alarm's WHY beside
+    * [[driftVsCorpus]]'s WHAT. */
+  def driftTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    TextAnalysis.jsDriftTopTerms(
+      docs.filter(col("doc_id") % TextIncrementalBatchMod === 0), "text",
+      TextAnalysis.wordCounts(
+        docs.filter(col("doc_id") % TextIncrementalBatchMod =!= 0), "text"))
+  }
+
   private val driftLexStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.LexStore]()
 
@@ -2235,6 +2246,7 @@ object TextOps extends QueryPack {
     "drift_by_source" -> (driftBySource _),
     "drift_vs_corpus" -> (driftVsCorpus _),
     "drift_vs_corpus_store" -> (driftVsCorpusStore _),
+    "drift_top_terms" -> (driftTopTerms _),
     "vocab_top_terms" -> (vocabTopTerms _),
     "text_repetition" -> (textRepetition _),
     "per_source_cap" -> (perSourceCap _),
@@ -3055,10 +3067,9 @@ object TextOps extends QueryPack {
        |)""".stripMargin
   }
 
-  /** Whole-corpus JS-drift oracle — ONE string registered for both the
-    * recompute and the store-probing form (seen side folded from
-    * persisted postings; the Spark divergence tail is shared code). */
-  private lazy val driftVsCorpusOracle: String =
+  /** Whole-corpus drift-term CTEs — shared prefix of the JS rollup and
+    * the top-contributors datacard. */
+  private lazy val driftTermCtes: String =
     s"""WITH bw AS (
       |  SELECT word, count(*)::BIGINT AS b
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
@@ -3075,7 +3086,7 @@ object TextOps extends QueryPack {
       |), tot AS (
       |  SELECT sum(b)::BIGINT AS nb, sum(s)::BIGINT AS ns FROM j
       |), t AS (
-      |  SELECT b, s, nb, ns,
+      |  SELECT word, b, s, nb, ns,
       |    CASE WHEN b > 0 THEN CAST(round(ln(
       |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
       |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
@@ -3087,13 +3098,32 @@ object TextOps extends QueryPack {
       |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
       |      AS DECIMAL(18,6)) END AS lq
       |  FROM j CROSS JOIN tot
-      |)
+      |)""".stripMargin
+
+  /** Whole-corpus JS-drift oracle — ONE string registered for both the
+    * recompute and the store-probing form (seen side folded from
+    * persisted postings; the Spark divergence tail is shared code). */
+  private lazy val driftVsCorpusOracle: String = driftTermCtes +
+    """
       |SELECT any_value(nb)::BIGINT AS n_batch_tokens,
       |  any_value(ns)::BIGINT AS n_seen_tokens,
       |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
       |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
       |    AS js_nats
       |FROM t""".stripMargin
+
+  /** The drift datacard's top-contributor tail — identical contribution
+    * arithmetic on both ORDER BY (unrounded) and the displayed round-6
+    * value; ties (contribution DESC, word ASC). */
+  private lazy val driftTopTermsOracle: String = driftTermCtes +
+    s"""
+      |SELECT word, b AS n_batch, s AS n_seen,
+      |  round(coalesce(CAST(b * lp AS DOUBLE) / nb, 0) +
+      |        coalesce(CAST(s * lq AS DOUBLE) / ns, 0), 6) AS contrib_nats
+      |FROM t
+      |ORDER BY coalesce(CAST(b * lp AS DOUBLE) / nb, 0) +
+      |         coalesce(CAST(s * lq AS DOUBLE) / ns, 0) DESC, word ASC
+      |LIMIT ${graft.operators.TextAnalysis.DriftTopTermsK}""".stripMargin
 
   // a DEF end to end: the snapshot-generated maps (bpe/unigram/
   // wordpiece) must re-evaluate per call — Verify dumps oracleSql
@@ -4152,6 +4182,7 @@ object TextOps extends QueryPack {
     // path) — zero oracle drift allowed between the two forms
     "drift_vs_corpus" -> driftVsCorpusOracle,
     "drift_vs_corpus_store" -> driftVsCorpusOracle,
+    "drift_top_terms" -> driftTopTermsOracle,
 
     // interpolated Kneser-Ney: P = (max(C−D,0) + D·N1p(prev)·Pcont(w))
     // / Cprev with D = 3/4 — the probability is ONE exact-integer ratio

@@ -37,6 +37,21 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(disjoint - math.log(2)) <= 0.0002, s"got $disjoint")
   }
 
+  test("top contributors: symmetric planted case ranks by word on equal contribution") {
+    // disjoint vocab, all counts 1: every word contributes ln2/3 (batch
+    // side) or ln2/3 (seen side) — equal, so the order is word ASC
+    val got = TextAnalysis.jsDriftTopTerms(
+      Seq((1L, "p q r")).toDF("doc_id", "text"), "text",
+      TextAnalysis.wordCounts(Seq((2L, "x y z")).toDF("doc_id", "text"), "text"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("p", "q", "r", "x", "y", "z"), s"got $got")
+    val c = BigDecimal(math.log(2) / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (w, b, s, contrib) =>
+      assert(math.abs(contrib - c) <= 0.000002, s"$w: $contrib")
+      assert((b == 1 && s == 0) || (b == 0 && s == 1), s"$w: $b/$s") }
+  }
+
   test("JS is bounded and non-negative on the sf corpus, every source present") {
     val docs = Tables.documents(spark, sf)
     // stride WITHIN sources (the corpus round-robins source over
