@@ -56,16 +56,23 @@ object Blocklist {
       phrases.map(p => (p, phraseLen(p))).toDF("term", "k"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("t"))
-    // per distinct phrase length: every k-gram position as a joined
-    // string. sequence() is guarded (it DESCENDS when stop < start),
-    // so short/empty/NULL docs contribute no grams.
-    def gramsOf(k: Int): DataFrame = toks.select(col("doc_id"),
-      lit(k).as("k"),
-      explode(when(size(col("t")) >= k,
+    // ONE corpus scan for every phrase length: the per-k (k, gram)
+    // position arrays built side by side in the projection, flattened,
+    // and exploded once — a per-k union would re-scan the corpus once
+    // per distinct length, which is the dominant cost at scale.
+    // sequence() is guarded (it DESCENDS when stop < start), so
+    // short/empty/NULL docs contribute no grams.
+    val emptyKg = array().cast("array<struct<k:int,gram:string>>")
+    val perK = lens.map { k =>
+      when(size(col("t")) >= k,
           transform(sequence(lit(1), size(col("t")) - k + 1),
-            i => array_join(slice(col("t"), i, lit(k)), " ")))
-        .otherwise(array().cast("array<string>"))).as("gram"))
-    val grams = lens.map(gramsOf).reduce(_ union _)
+            i => struct(lit(k).as("k"),
+              array_join(slice(col("t"), i, lit(k)), " ").as("gram"))))
+        .otherwise(emptyKg)
+    }
+    val grams = toks
+      .select(col("doc_id"), explode(flatten(array(perK: _*))).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.gram").as("gram"))
     grams.join(dict, grams("gram") === dict("term") &&
         grams("k") === dict("k"))
       .groupBy(col("doc_id"), col("term"))

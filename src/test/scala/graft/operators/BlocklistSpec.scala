@@ -47,7 +47,7 @@ class BlocklistSpec extends SparkSpec {
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
 
-  test("plan: dictionary broadcasts; no cartesian product") {
+  test("plan: dictionary broadcasts; no cartesian; ONE corpus scan for all lengths") {
     val p = Blocklist.phraseHits(docs, "doc_id", "text", phrases)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
@@ -55,6 +55,12 @@ class BlocklistSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"no unkeyed join may appear:\n$p")
+    // the fixture has 3 distinct phrase lengths; a per-length union
+    // would scan the corpus 3 times — the fused projection scans once
+    // (2 local scans total: the corpus + the broadcast dictionary)
+    val scans = "LocalTableScan".r.findAllIn(p).size
+    assert(scans <= 2,
+      s"corpus must be scanned ONCE for all phrase lengths, saw $scans scans:\n$p")
   }
 
   test("malformed phrases fail loudly") {
