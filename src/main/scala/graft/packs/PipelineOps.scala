@@ -89,6 +89,31 @@ object PipelineOps extends QueryPack {
   def pipelineCurateQuality(spark: SparkSession, sfDir: String): DataFrame =
     curateQuality(Tables.documents(spark, sfDir))
 
+  /** The blocklist-fronted composition: C4's banned-words page gate
+    * ([[graft.operators.Blocklist.tagVerdict]] — scan-side k-grams ×
+    * broadcast dictionary, the cheapest gate in the stack, so it runs
+    * FIRST) and then the IDENTICAL quality-keep body over the clean
+    * relation. Oracle = the blocklist fragments + the shared
+    * quality-keep CTEs re-targeted at the filtered corpus — both
+    * halves are the strings their per-operator oracles verify. */
+  def pipelineCurateBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // both stage boundaries checkpoint lazily: curateQuality consumes
+    // its input several times, and without them every consumer re-runs
+    // the k-gram scan AND the semi-join (same-host warm at sf0.1:
+    // 10.2 s bare, 5.6 with the id set pinned, 4.9 with the clean
+    // relation pinned too — vs 3.9 for the gate-free quality pipeline,
+    // so the residual IS the blocklist stage). Materializing between
+    // major pipeline stages is the standard production shape; the id
+    // set is tiny, the clean relation is the stage output itself
+    val keepIds = graft.operators.Blocklist
+      .tagVerdict(docs, "doc_id", "text")
+      .filter(col("keep")).select(col("doc_id"))
+      .localCheckpoint(false)
+    curateQuality(docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false))
+  }
+
   /** [[pipelineCurateQuality]] over an arbitrary (doc_id, lang, text)
     * corpus — the registered query binds it to the documents table;
     * specs drive it with corpora that exercise each gate. */
@@ -665,6 +690,7 @@ object PipelineOps extends QueryPack {
     Map("pipeline_curate" -> (pipelineCurate _),
       "pipeline_curate_bylang" -> (pipelineCurateByLang _),
       "pipeline_curate_quality" -> (pipelineCurateQuality _),
+      "pipeline_curate_blocklist" -> (pipelineCurateBlocklist _),
       "pipeline_curate_strip" -> (pipelineCurateStrip _),
       "pipeline_curate_pack" -> (pipelineCuratePack _),
       "pipeline_curate_pack_ids" -> (pipelineCuratePackIds _),
@@ -809,6 +835,22 @@ object PipelineOps extends QueryPack {
     // the j/b/k tail mirrors DedupOps.keepQualityOracle over `sampled`
     "pipeline_curate_quality" ->
       s"""WITH RECURSIVE $qualityKeepCtes
+         |SELECT j.doc_id, j.lang, j.quality
+         |FROM j JOIN k ON j.cluster_id = k.cluster_id
+         |WHERE j.doc_id = k.best_id""".stripMargin,
+
+    // blocklist gate first (the cheap scan-side page rule), then the
+    // IDENTICAL quality-keep body over the clean relation — fragments
+    // shared verbatim with blocklist_tag / pipeline_curate_quality
+    "pipeline_curate_blocklist" ->
+      s"""WITH RECURSIVE ${TextOps.blocklistCteBody},
+         |${TextOps.blocklistPerdocCtes},
+         |clean AS (
+         |  SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |  WHERE coalesce(p.n_hits, 0) = 0
+         |),
+         |${qualityKeepCtesFrom("clean")}
          |SELECT j.doc_id, j.lang, j.quality
          |FROM j JOIN k ON j.cluster_id = k.cluster_id
          |WHERE j.doc_id = k.best_id""".stripMargin,

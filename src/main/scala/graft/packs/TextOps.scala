@@ -3050,7 +3050,7 @@ object TextOps extends QueryPack {
     * .DefaultPhrases]] — the dictionary VALUES plus one gram block per
     * DISTINCT phrase length (the proven constant-k list_slice/range
     * idiom, unioned — mirroring the Scala plan's per-length scans). */
-  private lazy val blocklistCtes: String = {
+  private[packs] lazy val blocklistCteBody: String = {
     val phrases = graft.operators.Blocklist.DefaultPhrases
     val dictRows = phrases
       .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
@@ -3060,12 +3060,28 @@ object TextOps extends QueryPack {
          |         array_to_string(list_slice(t, i, i + $k - 1), ' ') AS gram
          |  FROM toks, unnest(range(1, len(t) - $k + 2)) AS u(i)""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH dict(term, k) AS (VALUES $dictRows),
+    s"""dict(term, k) AS (VALUES $dictRows),
        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |grams AS (
        |$gramBlocks
        |)""".stripMargin
   }
+
+  private lazy val blocklistCtes: String = "WITH " + blocklistCteBody
+
+  /** The per-doc rollup fragment — shared by the blocklist_tag oracle
+    * and the blocklist-fronted pipeline composition (one string; a
+    * match-rule change cannot drift them). */
+  private[packs] lazy val blocklistPerdocCtes: String =
+    """hits AS (
+      |  SELECT g.doc_id, d.term, count(*)::BIGINT AS hits
+      |  FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
+      |  GROUP BY 1, 2
+      |), perdoc AS (
+      |  SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms_csv,
+      |         sum(hits)::BIGINT AS n_hits
+      |  FROM hits GROUP BY 1
+      |)""".stripMargin
 
   /** Whole-corpus drift-term CTEs — shared prefix of the JS rollup and
     * the top-contributors datacard. */
@@ -4115,16 +4131,8 @@ object TextOps extends QueryPack {
         |FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
         |GROUP BY 1, 2""".stripMargin),
 
-    "blocklist_tag" -> (blocklistCtes +
-      """, hits AS (
-        |  SELECT g.doc_id, d.term, count(*)::BIGINT AS hits
-        |  FROM grams g JOIN dict d ON g.gram = d.term AND g.k = d.k
-        |  GROUP BY 1, 2
-        |), perdoc AS (
-        |  SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms_csv,
-        |         sum(hits)::BIGINT AS n_hits
-        |  FROM hits GROUP BY 1
-        |)
+    "blocklist_tag" -> (blocklistCtes + ",\n" + blocklistPerdocCtes +
+      """
         |SELECT d.doc_id, coalesce(p.terms_csv, '') AS terms_csv,
         |       coalesce(p.n_hits, 0)::BIGINT AS n_hits,
         |       coalesce(p.n_hits, 0) = 0 AS keep
