@@ -116,4 +116,82 @@ class PropertySpec extends SparkSpec {
         }
     }, n = 8)
   }
+
+  test("property: blocklist hits == brute-force phrase matcher on random corpora") {
+    // random docs and random 1-3 word phrases over a tiny vocabulary:
+    // the declarative k-gram × broadcast-dictionary join must count
+    // exactly the positions a literal sliding-window matcher counts —
+    // overlaps, repeats, multi-phrase docs, empty docs and all
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "scan", "x")
+    val genDoc = Gen.chooseNum(0, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val genPhrase = Gen.chooseNum(1, 3)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val gen = for {
+      nd <- Gen.chooseNum(1, 8)
+      docTexts <- Gen.listOfN(nd, genDoc)
+      np <- Gen.chooseNum(1, 4)
+      phrases <- Gen.listOfN(np, genPhrase)
+    } yield (docTexts, phrases.distinct)
+    check(Prop.forAll(gen) { case (docTexts, phrases) =>
+      val docs = docTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.operators.Blocklist
+        .phraseHits(docs, "doc_id", "text", phrases)
+        .as[(Long, String, Long)].collect().toSet
+      val want = (for {
+        (t, i) <- docTexts.zipWithIndex
+        toks = t.split(" ", -1).toSeq // keep empties: Spark split keeps them
+        p <- phrases
+        k = p.split(" ").length
+        hits = (0 to toks.length - k)
+          .count(j => toks.slice(j, j + k).mkString(" ") == p)
+        if hits > 0
+      } yield (i.toLong, p, hits.toLong)).toSet
+      got == want
+    }, n = 8)
+  }
+
+  test("property: JS drift == driver brute under the round-6/round-4 discipline; symmetric; bounded") {
+    import graft.operators.TextAnalysis
+    def r(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def counts(texts: List[String]): Map[String, Long] =
+      texts.flatMap(_.split(" ", -1)).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+    // driver brute with EXACTLY the engine's arithmetic: round-6 sides
+    // carried as exact decimals, integer-weighted sums, one final
+    // double division per side, round-4
+    def brute(bw: Map[String, Long], sw: Map[String, Long]): Double = {
+      val nb = bw.values.sum.toDouble
+      val ns = sw.values.sum.toDouble
+      var sumP = BigDecimal(0); var sumQ = BigDecimal(0)
+      (bw.keySet ++ sw.keySet).foreach { w =>
+        val b = bw.getOrElse(w, 0L); val s = sw.getOrElse(w, 0L)
+        val den = b * ns + s * nb
+        if (b > 0) sumP += BigDecimal(b) * BigDecimal(r(math.log(b * ns * 2d / den), 6))
+        if (s > 0) sumQ += BigDecimal(s) * BigDecimal(r(math.log(s * nb * 2d / den), 6))
+      }
+      r((sumP.toDouble / nb + sumQ.toDouble / ns) / 2d, 4)
+    }
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val genDoc = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+    val gen = for {
+      batch <- Gen.nonEmptyListOf(genDoc).map(_.take(5))
+      seen <- Gen.nonEmptyListOf(genDoc).map(_.take(5))
+    } yield (batch, seen)
+    check(Prop.forAll(gen) { case (batch, seen) =>
+      def df(texts: List[String]) = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def js(a: List[String], b: List[String]): Double =
+        TextAnalysis.jsDriftVsCorpus(df(a), "text",
+            TextAnalysis.wordCounts(df(b), "text"))
+          .select("js_nats").as[Double].collect().head
+      val got = js(batch, seen)
+      val want = brute(counts(batch), counts(seen))
+      got == want && got >= 0.0 && got <= math.log(2) + 1e-4 &&
+        js(seen, batch) == got // JS is symmetric
+    }, n = 6)
+  }
 }
