@@ -3052,6 +3052,13 @@ object TextOps extends QueryPack {
     * idiom, unioned — mirroring the Scala plan's per-length scans). */
   private[packs] lazy val blocklistCteBody: String = {
     val phrases = graft.operators.Blocklist.DefaultPhrases
+    // the phrase list is interpolated into generated SQL as single-
+    // quoted literals (here AND in the SqlSurfaceOps twin) — a quote
+    // or backslash would silently corrupt the oracle, so refuse it at
+    // generation time (the OPERATOR itself takes any string)
+    require(phrases.forall(p => !p.contains("'") && !p.contains("\\")),
+      s"oracle-generated phrases must be quote/backslash-free: " +
+        phrases.filter(p => p.contains("'") || p.contains("\\")))
     val dictRows = phrases
       .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
     val lens = phrases.map(_.split(" ").length).distinct.sorted
