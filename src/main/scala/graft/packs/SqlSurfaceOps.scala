@@ -404,6 +404,55 @@ object SqlSurfaceOps extends QueryPack {
          |FROM t""".stripMargin)
   }
 
+  /** The per-source drift monitor as pure SQL text — same formula as
+    * [[driftVsCorpusSql]] grouped by source, with the within-source
+    * stride split (the corpus round-robins source over doc_id, so a
+    * plain mod split would leave nothing to compare — see
+    * [[TextOps.driftBySource]]). Same oracle string as the DataFrame
+    * form. */
+  def driftBySourceSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = TextOps.TextIncrementalBatchMod
+    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    spark.sql(
+      s"""WITH bw AS (
+         |  SELECT source AS grp, word, count(1) AS b
+         |  FROM (SELECT source, explode(split(text, ' ')) AS word
+         |        FROM documents WHERE (doc_id div 20) % $mod = 0)
+         |  GROUP BY grp, word
+         |), sw AS (
+         |  SELECT source AS grp, word, count(1) AS s
+         |  FROM (SELECT source, explode(split(text, ' ')) AS word
+         |        FROM documents WHERE (doc_id div 20) % $mod != 0)
+         |  GROUP BY grp, word
+         |), j AS (
+         |  SELECT grp, word, coalesce(b, 0L) AS b, coalesce(s, 0L) AS s
+         |  FROM bw FULL OUTER JOIN sw USING (grp, word)
+         |), tot AS (
+         |  SELECT grp, sum(b) AS nb, sum(s) AS ns FROM j
+         |  GROUP BY grp HAVING sum(b) > 0 AND sum(s) > 0
+         |), t AS (
+         |  SELECT j.grp, b, s, nb, ns,
+         |    CASE WHEN b > 0 THEN CAST(round(ln(
+         |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
+         |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+         |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) END AS lp,
+         |    CASE WHEN s > 0 THEN CAST(round(ln(
+         |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
+         |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+         |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) END AS lq
+         |  FROM j JOIN tot USING (grp)
+         |)
+         |SELECT grp AS source,
+         |  any_value(nb) AS n_batch_tokens,
+         |  any_value(ns) AS n_seen_tokens,
+         |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
+         |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
+         |    AS js_nats
+         |FROM t GROUP BY grp""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_windowed_avg" -> (KsqlSurface.windowedAvgSql _),
     "sql_ads_with_clicks" -> (KsqlSurface.adsWithClicksSql _),
@@ -416,7 +465,8 @@ object SqlSurfaceOps extends QueryPack {
     "sql_percentiles_approx" -> (percentilesApproxSql _),
     "sql_hybrid_search_rrf" -> (hybridSearchRrfSql _),
     "sql_blocklist_tag" -> (blocklistTagSql _),
-    "sql_drift_vs_corpus" -> (driftVsCorpusSql _)
+    "sql_drift_vs_corpus" -> (driftVsCorpusSql _),
+    "sql_drift_by_source" -> (driftBySourceSql _)
   )
 
   // The SQL-text queries verify against the SAME oracle strings as
@@ -448,6 +498,8 @@ object SqlSurfaceOps extends QueryPack {
 
     "sql_blocklist_tag" -> TextOps.oracleSql("blocklist_tag"),
 
-    "sql_drift_vs_corpus" -> TextOps.oracleSql("drift_vs_corpus")
+    "sql_drift_vs_corpus" -> TextOps.oracleSql("drift_vs_corpus"),
+
+    "sql_drift_by_source" -> TextOps.oracleSql("drift_by_source")
   )
 }

@@ -44,6 +44,7 @@ class QueryPackSpec extends SparkSpec {
     assert(o("drift_vs_corpus_store") == o("drift_vs_corpus"))
     assert(o("sql_drift_vs_corpus") == o("drift_vs_corpus"))
     assert(o("sql_blocklist_tag") == o("blocklist_tag"))
+    assert(o("sql_drift_by_source") == o("drift_by_source"))
   }
 
   // Queries whose gate output is LEGITIMATELY empty on the synthetic
