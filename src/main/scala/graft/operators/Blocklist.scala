@@ -26,7 +26,16 @@ import org.apache.spark.sql.functions._
   * string joins, hits are exact counts — the oracle repeats the
   * construction verbatim (the list_slice/range idiom the span-dedup
   * oracles already use). Overlapping occurrences each count (both
-  * engines enumerate every position). */
+  * engines enumerate every position).
+  *
+  * Case: C4's published rule is CASE-INSENSITIVE ("contains a word
+  * from the list" is matched on lowercased pages), so the default
+  * `foldCase = true` lowercases BOTH the text and the dictionary
+  * inside the engine (`lower()` — the same builtin the gopher/C4
+  * rule oracles already cross-check against DuckDB's lower()); the
+  * matched `term` reported is the lowercased canonical form.
+  * `foldCase = false` keeps the exact-case join for dictionaries
+  * whose casing is load-bearing (code identifiers, acronyms). */
 object Blocklist {
 
   /** Built-in demonstration dictionary. The published C4 rule uses the
@@ -40,11 +49,46 @@ object Blocklist {
 
   private def phraseLen(p: String): Int = p.split(" ").length
 
+  /** Phrase VALUES rows for generated-SQL surfaces — the ONE escaping
+    * seam shared by the DuckDB oracle generator and the Spark-SQL
+    * twin: refuses quotes/backslashes at generation time (the
+    * OPERATOR itself accepts any string; only interpolated-SQL
+    * surfaces are restricted), and under `foldCase` wraps each
+    * literal in `lower()` so normalization happens in the TARGET
+    * engine — never a Scala toLowerCase whose Unicode table could
+    * drift from either engine's. */
+  def sqlDictRows(phrases: Seq[String] = DefaultPhrases,
+      foldCase: Boolean = true): String = {
+    require(phrases.forall(p => !p.contains("'") && !p.contains("\\")),
+      s"generated-SQL phrases must be quote/backslash-free: " +
+        phrases.filter(p => p.contains("'") || p.contains("\\")))
+    phrases.map { p =>
+      val lit = if (foldCase) s"lower('$p')" else s"'$p'"
+      s"($lit, ${phraseLen(p)})"
+    }.mkString(", ")
+  }
+
+  /** The id column, type-guarded: the tagger keys its per-doc rollup
+    * and audit join on a LONG id (the house surrogate-id convention);
+    * a silent cast would NULL every non-numeric string id and
+    * collapse the corpus into one NULL-keyed group. Same loud guard
+    * as the streaming ingest loops. */
+  private def checkedLongId(docs: DataFrame, idCol: String)
+      : org.apache.spark.sql.Column = {
+    require(docs.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"Blocklist requires LONG doc ids, got " +
+        s"${docs.schema(idCol).dataType.catalogString} — map ids to a " +
+        "surrogate long (e.g. xxhash64) first")
+    col(idCol).as("doc_id")
+  }
+
   /** (doc_id, term, hits) — one row per document × matched dictionary
     * phrase, hits = number of matching k-gram positions. Docs with no
     * match emit nothing (see [[tagVerdict]] for the every-doc audit). */
   def phraseHits(docs: DataFrame, idCol: String, textCol: String,
-      phrases: Seq[String] = DefaultPhrases): DataFrame = {
+      phrases: Seq[String] = DefaultPhrases,
+      foldCase: Boolean = true): DataFrame = {
     require(phrases.nonEmpty, "empty blocklist")
     require(phrases.forall(p => p.trim == p && p.nonEmpty &&
       !p.contains("  ")), s"phrases must be single-space-joined words: " +
@@ -52,10 +96,13 @@ object Blocklist {
     val spark = docs.sparkSession
     import spark.implicits._
     val lens = phrases.map(phraseLen).distinct.sorted
+    val dictRaw = phrases.map(p => (p, phraseLen(p))).toDF("term", "k")
     val dict = broadcast(
-      phrases.map(p => (p, phraseLen(p))).toDF("term", "k"))
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("t"))
+      if (foldCase) dictRaw.select(lower(col("term")).as("term"), col("k"))
+      else dictRaw)
+    val textNorm = if (foldCase) lower(col(textCol)) else col(textCol)
+    val toks = docs.select(checkedLongId(docs, idCol),
+      TextAnalysis.tokens(textNorm).as("t"))
     // ONE corpus scan for every phrase length: the per-k (k, gram)
     // position arrays built side by side in the projection, flattened,
     // and exploded once — a per-k union would re-scan the corpus once
@@ -84,13 +131,14 @@ object Blocklist {
     * sorted CSV, total hit count, and C4's page semantics
     * (keep = zero matches). */
   def tagVerdict(docs: DataFrame, idCol: String, textCol: String,
-      phrases: Seq[String] = DefaultPhrases): DataFrame = {
-    val perDoc = phraseHits(docs, idCol, textCol, phrases)
+      phrases: Seq[String] = DefaultPhrases,
+      foldCase: Boolean = true): DataFrame = {
+    val perDoc = phraseHits(docs, idCol, textCol, phrases, foldCase)
       .groupBy(col("doc_id"))
       .agg(array_join(array_sort(collect_list(col("term"))), ",")
           .as("terms_csv"),
         sum(col("hits")).as("n_hits"))
-    docs.select(col(idCol).cast("long").as("doc_id"))
+    docs.select(checkedLongId(docs, idCol))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("terms_csv"), lit("")).as("terms_csv"),

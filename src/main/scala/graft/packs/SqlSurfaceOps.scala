@@ -328,8 +328,11 @@ object SqlSurfaceOps extends QueryPack {
     * SQL are generated from the one phrase list. */
   def blocklistTagSql(spark: SparkSession, sfDir: String): DataFrame = {
     val phrases = graft.operators.Blocklist.DefaultPhrases
-    val dictRows = phrases
-      .map(p => s"('$p', ${p.split(" ").length})").mkString(", ")
+    // ONE escaping + fold-case seam with the DuckDB oracle generator
+    // (Blocklist.sqlDictRows): the lower() wrap evaluates inside
+    // Spark here, inside DuckDB there — each engine normalizes with
+    // its own table, exactly like the text side
+    val dictRows = graft.operators.Blocklist.sqlDictRows(phrases)
     val lens = phrases.map(_.split(" ").length).distinct.sorted
     val gramBlocks = lens.map { k =>
       s"""  SELECT doc_id, $k AS k,
@@ -340,7 +343,8 @@ object SqlSurfaceOps extends QueryPack {
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
     spark.sql(
       s"""WITH dict AS (SELECT * FROM VALUES $dictRows AS d(term, k)),
-         |toks AS (SELECT doc_id, split(text, ' ') AS t FROM documents),
+         |toks AS (SELECT doc_id, split(lower(text), ' ') AS t
+         |         FROM documents),
          |grams AS (
          |$gramBlocks
          |), hits AS (
@@ -401,7 +405,8 @@ object SqlSurfaceOps extends QueryPack {
          |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
          |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
          |    AS js_nats
-         |FROM t""".stripMargin)
+         |FROM t
+         |HAVING any_value(nb) > 0 AND any_value(ns) > 0""".stripMargin)
   }
 
   /** The per-source drift monitor as pure SQL text — same formula as

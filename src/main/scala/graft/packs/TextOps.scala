@@ -3053,22 +3053,23 @@ object TextOps extends QueryPack {
   private[packs] lazy val blocklistCteBody: String = {
     val phrases = graft.operators.Blocklist.DefaultPhrases
     // the phrase list is interpolated into generated SQL as single-
-    // quoted literals (here AND in the SqlSurfaceOps twin) — a quote
-    // or backslash would silently corrupt the oracle, so refuse it at
-    // generation time (the OPERATOR itself takes any string)
-    require(phrases.forall(p => !p.contains("'") && !p.contains("\\")),
-      s"oracle-generated phrases must be quote/backslash-free: " +
-        phrases.filter(p => p.contains("'") || p.contains("\\")))
-    val dictRows = phrases
-      .map(p => s"('${p}', ${p.split(" ").length})").mkString(", ")
+    // quoted literals — escaping/refusal and the fold-case lower()
+    // wrap live in the ONE shared seam (Blocklist.sqlDictRows; the
+    // SqlSurfaceOps twin uses the same helper, so the two generated
+    // surfaces cannot drift)
+    val dictRows = graft.operators.Blocklist.sqlDictRows(phrases)
     val lens = phrases.map(_.split(" ").length).distinct.sorted
     val gramBlocks = lens.map { k =>
       s"""  SELECT doc_id, $k AS k,
          |         array_to_string(list_slice(t, i, i + $k - 1), ' ') AS gram
          |  FROM toks, unnest(range(1, len(t) - $k + 2)) AS u(i)""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    // lower(text) mirrors the engine's foldCase default — C4's rule
+    // is case-insensitive; DuckDB and Spark lower() agree on this
+    // corpus (the gopher/C4 page-rule oracles already rely on it)
     s"""dict(term, k) AS (VALUES $dictRows),
-       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+       |         FROM documents),
        |grams AS (
        |$gramBlocks
        |)""".stripMargin
@@ -3125,7 +3126,14 @@ object TextOps extends QueryPack {
 
   /** Whole-corpus JS-drift oracle — ONE string registered for both the
     * recompute and the store-probing form (seen side folded from
-    * persisted postings; the Spark divergence tail is shared code). */
+    * persisted postings; the Spark divergence tail is shared code).
+    * The HAVING guard mirrors jsDriftTermTable's nb>0 AND ns>0 group
+    * filter: with an EMPTY batch or seen side the Spark form emits
+    * zero rows, and an ungrouped DuckDB aggregate would otherwise
+    * emit one all-NULL row — a latent gate mismatch if the corpus
+    * shape or TextIncrementalBatchMod ever changes. (HAVING, not
+    * WHERE: the filter must drop the aggregate ROW, which an empty
+    * input still produces.) */
   private lazy val driftVsCorpusOracle: String = driftTermCtes +
     """
       |SELECT any_value(nb)::BIGINT AS n_batch_tokens,
@@ -3133,7 +3141,8 @@ object TextOps extends QueryPack {
       |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
       |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
       |    AS js_nats
-      |FROM t""".stripMargin
+      |FROM t
+      |HAVING any_value(nb) > 0 AND any_value(ns) > 0""".stripMargin
 
   /** The drift datacard's top-contributor tail — identical contribution
     * arithmetic on both ORDER BY (unrounded) and the displayed round-6
@@ -3144,6 +3153,7 @@ object TextOps extends QueryPack {
       |  round(coalesce(CAST(b * lp AS DOUBLE) / nb, 0) +
       |        coalesce(CAST(s * lq AS DOUBLE) / ns, 0), 6) AS contrib_nats
       |FROM t
+      |WHERE nb > 0 AND ns > 0
       |ORDER BY coalesce(CAST(b * lp AS DOUBLE) / nb, 0) +
       |         coalesce(CAST(s * lq AS DOUBLE) / ns, 0) DESC, word ASC
       |LIMIT ${graft.operators.TextAnalysis.DriftTopTermsK}""".stripMargin

@@ -7,8 +7,12 @@ object PlanProbe {
     val df = graft.SparkEntry.queries(args(0))(spark, args(1))
     df.count() // let AQE finalize
     val p = df.queryExecution.executedPlan.toString
-    println("=== REUSED: " + "ReusedExchange".r.findAllIn(p).size +
-      " exchanges: " + "Exchange".r.findAllIn(p).size +
+    // boundary-aware: a bare "Exchange" count would also match every
+    // "ReusedExchange" occurrence and double-count reused exchanges
+    val reused = "ReusedExchange".r.findAllIn(p).size
+    val exchanges = "Exchange".r.findAllIn(p).size - reused
+    println("=== REUSED: " + reused +
+      " exchanges: " + exchanges +
       " scans: " + "Scan parquet".r.findAllIn(p).size)
     spark.stop()
   }

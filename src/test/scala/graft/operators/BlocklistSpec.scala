@@ -63,6 +63,63 @@ class BlocklistSpec extends SparkSpec {
       s"corpus must be scanned ONCE for all phrase lengths, saw $scans scans:\n$p")
   }
 
+  test("case folding: C4's case-insensitive rule by default; exact-case as the option") {
+    // the planted mixed-case page the exact-case join MISSES: C4's
+    // published rule lowercases the page before matching the list
+    val mixed = Seq(
+      (10L, "a Big Query ran SLOW today"),
+      (11L, "BIG QUERY"),
+      (12L, "all lowercase big query here")).toDF("doc_id", "text")
+    val folded = Blocklist.phraseHits(mixed, "doc_id", "text",
+        Seq("big query", "slow")).as[(Long, String, Long)].collect().toSet
+    assert(folded == Set(
+      (10L, "big query", 1L), (10L, "slow", 1L),
+      (11L, "big query", 1L), (12L, "big query", 1L)), s"got $folded")
+    // a mixed-case DICTIONARY normalizes too (reported term is the
+    // lowercased canonical form)
+    val dictCase = Blocklist.phraseHits(mixed, "doc_id", "text",
+        Seq("Big Query")).as[(Long, String, Long)].collect().toSet
+    assert(dictCase == Set((10L, "big query", 1L), (11L, "big query", 1L),
+      (12L, "big query", 1L)), s"got $dictCase")
+    // foldCase = false: the old exact-case join — the planted pages
+    // pass the gate, only the literal-lowercase doc matches
+    val exact = Blocklist.phraseHits(mixed, "doc_id", "text",
+        Seq("big query", "slow"), foldCase = false)
+      .as[(Long, String, Long)].collect().toSet
+    assert(exact == Set((12L, "big query", 1L)), s"got $exact")
+    val verdict = Blocklist.tagVerdict(mixed, "doc_id", "text",
+        Seq("big query"), foldCase = false)
+      .as[(Long, String, Long, Boolean)].collect().toMap3
+    assert(verdict(10L) == ("", 0L, true) &&
+      verdict(11L) == ("", 0L, true) &&
+      verdict(12L) == ("big query", 1L, false))
+  }
+
+  test("non-long doc ids fail loudly (no silent cast to NULL keys)") {
+    val strIds = Seq(("a", "big query here")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Blocklist.phraseHits(strIds, "doc_id", "text", phrases)
+    }
+    assert(e1.getMessage.contains("LONG doc ids"))
+    val e2 = intercept[IllegalArgumentException] {
+      Blocklist.tagVerdict(strIds, "doc_id", "text", phrases)
+    }
+    assert(e2.getMessage.contains("LONG doc ids"))
+  }
+
+  test("generated-SQL dict rows: shared escaping seam refuses quotes/backslashes") {
+    assert(Blocklist.sqlDictRows(Seq("big query"))
+      == "(lower('big query'), 2)")
+    assert(Blocklist.sqlDictRows(Seq("Big Query"), foldCase = false)
+      == "('Big Query', 2)")
+    intercept[IllegalArgumentException] {
+      Blocklist.sqlDictRows(Seq("o'brien list"))
+    }
+    intercept[IllegalArgumentException] {
+      Blocklist.sqlDictRows(Seq("back\\slash"))
+    }
+  }
+
   test("malformed phrases fail loudly") {
     intercept[IllegalArgumentException] {
       Blocklist.phraseHits(docs, "doc_id", "text", Seq(" padded "))
