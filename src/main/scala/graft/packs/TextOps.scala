@@ -555,19 +555,26 @@ object TextOps extends QueryPack {
   private val lexStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.LexStore]()
 
+  /** The dataset's persisted posting table, built on first use — ONE
+    * store shared by bm25_search_store and every hybrid serving form
+    * (a production stack maintains one index; its queries all probe
+    * it). */
+  private def lexStoreFor(spark: SparkSession,
+      sfDir: String): graft.operators.LexStore =
+    lexStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.LexStore(
+        s"graft_lex_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(Tables.documents(spark, dir), "doc_id", "text")
+      s
+    })
+
   /** Store-backed BM25: the same scoring over the PERSISTED posting
     * table ([[graft.operators.LexStore]]) — zero corpus
     * re-tokenization at query time, identical oracle to bm25_search
     * (the scoring tail is shared code; zero drift allowed). */
   def bm25SearchStore(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val store = lexStores.computeIfAbsent(sfDir, dir => {
-      val s = new graft.operators.LexStore(
-        s"graft_lex_store_${graft.QueryPack.storeSuffix(dir)}")
-      s.ingest(Tables.documents(spark, dir), "doc_id", "text")
-      s
-    })
-    store.bm25(Bm25Queries.toDF("query_id", "term"))
+    lexStoreFor(spark, sfDir).bm25(Bm25Queries.toDF("query_id", "term"))
   }
 
   /** RRF constant (Cormack/Clarke/Buettcher's 60 — the value every
@@ -663,20 +670,21 @@ object TextOps extends QueryPack {
     * shares the inline scoring verbatim). Identical oracle to
     * [[hybridSearchRrf]]: the stores only move WHERE the postings and
     * vectors come from, never what they contain. */
+  /** The hybrid dense side's doc-vector derivation — guarded id +
+    * HashEmbed — shared by the EmbStore ingest, the IVF quantizer
+    * training, and the IVF inverted-file build (one derivation; the
+    * stores cannot drift from each other). */
+  private def hybridDocVecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(hybridCheckedDocId(col("doc_id")).as("vec_id"),
+        graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+
   def hybridSearchRrfStore(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val lexStore = lexStores.computeIfAbsent(sfDir, dir => {
-      val s = new graft.operators.LexStore(
-        s"graft_lex_store_${graft.QueryPack.storeSuffix(dir)}")
-      s.ingest(Tables.documents(spark, dir), "doc_id", "text")
-      s
-    })
+    val lexStore = lexStoreFor(spark, sfDir)
     val embStore = hybridEmbStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.EmbStore(
         s"graft_hybrid_emb_store_${graft.QueryPack.storeSuffix(dir)}")
-      s.ingest(Tables.documents(spark, dir)
-        .select(hybridCheckedDocId(col("doc_id")).as("vec_id"),
-          graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding")))
+      s.ingest(hybridDocVecs(spark, dir))
       s
     })
     hybridStoreProbe(spark, lexStore, embStore)
@@ -730,6 +738,95 @@ object TextOps extends QueryPack {
     graft.operators.SimilaritySearch.mmrRerankPrenormed(shortlist, normed)
       .select(col("query_id"), col("rk"), col("vec_id").as("doc_id"),
         col("score"))
+  }
+
+  /** IVF coarse-quantizer parameters for the hybrid serving stack's
+    * dense side. nlist matches ann_ivf's quantizer scale on this gate
+    * corpus; iters = 3 is deliberately DISTINCT from ann_ivf's
+    * (nlist = 16, iters = 2) because
+    * [[graft.operators.IvfIndex.trainedSnapshot]] resolves the
+    * oracle-generation matrix by (nlist, iters) across every dataset
+    * trained in the JVM — a colliding key would make BOTH families'
+    * snapshots ambiguous and silently drop their generated oracles to
+    * rows-only gates. */
+  val HybridIvfNlist = 16
+  val HybridIvfIters = 3
+  val HybridIvfNprobe = 4
+
+  private val hybridIvfStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.IvfStore]()
+
+  private def hybridIvfCentroids(spark: SparkSession,
+      sfDir: String): Seq[Seq[Double]] =
+    graft.operators.IvfIndex.trainCached(hybridDocVecs(spark, sfDir),
+      datasetKey = sfDir + "#hybrid", nlist = HybridIvfNlist,
+      iters = HybridIvfIters)
+
+  /** The dataset's persisted hybrid INVERTED FILE — the IVF-assigned
+    * (vec_id, emb, v_nrm, cell) twin of the EmbStore's flat vector
+    * table, built once per JVM exactly like the other serving stores.
+    * Doubles as the MMR tail's pre-normed vector source (emb/v_nrm
+    * are stored alongside the cell — no second vector table). */
+  private def hybridIvfStoreFor(spark: SparkSession, sfDir: String,
+      centroids: Seq[Seq[Double]]): graft.operators.IvfStore =
+    hybridIvfStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.IvfStore(
+        s"graft_hybrid_ivf_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.merge(graft.operators.IvfIndex.index(hybridDocVecs(spark, dir),
+        centroids))
+      s
+    })
+
+  /** The PRODUCTION hybrid serving plan — both sides index-pruned:
+    * posting-store keyword probe (work scales with matching postings)
+    * fused with an IVF-shortlisted dense ranking
+    * ([[graft.operators.IvfIndex.topKFromIndexed]] over the persisted
+    * cell-assigned inverted file — candidate cells broadcast onto a
+    * bare bucketed scan, probe work bounded by nprobe/nlist of the
+    * store instead of the corpus-linear brute scoring
+    * [[hybridSearchRrfStore]] keeps as the documented baseline at the
+    * SAME seam). The RRF fusion tail is shared verbatim; the oracle is
+    * generated from the trained centroid matrix (the ann_ivf_store
+    * discipline), so the probe's top-k — shortlist recall and all —
+    * is value-gated, not hand-waved. */
+  def hybridSearchRrfStoreIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val lex = lexStoreFor(spark, sfDir).bm25(Bm25Queries.toDF("query_id", "term"))
+    val centroids = hybridIvfCentroids(spark, sfDir)
+    val ivfStore = hybridIvfStoreFor(spark, sfDir, centroids)
+    val dense = graft.operators.IvfIndex.topKFromIndexed(
+      ivfStore.table(spark), hybridQueryVecs(spark), centroids,
+      k = TextAnalysis.Bm25TopK, nprobe = HybridIvfNprobe)
+    rrfFuse(lex, dense)
+  }
+
+  /** MMR diversification over the IVF-served hybrid shortlist — the
+    * full production serving stack with NO corpus-linear stage left:
+    * lexical side posting-pruned, dense side nprobe-bounded, greedy
+    * re-rank pair sims scored off the inverted file's OWN stored
+    * pre-normed vectors (emb/v_nrm live beside the cell assignment —
+    * zero re-embed/re-norm, no second vector table). Oracle: the
+    * generated IVF hybrid oracle nested as the MMR shortlist, greedy
+    * rounds via the shared [[SimilarityOps.mmrOracleOver]] machinery
+    * ([[hybridSearchRrfStoreMmr]]'s pattern). */
+  def hybridSearchRrfStoreIvfMmr(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val fused = hybridSearchRrfStoreIvf(spark, sfDir) // materializes stores
+    val shortlist = fused.select(col("query_id"),
+      col("doc_id").as("vec_id"), col("rrf").as("sim"))
+    val normed = hybridIvfStores.get(sfDir).table(spark)
+      .select(col("vec_id"), col("emb"), col("v_nrm").as("nrm"))
+    graft.operators.SimilaritySearch.mmrRerankPrenormed(shortlist, normed)
+      .select(col("query_id"), col("rk"), col("vec_id").as("doc_id"),
+        col("score"))
+  }
+
+  /** Spec access to the hybrid inverted file (the PlanSpec pins probe
+    * the pre-checkpoint seams the lazy checkpoints hide). */
+  private[graft] def hybridIvfStore(spark: SparkSession,
+      sfDir: String): graft.operators.IvfStore = {
+    hybridSearchRrfStoreIvf(spark, sfDir) // builds the store on first use
+    hybridIvfStores.get(sfDir)
   }
 
   /** Z-order (Morton) layout assignment over (quality, length)
@@ -2224,6 +2321,8 @@ object TextOps extends QueryPack {
     "hybrid_search_rrf" -> (hybridSearchRrf _),
     "hybrid_search_rrf_store" -> (hybridSearchRrfStore _),
     "hybrid_search_rrf_store_mmr" -> (hybridSearchRrfStoreMmr _),
+    "hybrid_search_rrf_store_ivf" -> (hybridSearchRrfStoreIvf _),
+    "hybrid_search_rrf_store_ivf_mmr" -> (hybridSearchRrfStoreIvfMmr _),
     "shard_assign" -> (shardAssign _),
     "pack_sequences" -> (packSequences _),
     "pack_ids_shuffled" -> (packIdsShuffled _),
@@ -2915,7 +3014,25 @@ object TextOps extends QueryPack {
   /** The hybrid RRF oracle, shared by the inline form and the
     * store-backed serving twin (identical by construction: the stores
     * only move WHERE the postings and vectors come from). */
-  private lazy val hybridRrfOracleSql: String = {
+  private lazy val hybridRrfOracleSql: String =
+    hybridOracleWithDense(
+      s"""hscored AS (
+         |  SELECT q.vid AS query_id, v.vid AS vec_id,
+         |    round(CASE WHEN q.nrm * v.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> q.emb[i] * v.emb[i])) / (q.nrm * v.nrm) END, 4) AS sim
+         |  FROM (SELECT * FROM hvn WHERE vid >= $HybridQidOffset) q,
+         |       (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v
+         |  WHERE v.vid <> q.vid
+         |)""".stripMargin)
+
+  /** The shared hybrid-oracle frame: lex ranking + HashEmbed vector
+    * derivation CTEs up front, RRF fusion + final ranking at the back,
+    * and the DENSE SHORTLIST as the pluggable middle (`denseCtes` must
+    * define `hscored(query_id, vec_id, sim)` over `hvn`) — the brute
+    * baseline and the IVF-probed serving form differ ONLY there,
+    * exactly like the engine (rrfFuse is one code path). */
+  private def hybridOracleWithDense(denseCtes: String): String = {
       val qvals = HybridQueryTexts
         .map { case (q, t) => s"(${q + HybridQidOffset}, '$t')" }
         .mkString(", ")
@@ -2946,15 +3063,7 @@ object TextOps extends QueryPack {
          |      list(coalesce(htb.v, 0) ORDER BY g.b), x -> x * x))) AS nrm
          |  FROM hgrid g LEFT JOIN htb ON htb.vid = g.vid AND htb.b = g.b
          |  GROUP BY g.vid
-         |), hscored AS (
-         |  SELECT q.vid AS query_id, v.vid AS vec_id,
-         |    round(CASE WHEN q.nrm * v.nrm = 0 THEN 0.0
-         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
-         |             i -> q.emb[i] * v.emb[i])) / (q.nrm * v.nrm) END, 4) AS sim
-         |  FROM (SELECT * FROM hvn WHERE vid >= $HybridQidOffset) q,
-         |       (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v
-         |  WHERE v.vid <> q.vid
-         |), hdense AS (
+         |), $denseCtes, hdense AS (
          |  SELECT query_id - $HybridQidOffset AS query_id, vec_id AS doc_id, rk
          |  FROM (
          |    SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2977,13 +3086,82 @@ object TextOps extends QueryPack {
          |WHERE rk <= ${TextAnalysis.Bm25TopK}""".stripMargin
     }
 
+  /** The IVF-served hybrid's generated oracle: the SAME frame with the
+    * dense shortlist drawn from the trained coarse quantizer — cell
+    * assignment and probe lists mirror CentroidSet's exact arithmetic
+    * (the [[SimilarityOps]] ann_ivf discipline: `list_reduce`
+    * sequential folds for every argmin/ordering decision, ||c||²
+    * embedded as precomputed literals, scores rounded AFTER the
+    * division). Docs assign to cells (vid < offset); queries probe
+    * their nprobe nearest cells; candidates come only from probed
+    * cells. */
+  private def hybridRrfIvfOracleSql(centroids: Seq[Seq[Double]]): String = {
+    val centRows = centroids.zipWithIndex.map { case (c, i) =>
+      val nsq = c.foldLeft(0.0)((s, x) => s + x * x)
+      s"($i, [${c.map(SimilarityOps.sqlDouble).mkString(", ")}], " +
+        s"${SimilarityOps.sqlDouble(nsq)})"
+    }.mkString(",\n  ")
+    hybridOracleWithDense(
+      s"""hcent(cell, w, nsq) AS (VALUES
+         |  $centRows
+         |), hvcell AS (
+         |  SELECT vid, cell FROM (
+         |    SELECT v.vid, c.cell,
+         |           row_number() OVER (PARTITION BY v.vid ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, $EmbedDim),
+         |               i -> v.emb[i] * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM (SELECT * FROM hvn WHERE vid < $HybridQidOffset) v, hcent c
+         |  ) WHERE rn = 1
+         |), hq AS (
+         |  SELECT vid AS query_id, emb AS q_emb, nrm AS q_nrm
+         |  FROM hvn WHERE vid >= $HybridQidOffset
+         |), hqprobe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cell,
+         |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |             c.nsq - 2 * list_reduce(list_transform(generate_series(1, $EmbedDim),
+         |               i -> q.q_emb[i] * c.w[i]),
+         |               (acc, x) -> acc + x) ASC,
+         |             c.cell ASC) AS rn
+         |    FROM hq q, hcent c
+         |  ) WHERE rn <= $HybridIvfNprobe
+         |), hscored AS (
+         |  SELECT qp.query_id, v.vid AS vec_id,
+         |    round(CASE WHEN q.q_nrm * v.nrm = 0 THEN 0.0
+         |      ELSE list_sum(list_transform(generate_series(1, $EmbedDim),
+         |             i -> q.q_emb[i] * v.emb[i])) / (q.q_nrm * v.nrm) END, 4) AS sim
+         |  FROM hqprobe qp
+         |  JOIN hvcell vc ON vc.cell = qp.cell
+         |  JOIN hvn v ON v.vid = vc.vid
+         |  JOIN hq q ON q.query_id = qp.query_id
+         |  WHERE v.vid <> qp.query_id
+         |)""".stripMargin)
+  }
+
   /** DuckDB twin of the full serving stack: the hybrid RRF oracle
     * nested verbatim as the MMR shortlist, the greedy rounds via the
     * SHARED [[SimilarityOps.mmrOracleOver]] machinery (zero fork from
     * the ann_mmr gates), and the candidate pair-similarities over the
     * SAME HashEmbed doc-vector derivation the dense side uses. */
-  private lazy val hybridRrfStoreMmrOracleSql: String = {
-    val docVecs =
+  private lazy val hybridRrfStoreMmrOracleSql: String =
+    SimilarityOps.mmrOracleOver(
+      s"SELECT query_id, doc_id AS vec_id, rrf AS sim FROM (\n$hybridRrfOracleSql\n)",
+      vectorsSql = hybridMmrDocVecsSql, dim = EmbedDim, outIdCol = "doc_id")
+
+  /** [[hybridRrfStoreMmrOracleSql]] over the IVF-served shortlist —
+    * same MMR machinery, same vector derivation, the generated IVF
+    * hybrid oracle nested verbatim as the shortlist. */
+  private def hybridRrfStoreIvfMmrOracleSql(
+      centroids: Seq[Seq[Double]]): String =
+    SimilarityOps.mmrOracleOver(
+      s"SELECT query_id, doc_id AS vec_id, rrf AS sim FROM (\n${hybridRrfIvfOracleSql(centroids)}\n)",
+      vectorsSql = hybridMmrDocVecsSql, dim = EmbedDim, outIdCol = "doc_id")
+
+  /** The MMR pair-sim side's doc-vector derivation (HashEmbed in
+    * DuckDB) — shared by the brute-served and IVF-served MMR oracles. */
+  private lazy val hybridMmrDocVecsSql: String =
       s"""(SELECT vid AS vec_id, emb AS embedding, nrm FROM (
          |  WITH mdt AS (SELECT doc_id AS vid,
          |                      unnest(string_split(text, ' ')) AS t
@@ -3005,10 +3183,6 @@ object TextOps extends QueryPack {
          |            ON mtb.vid = g.vid AND mtb.b = g.b
          |          GROUP BY g.vid)
          |  SELECT vid, emb, nrm FROM mvn))""".stripMargin
-    SimilarityOps.mmrOracleOver(
-      s"SELECT query_id, doc_id AS vec_id, rrf AS sim FROM (\n$hybridRrfOracleSql\n)",
-      vectorsSql = docVecs, dim = EmbedDim, outIdCol = "doc_id")
-  }
 
   private lazy val bm25OracleSql: String = {
     val vals = Bm25Queries
@@ -3193,7 +3367,20 @@ object TextOps extends QueryPack {
          |  (gr.keep AND NOT rp.flagged AND NOT dc.flagged
          |    AND NOT en.flagged) AS keep
          |FROM gr JOIN rp USING (doc_id) JOIN dc USING (doc_id)
-         |     JOIN en USING (doc_id)""".stripMargin)
+         |     JOIN en USING (doc_id)""".stripMargin) ++
+    // the IVF-served hybrid oracles are GENERATED from the trained
+    // coarse-quantizer matrix (the ann_ivf_store discipline): Verify
+    // executes every registered query — training the quantizer —
+    // BEFORE dumping oracleSql; untrained/ambiguous → omitted,
+    // falling back to the rows-only check rather than risking a
+    // wrong compare
+    graft.operators.IvfIndex
+      .trainedSnapshot(nlist = HybridIvfNlist, iters = HybridIvfIters)
+      .toList.flatMap { c =>
+        Seq("hybrid_search_rrf_store_ivf" -> hybridRrfIvfOracleSql(c),
+          "hybrid_search_rrf_store_ivf_mmr" ->
+            hybridRrfStoreIvfMmrOracleSql(c))
+      }
 
   private lazy val staticOracles: Map[String, String] = Map(
     // the exact-cosine pair verifier over the shared chunk embeddings,

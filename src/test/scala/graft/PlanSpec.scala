@@ -699,6 +699,50 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_topk"), s"fusion ranking stays the heap aggregate:\n$p")
   }
 
+  test("hybrid_search_rrf_store_ivf: both sides index-pruned — no corpus assignment, no re-embed, no re-tokenize") {
+    val p = plan("hybrid_search_rrf_store_ivf")
+    // the serving form's reason to exist: the cell argmin is paid once
+    // at ingest — the probe plan must never re-assign the corpus
+    assert(!p.contains("graft_ivf_assign"),
+      s"no assignment stage may run above the stored inverted file:\n$p")
+    assert(p.contains("graft_hybrid_ivf_store_"),
+      s"the dense side must scan the persisted inverted-file segments:\n$p")
+    assert(p.contains("graft_lex_store_"),
+      s"the lexical side must scan the posting segments:\n$p")
+    assert(!p.contains("split("),
+      s"the lexical side must probe persisted postings, never re-tokenize:\n$p")
+    // doc vectors come from the store; the embed expression may appear
+    // exactly once (the 5 broadcast query-side literals)
+    val embeds = "graft_hash_embed".r.findAllIn(p).size
+    assert(embeds <= 1,
+      s"doc vectors must not be re-embedded above the store scan ($embeds sites):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("graft_topk"),
+      s"dense + fusion rankings stay heap aggregates:\n$p")
+    // the probe side is a BROADCAST of |q|·nprobe cells onto the
+    // bucketed file scan — the corpus side must never shuffle for it
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate cells must broadcast onto the inverted-file scan:\n$p")
+  }
+
+  test("hybrid_search_rrf_store_ivf_mmr: greedy tail over the IVF shortlist; pair sims from the inverted file's own vectors") {
+    val p = plan("hybrid_search_rrf_store_ivf_mmr")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the greedy tail:\n$p")
+    assert(!p.contains("Window"), s"argmax must stay a partial agg, never a window:\n$p")
+    assert(!p.contains("graft_hash_embed"), s"no re-embed above the checkpoints:\n$p")
+    assert(!p.contains("graft_ivf_assign"), s"no corpus re-assignment anywhere:\n$p")
+    // the checkpoint-hidden pair-sim input, pinned at its own seam:
+    // the MMR tail reads the inverted file's stored (emb, v_nrm) —
+    // no second vector table, no recompute from text
+    val normed = graft.packs.TextOps.hybridIvfStore(spark, sf).table(spark)
+      .select("vec_id", "emb", "v_nrm")
+    val np = normed.queryExecution.executedPlan.toString
+    assert(np.contains("graft_hybrid_ivf_store_"),
+      s"pair sims must read the persisted inverted-file segments:\n$np")
+    assert(!np.contains("graft_hash_embed") && !np.contains("split("),
+      s"stored vectors must not be recomputed from text:\n$np")
+  }
+
   test("hybrid_search_rrf_store_mmr: greedy tail over checkpointed shortlists; pair sims from stored vectors") {
     // the greedy rounds read CHECKPOINTED shortlist-sized relations, so
     // the final plan is the MMR tail alone: every selection round must
