@@ -1794,13 +1794,26 @@ object TextAnalysis {
   /** Per-source drift of a batch against the seen corpus — the
     * monitoring datacard: one row per source present on both sides. */
   def jsDriftBySource(batch: DataFrame, seen: DataFrame,
-      srcCol: String, textCol: String): DataFrame = {
-    def counts(df: DataFrame): DataFrame =
-      df.select(col(srcCol).as("grp"), explode(tokens(col(textCol))).as("word"))
-        .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n"))
-    jsDriftGrouped(counts(batch), counts(seen))
+      srcCol: String, textCol: String): DataFrame =
+    jsDriftBySourceCounts(batch, srcCol, textCol,
+      seen.select(col(srcCol).as("grp"),
+          explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n")))
+
+  /** [[jsDriftBySource]] with the SEEN side supplied as a (grp, word,
+    * n) histogram — the grouped store-probing seam: the histogram can
+    * come from re-tokenizing the seen corpus (recompute) or from a
+    * [[TermHistStore]]'s persisted segments folded by counter
+    * addition, bit-identically (the [[jsDriftVsCorpus]] seam with the
+    * group key kept). */
+  def jsDriftBySourceCounts(batch: DataFrame, srcCol: String,
+      textCol: String, seenCounts: DataFrame): DataFrame =
+    jsDriftGrouped(
+      batch.select(col(srcCol).as("grp"),
+          explode(tokens(col(textCol))).as("word"))
+        .groupBy(col("grp"), col("word")).agg(count(lit(1)).as("n")),
+      seenCounts)
       .withColumnRenamed("grp", "source")
-  }
 
   /** Whole-corpus drift of a batch against a seen-side (word, n)
     * histogram — the store-probing seam: the seen histogram can come

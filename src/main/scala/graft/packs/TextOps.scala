@@ -999,6 +999,33 @@ object TextOps extends QueryPack {
       seenCounts)
   }
 
+  private val driftSourceStores = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.TermHistStore]()
+
+  /** Store-probing PER-SOURCE drift twin — closes the r16 gap where
+    * `drift_by_source` re-tokenized the seen corpus every trigger
+    * while the whole-corpus form probed its store (a LexStore's
+    * posting fold loses the source dimension): the seen side folds
+    * from a [[graft.operators.TermHistStore]]'s persisted
+    * (source, word, n) segments by counter addition, zero seen-side
+    * re-tokenization; the divergence tail is shared code
+    * ([[TextAnalysis.jsDriftBySourceCounts]]). Identical oracle to
+    * [[driftBySource]]. */
+  def driftBySourceStore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val inSrcIdx = expr("doc_id div 20") % TextIncrementalBatchMod
+    val store = driftSourceStores.computeIfAbsent(sfDir, dir => {
+      val s = new graft.operators.TermHistStore(
+        s"graft_drift_src_store_${graft.QueryPack.storeSuffix(dir)}")
+      s.ingest(docs.filter(inSrcIdx =!= 0), "source", "text")
+      s
+    })
+    TextAnalysis.jsDriftBySourceCounts(docs.filter(inSrcIdx === 0),
+      "source", "text",
+      store.histogram(spark)
+        .select(col("g").as("grp"), col("word"), col("n")))
+  }
+
   def bigramLogprobKn(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.bigramLogProbKn(Tables.documents(spark, sfDir),
       "doc_id", "text")
@@ -2343,6 +2370,7 @@ object TextOps extends QueryPack {
     "blocklist_hits" -> (blocklistHits _),
     "blocklist_tag" -> (blocklistTag _),
     "drift_by_source" -> (driftBySource _),
+    "drift_by_source_store" -> (driftBySourceStore _),
     "drift_vs_corpus" -> (driftVsCorpus _),
     "drift_vs_corpus_store" -> (driftVsCorpusStore _),
     "drift_top_terms" -> (driftTopTerms _),
@@ -3297,6 +3325,52 @@ object TextOps extends QueryPack {
       |      AS DECIMAL(18,6)) END AS lq
       |  FROM j CROSS JOIN tot
       |)""".stripMargin
+
+  /** Per-source JS-drift oracle — ONE string registered for the
+    * recompute form, the TermHistStore-probing twin and the SQL
+    * surface (sql_drift_by_source). */
+  private lazy val driftBySourceOracle: String =
+    s"""WITH bw AS (
+        |  SELECT source AS grp, word, count(*)::BIGINT AS b
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents
+        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod = 0)
+        |  GROUP BY 1, 2
+        |), sw AS (
+        |  SELECT source AS grp, word, count(*)::BIGINT AS s
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        |        FROM documents
+        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod <> 0)
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT coalesce(bw.grp, sw.grp) AS grp,
+        |         coalesce(bw.word, sw.word) AS word,
+        |         coalesce(b, 0) AS b, coalesce(s, 0) AS s
+        |  FROM bw FULL OUTER JOIN sw ON bw.grp = sw.grp AND bw.word = sw.word
+        |), tot AS (
+        |  SELECT grp, sum(b)::BIGINT AS nb, sum(s)::BIGINT AS ns
+        |  FROM j GROUP BY 1 HAVING sum(b) > 0 AND sum(s) > 0
+        |), t AS (
+        |  SELECT j.grp, b, s, nb, ns,
+        |    CASE WHEN b > 0 THEN CAST(round(ln(
+        |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
+        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) END AS lp,
+        |    CASE WHEN s > 0 THEN CAST(round(ln(
+        |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
+        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
+        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+        |      AS DECIMAL(18,6)) END AS lq
+        |  FROM j JOIN tot USING (grp)
+        |)
+        |SELECT grp AS source,
+        |  any_value(nb)::BIGINT AS n_batch_tokens,
+        |  any_value(ns)::BIGINT AS n_seen_tokens,
+        |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
+        |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
+        |    AS js_nats
+        |FROM t GROUP BY grp""".stripMargin
 
   /** Whole-corpus JS-drift oracle — ONE string registered for both the
     * recompute and the store-probing form (seen side folded from
@@ -4345,49 +4419,11 @@ object TextOps extends QueryPack {
     // JS drift: per word ONE double ratio per side (double-first
     // multiplies — integer products overflow int64 at corpus scale),
     // round-6 decimal terms weighted by integer counts, one division
-    // at the end — the source_kl discipline with JS's two-sided sum
-    "drift_by_source" ->
-      s"""WITH bw AS (
-        |  SELECT source AS grp, word, count(*)::BIGINT AS b
-        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
-        |        FROM documents
-        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod = 0)
-        |  GROUP BY 1, 2
-        |), sw AS (
-        |  SELECT source AS grp, word, count(*)::BIGINT AS s
-        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
-        |        FROM documents
-        |        WHERE (doc_id // 20) % $TextIncrementalBatchMod <> 0)
-        |  GROUP BY 1, 2
-        |), j AS (
-        |  SELECT coalesce(bw.grp, sw.grp) AS grp,
-        |         coalesce(bw.word, sw.word) AS word,
-        |         coalesce(b, 0) AS b, coalesce(s, 0) AS s
-        |  FROM bw FULL OUTER JOIN sw ON bw.grp = sw.grp AND bw.word = sw.word
-        |), tot AS (
-        |  SELECT grp, sum(b)::BIGINT AS nb, sum(s)::BIGINT AS ns
-        |  FROM j GROUP BY 1 HAVING sum(b) > 0 AND sum(s) > 0
-        |), t AS (
-        |  SELECT j.grp, b, s, nb, ns,
-        |    CASE WHEN b > 0 THEN CAST(round(ln(
-        |      CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) * 2 /
-        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
-        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
-        |      AS DECIMAL(18,6)) END AS lp,
-        |    CASE WHEN s > 0 THEN CAST(round(ln(
-        |      CAST(s AS DOUBLE) * CAST(nb AS DOUBLE) * 2 /
-        |      (CAST(b AS DOUBLE) * CAST(ns AS DOUBLE) +
-        |       CAST(s AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
-        |      AS DECIMAL(18,6)) END AS lq
-        |  FROM j JOIN tot USING (grp)
-        |)
-        |SELECT grp AS source,
-        |  any_value(nb)::BIGINT AS n_batch_tokens,
-        |  any_value(ns)::BIGINT AS n_seen_tokens,
-        |  round((CAST(sum(b * lp) AS DOUBLE) / any_value(nb) +
-        |         CAST(sum(s * lq) AS DOUBLE) / any_value(ns)) / 2, 4)
-        |    AS js_nats
-        |FROM t GROUP BY grp""".stripMargin,
+    // at the end — the source_kl discipline with JS's two-sided sum.
+    // ONE string for the recompute form, the TermHistStore-probing
+    // twin AND the SQL surface — zero drift allowed between the three
+    "drift_by_source" -> driftBySourceOracle,
+    "drift_by_source_store" -> driftBySourceOracle,
 
     // shared verbatim by the store-probing twin (the seen histogram
     // folds from persisted postings; the divergence tail is one code

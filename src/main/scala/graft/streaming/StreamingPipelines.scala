@@ -390,6 +390,44 @@ object StreamingPipelines {
     drift
   }
 
+  /** PER-SOURCE drift-monitor-at-ingest — [[driftMonitorBatch]]'s
+    * grouped sibling over the persisted (source, word, n) histogram
+    * store ([[graft.operators.TermHistStore]]): the arriving batch's
+    * per-source JS divergence is scored against the store's folded
+    * per-source baseline (zero seen-side re-tokenization — the gap
+    * the whole-corpus monitor's LexStore fold could not close, its
+    * postings losing the source dimension), THEN the batch's own
+    * histogram sliver merges in (batchId-idempotent). First batch
+    * per source emits no row (drift against an empty distribution is
+    * undefined).
+    *
+    * Replay semantics are AT-LEAST-ONCE for the monitor ROWS, same
+    * honest caveat as [[driftMonitorBatch]]: a replayed trigger skips
+    * the merge exactly, but its drift rows are recomputed against a
+    * store that already contains the batch — fine for telemetry
+    * (the alarm already fired once with the exact value); do not
+    * build a gating signal on replayed drift rows. */
+  def driftBySourceMonitorBatch(store: graft.operators.TermHistStore,
+      batch: DataFrame, srcCol: String, textCol: String,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val seenCounts = store.histogram(spark)
+      .select(col("g").as("grp"), col("word"), col("n"))
+    // materialize the drift rows BEFORE the merge mutates the store
+    // view the probe reads (the lazy frame would otherwise score the
+    // batch against a baseline that already contains it)
+    val drift = graft.operators.TextAnalysis
+      .jsDriftBySourceCounts(batch, srcCol, textCol, seenCounts)
+      .localCheckpoint()
+    if (!store.isReplay(batchId)) {
+      store.ingest(batch, srcCol, textCol, batchId)
+      store.compactIfNeeded(spark, maxSegments)
+    }
+    drift
+  }
+
   /** Count-Min index-at-ingest — [[lexIngestBatch]]'s sibling over the
     * frequency-sketch store ([[graft.operators.CmsStore]]): one
     * distributed sketch aggregate over the arriving batch's tokens,

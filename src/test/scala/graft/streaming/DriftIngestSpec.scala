@@ -49,6 +49,60 @@ class DriftIngestSpec extends SparkSpec {
       "replayed batchId must not merge postings twice")
   }
 
+  private val s0 = Seq(("web", 10L, "alpha beta gamma alpha"),
+    ("book", 11L, "delta delta epsilon"))
+  private val s1 = Seq(("web", 12L, "alpha alpha zeta"),
+    ("book", 13L, "delta eta"))
+  private val s2 = Seq(("web", 14L, "totally novel vocabulary here"))
+
+  private def inlineBySource(batch: Seq[(String, Long, String)],
+      prior: Seq[(String, Long, String)]): Set[(String, Long, Long, Double)] =
+    TextAnalysis.jsDriftBySource(batch.toDF("source", "doc_id", "text"),
+        prior.toDF("source", "doc_id", "text"), "source", "text")
+      .as[(String, Long, Long, Double)].collect().toSet
+
+  test("per-source drift-at-ingest == inline per-source drift vs all prior batches") {
+    val store = new graft.operators.TermHistStore(
+      "graft_drift_src_ingest", buckets = 2)
+
+    def monitor(batchId: Long,
+        docs: Seq[(String, Long, String)]): Set[(String, Long, Long, Double)] =
+      StreamingPipelines.driftBySourceMonitorBatch(store,
+          docs.toDF("source", "doc_id", "text"), "source", "text",
+          batchId = batchId)
+        .as[(String, Long, Long, Double)].collect().toSet
+
+    // first batch: no baseline for ANY source → zero rows, sliver merged
+    assert(monitor(0L, s0).isEmpty, "no drift rows against an empty store")
+    // horizon 1: monitor == inline vs s0, one row PER SOURCE
+    val d1 = monitor(1L, s1)
+    assert(d1 == inlineBySource(s1, s0))
+    assert(d1.map(_._1) == Set("web", "book"))
+    // horizon 2: only "web" arrives → only web's row; baseline is the
+    // store's fold of s0 ++ s1 (novel vocab ⇒ ≈ ln 2)
+    val d2 = monitor(2L, s2)
+    assert(d2 == inlineBySource(s2, s0 ++ s1))
+    assert(d2.map(_._1) == Set("web"))
+    assert(math.abs(d2.head._4 - math.log(2)) <= 0.0002, s"got $d2")
+
+    // replay of batch 2: the merge must not double-count the histogram
+    val before = store.histogram(spark).as[(String, String, Long)]
+      .collect().toSet
+    StreamingPipelines.driftBySourceMonitorBatch(store,
+      s2.toDF("source", "doc_id", "text"), "source", "text",
+      batchId = 2L).collect()
+    assert(store.histogram(spark).as[(String, String, Long)]
+      .collect().toSet == before,
+      "replayed batchId must not merge the histogram twice")
+
+    // compaction folds segments without changing the baseline
+    store.compact(spark)
+    assert(store.liveSegments.size == 1)
+    assert(store.histogram(spark).as[(String, String, Long)]
+      .collect().toSet == before,
+      "compaction must preserve the folded histogram")
+  }
+
   test("monitor loop drives from a real stream via foreachBatch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val store = new LexStore("graft_drift_ingest_stream", buckets = 2)
