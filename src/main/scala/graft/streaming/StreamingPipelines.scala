@@ -390,6 +390,107 @@ object StreamingPipelines {
     drift
   }
 
+  /** JS-drift level (nats) above which an arriving batch is
+    * QUARANTINED instead of curated — the named default for
+    * [[curateIngestDriftGated]]. Calibration logic: JS divergence is
+    * bounded by ln 2 ≈ 0.6931 nats (total vocabulary replacement —
+    * the wrong-language / template-spam failure mode reads at or near
+    * the ceiling), while HEALTHY same-domain traffic sits far below
+    * it: the gate corpus measures 0.0016 whole-corpus and ≤ 0.036
+    * per-source (drift_vs_corpus / drift_by_source at sf0.01), and
+    * even the ingest spec's tiny partially-overlapping batches stay
+    * ≤ ~0.45. 0.55 clears every healthy reading with ~0.14 nats of
+    * headroom below the failure mode. Production tuning: record
+    * [[driftMonitorBatch]]'s time series and set the threshold above
+    * its p99 — the monitor exists precisely to make that series
+    * cheap. */
+  val DriftQuarantineNats = 0.55
+
+  /** Drift-GATED curation ingest — the composition that makes the
+    * monitor actionable (the reason a production pipeline runs it):
+    * per arriving batch,
+    *
+    *  1. score the batch's whole-corpus JS drift against the posting
+    *     store's accumulated baseline (the [[driftMonitorBatch]]
+    *     probe — store NOT yet merged, so the batch never scores
+    *     against itself);
+    *  2. if js_nats > `quarantineNats`, the batch routes VERBATIM to
+    *     the held table ([[graft.operators.HeldBatchStore]]) and
+    *     NOTHING else merges — drift baseline, floor histogram,
+    *     exact sketch and band store are all left exactly as they
+    *     were, so an operator can review, retune, and replay the
+    *     batch with zero contamination to undo;
+    *  3. otherwise the batch curates exactly as [[curateIngestBatch]]
+    *     (gates 1-4, same stores, same batchId idempotency) and its
+    *     FULL token mass joins the drift baseline — the monitor
+    *     tracks the arrival distribution of accepted traffic, so a
+    *     near-dup-heavy but in-distribution batch does not skew the
+    *     baseline the next alarm is judged against.
+    *
+    * The first batch ever (empty baseline) emits no drift row and
+    * ingests: the baseline must bootstrap from something — seed from
+    * a trusted first crawl, the C4-style convention.
+    *
+    * Replay: every merge is batchId-idempotent. A QUARANTINED batch's
+    * replay is exactly-once by construction — the stores were never
+    * touched, so the replay probes the identical baseline and decides
+    * identically (the held-table merge itself is replay-guarded). An
+    * ACCEPTED batch's replay re-curates replay-exactly
+    * ([[curateIngestBatch]]'s guarantees); its recomputed drift
+    * scalar reads lower (the baseline now contains the batch — the
+    * documented at-least-once monitor-row caveat) but sits BELOW the
+    * threshold it already passed, so the accept decision is stable
+    * too.
+    *
+    * Returns the curated survivors (empty, schema-stable, when
+    * quarantined). The drift scalar is one bounded driver row — the
+    * gate is a per-batch decision, exactly like the convergence
+    * scalars the component loop reads. */
+  def curateIngestDriftGated(driftStore: graft.operators.LexStore,
+      heldStore: graft.operators.HeldBatchStore,
+      floorStore: QualityFloorStore,
+      exactStore: graft.operators.BloomStore,
+      bandStore: graft.operators.BandStore, seenDocs: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      ratesBp: Map[String, Int], defaultBp: Int,
+      threshold: Double = graft.operators.Dedup.NgramThreshold,
+      maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
+      quarantineNats: Double = DriftQuarantineNats,
+      batchId: Long = VersionedParquetStore.NoBatchId,
+      maxSegments: Int = DefaultSegmentBudget): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions._
+    val seenCounts = driftStore.table(spark)
+      .filter(col("term").isNotNull)
+      .groupBy(col("term")).agg(sum(col("tf")).as("n"))
+      .select(col("term").as("word"), col("n"))
+    // the gate scalar: ≤ 1 row, the bounded-driver-read convention
+    val js = graft.operators.TextAnalysis
+      .jsDriftVsCorpus(batch, textCol, seenCounts)
+      .select(col("js_nats")).collect().headOption.map(_.getDouble(0))
+    if (js.exists(_ > quarantineNats)) {
+      if (!heldStore.isReplay(batchId)) {
+        heldStore.merge(batch.select(lit(batchId).as("batch_id"),
+          col(idCol).as("doc_id"), col(langCol).as("lang"),
+          col(textCol).as("text")), batchId)
+        heldStore.compactIfNeeded(spark, maxSegments)
+      }
+      // zero survivors, schema identical to the accepted path's (the
+      // lazy limit(0) never runs the scoring and touches no store)
+      graft.operators.TextAnalysis.stratifiedSample(
+        batch.withColumn("quality_bp", floorStore.qualityBp(col(textCol))),
+        langCol, idCol, ratesBp, defaultBp).limit(0)
+    } else {
+      if (!driftStore.isReplay(batchId)) {
+        driftStore.ingest(batch, idCol, textCol, batchId)
+        driftStore.compactIfNeeded(spark, maxSegments)
+      }
+      curateIngestBatch(floorStore, exactStore, bandStore, seenDocs,
+        batch, idCol, textCol, langCol, ratesBp, defaultBp, threshold,
+        maxBucketSize, batchId, maxSegments)
+    }
+  }
+
   /** PER-SOURCE drift-monitor-at-ingest — [[driftMonitorBatch]]'s
     * grouped sibling over the persisted (source, word, n) histogram
     * store ([[graft.operators.TermHistStore]]): the arriving batch's
