@@ -96,8 +96,13 @@ object PipelineOps extends QueryPack {
     * relation. Oracle = the blocklist fragments + the shared
     * quality-keep CTEs re-targeted at the filtered corpus — both
     * halves are the strings their per-operator oracles verify. */
-  def pipelineCurateBlocklist(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def pipelineCurateBlocklist(spark: SparkSession, sfDir: String): DataFrame =
+    curateBlocklist(Tables.documents(spark, sfDir))
+
+  /** [[pipelineCurateBlocklist]] over an arbitrary (doc_id, lang,
+    * text) corpus — the registered query binds it to the documents
+    * table; the ScaleCurve row drives it with replicated corpora. */
+  def curateBlocklist(docs: DataFrame): DataFrame = {
     // both stage boundaries checkpoint lazily: curateQuality consumes
     // its input several times, and without them every consumer re-runs
     // the k-gram scan AND the semi-join (same-host warm at sf0.1:

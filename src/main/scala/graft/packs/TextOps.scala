@@ -790,10 +790,21 @@ object TextOps extends QueryPack {
     * discipline), so the probe's top-k — shortlist recall and all —
     * is value-gated, not hand-waved. */
   def hybridSearchRrfStoreIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val lex = lexStoreFor(spark, sfDir).bm25(Bm25Queries.toDF("query_id", "term"))
     val centroids = hybridIvfCentroids(spark, sfDir)
-    val ivfStore = hybridIvfStoreFor(spark, sfDir, centroids)
+    hybridIvfStoreProbe(spark, lexStoreFor(spark, sfDir),
+      hybridIvfStoreFor(spark, sfDir, centroids), centroids)
+  }
+
+  /** The IVF-served hybrid plan over EXPLICIT stores — ONE plan shared
+    * by the gated twin and the ScaleCurve row (the
+    * [[hybridStoreProbe]] convention), so the scale claim times
+    * exactly the served query. */
+  private[graft] def hybridIvfStoreProbe(spark: SparkSession,
+      lexStore: graft.operators.LexStore,
+      ivfStore: graft.operators.IvfStore,
+      centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    val lex = lexStore.bm25(Bm25Queries.toDF("query_id", "term"))
     val dense = graft.operators.IvfIndex.topKFromIndexed(
       ivfStore.table(spark), hybridQueryVecs(spark), centroids,
       k = TextAnalysis.Bm25TopK, nprobe = HybridIvfNprobe)

@@ -391,6 +391,14 @@ object ScaleCurve {
         bench("pipeline_curate_master", m,
           graft.packs.PipelineOps.curateMaster(curatedDocs,
             uniModel.table, nbModel))
+        // the blocklist-fronted composition end to end (C4 gate first,
+        // then the quality-keep body): the gate's k-gram scan grows
+        // with the corpus while hit mass stays replica-0-sized (salted
+        // tokens never match the broadcast dictionary), so the keep
+        // set — and everything the quality body does after it —
+        // scales WITH the corpus
+        bench("pipeline_curate_blocklist", m,
+          graft.packs.PipelineOps.curateBlocklist(curatedDocs))
         // attribution row for the master's flag stage: the composite
         // Gopher verdict alone (4 scan families over the replicas)
         bench("gopher_verdict", m,
@@ -453,6 +461,64 @@ object ScaleCurve {
             graft.packs.TextOps.EmbedDim).as("embedding")))
         bench("hybrid_search_rrf_store_probe", m,
           graft.packs.TextOps.hybridStoreProbe(spark, lexStore, embStore))
+      }
+      // the IVF-SERVED hybrid probe at the same grown store — the
+      // replacement measured against the brute row above at the same
+      // seam: the dense side joins |q|·nprobe broadcast cells against
+      // the bucketed inverted file instead of scoring every stored
+      // vector, so probe work is bounded by the PROBED CELLS' share of
+      // the store (nprobe/nlist of it, on this uniform corpus) while
+      // the brute side grows corpus-linearly. Quantizer trained once
+      // on the base corpus (frozen-centroid faiss semantics — the
+      // curve measures store growth at constant query load, and the
+      // salted replicas stay inside the trained space's geometry);
+      // ingest (assignment pass + store build) is the untimed
+      // train-once side, guarded like the other store rows.
+      if (only.forall(_.contains("hybrid_search_rrf_store_ivf_probe"))) locally {
+        val lexStore = new graft.operators.LexStore(s"graft_curve_lexiv_$m")
+        lexStore.ingest(docs, "doc_id", "text")
+        val docVecs = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.HashEmbed(col("text"),
+            graft.packs.TextOps.EmbedDim).as("embedding"))
+        val hybCentroids = IvfIndex.trainCached(
+          Tables.documents(spark, sfDir).select(col("doc_id").as("vec_id"),
+            graft.functions.HashEmbed(col("text"),
+              graft.packs.TextOps.EmbedDim).as("embedding")),
+          sfDir + "#curvehybrid",
+          nlist = graft.packs.TextOps.HybridIvfNlist,
+          iters = graft.packs.TextOps.HybridIvfIters)
+        val ivfStore = new graft.operators.IvfStore(s"graft_curve_hivf_$m")
+        ivfStore.merge(IvfIndex.index(docVecs, hybCentroids))
+        bench("hybrid_search_rrf_store_ivf_probe", m,
+          graft.packs.TextOps.hybridIvfStoreProbe(spark, lexStore,
+            ivfStore, hybCentroids))
+      }
+      // the same probe with the quantizer RETRAINED at corpus scale —
+      // faiss's √N-cells practice, the offline side the
+      // IvfStore.rebuild primitive exists for: nlist grows ~16·√m
+      // (16/50/160) so the probed mass (nprobe/nlist of the store)
+      // SHRINKS as the store grows and the dense scoring stays
+      // ~constant-cell-sized. The frozen-quantizer row above measures
+      // the other operating point (gate-scale nlist pinned at 16,
+      // where nprobe/nlist = 25% of the store is still scored).
+      // Training stays the bounded ≤4096-sample driver fit — corpus-
+      // sublinear at any scale, untimed train-once cost like the rest.
+      if (only.forall(_.contains("hybrid_search_rrf_store_ivf_probe_nscaled")))
+      locally {
+        val lexStore = new graft.operators.LexStore(s"graft_curve_lexns_$m")
+        lexStore.ingest(docs, "doc_id", "text")
+        val docVecs = docs.select(col("doc_id").as("vec_id"),
+          graft.functions.HashEmbed(col("text"),
+            graft.packs.TextOps.EmbedDim).as("embedding"))
+        val nlistScaled = Map(1 -> 16, 10 -> 50, 100 -> 160)(m)
+        val cScaled = IvfIndex.trainCached(docVecs,
+          sfDir + s"#curvehybridns$m", nlist = nlistScaled,
+          iters = graft.packs.TextOps.HybridIvfIters)
+        val ivfStore = new graft.operators.IvfStore(s"graft_curve_hivfns_$m")
+        ivfStore.merge(IvfIndex.index(docVecs, cScaled))
+        bench("hybrid_search_rrf_store_ivf_probe_nscaled", m,
+          graft.packs.TextOps.hybridIvfStoreProbe(spark, lexStore,
+            ivfStore, cScaled))
       }
       docs.unpersist()
       vecs.unpersist()
