@@ -101,8 +101,14 @@ object Blocklist {
       if (foldCase) dictRaw.select(lower(col("term")).as("term"), col("k"))
       else dictRaw)
     val textNorm = if (foldCase) lower(col(textCol)) else col(textCol)
-    val toks = docs.select(checkedLongId(docs, idCol),
-      TextAnalysis.tokens(textNorm).as("t"))
+    // fan the (id, text) rows out to cluster parallelism before the
+    // per-k gram enumeration (scale-guarded — see FanOut): on a
+    // narrow input the k-gram transform/slice/join work would
+    // otherwise run single-task in the scan stage
+    val toks = FanOut.fanOut(
+        docs.select(checkedLongId(docs, idCol), textNorm.as("__bl_text")),
+        col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("__bl_text")).as("t"))
     // ONE corpus scan for every phrase length: the per-k (k, gram)
     // position arrays built side by side in the projection, flattened,
     // and exploded once — a per-k union would re-scan the corpus once

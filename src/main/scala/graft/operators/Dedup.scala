@@ -232,7 +232,12 @@ object Dedup {
     * [[duplicateSpans]] detects over and a [[GramStore]] persists. */
   def spanGrams(docs: DataFrame, idCol: String, textCol: String,
       k: Int = DupSpanTokens): DataFrame =
-    docs
+    // Fan the (id, text) rows out to cluster parallelism before the
+    // gram explode + per-gram digests (scale-guarded — see FanOut):
+    // a narrow input would hash every gram single-task, and every
+    // consumer that next groups or windows by the id (winnow
+    // selection, per-doc type dedup) reuses this exchange.
+    FanOut.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
       .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
 
@@ -686,13 +691,42 @@ object Dedup {
     * hashing shingles with salt prefix "i#". Same banding → bucket cap
     * → candidate join → exact-Jaccard verification as the production
     * path; only the hash family differs. */
-  /** (doc_id, sh) shingle table — the shared head of every LSH path. */
+  /** (doc_id, sh) shingle table — the shared head of every LSH path.
+    *
+    * r17: the scale-adaptive fan-out moved HERE from [[md5BandedFrom]]
+    * and now sits BELOW the shingle projection: the old placement
+    * repartitioned the already-shingled rows, so the shingling itself
+    * (split + slide + concat per token) still ran inside the 1-2
+    * scan partitions of a small input — measured as the dominant
+    * single-task job of every LSH-backed query at sf0.1. Projecting
+    * to (id, text) first keeps the exchange narrow (guide §2.3);
+    * shingles, digests and minima all run post-exchange at cluster
+    * parallelism. [[FanOut.fanOut]] skips the shuffle entirely when
+    * the input is already at least default-parallelism partitioned
+    * (the 100 TB case). */
   private[operators] def withShOf(docs: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        shinglesFromText(col(textCol), shingleN).as("sh"))
+      textCol: String, shingleN: Int): DataFrame = {
+    val projected =
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("__sh_text"))
+    val par = projected.sparkSession.sparkContext.defaultParallelism
+    val small = projected.rdd.getNumPartitions < par
+    val base = if (small) projected.repartition(par, col("doc_id")) else projected
+    val sh = base
+      .select(col("doc_id"),
+        shinglesFromText(col("__sh_text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
+    // Small inputs additionally materialize the shingle table ONCE
+    // (lazy checkpoint): every LSH query consumes it three ways —
+    // banding/digests plus BOTH sides of the Jaccard verification join
+    // — and without this each consumer re-shingles the corpus from the
+    // raw scan (two of them inside single-threaded broadcast builds).
+    // At scale (input already >= cluster parallelism) the checkpoint
+    // is SKIPPED: materializing a corpus-sized shingle table (~N× the
+    // text bytes) trades a cheap rescan for massive block storage —
+    // there the three consumers recompute the scan-side projection,
+    // which is the documented banded-checkpoint design.
+    if (small) sh.localCheckpoint(false) else sh
+  }
 
   def minhashLshMd5(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = NgramShingleN, bands: Int = Md5TwinBands,
@@ -729,19 +763,12 @@ object Dedup {
     // interpreter k times per document. Each md5 yields TWO independent
     // 60-bit values (hex chars 1-15 and 17-31), so k signatures cost
     // k/2 digests; the shuffle carries only |docs|·k partial minima.
-    // Repartition by doc_id BEFORE digesting ONLY when the scan is
-    // narrower than the cluster: a small input scans as 1-2 partitions,
-    // which would run the k/2 digests per shingle nearly
-    // single-threaded, and the min-agg groups by doc_id so the
-    // partitioning is reused. A well-partitioned 100 TB input already
-    // saturates every core — there the repartition would be a full
-    // shuffle of exploded shingle rows that buys nothing, so it is
-    // skipped (input partitions >= default parallelism).
-    val spark = withSh.sparkSession
-    val fanOut = withSh.rdd.getNumPartitions <
-      spark.sparkContext.defaultParallelism
-    val spread = if (fanOut) withSh.repartition(col("doc_id")) else withSh
-    val exploded = spread.select(col("doc_id"), explode(col("sh")).as("s"))
+    // Parallelism: [[withShOf]] fans the (id, text) rows out to
+    // cluster parallelism before shingling (r17 — the repartition
+    // previously lived here, above the shingle projection, which left
+    // the shingling itself single-task on small inputs), so the
+    // explode + digests + min-agg below inherit that partitioning.
+    val exploded = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val digests = (0 until (k + 1) / 2).map(i =>
       md5(concat(lit(s"$i#"), col("s"))).as(s"m$i"))
     val hashCols = (0 until k).map(j =>
@@ -870,8 +897,13 @@ object Dedup {
     * incremental probe forms. */
   private[operators] def md5SimhashFp(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    // fan-out before the per-token digests (scale-guarded, see
+    // FanOut); the vote aggregation below groups by doc_id and reuses
+    // the exchange
+    val tok = FanOut.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("__t"))).as("tok"))
       .select(col("doc_id"), md5h60(col("tok")).as("h"))
     val votes = (0 until Md5SimhashBits).map { j =>
       sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
@@ -1077,10 +1109,26 @@ object Dedup {
         // would collapse the symmetric reversal into the original
         .select(col("doc_a"), col("doc_b"))
     }
+    // r17: no `.distinct()` on the symmetric union — every pair source
+    // in this repo emits CANONICALIZED (doc_a < doc_b), already-distinct
+    // pairs (each banding tail ends in a distinct before verification,
+    // and the verification joins are on unique-keyed doc tables), so
+    // the union of the relation with its strict reversal is
+    // duplicate-free BY CONSTRUCTION and the distinct was a pure extra
+    // corpus-of-pairs shuffle. A degenerate external pair source with
+    // duplicates stays CORRECT (the min fixpoint is idempotent — dup
+    // edges change no label), it just pays proportional join work.
+    // The union is instead hash-partitioned ONCE by `src` (pinned
+    // count, AQE must not fold it away) before the persist: every
+    // propagation round joins edges on src — with the cached table
+    // already hash(src)-partitioned, rounds re-shuffle only the small
+    // label table, never the edge relation (at 100 TB the edge table
+    // is the big side of every round).
+    val par = p.sparkSession.sparkContext.defaultParallelism
     val edges = p
       .union(p.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct()
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .repartition(par, col("src"))
       .persist() // re-read every round: never recompute the pair join
     val labels = componentLabels(edges, maxIters)
     edges.unpersist() // vertex labels are materialized; edge cache done
@@ -1135,6 +1183,15 @@ object Dedup {
     require(maxIters >= 2, s"maxIters must be >= 2 (got $maxIters): " +
       "the fused seed is effective round 1, so at least one more round " +
       "is needed to observe convergence")
+    // Fresh pointer jumps per jump round (see the loop comment): each
+    // jump self-joins the round's post-propagation table, doubling
+    // pointer reach. JumpHops = 1 measured best: 2 chained jumps cut
+    // a synthetic 32k-chain from 13 to 10 rounds but did NOT reduce
+    // rounds on the real image hamming graph (14 either way) while
+    // adding a self-join barrier to every jump round — the extra
+    // reach only pays on path-like graphs far longer than the bucket
+    // caps allow in practice.
+    val JumpHops = 1
     // Overflow-proof monotone scalar; NULL (empty input) reads as zero.
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val row = df.agg(
@@ -1161,46 +1218,79 @@ object Dedup {
     while (!converged && it < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("lbl"))
+      // Pointer jumps from round 3 on: shortcut each vertex's label
+      // through the CURRENT label table's pointer graph. Edge flooding
+      // alone converges in O(graph diameter) rounds — each a full
+      // Spark job — so a long similarity CHAIN (dense-threshold
+      // embedding graphs and the image hamming graph produce them)
+      // costs a job launch per hop. The first two rounds stay plain
+      // flooding: near-dup TEXT graphs are clique-like (diameter
+      // ≤ 2-3) and converge before a jump could pay for its extra
+      // joins — measured: text components 2.3 s plain vs 3.0 s
+      // always-jump; semantic keep-far 9.5 s plain vs 3.5 s with the
+      // jump tail.
+      //
+      // r17 note — a "stale-pointer" fusion was tried and REVERTED:
+      // folding lbl²(v)..lblᵏ(v) hops over the round's STARTING labels
+      // into the same min-fold as the propagation makes no progress,
+      // because each min-fold round already path-compresses the
+      // pointer forest to depth ≤ 2 — stale hops stall at the local
+      // minima (measured: the image hamming chain stopped doubling and
+      // fell back to +1-hop flooding, 14 rounds → 30-round bailout).
+      // Only POST-merge jumps (over the freshly propagated table) see
+      // the new edges and double the reach; the JumpHops chained fresh
+      // jumps below multiply per-round reach by 2^JumpHops at the cost
+      // of JumpHops sequential self-join barriers.
       val merged = labels.select(col("v"), col("lbl")).union(prop)
         .groupBy(col("v"))
         .agg(min(col("lbl")).as("lbl"))
         .persist()
-      // Pointer jump (path doubling) from round 3 on: shortcut each
-      // vertex's label to its LABEL's label. Edge flooding alone
-      // converges in O(graph diameter) rounds — each a full Spark
-      // job — so a long similarity CHAIN (the dense-threshold
-      // embedding graphs produce them) costs a job launch per hop;
-      // with the jump the label paths halve every round and the tail
-      // is O(log diameter). The first two rounds stay plain flooding:
-      // near-dup TEXT graphs are clique-like (diameter ≤ 2-3) and
-      // converge before a jump could pay for its extra join —
-      // measured: text components 2.3 s plain vs 3.0 s always-jump;
-      // semantic keep-far 9.5 s plain vs 3.5 s with the jump tail.
-      // Every lbl is itself a seed vertex (labels start as v and only
-      // min-fold), so the self-join always finds its row; the
-      // fixpoint — component-min labels — is unchanged, and the
-      // monotone label-sum convergence test still strictly decreases
-      // until it.
-      //
-      // Jump rounds localCheckpoint, NOT persist: the self-join puts
-      // TWO copies of the round's lineage into the next round's
+      // Jump rounds localCheckpoint, NOT persist: the self-joins put
+      // MULTIPLE copies of the round's lineage into the next round's
       // LOGICAL plan, so a persisted jump loop grows the plan
-      // 2^rounds — by round ~13 the analyzer/explain machinery alone
-      // runs for minutes on a plan with millions of nodes (persist
-      // caches data, never lineage). The checkpoint truncates each
-      // jump round to a LogicalRDD leaf; plain rounds grow the plan
-      // linearly, which 30 rounds tolerate. LAZY checkpoint (r15):
-      // the labelSum action right below materializes the checkpoint
-      // blocks in the same job that computes the convergence scalar —
-      // one job per jump round where eager-then-sum was two.
+      // exponentially — by round ~13 the analyzer/explain machinery
+      // alone runs for minutes on a plan with millions of nodes
+      // (persist caches data, never lineage). The checkpoint truncates
+      // each jump round to a LogicalRDD leaf; plain rounds grow the
+      // plan linearly, which 30 rounds tolerate. LAZY checkpoint
+      // (r15): the labelSum action right below materializes the
+      // checkpoint blocks in the same job that computes the
+      // convergence scalar — one job per jump round.
+      // Stats-clean truncation (r17): Spark 4's Dataset.localCheckpoint
+      // copies the ORIGIN plan's estimated statistics into the new
+      // LogicalRDD leaf (LogicalRDD.fromDataset →
+      // rewriteStatsAndConstraints). In an iterative loop that
+      // COMPOUNDS: a join's sizeInBytes estimate is the product of its
+      // children's, so each round's leaf inherits the previous leaf's
+      // BigInt raised to the round's join count — the bit-length grows
+      // exponentially in rounds, and by round ~13 the driver spends
+      // MINUTES inside BigInteger.multiply under canBroadcastBySize
+      // (jstack-verified; the pre-r17 single-jump loop already paid
+      // megabit-integer stats math in its late rounds). Rebasing the
+      // round's rows through createDataFrame cuts the origin chain:
+      // the checkpoint leaf then carries plain default stats, constant
+      // across rounds. The Row rebase costs one external-row
+      // conversion of the (v, lbl) label table per jump round —
+      // two longs per row, a rounding error next to the round's joins.
       val next =
         if (it < 2) merged
-        else merged.as("a")
-          .join(merged.select(col("v").as("lv"), col("lbl").as("llbl")),
-            col("lbl") === col("lv"))
-          .select(col("v"), least(col("lbl"), col("llbl")).as("lbl"))
-          .localCheckpoint(eager = false)
+        else {
+          val jumped = (1 to JumpHops).foldLeft(merged) { (m, _) =>
+            m.as("a")
+              .join(m.select(col("v").as("lv"), col("lbl").as("llbl")),
+                col("lbl") === col("lv"))
+              .select(col("v"), least(col("lbl"), col("llbl")).as("lbl"))
+          }
+          jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
+            .localCheckpoint(eager = false)
+        }
+      val t0 = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.props.contains("graft.debug.components"))
+        System.err.println(f"[nearDupClusters] round ${it + 1} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s sum=$nextSum " +
+          f"planNodes=${next.queryExecution.logical.collect { case n => n }.size} " +
+          f"edgesNodes=${edges.queryExecution.logical.collect { case n => n }.size}")
       labels.unpersist()
       if (next ne merged) merged.unpersist()
       labels = next
@@ -1212,6 +1302,8 @@ object Dedup {
       System.err.println(s"[nearDupClusters] WARNING: not converged after " +
         s"$maxIters rounds — a >$maxIters-hop similarity chain exists; " +
         "clusters may be split (never merged). Raise maxIters.")
+    if (sys.props.contains("graft.debug.components"))
+      System.err.println(s"[nearDupClusters] converged=$converged rounds=$it")
     labels
   }
 

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+
+/** Scale-adaptive fan-out before expensive per-row work (the
+  * [[Dedup]] md5-banding idiom, r17: promoted to one shared seam).
+  *
+  * Heavy scan-side computation — shingling + signature digests, BPE /
+  * unigram tokenization, codec encode/decode, regex scoring — runs in
+  * the SCAN stage, so its parallelism is the scan's partition count.
+  * A small input (one parquet row group, a single file, a narrow
+  * upstream coalesce) scans as 1-2 partitions and serializes that work
+  * on one core while the rest of the machine idles; a well-partitioned
+  * 100 TB input already saturates the cluster, where an unconditional
+  * repartition would be a full corpus shuffle that buys nothing.
+  *
+  * `fanOut` therefore repartitions by the given key ONLY when the
+  * input's partition count is below the cluster's default parallelism
+  * — derived from the data and the session, never a constant (guide
+  * §2: scale-adaptive partitioning). Hash partitioning by a real key
+  * (never `rand()`): deterministic under task retry, and the exchange
+  * is reusable by a downstream join/groupBy on the same key.
+  */
+object FanOut {
+
+  /** `df` repartitioned by `key` iff its planned partition count is
+    * below the session's default parallelism.
+    *
+    * The partition count is pinned EXPLICITLY (`repartition(n, key)`,
+    * shuffle origin REPARTITION_BY_NUM): a bare `repartition(key)` is
+    * REPARTITION_BY_COL, which AQE's partition coalescing folds right
+    * back to one partition when the shuffled bytes are under
+    * `minPartitionSize` — precisely the small-input case this seam
+    * exists for (measured: the fanned-out stage re-ran single-task). */
+  def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+
+  /** Typed twin for Dataset seams (the multimodal codec boundary). */
+  def fanOutDs[T](ds: Dataset[T], key: Column): Dataset[T] = {
+    val par = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < par) ds.repartition(par, key) else ds
+  }
+}

@@ -336,7 +336,12 @@ object Multimodal {
     * encode is part of the distributed plumbing under test. */
   def syntheticPngAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+    // Codec work (PNG encode here, the decode in every consumer's
+    // mapPartitions seam) is CPU-bound per asset; a small doc table
+    // scans as one partition and would serialize it on one core —
+    // fan out to cluster parallelism first (scale-guarded, see FanOut).
+    FanOut.fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val w = (PngWBase + id % PngWMod).toInt
         val h = (PngHBase + id % PngHMod).toInt
@@ -498,8 +503,18 @@ object Multimodal {
     * the banding is EXACT by pigeonhole (≤ 3 differing bits cannot
     * touch all 4 bands), so under the cap the pair set equals the
     * brute-force scan the oracle runs. */
-  def imageHammingPairs(hashes: DataFrame, maxDist: Int = AHashMaxDist,
+  def imageHammingPairs(hashesIn: DataFrame, maxDist: Int = AHashMaxDist,
       maxBucketSize: Int = AHashMaxBucketSize): DataFrame = {
+    // The hash table is consumed FIVE times below (bucket count, both
+    // capped candidate sides, both verification sides) and its lineage
+    // is the decode seam — without this checkpoint every consumer
+    // re-synthesizes and re-DECODES the media bytes (measured: the WAV
+    // path ran its 2.7 s decode stage four times concurrently inside
+    // one query). The materialized rows are id + two hash longs + dims
+    // — the narrow proxy the decode exists to produce; at corpus scale
+    // persisting it once is exactly the decide-on-small-rows shape
+    // (decode heavy bytes once, shuffle only fingerprints).
+    val hashes = hashesIn.localCheckpoint(false)
     val bands = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
       explode(array((0 until 4).map { b =>
         val src = if (b < 2) col("hash_lo") else col("hash_hi")
@@ -621,7 +636,9 @@ object Multimodal {
     * audio analog of [[syntheticPngAssets]]. */
   def syntheticWavAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions(_.map { id =>
+    // fan out before the codec seam — see syntheticPngAssets
+    FanOut.fanOut(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions(_.map { id =>
       val n = (AudNBase + id % AudNMod).toInt
       val raw = new Array[Byte](n * 2)
       var i = 0
@@ -775,7 +792,11 @@ object Multimodal {
     * Runs on executors; the encode is part of the plumbing under test. */
   def syntheticGifAssets(spark: SparkSession, docs: DataFrame): Dataset[MediaAsset] = {
     import spark.implicits._
-    docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")).as[Long]
+    // fan out before the codec seam — see syntheticPngAssets
+    FanOut.fanOut(
+        docs.filter(col("doc_id") % 3 === 2).select(col("doc_id")),
+        col("doc_id"))
+      .as[Long]
       .mapPartitions { ids =>
         val gray = Array.tabulate(256)(_.toByte)
         val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)

@@ -336,12 +336,22 @@ object SimilaritySearch {
       dim: Int = 64,
       maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
+    // r17: `vectors` itself is consumed twice (bucketing + the
+    // verification side) and its lineage may be an expensive
+    // chunk+embed scan — a SMALL input (below cluster parallelism,
+    // the FanOut guard) additionally materializes it once; a
+    // corpus-scale input skips the copy (there the persisted EmbStore
+    // is the serving artifact, and re-scanning beats materializing a
+    // corpus-sized vector table).
+    val small = vectors.rdd.getNumPartitions <
+      vectors.sparkSession.sparkContext.defaultParallelism
+    val vecs = if (small) vectors.localCheckpoint(false) else vectors
     // consumed by the bucket count AND both join sides — materialize the
     // narrow (id, tbl, bucket) rows once (lazy localCheckpoint, same
     // rationale as the Dedup banding paths)
-    val vb = bucketed(vectors, "vec_id", "embedding", planes)
+    val vb = bucketed(vecs, "vec_id", "embedding", planes)
       .localCheckpoint(false)
-    nearDupPairsTail(vb, None, normalizedVectors(vectors), threshold,
+    nearDupPairsTail(vb, None, normalizedVectors(vecs), threshold,
       maxBucketSize)
   }
 
@@ -642,9 +652,14 @@ object SimilaritySearch {
     * (self-join) form — the LSH bucket join is the scale path for
     * high thresholds. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    // both join sides read this projection — materialize it once
+    // (r17; the broadcast build otherwise re-runs the upstream
+    // embedding scan single-threaded). This form is documented as the
+    // non-scale path, so the copy is unconditionally cheap.
     val v = vectors.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"),
       VectorOps.norm(col("embedding")).as("nrm"))
+      .localCheckpoint(false)
     val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),

@@ -1938,7 +1938,13 @@ object TextAnalysis {
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = DsirBuckets,
       topN: Int = DsirTopN): DataFrame = {
+    // tf feeds TWO consumers (the model fold and the scoring join);
+    // without the checkpoint each re-runs the gram explode + digest
+    // aggregation from the raw corpus (r17 — measured as two identical
+    // scan stages in one query). The materialized rows are the narrow
+    // (doc, tgt, bucket, tf) table, bounded by docs × buckets.
     val tf = dsirTf(docs, idCol, textCol, isTarget, buckets)
+      .localCheckpoint(false)
     dsirRank(tf.drop("tgt"), dsirModelOf(tf), buckets, topN)
   }
 
@@ -1947,8 +1953,10 @@ object TextAnalysis {
     * (which persists only the bucket-level sums). */
   private[graft] def dsirTf(docs: DataFrame, idCol: String,
       textCol: String, isTarget: Column, buckets: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
-      col(textCol).as("text"))
+    val base = graft.operators.FanOut.fanOut(
+      docs.select(col(idCol).as("doc_id"), isTarget.as("tgt"),
+        col(textCol).as("text")),
+      col("doc_id"))
     base.select(col("doc_id"), col("tgt"),
         explode(concat(tokens(col("text")),
           graft.functions.WordShingles(col("text"), 2))).as("gram"))

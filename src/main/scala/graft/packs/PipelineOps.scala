@@ -369,9 +369,11 @@ object PipelineOps extends QueryPack {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // hashes need no caller-side checkpoint: imageHammingPairs (its
+    // only consumer) materializes them internally (r17)
     val hashes = graft.operators.Multimodal.imageAHashes(spark,
         graft.operators.Multimodal.syntheticPngAssets(spark, docs))
-      .toDF().localCheckpoint(false)
+      .toDF()
     val dup = graft.operators.Multimodal.imageHammingPairs(hashes)
       .select(col("asset_b").as("doc_id")).distinct()
       .withColumn("img_dup", lit(true))
@@ -393,9 +395,11 @@ object PipelineOps extends QueryPack {
       sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
+    // hashes need no caller-side checkpoint: imageHammingPairs (their
+    // only consumer) materializes them internally (r17)
     val hashes = graft.operators.Multimodal.imageAHashes(spark,
         graft.operators.Multimodal.syntheticPngAssets(spark, docs))
-      .toDF().localCheckpoint(false)
+      .toDF()
     // pairs materialize once (the component loop re-reads them and the
     // vertex draw below is a second consumer — without this each re-runs
     // the banding join over the decoded hashes)

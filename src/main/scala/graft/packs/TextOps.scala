@@ -1955,7 +1955,7 @@ object TextOps extends QueryPack {
   /** The shared draw: ORDER BY md5('tnd#' || doc_id), doc_id LIMIT N —
     * a TakeOrderedAndProject (per-partition heaps, one scan, driver
     * bytes bounded by N docs), identical string ordering in DuckDB. */
-  private def textNearDupSample(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def textNearDupSample(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .orderBy(md5(concat(lit("tnd#"), col("doc_id").cast("string"))),
         col("doc_id"))
@@ -2014,8 +2014,13 @@ object TextOps extends QueryPack {
         "doc_id", "text", ChunkTokens, ChunkOverlap)
       .select((col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"),
         col("text"))
-    val vectors = chunks.select(col("vec_id"),
-      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    // fan out before the per-chunk embedding (scale-guarded — see
+    // FanOut): the HashEmbed projection is the expensive per-row work
+    // of this query and would otherwise run at the chunk scan's
+    // narrow parallelism
+    val vectors = graft.operators.FanOut.fanOut(chunks, col("vec_id"))
+      .select(col("vec_id"),
+        graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     graft.operators.SimilaritySearch
       .lshNearDupPairs(vectors, TextNearDupThreshold,
         maxBucketSize = TextLshMaxBucketSize)
