@@ -34,12 +34,12 @@ object FanOut {
     * exists for (measured: the fanned-out stage re-ran single-task). */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+    if (sys.props.contains("graft.nofanout")) df else if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
   }
 
   /** Typed twin for Dataset seams (the multimodal codec boundary). */
   def fanOutDs[T](ds: Dataset[T], key: Column): Dataset[T] = {
     val par = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < par) ds.repartition(par, key) else ds
+    if (sys.props.contains("graft.nofanout")) ds else if (ds.rdd.getNumPartitions < par) ds.repartition(par, key) else ds
   }
 }
