@@ -231,15 +231,23 @@ object Dedup {
     * (id, pos, gram = md5 hex of the space-joined window) — the rows
     * [[duplicateSpans]] detects over and a [[GramStore]] persists. */
   def spanGrams(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = DupSpanTokens): DataFrame =
+      k: Int = DupSpanTokens, fan: Boolean = true): DataFrame = {
     // Fan the (id, text) rows out to cluster parallelism before the
     // gram explode + per-gram digests (scale-guarded — see FanOut):
     // a narrow input would hash every gram single-task, and every
     // consumer that next groups or windows by the id (winnow
     // selection, per-doc type dedup) reuses this exchange.
-    FanOut.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+    // `fan = false` is the INGEST-BATCH side of the incremental
+    // probes: a per-trigger micro-batch is bounded and arrives with
+    // the stream's own partitioning, so a forced exchange there costs
+    // more than it buys (r17 same-session A/B: +0.3-0.6 s per probe
+    // at sf0.1); a caller with a corpus-sized batch fans it out ONCE
+    // at the ingest seam instead of per probe.
+    val base = docs.select(col(idCol), col(textCol))
+    (if (fan) FanOut.fanOut(base, col(idCol)) else base)
       .select(col(idCol), posexplode(shinglesFromText(col(textCol), k)))
       .select(col(idCol), col("pos"), md5(col("col")).as("gram"))
+  }
 
   /** Per-document n-gram novelty — the memorization-risk datacard row:
     * what fraction of a doc's k-gram TYPES appear in no other document.
@@ -317,7 +325,11 @@ object Dedup {
     * never shuffled when the store scan reports its gram bucketing. */
   def incrementalDuplicateSpansFrom(batch: DataFrame, seenGrams: DataFrame,
       idCol: String, textCol: String, k: Int = DupSpanTokens): DataFrame = {
-    val grams = spanGrams(batch, idCol, textCol, k).localCheckpoint(false)
+    // fan = false: the batch is probe-sized by contract (see
+    // spanGrams); its gram table is checkpointed right here, so a
+    // large batch still hashes once — the caller decides parallelism
+    val grams = spanGrams(batch, idCol, textCol, k, fan = false)
+      .localCheckpoint(false)
     val dupInternal = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("gram"))
@@ -709,7 +721,7 @@ object Dedup {
     val projected =
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__sh_text"))
     val par = projected.sparkSession.sparkContext.defaultParallelism
-    val small = projected.rdd.getNumPartitions < par
+    val small = FanOut.isNarrow(projected) // memoized — see FanOut
     val base = if (small) projected.repartition(par, col("doc_id")) else projected
     val sh = base
       .select(col("doc_id"),
@@ -1408,8 +1420,9 @@ object Dedup {
     * The corpus is scanned twice (both join sides), the same
     * trade documented on [[duplicateSpans]]. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = WinnowGramTokens, w: Int = WinnowWindow): DataFrame =
-    winnowSelect(spanGrams(docs, idCol, textCol, k), idCol, w)
+      k: Int = WinnowGramTokens, w: Int = WinnowWindow,
+      fan: Boolean = true): DataFrame =
+    winnowSelect(spanGrams(docs, idCol, textCol, k, fan), idCol, w)
 
   /** Production-hash twin of [[winnowFingerprints]]: xxhash64 grams
     * (one 64-bit hash per window instead of an md5 digest — the hash
@@ -1589,7 +1602,10 @@ object Dedup {
       k: Int = WinnowGramTokens, w: Int = WinnowWindow,
       minShared: Int = WinnowMinShared,
       maxDocsPerGram: Int = WinnowMaxDocsPerGram): DataFrame = {
-    val batchFp = winnowFingerprints(batch, idCol, textCol, k, w)
+    // fan = false: probe-sized batch by contract (see spanGrams), and
+    // the fingerprint table is checkpointed immediately below
+    val batchFp = winnowFingerprints(batch, idCol, textCol, k, w,
+        fan = false)
       .select(col(idCol).as("doc_id"), col("gram")).distinct()
       .localCheckpoint(false)
     val all = batchFp.union(seenFp.select(col("doc_id"), col("gram")))

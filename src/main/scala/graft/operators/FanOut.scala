@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 
 /** Scale-adaptive fan-out before expensive per-row work (the
   * [[Dedup]] md5-banding idiom, r17: promoted to one shared seam).
@@ -23,6 +23,37 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
   */
 object FanOut {
 
+  /** Memoized narrow-input decisions (r17). Reading the planned
+    * partition count (`df.rdd.getNumPartitions`) runs the FULL
+    * physical-planning pipeline over the subtree and throws the result
+    * away — pure driver work repeated on every invocation of every
+    * fan-out seam (hundreds per bench pass). The decision is a
+    * function of (session, canonicalized logical plan): the file
+    * layout is immutable within a session and store segments get
+    * fresh paths (hence fresh plans), so a cached decision can never
+    * go stale. LRU-bounded so multi-session JVMs (the test suite)
+    * cannot accumulate dead sessions' plan keys. */
+  private val narrowCache =
+    new java.util.LinkedHashMap[(SparkSession, Any), java.lang.Boolean](
+      256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Any), java.lang.Boolean]): Boolean =
+        size() > 256
+    }
+
+  private def narrow(ds: Dataset[_]): Boolean = {
+    val spark = ds.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val key = (spark, ds.queryExecution.analyzed.canonicalized)
+    narrowCache.synchronized {
+      val hit = narrowCache.get(key)
+      if (hit != null) return hit.booleanValue()
+    }
+    val v = ds.rdd.getNumPartitions < par
+    narrowCache.synchronized { narrowCache.put(key, v) }
+    v
+  }
+
   /** `df` repartitioned by `key` iff its planned partition count is
     * below the session's default parallelism.
     *
@@ -34,12 +65,23 @@ object FanOut {
     * exists for (measured: the fanned-out stage re-ran single-task). */
   def fanOut(df: DataFrame, key: Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (sys.props.contains("graft.nofanout")) df else if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+    if (sys.props.contains("graft.nofanout")) df
+    else if (narrow(df)) df.repartition(par, key) else df
   }
 
   /** Typed twin for Dataset seams (the multimodal codec boundary). */
   def fanOutDs[T](ds: Dataset[T], key: Column): Dataset[T] = {
     val par = ds.sparkSession.sparkContext.defaultParallelism
-    if (sys.props.contains("graft.nofanout")) ds else if (ds.rdd.getNumPartitions < par) ds.repartition(par, key) else ds
+    if (sys.props.contains("graft.nofanout")) ds
+    else if (narrow(ds)) ds.repartition(par, key) else ds
   }
+
+  /** The fan-out PREDICATE alone — for call sites that also want to
+    * place a materialization point relative to the exchange (e.g.
+    * checkpoint an expensive projection AFTER the fan-out so the
+    * parallel pass runs once; [[fanOut]] can't express that because
+    * the projection sits between the exchange and the checkpoint).
+    * Honors the same kill switch and the same memoized decision. */
+  def isNarrow(df: DataFrame): Boolean =
+    !sys.props.contains("graft.nofanout") && narrow(df)
 }

@@ -343,8 +343,7 @@ object SimilaritySearch {
     // corpus-scale input skips the copy (there the persisted EmbStore
     // is the serving artifact, and re-scanning beats materializing a
     // corpus-sized vector table).
-    val small = vectors.rdd.getNumPartitions <
-      vectors.sparkSession.sparkContext.defaultParallelism
+    val small = FanOut.isNarrow(vectors)
     val vecs = if (small) vectors.localCheckpoint(false) else vectors
     // consumed by the bucket count AND both join sides — materialize the
     // narrow (id, tbl, bucket) rows once (lazy localCheckpoint, same

@@ -2017,10 +2017,24 @@ object TextOps extends QueryPack {
     // fan out before the per-chunk embedding (scale-guarded — see
     // FanOut): the HashEmbed projection is the expensive per-row work
     // of this query and would otherwise run at the chunk scan's
-    // narrow parallelism
-    val vectors = graft.operators.FanOut.fanOut(chunks, col("vec_id"))
-      .select(col("vec_id"),
-        graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    // narrow parallelism. On the SAME narrow-input condition the
+    // embedded vectors are materialized once (lazy checkpoint): the
+    // LSH tail consumes them three ways (bucketing + both
+    // verification sides), and the fan-out exchange hides the input
+    // from lshNearDupPairs' own small-input checkpoint — without this
+    // the parallel embed re-ran per consumer (r17: neardup_recall
+    // 1.49 → 1.15 s once the embed is materialized). At corpus scale
+    // (narrow = false) both the exchange and the copy are skipped —
+    // the persisted EmbStore is the serving artifact there.
+    val narrow = graft.operators.FanOut.isNarrow(chunks)
+    val spread =
+      if (narrow) chunks.repartition(
+        chunks.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      else chunks
+    val vectorsRaw = spread.select(col("vec_id"),
+      graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    val vectors =
+      if (narrow) vectorsRaw.localCheckpoint(false) else vectorsRaw
     graft.operators.SimilaritySearch
       .lshNearDupPairs(vectors, TextNearDupThreshold,
         maxBucketSize = TextLshMaxBucketSize)
