@@ -28,7 +28,15 @@ object Tables {
         size() > 64
     }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // nanosAsLong is set BEFORE any relation resolves (r17-ADVICE item
+    // 4): events() used to set it first, but a caller reading 'events'
+    // through table() before events() would cache a conf-less schema —
+    // the legacy conf only changes how TIMESTAMP(NANOS) parquet (one
+    // testdata generation of events.ts) is inferred, and is a no-op for
+    // every other table. The cache below assumes sfDir contents are
+    // immutable for the JVM lifetime (there is no refreshByPath hook).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     relationCache.synchronized {
       val k = (spark, sfDir, name)
       val hit = relationCache.get(k)
@@ -39,6 +47,7 @@ object Tables {
         df
       }
     }
+  }
 
   /** events.parquet's `ts` physical type has varied across testdata
     * generations: TIMESTAMP(NANOS) (Spark reads it only as a long via the

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -184,7 +186,7 @@ object Dedup {
       .select(md5(col(textCol)).as("text_hash"), col(idCol))
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as(idCol))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
 
   /** Default minimum duplicated run length for [[duplicateSpans]], in
     * tokens — shared with the generated oracle SQL. (Production corpora
@@ -329,7 +331,7 @@ object Dedup {
     // spanGrams); its gram table is checkpointed right here, so a
     // large batch still hashes once — the caller decides parallelism
     val grams = spanGrams(batch, idCol, textCol, k, fan = false)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val dupInternal = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("gram"))
@@ -438,11 +440,11 @@ object Dedup {
     // materialized storage (the persisted band table): re-reading a
     // bucketed parquet scan is cheaper than copying the whole corpus
     // band table into executor block storage.
-    val probeCk = probeBanded.localCheckpoint(false)
+    val probeCk = probeBanded.seamCheckpoint(false)
     val allCk = seenBanded match {
       case None => probeCk
       case Some(seen) =>
-        probeCk.union(if (materializeSeen) seen.localCheckpoint(false) else seen)
+        probeCk.union(if (materializeSeen) seen.seamCheckpoint(false) else seen)
     }
     // Cap pathological buckets before pair generation — bucket size is
     // counted over the FULL corpus view, matching the self-dedup
@@ -560,9 +562,9 @@ object Dedup {
     // localCheckpoint materializes it once (same rationale as the LSH
     // banded checkpoint above; production fingerprints are a scan-side
     // projection, where the checkpoint still saves two corpus scans).
-    val probeCk = probeFp.localCheckpoint(false)
+    val probeCk = probeFp.seamCheckpoint(false)
     val seenBanded = seenFp.map(seen =>
-      simhashBandedOf(seen.localCheckpoint(false), bandBits, nBands))
+      simhashBandedOf(seen.seamCheckpoint(false), bandBits, nBands))
     simhashBandTail(simhashBandedOf(probeCk, bandBits, nBands), seenBanded,
       maxHamming, maxBucketSize)
   }
@@ -674,7 +676,7 @@ object Dedup {
       idCol: String, textCol: String, maxHamming: Int = 3,
       maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
     simhashBandTail(
-      simhashBandedOf(simhash(batch, idCol, textCol).localCheckpoint(false),
+      simhashBandedOf(simhash(batch, idCol, textCol).seamCheckpoint(false),
         bandBits = 16, nBands = 4),
       Some(seenBanded), maxHamming = maxHamming,
       maxBucketSize = maxBucketSize)
@@ -721,8 +723,12 @@ object Dedup {
     val projected =
       docs.select(col(idCol).as("doc_id"), col(textCol).as("__sh_text"))
     val par = projected.sparkSession.sparkContext.defaultParallelism
-    val small = FanOut.isNarrow(projected) // memoized — see FanOut
-    val base = if (small) projected.repartition(par, col("doc_id")) else projected
+    // split predicates (r17-ADVICE item 2): the EXCHANGE honors the
+    // graft.nofanout kill switch; the MATERIALIZATION below does not —
+    // a nofanout A/B isolates the fan-out effect only
+    val small = FanOut.isNarrowMaterialize(projected) // memoized — see FanOut
+    val fan = small && FanOut.isNarrow(projected)
+    val base = if (fan) projected.repartition(par, col("doc_id")) else projected
     val sh = base
       .select(col("doc_id"),
         shinglesFromText(col("__sh_text"), shingleN).as("sh"))
@@ -737,7 +743,7 @@ object Dedup {
     // text bytes) trades a cheap rescan for massive block storage —
     // there the three consumers recompute the scan-side projection,
     // which is the documented banded-checkpoint design.
-    if (small) sh.localCheckpoint(false) else sh
+    if (small) sh.seamCheckpoint(false) else sh
   }
 
   def minhashLshMd5(docs: DataFrame, idCol: String, textCol: String,
@@ -970,7 +976,7 @@ object Dedup {
       maxBucketSize: Int = SimhashMaxBucketSize): DataFrame =
     simhashBandTail(
       simhashBandedOf(
-        md5SimhashFp(batch, idCol, textCol).localCheckpoint(false),
+        md5SimhashFp(batch, idCol, textCol).seamCheckpoint(false),
         bandBits = Md5SimhashBandBits,
         nBands = Md5SimhashBits / Md5SimhashBandBits),
       Some(seenBanded), maxHamming = maxHamming,
@@ -1096,7 +1102,7 @@ object Dedup {
     // the LSH banding + verification join — would execute twice while
     // `edges` materializes. One lazy checkpoint makes the union read
     // computed rows in both branches.
-    val pSrc = p0.localCheckpoint(eager = false)
+    val pSrc = p0.seamCheckpoint(eager = false)
     var validIdsRef: Option[DataFrame] = None
     val p = if (trustedPairs) pSrc else {
       // The corpus is touched exactly ONCE (as in r14): the pair
@@ -1112,7 +1118,7 @@ object Dedup {
       val validIds = pSrc.select(col("doc_a").as("id"))
         .union(pSrc.select(col("doc_b").as("id"))).distinct()
         .join(ids, Seq("id"), "left_semi")
-        .localCheckpoint(eager = false)
+        .seamCheckpoint(eager = false)
       validIdsRef = Some(validIds)
       pSrc.join(validIds.toDF("doc_a"), Seq("doc_a"), "left_semi")
         .join(validIds.toDF("doc_b"), Seq("doc_b"), "left_semi")
@@ -1155,7 +1161,7 @@ object Dedup {
         lit(true).as("keep"))
     val out = loopOut.union(singles)
     val result = if (cacheResult) {
-      val r = out.localCheckpoint(eager = true)
+      val r = out.seamCheckpoint(eager = true)
       // The eager checkpoint severed the pair lineage — release the
       // pair-sized pSrc/validIds checkpoint blocks NOW instead of
       // leaving them for the ContextCleaner: a bench JVM running 250+
@@ -1210,6 +1216,33 @@ object Dedup {
         org.apache.spark.sql.functions.sum(col("lbl").cast("decimal(38,0)"))).head()
       if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
     }
+    // AQE off for the LOOP ONLY (r18, guide §1.2 — fix the algorithm's
+    // driver overhead before config): every propagation round is a
+    // fresh tiny query whose input partitioning is already pinned
+    // (edges hash-partitioned by src once, labels label-table-sized),
+    // so AQE's per-round work — one scheduled job per exchange
+    // materialization plus a replan between them — is pure sequential-
+    // barrier overhead multiplied by O(rounds): measured 110 → 33 jobs
+    // and 4.29 → 3.09 s on pipeline_curate_multimodal_cc (14-round
+    // image graph), 0.87 → 0.73 s on dedup_components. Nothing a round
+    // computes depends on AQE (exact aggregations; partitioning only
+    // moves rows), and the conf is RESTORED in finally — queries
+    // outside the loop keep AQE's coalescing/skew handling, which is
+    // where it earns its keep at 100 TB. The loop's own shuffles
+    // default to spark.sql.shuffle.partitions, sized to the cluster by
+    // GraftSession. Construction is single-threaded per session
+    // (Bench/Verify run queries sequentially; the forked test JVM runs
+    // suites sequentially), so the scoped toggle cannot leak into a
+    // concurrent plan compile.
+    // graft.loopaqe keeps AQE on inside the loop — the same-session
+    // A/B hook (ProfileMany ab:graft.loopaqe), same pattern as
+    // graft.nofanout; never set by Bench/Verify/GraftSession.
+    val sparkForConf = edges.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = sparkForConf.conf.get(AqeKey, "true")
+    if (!sys.props.contains("graft.loopaqe"))
+      sparkForConf.conf.set(AqeKey, "false")
+    try {
     // Fused seed (r15): the seed labels (`lbl = v` over distinct `dst`)
     // followed by round 1's propagate-and-min fold algebraically
     // collapse to `edges.groupBy(dst).agg(least(dst, min(src)))` — one
@@ -1294,7 +1327,7 @@ object Dedup {
               .select(col("v"), least(col("lbl"), col("llbl")).as("lbl"))
           }
           jumped.sparkSession.createDataFrame(jumped.rdd, jumped.schema)
-            .localCheckpoint(eager = false)
+            .seamCheckpoint(eager = false)
         }
       val t0 = System.nanoTime()
       val nextSum = labelSum(next)
@@ -1317,6 +1350,7 @@ object Dedup {
     if (sys.props.contains("graft.debug.components"))
       System.err.println(s"[nearDupClusters] converged=$converged rounds=$it")
     labels
+    } finally sparkForConf.conf.set(AqeKey, aqePrev)
   }
 
   /** Canonical selection by QUALITY over near-dup clusters: instead of
@@ -1518,7 +1552,7 @@ object Dedup {
       minShared: Int, maxDocsPerGram: Int): DataFrame = {
     val fp = fps
       .select(col(idCol).as("doc_id"), col("gram")).distinct()
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hot = fp.groupBy(col("gram"))
       .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocsPerGram)
@@ -1569,11 +1603,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
     val ta = ascii.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
     val tb = ascii.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    // r18 (guide §3.2 — shrink the expensive operator's work, not its
+    // output): the verification runs THRESHOLDED levenshtein. A pair
+    // passes iff edit_dist·10⁴ div max_len ≤ B, i.e. iff
+    // edit_dist ≤ lim = ((B+1)·max_len − 1) div 10⁴ — lim IS the exact
+    // max passing distance (⌊e·10⁴/m⌋ ≤ B ⟺ e·10⁴ ≤ B·m + m − 1).
+    // levenshtein(a, b, lim) runs the banded O(len·lim) algorithm
+    // (returning the EXACT distance when ≤ lim, −1 otherwise, with an
+    // O(1) length-difference early exit) instead of the full O(len²)
+    // DP: surviving pairs see bit-identical distances, failing pairs
+    // are rejected without completing the DP. The −1 sentinel rows are
+    // dropped by the `edit_dist >= 0` guard — without it a −1 would
+    // compute a negative ratio and PASS the ≤ B filter.
     cands.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"),
         greatest(length(col("text_a")), length(col("text_b")), lit(1))
           .cast("long").as("max_len"))
+      .withColumn("lim",
+        expr(s"((${maxRatioBp.toLong + 1L} * max_len) - 1) div 10000"))
+      .select(col("doc_a"), col("doc_b"), col("max_len"),
+        expr("levenshtein(text_a, text_b, cast(lim as int))")
+          .cast("long").as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
       .withColumn("edit_ratio_bp", expr("edit_dist * 10000 div max_len"))
       .filter(col("edit_ratio_bp") <= maxRatioBp)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),
@@ -1607,7 +1658,7 @@ object Dedup {
     val batchFp = winnowFingerprints(batch, idCol, textCol, k, w,
         fan = false)
       .select(col(idCol).as("doc_id"), col("gram")).distinct()
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val all = batchFp.union(seenFp.select(col("doc_id"), col("gram")))
     val hot = all.groupBy(col("gram"))
       .agg(count(lit(1)).as("nd"))

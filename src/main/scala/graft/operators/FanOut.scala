@@ -28,11 +28,17 @@ object FanOut {
     * physical-planning pipeline over the subtree and throws the result
     * away — pure driver work repeated on every invocation of every
     * fan-out seam (hundreds per bench pass). The decision is a
-    * function of (session, canonicalized logical plan): the file
-    * layout is immutable within a session and store segments get
-    * fresh paths (hence fresh plans), so a cached decision can never
-    * go stale. LRU-bounded so multi-session JVMs (the test suite)
-    * cannot accumulate dead sessions' plan keys. */
+    * function of (session, canonicalized logical plan) UNDER TWO
+    * session-lifetime preconditions (r17-ADVICE): scan paths are
+    * immutable (file-scan plans canonicalize by rootPaths — a path
+    * rewritten mid-session would serve the old file set's decision;
+    * store segments get fresh paths, hence fresh plans) and the
+    * scan-sizing confs (spark.sql.files.maxPartitionBytes etc.) are
+    * fixed per session, as GraftSession does. Both hold for every
+    * caller in this repo; a deployment that mutates either mid-session
+    * must clear or key the cache accordingly. LRU-bounded so
+    * multi-session JVMs (the test suite) cannot accumulate dead
+    * sessions' plan keys. */
   private val narrowCache =
     new java.util.LinkedHashMap[(SparkSession, Any), java.lang.Boolean](
       256, 0.75f, true) {
@@ -84,4 +90,12 @@ object FanOut {
     * Honors the same kill switch and the same memoized decision. */
   def isNarrow(df: DataFrame): Boolean =
     !sys.props.contains("graft.nofanout") && narrow(df)
+
+  /** The narrow-input predicate WITHOUT the kill switch — for
+    * MATERIALIZATION decisions (small-input localCheckpoint placement),
+    * which are not fan-outs: a `graft.nofanout` A/B must toggle only
+    * the exchanges, never whether an expensive shared projection is
+    * copied once (r17-ADVICE item 2 — the conflated predicate made
+    * nofanout A/Bs measure fan-out and materialization together). */
+  def isNarrowMaterialize(df: DataFrame): Boolean = narrow(df)
 }

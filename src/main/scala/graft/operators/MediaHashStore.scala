@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 
@@ -61,7 +63,7 @@ final class MediaHashStore(name: String, buckets: Int = 32,
     // one lazy checkpoint shared by every consumer of the batch side
     // (bands, union, verification, exclude list) — without it each
     // re-runs the decode+hash mapPartitions
-    val bh = batchHashes.localCheckpoint(false)
+    val bh = batchHashes.seamCheckpoint(false)
     val seen =
       if (!excludeBatchIds) table(spark)
       else table(spark).join(

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -601,7 +603,7 @@ object Multimodal {
     // — the narrow proxy the decode exists to produce; at corpus scale
     // persisting it once is exactly the decide-on-small-rows shape
     // (decode heavy bytes once, shuffle only fingerprints).
-    val hashes = hashesIn.localCheckpoint(false)
+    val hashes = hashesIn.seamCheckpoint(false)
     val bands = hashes.select(col("asset_id"), col("hash_hi"), col("hash_lo"),
       explode(array((0 until 4).map { b =>
         val src = if (b < 2) col("hash_lo") else col("hash_hi")
@@ -663,7 +665,7 @@ object Multimodal {
   def incrementalHammingPairs(batchHashes: DataFrame, seenBands: DataFrame,
       maxDist: Int = AHashMaxDist,
       maxBucketSize: Int = AHashMaxBucketSize): DataFrame =
-    incrementalHammingPairsChk(batchHashes.localCheckpoint(false),
+    incrementalHammingPairsChk(batchHashes.seamCheckpoint(false),
       seenBands, maxDist, maxBucketSize)
 
   /** [[incrementalHammingPairs]] over ALREADY-CHECKPOINTED batch

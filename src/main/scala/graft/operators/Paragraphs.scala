@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -177,7 +179,7 @@ final class ParagraphStore(name: String, val w: Int = Paragraphs.WindowTokens,
     val keyed = Paragraphs
       .unitsByWindow(batch, idCol, textCol, w)
       .withColumn("par_key", Paragraphs.parKey(col("par")))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val local = Paragraphs.verdictsOfKeyed(keyed)
     val seenSide =
       if (!excludeBatchIds) table(spark)

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import scala.util.Random
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -168,7 +170,7 @@ object SimilaritySearch {
   def mmrRerankPrenormed(shortlist: DataFrame, normed: DataFrame,
       selectK: Int = MmrSelectK, lambda: Double = MmrLambda): DataFrame = {
     val sl = shortlist.select(col("query_id"), col("vec_id"), col("sim"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val v = normed.select(col("vec_id"), col("emb"), col("nrm"))
     val a = sl.select(col("query_id"), col("vec_id")).join(v, "vec_id")
       .select(col("query_id"), col("vec_id").as("vec_a"),
@@ -182,14 +184,14 @@ object SimilaritySearch {
         round(VectorOps.cosinePrenormed(
           VectorOps.dotPrecast(col("emb_a"), col("emb_b")),
           col("nrm_a"), col("nrm_b")), 4).as("psim"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val lam = lit(lambda)
     val om = lit(1.0 - lambda) // the exact double Spark computes; the
                                // oracle embeds the same bits (sqlDouble)
     var sel = mmrPickBest(
       sl.select(col("query_id"), col("vec_id"),
         round(lam * col("sim"), 4).as("score")), 1)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     for (r <- 2 to selectK) {
       val remaining = sl.join(sel.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"), "left_anti")
@@ -202,7 +204,7 @@ object SimilaritySearch {
         .agg(max(col("psim")).as("msel"))
         .select(col("query_id"), col("vec_id"),
           round(lam * col("sim") - om * col("msel"), 4).as("score"))
-      sel = sel.unionByName(mmrPickBest(scored, r)).localCheckpoint(false)
+      sel = sel.unionByName(mmrPickBest(scored, r)).seamCheckpoint(false)
     }
     sel.select(col("query_id"), col("rk"), col("vec_id"), col("score"))
   }
@@ -343,13 +345,15 @@ object SimilaritySearch {
     // corpus-scale input skips the copy (there the persisted EmbStore
     // is the serving artifact, and re-scanning beats materializing a
     // corpus-sized vector table).
-    val small = FanOut.isNarrow(vectors)
-    val vecs = if (small) vectors.localCheckpoint(false) else vectors
+    // materialization gate, NOT a fan-out — kill-switch-free predicate
+    // (r17-ADVICE item 2): nofanout A/Bs must not also skip the copy
+    val small = FanOut.isNarrowMaterialize(vectors)
+    val vecs = if (small) vectors.seamCheckpoint(false) else vectors
     // consumed by the bucket count AND both join sides — materialize the
     // narrow (id, tbl, bucket) rows once (lazy localCheckpoint, same
     // rationale as the Dedup banding paths)
     val vb = bucketed(vecs, "vec_id", "embedding", planes)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     nearDupPairsTail(vb, None, normalizedVectors(vecs), threshold,
       maxBucketSize)
   }
@@ -383,9 +387,9 @@ object SimilaritySearch {
       maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
     val pb = bucketed(batch, "vec_id", "embedding", planes)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val sb = bucketed(seen, "vec_id", "embedding", planes)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     nearDupPairsTail(pb, Some(sb),
       normalizedVectors(batch.select("vec_id", "embedding")
         .unionByName(seen.select("vec_id", "embedding"))),
@@ -404,7 +408,7 @@ object SimilaritySearch {
       maxBucketSize: Int = EmbLshMaxBucketSize): DataFrame = {
     val planes = hyperplanes(nTables, nPlanes, dim, seed)
     val pb = bucketed(batch, "vec_id", "embedding", planes)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     nearDupPairsTail(pb,
       Some(seenBuckets.select(col("vec_id"), col("tbl"), col("bucket"))),
       normalizedVectors(batch.select("vec_id", "embedding"))
@@ -527,10 +531,20 @@ object SimilaritySearch {
       maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
     // one assignment pass feeds both the cell blocker and the
     // verification vectors (emb/nrm are already cast+normed there)
-    val indexed = IvfIndex.index(vectors, centroids).localCheckpoint(false)
+    val indexed = IvfIndex.index(vectors, centroids).seamCheckpoint(false)
+    semanticNearDupPairsFromIndexed(indexed, threshold, maxCellSize)
+  }
+
+  /** [[semanticNearDupPairs]] over an ALREADY cell-assigned (and
+    * typically materialized) inverted-file row set — the seam that
+    * lets a caller which needs the indexed rows for its own tail
+    * (keep-farthest's centroid distances) share ONE assignment pass
+    * instead of re-running the argmin over the corpus (r18). */
+  def semanticNearDupPairsFromIndexed(indexed: DataFrame,
+      threshold: Double,
+      maxCellSize: Int = SemDedupMaxCellSize): DataFrame =
     nearDupPairsTail(cellBuckets(indexed), None, indexedVecs(indexed),
       threshold, maxCellSize)
-  }
 
   /** Store-backed incremental SemDeDup: a NEW batch is cell-assigned
     * (scan-side argmin) and probed against the PERSISTED inverted
@@ -547,7 +561,7 @@ object SimilaritySearch {
       seenIndexed: DataFrame, centroids: Seq[Seq[Double]],
       threshold: Double,
       maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
-    val pb = IvfIndex.index(batch, centroids).localCheckpoint(false)
+    val pb = IvfIndex.index(batch, centroids).seamCheckpoint(false)
     nearDupPairsTail(cellBuckets(pb), Some(cellBuckets(seenIndexed)),
       indexedVecs(pb).unionByName(indexedVecs(seenIndexed)),
       threshold, maxCellSize)
@@ -567,13 +581,17 @@ object SimilaritySearch {
       centroids: Seq[Seq[Double]], threshold: Double,
       maxCellSize: Int = SemDedupMaxCellSize): DataFrame = {
     import graft.functions.{CentroidVec, VectorOps}
-    val pairs = semanticNearDupPairs(vectors, centroids, threshold,
+    // ONE assignment pass (r18): the pair source and the farthest-rank
+    // distances below both consume the indexed rows — previously this
+    // ran IvfIndex.index over the corpus twice (once checkpointed
+    // inside semanticNearDupPairs, once fresh here)
+    val indexed = IvfIndex.index(vectors, centroids).seamCheckpoint(false)
+    val pairs = semanticNearDupPairsFromIndexed(indexed, threshold,
         maxCellSize)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val clusters = Dedup.nearDupClustersFromPairs(
       vectors.select(col("vec_id").as("doc_id")), "doc_id", pairs,
       trustedPairs = true)
-    val indexed = IvfIndex.index(vectors, centroids)
     val cv = CentroidVec(col("cell"), centroids)
     val withDist = clusters.select(col("doc_id"), col("cluster_id"))
       .join(indexed.select(col("vec_id").as("doc_id"),
@@ -658,7 +676,7 @@ object SimilaritySearch {
     val v = vectors.select(col("vec_id"),
       VectorOps.toDoubleVec(col("embedding")).as("emb"),
       VectorOps.norm(col("embedding")).as("nrm"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("nrm").as("nrm_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -741,7 +743,7 @@ object TextAnalysis {
     val scored = docs.select(col(idCol), h.as("h"),
         countOf(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("bucket", expr(s"h div ${bucketWidth}L"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     // ≤ nBuckets rows — the documented bounded driver collect
     val bucketSums = scored.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("toks"))
@@ -1503,27 +1505,73 @@ object TextAnalysis {
     * exposed so an eval comparing the two ([[rankAgreement]]'s caller)
     * can pay the bigram explode ONCE and checkpoint it. */
   private[graft] def bigramBf(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.WordShingles(col(textCol), 2)).as("big"))
+      textCol: String): DataFrame = {
+    // r18, the withShOf discipline (guide §2): the bigram explode is
+    // this family's heavy per-row work and runs at the SCAN's
+    // parallelism — 1-2 partitions on a small input — and the
+    // aggregated table's shuffles are small enough in BYTES that AQE
+    // folds them to one partition, single-tasking every downstream
+    // sort/merge-join (JobProfile: all of bigram_rank_agreement's
+    // slowest stages ran tasks=1). Fan out the narrow (id, text)
+    // projection before the explode (scale-guarded + kill-switch, as
+    // everywhere), and pin the AGGREGATED table's layout to hash(big)
+    // so the corpus-count groupBy and every big-keyed merge join
+    // downstream REUSE the exchange instead of AQE re-folding it.
+    // At corpus scale both extra exchanges are skipped (input already
+    // ≥ cluster parallelism; the byte-sized shuffles are real there
+    // and AQE sizes them correctly).
+    val projected = bigramProjected(docs, idCol, textCol)
+    val par = projected.sparkSession.sparkContext.defaultParallelism
+    val fan = graft.operators.FanOut.isNarrow(projected)
+    val base =
+      if (fan) projected.repartition(par, col("doc_id")) else projected
+    val agg = base.select(col("doc_id"),
+        explode(graft.functions.WordShingles(col("__bg_text"), 2)).as("big"))
       .groupBy(col("doc_id"), col("big"))
       .agg(count(lit(1)).as("bf"))
+    if (fan) agg.repartition(par, col("big")) else agg
+  }
+
+  /** The one (id, text) projection every bigram entry derives from —
+    * shared so [[bigramBf]]'s fan-out decision and the callers'
+    * small-input join-strategy decision hit the SAME memoized FanOut
+    * key (plan-canonical equality). */
+  private[graft] def bigramProjected(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__bg_text"))
+
+  /** Small-input gate for the bigram family's DIMENSION joins (word /
+    * context / continuation tables): on a narrow input the `merge`
+    * hints come OFF so AQE's runtime re-optimization converts the
+    * sort-merge joins to broadcasts from REAL materialized sizes —
+    * the hints forced SMJ whose per-join sorts ran single-task after
+    * AQE folded the byte-small exchanges (r18, guide §3.1). At corpus
+    * scale the hints stay: an open bigram/word vocabulary must never
+    * be broadcast, and static size estimates cannot be trusted to
+    * decide that. Kill-switch-free (a materialization/strategy gate,
+    * not a fan-out — r17-ADVICE item 2). */
+  private[graft] def bigramSmallDims(docs: DataFrame, idCol: String,
+      textCol: String): Boolean =
+    graft.operators.FanOut.isNarrowMaterialize(
+      bigramProjected(docs, idCol, textCol))
 
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     bigramLogProbWithBf(bigramBf(docs, idCol, textCol),
       docs.select(explode(tokens(col(textCol))).as("term"))
-        .groupBy(col("term")).agg(count(lit(1)).as("uc")))
+        .groupBy(col("term")).agg(count(lit(1)).as("uc")),
+      smallDims = bigramSmallDims(docs, idCol, textCol))
 
   /** [[bigramLogProb]]'s body over precomputed (doc_id, big, bf) and
-    * (term, uc) tables. */
+    * (term, uc) tables. `smallDims` — see [[bigramSmallDims]]. */
   private[graft] def bigramLogProbWithBf(bf: DataFrame,
-      uc: DataFrame): DataFrame = {
+      uc: DataFrame, smallDims: Boolean = false): DataFrame = {
+    def dim(d: DataFrame): DataFrame = if (smallDims) d else d.hint("merge")
     val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
     val v = uc.agg(count(lit(1)).as("v"))
     val scored = bf
       .join(bc.hint("merge"), "big")
       .withColumn("prev", substring_index(col("big"), " ", 1))
-      .join(uc.hint("merge"), col("prev") === col("term"))
+      .join(dim(uc), col("prev") === col("term"))
       .crossJoin(broadcast(v))
       .select(col("doc_id"), col("bf"),
         round(log((col("bc") + 1).cast("double") /
@@ -1575,11 +1623,14 @@ object TextAnalysis {
     * tables), merge joins on the open bigram/word vocabularies, and the
     * only broadcast is the 1-row type count. */
   def bigramLogProbKn(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    bigramLogProbKnWithBf(bigramBf(docs, idCol, textCol))
+    bigramLogProbKnWithBf(bigramBf(docs, idCol, textCol),
+      smallDims = bigramSmallDims(docs, idCol, textCol))
 
   /** [[bigramLogProbKn]]'s body over a precomputed (doc_id, big, bf)
-    * table. */
-  private[graft] def bigramLogProbKnWithBf(bf: DataFrame): DataFrame = {
+    * table. `smallDims` — see [[bigramSmallDims]]. */
+  private[graft] def bigramLogProbKnWithBf(bf: DataFrame,
+      smallDims: Boolean = false): DataFrame = {
+    def dim(d: DataFrame): DataFrame = if (smallDims) d else d.hint("merge")
     val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
       .withColumn("prev", substring_index(col("big"), " ", 1))
       .withColumn("cur", substring_index(col("big"), " ", -1))
@@ -1589,8 +1640,8 @@ object TextAnalysis {
     val bt = bc.agg(count(lit(1)).as("btypes"))
     val scored = bf
       .join(bc.hint("merge"), "big")
-      .join(ctx.hint("merge"), "prev")
-      .join(cont.hint("merge"), "cur")
+      .join(dim(ctx), "prev")
+      .join(dim(cont), "cur")
       .crossJoin(broadcast(bt))
       .select(col("doc_id"), col("bf"),
         round(log(
@@ -1603,6 +1654,64 @@ object TextAnalysis {
       .agg(sum(col("bf")).as("n_bigrams"),
         round(sum(col("bf") * col("llp")).cast("double") /
           sum(col("bf")).cast("double"), 4).as("avg_logprob"))
+  }
+
+  /** BOTH fluency scorings — [[bigramLogProbWithBf]]'s add-one `sa`
+    * and [[bigramLogProbKnWithBf]]'s Kneser-Ney `sb` — from ONE join
+    * chain and ONE per-doc aggregation (r18, guide §2.4): the
+    * rank-agreement eval consumes the two scores side by side, and
+    * running the scorings separately paid the bf ⋈ bc assembly twice
+    * (bc itself recomputed), two independent prev-keyed shuffles, and
+    * a final doc-keyed join to zip the scores back together.
+    *
+    * Output == `a.join(b, "doc_id")` of the separate forms, EXACTLY:
+    * the extra ctx/cont joins drop no rows (every bigram's prev/cur is
+    * a group key of the tables derived from the same bc), every prev
+    * is a corpus token so the uc join keeps all rows, each llp
+    * expression is the separate form's verbatim, and the per-doc sums
+    * ride the same DECIMAL(18,6) exact-integer idiom, so aggregation
+    * order cannot move them (BigramBothScoresSpec pins the
+    * equivalence). The bc table is lazily checkpointed — FOUR
+    * consumers (scored join, ctx, cont, bt) would otherwise each
+    * re-run the bigram-vocabulary aggregation; it is bounded by the
+    * bigram TYPE count, strictly smaller than the per-doc bf table the
+    * caller already materializes (this eval is documented as a
+    * diagnostic over a bounded slice, not a data path — see
+    * [[rankAgreement]]). */
+  private[graft] def bigramBothScoresWithBf(bf: DataFrame,
+      uc: DataFrame, smallDims: Boolean = false): DataFrame = {
+    def dim(d: DataFrame): DataFrame = if (smallDims) d else d.hint("merge")
+    val bc = bf.groupBy(col("big")).agg(sum(col("bf")).as("bc"))
+      .withColumn("prev", substring_index(col("big"), " ", 1))
+      .withColumn("cur", substring_index(col("big"), " ", -1))
+      .seamCheckpoint(false)
+    val ctx = bc.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cprev"), count(lit(1)).as("n1p"))
+    val cont = bc.groupBy(col("cur")).agg(count(lit(1)).as("contc"))
+    val bt = bc.agg(count(lit(1)).as("btypes"))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val scored = bf
+      .join(bc.hint("merge"), "big")
+      .join(dim(uc), col("prev") === col("term"))
+      .join(dim(ctx), "prev")
+      .join(dim(cont), "cur")
+      .crossJoin(broadcast(v))
+      .crossJoin(broadcast(bt))
+      .select(col("doc_id"), col("bf"),
+        round(log((col("bc") + 1).cast("double") /
+          (col("uc") + col("v")).cast("double")), 6)
+          .cast("decimal(18,6)").as("llpa"),
+        round(log(
+          (greatest(lit(KnDiscountDen) * col("bc") - lit(KnDiscountNum),
+              lit(0L)) * col("btypes") +
+            lit(KnDiscountNum) * col("n1p") * col("contc")).cast("double") /
+          (lit(KnDiscountDen) * col("btypes") * col("cprev")).cast("double")),
+          6).cast("decimal(18,6)").as("llpb"))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("bf") * col("llpa")).cast("double") /
+          sum(col("bf")).cast("double"), 4).as("sa"),
+        round(sum(col("bf") * col("llpb")).cast("double") /
+          sum(col("bf")).cast("double"), 4).as("sb"))
   }
 
   /** Rank agreement between two per-doc scorings — the eval row behind
@@ -1736,7 +1845,7 @@ object TextAnalysis {
       .join(seenCounts.select(col("grp"), col("word"), col("n").as("s")),
         Seq("grp", "word"), "full_outer")
       .na.fill(0L, Seq("b", "s"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val tot = j.groupBy(col("grp"))
       .agg(sum(col("b")).as("nb"), sum(col("s")).as("ns"))
       .filter(col("nb") > 0 && col("ns") > 0)
@@ -1944,7 +2053,7 @@ object TextAnalysis {
     // scan stages in one query). The materialized rows are the narrow
     // (doc, tgt, bucket, tf) table, bounded by docs × buckets.
     val tf = dsirTf(docs, idCol, textCol, isTarget, buckets)
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     dsirRank(tf.drop("tgt"), dsirModelOf(tf), buckets, topN)
   }
 

@@ -1,5 +1,7 @@
 package graft.packs
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -122,7 +124,7 @@ object ClassifierOps extends QueryPack {
             NbClassifier.rawScoreExpr(col("text"), m).as("raw"),
             NbClassifier.rawScoreBigramExpr(col("text"), mb).as("raw_bi"))
           .filter(col("label").isNotNull)
-          .localCheckpoint(false)
+          .seamCheckpoint(false)
       })
 
   /** The shared eval rollup: per-class doc and agreement counts over a
@@ -205,7 +207,7 @@ object ClassifierOps extends QueryPack {
     val h = labeled.groupBy(col("qc"))
       .agg(sum(col("label")).as("pos"),
         sum(lit(1L) - col("label")).as("neg"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("qc").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -1,5 +1,7 @@
 package graft.packs
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +66,7 @@ object PipelineOps extends QueryPack {
     // self-join on doc_id just to recover text
     val scored = docs
       .withColumn("quality_bp", TextAnalysis.qualityBp(col("text")))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hist = scored.groupBy(col("lang"), col("quality_bp"))
       .agg(count(lit(1)).as("c"))
     val cutoffs = TextAnalysis.cutoffsFromGroupedHistogram(hist, "lang",
@@ -114,9 +116,9 @@ object PipelineOps extends QueryPack {
     val keepIds = graft.operators.Blocklist
       .tagVerdict(docs, "doc_id", "text")
       .filter(col("keep")).select(col("doc_id"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     curateQuality(docs.join(keepIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint(false))
+      .seamCheckpoint(false))
   }
 
   /** [[pipelineCurateQuality]] over an arbitrary (doc_id, lang, text)
@@ -165,7 +167,7 @@ object PipelineOps extends QueryPack {
   private def keptWithText(docs: DataFrame): DataFrame =
     curateQuality(docs)
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
 
   /** The production stage ORDER the span-decontamination family
     * completes: benchmark spans are stripped FIRST (an absolute
@@ -195,7 +197,7 @@ object PipelineOps extends QueryPack {
       .filter(length(col("clean_text")) > 0)
       .join(train.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("clean_text").as("text"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     curateQuality(scrubbed)
   }
 
@@ -257,7 +259,7 @@ object PipelineOps extends QueryPack {
     val cleaned = Dedup.stripDuplicateSpans(
         keptWithText(docs), "doc_id", "text")
       .select(col("doc_id"), col("clean_text"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val placed = TextAnalysis.packSequencesWith(cleaned, "doc_id",
         "clean_text", TextOps.NumShards, TextOps.PackBudget,
         t => graft.functions.BpeTokenCount(t, m))
@@ -300,7 +302,7 @@ object PipelineOps extends QueryPack {
     // seed, quality join, verdict spine) — checkpoint the scored
     // corpus once instead of re-running the regex-heavy quality scan
     // per consumer (the keptWithText idiom; measured 4.0 s → 2.4 s)
-    val withQ = docs.join(quality, "doc_id").localCheckpoint(false)
+    val withQ = docs.join(quality, "doc_id").seamCheckpoint(false)
     val filtered = withQ.filter(col("quality") >= QualityMin)
     val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
@@ -405,7 +407,7 @@ object PipelineOps extends QueryPack {
     // the banding join over the decoded hashes)
     val pairs = graft.operators.Multimodal.imageHammingPairs(hashes)
       .select(col("asset_a").as("doc_a"), col("asset_b").as("doc_b"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     // r14: the component loop now vertex-seeds internally
     // (Dedup.componentLabels), but passing the pair vertices as the
     // corpus still skips the singleton anti-join entirely — an asset in
@@ -459,7 +461,7 @@ object PipelineOps extends QueryPack {
       .withColumn("n_tok",
         graft.functions.UnigramTokenCount(col("text"), t))
       .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
     val cutoff = TextAnalysis.cutoffFromHistogram(hist,
       TextOps.UnigramLmKeepFrac)
@@ -511,7 +513,7 @@ object PipelineOps extends QueryPack {
       .withColumn("n_tok",
         graft.functions.UnigramTokenCount(col("text"), t))
       .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
     val cutoff = TextAnalysis.cutoffFromHistogram(hist,
       TextOps.UnigramLmKeepFrac)
@@ -599,10 +601,10 @@ object PipelineOps extends QueryPack {
       .withColumn("n_tok",
         graft.functions.UnigramTokenCount(col("text"), t))
       .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hist = scored.groupBy(col("lang"), col("quality_bp"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false) // bounded; feeds BOTH cutoff windows
+      .seamCheckpoint(false) // bounded; feeds BOTH cutoff windows
     val headCut = TextAnalysis
       .cutoffsFromGroupedHistogram(hist, "lang", CcnetHeadFrac)
       .withColumnRenamed("cutoff", "head_cut")
@@ -652,7 +654,7 @@ object PipelineOps extends QueryPack {
       .select(col("doc_id"), col("keep").as("gopher_keep"))
     val scored0 = docs
       .withColumn("clf_raw", NbClassifier.rawScoreExpr(col("text"), nb))
-      .localCheckpoint(false) // one inference scan; spine + gate read it
+      .seamCheckpoint(false) // one inference scan; spine + gate read it
     val clfPass = scored0.filter(col("clf_raw") > 0)
     val sc = Paragraphs.scrubByWindow(clfPass, "doc_id", "text")
       .filter(length(col("clean_text")) > 0)
@@ -664,7 +666,7 @@ object PipelineOps extends QueryPack {
       .withColumn("n_tok",
         graft.functions.UnigramTokenCount(col("text"), t))
       .withColumn("quality_bp", expr("-(cost_micro div (n_tok * 1000L))"))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val hist = scored.groupBy(col("quality_bp")).agg(count(lit(1)).as("c"))
     val cutoff = TextAnalysis.cutoffFromHistogram(hist,
       TextOps.UnigramLmKeepFrac)

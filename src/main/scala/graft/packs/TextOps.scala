@@ -1,5 +1,7 @@
 package graft.packs
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1050,16 +1052,17 @@ object TextOps extends QueryPack {
     val docs = Tables.documents(spark, sfDir)
     // both scorings build on the SAME (doc, bigram) count table — pay
     // the bigram explode once and checkpoint it (the shared-eval-scan
-    // discipline from the classifier family)
+    // discipline from the classifier family); r18: the two scorings
+    // themselves run as ONE join chain + ONE per-doc aggregation
+    // (TextAnalysis.bigramBothScoresWithBf) instead of two separate
+    // scoring pipelines zipped back by a doc-keyed join
     val bf = TextAnalysis.bigramBf(docs, "doc_id", "text")
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val uc = docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("uc"))
-    val a = TextAnalysis.bigramLogProbWithBf(bf, uc)
-      .select(col("doc_id"), col("avg_logprob").as("sa"))
-    val b = TextAnalysis.bigramLogProbKnWithBf(bf)
-      .select(col("doc_id"), col("avg_logprob").as("sb"))
-    TextAnalysis.rankAgreement(a.join(b, "doc_id").select("doc_id", "sa", "sb"))
+    TextAnalysis.rankAgreement(
+      TextAnalysis.bigramBothScoresWithBf(bf, uc,
+        smallDims = TextAnalysis.bigramSmallDims(docs, "doc_id", "text")))
   }
 
   /** Reference-LM quality floor for [[unigramLogprobRef]]'s trusted
@@ -1925,8 +1928,24 @@ object TextOps extends QueryPack {
         "doc_id", "text", ChunkTokens, ChunkOverlap)
       .select(col("doc_id"),
         (col("doc_id") * ChunkVecBase + col("chunk_idx")).as("vec_id"), col("text"))
-    val vectors = chunks.select(col("doc_id"), col("vec_id"),
+    // r18 (the textSemanticNearDupLsh treatment, guide §2 + §5): fan
+    // out before the per-chunk HashEmbed — the expensive per-row work
+    // otherwise runs at the chunk scan's 1-2-partition parallelism —
+    // and materialize the embedded vectors ONCE: both the corpus side
+    // and the query side (a filter of the same lineage) previously
+    // re-ran the chunk+embed scan. Scale-guarded: a corpus-wide input
+    // skips both the exchange and the copy (vectors would be
+    // EmbStore-served there).
+    val narrow = graft.operators.FanOut.isNarrowMaterialize(chunks)
+    val spread =
+      if (narrow && graft.operators.FanOut.isNarrow(chunks))
+        chunks.repartition(
+          chunks.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      else chunks
+    val vectorsRaw = spread.select(col("doc_id"), col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
+    val vectors =
+      if (narrow) vectorsRaw.seamCheckpoint(false) else vectorsRaw
     val queries = vectors.filter(col("doc_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     graft.operators.SimilaritySearch.bruteForceTopKHeap(
@@ -2026,15 +2045,18 @@ object TextOps extends QueryPack {
     // 1.49 → 1.15 s once the embed is materialized). At corpus scale
     // (narrow = false) both the exchange and the copy are skipped —
     // the persisted EmbStore is the serving artifact there.
-    val narrow = graft.operators.FanOut.isNarrow(chunks)
+    // split predicates (r17-ADVICE item 2): the exchange honors the
+    // graft.nofanout kill switch, the materialization does not
+    val narrow = graft.operators.FanOut.isNarrowMaterialize(chunks)
     val spread =
-      if (narrow) chunks.repartition(
-        chunks.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      if (narrow && graft.operators.FanOut.isNarrow(chunks))
+        chunks.repartition(
+          chunks.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       else chunks
     val vectorsRaw = spread.select(col("vec_id"),
       graft.functions.HashEmbed(col("text"), EmbedDim).as("embedding"))
     val vectors =
-      if (narrow) vectorsRaw.localCheckpoint(false) else vectorsRaw
+      if (narrow) vectorsRaw.seamCheckpoint(false) else vectorsRaw
     graft.operators.SimilaritySearch
       .lshNearDupPairs(vectors, TextNearDupThreshold,
         maxBucketSize = TextLshMaxBucketSize)

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.operators.Materialize.MatOps
+
 import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
@@ -300,7 +302,7 @@ final class GroupedBucketStore(fracs: Seq[Double], labels: Seq[String],
   @volatile private var adoptionPending: Boolean = store.current.nonEmpty
 
   private def cutsOf(spark: SparkSession): Seq[Map[String, Long]] = {
-    val h = histogram(spark).localCheckpoint() // bounded; feeds every frac
+    val h = histogram(spark).seamCheckpoint() // bounded; feeds every frac
     fracs.map(f =>
       TextAnalysis.cutoffsFromGroupedHistogram(h, groupCol, f)
         .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap)

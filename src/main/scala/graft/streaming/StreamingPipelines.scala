@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -235,7 +237,7 @@ object StreamingPipelines {
     // eager checkpoint: the store merge below is an action over the
     // survivors' lineage (the whole probe pipeline), and the caller's
     // sink write would re-execute it — materialize once
-    val survivors = survivors0.localCheckpoint()
+    val survivors = survivors0.seamCheckpoint()
     store.merge(Dedup.md5Bands(survivors, idCol, textCol), batchId)
     // the periodic fold that pays back append-only merges: without it
     // the store is an ever-growing per-trigger segment list
@@ -267,7 +269,7 @@ object StreamingPipelines {
     val pairs = store.probe(batch, idCol, textCol, excludeBatchIds = true)
     val survivors0 = dropSurvivors(batch, pairs, idCol, "doc_a", "doc_b")
     if (store.isReplay(batchId)) return survivors0
-    val survivors = survivors0.localCheckpoint()
+    val survivors = survivors0.seamCheckpoint()
     store.ingest(survivors, idCol, textCol, batchId)
     store.compactIfNeeded(spark, maxSegments)
     survivors
@@ -310,7 +312,7 @@ object StreamingPipelines {
       idCol, textCol, maxHamming = maxHamming, maxBucketSize = maxBucketSize)
     val survivors0 = dropSurvivors(batch, pairs, idCol, "doc_a", "doc_b")
     if (store.isReplay(batchId)) return survivors0
-    val survivors = survivors0.localCheckpoint()
+    val survivors = survivors0.seamCheckpoint()
     store.merge(Dedup.md5SimhashBands(survivors, idCol, textCol), batchId)
     store.compactIfNeeded(spark, maxSegments)
     survivors
@@ -382,7 +384,7 @@ object StreamingPipelines {
     // batch against a baseline that already contains it)
     val drift = graft.operators.TextAnalysis
       .jsDriftVsCorpus(batch, textCol, seenCounts)
-      .localCheckpoint()
+      .seamCheckpoint()
     if (!store.isReplay(batchId)) {
       store.ingest(batch, idCol, textCol, batchId)
       store.compactIfNeeded(spark, maxSegments)
@@ -521,7 +523,7 @@ object StreamingPipelines {
     // batch against a baseline that already contains it)
     val drift = graft.operators.TextAnalysis
       .jsDriftBySourceCounts(batch, srcCol, textCol, seenCounts)
-      .localCheckpoint()
+      .seamCheckpoint()
     if (!store.isReplay(batchId)) {
       store.ingest(batch, srcCol, textCol, batchId)
       store.compactIfNeeded(spark, maxSegments)
@@ -768,10 +770,10 @@ object StreamingPipelines {
       qualityMin: Double,
       batchId: Long = VersionedParquetStore.NoBatchId,
       langCol: String = "lang"): DataFrame = {
-    val bh = batchHashes.localCheckpoint(false)
+    val bh = batchHashes.seamCheckpoint(false)
     val pairs = mediaStore
       .probe(bh, excludeBatchIds = mediaStore.isReplay(batchId))
-      .localCheckpoint(false)
+      .seamCheckpoint(false)
     val batchIds = bh.select(col("asset_id"))
     // pair rows oriented around each BATCH asset: (aid, partner)
     val touching = pairs
@@ -815,7 +817,7 @@ object StreamingPipelines {
     // eager checkpoint: the store merge is an action over the assigned
     // lineage and the caller's sink write would re-run the assignment
     // (and a file source's batch read) a second time — materialize once
-    val checkpointed = assigned.localCheckpoint()
+    val checkpointed = assigned.seamCheckpoint()
     store.merge(checkpointed, batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
@@ -863,7 +865,7 @@ object StreamingPipelines {
     // eager checkpoint: the store merge is an action over the
     // survivors' lineage (the whole probe pipeline), and the caller's
     // sink write would re-execute it — materialize once
-    val checkpointed = survivors.localCheckpoint()
+    val checkpointed = survivors.seamCheckpoint()
     store.merge(IvfIndex.index(checkpointed, centroids), batchId)
     store.compactIfNeeded(spark, maxSegments)
     checkpointed
@@ -883,7 +885,7 @@ object StreamingPipelines {
     val encoded = graft.operators.IvfPq.encode(batch, centroids, codebooks)
     // replay: the merge would no-op — return the LAZY encoding
     if (store.isReplay(batchId)) return encoded
-    val checkpointed = encoded.localCheckpoint()
+    val checkpointed = encoded.seamCheckpoint()
     store.merge(checkpointed, batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
@@ -929,7 +931,7 @@ object StreamingPipelines {
     // eager checkpoint: the store ingest is an action over the
     // survivors' lineage (the whole probe pipeline), and the caller's
     // sink write would re-execute it — materialize once
-    val checkpointed = survivors.localCheckpoint()
+    val checkpointed = survivors.seamCheckpoint()
     store.ingest(checkpointed, batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     checkpointed
@@ -998,7 +1000,7 @@ object StreamingPipelines {
     // the ingest rows from the survivors' text would re-run the
     // dominant md5-per-token embedding over most of the batch
     val vecs = textChunkVectors(batch, idCol, textCol, chunkTokens,
-      chunkOverlap, vecBase, embedDim).localCheckpoint()
+      chunkOverlap, vecBase, embedDim).seamCheckpoint()
     val pairs = store.probe(vecs.drop("__doc"), threshold, maxBucketSize,
       excludeBatchIds = true)
     val docPairs = pairs
@@ -1009,7 +1011,7 @@ object StreamingPipelines {
     val survivors = dropSurvivors(batch, docPairs, idCol, "doc_a", "doc_b")
     if (store.isReplay(batchId)) return survivors
     // eager checkpoint before ingest, same rationale as the vector loop
-    val checkpointed = survivors.localCheckpoint()
+    val checkpointed = survivors.seamCheckpoint()
     store.ingest(
       vecs.join(broadcast(checkpointed.select(col(idCol).as("__doc"))),
           Seq("__doc"), "left_semi")
@@ -1054,7 +1056,7 @@ object StreamingPipelines {
     // eager checkpoint: the store ingest is an action over the batch's
     // lineage and the caller's sink write would re-run the whole
     // probe+rewrite — materialize once
-    val cleaned = cleaned0.localCheckpoint()
+    val cleaned = cleaned0.seamCheckpoint()
     store.ingest(batch, idCol, textCol, batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     cleaned
@@ -1086,7 +1088,7 @@ object StreamingPipelines {
     // eager checkpoint: the store ingest is an action over the batch's
     // lineage and the caller's sink write would re-run the whole
     // probe+rewrite — materialize once
-    val scrubbed = scrubbed0.localCheckpoint()
+    val scrubbed = scrubbed0.seamCheckpoint()
     store.ingest(batch, idCol, textCol, batchId)
     store.compactIfNeeded(batch.sparkSession, maxSegments)
     scrubbed
@@ -1151,7 +1153,7 @@ object StreamingPipelines {
     val scored = scrubbed
       .select(col(idCol), col(langCol),
         bucketStore.qualityBp(col(textCol)).as("quality_bp"))
-      .localCheckpoint() // scored once; feeds the merge AND the caller
+      .seamCheckpoint() // scored once; feeds the merge AND the caller
     bucketStore.merge(scored, batchId)
     scored
   }
@@ -1233,7 +1235,7 @@ object StreamingPipelines {
     // batch's window lineage and the caller's sink write would re-run
     // it — materialize once; the contribution then derives from the
     // OUTPUT (packed rows carry shard + n_tokens), zero recompute
-    val packed = packed0.localCheckpoint()
+    val packed = packed0.seamCheckpoint()
     store.merge(
       packed.groupBy(col("shard")).agg(
         count(lit(1)).cast("long").as("n_docs"),
@@ -1285,7 +1287,7 @@ object StreamingPipelines {
     // eager checkpoint: the state merge is an action over the batch's
     // window+fold lineage and the caller's sink write would re-run it —
     // materialize once; the resume state then derives from the OUTPUT
-    val packed = packed0.localCheckpoint()
+    val packed = packed0.seamCheckpoint()
     // the fold already emitted its own state after every row
     // (next_seq/next_off) — persisting it is a per-shard last-row
     // SELECTION, never a re-spelling of the recurrence
@@ -1330,8 +1332,8 @@ object StreamingPipelines {
       batchId: Long = VersionedParquetStore.NoBatchId,
       maxSegments: Int = DefaultSegmentBudget): DataFrame = {
     val hashes =
-      if (store.isReplay(batchId)) batchHashes.localCheckpoint(false)
-      else batchHashes.localCheckpoint()
+      if (store.isReplay(batchId)) batchHashes.seamCheckpoint(false)
+      else batchHashes.seamCheckpoint()
     val pairs = store.probe(hashes, excludeBatchIds = true)
     val survivors = dropSurvivors(hashes, pairs, "asset_id",
       "asset_a", "asset_b")
@@ -1404,7 +1406,7 @@ object StreamingPipelines {
     // returned rows get materialized again by the caller's sink write —
     // without it the regex-heavy quality scoring (and a file source's
     // batch read) would run twice per batch
-    val scored = scored0.localCheckpoint()
+    val scored = scored0.seamCheckpoint()
     // the histogram sees EVERY doc (the floor is corpus-relative over
     // the full stream, as the batch form is over the full table);
     // the mixture gate thins what the sink keeps. batchId makes an
@@ -1431,7 +1433,7 @@ object StreamingPipelines {
     if (store.isReplay(batchId))
       return TextAnalysis.stratifiedSample(scored0, langCol, idCol,
         ratesBp, defaultBp)
-    val scored = scored0.localCheckpoint()
+    val scored = scored0.seamCheckpoint()
     // every doc's mass reaches ITS group's histogram (the floor is
     // corpus-relative per group over the full stream); batchId makes
     // an at-least-once replay a no-op
@@ -1474,7 +1476,7 @@ object StreamingPipelines {
     // sink write both materialize the batch — without this a file
     // source's batch is re-read and the regex-heavy labeling runs
     // twice (the curateRelativeBatch discipline)
-    val b = batch.localCheckpoint()
+    val b = batch.seamCheckpoint()
     store.ingest(b, idCol, textCol, batchId)
     val m = store.model(b.sparkSession)
     // feature space rides the store (rawScoreExprOf): a bigram-trained
@@ -1521,7 +1523,7 @@ object StreamingPipelines {
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
       batchId: Long = VersionedParquetStore.NoBatchId,
       maxSegments: Int = DefaultSegmentBudget): DataFrame = {
-    val b = batch.localCheckpoint() // one read: ingest + gate + chain
+    val b = batch.seamCheckpoint() // one read: ingest + gate + chain
     nbStore.ingest(b, idCol, textCol, batchId)
     val m = nbStore.model(b.sparkSession)
     ccnetIngestBatch(parStore, floorStore, exactStore, bandStore,
@@ -1540,7 +1542,7 @@ object StreamingPipelines {
       maxBucketSize: Int = graft.operators.Dedup.NgramMaxBlockSize,
       batchId: Long = VersionedParquetStore.NoBatchId,
       maxSegments: Int = DefaultSegmentBudget): DataFrame = {
-    val b = batch.localCheckpoint() // same double-read argument as above
+    val b = batch.seamCheckpoint() // same double-read argument as above
     nbStore.ingest(b, idCol, textCol, batchId)
     val m = nbStore.model(b.sparkSession)
     // the admission gate inherits the store's feature space: a

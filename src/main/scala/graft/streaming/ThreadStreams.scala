@@ -1,5 +1,7 @@
 package graft.streaming
 
+import graft.operators.Materialize.MatOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -74,7 +76,7 @@ object ThreadStreams {
         seenThreads, batch, "thread_key", "thread")
       .select(batch.columns.map(col): _*)
     if (exactStore.isReplay(batchId)) return survivors0
-    val survivors = survivors0.localCheckpoint()
+    val survivors = survivors0.seamCheckpoint()
     exactStore.merge(
       survivors.select(md5(col("thread")).as("thread_hash"))
         .filter(col("thread_hash").isNotNull),

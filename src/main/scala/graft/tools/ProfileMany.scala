@@ -35,18 +35,24 @@ object ProfileMany {
       if (sel.startsWith("@")) all.keys.filter(_.startsWith(sel.drop(1))).toSeq.sorted
       else sel.split(",").filter(_.nonEmpty).toSeq
     val sc = spark.sparkContext
-    var jobs = 0
+    // AtomicInteger for lost-update/visibility safety: onJobStart fires
+    // on the async listener-bus thread (r17-ADVICE item 3). The count
+    // read after an action may still MISS events the bus has not yet
+    // delivered (the bus-drain API is private[spark]) — job counts are
+    // a ±1-2 diagnostic, never a timing input; the printed jobs= column
+    // inherits that tolerance.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        { jobs.incrementAndGet(); () }
     }
     sc.addSparkListener(listener)
     def one(name: String,
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Int) = {
-      val j0 = jobs
+      val j0 = jobs.get()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      ((System.nanoTime() - t0) / 1e9, jobs - j0)
+      ((System.nanoTime() - t0) / 1e9, jobs.get() - j0)
     }
     abProp match {
       case None =>

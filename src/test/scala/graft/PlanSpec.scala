@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.TextAnalysis
+
 /** Physical-plan regression guards: the scale-critical plan properties
   * (pushdown, pruning, broadcast selection, top-k, map-side partial
   * aggregation, shuffle-free scans) asserted as substring checks on the
@@ -354,7 +356,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bigram_logprob: same open-vocabulary discipline — merge joins, no vocab broadcast, no window") {
-    val p = plan("bigram_logprob")
+    // r18: the REGISTERED query's dimension-join strategy is now scale-
+    // guarded (TextAnalysis.bigramSmallDims): on a narrow input the
+    // merge hints come off so AQE may broadcast the small word table.
+    // The open-vocabulary discipline this test pins is the CORPUS-SCALE
+    // plan — exercise it through the smallDims=false seam directly.
+    val docs = graft.Tables.documents(spark, sf)
+    val p = TextAnalysis.bigramLogProbWithBf(
+      TextAnalysis.bigramBf(docs, "doc_id", "text"),
+      docs.select(org.apache.spark.sql.functions.explode(
+          TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))
+          .as("term"))
+        .groupBy("term")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("uc")),
+      smallDims = false).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastHashJoin"),
       s"bigram/unigram totals must come from shuffle joins, not broadcasts:\n$p")
     assert(!p.contains("windowspecdefinition"),
@@ -366,13 +382,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row vocab size should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+    // and the registered (narrow-input) form keeps the invariants that
+    // are scale-independent: no window, no cartesian
+    val reg = plan("bigram_logprob")
+    assert(!reg.contains("windowspecdefinition") &&
+      !reg.contains("CartesianProduct"), s"registered form:\n$reg")
   }
 
   test("bigram_logprob_kn: one bigram-vocab shuffle feeds count/context/continuation tables") {
-    val p = plan("bigram_logprob_kn")
     // identical discipline to the add-one form: every open-vocabulary
-    // side (bc, ctx, cont) joins by shuffle merge, only the 1-row type
-    // count broadcasts
+    // side (bc, ctx, cont) joins by shuffle merge at CORPUS SCALE
+    // (smallDims=false), only the 1-row type count broadcasts; the
+    // registered narrow-input form may broadcast the dimension tables
+    // (scale-guarded strategy, r18)
+    val docs = graft.Tables.documents(spark, sf)
+    val p = TextAnalysis.bigramLogProbKnWithBf(
+      TextAnalysis.bigramBf(docs, "doc_id", "text"),
+      smallDims = false).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastHashJoin"),
       s"bigram/context/continuation tables must never broadcast:\n$p")
     assert(!p.contains("windowspecdefinition"),
@@ -384,6 +410,9 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the 1-row bigram-type count should broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"1-row cross join must broadcast:\n$p")
+    val reg = plan("bigram_logprob_kn")
+    assert(!reg.contains("windowspecdefinition") &&
+      !reg.contains("CartesianProduct"), s"registered form:\n$reg")
   }
 
   test("bigram_rank_agreement: docs join midranks by broadcast; the only window is histogram-bounded") {

@@ -57,6 +57,37 @@ class EditDistSpec extends SparkSpec {
     }
   }
 
+  test("thresholded verification == full-DP reference (r18 banded levenshtein)") {
+    import org.apache.spark.sql.functions.{expr, greatest, length, lit}
+    // real corpus + a planted near-dup pair (guaranteed ≥1 surviving
+    // candidate) — the thresholded form must emit EXACTLY the rows the
+    // unthresholded full-DP form emits, distances included
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((900001L, base), (900002L, base.replace("tok7 ", "tok7y ")))
+        .toDF("doc_id", "text"))
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ascii = docs.filter(col("text").rlike("^[ -~]*$"))
+    val cands = Dedup.simhashMd5Pairs(ascii, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val ref = cands
+      .join(ascii.select(col("doc_id").as("doc_a"), col("text").as("text_a")), Seq("doc_a"))
+      .join(ascii.select(col("doc_id").as("doc_b"), col("text").as("text_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("levenshtein(text_a, text_b)").cast("long").as("edit_dist"),
+        greatest(length(col("text_a")), length(col("text_b")), lit(1))
+          .cast("long").as("max_len"))
+      .withColumn("edit_ratio_bp", expr("edit_dist * 10000 div max_len"))
+      .filter(col("edit_ratio_bp") <= Dedup.EditMaxRatioBp)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_ratio_bp"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.nonEmpty && got == ref,
+      s"thresholded=${got.size} rows, reference=${ref.size} rows; diff=" +
+        s"${(got diff ref) ++ (ref diff got)}")
+  }
+
   test("plan: texts join the bounded candidate set — no cartesian, no all-pairs") {
     val p = Dedup.editDistancePairs(
       graft.Tables.documents(spark, sf), "doc_id", "text")

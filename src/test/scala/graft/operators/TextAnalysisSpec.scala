@@ -807,6 +807,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(18L + 3L + 3L == 24L)
   }
 
+  test("bigramBothScoresWithBf == the two separate scorings zipped (r18 fusion)") {
+    val s = spark
+    import s.implicits._
+    // mixed corpus: repeats, rare contexts, a 1-token doc (no bigrams —
+    // must be absent from BOTH forms), shared and unique transitions
+    val d = Seq((1L, "a b c a b"), (2L, "a b"), (3L, "c a x"),
+      (4L, "z"), (5L, "b c b c b")).toDF("doc_id", "text")
+    val bf = TextAnalysis.bigramBf(d, "doc_id", "text").localCheckpoint(false)
+    val uc = d.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    val fused = TextAnalysis.bigramBothScoresWithBf(bf, uc)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val a = TextAnalysis.bigramLogProbWithBf(bf, uc)
+      .select(col("doc_id"), col("avg_logprob").as("sa"))
+    val b = TextAnalysis.bigramLogProbKnWithBf(bf)
+      .select(col("doc_id"), col("avg_logprob").as("sb"))
+    val sep = a.join(b, "doc_id").select("doc_id", "sa", "sb")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(fused.toSeq == sep.toSeq,
+      s"fused=${fused.toSeq} separate=${sep.toSeq}")
+    assert(!fused.exists(_._1 == 4L)) // no-bigram doc absent from both
+  }
+
   test("rankAgreement: midrank ties, affine invariance, sign of a reversal") {
     val s = spark
     import s.implicits._
