@@ -30,11 +30,22 @@ object PipelineOps extends QueryPack {
 
   def pipelineCurate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    val filtered = docs.join(quality, "doc_id")
+    // r18: quality as a PROJECTION (the by-lang discipline — a
+    // doc_id self-join to recover columns the scan already has is a
+    // join for nothing; doc_id is unique so the rows are identical)
+    // and the gated mixture materialized ONCE on narrow inputs: the
+    // sampled relation feeds the LSH head, the survivor join-back and
+    // the singleton anti-join, so each consumer re-ran the regex-heavy
+    // gate lineage. At corpus scale the copy is skipped.
+    val filtered = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
       .filter(col("quality") >= QualityMin)
-    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+    val sampledRaw = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val sampled =
+      if (graft.operators.FanOut.isNarrowMaterialize(sampledRaw))
+        sampledRaw.seamCheckpoint(false)
+      else sampledRaw
     // Content-robust pair source: MinHash-LSH (md5 twin, so the whole
     // composition stays value-gated) instead of prefix blocking, which
     // misses near-dups whose openings differ — exactly the shuffled/
@@ -125,11 +136,18 @@ object PipelineOps extends QueryPack {
     * corpus — the registered query binds it to the documents table;
     * specs drive it with corpora that exercise each gate. */
   def curateQuality(docs: DataFrame): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
-    val filtered = docs.join(quality, "doc_id")
+    // r18: same shape as pipelineCurate — quality as a projection
+    // (no doc_id self-join) + the gated mixture materialized once on
+    // narrow inputs (three consumers re-ran the gate lineage)
+    val filtered = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
       .filter(col("quality") >= QualityMin)
-    val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
+    val sampledRaw = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
+    val sampled =
+      if (graft.operators.FanOut.isNarrowMaterialize(sampledRaw))
+        sampledRaw.seamCheckpoint(false)
+      else sampledRaw
     val clusters = Dedup.nearDupClustersFromPairs(sampled, "doc_id",
       Dedup.minhashLshMd5(sampled, "doc_id", "text"),
       trustedPairs = true)
@@ -297,12 +315,14 @@ object PipelineOps extends QueryPack {
     curateAudit(Tables.documents(spark, sfDir))
 
   def curateAudit(docs: DataFrame): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
     // the audit fans this lineage out four ways (pair source, cluster
     // seed, quality join, verdict spine) — checkpoint the scored
     // corpus once instead of re-running the regex-heavy quality scan
-    // per consumer (the keptWithText idiom; measured 4.0 s → 2.4 s)
-    val withQ = docs.join(quality, "doc_id").seamCheckpoint(false)
+    // per consumer (the keptWithText idiom; measured 4.0 s → 2.4 s).
+    // r18: quality as a projection, not a doc_id self-join.
+    val withQ = docs
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
+      .seamCheckpoint(false)
     val filtered = withQ.filter(col("quality") >= QualityMin)
     val sampled = TextAnalysis.stratifiedSample(filtered, "lang", "doc_id",
       TextOps.SampleRatesBp, TextOps.SampleDefaultBp)
