@@ -76,34 +76,39 @@ object SqlSurfaceOps extends QueryPack {
     * twin. */
   def dsirSelectSql(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis.{DsirBuckets => B, DsirTopN => N}
+    // r18 (r17-VERDICT item 3 pattern): the model-side CTE serves from
+    // the persisted [[graft.operators.DsirStore]] — the SAME folded
+    // (bucket, ct, cr) table dsir_select_store probes (counts are
+    // additive, so the stored model == the inline model CTE exactly).
+    // The old text computed the gram/tf pipeline TWICE (CTE inlining:
+    // once for the model fold, once for the scoring join); the scored
+    // side still derives tf from raw text in SQL — ranking the corpus
+    // is what the query does. Same oracle string as dsir_select.
     Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    TextOps.dsirStoreFor(spark, sfDir).model(spark)
+      .createOrReplaceTempView("graft_dsir_model")
     spark.sql(
       s"""WITH tok AS (
-         |  SELECT doc_id, lang = 'en' AS tgt, split(text, ' ') AS t
+         |  SELECT doc_id, split(text, ' ') AS t
          |  FROM documents
          |), gram AS (
-         |  SELECT doc_id, tgt, explode(t) AS gram FROM tok
+         |  SELECT doc_id, explode(t) AS gram FROM tok
          |  UNION ALL
-         |  SELECT doc_id, tgt, concat(t[i-1], ' ', t[i]) AS gram
-         |  FROM (SELECT doc_id, tgt, t, explode(sequence(1, size(t) - 1)) AS i
+         |  SELECT doc_id, concat(t[i-1], ' ', t[i]) AS gram
+         |  FROM (SELECT doc_id, t, explode(sequence(1, size(t) - 1)) AS i
          |        FROM tok WHERE size(t) >= 2)
          |), tf AS (
-         |  SELECT doc_id, tgt,
+         |  SELECT doc_id,
          |    pmod(CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT), $B) AS bucket,
          |    count(1) AS tf
-         |  FROM gram GROUP BY 1, 2, 3
-         |), model AS (
-         |  SELECT bucket,
-         |    sum(CASE WHEN tgt THEN tf ELSE 0L END) AS ct,
-         |    sum(tf) AS cr
-         |  FROM tf GROUP BY bucket
+         |  FROM gram GROUP BY 1, 2
          |), tot AS (
-         |  SELECT sum(ct) AS nt, sum(cr) AS nr FROM model
+         |  SELECT sum(ct) AS nt, sum(cr) AS nr FROM graft_dsir_model
          |), llr AS (
          |  SELECT bucket,
          |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $B AS DOUBLE)), 6) AS DECIMAL(18,6))
          |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $B AS DOUBLE)), 6) AS DECIMAL(18,6)) AS llr
-         |  FROM model CROSS JOIN tot
+         |  FROM graft_dsir_model CROSS JOIN tot
          |)
          |SELECT tf.doc_id, round(CAST(sum(tf.tf * l.llr) AS DOUBLE), 4) AS weight
          |FROM tf JOIN llr l ON tf.bucket = l.bucket
@@ -242,27 +247,38 @@ object SqlSurfaceOps extends QueryPack {
       .map { case (q, t) => s"(${q}L, '$t')" }.mkString(", ")
     val hq = TextOps.HybridQueryTexts
       .map { case (q, t) => s"(${q + HybridQidOffset}L, '$t')" }.mkString(", ")
-    Tables.documents(spark, sfDir).createOrReplaceTempView("documents")
+    // r18 (r17-VERDICT item 3): the SQL twin SERVES from the same two
+    // persisted stores its DataFrame sibling (hybrid_search_rrf_store)
+    // probes, registered as temp views — the statement still runs the
+    // full parse → analyze → optimize lifecycle, but its seen-side CTEs
+    // are store scans instead of 20 re-tokenizations/re-embeddings of
+    // the corpus (the old text re-derived postings AND doc vectors
+    // inline; CTE inlining re-ran them per consumer). Query-side
+    // embeddings stay derived in SQL (the md5h60 idiom — 3 tiny texts).
+    // Same oracle string as every hybrid form; the scoring formulas
+    // are bm25FromPostings / bruteForceTopKHeapPrenormed spelled in
+    // SQL over the stored columns.
+    TextOps.servingLexStore(spark, sfDir).table(spark)
+      .createOrReplaceTempView("graft_hyb_postings")
+    TextOps.hybridEmbStore(spark, sfDir).vectorRows(spark)
+      .createOrReplaceTempView("graft_hyb_vectors")
     spark.sql(
       s"""WITH qt AS (SELECT * FROM VALUES $vals AS qt(query_id, term)),
-         |tok AS (SELECT doc_id, explode(split(text, ' ')) AS term
-         |        FROM documents),
-         |dl AS (SELECT doc_id, CAST(size(split(text, ' ')) AS BIGINT) AS dl
-         |       FROM documents),
+         |dl AS (SELECT doc_id, min(dl) AS dl FROM graft_hyb_postings
+         |       GROUP BY doc_id),
          |st AS (SELECT CAST(count(1) AS BIGINT) AS n_docs,
          |              CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, CAST(count(1) AS BIGINT) AS tf
-         |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
-         |       GROUP BY doc_id, term),
+         |tf AS (SELECT doc_id, term, tf, dl FROM graft_hyb_postings
+         |       WHERE term IN (SELECT DISTINCT term FROM qt)),
          |df AS (SELECT term, CAST(count(1) AS BIGINT) AS df
          |       FROM tf GROUP BY term),
          |c AS (
          |  SELECT q.query_id, t.doc_id,
          |    round(ln(1.0D + (s.n_docs - d.df + 0.5D) / (d.df + 0.5D)), 6)
          |      * (t.tf * ${Bm25K1 + 1.0}D)
-         |      / (t.tf + ${Bm25K1}D * (${1.0 - Bm25B}D + ${Bm25B}D * l.dl / s.avgdl)) AS c
+         |      / (t.tf + ${Bm25K1}D * (${1.0 - Bm25B}D + ${Bm25B}D * t.dl / s.avgdl)) AS c
          |  FROM qt q JOIN tf t USING (term) JOIN df d USING (term)
-         |  JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN st s
+         |  CROSS JOIN st s
          |),
          |sc AS (SELECT query_id, doc_id, round(sum(c), 4) AS score
          |       FROM c GROUP BY query_id, doc_id),
@@ -271,37 +287,26 @@ object SqlSurfaceOps extends QueryPack {
          |    ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
          |  FROM sc) WHERE rk <= $Bm25TopK),
          |hqt AS (SELECT * FROM VALUES $hq AS hqt(query_id, qtext)),
-         |hdt AS (SELECT doc_id AS vid, explode(split(text, ' ')) AS t
-         |        FROM documents
-         |        UNION ALL
-         |        SELECT query_id AS vid, explode(split(qtext, ' ')) AS t
-         |        FROM hqt),
          |hh AS (SELECT vid,
          |         CAST(conv(substring(md5(concat('emb#', t)), 1, 15), 16, 10) AS BIGINT) AS h
-         |       FROM hdt),
-         |htb AS (SELECT vid, pmod(h, $EmbedDim) AS b,
+         |       FROM (SELECT query_id AS vid, explode(split(qtext, ' ')) AS t
+         |             FROM hqt)),
+         |qtb AS (SELECT vid, pmod(h, $EmbedDim) AS b,
          |          CAST(sum(CASE WHEN pmod(h div $EmbedDim, 2) = 0
          |                        THEN 1 ELSE -1 END) AS DOUBLE) AS v
          |        FROM hh GROUP BY 1, 2),
-         |hn AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM htb GROUP BY vid),
-         |hdot AS (SELECT q.vid AS qvid, d.vid AS dvid, sum(q.v * d.v) AS dot
-         |         FROM (SELECT * FROM htb WHERE vid >= ${HybridQidOffset}L) q
-         |         JOIN (SELECT * FROM htb WHERE vid < ${HybridQidOffset}L) d
-         |           ON q.b = d.b
+         |qn AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM qtb GROUP BY vid),
+         |hdot AS (SELECT q.vid AS qvid, d.vec_id AS dvid,
+         |           sum(q.v * element_at(d.emb, CAST(q.b + 1 AS INT))) AS dot
+         |         FROM qtb q CROSS JOIN graft_hyb_vectors d
          |         GROUP BY 1, 2),
-         |hpairs AS (SELECT q.vid AS qvid, d.vid AS dvid
-         |           FROM (SELECT DISTINCT vid FROM htb
-         |                 WHERE vid >= ${HybridQidOffset}L) q
-         |           CROSS JOIN (SELECT DISTINCT vid FROM htb
-         |                       WHERE vid < ${HybridQidOffset}L) d),
          |hscored AS (
-         |  SELECT p.qvid AS query_id, p.dvid AS vec_id,
-         |    round(CASE WHEN qn.nrm * dn.nrm = 0D THEN 0D
-         |          ELSE coalesce(h.dot, 0D) / (qn.nrm * dn.nrm) END, 4) AS sim
-         |  FROM hpairs p
-         |  LEFT JOIN hdot h ON h.qvid = p.qvid AND h.dvid = p.dvid
-         |  JOIN hn qn ON qn.vid = p.qvid
-         |  JOIN hn dn ON dn.vid = p.dvid),
+         |  SELECT h.qvid AS query_id, h.dvid AS vec_id,
+         |    round(CASE WHEN qn.nrm * d.nrm = 0D THEN 0D
+         |          ELSE h.dot / (qn.nrm * d.nrm) END, 4) AS sim
+         |  FROM hdot h
+         |  JOIN qn ON qn.vid = h.qvid
+         |  JOIN graft_hyb_vectors d ON d.vec_id = h.dvid),
          |hdense AS (
          |  SELECT query_id - ${HybridQidOffset}L AS query_id,
          |         vec_id AS doc_id, rk FROM (

@@ -570,6 +570,11 @@ object TextOps extends QueryPack {
       s
     })
 
+  /** SQL-twin access to the shared posting store (r18, VERDICT item
+    * 3): same memo as every lexical probe. */
+  private[graft] def servingLexStore(spark: SparkSession,
+      sfDir: String): graft.operators.LexStore = lexStoreFor(spark, sfDir)
+
   /** Store-backed BM25: the same scoring over the PERSISTED posting
     * table ([[graft.operators.LexStore]]) — zero corpus
     * re-tokenization at query time, identical oracle to bm25_search
@@ -1345,12 +1350,13 @@ object TextOps extends QueryPack {
   private val dsirStores = new java.util.concurrent.ConcurrentHashMap[
     String, graft.operators.DsirStore]()
 
-  /** Store-backed DSIR: the persisted bucket-count model (ingested in
-    * TWO batches, so the probe also proves segment-sum additivity)
-    * ranks the corpus — identical oracle to dsir_select, zero drift. */
-  def dsirSelectStore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The dataset's persisted DSIR model store, built on first use —
+    * shared by dsir_select_store and the SQL twin's model-side CTE
+    * (r18, VERDICT item 3). */
+  private[graft] def dsirStoreFor(spark: SparkSession,
+      sfDir: String): graft.operators.DsirStore = {
     val docs = Tables.documents(spark, sfDir)
-    val store = dsirStores.computeIfAbsent(sfDir, dir => {
+    dsirStores.computeIfAbsent(sfDir, dir => {
       val s = new graft.operators.DsirStore(
         s"graft_dsir_store_${graft.QueryPack.storeSuffix(dir)}")
       s.ingest(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
@@ -1359,8 +1365,14 @@ object TextOps extends QueryPack {
         col("lang") === "en", batchId = 1L)
       s
     })
-    store.select(docs, "doc_id", "text")
   }
+
+  /** Store-backed DSIR: the persisted bucket-count model (ingested in
+    * TWO batches, so the probe also proves segment-sum additivity)
+    * ranks the corpus — identical oracle to dsir_select, zero drift. */
+  def dsirSelectStore(spark: SparkSession, sfDir: String): DataFrame =
+    dsirStoreFor(spark, sfDir)
+      .select(Tables.documents(spark, sfDir), "doc_id", "text")
 
   /** BPE training bounds, shared with the generated oracles. maxWords
     * covers this corpus's whole vocabulary (31 distinct words at the
