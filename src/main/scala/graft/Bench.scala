@@ -216,9 +216,18 @@ object Bench {
     // off every query's clock. The timed region per query is unchanged;
     // per-query numbers just stop depending on how much garbage earlier
     // passes left behind.
+    // Two GC cycles with idle windows: the first enqueues the dead
+    // references, the pause gives ContextCleaner an UNCONTENDED window
+    // to process them (its unpersist RPCs otherwise queue behind the
+    // next pass's block operations — the mid-r18 record showed a
+    // 300 ms pause merely MOVED the stall into the following pass),
+    // the second catches references freed by the first round of
+    // cleaning. ~9 s per boundary, all off-clock.
     def interPassDrain(): Unit = {
       System.gc()
-      Thread.sleep(300L)
+      Thread.sleep(4000L)
+      System.gc()
+      Thread.sleep(4000L)
     }
     val coldRuns = benchSet.map { case (name, fn) => name -> timed("cold", name, fn) }
     interPassDrain()
