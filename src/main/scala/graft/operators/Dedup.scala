@@ -365,10 +365,22 @@ object Dedup {
     * rows (idCol, span_start, span_tokens) — the ingest loops strip a
     * batch from its store-probed spans with it instead of re-detecting. */
   def stripSpans(docs: DataFrame, spanRows: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, fan: Boolean = true): DataFrame = {
     val spans = spanRows
       .select(col(idCol), col("span_start"), col("span_tokens"))
-    val toks = docs
+    // r18 (guide §2): the token posexplode is this operator's heavy
+    // per-row work and otherwise runs at the scan's 1-2-partition
+    // parallelism on a small input; hash(id) partitioning ALSO
+    // satisfies the span join, the (id, pos) fold and the per-doc
+    // rebuild below (id is a prefix of every key), so the one pinned
+    // exchange serves the whole tail. fan = false for probe-sized
+    // batches (the r17 probe-side lesson: a forced exchange costs more
+    // than the single-task work it parallelizes); corpus-scale inputs
+    // skip it via the FanOut guard.
+    val base = if (fan)
+      FanOut.fanOut(docs.select(col(idCol), col(textCol)), col(idCol))
+    else docs
+    val toks = base
       .select(col(idCol), posexplode(tokens(col(textCol))))
       .select(col(idCol), col("pos"), col("col").as("tok"))
     val marked = toks

@@ -1314,8 +1314,17 @@ object TextAnalysis {
     * benchmark line costs linear rows on one shingle key, membership
     * not pairing. */
   def contaminationSpansFrom(docs: DataFrame, benchShingles: DataFrame,
-      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
-    val docSh = docs
+      idCol: String, textCol: String, shingleN: Int = 3,
+      fan: Boolean = true): DataFrame = {
+    // r18 (guide §2): positional shingling runs scan-side — fan the
+    // narrow (id, text) projection out first (hash(id) also satisfies
+    // mergeIslandSpans' per-doc window, so the exchange is reused);
+    // fan = false for probe-sized batches, skipped at corpus scale
+    val base = if (fan)
+      graft.operators.FanOut.fanOut(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+    else docs
+    val docSh = base
       .select(col(idCol),
         posexplode(graft.functions.WordShingles(col(textCol), shingleN)))
       .select(col(idCol), col("pos"), col("col").as("s"))

@@ -320,7 +320,7 @@ object DedupOps extends QueryPack {
     Dedup.stripSpans(batch,
       Dedup.incrementalDuplicateSpansFrom(batch,
         Dedup.spanGrams(seen, "doc_id", "text"), "doc_id", "text"),
-      "doc_id", "text")
+      "doc_id", "text", fan = false) // probe-sized batch by contract
   }
 
   private val gramStores = new java.util.concurrent.ConcurrentHashMap[

@@ -655,11 +655,12 @@ object StreamingPipelines {
     * (idCol, clean_text, n_dropped). */
   def decontaminateStripBatch(benchStore: graft.operators.BenchmarkStore,
       batch: DataFrame, idCol: String, textCol: String): DataFrame =
+    // fan = false on both seams: probe-sized batch by contract
     graft.operators.Dedup.stripSpans(batch,
       graft.operators.TextAnalysis.contaminationSpansFrom(batch,
         benchStore.table(batch.sparkSession), idCol, textCol,
-        benchStore.shingleN),
-      idCol, textCol)
+        benchStore.shingleN, fan = false),
+      idCol, textCol, fan = false)
 
   /** The COMPLETE streaming curation ingest — every gate of the batch
     * pipeline composed into ONE foreachBatch body over the three
@@ -1050,7 +1051,8 @@ object StreamingPipelines {
         s"${batch.schema(idCol).dataType.catalogString} — map ids to a " +
         "surrogate long (e.g. xxhash64) first")
     val spans = store.probe(batch, idCol, textCol, excludeBatchIds = true)
-    val cleaned0 = Dedup.stripSpans(batch, spans, idCol, textCol)
+    // fan = false: probe-sized batch by contract
+    val cleaned0 = Dedup.stripSpans(batch, spans, idCol, textCol, fan = false)
     // on a replay the merge below no-ops — return the LAZY rewrite
     if (store.isReplay(batchId)) return cleaned0
     // eager checkpoint: the store ingest is an action over the batch's
