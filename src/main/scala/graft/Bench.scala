@@ -216,18 +216,30 @@ object Bench {
     // off every query's clock. The timed region per query is unchanged;
     // per-query numbers just stop depending on how much garbage earlier
     // passes left behind.
-    // Two GC cycles with idle windows: the first enqueues the dead
-    // references, the pause gives ContextCleaner an UNCONTENDED window
-    // to process them (its unpersist RPCs otherwise queue behind the
-    // next pass's block operations — the mid-r18 record showed a
-    // 300 ms pause merely MOVED the stall into the following pass),
-    // the second catches references freed by the first round of
-    // cleaning. ~9 s per boundary, all off-clock.
+    // GC + idle windows until the persistent-RDD count STABILIZES:
+    // dead-but-uncleaned RDDs stay in SparkContext.persistentRdds until
+    // ContextCleaner processes them, so the map's size is a direct,
+    // public measure of the remaining backlog — fixed-length pauses
+    // (300 ms, then 2×4 s) both left enough backlog that the cleaner's
+    // unpersist RPCs contended with the next pass's block operations
+    // for most of a pass (warm totals 148/128/106 with flat steal: the
+    // LAST pass, running over a finally-clean block store, was the
+    // fast one). Bounded at ~32 s per boundary; all off-clock.
     def interPassDrain(): Unit = {
-      System.gc()
-      Thread.sleep(4000L)
-      System.gc()
-      Thread.sleep(4000L)
+      val sc = spark.sparkContext
+      var prev = Long.MaxValue
+      var stable = 0
+      var iters = 0
+      while (stable < 2 && iters < 15) {
+        System.gc()
+        Thread.sleep(2000L)
+        val n = sc.getPersistentRDDs.size.toLong
+        if (n >= prev) stable += 1 else stable = 0
+        prev = n
+        iters += 1
+      }
+      System.err.println(s"[bench] inter-pass drain: ${prev} persistent RDDs " +
+        s"after $iters gc cycles")
     }
     val coldRuns = benchSet.map { case (name, fn) => name -> timed("cold", name, fn) }
     interPassDrain()
